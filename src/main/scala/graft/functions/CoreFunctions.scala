@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Core reusable Column combinators for the engine.
+  *
+  * Everything here is pure `Column` composition over Spark built-ins —
+  * codegen-transparent, no UDFs (SURVEY.md §2.6/§4.3). Reference
+  * semantics being reproduced:
+  *  - haversine: /root/reference/src/check_and_create_db_v4.py:300-313
+  *  - duration (fractional-second timestamp diff): v4.py:276
+  *  - speed + null/NaN/±inf repair: v4.py:279-280
+  *  - surrogate keys: v4.py:148 (uuid4 → deterministic sha2, SURVEY F17)
+  *  - date parts: v4.py:201-208
+  */
+object CoreFunctions {
+
+  val EarthRadiusKm = 6371.0
+
+  /** Great-circle distance in km (haversine), mirroring
+    * check_and_create_db_v4.py:300-313. Structured identically to the
+    * DuckDB oracle formula so both engines agree to ~1 ulp.
+    */
+  def haversineKm(lat1: Column, lng1: Column, lat2: Column, lng2: Column): Column = {
+    val dLatH = radians(lat2 - lat1) / 2
+    val dLngH = radians(lng2 - lng1) / 2
+    lit(2.0) * lit(EarthRadiusKm) * asin(
+      sqrt(
+        pow(sin(dLatH), 2) +
+          cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLngH), 2)
+      )
+    )
+  }
+
+  /** Timestamp difference in fractional seconds (SURVEY F8).
+    * `cast(double)` keeps sub-second precision; `unix_timestamp` would
+    * truncate to whole seconds.
+    */
+  def durationSeconds(start: Column, end: Column): Column =
+    end.cast("double") - start.cast("double")
+
+  /** pandas `.fillna(0).replace([inf,-inf], 0)` repair (v4.py:280):
+    * null, NaN, and ±Infinity all collapse to 0.0 (SURVEY P8/F14-F16).
+    */
+  def repairMeasure(c: Column): Column =
+    when(c.isNull || isnan(c) || abs(c) === lit(Double.PositiveInfinity), lit(0.0))
+      .otherwise(c)
+
+  /** Speed in km/h = distance / (seconds/3600), with the v4.py:279-280
+    * zero-duration (→ inf) and null repairs applied. `try_divide`
+    * yields null on /0 under both ANSI and legacy modes; the repair
+    * then maps it to 0.0 exactly like pandas' inf→0 replace.
+    */
+  def speedKmh(distanceKm: Column, durationSec: Column): Column =
+    repairMeasure(try_divide(distanceKm, durationSec / lit(3600.0)))
+
+  /** Deterministic surrogate key over a natural key (SURVEY F17):
+    * stable across runs, 1 key per distinct natural key — unlike the
+    * reference's uuid4. `` separator avoids ambiguous concat.
+    */
+  def surrogateKey(naturalKey: Column*): Column =
+    sha2(concat_ws("", naturalKey: _*), 256)
+
+  /** The 8 date parts of the reference date dimension (v4.py:201-208),
+    * as (name, column) pairs so callers control ordering.
+    */
+  def dateParts(ts: Column): Seq[(String, Column)] = Seq(
+    "year"    -> year(ts),
+    "month"   -> month(ts),
+    "quarter" -> quarter(ts),
+    "week"    -> weekofyear(ts),
+    "day"     -> dayofmonth(ts),
+    "hour"    -> hour(ts),
+    "minute"  -> minute(ts),
+    "second"  -> second(ts)
+  )
+
+  // ---- Oracle-exact aggregation helpers -------------------------------
+  // Double sums are order-dependent; Spark's partial aggregation order
+  // differs from DuckDB's sequential scan, so `round(sum(x),4)` can
+  // straddle a rounding boundary. Summing DECIMAL(18,4) instead is
+  // exact and engine-independent; the final cast back to double of a
+  // 4-dp decimal < 2^53/10^4 is bit-deterministic in both engines.
+
+  /** Exact decimal sum of a double column, returned as double. */
+  def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** Order-independent average of a double column, rounded to 4 dp. */
+  def davg(c: Column): Column =
+    round(dsum(c) / count(c), 4)
+
+  /** SQL fragment for the DuckDB oracle equivalent of [[dsum]]. */
+  def dsumSql(expr: String): String =
+    s"CAST(SUM(CAST(($expr) AS DECIMAL(18,4))) AS DOUBLE)"
+
+  /** SQL fragment for the DuckDB oracle equivalent of [[davg]]. */
+  def davgSql(expr: String): String =
+    s"ROUND(${dsumSql(expr)} / COUNT($expr), 4)"
+
+  /** SQL fragment mirroring [[haversineKm]] term-for-term. */
+  def haversineSql(lat1: String, lng1: String, lat2: String, lng2: String): String =
+    s"2.0 * 6371.0 * ASIN(SQRT(" +
+      s"POW(SIN(RADIANS(($lat2) - ($lat1)) / 2), 2) + " +
+      s"COS(RADIANS($lat1)) * COS(RADIANS($lat2)) * " +
+      s"POW(SIN(RADIANS(($lng2) - ($lng1)) / 2), 2)))"
+}

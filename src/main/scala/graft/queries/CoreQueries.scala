@@ -1,0 +1,398 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.CoreFunctions._
+
+/** A named engine query plus (optionally) its DuckDB oracle SQL.
+  *
+  * Determinism contract (SURVEY.md §2.9): every query ORDERs BY a unique
+  * key prefix, rounds floating outputs, aliases every computed column
+  * identically in the Spark plan and the oracle SQL, and aligns output
+  * types (DuckDB BIGINT date-parts / lengths are cast to INT to match
+  * Spark, Spark decimal sums are cast back to double, etc.).
+  */
+final case class GraftQuery(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** The declared core query surface — SURVEY.md §2.9 Q1..Q15 re-expressed
+  * over the driver fixture tables (TESTDATA.md). Each query names the
+  * operator-inventory rows it exercises.
+  */
+object CoreQueries {
+
+  /** Fixture-table loader. The driver's `events.parquet` carries a
+    * TIMESTAMP(NANOS) column, which Spark only reads as a nanos Long
+    * (`spark.sql.legacy.parquet.nanosAsLong=true`, set in Verify/Bench
+    * sessions); convert it back to a microsecond timestamp here —
+    * lossless, the generated data is µs-precision.
+    */
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) {
+      case (acc, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
+        // integer div: double division would lose ns precision at 2^60
+        acc.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case (acc, _) => acc
+    }
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // Q1 — S1/P1/P7/L3: scan + pushed filter + projection + sort.
+    GraftQuery(
+      "q01_filter_project",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+    ),
+
+    // Q2 — A3: TPC-H-Q1-style grouped aggregate (exact decimal sums).
+    GraftQuery(
+      "q02_group_agg",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+            davg(col("l_quantity")).as("avg_qty"),
+            davg(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        |${dsumSql("l_quantity")} AS sum_qty,
+        |${dsumSql("l_extendedprice")} AS sum_base_price,
+        |${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+        |${davgSql("l_quantity")} AS avg_qty,
+        |${davgSql("l_discount")} AS avg_disc,
+        |COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    ),
+
+    // Q3 — J1-class: broadcast equi-join chain customer⋈nation⋈region.
+    GraftQuery(
+      "q03_join_bcast",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val n = t(s, d, "nation")
+        val r = t(s, d, "region")
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy("r_name")
+          .agg(count(lit(1)).as("n_customers"), davg(col("c_acctbal")).as("avg_acctbal"))
+          .orderBy("r_name")
+      },
+      Some(s"""SELECT r_name, COUNT(*) AS n_customers, ${davgSql("c_acctbal")} AS avg_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+    ),
+
+    // Q4 — J5-class: left join with null-handling on unmatched rows.
+    // Aggregate-before-join: shrinks the join input instead of joining
+    // 10x rows then aggregating (matters at 100 TB).
+    GraftQuery(
+      "q04_join_left",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val agg = t(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("spend"))
+        c.join(agg, c("c_custkey") === agg("o_custkey"), "left")
+          .select(
+            col("c_custkey"),
+            col("c_name"),
+            coalesce(col("cnt"), lit(0L)).as("n_orders"),
+            coalesce(col("spend"), lit(0.0)).as("total_spend"))
+          .orderBy("c_custkey")
+      },
+      Some(s"""SELECT c_custkey, c_name,
+        |COALESCE(cnt, 0) AS n_orders, COALESCE(spend, 0.0) AS total_spend
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, COUNT(*) AS cnt, ${dsumSql("o_totalprice")} AS spend
+        |  FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin)
+    ),
+
+    // Q5a — left-semi join (EXISTS).
+    GraftQuery(
+      "q05_join_semi",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val big = t(s, d, "orders").filter(col("o_totalprice") > 400000.0).select("o_custkey")
+        c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin)
+    ),
+
+    // Q5b — left-anti join (NOT EXISTS): customers with no orders.
+    GraftQuery(
+      "q06_join_anti",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders").select("o_custkey")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin)
+    ),
+
+    // Q6a — A1: distinct on projected columns.
+    GraftQuery(
+      "q07_distinct",
+      (s, d) =>
+        t(s, d, "customer")
+          .select("c_nationkey", "c_mktsegment")
+          .distinct()
+          .orderBy("c_nationkey", "c_mktsegment"),
+      Some("""SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin)
+    ),
+
+    // Q6b — A2 made deterministic: first row per key via row_number
+    // (dropDuplicates keeps an arbitrary row; this pins it).
+    GraftQuery(
+      "q08_dedup_first_per_key",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        t(s, d, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                               ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin)
+    ),
+
+    // Q7a — U1+A1: UNION (distinct).
+    GraftQuery(
+      "q09_union",
+      (s, d) =>
+        t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+          .union(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+          .distinct()
+          .orderBy("nationkey"),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin)
+    ),
+
+    // Q7b — U2: INTERSECT.
+    GraftQuery(
+      "q10_intersect",
+      (s, d) =>
+        t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+          .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+          .orderBy("nationkey"),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin)
+    ),
+
+    // Q7c — U2: EXCEPT.
+    GraftQuery(
+      "q11_except",
+      (s, d) =>
+        t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+          .except(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+          .orderBy("nationkey"),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin)
+    ),
+
+    // Q8 — W1: top-3 orders per customer (ranking window + tiebreak).
+    GraftQuery(
+      "q12_window_topk",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        t(s, d, "orders")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+          .orderBy("o_custkey", "rk")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3
+        |ORDER BY o_custkey, rk""".stripMargin)
+    ),
+
+    // Q9 — L3: global top-k (TakeOrderedAndProject, no full sort shuffle).
+    GraftQuery(
+      "q13_orderby_limit",
+      (s, d) =>
+        t(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(10),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)
+    ),
+
+    // Q10 — F2–F7: full 8-part date-part rollup (the reference date
+    // dimension derivation, v4.py:201-208) over events.ts.
+    GraftQuery(
+      "q14_dateparts",
+      (s, d) => {
+        val parts = dateParts(col("ts"))
+        t(s, d, "events")
+          .groupBy(parts.map { case (n, c) => c.as(n) }: _*)
+          .agg(count(lit(1)).as("n"))
+          .orderBy(parts.map(_._1).map(col): _*)
+      },
+      Some("""SELECT CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS month,
+        |CAST(quarter(ts) AS INT) AS quarter, CAST(weekofyear(ts) AS INT) AS week,
+        |CAST(day(ts) AS INT) AS day, CAST(hour(ts) AS INT) AS hour,
+        |CAST(minute(ts) AS INT) AS minute, CAST(second(ts) AS INT) AS second,
+        |COUNT(*) AS n
+        |FROM events GROUP BY 1,2,3,4,5,6,7,8
+        |ORDER BY 1,2,3,4,5,6,7,8""".stripMargin)
+    ),
+
+    // Q11 — F19: string functions (split/upper/like/substring) over part.
+    GraftQuery(
+      "q15_string_funcs",
+      (s, d) =>
+        t(s, d, "part")
+          .groupBy(upper(element_at(split(col("p_name"), " "), 2)).as("noun"))
+          .agg(
+            count(lit(1)).as("n_parts"),
+            sum(when(col("p_type").like("%ECO%"), 1L).otherwise(0L)).as("n_economy"),
+            countDistinct(substring(col("p_brand"), 7, 4).cast("int")).as("n_brands"),
+            davg(col("p_retailprice")).as("avg_price"),
+            min(length(col("p_name"))).as("min_name_len"))
+          .orderBy("noun"),
+      Some(s"""SELECT upper(split_part(p_name, ' ', 2)) AS noun,
+        |COUNT(*) AS n_parts,
+        |CAST(SUM(CASE WHEN p_type LIKE '%ECO%' THEN 1 ELSE 0 END) AS BIGINT) AS n_economy,
+        |COUNT(DISTINCT CAST(substring(p_brand, 7, 4) AS INT)) AS n_brands,
+        |${davgSql("p_retailprice")} AS avg_price,
+        |CAST(MIN(length(p_name)) AS INT) AS min_name_len
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Q12 — F20: JSON extraction over events.props.
+    GraftQuery(
+      "q16_json",
+      (s, d) => {
+        val k = get_json_object(col("props"), "$.k").cast("int")
+        t(s, d, "events")
+          .groupBy("event_type")
+          .agg(sum(k).as("sum_k"), davg(k.cast("double")).as("avg_k"), count(lit(1)).as("n"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type,
+        |CAST(SUM(CAST(json_extract_string(props, '$$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |${davgSql("CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS DOUBLE)")} AS avg_k,
+        |COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // Q13 — W2-batch: tumbling 1-hour event-time window (batch mode).
+    GraftQuery(
+      "q17_time_window",
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+          .select(col("window.start").as("window_start"), col("n_events"), col("sum_value"))
+          .orderBy("window_start"),
+      Some(s"""SELECT date_trunc('hour', ts) AS window_start,
+        |COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Q14 — F8–F14: haversine distance + duration + speed with the
+    // v4.py:279-280 null/inf repair, on synthetic integer-derived
+    // coordinates (exact in both engines).
+    GraftQuery(
+      "q18_haversine_measures",
+      (s, d) => {
+        val k = col("c_custkey")
+        val base = t(s, d, "customer").select(
+          k,
+          ((k % 179) - 89).cast("double").as("lat1"),
+          ((k % 359) - 179).cast("double").as("lng1"),
+          (((k * 3) % 179) - 89).cast("double").as("lat2"),
+          (((k * 5) % 359) - 179).cast("double").as("lng2"),
+          ((k % 97) * 60).cast("double").as("duration_s"))
+        val dist = haversineKm(col("lat1"), col("lng1"), col("lat2"), col("lng2"))
+        base
+          .select(
+            col("c_custkey"),
+            col("duration_s"),
+            round(dist, 4).as("distance_km"),
+            round(speedKmh(dist, col("duration_s")), 4).as("speed_kmh"))
+          .orderBy("c_custkey")
+      },
+      Some(s"""WITH base AS (
+        |  SELECT c_custkey,
+        |    CAST((c_custkey % 179) - 89 AS DOUBLE) AS lat1,
+        |    CAST((c_custkey % 359) - 179 AS DOUBLE) AS lng1,
+        |    CAST(((c_custkey * 3) % 179) - 89 AS DOUBLE) AS lat2,
+        |    CAST(((c_custkey * 5) % 359) - 179 AS DOUBLE) AS lng2,
+        |    CAST((c_custkey % 97) * 60 AS DOUBLE) AS duration_s
+        |  FROM customer)
+        |SELECT c_custkey, duration_s,
+        |  ROUND(${haversineSql("lat1", "lng1", "lat2", "lng2")}, 4) AS distance_km,
+        |  CASE WHEN duration_s = 0 THEN 0.0
+        |       ELSE ROUND(${haversineSql("lat1", "lng1", "lat2", "lng2")} / (duration_s / 3600.0), 4)
+        |  END AS speed_kmh
+        |FROM base ORDER BY c_custkey""".stripMargin)
+    ),
+
+    // Q15 — A4: ROLLUP with grouping-id disambiguation; grouped nulls
+    // are coalesced to a sentinel so null-ordering differences between
+    // engines cannot bite.
+    GraftQuery(
+      "q19_rollup",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            grouping_id().cast("int").as("gid"),
+            count(lit(1)).as("n"),
+            dsum(col("l_quantity")).as("sum_qty"))
+          .select(
+            coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+            coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+            col("gid"), col("n"), col("sum_qty"))
+          .orderBy("returnflag", "linestatus"),
+      Some(s"""SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+        |COALESCE(l_linestatus, '(all)') AS linestatus,
+        |CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+        |COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin)
+    )
+  )
+}

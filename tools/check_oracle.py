@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet result (written by graft.Verify),
+runs the matching oracle SQL from oracle_sql.json in DuckDB against the
+same parquet tables, sorts columns by name, and compares row-by-row.
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    n_pass = n_fail = 0
+    for name in sorted(oracles):
+        sql = oracles[name]
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark result written"); n_fail += 1; continue
+        try:
+            spark_df = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetchdf()
+            oracle_df = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        sc = sorted(spark_df.columns); oc = sorted(oracle_df.columns)
+        if sc != oc:
+            print(f"FAIL {name}: columns {sc} vs oracle {oc}"); n_fail += 1; continue
+        a, b = spark_df[sc], oracle_df[oc]
+        if len(a) != len(b):
+            print(f"FAIL {name}: rows {len(a)} vs oracle {len(b)}"); n_fail += 1; continue
+        bad = None
+        for c in sc:
+            av, bv = a[c].tolist(), b[c].tolist()
+            for i, (x, y) in enumerate(zip(av, bv)):
+                if x != y and not (x != x and y != y):  # NaN==NaN ok
+                    bad = (c, i, x, y); break
+            if bad: break
+        if bad:
+            c, i, x, y = bad
+            print(f"FAIL {name}: col={c} row={i} spark={x!r} oracle={y!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(a)} rows)"); n_pass += 1
+    # queries with no oracle: rows-only check
+    for p in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(p.rstrip("/"))
+        if name in oracles: continue
+        files = sorted(glob.glob(f"{p}/*.parquet"))
+        if not files:
+            print(f"FAIL {name}: (rows-only) no parquet"); n_fail += 1; continue
+        n = con.execute(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0]
+        status = "PASS" if n > 0 else "FAIL"
+        print(f"{status} {name}: (rows-only) {n} rows")
+        if n > 0: n_pass += 1
+        else: n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
