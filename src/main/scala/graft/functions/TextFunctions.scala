@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis Column combinators for the training-data pipeline
+  * extensions (builder prompt; SURVEY.md §7.1 item 7).
+  *
+  * All pure Spark built-ins / higher-order functions — codegen'd, no
+  * UDFs. Deterministic: same input → same output on every run and
+  * every partitioning.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens with empties dropped (so "" → [] not [""]). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > lit(0))
+
+  /** Distinct word n-gram shingles, order-sensitive — the dedup unit
+    * for MinHash/Jaccard. Docs shorter than n get an empty array.
+    */
+  def wordShingles(toks: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), size(toks) - lit(n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, (i + lit(j)).cast("int"))): _*))
+    array_distinct(when(size(toks) < n, array().cast("array<string>")).otherwise(grams))
+  }
+
+  /** MinHash signature: k independent min-hashes over the shingle set.
+    * Seeded by position via xxhash64(seed_i, shingle); empty input
+    * yields null entries — filter such docs upstream.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map(i => array_min(transform(shingles, s => xxhash64(lit(i), s)))): _*)
+
+  /** Fraction of equal positions between two same-length signatures —
+    * the unbiased MinHash estimate of Jaccard similarity.
+    */
+  def minhashEstimate(sigA: Column, sigB: Column): Column =
+    aggregate(
+      zip_with(sigA, sigB, (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0),
+      (acc, v) => acc + v
+    ).cast("double") / size(sigA)
+
+  /** 64-bit SimHash over the token multiset (duplicate tokens vote
+    * more than once). Per-bit ±1 votes accumulated with one pass of
+    * nested higher-order functions; sign of each vote becomes the bit.
+    * Built as a SQL lambda expression because dynamic shift amounts
+    * are only expressible there (`functions.shiftright` takes a
+    * literal Int).
+    */
+  def simhash64(toksSql: String): Column = {
+    val t = toksSql
+    expr(s"""
+      aggregate(
+        zip_with(
+          aggregate(
+            transform($t, tk -> xxhash64(tk)),
+            array_repeat(0L, 64),
+            (acc, h) -> zip_with(acc, sequence(0, 63),
+                                 (a, b) -> a + CASE WHEN (h >> b) & 1 = 1 THEN 1L ELSE -1L END)),
+          sequence(0, 63),
+          (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, CAST(b AS INT)) ELSE 0L END),
+        0L,
+        (acc, x) -> acc + x)""")
+  }
+
+  /** Hamming distance between two SimHash longs. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Tiny stopword lists per language for the n-gram/stopword language
+    * heuristic. Deliberately small — language ID here is a scoring
+    * harness, not a model.
+    */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "les", "des"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "zu"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我")
+  )
+
+  /** Predicted language = argmax stopword hits; ties broken by the
+    * lexicographically larger code (array_max over (score, lang)
+    * structs — deterministic). Zero hits → "und" (undetermined).
+    */
+  def langId(toks: Column): Column = {
+    val scored = array(langStopwords.map { case (lang, words) =>
+      struct(
+        size(filter(toks, t => t.isin(words: _*))).as("score"),
+        lit(lang).as("lang"))
+    }: _*)
+    val best = array_max(scored)
+    when(best.getField("score") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Rolling FNV-style fingerprint over the token sequence (order
+    * sensitive, wraps on Long overflow — deterministic on the JVM).
+    */
+  def fingerprint64(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc * lit(1099511628211L) + xxhash64(t))
+
+  /** Count of punctuation characters. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?]", ""))
+
+  /** Count of tokens appearing in the English stopword list. */
+  def stopwordCount(toks: Column): Column =
+    size(filter(toks, t => t.isin(langStopwords.head._2: _*)))
+}

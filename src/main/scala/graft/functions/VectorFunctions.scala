@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector Column combinators (similarity-search extensions).
+  *
+  * Vectors are `array<float>` columns (FIXTURES.md §3 `embeddings`);
+  * all math is done in double precision with left-to-right folds so
+  * results are deterministic and match a sequential oracle bit-for-bit
+  * (mod 1-2 ulp in transcendental steps).
+  */
+object VectorFunctions {
+
+  /** array<float> → array<double>. */
+  def toDoubleVec(vec: Column): Column = transform(vec, x => x.cast("double"))
+
+  /** Dot product via zip_with + left fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+
+  /** Euclidean norm. */
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity from a precomputed-norm-free form. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Cosine given precomputed norms (avoids recomputing norms inside
+    * an all-pairs join — the norms are computed once per row upstream).
+    */
+  def cosineWithNorms(dotAB: Column, normA: Column, normB: Column): Column =
+    dotAB / (normA * normB)
+
+  /** Deterministic Rademacher (±1) hyperplanes for sign-LSH, generated
+    * at plan time from a fixed splitmix-style hash of (plane, dim) —
+    * literal arrays, zero runtime cost.
+    */
+  def rademacherPlane(plane: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { d =>
+      var z = (plane.toLong * 0x9E3779B97F4A7C15L) + (d.toLong * 0xBF58476D1CE4E5B9L) + 0x94D049BB133111EBL
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      if ((z & 1L) == 0L) 1.0 else -1.0
+    }
+
+  /** `nPlanes`-bit sign-LSH signature of a double vector: bit j is the
+    * sign of `v · r_j` for the deterministic hyperplane r_j.
+    */
+  def signLshSignature(vec: Column, nPlanes: Int, dim: Int): Column =
+    (0 until nPlanes).map { j =>
+      val plane = array(rademacherPlane(j, dim).map(lit): _*)
+      when(dot(vec, plane) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Split a signature int into `bands` equal bit-bands (for
+    * OR-amplified bucket joins: near vectors agree on ≥1 band w.h.p.).
+    */
+  def signatureBands(sig: Column, nPlanes: Int, bands: Int): Seq[Column] = {
+    val bitsPerBand = nPlanes / bands
+    val mask = (1 << bitsPerBand) - 1
+    (0 until bands).map(b => (sig.cast("int") / lit(1 << (b * bitsPerBand))).cast("int").bitwiseAND(lit(mask)))
+  }
+}

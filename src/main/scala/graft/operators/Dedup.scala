@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Document deduplication operators for large-scale training-data
+  * pipelines: exact, MinHash+LSH, SimHash, and blocked n-gram Jaccard.
+  *
+  * Scale design notes (100 TB target):
+  *  - exact dedup is a single hash-aggregate on a 32-byte digest — the
+  *    shuffle carries digests + ids, never document bodies;
+  *  - MinHash/LSH shuffles only (band_id, band_hash, doc_id) tuples;
+  *    candidate verification joins fixed-width signatures, not text;
+  *  - SimHash pairs use the pigeonhole band trick (hamming ≤ 3 ⇒ some
+  *    16-bit quarter matches) so no all-pairs comparison ever happens;
+  *  - n-gram Jaccard blocks on (lang, length-band) before any pairwise
+  *    work, turning O(n²) into O(Σ block²) with bounded block sizes.
+  */
+object Dedup {
+
+  /** Exact dedup: group on a content digest, keep the lowest doc_id.
+    * Output: one row per distinct content with its duplicate count.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies", "content_hash")
+
+  /** Per-document MinHash signatures over word `shingleN`-gram shingles.
+    * Output: (doc_id, n_shingles, sig array<long>[numHashes]).
+    */
+  def minhashSignatures(
+      docs: DataFrame,
+      numHashes: Int = 16,
+      shingleN: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), wordShingles(tokens(col(textCol)), shingleN).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(
+        col(idCol),
+        size(col("shingles")).as("n_shingles"),
+        minhashSignature(col("shingles"), numHashes).as("sig"))
+
+  /** MinHash+LSH near-duplicate candidates: band the signature, bucket
+    * on (band index, band hash), join within buckets, then estimate
+    * Jaccard from full-signature agreement. Only pairs sharing ≥1 band
+    * are ever compared.
+    * Output: (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleN: Int = 3,
+      minEstJaccard: Double = 0.5,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = minhashSignatures(docs, numHashes, shingleN, idCol, textCol)
+
+    val banded = sigs.select(
+      col(idCol),
+      col("sig"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+      }: _*)).as(Seq("band_id", "band_hash")))
+
+    val a = banded.select(
+      col("band_id"), col("band_hash"),
+      col(idCol).as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(
+      col("band_id"), col("band_hash"),
+      col(idCol).as("doc_b"), col("sig").as("sig_b"))
+
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), minhashEstimate(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .distinct() // a pair may collide in several bands
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** Per-document 64-bit SimHash. Output: (doc_id, simhash). */
+  def simhashes(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      simhash64(s"filter(split(trim($textCol), '\\\\s+'), t -> length(t) > 0)").as("simhash"))
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3
+    * guaranteed complete by the 4×16-bit pigeonhole bands; higher
+    * thresholds are best-effort recall, never false positives).
+    * Output: (doc_a, doc_b, hamming).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = simhashes(docs, idCol, textCol)
+    val banded = sh.select(
+      col(idCol),
+      col("simhash"),
+      posexplode(array((0 until 4).map { q =>
+        shiftright(col("simhash"), q * 16).bitwiseAND(lit(0xFFFFL))
+      }: _*)).as(Seq("band_id", "band_key")))
+    val a = banded.select(col("band_id"), col("band_key"), col(idCol).as("doc_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band_id"), col("band_key"), col(idCol).as("doc_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band_id", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), hamming64(col("sh_a"), col("sh_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Blocked word-shingle Jaccard near-dup pairs. Blocking: same lang,
+    * |n_chars difference| ≤ `lenBand`, realized as an equi-join on
+    * (lang, length bucket) with the left side exploded over adjacent
+    * buckets — semantically identical to the abs-difference predicate
+    * but shuffle-joinable (no theta join).
+    * Output: (doc_a, doc_b, jaccard) with jaccard ≥ minJaccard.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      shingleN: Int = 3,
+      lenBand: Long = 50,
+      minJaccard: Double = 0.5): DataFrame = {
+    val sh = docs.select(
+      col("doc_id"), col("lang"), col("n_chars"),
+      wordShingles(tokens(col("text")), shingleN).as("sg"))
+      .filter(size(col("sg")) > 0)
+
+    val a = sh.select(
+      col("lang"),
+      explode(array(
+        (col("n_chars") / lenBand).cast("long") - 1,
+        (col("n_chars") / lenBand).cast("long"),
+        (col("n_chars") / lenBand).cast("long") + 1)).as("bucket"),
+      col("doc_id").as("doc_a"), col("n_chars").as("len_a"), col("sg").as("sg_a"))
+    val b = sh.select(
+      col("lang"),
+      (col("n_chars") / lenBand).cast("long").as("bucket"),
+      col("doc_id").as("doc_b"), col("n_chars").as("len_b"), col("sg").as("sg_b"))
+
+    val inter = size(array_intersect(col("sg_a"), col("sg_b")))
+    val jac = inter.cast("double") / (size(col("sg_a")) + size(col("sg_b")) - inter).cast("double")
+
+    a.join(b, Seq("lang", "bucket"))
+      .filter(col("doc_a") < col("doc_b") && abs(col("len_a") - col("len_b")) <= lenBand)
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

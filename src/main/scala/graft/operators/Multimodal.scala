@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * payloads with typed metadata, processed by batch-oriented
+  * per-partition decode functions (the Scala analogue of a
+  * vectorized/batched decode UDF).
+  *
+  * The actual media decode is STUBBED (`decodeStub` — no codec
+  * libraries in this environment): it derives deterministic fake
+  * dimensions from the payload bytes. Everything around it — the
+  * schema contract, binary column handling, partition-batched
+  * execution, frame-sampling explode, downstream aggregation — is
+  * real Spark plumbing, and is what matters at 100 TB (payload bytes
+  * stay columnar, never shuffled: metadata is extracted first and
+  * payloads dropped before any wide operation).
+  */
+object Multimodal {
+
+  /** A media file row: opaque payload + source metadata. */
+  final case class MediaFile(doc_id: Long, mime: String, payload: Array[Byte])
+
+  /** Extracted metadata — what a real decoder would emit. */
+  final case class MediaMeta(
+      doc_id: Long,
+      mime: String,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      checksum: Long)
+
+  /** One sampled frame reference. */
+  final case class FrameSample(doc_id: Long, frame_idx: Int, frame_key: String)
+
+  /** Deterministic fake decode of a payload batch. Runs per partition
+    * (batched, like a vectorized decode); replace the body with a real
+    * codec call to productionize. Marked clearly as a stub.
+    */
+  def decodeStub(files: Iterator[MediaFile]): Iterator[MediaMeta] =
+    files.map { f =>
+      // STUB: a real implementation would decode f.payload here.
+      val n = f.payload.length.toLong
+      var h = 1469598103934665603L // FNV offset basis, pure-JVM determinism
+      var i = 0
+      while (i < f.payload.length) { h = (h ^ (f.payload(i) & 0xffL)) * 1099511628211L; i += 1 }
+      val width = (math.abs(h % 1280L) + 16L).toInt
+      val height = (math.abs((h >> 16) % 720L) + 16L).toInt
+      val frames = (math.abs((h >> 32) % 30L) + 1L).toInt
+      MediaMeta(f.doc_id, f.mime, n, width, height, frames, h)
+    }
+
+  /** Synthesize a media table from `documents` (the container ships no
+    * real media): payload = UTF-8 bytes of the text, mime cycled by id.
+    */
+  def synthesizeMedia(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs
+      .select(
+        col("doc_id"),
+        element_at(
+          array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+          (col("doc_id") % 3 + 1).cast("int")).as("mime"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaFile]
+  }
+
+  /** Batched metadata extraction: payloads are dropped at this
+    * boundary — only fixed-width metadata flows downstream.
+    */
+  def extractMeta(media: Dataset[MediaFile])(implicit spark: SparkSession): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.mapPartitions(decodeStub)
+  }
+
+  /** Sample up to `maxFrames` evenly-spaced frames per video/image —
+    * a narrow explode over metadata (no payload rescan).
+    */
+  def sampleFrames(meta: Dataset[MediaMeta], maxFrames: Int = 4)(implicit spark: SparkSession): Dataset[FrameSample] = {
+    import spark.implicits._
+    meta
+      .flatMap { m =>
+        val step = math.max(1, m.n_frames / maxFrames)
+        (0 until m.n_frames by step).take(maxFrames).map { idx =>
+          FrameSample(m.doc_id, idx, f"${m.doc_id}%d/${m.checksum}%016x/$idx%04d")
+        }
+      }
+  }
+
+  /** End-to-end: synthesize → decode (stub) → frame-sample → rollup
+    * per mime type. The shape a real multimodal ingest would have.
+    */
+  def pipelineSummary(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    val media = synthesizeMedia(docs)
+    val meta = extractMeta(media)
+    val frames = sampleFrames(meta)
+    meta.toDF
+      .join(
+        frames.toDF.groupBy("doc_id").agg(count(lit(1)).as("n_sampled")),
+        Seq("doc_id"), "left")
+      .groupBy("mime")
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col("n_bytes")).as("total_bytes"),
+        round(avg(col("width").cast("double")), 4).as("avg_width"),
+        round(avg(col("height").cast("double")), 4).as("avg_height"),
+        sum(col("n_sampled")).as("total_frames_sampled"))
+      .orderBy("mime")
+  }
+}

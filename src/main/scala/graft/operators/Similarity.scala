@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column (similarity-search extensions).
+  *
+  * Scale design (100 TB / 1000-executor target):
+  *  - the query set is small and broadcast; the corpus streams — the
+  *    all-pairs work is a broadcast nested loop whose inner side is
+  *    the scan, so it parallelizes linearly with corpus partitions;
+  *  - norms are computed once per row before the join (never inside);
+  *  - the LSH variant buckets both sides on sign-LSH signature bands
+  *    so each corpus row is compared only to queries sharing a band —
+  *    the bucket join is an equi-join, shuffle- and broadcast-friendly.
+  */
+object Similarity {
+
+  /** Corpus with per-row double vector + norm precomputed. */
+  private def prepared(embeddings: DataFrame): DataFrame =
+    embeddings.select(
+      col("vec_id"),
+      toDoubleVec(col("embedding")).as("vec"))
+      .withColumn("norm", l2norm(col("vec")))
+
+  /** Brute-force exact cosine top-k: every query row against the full
+    * corpus. Queries = rows with vec_id % queryMod == 0 (a stand-in
+    * for an external query set). Self-pairs excluded.
+    * Output: (query_id, neighbor_id, cosine, rank) — rank 1..k.
+    */
+  def cosineTopK(embeddings: DataFrame, k: Int = 3, queryMod: Int = 100): DataFrame = {
+    val corpus = prepared(embeddings)
+    val queries = corpus
+      .filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
+
+    val scored = corpus
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        cosineWithNorms(dot(col("vec"), col("qvec")), col("norm"), col("qnorm")).as("cosine"))
+
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
+  /** Sign-LSH bucketed ANN top-k: both sides get an nPlanes-bit
+    * hyperplane signature split into `bands`; candidates are rows
+    * sharing ≥1 band with a query. Exact cosine is then computed only
+    * on candidates. Recall < 1 by construction; precision is exact.
+    * Output: (query_id, neighbor_id, cosine, rank).
+    */
+  def annSignLshTopK(
+      embeddings: DataFrame,
+      k: Int = 3,
+      queryMod: Int = 100,
+      nPlanes: Int = 16,
+      bands: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val base = prepared(embeddings)
+      .withColumn("sig", signLshSignature(col("vec"), nPlanes, dim))
+
+    def banded(df: DataFrame): DataFrame =
+      df.select(
+        col("*"),
+        posexplode(array(signatureBands(col("sig"), nPlanes, bands): _*)).as(Seq("band_id", "band_key")))
+
+    val corpus = banded(base)
+      .select(col("band_id"), col("band_key"), col("vec_id"), col("vec"), col("norm"))
+    val queries = banded(base.filter(col("vec_id") % queryMod === 0))
+      .select(
+        col("band_id"), col("band_key"),
+        col("vec_id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
+
+    val candidates = corpus
+      .join(broadcast(queries), Seq("band_id", "band_key"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("vec"), col("norm"), col("qvec"), col("qnorm"))
+      .dropDuplicates("query_id", "neighbor_id") // collided in >1 band
+
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    candidates
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        cosineWithNorms(dot(col("vec"), col("qvec")), col("norm"), col("qnorm")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: vectors whose cosine exceeds a
+    * threshold, found via the same sign-LSH banding (no all-pairs).
+    * Output: (vec_a, vec_b, cosine) with vec_a < vec_b.
+    */
+  def embeddingNearDupPairs(
+      embeddings: DataFrame,
+      minCosine: Double = 0.95,
+      nPlanes: Int = 16,
+      bands: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val base = prepared(embeddings)
+      .withColumn("sig", signLshSignature(col("vec"), nPlanes, dim))
+    val banded = base.select(
+      col("vec_id"), col("vec"), col("norm"),
+      posexplode(array(signatureBands(col("sig"), nPlanes, bands): _*)).as(Seq("band_id", "band_key")))
+
+    val a = banded.select(col("band_id"), col("band_key"), col("vec_id").as("vec_a"), col("vec").as("va"), col("norm").as("na"))
+    val b = banded.select(col("band_id"), col("band_key"), col("vec_id").as("vec_b"), col("vec").as("vb"), col("norm").as("nb"))
+
+    a.join(b, Seq("band_id", "band_key"))
+      .filter(col("vec_a") < col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+      .select(col("vec_a"), col("vec_b"), round(cosineWithNorms(dot(col("va"), col("vb")), col("na"), col("nb")), 4).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+}

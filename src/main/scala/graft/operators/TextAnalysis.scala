@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table: quality
+  * scoring, language ID, token statistics, fingerprinting.
+  * All single-pass, codegen'd column work — the only shuffle is the
+  * final aggregate where one exists.
+  */
+object TextAnalysis {
+
+  /** Per-document quality metrics: char/token counts, punctuation
+    * ratio, stopword ratio, mean token length. Ratios guard /0.
+    */
+  def qualityMetrics(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        size(toks).as("n_tokens"),
+        punctCount(col("text")).as("n_punct"),
+        stopwordCount(toks).as("n_stop"),
+        aggregate(toks, lit(0), (acc, t) => acc + length(t)).as("token_chars"))
+      .select(
+        col("doc_id"),
+        col("n_chars_m"),
+        col("n_tokens"),
+        when(col("n_chars_m") === 0, 0.0)
+          .otherwise(round(col("n_punct").cast("double") / col("n_chars_m"), 4)).as("punct_ratio"),
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(round(col("n_stop").cast("double") / col("n_tokens"), 4)).as("stopword_ratio"),
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(round(col("token_chars").cast("double") / col("n_tokens"), 4)).as("avg_token_len"))
+  }
+
+  /** Per-document predicted language vs the labeled one. */
+  def languageId(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("lang").as("lang_given"),
+      langId(tokens(col("text"))).as("lang_pred"))
+
+  /** Token statistics rolled up per language label. */
+  def tokenStatsByLang(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs
+      .select(col("lang"), size(toks).as("n_tokens"), length(col("text")).as("n_chars_m"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        round(sum(col("n_tokens").cast("long")).cast("double") / count(lit(1)), 4).as("avg_tokens"),
+        sum(col("n_chars_m").cast("long")).as("total_chars"))
+  }
+
+  /** Per-document order-sensitive rolling fingerprint. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      fingerprint64(tokens(col("text"))).as("fingerprint"))
+}

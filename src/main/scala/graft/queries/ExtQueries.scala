@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.queries.CoreQueries.t
+
+/** Training-data-pipeline extension queries (builder prompt): dedup,
+  * similarity search, text analysis, multimodal plumbing — over the
+  * `documents` / `embeddings` fixture tables.
+  *
+  * Queries whose semantics are SQL-expressible carry a DuckDB oracle;
+  * hash-based ones (xxhash64 signatures, LSH bucketing, fingerprints)
+  * are engine-deterministic but not reproducible in DuckDB, so they
+  * take the driver's rows-only check and are instead cross-checked by
+  * ScalaTest suites against exact ground truth on planted data.
+  */
+object ExtQueries {
+
+  /** English stopword list as a DuckDB SQL array literal. */
+  private val stopSql = "['the','a','of','and','is','to','in']"
+
+  /** Shared oracle CTE: whitespace tokens with empties dropped. */
+  private val toksCte =
+    """WITH t AS (
+      |  SELECT doc_id, lang, n_chars, text,
+      |         list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                     x -> length(x) > 0) AS toks
+      |  FROM documents)""".stripMargin
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // Exact dedup: hash-groupBy on a content digest.
+    GraftQuery(
+      "x01_dedup_exact",
+      (s, d) => Dedup.exact(t(s, d, "documents")).orderBy("keep_id"),
+      Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, md5(text) AS content_hash
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)
+    ),
+
+    // Blocked word-3-gram Jaccard near-dup pairs (same lang, length
+    // band ±50) — the oracle states the blocking predicate directly;
+    // the engine realizes it as an exploded bucket equi-join.
+    GraftQuery(
+      "x02_ngram_jaccard",
+      (s, d) =>
+        Dedup.ngramJaccardPairs(t(s, d, "documents"))
+          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+          .orderBy("doc_a", "doc_b"),
+      Some(s"""$toksCte,
+        |sh AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+        |              ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |         END AS sg
+        |  FROM t)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       ROUND(CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) /
+        |             (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))), 4) AS jaccard
+        |FROM sh a JOIN sh b
+        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+        | AND abs(a.n_chars - b.n_chars) <= 50
+        |WHERE len(a.sg) > 0 AND len(b.sg) > 0
+        |  AND CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) /
+        |      (len(a.sg) + len(b.sg) - len(list_intersect(a.sg, b.sg))) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // MinHash(16)+LSH(4 bands) candidate pairs with signature-estimated
+    // Jaccard. xxhash64-based — no DuckDB analogue; rows-only here,
+    // accuracy vs exact Jaccard asserted in DedupSpec.
+    GraftQuery(
+      "x03_minhash_lsh",
+      (s, d) =>
+        Dedup.minhashLshPairs(t(s, d, "documents"))
+          .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+          .orderBy("doc_a", "doc_b"),
+      None
+    ),
+
+    // Per-document 64-bit SimHash signatures (pairing in DedupSpec).
+    GraftQuery(
+      "x04_simhash",
+      (s, d) => Dedup.simhashes(t(s, d, "documents")).orderBy("doc_id"),
+      None
+    ),
+
+    // Brute-force exact cosine top-3 for the query subset
+    // (vec_id % 100 = 0) against the full corpus.
+    GraftQuery(
+      "x05_cosine_topk",
+      (s, d) =>
+        Similarity.cosineTopK(t(s, d, "embeddings")).orderBy("query_id", "rank"),
+      Some("""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id % 100 = 0),
+        |s AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(c.v, q.qv) AS cosine
+        |  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, ROUND(cosine, 4) AS cosine, CAST(rk AS INT) AS rank
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |                                   ORDER BY cosine DESC, neighbor_id) AS rk FROM s)
+        |WHERE rk <= 3 ORDER BY query_id, rank""".stripMargin)
+    ),
+
+    // Sign-LSH bucketed ANN top-3 (recall measured in SimilaritySpec).
+    GraftQuery(
+      "x06_ann_lsh",
+      (s, d) =>
+        Similarity.annSignLshTopK(t(s, d, "embeddings")).orderBy("query_id", "rank"),
+      None
+    ),
+
+    // Stopword-scored language ID vs the given label.
+    GraftQuery(
+      "x07_lang_id",
+      (s, d) => TextAnalysis.languageId(t(s, d, "documents")).orderBy("doc_id"),
+      None
+    ),
+
+    // Per-document quality metrics.
+    GraftQuery(
+      "x08_text_quality",
+      (s, d) => TextAnalysis.qualityMetrics(t(s, d, "documents")).orderBy("doc_id"),
+      Some(s"""$toksCte
+        |SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_chars_m,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE ROUND(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        |                  / length(text), 4) END AS punct_ratio,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE ROUND(CAST(len(list_filter(toks, x -> list_contains($stopSql, x))) AS DOUBLE)
+        |                  / len(toks), 4) END AS stopword_ratio,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |                  / len(toks), 4) END AS avg_token_len
+        |FROM t ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Token statistics per language label.
+    GraftQuery(
+      "x09_token_stats",
+      (s, d) => TextAnalysis.tokenStatsByLang(t(s, d, "documents")).orderBy("lang"),
+      Some(s"""$toksCte
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+        |  ROUND(CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*), 4) AS avg_tokens,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+
+    // Order-sensitive rolling fingerprints (JVM hash — rows-only).
+    GraftQuery(
+      "x10_fingerprint",
+      (s, d) => TextAnalysis.fingerprints(t(s, d, "documents")).orderBy("doc_id"),
+      None
+    ),
+
+    // Multimodal binary-column pipeline (stubbed decode) rollup.
+    GraftQuery(
+      "x11_multimodal",
+      (s, d) => Multimodal.pipelineSummary(t(s, d, "documents"))(s),
+      None
+    )
+  )
+}
