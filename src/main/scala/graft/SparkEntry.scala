@@ -2,19 +2,19 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, ExtQueries}
+import graft.queries.{CityBikeQueries, CoreQueries, ExtQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  private def allQueries = CoreQueries.all ++ ExtQueries.all
+  private def allQueries = CoreQueries.all ++ ExtQueries.all ++ CityBikeQueries.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Runs the haversine/measures derivation (SURVEY §7.2's flagship
-    * slice re-expressed over the fixture tables).
+  /** Flagship query (SURVEY §7.2): average trip duration, distance and
+    * speed per member type per month, through the full star-schema
+    * build on the Citi Bike sample. Driver smoke-checks rows>0.
     */
   def entry(spark: SparkSession): DataFrame =
-    allQueries.find(_.name == "q18_haversine_measures").get
+    allQueries.find(_.name == "cb01_member_month_rollup").get
       .run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */

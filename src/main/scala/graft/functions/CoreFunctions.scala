@@ -35,11 +35,15 @@ object CoreFunctions {
   }
 
   /** Timestamp difference in fractional seconds (SURVEY F8).
-    * `cast(double)` keeps sub-second precision; `unix_timestamp` would
-    * truncate to whole seconds.
+    * Computed as an exact integer microsecond difference with a single
+    * final division — keeps sub-second precision (`unix_timestamp`
+    * truncates) and is bit-identical to any engine that does the same
+    * (`(epoch_us(end) - epoch_us(start)) / 1e6`), unlike the
+    * `cast(double) - cast(double)` form whose two divisions can land
+    * an ulp below a whole second and then truncate wrong.
     */
   def durationSeconds(start: Column, end: Column): Column =
-    end.cast("double") - start.cast("double")
+    (unix_micros(end) - unix_micros(start)).cast("double") / lit(1e6)
 
   /** pandas `.fillna(0).replace([inf,-inf], 0)` repair (v4.py:280):
     * null, NaN, and ±Infinity all collapse to 0.0 (SURVEY P8/F14-F16).
