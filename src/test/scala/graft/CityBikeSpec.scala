@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.CityBike
+
+/** Pipeline-fidelity goldens + referential integrity for the star
+  * schema (SURVEY §5.2 items 4-5) on the 50,611-row dump fixture.
+  */
+class CityBikeSpec extends SparkSpec {
+
+  private lazy val wh = CityBike.build(spark)
+
+  test("dimension and fact cardinalities match the dump profile") {
+    assert(wh.memberDim.count() == 2)
+    assert(wh.rideableDim.count() == 2)
+    assert(wh.stationDim.count() == 172)
+    assert(wh.dateDim.count() == 101201)
+    assert(wh.fact.count() == 50611)
+  }
+
+  test("referential integrity: every non-null fact FK resolves to its dimension") {
+    def dangling(fk: String, dim: org.apache.spark.sql.DataFrame): Long =
+      wh.fact.filter(col(fk).isNotNull)
+        .join(dim.select(col("id").as(fk)), Seq(fk), "left_anti").count()
+    assert(dangling("member_type_id", wh.memberDim) == 0)
+    assert(dangling("rideable_type_id", wh.rideableDim) == 0)
+    assert(dangling("start_station_id", wh.stationDim) == 0)
+    assert(dangling("end_station_id", wh.stationDim) == 0)
+    assert(dangling("start_date_id", wh.dateDim) == 0)
+    assert(dangling("end_date_id", wh.dateDim) == 0)
+  }
+
+  test("null station keys only where the raw row had null station fields (132 rows)") {
+    val nullFk = wh.fact.filter(col("start_station_id").isNull || col("end_station_id").isNull).count()
+    val nullRaw = wh.rides.filter(
+      col("start_station_name").isNull || col("start_lat").isNull || col("start_lng").isNull ||
+        col("end_station_name").isNull || col("end_lat").isNull || col("end_lng").isNull).count()
+    assert(nullFk == nullRaw)
+    assert(nullRaw == 107) // 132 rows have *some* null; 107 have a null station join key
+  }
+
+  test("member/date FKs are never null; measures behave") {
+    assert(wh.fact.filter(col("member_type_id").isNull || col("rideable_type_id").isNull ||
+      col("start_date_id").isNull || col("end_date_id").isNull).count() == 0)
+    assert(wh.fact.filter(col("speed").isNull || isnan(col("speed")) ||
+      col("speed") === Double.PositiveInfinity).count() == 0)
+    assert(wh.fact.filter(col("trip_duration") < 0).count() == 0)
+  }
+
+  test("a known ride carries hand-checked measures through the pipeline") {
+    // FIXTURES.md sample row: 880A0159BA5275FB, 2025-01-16 17:50:49.136 →
+    // 17:57:00.71, Hilltop (40.7311689,-74.0575736) → Pershing Field
+    // (40.742677141,-74.051788633), member, electric_bike.
+    val ride = wh.rides.filter(col("ride_id") === "880A0159BA5275FB").head
+    val joined = wh.fact
+      .join(wh.dateDim.select(col("id").as("start_date_id"), col("date")), "start_date_id")
+      .filter(col("date") === ride.getAs[java.sql.Timestamp]("started_at"))
+      .filter(col("trip_duration") === 371)
+      .head
+    val dist = joined.getAs[Double]("distance")
+    val speed = joined.getAs[Double]("speed")
+    assert(math.abs(dist - 1.369339086269023) < 1e-9, s"distance $dist")  // haversine of the two stations
+    assert(math.abs(speed - dist / (371.574 / 60 / 60)) < 1e-9, s"speed $speed")
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Dedup
+
+/** Dedup operators on planted data: exact copies, a shuffled-word
+  * near-duplicate, and unrelated filler docs.
+  */
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs: DataFrame = {
+    import sqlImplicits._
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps near the warm fire and the birds sing in the tall green trees above the quiet garden path"
+    val nearDup = base.replace("quiet garden path", "quiet garden trail") // tail edit → high shingle overlap
+    val exactCopy = base
+    val unrelated1 = "completely different content about spark query engines and distributed columnar execution with shuffles joins and aggregates running on large clusters"
+    val unrelated2 = "yet another unrelated document mentioning bicycles stations riders trips and docking points across the city during winter months"
+    Seq(
+      (0L, base, "en"), (1L, exactCopy, "en"), (2L, nearDup, "en"),
+      (3L, unrelated1, "en"), (4L, unrelated2, "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+  }
+
+  test("exact dedup groups identical texts and keeps the lowest id") {
+    val res = Dedup.exact(docs).orderBy("keep_id").collect()
+    assert(res.length == 4) // 5 docs, one exact pair
+    val dupGroup = res.find(_.getLong(1) == 2L).get
+    assert(dupGroup.getLong(0) == 0L) // keeper is min(doc_id)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated pairs") {
+    val pairs = Dedup.minhashLshPairs(docs, minEstJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((0L, 1L)), s"exact pair missing from $pairs")
+    assert(pairs.find(p => (p._1, p._2) == (0L, 1L)).get._3 == 1.0) // identical signature
+    assert(ids.contains((0L, 2L)) || ids.contains((1L, 2L)), s"near-dup pair missing from $pairs")
+    assert(!ids.exists(p => p._2 >= 3L), s"unrelated doc paired: $pairs")
+  }
+
+  test("minhash estimate tracks exact jaccard on the near-dup pair") {
+    val exact = Dedup.ngramJaccardPairs(docs, minJaccard = 0.0)
+      .filter("doc_a = 0 and doc_b = 2").head.getDouble(2)
+    val est = Dedup.minhashLshPairs(docs, minEstJaccard = 0.0)
+      .filter("doc_a = 0 and doc_b = 2").head.getDouble(2)
+    assert(exact > 0.8, s"planted near-dup should be high-jaccard, got $exact")
+    assert(math.abs(est - exact) < 0.35, s"est $est vs exact $exact") // 16 hashes → ±~0.25 @95%
+  }
+
+  test("simhash: identical docs share signature; near-dups within small hamming") {
+    val sh = Dedup.simhashes(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L))
+    assert(java.lang.Long.bitCount(sh(0L) ^ sh(2L)) <= 12)
+    assert(java.lang.Long.bitCount(sh(0L) ^ sh(3L)) > 12)
+  }
+
+  test("simhash banded pairs find the exact duplicate") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("ngram jaccard blocking excludes cross-length-band pairs") {
+    import sqlImplicits._
+    val far = Seq(
+      (10L, "a b c d e f g h i j", "en", 1000L),
+      (11L, "a b c d e f g h i j", "en", 2000L)) // identical text, length metadata 1000 apart
+      .toDF("doc_id", "text", "lang", "n_chars")
+    assert(Dedup.ngramJaccardPairs(far, minJaccard = 0.0).count() == 0)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Similarity
+
+/** Similarity-search operators: brute-force correctness against a
+  * hand-computed oracle and LSH recall against brute force on the
+  * real sf0.001 embeddings.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    dot / (na * nb)
+  }
+
+  private lazy val real: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("brute-force top-k matches a driver-side recomputation") {
+    val rows = real.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val got = Similarity.cosineTopK(real, k = 3, queryMod = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val queries = rows.keys.filter(_ % 100 == 0)
+    for (q <- queries) {
+      val expected = rows.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cosine(rows(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1)
+      val actual = got.filter(_._1 == q).sortBy(_._3).map(_._2).toSeq
+      assert(actual == expected, s"query $q")
+    }
+  }
+
+  test("sign-LSH ANN achieves reasonable recall vs brute force") {
+    val exact = Similarity.cosineTopK(real, k = 3, queryMod = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annSignLshTopK(real, k = 3, queryMod = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall (exact=${exact.size}, hit=${(exact & approx).size})")
+  }
+
+  test("embedding near-dup pairs finds a planted duplicate vector") {
+    import sqlImplicits._
+    val v = Array.tabulate(64)(i => math.sin(i * 0.7).toFloat)
+    val vDup = v.clone(); vDup(0) = (v(0) + 1e-4f)
+    val other = Array.tabulate(64)(i => math.cos(i * 1.3).toFloat)
+    val df = Seq((1L, v.toSeq), (2L, vDup.toSeq), (3L, other.toSeq)).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDupPairs(df, minCosine = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+}

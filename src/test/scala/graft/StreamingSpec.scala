@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Structured Streaming parity: the streaming hourly-window aggregate
+  * must agree with the identical batch plan on the same data, and the
+  * stateful sessionizer must accumulate across micro-batches.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val events = Seq(
+    Event(1L, ts("2024-01-01 10:05:00"), 7L, "click", 1.0),
+    Event(2L, ts("2024-01-01 10:45:00"), 7L, "click", 2.0),
+    Event(3L, ts("2024-01-01 11:05:00"), 8L, "view", 4.0),
+    Event(4L, ts("2024-01-01 11:59:59"), 7L, "click", 8.0),
+    Event(5L, ts("2024-01-01 12:00:00"), 8L, "view", 16.0))
+
+  test("streaming hourly windows match the batch plan on the same rows") {
+    import sqlImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData(events: _*)
+
+    val streamed = EventStreams.runToMemory(
+      EventStreams.hourlyWindows(stream.toDF), "hourly_test")
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+
+    // hourlyWindows contains a watermark — a no-op in batch; same plan.
+    val batched = EventStreams.hourlyWindows(events.toDF())
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+
+    assert(streamed == batched)
+    assert(streamed.map(_._3).sum == events.size)
+    assert(streamed.length == 4) // 10h/click, 11h/click, 11h/view, 12h/view
+  }
+
+  test("late data beyond the watermark is dropped in streaming mode") {
+    import sqlImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStreams.hourlyWindows(stream.toDF)
+      .writeStream.format("memory").queryName("late_test")
+      .outputMode("append").start()
+    stream.addData(events: _*)
+    q.processAllAvailable()
+    // watermark is now 12:00 - 10min = 11:50 → the 10h window is closed
+    stream.addData(Event(99L, ts("2024-01-01 10:10:00"), 9L, "late", 100.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("late_test")
+    assert(out.filter(col("event_type") === "late").count() == 0)
+  }
+
+  test("mapGroupsWithState sessionizer accumulates per user across batches") {
+    import sqlImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val stream = MemoryStream[Event]
+    val q = EventStreams.sessionize(stream.toDS)
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode("update").start()
+    stream.addData(events.take(2): _*)
+    q.processAllAvailable()
+    stream.addData(events.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("session_test")
+      .groupBy("user_id").agg(max(struct(col("n_events"), col("total_value"))).as("s"))
+      .select(col("user_id"), col("s.n_events"), col("s.total_value"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(last(7L) == ((3L, 11.0)))
+    assert(last(8L) == ((2L, 20.0)))
+  }
+}

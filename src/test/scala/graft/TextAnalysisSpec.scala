@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import sqlImplicits._
+    Seq(
+      (1L, "the cat, the dog!", "en"),
+      (2L, "el perro y el gato que corre en la casa", "es"),
+      (3L, "", "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+  }
+
+  test("quality metrics: counts and ratios are exact") {
+    val r = TextAnalysis.qualityMetrics(docs).orderBy("doc_id").collect()
+    // doc 1: "the cat, the dog!" → 17 chars, 4 tokens, 2 punct, 2 stopwords ("the"×2)
+    assert(r(0).getInt(1) == 17)
+    assert(r(0).getInt(2) == 4)
+    assert(r(0).getDouble(3) == math.rint(2.0 / 17 * 1e4) / 1e4)
+    assert(r(0).getDouble(4) == 0.5)
+    // tokens are "the","cat,","the","dog!" → 3+4+3+4 = 14 chars / 4
+    assert(r(0).getDouble(5) == 3.5)
+    // empty doc: all ratios 0, no division blowup
+    assert(r(2).getInt(2) == 0 && r(2).getDouble(3) == 0.0 && r(2).getDouble(4) == 0.0)
+  }
+
+  test("language id picks the dominant stopword language") {
+    val r = TextAnalysis.languageId(docs).orderBy("doc_id").collect()
+    assert(r(0).getString(2) == "en")
+    assert(r(1).getString(2) == "es")
+    assert(r(2).getString(2) == "und") // empty text → undetermined
+  }
+
+  test("token stats per language") {
+    val r = TextAnalysis.tokenStatsByLang(docs).orderBy("lang").collect()
+    val en = r.find(_.getString(0) == "en").get
+    assert(en.getLong(1) == 2 && en.getLong(2) == 4) // 2 docs, 4 tokens total
+    val es = r.find(_.getString(0) == "es").get
+    assert(es.getLong(2) == 10) // el perro y el gato que corre en la casa
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    import sqlImplicits._
+    val d = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprints(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(3L))
+    assert(fp(1L) != fp(2L))
+  }
+}
