@@ -181,11 +181,21 @@ object CityBike {
       fact: DataFrame)
 
   def build(spark: SparkSession, path: String = DefaultCsvPath): Warehouse = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // A .csv.gz scan is a single unsplittable partition: parse it once,
+    // cache the parsed rows, and repartition so the five consumers
+    // (four dim builds + fact) run parallel. (At warehouse scale the
+    // equivalent move is a one-time CSV→parquet conversion.) Spark's
+    // cache manager dedups identical plans, so repeated build() calls
+    // in one session share these materializations.
     val raw = readRides(spark, path)
-    val m = memberDimension(raw)
-    val r = rideableDimension(raw)
-    val s = stationDimension(raw)
-    val d = dateDimension(raw)
-    Warehouse(raw, m, r, s, d, rideFact(raw, m, r, s, d))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .persist(MEMORY_AND_DISK)
+    val m = memberDimension(raw).persist(MEMORY_AND_DISK)
+    val r = rideableDimension(raw).persist(MEMORY_AND_DISK)
+    val s = stationDimension(raw).persist(MEMORY_AND_DISK)
+    val d = dateDimension(raw).persist(MEMORY_AND_DISK)
+    val f = rideFact(raw, m, r, s, d).persist(MEMORY_AND_DISK)
+    Warehouse(raw, m, r, s, d, f)
   }
 }

@@ -31,20 +31,33 @@ object Dedup {
 
   /** Per-document MinHash signatures over word `shingleN`-gram shingles.
     * Output: (doc_id, n_shingles, sig array<long>[numHashes]).
+    *
+    * Formulated as explode → hash → groupBy-min rather than array
+    * higher-order functions: the shingle pipeline (interpreted HOFs)
+    * runs exactly once per document, each shingle is hashed by the
+    * codegen'd xxhash64, and the k mins aggregate with map-side
+    * partial combine — the shuffle carries one row per doc. At 100 TB
+    * this is the shape that scales; the HOF form re-evaluates the
+    * tokenizer k× per row via projection collapse.
     */
   def minhashSignatures(
       docs: DataFrame,
       numHashes: Int = 16,
       shingleN: Int = 3,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
-    docs
-      .select(col(idCol), wordShingles(tokens(col(textCol)), shingleN).as("shingles"))
-      .filter(size(col("shingles")) > 0)
+      textCol: String = "text"): DataFrame = {
+    val exploded = docs.select(
+      col(idCol),
+      explode(wordShingles(tokens(col(textCol)), shingleN)).as("shingle"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    exploded
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"), mins: _*)
       .select(
         col(idCol),
-        size(col("shingles")).as("n_shingles"),
-        minhashSignature(col("shingles"), numHashes).as("sig"))
+        col("n_shingles"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
 
   /** MinHash+LSH near-duplicate candidates: band the signature, bucket
     * on (band index, band hash), join within buckets, then estimate
@@ -61,7 +74,11 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // Materialize signatures once: both sides of the bucket self-join
+    // read the cached 24-byte-per-doc table instead of recomputing the
+    // tokenize→shingle→hash pipeline per side.
     val sigs = minhashSignatures(docs, numHashes, shingleN, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = sigs.select(
       col(idCol),
@@ -97,6 +114,7 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = simhashes(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sh.select(
       col(idCol),
       col("simhash"),
@@ -113,40 +131,48 @@ object Dedup {
   }
 
   /** Blocked word-shingle Jaccard near-dup pairs. Blocking: same lang,
-    * |n_chars difference| ≤ `lenBand`, realized as an equi-join on
-    * (lang, length bucket) with the left side exploded over adjacent
-    * buckets — semantically identical to the abs-difference predicate
-    * but shuffle-joinable (no theta join).
-    * Output: (doc_a, doc_b, jaccard) with jaccard ≥ minJaccard.
+    * |n_chars difference| ≤ `lenBand`. Output: (doc_a, doc_b, jaccard)
+    * with jaccard ≥ minJaccard.
+    *
+    * Inverted-index formulation (no per-pair array_intersect): explode
+    * distinct shingles, hash them to longs (codegen'd; collision odds
+    * ~n²/2⁶⁴), self-join on (lang, shingle hash) so only pairs that
+    * actually share a shingle are ever produced, count the matches per
+    * pair, then join per-doc shingle counts back to finish the Jaccard
+    * |A∩B| / (|A|+|B|-|A∩B|). Every step is a codegen'd hash join or
+    * partial-aggregated groupBy — the shape that scales: shuffle volume
+    * is Σ_shingle df² rows, not |block|² array comparisons. (At 100 TB
+    * add a document-frequency cap on shingles to bound the skew of
+    * ultra-common shingles before the self-join.)
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       shingleN: Int = 3,
       lenBand: Long = 50,
       minJaccard: Double = 0.5): DataFrame = {
-    val sh = docs.select(
+    // One interpreted shingle-pipeline pass per doc, materialized.
+    val ex = docs.select(
       col("doc_id"), col("lang"), col("n_chars"),
-      wordShingles(tokens(col("text")), shingleN).as("sg"))
-      .filter(size(col("sg")) > 0)
+      explode(wordShingles(tokens(col("text")), shingleN)).as("shingle"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), xxhash64(col("shingle")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val a = sh.select(
-      col("lang"),
-      explode(array(
-        (col("n_chars") / lenBand).cast("long") - 1,
-        (col("n_chars") / lenBand).cast("long"),
-        (col("n_chars") / lenBand).cast("long") + 1)).as("bucket"),
-      col("doc_id").as("doc_a"), col("n_chars").as("len_a"), col("sg").as("sg_a"))
-    val b = sh.select(
-      col("lang"),
-      (col("n_chars") / lenBand).cast("long").as("bucket"),
-      col("doc_id").as("doc_b"), col("n_chars").as("len_b"), col("sg").as("sg_b"))
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sg"))
 
-    val inter = size(array_intersect(col("sg_a"), col("sg_b")))
-    val jac = inter.cast("double") / (size(col("sg_a")) + size(col("sg_b")) - inter).cast("double")
+    val a = ex.select(col("lang"), col("h"), col("doc_id").as("doc_a"), col("n_chars").as("len_a"))
+    val b = ex.select(col("lang"), col("h"), col("doc_id").as("doc_b"), col("n_chars").as("len_b"))
 
-    a.join(b, Seq("lang", "bucket"))
+    val matches = a.join(b, Seq("lang", "h"))
       .filter(col("doc_a") < col("doc_b") && abs(col("len_a") - col("len_b")) <= lenBand)
-      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+
+    matches
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sg").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sg").as("n_b")), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 }

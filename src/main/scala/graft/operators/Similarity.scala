@@ -20,12 +20,17 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
-  /** Corpus with per-row double vector + norm precomputed. */
+  /** Corpus with per-row double vector + norm precomputed, cached:
+    * every operator here reads it at least twice (corpus + query side),
+    * and the norm fold is an interpreted higher-order function — pay
+    * it once per row, not once per reference.
+    */
   private def prepared(embeddings: DataFrame): DataFrame =
     embeddings.select(
       col("vec_id"),
       toDoubleVec(col("embedding")).as("vec"))
       .withColumn("norm", l2norm(col("vec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Brute-force exact cosine top-k: every query row against the full
     * corpus. Queries = rows with vec_id % queryMod == 0 (a stand-in
@@ -67,6 +72,7 @@ object Similarity {
       dim: Int = 64): DataFrame = {
     val base = prepared(embeddings)
       .withColumn("sig", signLshSignature(col("vec"), nPlanes, dim))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def banded(df: DataFrame): DataFrame =
       df.select(
@@ -109,6 +115,7 @@ object Similarity {
       dim: Int = 64): DataFrame = {
     val base = prepared(embeddings)
       .withColumn("sig", signLshSignature(col("vec"), nPlanes, dim))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = base.select(
       col("vec_id"), col("vec"), col("norm"),
       posexplode(array(signatureBands(col("sig"), nPlanes, bands): _*)).as(Seq("band_id", "band_key")))
