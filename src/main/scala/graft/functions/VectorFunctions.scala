@@ -15,9 +15,16 @@ object VectorFunctions {
   /** array<float> → array<double>. */
   def toDoubleVec(vec: Column): Column = transform(vec, x => x.cast("double"))
 
-  /** Dot product via zip_with + left fold. */
+  /** Dot product — backed by the native codegen'd [[graft.plans.DotProduct]]
+    * Expression (the HOF fold `aggregate(zip_with(...))` is interpreted;
+    * this is the similarity hot loop). Identical left-to-right
+    * summation order, so results match the fold bit-for-bit.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+    org.apache.spark.sql.graftops.ColumnBridge.column(
+      graft.plans.DotProduct(
+        org.apache.spark.sql.graftops.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftops.ColumnBridge.expression(b)))
 
   /** Euclidean norm. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))

@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
+
+/** IO layer (SURVEY §7.1 item 2): sources, sinks, catalog bootstrap —
+  * the engine-native replacements for the reference's pandas/psycopg2
+  * plumbing (SURVEY §2.1 / §2.8).
+  */
+object Tables {
+
+  /** S1 generalization: CSV source with explicit schema (never
+    * inference — determinism) and configurable delimiter.
+    * Reference: create_db_from_csv.py:10.
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType, sep: String = ";"): DataFrame =
+    spark.read.option("header", "true").option("sep", sep).schema(schema).csv(path)
+
+  /** Parquet source; `nanos-as-long` timestamp columns are normalized
+    * back to microsecond timestamps (driver fixture quirk).
+    */
+  def readParquet(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    df.schema.fields.foldLeft(df) {
+      case (acc, f) if f.name == "ts" && f.dataType == LongType =>
+        acc.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case (acc, _) => acc
+    }
+  }
+
+  /** D1: database-exists probe (check_and_create_db.py:23). */
+  def databaseExists(spark: SparkSession, name: String): Boolean =
+    spark.catalog.databaseExists(name)
+
+  /** D2: CREATE DATABASE IF NOT EXISTS (check_and_create_db.py:28). */
+  def createDatabase(spark: SparkSession, name: String): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$name`")
+
+  /** S2: append sink — the engine-native analogue of
+    * `to_sql(..., if_exists='append')` (create_db_from_csv.py:14).
+    */
+  def appendTable(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Append).format("parquet").saveAsTable(table)
+
+  /** S3: overwrite sink — `to_sql(..., if_exists='replace')`
+    * (check_and_create_db_v4.py:295). Spark's overwrite drops and
+    * recreates the table — same DDL-loss caveat, here harmless.
+    */
+  def overwriteTable(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+
+  /** S4: typed sink — the SQLAlchemy dtype-map override
+    * (check_and_create_db_v4.py:217-234) becomes explicit casts
+    * applied before the write.
+    */
+  def writeTyped(df: DataFrame, table: String, types: Map[String, DataType], mode: SaveMode = SaveMode.Append): Unit = {
+    val cast = df.columns.foldLeft(df) { (acc, c) =>
+      types.get(c).map(t => acc.withColumn(c, col(c).cast(t))).getOrElse(acc)
+    }
+    cast.write.mode(mode).format("parquet").saveAsTable(table)
+  }
+
+  /** Optional JDBC sink for Postgres/Power-BI parity (S2/S3 over the
+    * wire). Thin and untested here — no database server ships in this
+    * environment; the call shape matches the parquet sinks.
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String, props: java.util.Properties, mode: SaveMode): Unit =
+    df.write.mode(mode).jdbc(url, table, props)
+
+  /** Bootstrap the CityBike warehouse into the session catalog as
+    * managed parquet tables (D2+D3+S3) — the engine-native equivalent
+    * of check_and_create_db_v4.py's psycopg2 DDL + to_sql dance.
+    */
+  def bootstrapCityBike(spark: SparkSession, wh: graft.etl.CityBike.Warehouse, db: String = "citybike"): Unit = {
+    createDatabase(spark, db)
+    overwriteTable(wh.memberDim, s"$db.member_dimension")
+    overwriteTable(wh.rideableDim, s"$db.rideable_dimension")
+    overwriteTable(wh.stationDim, s"$db.station_dimension")
+    overwriteTable(wh.dateDim, s"$db.date_dimension")
+    overwriteTable(wh.fact, s"$db.ride_fact")
+  }
+}

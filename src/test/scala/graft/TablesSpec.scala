@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.types.{IntegerType, TimestampType}
+
+import graft.sources.Tables
+
+/** Catalog + sink operators (SURVEY S2/S3/S4, D1-D3) against the
+  * session catalog with a temp warehouse dir.
+  */
+class TablesSpec extends SparkSpec {
+
+  test("database bootstrap: probe + create is idempotent") {
+    assert(!Tables.databaseExists(spark, "graft_test_db"))
+    Tables.createDatabase(spark, "graft_test_db")
+    Tables.createDatabase(spark, "graft_test_db") // IF NOT EXISTS
+    assert(Tables.databaseExists(spark, "graft_test_db"))
+  }
+
+  test("append/overwrite sinks have to_sql append/replace semantics") {
+    import sqlImplicits._
+    Tables.createDatabase(spark, "graft_test_db")
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    Tables.overwriteTable(df, "graft_test_db.t1")
+    assert(spark.table("graft_test_db.t1").count() == 2)
+    Tables.appendTable(df, "graft_test_db.t1")
+    assert(spark.table("graft_test_db.t1").count() == 4) // append accumulates
+    Tables.overwriteTable(df, "graft_test_db.t1")
+    assert(spark.table("graft_test_db.t1").count() == 2) // replace resets
+  }
+
+  test("typed sink applies the dtype-override map before writing") {
+    import sqlImplicits._
+    Tables.createDatabase(spark, "graft_test_db")
+    val df = Seq(("2024-01-01 10:00:00", "41.5")).toDF("ts", "x")
+    Tables.writeTyped(
+      df, "graft_test_db.t2",
+      Map("ts" -> TimestampType, "x" -> IntegerType),
+      SaveMode.Overwrite)
+    val out = spark.table("graft_test_db.t2")
+    assert(out.schema("ts").dataType == TimestampType)
+    assert(out.schema("x").dataType == IntegerType)
+    assert(out.head.getInt(1) == 41)
+  }
+
+  test("citybike warehouse bootstrap lands all five star tables") {
+    val wh = graft.etl.CityBike.build(spark)
+    Tables.bootstrapCityBike(spark, wh, db = "citybike_test")
+    assert(spark.table("citybike_test.member_dimension").count() == 2)
+    assert(spark.table("citybike_test.rideable_dimension").count() == 2)
+    assert(spark.table("citybike_test.station_dimension").count() == 172)
+    assert(spark.table("citybike_test.date_dimension").count() == 101201)
+    assert(spark.table("citybike_test.ride_fact").count() == 50611)
+    // catalog round-trip: a warehouse query over the managed tables
+    val joined = spark.table("citybike_test.ride_fact")
+      .join(
+        spark.table("citybike_test.member_dimension")
+          .withColumnRenamed("id", "member_type_id"),
+        "member_type_id")
+    assert(joined.count() == 50611)
+  }
+}
