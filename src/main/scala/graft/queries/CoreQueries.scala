@@ -393,6 +393,139 @@ object CoreQueries {
         |COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin)
+    ),
+
+    // A4 — CUBE: all four grouping levels with grouping-id.
+    GraftQuery(
+      "q20_cube",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            grouping_id().cast("int").as("gid"),
+            count(lit(1)).as("n"),
+            dsum(col("l_extendedprice")).as("sum_price"))
+          .select(
+            coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+            coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+            col("gid"), col("n"), col("sum_price"))
+          .orderBy("returnflag", "linestatus", "gid"),
+      Some(s"""SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+        |COALESCE(l_linestatus, '(all)') AS linestatus,
+        |CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+        |COUNT(*) AS n, ${dsumSql("l_extendedprice")} AS sum_price
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus, gid""".stripMargin)
+    ),
+
+    // A4 — exact distinct counts per group.
+    GraftQuery(
+      "q21_count_distinct",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        |COUNT(DISTINCT l_partkey) AS n_parts,
+        |COUNT(DISTINCT l_suppkey) AS n_supps,
+        |COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // W1 — analytic window frames: running decimal-exact sum + lag.
+    GraftQuery(
+      "q22_window_running",
+      (s, d) => {
+        val order = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        val frame = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "orders")
+          .select(
+            col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            row_number().over(order).as("seq"),
+            sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+              .over(frame).cast("double").as("running_spend"),
+            lag(col("o_totalprice"), 1).over(order).as("prev_price"))
+          .orderBy("o_custkey", "seq")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+        |CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS seq,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+        |LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |FROM orders ORDER BY o_custkey, seq""".stripMargin)
+    ),
+
+    // W1 composition — gap-based sessionization (30-min inactivity)
+    // via lag → boundary flag → running sum → grouped session stats.
+    GraftQuery(
+      "q23_sessions",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+        t(s, d, "events")
+          .select(
+            col("user_id"), col("event_id"), col("ts"),
+            when(lag(col("ts"), 1).over(w).isNull || gapUs > lit(1800000000L), 1)
+              .otherwise(0).as("ns"))
+          .withColumn("session_id", sum(col("ns")).over(frame).cast("int"))
+          .groupBy("user_id", "session_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(col("ts")).as("session_start"),
+            ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).cast("double") / 1e6)
+              .as("duration_s"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS session_start,
+        |       CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS DOUBLE) / 1e6 AS duration_s
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin)
+    ),
+
+    // As-of join (backward): each purchase gets the latest prior click
+    // of the same user — graft.operators.AsOfJoin vs DuckDB ASOF JOIN.
+    GraftQuery(
+      "q24_asof_join",
+      (s, d) => {
+        val events = t(s, d, "events")
+        val dedupW = Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc)
+        val clicks = events.filter(col("event_type") === "click")
+          .withColumn("rn", row_number().over(dedupW)).filter(col("rn") === 1)
+          .select(col("user_id"), col("ts"), col("value"))
+        val purchases = events.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        graft.operators.AsOfJoin
+          .joinAsOf(purchases, clicks, "user_id", "ts", "ts", Seq("value"))
+          .select(
+            col("event_id"), col("user_id"), col("ts"),
+            col("value_asof"), col("ts_asof"),
+            ((unix_micros(col("ts")) - unix_micros(col("ts_asof"))).cast("double") / 1e6).as("gap_s"))
+          .orderBy("event_id")
+      },
+      Some("""WITH c AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'click') WHERE rn = 1),
+        |p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, c.value AS value_asof, c.ts AS ts_asof,
+        |       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS DOUBLE) / 1e6 AS gap_s
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY event_id""".stripMargin)
     )
   )
 }

@@ -163,6 +163,28 @@ object ExtQueries {
       "x11_multimodal",
       (s, d) => Multimodal.pipelineSummary(t(s, d, "documents"))(s),
       None
+    ),
+
+    // HLL++ sketch vs exact distinct (A4): approx_count_distinct with
+    // its observed relative error. Engine-deterministic; DuckDB's HLL
+    // differs by construction → rows-only.
+    GraftQuery(
+      "x12_approx_distinct",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .agg(
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            countDistinct(col("l_orderkey")).as("exact_orders"),
+            approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+          .select(
+            col("exact_parts"), col("approx_parts"),
+            round(abs(col("approx_parts") - col("exact_parts")).cast("double") / col("exact_parts"), 4)
+              .as("rel_err_parts"),
+            col("exact_orders"), col("approx_orders"),
+            round(abs(col("approx_orders") - col("exact_orders")).cast("double") / col("exact_orders"), 4)
+              .as("rel_err_orders")),
+      None
     )
   )
 }

@@ -1,0 +1,42 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("backward as-of: latest right row at or before each left ts, per key") {
+    import sqlImplicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "p1"),
+      (1L, ts("2024-01-01 12:00:00"), "p2"),
+      (2L, ts("2024-01-01 09:00:00"), "p3")) // before any right row for key 2
+      .toDF("k", "lts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 10.0),
+      (1L, ts("2024-01-01 10:00:00"), 20.0), // equal ts → inclusive match
+      (1L, ts("2024-01-01 11:00:00"), 30.0),
+      (2L, ts("2024-01-01 10:00:00"), 99.0))
+      .toDF("k", "rts", "v")
+
+    val out = AsOfJoin.joinAsOf(left, right, "k", "lts", "rts", Seq("v"))
+      .orderBy("k", "lts")
+      .collect()
+      .map(r => (r.getAs[String]("tag"), Option(r.getAs[java.lang.Double]("v_asof")).map(_.toDouble)))
+
+    assert(out(0) == (("p1", Some(20.0)))) // ties are inclusive: 10:00 right row wins
+    assert(out(1) == (("p2", Some(30.0)))) // latest ≤ 12:00
+    assert(out(2) == (("p3", None)))       // nothing at or before → null
+  }
+
+  test("as-of carries the matched right timestamp for gap computation") {
+    import sqlImplicits._
+    val left = Seq((1L, ts("2024-01-01 12:00:00"))).toDF("k", "lts")
+    val right = Seq((1L, ts("2024-01-01 11:15:00"), 5.0)).toDF("k", "rts", "v")
+    val row = AsOfJoin.joinAsOf(left, right, "k", "lts", "rts", Seq("v")).head
+    assert(row.getAs[Timestamp]("rts_asof") == ts("2024-01-01 11:15:00"))
+  }
+}
