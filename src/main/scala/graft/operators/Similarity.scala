@@ -103,6 +103,66 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN top-k: the corpus is partitioned into
+    * cells around centroids; queries probe only the `nProbes` nearest
+    * cells. Centroids here are per-`centroidCol` mean vectors (one
+    * k-means assignment step with provided coarse labels — swap in
+    * k-means rounds to productionize). Scale shape: the centroid table
+    * is tiny and broadcast twice (assignment + probe); the candidate
+    * join is an equi-join on cell id, so each corpus row is compared
+    * only to queries probing its cell.
+    * Output: (query_id, neighbor_id, cosine, rank).
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      k: Int = 3,
+      queryMod: Int = 100,
+      nProbes: Int = 2,
+      centroidCol: String = "label"): DataFrame = {
+    val base = prepared(embeddings.select(col("vec_id"), col("embedding"), col(centroidCol)))
+
+    // Per-cell mean vector via positional explode → elementwise avg →
+    // re-assembled in position order (deterministic).
+    val centroids = embeddings
+      .select(col(centroidCol).as("cell"), posexplode(toDoubleVec(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("x")).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), transform(col("pm"), e => e.getField("m")).as("cvec"))
+      .withColumn("cnorm", l2norm(col("cvec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Cell assignment by nearest centroid (cosine), probes for queries.
+    def assign(df: DataFrame, probes: Int): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
+      df.crossJoin(broadcast(centroids))
+        .select(
+          df("*"), col("cell"),
+          cosineWithNorms(dot(col("vec"), col("cvec")), col("norm"), col("cnorm")).as("csim"))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= probes)
+        .drop("csim", "crank")
+    }
+
+    val corpus = assign(base, 1)
+      .select(col("cell"), col("vec_id"), col("vec"), col("norm"))
+    val queries = assign(base.filter(col("vec_id") % queryMod === 0), nProbes)
+      .select(col("cell"), col("vec_id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
+
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    corpus
+      .join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineWithNorms(dot(col("vec"), col("qvec")), col("norm"), col("qnorm")).as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: vectors whose cosine exceeds a
     * threshold, found via the same sign-LSH banding (no all-pairs).
     * Output: (vec_a, vec_b, cosine) with vec_a < vec_b.

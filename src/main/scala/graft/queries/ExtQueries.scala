@@ -185,6 +185,37 @@ object ExtQueries {
             round(abs(col("approx_orders") - col("exact_orders")).cast("double") / col("exact_orders"), 4)
               .as("rel_err_orders")),
       None
+    ),
+
+    // IVF-bucketed ANN top-3 (centroid cells + probe-2) — recall vs
+    // brute force asserted in SimilaritySpec; rows-only here.
+    GraftQuery(
+      "x13_ann_ivf",
+      (s, d) =>
+        Similarity.ivfTopK(t(s, d, "embeddings")).orderBy("query_id", "rank"),
+      None
+    ),
+
+    // BPE-ish regex tokenization (letters | digits | single symbol)
+    // rolled up per language — token counts and vocabulary size.
+    GraftQuery(
+      "x14_regex_tokens",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(
+            col("lang"),
+            explode(regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("tok"))
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            countDistinct(col("tok")).as("vocab_size"),
+            round(avg(length(col("tok")).cast("double")), 4).as("avg_tok_len"))
+          .orderBy("lang"),
+      Some("""SELECT lang, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS vocab_size,
+        |ROUND(AVG(CAST(length(tok) AS DOUBLE)), 4) AS avg_tok_len
+        |FROM (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS tok
+        |      FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin)
     )
   )
 }

@@ -62,6 +62,22 @@ object Tables {
     cast.write.mode(mode).format("parquet").saveAsTable(table)
   }
 
+  /** Bucketed managed table: pre-shuffled on the join/agg key so
+    * co-located joins between same-bucketed tables need no Exchange —
+    * the 100 TB answer to repeated fact⋈dim joins on one key.
+    */
+  def writeBucketed(df: DataFrame, table: String, nBuckets: Int, bucketCol: String, sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet").bucketBy(nBuckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+  }
+
+  /** Hive-style partitioned table: partition pruning turns predicates
+    * on the partition column into directory pruning at planning time.
+    */
+  def writePartitioned(df: DataFrame, table: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .partitionBy(partitionCols: _*).saveAsTable(table)
+
   /** Optional JDBC sink for Postgres/Power-BI parity (S2/S3 over the
     * wire). Thin and untested here — no database server ships in this
     * environment; the call shape matches the parquet sinks.

@@ -54,6 +54,17 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact deduplication on event_id bounded by the
+    * watermark — the streaming face of the training-data dedup
+    * operators: state holds only ids newer than the watermark, so
+    * memory is bounded by (arrival rate × watermark horizon) per
+    * partition regardless of total stream length.
+    */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Convenience: run a streaming DataFrame to completion against a
     * memory sink and return the result table (test/demo harness).
     */

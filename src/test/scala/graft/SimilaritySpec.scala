@@ -43,6 +43,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall (exact=${exact.size}, hit=${(exact & approx).size})")
   }
 
+  test("IVF ANN achieves reasonable recall vs brute force") {
+    val exact = Similarity.cosineTopK(real, k = 3, queryMod = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(real, k = 3, queryMod = 100, nProbes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // 500 vectors / 10 overlapping clusters is a hard regime for IVF;
+    // probing 4 of 10 cells should still recover most true neighbors.
+    assert(recall >= 0.5, s"IVF recall $recall (exact=${exact.size}, hit=${(exact & approx).size})")
+  }
+
   test("embedding near-dup pairs finds a planted duplicate vector") {
     import sqlImplicits._
     val v = Array.tabulate(64)(i => math.sin(i * 0.7).toFloat)

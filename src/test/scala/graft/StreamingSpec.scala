@@ -61,6 +61,24 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(col("event_type") === "late").count() == 0)
   }
 
+  test("streaming dedup drops duplicate event_ids across micro-batches") {
+    import sqlImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStreams.dedupStream(stream.toDF)
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    stream.addData(events.take(3): _*)
+    q.processAllAvailable()
+    stream.addData(events.take(3): _*) // exact re-delivery (same ids)
+    stream.addData(events.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_test")
+    assert(out.count() == events.size) // each id exactly once
+    assert(out.select("event_id").distinct().count() == events.size)
+  }
+
   test("mapGroupsWithState sessionizer accumulates per user across batches") {
     import sqlImplicits._
     implicit val sqlCtx = spark.sqlContext

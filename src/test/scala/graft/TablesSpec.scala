@@ -43,6 +43,33 @@ class TablesSpec extends SparkSpec {
     assert(out.head.getInt(1) == 41)
   }
 
+  test("bucketed co-located join plans without a shuffle exchange") {
+    import sqlImplicits._
+    Tables.createDatabase(spark, "graft_test_db")
+    val fact = (1 to 1000).map(i => (i.toLong % 100, i.toDouble)).toDF("k", "v")
+    val dim = (0L until 100L).map(i => (i, s"d$i")).toDF("k", "name")
+    Tables.writeBucketed(fact, "graft_test_db.fact_b", 8, "k")
+    Tables.writeBucketed(dim, "graft_test_db.dim_b", 8, "k")
+    val joined = spark.table("graft_test_db.fact_b")
+      .hint("merge") // force SMJ so the bucket layout, not broadcast, is exercised
+      .join(spark.table("graft_test_db.dim_b"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() == 1000)
+  }
+
+  test("partitioned table prunes partitions for partition-column predicates") {
+    import sqlImplicits._
+    Tables.createDatabase(spark, "graft_test_db")
+    val df = (1 to 300).map(i => (i, s"2024-01-${i % 3 + 1}")).toDF("id", "day")
+    Tables.writePartitioned(df, "graft_test_db.part_t", Seq("day"))
+    val q = spark.table("graft_test_db.part_t").filter($"day" === "2024-01-2")
+    assert(q.count() == 100)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("2024-01-2"),
+      s"expected partition pruning in:\n$scan")
+  }
+
   test("citybike warehouse bootstrap lands all five star tables") {
     val wh = graft.etl.CityBike.build(spark)
     Tables.bootstrapCityBike(spark, wh, db = "citybike_test")
