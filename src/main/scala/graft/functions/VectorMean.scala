@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Typed custom aggregate (SURVEY §2.7 W3 escape hatch,
+  * `Aggregator[IN, BUF, OUT]`): element-wise mean of vectors — the
+  * centroid computation of IVF-style indexing as a single-shuffle
+  * aggregate with map-side partial merging, instead of the
+  * posexplode → per-position avg → re-assemble dance.
+  */
+object VectorMean {
+
+  final case class Buf(var sums: Array[Double], var n: Long)
+
+  private val aggregator = new Aggregator[Seq[Double], Buf, Seq[Double]] {
+    override def zero: Buf = Buf(Array.emptyDoubleArray, 0L)
+
+    override def reduce(b: Buf, v: Seq[Double]): Buf = {
+      if (b.sums.isEmpty) b.sums = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length && i < b.sums.length) { b.sums(i) += v(i); i += 1 }
+      b.n += 1
+      b
+    }
+
+    override def merge(a: Buf, b: Buf): Buf = {
+      if (a.sums.isEmpty) b
+      else if (b.sums.isEmpty) a
+      else {
+        var i = 0
+        while (i < a.sums.length && i < b.sums.length) { a.sums(i) += b.sums(i); i += 1 }
+        a.n += b.n
+        a
+      }
+    }
+
+    override def finish(b: Buf): Seq[Double] =
+      if (b.n == 0) Seq.empty else b.sums.map(_ / b.n).toSeq
+
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+  }
+
+  /** Column form: `vectorMean(vecCol)` inside any groupBy().agg(...). */
+  def vectorMean(vec: Column): Column = udaf(aggregator).apply(vec)
+}

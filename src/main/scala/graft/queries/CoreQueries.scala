@@ -526,6 +526,48 @@ object CoreQueries {
         |       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS DOUBLE) / 1e6 AS gap_s
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY event_id""".stripMargin)
+    ),
+
+    // SQL entry path + Catalyst subquery decorrelation: orders priced
+    // above 1.5× their customer's average (correlated scalar subquery).
+    GraftQuery(
+      "q25_sql_decorrelated",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+                 WHERE o_totalprice > (SELECT 1.5 * AVG(i.o_totalprice)
+                                       FROM orders i WHERE i.o_custkey = o.o_custkey)
+                 ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > (SELECT 1.5 * AVG(i.o_totalprice)
+        |                      FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+    ),
+
+    // GROUPING SETS (A4) — the same SQL text runs on both engines.
+    GraftQuery(
+      "q26_grouping_sets",
+      (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql(CoreQueries.groupingSetsSql)
+      },
+      Some(CoreQueries.groupingSetsSql)
     )
   )
+
+  /** Engine-portable SQL: identical text for spark.sql and DuckDB.
+    * (Single-arg GROUPING() only — Spark has no multi-arg form.)
+    * lazy: referenced from `all`, which is initialized first.
+    */
+  lazy val groupingSetsSql: String =
+    """SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+      |COALESCE(l_linestatus, '(all)') AS linestatus,
+      |CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+      |CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+      |COUNT(*) AS n,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY returnflag, linestatus, g_rf""".stripMargin
 }
