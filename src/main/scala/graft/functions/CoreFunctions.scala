@@ -20,18 +20,17 @@ object CoreFunctions {
   val EarthRadiusKm = 6371.0
 
   /** Great-circle distance in km (haversine), mirroring
-    * check_and_create_db_v4.py:300-313. Structured identically to the
-    * DuckDB oracle formula so both engines agree to ~1 ulp.
+    * check_and_create_db_v4.py:300-313 — backed by the fused codegen
+    * [[graft.plans.HaversineDistance]] Expression (bit-identical
+    * arithmetic to the composed built-in form, so the DuckDB oracle
+    * formula still agrees to ~1 ulp; also the anchor node for the
+    * bounding-box optimizer rule).
     */
   def haversineKm(lat1: Column, lng1: Column, lat2: Column, lng2: Column): Column = {
-    val dLatH = radians(lat2 - lat1) / 2
-    val dLngH = radians(lng2 - lng1) / 2
-    lit(2.0) * lit(EarthRadiusKm) * asin(
-      sqrt(
-        pow(sin(dLatH), 2) +
-          cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLngH), 2)
-      )
-    )
+    import org.apache.spark.sql.graftops.ColumnBridge.{column, expression}
+    column(graft.plans.HaversineDistance(
+      expression(lat1.cast("double")), expression(lng1.cast("double")),
+      expression(lat2.cast("double")), expression(lng2.cast("double"))))
   }
 
   /** Timestamp difference in fractional seconds (SURVEY F8).

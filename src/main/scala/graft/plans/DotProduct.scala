@@ -91,9 +91,11 @@ object DotProduct {
   * makes `graft_dot` available in pure-SQL sessions too.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       { exprs: Seq[Expression] => DotProduct(exprs.head, exprs(1)) }))
+    ext.injectOptimizerRule(_ => HaversineBoundingBox)
+  }
 }

@@ -545,6 +545,37 @@ object CoreQueries {
         |ORDER BY o_orderkey""".stripMargin)
     ),
 
+    // Geo-radius filter: customers with synthetic coordinates within
+    // 1500 km of a point. Exercises the fused haversine Expression and
+    // the HaversineBoundingBox optimizer rule (the rule adds implied
+    // lat/lng range predicates; results are identical with or without
+    // it — which this oracle certifies).
+    GraftQuery(
+      "q27_geo_radius",
+      (s, d) => {
+        val k = col("c_custkey")
+        val base = t(s, d, "customer").select(
+          k,
+          ((k % 179) - 89).cast("double").as("lat"),
+          ((k % 359) - 179).cast("double").as("lng"))
+        val dist = haversineKm(lit(40.0), lit(-74.0), col("lat"), col("lng"))
+        base
+          .filter(dist < 1500.0)
+          .select(col("c_custkey"), col("lat"), col("lng"), round(dist, 4).as("dist_km"))
+          .orderBy("c_custkey")
+      },
+      Some(s"""WITH base AS (
+        |  SELECT c_custkey,
+        |    CAST((c_custkey % 179) - 89 AS DOUBLE) AS lat,
+        |    CAST((c_custkey % 359) - 179 AS DOUBLE) AS lng
+        |  FROM customer)
+        |SELECT c_custkey, lat, lng,
+        |  ROUND(${haversineSql("40.0", "-74.0", "lat", "lng")}, 4) AS dist_km
+        |FROM base
+        |WHERE ${haversineSql("40.0", "-74.0", "lat", "lng")} < 1500.0
+        |ORDER BY c_custkey""".stripMargin)
+    ),
+
     // GROUPING SETS (A4) — the same SQL text runs on both engines.
     GraftQuery(
       "q26_grouping_sets",
