@@ -48,6 +48,19 @@ class CityBikeSpec extends SparkSpec {
     assert(wh.fact.filter(col("trip_duration") < 0).count() == 0)
   }
 
+  test("warehouse tables conform to the typed schemas (Dataset[T] edges)") {
+    import sqlImplicits._
+    import graft.schema.Schemas._
+    // .as[T] throws on any missing/incompatible column; counts force evaluation.
+    assert(wh.memberDim.as[TypeDimension].count() == 2)
+    assert(wh.stationDim.as[StationDimension].count() == 172)
+    assert(wh.dateDim.as[DateDimension].filter(_.year == 2025).count() > 0)
+    val fast = wh.fact.as[RideFact].filter(f => f.speed > 15.0 && f.distance.exists(_ > 1.0))
+    assert(fast.count() > 0)
+    assert(wh.rides.as[Ride].head.ride_id.nonEmpty)
+    assert(graft.schema.Schemas.rideFact.fieldNames.toSeq == wh.fact.schema.fieldNames.toSeq)
+  }
+
   test("a known ride carries hand-checked measures through the pipeline") {
     // FIXTURES.md sample row: 880A0159BA5275FB, 2025-01-16 17:50:49.136 →
     // 17:57:00.71, Hilltop (40.7311689,-74.0575736) → Pershing Field
