@@ -196,6 +196,20 @@ object ExtQueries {
       None
     ),
 
+    // Embedding near-duplicate scan via sign-LSH buckets: the 20 most
+    // similar candidate pairs (the fixture plants no true near-dups —
+    // max pairwise cosine ≈ 0.51 — so this surfaces the candidates a
+    // dedup threshold would be applied to; planted-dup behavior is
+    // covered in SimilaritySpec).
+    GraftQuery(
+      "x15_embedding_neardup",
+      (s, d) =>
+        Similarity.embeddingNearDupPairs(t(s, d, "embeddings"), minCosine = 0.0)
+          .orderBy(col("cosine").desc, col("vec_a").asc, col("vec_b").asc)
+          .limit(20),
+      None
+    ),
+
     // BPE-ish regex tokenization (letters | digits | single symbol)
     // rolled up per language — token counts and vocabulary size.
     GraftQuery(
