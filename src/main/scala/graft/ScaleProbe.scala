@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Empirical scale probe: replicate the fixture tables K× with
+  * deterministic decorrelating perturbations and time the heavy
+  * operators at each multiplier — evidence that the shapes scale
+  * linearly in rows (no hidden quadratic pair blowup).
+  *
+  * Usage: runMain graft.ScaleProbe [sfDir] [multipliers csv]
+  */
+object ScaleProbe {
+
+  /** K decorrelated document replicas: each replica rotates the
+    * consonant alphabet differently, so token sets across replicas do
+    * not overlap (no artificial near-dup pairs between replicas).
+    */
+  private def replicateDocs(docs: DataFrame, k: Int): DataFrame = {
+    val alpha = "bcdfghjklmnpqrstvwz"
+    (0 until k).map { rep =>
+      val to = alpha.drop(rep % alpha.length) + alpha.take(rep % alpha.length)
+      docs.select(
+        (col("doc_id") * k + rep).as("doc_id"),
+        translate(col("text"), alpha, to).as("text"),
+        col("lang"), col("n_chars"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** K perturbed embedding replicas (distinct vectors, same clusters). */
+  private def replicateVecs(embeddings: DataFrame, k: Int): DataFrame =
+    (0 until k).map { rep =>
+      embeddings.select(
+        (col("vec_id") * k + rep).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x * (lit(1.0f) + lit(rep.toFloat) * lit(0.003f) * cos(i.cast("double")).cast("float")))
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+
+  private def time(label: String, df: => DataFrame): Unit = {
+    val t0 = System.nanoTime()
+    val n = df.count()
+    println(f"[probe] $label%-34s rows=$n%-9d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val mults = (if (args.length > 1) args(1) else "1,5,10").split(",").map(_.trim.toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+    for (k <- mults) {
+      val d = replicateDocs(docs, k).repartition(cpus.toInt).persist()
+      val v = replicateVecs(vecs, k).repartition(cpus.toInt).persist()
+      d.count(); v.count() // materialize inputs outside the timers
+      time(s"minhash_lsh_pairs      x$k", Dedup.minhashLshPairs(d, minEstJaccard = 0.5))
+      time(s"ngram_jaccard_pairs    x$k", Dedup.ngramJaccardPairs(d))
+      time(s"simhash_pairs          x$k", Dedup.simhashPairs(d, maxHamming = 3))
+      time(s"ann_sign_lsh_topk      x$k", Similarity.annSignLshTopK(v))
+      time(s"cosine_topk_bruteforce x$k", Similarity.cosineTopK(v))
+      d.unpersist(); v.unpersist()
+    }
+    spark.stop()
+  }
+}
