@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization over an event stream shape
+  * (user_id, event_id, ts): a new session starts after `gapMinutes` of
+  * inactivity. One shuffle on user_id, one sort by (ts, event_id) —
+  * the lag/flag/running-sum composition; scales like any windowed
+  * aggregation partitioned by user.
+  */
+object Sessions {
+
+  def sessions(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+    events
+      .select(
+        col("user_id"), col("event_id"), col("ts"),
+        when(lag(col("ts"), 1).over(w).isNull || gapUs > lit(gapMinutes * 60L * 1000000L), 1)
+          .otherwise(0).as("ns"))
+      .withColumn("session_id", sum(col("ns")).over(frame).cast("int"))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).cast("double") / 1e6)
+          .as("duration_s"))
+  }
+}

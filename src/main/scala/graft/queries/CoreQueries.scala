@@ -464,24 +464,10 @@ object CoreQueries {
     // via lag → boundary flag → running sum → grouped session stats.
     GraftQuery(
       "q23_sessions",
-      (s, d) => {
-        val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
-        val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
-        t(s, d, "events")
-          .select(
-            col("user_id"), col("event_id"), col("ts"),
-            when(lag(col("ts"), 1).over(w).isNull || gapUs > lit(1800000000L), 1)
-              .otherwise(0).as("ns"))
-          .withColumn("session_id", sum(col("ns")).over(frame).cast("int"))
-          .groupBy("user_id", "session_id")
-          .agg(
-            count(lit(1)).as("n_events"),
-            min(col("ts")).as("session_start"),
-            ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).cast("double") / 1e6)
-              .as("duration_s"))
-          .orderBy("user_id", "session_id")
-      },
+      (s, d) =>
+        graft.operators.Sessions.sessions(t(s, d, "events"), gapMinutes = 30)
+          .select("user_id", "session_id", "n_events", "session_start", "duration_s")
+          .orderBy("user_id", "session_id"),
       Some("""WITH g AS (
         |  SELECT user_id, event_id, ts,
         |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -584,6 +570,100 @@ object CoreQueries {
         s.sql(CoreQueries.groupingSetsSql)
       },
       Some(CoreQueries.groupingSetsSql)
+    ),
+
+    // Range (point-in-interval) join: purchases landing inside a
+    // ≥5-event session of the same user. The engine bucketizes the
+    // intervals into an equi-join; DuckDB states the BETWEEN directly.
+    GraftQuery(
+      "q28_range_join",
+      (s, d) => {
+        val events = t(s, d, "events")
+        val sess = graft.operators.Sessions.sessions(events, gapMinutes = 30)
+          .filter(col("n_events") >= 5)
+        val purchases = events.filter(col("event_type") === "purchase")
+          .select("user_id", "event_id", "ts")
+        graft.operators.RangeJoin
+          .pointInInterval(purchases, sess, "user_id", "ts", "session_start", "session_end")
+          .select("event_id", "user_id", "ts", "session_id", "n_events")
+          .orderBy("event_id", "session_id")
+      },
+      Some("""WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, session_id, COUNT(*) AS n_events,
+        |         MIN(ts) AS session_start, MAX(ts) AS session_end
+        |  FROM s GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, sess.session_id, sess.n_events
+        |FROM p JOIN sess ON p.user_id = sess.user_id
+        |               AND p.ts BETWEEN sess.session_start AND sess.session_end
+        |ORDER BY event_id, session_id""".stripMargin)
+    ),
+
+    // Exact interpolated percentiles per group (Spark percentile ==
+    // DuckDB quantile_cont, both linear interpolation).
+    GraftQuery(
+      "q29_percentiles",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("percentile(l_quantity, 0.25)"), 4).as("q25"),
+            round(expr("percentile(l_quantity, 0.5)"), 4).as("q50"),
+            round(expr("percentile(l_quantity, 0.75)"), 4).as("q75"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        |ROUND(quantile_cont(l_quantity, 0.25), 4) AS q25,
+        |ROUND(quantile_cont(l_quantity, 0.5), 4) AS q50,
+        |ROUND(quantile_cont(l_quantity, 0.75), 4) AS q75,
+        |ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+        |COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // min_by / max_by (arg-extremum aggregates).
+    GraftQuery(
+      "q30_minby_maxby",
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(
+            max_by(col("o_orderkey"), col("o_totalprice")).as("best_order"),
+            min_by(col("o_orderkey"), col("o_totalprice")).as("worst_order"),
+            dsum(col("o_totalprice")).as("total_spend"))
+          .orderBy("o_custkey"),
+      Some(s"""SELECT o_custkey,
+        |arg_max(o_orderkey, o_totalprice) AS best_order,
+        |arg_min(o_orderkey, o_totalprice) AS worst_order,
+        |${dsumSql("o_totalprice")} AS total_spend
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+    ),
+
+    // Pivot: linestatus values become columns (oracle states the
+    // equivalent conditional aggregation — engine-portable).
+    GraftQuery(
+      "q31_pivot",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(dsum(col("l_quantity")))
+          .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag,
+        |${dsumSql("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS F,
+        |${dsumSql("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     )
   )
 
