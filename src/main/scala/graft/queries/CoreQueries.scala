@@ -664,6 +664,46 @@ object CoreQueries {
         |${dsumSql("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS F,
         |${dsumSql("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS O
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // Array & string aggregation, made deterministic by sorting the
+    // collected set before joining/serializing.
+    GraftQuery(
+      "q32_array_agg",
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy("o_orderpriority")
+          .agg(
+            array_sort(collect_set(col("o_orderstatus"))).as("statuses"),
+            array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("status_csv"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+        |list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+        |list_aggregate(list_sort(list(DISTINCT o_orderstatus)), 'string_agg', ',') AS status_csv,
+        |COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+
+    // Date arithmetic: day difference, interval add, month truncation,
+    // month-end — the calendar functions a date dimension consumer uses.
+    GraftQuery(
+      "q33_date_arith",
+      (s, d) =>
+        t(s, d, "orders")
+          .select(
+            col("o_orderkey"),
+            datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")).as("days_since_epoch_start"),
+            date_add(col("o_orderdate"), 30).cast("timestamp").as("due_date"),
+            date_trunc("month", col("o_orderdate")).as("order_month"),
+            last_day(col("o_orderdate")).cast("timestamp").as("month_end"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+        |CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since_epoch_start,
+        |o_orderdate + INTERVAL 30 DAY AS due_date,
+        |date_trunc('month', o_orderdate) AS order_month,
+        |CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
     )
   )
 

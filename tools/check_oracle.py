@@ -39,10 +39,15 @@ def main(sf_dir, out_dir):
         a, b = spark_df[sc], oracle_df[oc]
         if len(a) != len(b):
             print(f"FAIL {name}: rows {len(a)} vs oracle {len(b)}"); n_fail += 1; continue
+        def norm(v):
+            if hasattr(v, "tolist"): v = v.tolist()
+            if isinstance(v, list): return tuple(norm(x) for x in v)
+            return v
         bad = None
         for c in sc:
             av, bv = a[c].tolist(), b[c].tolist()
             for i, (x, y) in enumerate(zip(av, bv)):
+                x, y = norm(x), norm(y)
                 if x != y and not (x != x and y != y):  # NaN==NaN ok
                     bad = (c, i, x, y); break
             if bad: break
