@@ -22,11 +22,29 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    if (!args.contains("countOnly")) df.explain("formatted")
-    val t0 = System.nanoTime()
-    val n = df.count()
-    println(f"[explain] $name rows=$n%d time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    if (name == "all") {
+      // one-line physical-plan audit per query: join strategies,
+      // exchange count, whole-stage-codegen coverage, cartesians
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
+        try {
+          val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+          def c(p: String) = p.r.findAllIn(plan).size
+          val flags = Seq(
+            "bhj" -> c("BroadcastHashJoin"), "smj" -> c("SortMergeJoin"),
+            "shj" -> c("ShuffledHashJoin"), "bnlj" -> c("BroadcastNestedLoopJoin"),
+            "cart" -> c("CartesianProduct"), "xchg" -> c("Exchange"),
+            "wscg" -> c("WholeStageCodegen"), "scan" -> c("Scan parquet"))
+            .collect { case (k, v) if v > 0 => s"$k=$v" }.mkString(" ")
+          println(f"[audit] $n%-28s $flags")
+        } catch { case e: Throwable => println(s"[audit] $n FAILED: ${e.getMessage.take(80)}") }
+      }
+    } else {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      if (!args.contains("countOnly")) df.explain("formatted")
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"[explain] $name rows=$n%d time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
     spark.stop()
   }
 }
