@@ -130,6 +130,67 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Transitive closure over near-duplicate pairs: connected-component
+    * labels via iterative min-label propagation (the Pregel-style
+    * formulation — each round every node takes the minimum label among
+    * itself and its neighbors). Converges in O(component diameter)
+    * rounds; near-dup clusters are shallow, so the driver loop runs a
+    * handful of iterations of pure shuffle joins — the standard
+    * scalable shape for dedup clustering (GraphX connected components
+    * without the GraphX dependency).
+    * Input: (doc_a, doc_b) pairs. Output: (doc_id, cluster_id) for
+    * every doc that appears in a pair; cluster_id = min doc_id of the
+    * component.
+    */
+  def resolveClusters(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(MEMORY_AND_DISK)
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nlabel"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist(MEMORY_AND_DISK)
+      val changed = updated.as("u")
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  /** End-to-end dedup: find near-dup pairs (MinHash+LSH), resolve
+    * clusters, and keep one canonical doc (min doc_id) per cluster —
+    * docs in no cluster survive untouched.
+    * Output: the duplicate-removal report, one row per cluster with
+    * size > 1: (keep_id, cluster_size, removed_ids sorted).
+    */
+  def dedupReport(docs: DataFrame, minEstJaccard: Double = 0.5): DataFrame = {
+    val pairs = minhashLshPairs(docs, minEstJaccard = minEstJaccard)
+    resolveClusters(pairs)
+      .groupBy(col("cluster_id").as("keep_id"))
+      .agg(
+        (count(lit(1))).as("cluster_size"),
+        array_sort(collect_list(when(col("id") =!= col("cluster_id"), col("id")))).as("removed_ids"))
+      .filter(col("cluster_size") > 1)
+  }
+
   /** Blocked word-shingle Jaccard near-dup pairs. Blocking: same lang,
     * |n_chars difference| ≤ `lenBand`. Output: (doc_a, doc_b, jaccard)
     * with jaccard ≥ minJaccard.

@@ -213,6 +213,18 @@ object ExtQueries {
       None
     ),
 
+    // End-to-end dedup resolution: LSH pairs → connected components →
+    // canonical keeper per cluster with the removed ids (rows-only:
+    // hash-based upstream; chain/transitivity logic tested in
+    // DedupSpec).
+    GraftQuery(
+      "x16_dedup_resolve",
+      (s, d) =>
+        Dedup.dedupReport(t(s, d, "documents"), minEstJaccard = 0.5)
+          .orderBy("keep_id"),
+      None
+    ),
+
     // BPE-ish regex tokenization (letters | digits | single symbol)
     // rolled up per language — token counts and vocabulary size.
     GraftQuery(

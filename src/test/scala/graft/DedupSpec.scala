@@ -62,6 +62,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("cluster resolution follows transitive chains to the min label") {
+    import sqlImplicits._
+    // components: {1,2,3,4} via a chain, {10,11}, and 20-30 isolated (no pairs)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.resolveClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedup report keeps the canonical doc and lists removals") {
+    val report = Dedup.dedupReport(docs, minEstJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toSeq))
+    assert(report.length == 1)
+    val (keep, size, removed) = report.head
+    assert(keep == 0L)                      // min id of the {0,1,2} cluster
+    assert(size == 3 && removed == Seq(1L, 2L))
+  }
+
   test("ngram jaccard blocking excludes cross-length-band pairs") {
     import sqlImplicits._
     val far = Seq(
