@@ -100,6 +100,53 @@ object CityBikeQueries {
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
 
+    // Busiest origin→destination station flows (fact ⋈ both station
+    // dims), with average trip distance.
+    GraftQuery(
+      "cb05_station_flows",
+      (s, _) => {
+        val wh = CityBike.build(s)
+        val names = wh.stationDim.select(col("id"), col("name"))
+        wh.fact
+          .join(broadcast(names.select(col("id").as("start_station_id"), col("name").as("start_name"))), "start_station_id")
+          .join(broadcast(names.select(col("id").as("end_station_id"), col("name").as("end_name"))), "end_station_id")
+          .groupBy("start_name", "end_name")
+          .agg(count(lit(1)).as("n_rides"), davg(col("distance")).as("avg_distance_km"))
+          .orderBy(col("n_rides").desc, col("start_name").asc, col("end_name").asc)
+          .limit(10)
+      },
+      Some(s"""$rawCte
+        |SELECT start_station_name AS start_name, end_station_name AS end_name,
+        |  COUNT(*) AS n_rides, ${davgSql("dist_km")} AS avg_distance_km
+        |FROM m
+        |WHERE start_station_name IS NOT NULL AND start_lat IS NOT NULL AND start_lng IS NOT NULL
+        |  AND end_station_name IS NOT NULL AND end_lat IS NOT NULL AND end_lng IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY n_rides DESC, start_name, end_name LIMIT 10""".stripMargin)
+    ),
+
+    // Weekday × hour usage heatmap per member type (ISO weekday so
+    // both engines agree: Spark weekday()+1 == DuckDB isodow()).
+    GraftQuery(
+      "cb06_weekday_heatmap",
+      (s, _) => {
+        val wh = CityBike.build(s)
+        wh.fact
+          .join(broadcast(wh.memberDim.select(col("id").as("member_type_id"), col("type"))), "member_type_id")
+          .join(wh.dateDim.select(col("id").as("start_date_id"), col("date"), col("hour")), "start_date_id")
+          .groupBy(
+            col("type"),
+            (weekday(col("date")) + 1).as("iso_dow"),
+            col("hour"))
+          .agg(count(lit(1)).as("n_rides"))
+          .orderBy("type", "iso_dow", "hour")
+      },
+      Some(s"""WITH r AS (SELECT * FROM read_csv('$csv', delim=';', header=true))
+        |SELECT member_casual AS type, CAST(isodow(started_at) AS INT) AS iso_dow,
+        |  CAST(hour(started_at) AS INT) AS hour, COUNT(*) AS n_rides
+        |FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
+    ),
+
     // Star-schema cardinality summary — the §5.2-item-4 golden check
     // as a query (member=2, rideable=2, station=172, date=101201,
     // fact=50611 on the shipped fixture).
