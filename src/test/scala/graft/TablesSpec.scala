@@ -70,6 +70,20 @@ class TablesSpec extends SparkSpec {
       s"expected partition pruning in:\n$scan")
   }
 
+  test("date-partitioned rides publish prunes to one day's partitions") {
+    import org.apache.spark.sql.functions._
+    Tables.createDatabase(spark, "graft_test_db")
+    val rides = graft.etl.CityBike.build(spark).rides
+      .withColumn("ride_date", to_date(col("started_at")))
+    Tables.writePartitioned(rides, "graft_test_db.rides_by_day", Seq("ride_date"))
+    val oneDay = spark.table("graft_test_db.rides_by_day")
+      .filter(col("ride_date") === "2025-01-16")
+    assert(oneDay.count() > 0)
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("2025-01-16"),
+      s"expected day-level pruning in:\n$plan")
+  }
+
   test("citybike warehouse bootstrap lands all five star tables") {
     val wh = graft.etl.CityBike.build(spark)
     Tables.bootstrapCityBike(spark, wh, db = "citybike_test")
