@@ -704,6 +704,32 @@ object CoreQueries {
         |date_trunc('month', o_orderdate) AS order_month,
         |CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end
         |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+
+    // Null semantics: null-producing keys, null-grouping, null-safe
+    // equality (<=> / IS NOT DISTINCT FROM), and explicit NULLS FIRST
+    // ordering (engines default differently — Spark ASC is nulls
+    // first, DuckDB nulls last).
+    GraftQuery(
+      "q34_null_semantics",
+      (s, d) => {
+        val c = t(s, d, "customer")
+          .select(col("c_custkey"), nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+        val segCount = c.groupBy("seg").agg(count(lit(1)).as("n"))
+        // null-safe self-join of the null-grouped summary: the null
+        // group must match itself under <=> (and never under ===)
+        segCount.as("a")
+          .join(segCount.as("b"), col("a.seg") <=> col("b.seg"))
+          .select(col("a.seg").as("seg"), col("a.n").as("n"),
+            (col("a.seg") === col("b.seg")).as("plain_eq"))
+          .orderBy(asc_nulls_first("seg"))
+      },
+      Some("""WITH sc AS (
+        |  SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg, COUNT(*) AS n
+        |  FROM customer GROUP BY 1)
+        |SELECT a.seg AS seg, a.n AS n, a.seg = b.seg AS plain_eq
+        |FROM sc a JOIN sc b ON a.seg IS NOT DISTINCT FROM b.seg
+        |ORDER BY seg NULLS FIRST""".stripMargin)
     )
   )
 
