@@ -730,6 +730,57 @@ object CoreQueries {
         |SELECT a.seg AS seg, a.n AS n, a.seg = b.seg AS plain_eq
         |FROM sc a JOIN sc b ON a.seg IS NOT DISTINCT FROM b.seg
         |ORDER BY seg NULLS FIRST""".stripMargin)
+    ),
+
+    // W2 — sliding event-time windows (1 h size, 30 min slide): every
+    // event falls in exactly two windows; the oracle materializes both
+    // covering slots per event explicitly.
+    GraftQuery(
+      "q35_sliding_window",
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+          .select(col("window.start").as("window_start"), col("n_events"), col("sum_value"))
+          .orderBy("window_start"),
+      Some(s"""WITH slots AS (
+        |  SELECT unnest([epoch_us(ts) // 1800000000,
+        |                 epoch_us(ts) // 1800000000 - 1]) AS slot, value
+        |  FROM events)
+        |SELECT make_timestamp(slot * 1800000000) AS window_start,
+        |  COUNT(*) AS n_events, ${dsumSql("value")} AS sum_value
+        |FROM slots GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Column profiling stats per group: min/max/mean and sample
+    // stddev derived from decimal-exact moments, so both engines
+    // compute sqrt((Σx² − (Σx)²/n)/(n−1)) from bit-identical inputs.
+    GraftQuery(
+      "q36_profile_stats",
+      (s, d) => {
+        val s1 = dsum(col("l_extendedprice"))
+        val s2 = sum((col("l_extendedprice") * col("l_extendedprice"))
+          .cast(org.apache.spark.sql.types.DecimalType(30, 4))).cast("double")
+        val n = count(lit(1))
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            min(col("l_extendedprice")).as("min_price"),
+            max(col("l_extendedprice")).as("max_price"),
+            round(s1 / n, 4).as("mean_price"),
+            round(sqrt((s2 - s1 * s1 / n) / (n - lit(1))), 4).as("std_price"),
+            n.as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag,
+        |MIN(l_extendedprice) AS min_price,
+        |MAX(l_extendedprice) AS max_price,
+        |ROUND(${dsumSql("l_extendedprice")} / COUNT(*), 4) AS mean_price,
+        |ROUND(SQRT((CAST(SUM(CAST((l_extendedprice * l_extendedprice) AS DECIMAL(30,4))) AS DOUBLE)
+        |            - ${dsumSql("l_extendedprice")} * ${dsumSql("l_extendedprice")} / COUNT(*))
+        |           / (COUNT(*) - 1)), 4) AS std_price,
+        |COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     )
   )
 

@@ -78,6 +78,26 @@ object Tables {
     df.write.mode(SaveMode.Overwrite).format("parquet")
       .partitionBy(partitionCols: _*).saveAsTable(table)
 
+  /** Upsert (merge-by-key) into a managed parquet table: existing rows
+    * with a matching key are replaced by the update rows, others are
+    * kept — completing the append/replace pair with the third write
+    * mode warehouses need. Implemented as anti-join + union + staged
+    * overwrite (parquet has no transactional MERGE; at warehouse scale
+    * this becomes a partition-scoped rewrite of only touched
+    * partitions). The union is checkpointed to a staging table first —
+    * overwriting a table that feeds its own plan would read-after-drop.
+    */
+  def upsertTable(updates: DataFrame, table: String, key: String): Unit = {
+    val spark = updates.sparkSession
+    val staging = table + "__staging"
+    val merged = spark.table(table)
+      .join(updates.select(key).distinct(), Seq(key), "left_anti")
+      .unionByName(updates)
+    overwriteTable(merged, staging)
+    overwriteTable(spark.table(staging), table)
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+  }
+
   /** Optional JDBC sink for Postgres/Power-BI parity (S2/S3 over the
     * wire). Thin and untested here — no database server ships in this
     * environment; the call shape matches the parquet sinks.

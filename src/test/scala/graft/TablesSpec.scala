@@ -43,6 +43,20 @@ class TablesSpec extends SparkSpec {
     assert(out.head.getInt(1) == 41)
   }
 
+  test("upsert replaces matching keys and keeps the rest") {
+    import sqlImplicits._
+    Tables.createDatabase(spark, "graft_test_db")
+    Tables.overwriteTable(
+      Seq((1, "old1"), (2, "old2"), (3, "old3")).toDF("id", "v"),
+      "graft_test_db.up_t")
+    Tables.upsertTable(
+      Seq((2, "new2"), (4, "new4")).toDF("id", "v"),
+      "graft_test_db.up_t", "id")
+    val out = spark.table("graft_test_db.up_t")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out == Map(1 -> "old1", 2 -> "new2", 3 -> "old3", 4 -> "new4"))
+  }
+
   test("bucketed co-located join plans without a shuffle exchange") {
     import sqlImplicits._
     Tables.createDatabase(spark, "graft_test_db")
