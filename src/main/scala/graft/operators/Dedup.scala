@@ -149,9 +149,12 @@ object Dedup {
       .distinct()
       .persist(MEMORY_AND_DISK)
 
+    // localCheckpoint (not persist): each round must TRUNCATE lineage,
+    // or the logical plan doubles per iteration and analysis cost goes
+    // exponential (the classic iterative-algorithm trap).
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     var converged = false
     var iter = 0
@@ -163,11 +166,10 @@ object Dedup {
       val updated = labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist(MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changed = updated.as("u")
         .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
         .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
       labels = updated
       converged = changed == 0
       iter += 1
