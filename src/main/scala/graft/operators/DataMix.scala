@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and source mixing for training-data
+  * pipelines. `df.sample()` depends on partitioning and seed plumbing;
+  * hash-gating on a stable key is reproducible row-exactly across
+  * runs, partitionings, and cluster sizes — the property data-mix
+  * manifests need. Gate = pmod(xxhash64(salt, key), 1e6) < frac·1e6.
+  */
+object DataMix {
+
+  private val Buckets = 1000000L
+
+  private def gate(salt: Long, keyCols: Seq[Column]): Column =
+    pmod(xxhash64((lit(salt) +: keyCols): _*), lit(Buckets))
+
+  /** Keep a deterministic `frac` of rows, keyed by `keyCols`. */
+  def hashSample(df: DataFrame, frac: Double, salt: Long, keyCols: Seq[Column]): DataFrame = {
+    require(frac >= 0 && frac <= 1, s"frac $frac out of range")
+    df.filter(gate(salt, keyCols) < lit((frac * Buckets).toLong))
+  }
+
+  /** Disjoint, exhaustive train/test split on the same hash gate. */
+  def trainTestSplit(df: DataFrame, testFrac: Double, salt: Long, keyCols: Seq[Column]): (DataFrame, DataFrame) = {
+    val cut = lit((testFrac * Buckets).toLong)
+    val g = gate(salt, keyCols)
+    (df.filter(g >= cut), df.filter(g < cut))
+  }
+
+  /** Weighted mixture: each source contributes an independent
+    * deterministic sample at its own rate (rates in [0,1] are
+    * per-source keep fractions, not relative weights).
+    */
+  def weightedMix(sources: Seq[(DataFrame, Double)], salt: Long, keyCols: Seq[Column]): DataFrame =
+    sources.zipWithIndex.map { case ((df, frac), i) =>
+      hashSample(df, frac, salt + i, keyCols)
+    }.reduce(_ unionByName _)
+}

@@ -225,6 +225,58 @@ object ExtQueries {
       None
     ),
 
+    // TF-IDF top terms per document. Ranking is done on the value
+    // rounded to 6 dp so both engines order identically even when ln()
+    // differs in the last ulp; ties break on the term.
+    GraftQuery(
+      "x17_tfidf",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val toks = docs.select(col("doc_id"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+        val scored = tf.join(dfT, "term").crossJoin(broadcast(n))
+          .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(round(col("tfidf"), 6).desc, col("term").asc)
+        scored
+          .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+          .select(col("doc_id"), col("term"), round(col("tfidf"), 4).as("tfidf"), col("rank"))
+          .orderBy("doc_id", "rank")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                                    x -> length(x) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf * ln(CAST(n_docs AS DOUBLE) / dft.df) AS tfidf
+        |  FROM tf JOIN dft USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, ROUND(tfidf, 4) AS tfidf, CAST(rn AS INT) AS rank
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                                   ORDER BY ROUND(tfidf, 6) DESC, term) AS rn
+        |      FROM scored) WHERE rn <= 3
+        |ORDER BY doc_id, rank""".stripMargin)
+    ),
+
+    // Deterministic hash-gated sampling: ~30% of documents keyed by
+    // doc_id, rolled up per language. Row-exact across runs and
+    // partitionings (xxhash64 gate — rows-only; determinism and split
+    // properties are tested in DataMixSpec).
+    GraftQuery(
+      "x18_hash_sample",
+      (s, d) =>
+        graft.operators.DataMix
+          .hashSample(t(s, d, "documents"), 0.3, salt = 42L, keyCols = Seq(col("doc_id")))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sampled_chars"))
+          .orderBy("lang"),
+      None
+    ),
+
     // BPE-ish regex tokenization (letters | digits | single symbol)
     // rolled up per language — token counts and vocabulary size.
     GraftQuery(

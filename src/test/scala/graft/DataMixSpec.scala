@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.DataMix
+
+class DataMixSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+  test("hash sample is row-exact across partitionings and runs") {
+    val a = DataMix.hashSample(docs, 0.3, 42L, Seq(col("doc_id")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = DataMix.hashSample(docs.repartition(13), 0.3, 42L, Seq(col("doc_id")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    val frac = a.size.toDouble / docs.count()
+    assert(math.abs(frac - 0.3) < 0.05, s"sampled fraction $frac")
+  }
+
+  test("different salts draw different samples") {
+    val a = DataMix.hashSample(docs, 0.3, 1L, Seq(col("doc_id")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = DataMix.hashSample(docs, 0.3, 2L, Seq(col("doc_id")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a != b)
+  }
+
+  test("train/test split is disjoint and exhaustive") {
+    val (train, test) = DataMix.trainTestSplit(docs, 0.2, 7L, Seq(col("doc_id")))
+    val tr = train.select("doc_id").collect().map(_.getLong(0)).toSet
+    val te = test.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((tr & te).isEmpty)
+    assert(tr.size + te.size == docs.count())
+    val frac = te.size.toDouble / docs.count()
+    assert(math.abs(frac - 0.2) < 0.05, s"test fraction $frac")
+  }
+
+  test("weighted mix keeps per-source rates") {
+    import sqlImplicits._
+    val a = (1L to 1000L).map(i => (i, "a")).toDF("doc_id", "src")
+    val b = (1L to 1000L).map(i => (i + 10000L, "b")).toDF("doc_id", "src")
+    val mix = DataMix.weightedMix(Seq((a, 0.8), (b, 0.2)), 99L, Seq(col("doc_id")))
+      .groupBy("src").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(mix("a") - 800L) < 80, s"got ${mix("a")}")
+    assert(math.abs(mix("b") - 200L) < 60, s"got ${mix("b")}")
+  }
+}
