@@ -781,6 +781,54 @@ object CoreQueries {
         |           / (COUNT(*) - 1)), 4) AS std_price,
         |COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // Fixed-width histogram of order totals (10 × 50k buckets, top
+    // bucket open) — integer bucket arithmetic, exact in both engines.
+    GraftQuery(
+      "q37_histogram",
+      (s, d) =>
+        t(s, d, "orders")
+          .groupBy(least(floor(col("o_totalprice") / 50000.0), lit(9.0)).cast("int").as("bucket"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("bucket_total"))
+          .orderBy("bucket"),
+      Some(s"""SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 9.0) AS INT) AS bucket,
+        |COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS bucket_total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Pearson correlation from decimal-exact moments (engine-native
+    // corr() accumulates floats in partition order and cannot match an
+    // oracle bit-for-bit; the moment form can).
+    GraftQuery(
+      "q38_correlation",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val sx = sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double")
+        val sy = sum(col("l_extendedprice").cast(DecimalType(18, 4))).cast("double")
+        val sxx = sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(30, 4))).cast("double")
+        val syy = sum((col("l_extendedprice") * col("l_extendedprice")).cast(DecimalType(30, 4))).cast("double")
+        val sxy = sum((col("l_quantity") * col("l_extendedprice")).cast(DecimalType(30, 4))).cast("double")
+        val n = count(lit(1)).cast("double")
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round((n * sxy - sx * sy) /
+              sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4).as("corr_qty_price"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+        |ROUND((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST((l_quantity * l_extendedprice) AS DECIMAL(30,4))) AS DOUBLE)
+        |        - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE))
+        |      / SQRT((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST((l_quantity * l_quantity) AS DECIMAL(30,4))) AS DOUBLE)
+        |              - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE))
+        |             * (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST((l_extendedprice * l_extendedprice) AS DECIMAL(30,4))) AS DOUBLE)
+        |                - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE))), 4) AS corr_qty_price,
+        |COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     )
   )
 
