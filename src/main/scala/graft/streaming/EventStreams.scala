@@ -65,6 +65,28 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each purchase pairs with the same
+    * user's clicks from the preceding hour. Both sides carry
+    * watermarks, so join state is evicted once the event-time bound
+    * passes — bounded memory on unbounded streams (the stateful
+    * operator RangeJoin's batch bucketization corresponds to).
+    */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(
+      col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+      col("ts").as("click_ts"), col("value").as("click_value"))
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases.select(
+      col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    p.join(
+      c,
+      col("c_user_id") === col("user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .drop("c_user_id")
+  }
+
   /** Convenience: run a streaming DataFrame to completion against a
     * memory sink and return the result table (test/demo harness).
     */

@@ -79,6 +79,52 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() == events.size)
   }
 
+  test("stream-stream interval join pairs purchases with preceding-hour clicks") {
+    import sqlImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStreams.clickPurchaseJoin(clicks.toDF, purchases.toDF)
+      .writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode("append").start()
+    clicks.addData(
+      Event(1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+      Event(2L, ts("2024-01-01 10:30:00"), 7L, "click", 2.0),
+      Event(3L, ts("2024-01-01 08:00:00"), 7L, "click", 4.0), // > 1h before → no pair
+      Event(4L, ts("2024-01-01 10:40:00"), 9L, "click", 8.0)) // other user → no pair
+    purchases.addData(
+      Event(10L, ts("2024-01-01 10:45:00"), 7L, "purchase", 50.0))
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("ssjoin_test")
+      .collect().map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"))).toSet
+    assert(pairs == Set((10L, 1L), (10L, 2L)), s"got $pairs")
+  }
+
+  test("streaming foreachBatch upserts into a managed warehouse table") {
+    import sqlImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.sources.Tables.createDatabase(spark, "graft_test_db")
+    graft.sources.Tables.overwriteTable(
+      Seq((7L, 0.0), (999L, 42.0)).toDF("user_id", "total_value"),
+      "graft_test_db.user_totals")
+    val stream = MemoryStream[Event]
+    val q = stream.toDF
+      .groupBy("user_id").agg(sum(col("value")).as("total_value"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.sources.Tables.upsertTable(batch, "graft_test_db.user_totals", "user_id")
+      }
+      .start()
+    stream.addData(events: _*) // users 7 (values 1+2+8) and 8 (4+16)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("graft_test_db.user_totals")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(7L -> 11.0, 8L -> 20.0, 999L -> 42.0))
+  }
+
   test("checkpointed query restarts from state without reprocessing or loss") {
     import sqlImplicits._
     implicit val sqlCtx = spark.sqlContext
