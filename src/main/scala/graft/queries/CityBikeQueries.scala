@@ -147,6 +147,32 @@ object CityBikeQueries {
         |FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
     ),
 
+    // Electric vs classic bikes: rides, distance and realized speed
+    // per rideable type per member type (fact ⋈ rideable ⋈ member).
+    GraftQuery(
+      "cb07_rideable_speeds",
+      (s, _) => {
+        val wh = CityBike.build(s)
+        wh.fact
+          .join(broadcast(wh.rideableDim.select(col("id").as("rideable_type_id"), col("type").as("bike_type"))), "rideable_type_id")
+          .join(broadcast(wh.memberDim.select(col("id").as("member_type_id"), col("type").as("member_type"))), "member_type_id")
+          .groupBy("bike_type", "member_type")
+          .agg(
+            count(lit(1)).as("n_rides"),
+            davg(col("distance")).as("avg_distance_km"),
+            davg(col("speed")).as("avg_speed_kmh"),
+            davg(col("trip_duration")).as("avg_duration_s"))
+          .orderBy("bike_type", "member_type")
+      },
+      Some(s"""$rawCte
+        |SELECT rideable_type AS bike_type, member_casual AS member_type,
+        |  COUNT(*) AS n_rides,
+        |  ${davgSql("dist_km")} AS avg_distance_km,
+        |  ${davgSql(speedSql)} AS avg_speed_kmh,
+        |  ${davgSql("CAST(trunc(dur_s) AS INT)")} AS avg_duration_s
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
     // Star-schema cardinality summary — the §5.2-item-4 golden check
     // as a query (member=2, rideable=2, station=172, date=101201,
     // fact=50611 on the shipped fixture).
