@@ -37,4 +37,11 @@ object DataMix {
     sources.zipWithIndex.map { case ((df, frac), i) =>
       hashSample(df, frac, salt + i, keyCols)
     }.reduce(_ unionByName _)
+
+  /** Deterministic global shuffle: training-order randomization that
+    * is reproducible across runs and cluster sizes (a range-partition
+    * sort on the salted key hash — unlike orderBy(rand())).
+    */
+  def shuffleDeterministic(df: DataFrame, salt: Long, keyCols: Seq[Column]): DataFrame =
+    df.orderBy(xxhash64((lit(salt) +: keyCols): _*))
 }

@@ -62,4 +62,42 @@ object TextAnalysis {
     docs.select(
       col("doc_id"),
       fingerprint64(tokens(col("text"))).as("fingerprint"))
+
+  /** Text normalization for dedup/tokenization: lowercase, punctuation
+    * → space, whitespace collapsed, trimmed.
+    */
+  def normalizeText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[.,;:!?]", " "), "\\s+", " "))
+
+  /** Quality gate with first-failing-rule attribution — the filter
+    * step of a training-data pipeline. Rules in order: too few tokens,
+    * too much punctuation, degenerate mean token length.
+    */
+  def qualityVerdict(
+      docs: DataFrame,
+      minTokens: Int = 40,
+      maxPunctRatio: Double = 0.2,
+      minAvgTokenLen: Double = 4.0): DataFrame = {
+    val toks = tokens(col("text"))
+    docs
+      .select(
+        col("doc_id"), col("lang"),
+        size(toks).as("n_tokens"),
+        punctCount(col("text")).as("n_punct"),
+        length(col("text")).as("n_chars_m"),
+        aggregate(toks, lit(0), (acc, t) => acc + length(t)).as("token_chars"))
+      .select(
+        col("doc_id"), col("lang"),
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("n_punct").cast("double") / col("n_chars_m") > maxPunctRatio, "too_punct")
+          .when(col("token_chars").cast("double") / col("n_tokens") < minAvgTokenLen, "low_avg_token_len")
+          .otherwise("kept").as("verdict"))
+  }
+
+  /** Kept subset under [[qualityVerdict]]'s rules. */
+  def qualityFilter(docs: DataFrame, minTokens: Int = 40, maxPunctRatio: Double = 0.2, minAvgTokenLen: Double = 4.0): DataFrame =
+    docs.join(
+      qualityVerdict(docs, minTokens, maxPunctRatio, minAvgTokenLen)
+        .filter(col("verdict") === "kept").select("doc_id"),
+      Seq("doc_id"), "left_semi")
 }

@@ -277,6 +277,51 @@ object ExtQueries {
       None
     ),
 
+    // Text normalization: lowercase, punctuation → space, whitespace
+    // collapse — the canonical pre-dedup transform.
+    GraftQuery(
+      "x19_normalize_text",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            TextAnalysis.normalizeText(col("text")).as("norm_text"),
+            size(graft.functions.TextFunctions.tokens(TextAnalysis.normalizeText(col("text"))))
+              .as("n_norm_tokens"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text,
+        |CAST(len(list_filter(regexp_split_to_array(
+        |  trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', ' ', 'g'), '\s+', ' ', 'g')),
+        |  '\s+'), x -> length(x) > 0)) AS INT) AS n_norm_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Quality gate report: first-failing-rule verdict counts per lang.
+    GraftQuery(
+      "x20_quality_filter",
+      (s, d) =>
+        TextAnalysis.qualityVerdict(t(s, d, "documents"))
+          .groupBy("lang", "verdict")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang", "verdict"),
+      Some("""WITH m AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> length(x) > 0)) AS n_tokens,
+        |    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+        |    length(text) AS n_chars_m,
+        |    list_sum(list_transform(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                                        x -> length(x) > 0), x -> length(x))) AS token_chars
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN n_tokens < 40 THEN 'too_short'
+        |       WHEN CAST(n_punct AS DOUBLE) / n_chars_m > 0.2 THEN 'too_punct'
+        |       WHEN CAST(token_chars AS DOUBLE) / n_tokens < 4.0 THEN 'low_avg_token_len'
+        |       ELSE 'kept' END AS verdict,
+        |  COUNT(*) AS n_docs
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
     // BPE-ish regex tokenization (letters | digits | single symbol)
     // rolled up per language — token counts and vocabulary size.
     GraftQuery(

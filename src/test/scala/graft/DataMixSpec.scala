@@ -36,6 +36,16 @@ class DataMixSpec extends SparkSpec {
     assert(math.abs(frac - 0.2) < 0.05, s"test fraction $frac")
   }
 
+  test("deterministic shuffle reorders stably across runs and partitionings") {
+    val a = DataMix.shuffleDeterministic(docs, 5L, Seq(col("doc_id")))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val b = DataMix.shuffleDeterministic(docs.repartition(17), 5L, Seq(col("doc_id")))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+    assert(a != a.sorted) // actually shuffled
+    assert(a.toSet == docs.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("weighted mix keeps per-source rates") {
     import sqlImplicits._
     val a = (1L to 1000L).map(i => (i, "a")).toDF("doc_id", "src")

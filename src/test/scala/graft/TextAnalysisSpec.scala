@@ -42,6 +42,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(es.getLong(2) == 10) // el perro y el gato que corre en la casa
   }
 
+  test("normalization lowercases, strips punctuation, collapses whitespace") {
+    import sqlImplicits._
+    val out = Seq((1L, "  Hello,   WORLD!  a.b  "))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.normalizeText($"text"))
+      .head.getString(0)
+    assert(out == "hello world a b")
+  }
+
+  test("quality filter keeps docs passing all rules, attributes first failure") {
+    import sqlImplicits._
+    val corpus = Seq(
+      (1L, Seq.fill(50)("words").mkString(" "), "en"),               // kept
+      (2L, "tiny doc", "en"),                                        // too_short
+      (3L, Seq.fill(50)("a.!?").mkString(" "), "en"))                // short-circuit: punct-heavy but avg-len fires later → too_punct
+      .toDF("doc_id", "text", "lang")
+    val verdicts = TextAnalysis.qualityVerdict(corpus, minTokens = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(verdicts(1L) == "kept")
+    assert(verdicts(2L) == "too_short")
+    assert(verdicts(3L) == "too_punct")
+    val kept = TextAnalysis.qualityFilter(corpus, minTokens = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     import sqlImplicits._
     val d = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta gamma"))
