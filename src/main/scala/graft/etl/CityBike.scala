@@ -106,6 +106,41 @@ object CityBike {
         parts.map { case (n, c) => c.as(n) }: _*)
   }
 
+  /** v2-era day-grain date dimension — check_and_create_db_v2.py:103-115:
+    * `id VARCHAR(8)` = yyyyMMdd, one row per calendar day.
+    */
+  def dateDimensionDayGrain(raw: DataFrame): DataFrame = {
+    val days = raw.select(to_date(col("started_at")).as("d"))
+      .unionByName(raw.select(to_date(col("ended_at")).as("d")))
+      .distinct()
+    days.select(
+      date_format(col("d"), "yyyyMMdd").as("id"),
+      col("d").cast("timestamp").as("date"),
+      year(col("d")).as("year"),
+      month(col("d")).as("month"),
+      quarter(col("d")).as("quarter"),
+      weekofyear(col("d")).as("week"),
+      dayofmonth(col("d")).as("day"))
+  }
+
+  /** v3-era separate time dimension — check_and_create_db_v3.py:118-128:
+    * one row per distinct (hour, minute, second) of day.
+    */
+  def timeDimension(raw: DataFrame): DataFrame = {
+    val times = raw.select(
+      hour(col("started_at")).as("hour"),
+      minute(col("started_at")).as("minute"),
+      second(col("started_at")).as("second"))
+      .unionByName(raw.select(
+        hour(col("ended_at")).as("hour"),
+        minute(col("ended_at")).as("minute"),
+        second(col("ended_at")).as("second")))
+      .distinct()
+    times.select(
+      surrogateKey(col("hour"), col("minute"), col("second")).as("id"),
+      col("second"), col("minute"), col("hour"))
+  }
+
   /** ride_fact — v4.py:240-295: six left joins re-keying the raw frame
     * against the dimensions (J1-J6), derived measures (F8/F13/F14 with
     * the P8 null/inf repair), 9-column projection, distinct.

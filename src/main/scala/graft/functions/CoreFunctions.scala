@@ -66,6 +66,12 @@ object CoreFunctions {
   def surrogateKey(naturalKey: Column*): Column =
     sha2(concat_ws("", naturalKey: _*), 256)
 
+  /** Reference-faithful uuid4 keys (v4.py:148) - nondeterministic per
+    * run, so golden tests and oracle comparison cannot use them; kept
+    * behind this explicit alternative for drop-in fidelity (F17).
+    */
+  def surrogateKeyUuid(): Column = expr("uuid()")
+
   /** The 8 date parts of the reference date dimension (v4.py:201-208),
     * as (name, column) pairs so callers control ordering.
     */

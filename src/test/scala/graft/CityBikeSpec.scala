@@ -61,6 +61,27 @@ class CityBikeSpec extends SparkSpec {
     assert(graft.schema.Schemas.rideFact.fieldNames.toSeq == wh.fact.schema.fieldNames.toSeq)
   }
 
+  test("v2 day-grain date dimension and v3 time dimension build correctly") {
+    val dayDim = graft.etl.CityBike.dateDimensionDayGrain(wh.rides)
+    // span 2024-12-31 → 2025-01-31 = 32 calendar days
+    assert(dayDim.count() == 32)
+    assert(dayDim.filter(org.apache.spark.sql.functions.col("id") === "20250116").count() == 1)
+    val timeDim = graft.etl.CityBike.timeDimension(wh.rides)
+    val n = timeDim.count()
+    // 101k timestamps land on ~50k of the 86,400 second-of-day slots
+    assert(n > 40000 && n <= 86400, s"time dim rows $n")
+  }
+
+  test("uuid key mode produces valid distinct keys (fidelity flag)") {
+    import org.apache.spark.sql.functions._
+    val dim = wh.rides.select(col("member_casual").as("type")).distinct()
+      .select(graft.functions.CoreFunctions.surrogateKeyUuid().as("id"), col("type"))
+    val rows = dim.collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getString(0)).distinct.length == 2)
+    assert(rows.forall(_.getString(0).matches("[0-9a-f-]{36}")))
+  }
+
   test("a known ride carries hand-checked measures through the pipeline") {
     // FIXTURES.md sample row: 880A0159BA5275FB, 2025-01-16 17:50:49.136 →
     // 17:57:00.71, Hilltop (40.7311689,-74.0575736) → Pershing Field
