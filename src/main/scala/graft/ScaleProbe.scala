@@ -19,7 +19,10 @@ object ScaleProbe {
     * not overlap (no artificial near-dup pairs between replicas).
     */
   private def replicateDocs(docs: DataFrame, k: Int): DataFrame = {
-    val alpha = "bcdfghjklmnpqrstvwz"
+    // full 26-letter rotation: distinct for k ≤ 26 (a 19-letter variant
+    // wrapped at rep 19 and silently duplicated a replica)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    require(k <= alpha.length, s"replication factor $k exceeds distinct rotations")
     (0 until k).map { rep =>
       val to = alpha.drop(rep % alpha.length) + alpha.take(rep % alpha.length)
       docs.select(
