@@ -1,0 +1,25 @@
+#!/usr/bin/env bash
+# Full local CI for the graft engine: everything the driver will run,
+# plus the test suite and plan audit. Exits nonzero on any failure.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== tests =="
+sbt -batch test 2>&1 | grep -E "Tests: succeeded|\*\*\* FAILED" | tail -2
+
+echo "== verify + oracle @ sf0.01 =="
+sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/gauntlet_001" >/dev/null 2>&1
+python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/gauntlet_001 | tail -1
+
+echo "== verify + oracle @ sf0.001 (smoke) =="
+sbt -batch "runMain graft.Verify /root/testdata/sf0.001 /tmp/gauntlet_0001" >/dev/null 2>&1
+python3 tools/check_oracle.py /root/testdata/sf0.001 /tmp/gauntlet_0001 | tail -1
+
+echo "== bench @ sf0.1 (32 threads) =="
+SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" 2>&1 \
+  | grep -E '\{"metric"' | tail -1 | sed 's/^\[info\] //' \
+  | python3 -c "import json,sys; d=json.load(sys.stdin); print(f'total {d[\"value\"]:.1f}s  queries {len(d[\"queries\"])}  max {max(d[\"queries\"].values()):.2f}s')"
+
+echo "== plan audit (cartesian check) =="
+sbt -batch "runMain graft.Explain all /root/testdata/sf0.01" 2>&1 \
+  | grep "\[audit\]" | { ! grep -E "cart=|FAILED"; } && echo "no cartesians, no failures"
