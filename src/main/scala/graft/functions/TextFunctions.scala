@@ -26,12 +26,10 @@ object TextFunctions {
     array_distinct(when(size(toks) < n, array().cast("array<string>")).otherwise(grams))
   }
 
-  /** MinHash signature: k independent min-hashes over the shingle set.
-    * Seeded by position via xxhash64(seed_i, shingle); empty input
-    * yields null entries — filter such docs upstream.
-    */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    array((0 until k).map(i => array_min(transform(shingles, s => xxhash64(lit(i), s)))): _*)
+  // (A per-row array-HOF MinHash signature used to live here; it was
+  //  superseded by Dedup.minhashSignatures' explode→groupBy-min
+  //  formulation — the HOF form re-evaluates the interpreted shingle
+  //  pipeline once per hash lane via projection collapse.)
 
   /** Fraction of equal positions between two same-length signatures —
     * the unbiased MinHash estimate of Jaccard similarity.
