@@ -16,11 +16,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warmup pass (disable with SPARK_GRAFT_WARMUP=0): JVM/codegen
     // warm, persisted operator tables materialized — the timed pass
-    // then measures steady-state query latency.
-    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      }
+    // then measures steady-state query latency. Its wall time is the
+    // COLD total (first-run: codegen + cache build included) and is
+    // reported alongside the warm total so baselines stay labeled and
+    // comparable across rounds with/without warmup.
+    val coldTotal =
+      if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
+        val t0 = System.nanoTime()
+        SparkEntry.queries.foreach { case (_, fn) =>
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        }
+        (System.nanoTime() - t0) / 1e9
+      } else -1.0
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -29,7 +36,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warm":true,"cold_total":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

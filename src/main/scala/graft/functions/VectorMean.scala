@@ -20,8 +20,11 @@ object VectorMean {
 
     override def reduce(b: Buf, v: Seq[Double]): Buf = {
       if (b.sums.isEmpty) b.sums = new Array[Double](v.length)
+      require(
+        v.length == b.sums.length,
+        s"vectorMean: ragged input — vector of dim ${v.length} in a group of dim ${b.sums.length}")
       var i = 0
-      while (i < v.length && i < b.sums.length) { b.sums(i) += v(i); i += 1 }
+      while (i < v.length) { b.sums(i) += v(i); i += 1 }
       b.n += 1
       b
     }
@@ -30,8 +33,11 @@ object VectorMean {
       if (a.sums.isEmpty) b
       else if (b.sums.isEmpty) a
       else {
+        require(
+          a.sums.length == b.sums.length,
+          s"vectorMean: ragged input — merging partials of dim ${a.sums.length} and ${b.sums.length}")
         var i = 0
-        while (i < a.sums.length && i < b.sums.length) { a.sums(i) += b.sums(i); i += 1 }
+        while (i < a.sums.length) { a.sums(i) += b.sums(i); i += 1 }
         a.n += b.n
         a
       }

@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   * like any sort-merge join on the key. Right rows sort before left
   * rows at equal timestamps, giving `<=` (inclusive) semantics.
   *
+  * All payload columns ride in ONE struct whose presence (not the
+  * payload values) drives the `ignoreNulls` carry: a matched right row
+  * whose payload value is genuinely NULL yields NULL (DuckDB ASOF
+  * semantics), never an older row's value.
+  *
   * The right side must be unique per (key, ts) — pre-dedup it
   * (deterministically) or ties make "latest" ambiguous.
   */
@@ -31,28 +36,51 @@ object AsOfJoin {
       payloadCols: Seq[String],
       suffix: String = "_asof"): DataFrame = {
 
+    val internal = Seq("__ts", "__side", "__payload", "__match")
+    val colliding = payloadCols.filter(left.columns.contains)
+    require(
+      colliding.isEmpty,
+      s"joinAsOf: left side already contains payload column(s) ${colliding.mkString(", ")} — " +
+        "rename them before joining, or they would be overwritten in the output")
+    require(
+      !payloadCols.contains("__rts"),
+      "joinAsOf: '__rts' is reserved for the matched right timestamp")
+    val reservedHits = (left.columns ++ right.columns).filter(internal.contains)
+    require(
+      reservedHits.isEmpty,
+      s"joinAsOf: column(s) ${reservedHits.distinct.mkString(", ")} collide with internal names " +
+        s"(${internal.mkString(", ")}) — rename them before joining")
+    val outHits = (payloadCols :+ rightTs).map(_ + suffix).filter(left.columns.contains)
+    require(
+      outHits.isEmpty,
+      s"joinAsOf: output column(s) ${outHits.mkString(", ")} already exist on the left side")
+
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-    val r = right
-      .select((key +: rightTs +: payloadCols).map(col): _*)
-      .withColumnRenamed(rightTs, "__rts")
-      .withColumn("__ts", col("__rts"))
-      .withColumn("__side", lit(0))
+    val r = right.select(
+      col(key),
+      col(rightTs).as("__ts"),
+      lit(0).as("__side"),
+      struct(col(rightTs).as("__rts") +: payloadCols.map(col): _*).as("__payload"))
 
+    // Left rows carry a NULL struct, so last(ignoreNulls) below keys the
+    // carry on right-row PRESENCE; individual payload fields stay NULL
+    // if the matched row's were.
     val unioned = l.unionByName(r, allowMissingColumns = true)
 
     val w = Window.partitionBy(key)
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = payloadCols.foldLeft(unioned) { (df, p) =>
-      df.withColumn(p + suffix, last(col(p), ignoreNulls = true).over(w))
-    }.withColumn(rightTs + suffix, last(col("__rts"), ignoreNulls = true).over(w))
-
-    filled
+    val matched = unioned
+      .withColumn("__match", last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__ts", "__side", "__rts")
-      .drop(payloadCols: _*)
+
+    val outCols =
+      left.columns.toSeq.map(col) ++
+        payloadCols.map(p => col("__match").getField(p).as(p + suffix)) :+
+        col("__match").getField("__rts").as(rightTs + suffix)
+    matched.select(outCols: _*)
   }
 }

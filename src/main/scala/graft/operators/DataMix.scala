@@ -22,6 +22,23 @@ object DataMix {
     df.filter(gate(salt, keyCols) < lit((frac * Buckets).toLong))
   }
 
+  /** Engine-portable deterministic sample: gate on the first 4 hex
+    * chars of md5 over the stringified key — a 16-bit uniform draw any
+    * SQL engine reproduces bit-identically (md5 of the same string is
+    * the same everywhere), unlike xxhash64 whose seeding is
+    * Spark-specific. Keep when prefix < floor(frac·65536) in hex.
+    * Slower than the xxhash gate (md5 + string materialization) — use
+    * `hashSample` in hot paths, this where cross-engine row-exact
+    * reproducibility is the contract.
+    */
+  def md5Sample(df: DataFrame, frac: Double, keyCols: Seq[Column]): DataFrame = {
+    require(frac >= 0 && frac <= 1, s"frac $frac out of range")
+    val t = math.floor(frac * 65536).toLong
+    if (t >= 65536L) df // "10000" would compare lexicographically below "2..."-"f..."
+    else df.filter(
+      substring(md5(concat_ws("\u0001", keyCols.map(_.cast("string")): _*)), 1, 4) < lit(f"$t%04x"))
+  }
+
   /** Disjoint, exhaustive train/test split on the same hash gate. */
   def trainTestSplit(df: DataFrame, testFrac: Double, salt: Long, keyCols: Seq[Column]): (DataFrame, DataFrame) = {
     val cut = lit((testFrac * Buckets).toLong)

@@ -77,8 +77,8 @@ object Dedup {
     // Materialize signatures once: both sides of the bucket self-join
     // read the cached 24-byte-per-doc table instead of recomputing the
     // tokenize→shingle→hash pipeline per side.
-    val sigs = minhashSignatures(docs, numHashes, shingleN, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = OpCache.swap("dedup.minhash.sigs",
+      minhashSignatures(docs, numHashes, shingleN, idCol, textCol))
 
     val banded = sigs.select(
       col(idCol),
@@ -113,8 +113,7 @@ object Dedup {
     * Output: (doc_a, doc_b, hamming).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = simhashes(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = OpCache.swap("dedup.simhash", simhashes(docs, idCol, textCol))
     val banded = sh.select(
       col(idCol),
       col("simhash"),
@@ -143,11 +142,10 @@ object Dedup {
     * component.
     */
   def resolveClusters(pairs: DataFrame, maxIter: Int = 15): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
-      .persist(MEMORY_AND_DISK)
+    val edges = OpCache.swap("dedup.edges",
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .distinct())
 
     // localCheckpoint (not persist): each round must TRUNCATE lineage,
     // or the logical plan doubles per iteration and analysis cost goes
@@ -214,11 +212,11 @@ object Dedup {
       lenBand: Long = 50,
       minJaccard: Double = 0.5): DataFrame = {
     // One interpreted shingle-pipeline pass per doc, materialized.
-    val ex = docs.select(
-      col("doc_id"), col("lang"), col("n_chars"),
-      explode(wordShingles(tokens(col("text")), shingleN)).as("shingle"))
-      .select(col("doc_id"), col("lang"), col("n_chars"), xxhash64(col("shingle")).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ex = OpCache.swap("dedup.ngram.ex",
+      docs.select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        explode(wordShingles(tokens(col("text")), shingleN)).as("shingle"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), xxhash64(col("shingle")).as("h")))
 
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sg"))
 

@@ -25,12 +25,12 @@ object Similarity {
     * and the norm fold is an interpreted higher-order function — pay
     * it once per row, not once per reference.
     */
-  private def prepared(embeddings: DataFrame): DataFrame =
-    embeddings.select(
-      col("vec_id"),
-      toDoubleVec(col("embedding")).as("vec"))
-      .withColumn("norm", l2norm(col("vec")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private def prepared(embeddings: DataFrame, site: String): DataFrame =
+    OpCache.swap(site,
+      embeddings.select(
+        col("vec_id"),
+        toDoubleVec(col("embedding")).as("vec"))
+        .withColumn("norm", l2norm(col("vec"))))
 
   /** Brute-force exact cosine top-k: every query row against the full
     * corpus. Queries = rows with vec_id % queryMod == 0 (a stand-in
@@ -38,7 +38,7 @@ object Similarity {
     * Output: (query_id, neighbor_id, cosine, rank) — rank 1..k.
     */
   def cosineTopK(embeddings: DataFrame, k: Int = 3, queryMod: Int = 100): DataFrame = {
-    val corpus = prepared(embeddings)
+    val corpus = prepared(embeddings, "sim.cosine.prep")
     val queries = corpus
       .filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
@@ -70,9 +70,9 @@ object Similarity {
       nPlanes: Int = 16,
       bands: Int = 4,
       dim: Int = 64): DataFrame = {
-    val base = prepared(embeddings)
-      .withColumn("sig", signLshSignature(col("vec"), nPlanes, dim))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = OpCache.swap("sim.lsh.sig",
+      prepared(embeddings, "sim.lsh.prep")
+        .withColumn("sig", signLshSignature(col("vec"), nPlanes, dim)))
 
     def banded(df: DataFrame): DataFrame =
       df.select(
@@ -119,19 +119,19 @@ object Similarity {
       queryMod: Int = 100,
       nProbes: Int = 2,
       centroidCol: String = "label"): DataFrame = {
-    val base = prepared(embeddings.select(col("vec_id"), col("embedding"), col(centroidCol)))
+    val base = prepared(embeddings.select(col("vec_id"), col("embedding"), col(centroidCol)), "sim.ivf.prep")
 
     // Per-cell mean vector via positional explode → elementwise avg →
     // re-assembled in position order (deterministic).
-    val centroids = embeddings
-      .select(col(centroidCol).as("cell"), posexplode(toDoubleVec(col("embedding"))).as(Seq("pos", "x")))
-      .groupBy(col("cell"), col("pos"))
-      .agg(avg(col("x")).as("m"))
-      .groupBy(col("cell"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cell"), transform(col("pm"), e => e.getField("m")).as("cvec"))
-      .withColumn("cnorm", l2norm(col("cvec")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = OpCache.swap("sim.ivf.centroids",
+      embeddings
+        .select(col(centroidCol).as("cell"), posexplode(toDoubleVec(col("embedding"))).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), e => e.getField("m")).as("cvec"))
+        .withColumn("cnorm", l2norm(col("cvec"))))
 
     // Cell assignment by nearest centroid (cosine), probes for queries.
     def assign(df: DataFrame, probes: Int): DataFrame = {
@@ -173,9 +173,9 @@ object Similarity {
       nPlanes: Int = 16,
       bands: Int = 4,
       dim: Int = 64): DataFrame = {
-    val base = prepared(embeddings)
-      .withColumn("sig", signLshSignature(col("vec"), nPlanes, dim))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = OpCache.swap("sim.neardup.sig",
+      prepared(embeddings, "sim.neardup.prep")
+        .withColumn("sig", signLshSignature(col("vec"), nPlanes, dim)))
     val banded = base.select(
       col("vec_id"), col("vec"), col("norm"),
       posexplode(array(signatureBands(col("sig"), nPlanes, bands): _*)).as(Seq("band_id", "band_key")))

@@ -667,20 +667,23 @@ object CoreQueries {
     ),
 
     // Array & string aggregation, made deterministic by sorting the
-    // collected set before joining/serializing.
+    // collected set before serializing. The set itself is emitted in
+    // serialized (csv) + cardinality form, not as a raw array column:
+    // the driver's comparator sorts rows with pandas, which cannot
+    // hash/sort ndarray cells.
     GraftQuery(
       "q32_array_agg",
       (s, d) =>
         t(s, d, "orders")
           .groupBy("o_orderpriority")
           .agg(
-            array_sort(collect_set(col("o_orderstatus"))).as("statuses"),
             array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("status_csv"),
+            size(collect_set(col("o_orderstatus"))).as("n_statuses"),
             count(lit(1)).as("n"))
           .orderBy("o_orderpriority"),
       Some("""SELECT o_orderpriority,
-        |list_sort(list(DISTINCT o_orderstatus)) AS statuses,
         |list_aggregate(list_sort(list(DISTINCT o_orderstatus)), 'string_agg', ',') AS status_csv,
+        |CAST(len(list(DISTINCT o_orderstatus)) AS INT) AS n_statuses,
         |COUNT(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     ),

@@ -151,11 +151,40 @@ object ExtQueries {
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin)
     ),
 
-    // Order-sensitive rolling fingerprints (JVM hash — rows-only).
+    // Order-sensitive document fingerprints, md5-portable formulation:
+    // content_fp hashes the full token stream (order-sensitive), and
+    // min_shingle_fp is a winnowing-style minimum over 3-gram shingle
+    // hashes (the near-dup-robust fingerprint). Both reproduce
+    // bit-identically in any engine with md5 — full hash oracle. The
+    // rolling-hash fingerprint64 operator variant stays for hot paths
+    // (order-sensitivity covered in TextAnalysisSpec).
     GraftQuery(
       "x10_fingerprint",
-      (s, d) => TextAnalysis.fingerprints(t(s, d, "documents")).orderBy("doc_id"),
-      None
+      (s, d) => {
+        val tk = graft.functions.TextFunctions.tokens(col("text"))
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            md5(concat_ws(" ", tk)).as("content_fp"),
+            when(size(tk) >= 3,
+              array_min(transform(
+                sequence(lit(0), size(tk) - 3),
+                i => md5(concat_ws(" ", slice(tk, i + 1, lit(3))))))).as("min_shingle_fp"),
+            greatest(size(tk) - 2, lit(0)).as("n_shingles"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                             x -> length(x) > 0) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |md5(array_to_string(t, ' ')) AS content_fp,
+        |CASE WHEN len(t) >= 3 THEN
+        |  list_min(list_transform(range(1, CAST(len(t) - 1 AS BIGINT)),
+        |                          i -> md5(array_to_string(t[i:i+2], ' '))))
+        |END AS min_shingle_fp,
+        |CAST(greatest(len(t) - 2, 0) AS INT) AS n_shingles
+        |FROM tk ORDER BY doc_id""".stripMargin)
     ),
 
     // Multimodal binary-column pipeline (stubbed decode) rollup.
@@ -216,11 +245,16 @@ object ExtQueries {
     // End-to-end dedup resolution: LSH pairs → connected components →
     // canonical keeper per cluster with the removed ids (rows-only:
     // hash-based upstream; chain/transitivity logic tested in
-    // DedupSpec).
+    // DedupSpec). removed_ids is serialized to csv — the driver's
+    // comparator sorts rows with pandas, which cannot hash ndarray
+    // cells.
     GraftQuery(
       "x16_dedup_resolve",
       (s, d) =>
         Dedup.dedupReport(t(s, d, "documents"), minEstJaccard = 0.5)
+          .select(
+            col("keep_id"), col("cluster_size"),
+            array_join(transform(col("removed_ids"), _.cast("string")), ",").as("removed_csv"))
           .orderBy("keep_id"),
       None
     ),
@@ -270,11 +304,20 @@ object ExtQueries {
       "x18_hash_sample",
       (s, d) =>
         graft.operators.DataMix
-          .hashSample(t(s, d, "documents"), 0.3, salt = 42L, keyCols = Seq(col("doc_id")))
+          .md5Sample(t(s, d, "documents"), 0.3, keyCols = Seq(col("doc_id")))
           .groupBy("lang")
           .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sampled_chars"))
           .orderBy("lang"),
-      None
+      // md5 prefix gating is engine-portable: floor(0.3·65536) = 19660
+      // = 0x4ccc, and md5 of the same decimal key string is identical
+      // in every engine — so the sample is row-exact reproducible in
+      // DuckDB, upgrading this from a rows-only check to a full hash
+      // oracle. (The xxhash64 gate variant stays for hot paths; its
+      // determinism across partitionings is covered in DataMixSpec.)
+      Some("""SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+        |FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4ccc'
+        |GROUP BY lang ORDER BY lang""".stripMargin)
     ),
 
     // Text normalization: lowercase, punctuation → space, whitespace

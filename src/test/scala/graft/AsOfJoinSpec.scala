@@ -39,4 +39,36 @@ class AsOfJoinSpec extends SparkSpec {
     val row = AsOfJoin.joinAsOf(left, right, "k", "lts", "rts", Seq("v")).head
     assert(row.getAs[Timestamp]("rts_asof") == ts("2024-01-01 11:15:00"))
   }
+
+  test("matched right row with NULL payload yields NULL, not an older row's value") {
+    import sqlImplicits._
+    val left = Seq((1L, ts("2024-01-01 12:00:00"))).toDF("k", "lts")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(7.0)),
+      (1L, ts("2024-01-01 11:00:00"), None)) // the match — its NULL must survive
+      .toDF("k", "rts", "v")
+    val row = AsOfJoin.joinAsOf(left, right, "k", "lts", "rts", Seq("v")).head
+    assert(row.getAs[java.lang.Double]("v_asof") == null)
+    assert(row.getAs[Timestamp]("rts_asof") == ts("2024-01-01 11:00:00"))
+  }
+
+  test("left side already carrying a payload column name is rejected, not corrupted") {
+    import sqlImplicits._
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), 123.0)).toDF("k", "lts", "v")
+    val right = Seq((1L, ts("2024-01-01 11:00:00"), 5.0)).toDF("k", "rts", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.joinAsOf(left, right, "k", "lts", "rts", Seq("v"))
+    }
+    assert(e.getMessage.contains("payload column"))
+  }
+
+  test("reserved internal column names on either side are rejected") {
+    import sqlImplicits._
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), 1)).toDF("k", "lts", "__side")
+    val right = Seq((1L, ts("2024-01-01 11:00:00"), 5.0)).toDF("k", "rts", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.joinAsOf(left, right, "k", "lts", "rts", Seq("v"))
+    }
+    assert(e.getMessage.contains("__side"))
+  }
 }

@@ -56,4 +56,14 @@ class DataMixSpec extends SparkSpec {
     assert(math.abs(mix("a") - 800L) < 80, s"got ${mix("a")}")
     assert(math.abs(mix("b") - 200L) < 60, s"got ${mix("b")}")
   }
+
+  test("md5 sample is rate-accurate, partitioning-stable, and total at frac=1") {
+    val kept = DataMix.md5Sample(docs, 0.3, Seq(col("doc_id")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(math.abs(kept.size.toDouble / docs.count() - 0.3) < 0.05, s"rate ${kept.size}")
+    val keptRepart = DataMix.md5Sample(docs.repartition(17), 0.3, Seq(col("doc_id")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == keptRepart)
+    assert(DataMix.md5Sample(docs, 1.0, Seq(col("doc_id"))).count() == docs.count())
+  }
 }

@@ -45,4 +45,16 @@ class SkewAndAggSpec extends SparkSpec {
     assert(out(0) == Seq(2.0, 3.0, 4.0))
     assert(out(1) == Seq(10.0, 20.0, 30.0))
   }
+
+  test("VectorMean rejects ragged vectors instead of silently truncating") {
+    import sqlImplicits._
+    val df = Seq((0, Seq(1.0, 2.0, 3.0)), (0, Seq(1.0, 2.0))).toDF("g", "vec")
+      .coalesce(1) // same partition → the mismatch hits reduce()
+    val e = intercept[Exception] {
+      df.groupBy("g").agg(VectorMean.vectorMean(col("vec")).as("mean")).collect()
+    }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(messages.exists(_.contains("ragged")))
+  }
 }
