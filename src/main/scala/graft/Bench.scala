@@ -14,6 +14,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Subset/repeat knobs for local perf iteration:
+    //   SPARK_GRAFT_ONLY=cb02,x16  → only queries whose name starts
+    //   with one of the prefixes; SPARK_GRAFT_REPEAT=3 → time the full
+    //   pass N times (each printed), exposing warm-cache steady state.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val queries = only match {
+      case Some(prefixes) => SparkEntry.queries.filter { case (n, _) => prefixes.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
     // Warmup pass (disable with SPARK_GRAFT_WARMUP=0): JVM/codegen
     // warm, persisted operator tables materialized — the timed pass
     // then measures steady-state query latency. Its wall time is the
@@ -23,20 +33,22 @@ object Bench {
     val coldTotal =
       if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
         val t0 = System.nanoTime()
-        SparkEntry.queries.foreach { case (_, fn) =>
+        queries.foreach { case (_, fn) =>
           try fn(spark, sfDir).count() catch { case _: Throwable => () }
         }
         (System.nanoTime() - t0) / 1e9
       } else -1.0
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    (1 to repeat).foreach { _ =>
+      val results = queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      println(s"""{"metric":"total","value":$total,"unit":"sec","warm":true,"cold_total":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warm":true,"cold_total":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -215,22 +215,30 @@ object CityBike {
       dateDim: DataFrame,
       fact: DataFrame)
 
-  def build(spark: SparkSession, path: String = DefaultCsvPath): Warehouse = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // A .csv.gz scan is a single unsplittable partition: parse it once,
-    // cache the parsed rows, and repartition so the five consumers
-    // (four dim builds + fact) run parallel. (At warehouse scale the
-    // equivalent move is a one-time CSV→parquet conversion.) Spark's
-    // cache manager dedups identical plans, so repeated build() calls
-    // in one session share these materializations.
-    val raw = readRides(spark, path)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .persist(MEMORY_AND_DISK)
-    val m = memberDimension(raw).persist(MEMORY_AND_DISK)
-    val r = rideableDimension(raw).persist(MEMORY_AND_DISK)
-    val s = stationDimension(raw).persist(MEMORY_AND_DISK)
-    val d = dateDimension(raw).persist(MEMORY_AND_DISK)
-    val f = rideFact(raw, m, r, s, d).persist(MEMORY_AND_DISK)
-    Warehouse(raw, m, r, s, d, f)
-  }
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Warehouse]
+
+  def build(spark: SparkSession, path: String = DefaultCsvPath): Warehouse =
+    // Memoized per (session, path): the consumer queries each start
+    // from the warehouse, and returning the SAME DataFrame objects
+    // (not merely plan-equal ones, which the cache manager would dedup
+    // on data but re-analyze and re-canonicalize per call) skips
+    // rebuilding + re-analyzing the 6-join fact plan on every query.
+    memo.getOrElseUpdate((spark, path), {
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // A .csv.gz scan is a single unsplittable partition: parse it
+      // once, cache the parsed rows, and repartition so the five
+      // consumers (four dim builds + fact) run parallel. (At warehouse
+      // scale the equivalent move is a one-time CSV→parquet
+      // conversion.)
+      val raw = readRides(spark, path)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist(MEMORY_AND_DISK)
+      val m = memberDimension(raw).persist(MEMORY_AND_DISK)
+      val r = rideableDimension(raw).persist(MEMORY_AND_DISK)
+      val s = stationDimension(raw).persist(MEMORY_AND_DISK)
+      val d = dateDimension(raw).persist(MEMORY_AND_DISK)
+      val f = rideFact(raw, m, r, s, d).persist(MEMORY_AND_DISK)
+      Warehouse(raw, m, r, s, d, f)
+    })
 }

@@ -39,6 +39,46 @@ object DataMix {
       substring(md5(concat_ws("\u0001", keyCols.map(_.cast("string")): _*)), 1, 4) < lit(f"$t%04x"))
   }
 
+  /** Per-stratum md5 gate rates: rebalance a corpus by keeping each
+    * stratum (e.g. language) at its own deterministic fraction —
+    * downsample the dominant stratum, keep the tail. Unlisted strata
+    * fall back to `defaultFrac`. Same engine-portability contract as
+    * [[md5Sample]].
+    */
+  def md5StratifiedSample(
+      df: DataFrame,
+      stratumCol: Column,
+      rates: Map[String, Double],
+      defaultFrac: Double,
+      keyCols: Seq[Column]): DataFrame = {
+    def hex(frac: Double): String = {
+      require(frac >= 0 && frac <= 1, s"frac $frac out of range")
+      f"${math.floor(frac * 65536).toLong}%04x"
+    }
+    val threshold = rates.foldLeft(lit(hex(defaultFrac))) { case (acc, (stratum, frac)) =>
+      when(stratumCol === stratum, lit(hex(frac))).otherwise(acc)
+    }
+    df.filter(
+      substring(md5(concat_ws("", keyCols.map(_.cast("string")): _*)), 1, 4) < threshold)
+  }
+
+  /** Per-group quota: keep at most `quota` rows per `groupCol`, chosen
+    * by md5-hash order of the key (a deterministic, engine-portable
+    * "random" draw — no seed plumbing, stable across partitionings).
+    * The workhorse of per-source caps in data-mix manifests. One
+    * shuffle on the group key; the rank never materializes more than
+    * `quota` winners per group past the filter.
+    */
+  def md5Quota(df: DataFrame, groupCol: Column, quota: Int, keyCols: Seq[Column]): DataFrame = {
+    val h = md5(concat_ws("", keyCols.map(_.cast("string")): _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(h.asc, keyCols.head.asc) // key tiebreak: total order even on hash collision
+    df.withColumn("__qrank", row_number().over(w))
+      .filter(col("__qrank") <= quota)
+      .drop("__qrank")
+  }
+
   /** Disjoint, exhaustive train/test split on the same hash gate. */
   def trainTestSplit(df: DataFrame, testFrac: Double, salt: Long, keyCols: Seq[Column]): (DataFrame, DataFrame) = {
     val cut = lit((testFrac * Buckets).toLong)

@@ -161,14 +161,18 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nlabel"))
+      // Carry the previous label through the checkpoint so convergence
+      // is a cheap filter+count on the materialized result, not another
+      // shuffle join against the previous round.
       val updated = labels
         .join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .select(
+          col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          col("label").as("__old"))
         .localCheckpoint(true)
-      val changed = updated.as("u")
-        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
-      labels = updated
+      val changed = updated.filter(col("label") =!= col("__old")).count()
+      labels = updated.drop("__old")
       converged = changed == 0
       iter += 1
     }

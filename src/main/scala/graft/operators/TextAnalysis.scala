@@ -37,6 +37,33 @@ object TextAnalysis {
           .otherwise(round(col("token_chars").cast("double") / col("n_tokens"), 4)).as("avg_token_len"))
   }
 
+  /** Per-document repetition metrics (the Gopher-style quality signal
+    * for detecting degenerate/boilerplate text): token count, distinct
+    * token count, the highest single-token frequency, and the
+    * repetition ratio 1 - distinct/total in basis points.
+    *
+    * The ratio is emitted as integer basis points via floor(1e4·x):
+    * both engines do identical IEEE-754 double math, and floor (unlike
+    * round-half) has no engine-specific tie-breaking — so the value is
+    * bit-portable for the oracle. Shape: explode → (doc, term) count
+    * with map-side partial aggregation → per-doc rollup; both shuffles
+    * carry counts, never text.
+    */
+  def repetitionMetrics(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"),
+        max(col("c")).as("max_term_count"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct_tokens"), col("max_term_count"),
+        floor(lit(10000.0) * (lit(1.0) - col("n_distinct_tokens").cast("double") / col("n_tokens")))
+          .cast("long").as("repetition_bp"))
+
   /** Per-document predicted language vs the labeled one. */
   def languageId(docs: DataFrame): DataFrame =
     docs.select(

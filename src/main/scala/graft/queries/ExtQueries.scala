@@ -268,9 +268,14 @@ object ExtQueries {
         val docs = t(s, d, "documents")
         val toks = docs.select(col("doc_id"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
         val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
-        val scored = tf.join(dfT, "term").crossJoin(broadcast(n))
+        // Document frequency as a window over tf (one shuffle on term)
+        // instead of a groupBy + self-join, which would recompute the
+        // whole tokenize→explode→tf pipeline for the second branch.
+        val dfW = org.apache.spark.sql.expressions.Window.partitionBy("term")
+        val scored = tf
+          .withColumn("df", count(lit(1)).over(dfW))
+          .crossJoin(broadcast(n))
           .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(round(col("tfidf"), 6).desc, col("term").asc)
@@ -384,6 +389,75 @@ object ExtQueries {
         |ROUND(AVG(CAST(length(tok) AS DOUBLE)), 4) AS avg_tok_len
         |FROM (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS tok
         |      FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+
+    // Gopher-style repetition metrics per document: distinct-token
+    // ratio + max single-token frequency, the degenerate-text quality
+    // signal. repetition_bp is integer basis points via floor —
+    // bit-portable across engines (no round-half tie-breaking).
+    GraftQuery(
+      "x21_repetition",
+      (s, d) =>
+        TextAnalysis.repetitionMetrics(t(s, d, "documents")).orderBy("doc_id"),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                                    x -> length(x) > 0)) AS term
+        |  FROM documents),
+        |tc AS (SELECT doc_id, term, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+        |SELECT doc_id,
+        |CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |COUNT(*) AS n_distinct_tokens,
+        |CAST(MAX(c) AS BIGINT) AS max_term_count,
+        |CAST(FLOOR(10000.0 * (1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c))) AS BIGINT) AS repetition_bp
+        |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Per-source quota cap: at most 15 docs per source, selected by
+    // md5-hash order of the key — the deterministic per-source cap of
+    // a data-mix manifest, reproducible row-exactly in any engine.
+    GraftQuery(
+      "x22_source_quota",
+      (s, d) =>
+        graft.operators.DataMix
+          .md5Quota(t(s, d, "documents"), col("source"), 15, Seq(col("doc_id")))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).as("kept_chars"),
+            min(col("doc_id")).as("min_kept_id"))
+          .orderBy("source"),
+      Some("""WITH ranked AS (
+        |  SELECT source, doc_id, n_chars,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_kept,
+        |CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+        |MIN(doc_id) AS min_kept_id
+        |FROM ranked WHERE rn <= 15
+        |GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
+    // Stratified rebalance: downsample English to 20%, keep other
+    // languages at 70% — per-stratum md5 gates, deterministic and
+    // engine-portable (en: floor(0.2·65536) = 0x3333; default:
+    // floor(0.7·65536) = 0xb333).
+    GraftQuery(
+      "x23_stratified_sample",
+      (s, d) =>
+        graft.operators.DataMix
+          .md5StratifiedSample(
+            t(s, d, "documents"),
+            col("lang"), Map("en" -> 0.2), defaultFrac = 0.7,
+            keyCols = Seq(col("doc_id")))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+          .orderBy("lang"),
+      Some("""SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+        |FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |      < CASE WHEN lang = 'en' THEN '3333' ELSE 'b333' END
         |GROUP BY lang ORDER BY lang""".stripMargin)
     )
   )

@@ -66,4 +66,29 @@ class DataMixSpec extends SparkSpec {
     assert(kept == keptRepart)
     assert(DataMix.md5Sample(docs, 1.0, Seq(col("doc_id"))).count() == docs.count())
   }
+
+  test("md5 quota caps every group and picks a stable subset") {
+    val kept = DataMix.md5Quota(docs, col("source"), 5, Seq(col("doc_id")))
+    val perSource = kept.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    assert(perSource.forall(_ <= 5))
+    assert(perSource.sum < docs.count()) // quota actually bit
+    val again = DataMix.md5Quota(docs.repartition(11), col("source"), 5, Seq(col("doc_id")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("stratified md5 sample applies per-stratum rates") {
+    val kept = DataMix.md5StratifiedSample(
+      docs, col("lang"), Map("en" -> 0.1), defaultFrac = 0.8, keyCols = Seq(col("doc_id")))
+    val byLang = kept.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = byLang.getOrElse("en", 0L).toDouble / totals("en")
+    assert(enRate < 0.25, s"en rate $enRate should be ~0.1")
+    val restKept = (byLang - "en").values.sum.toDouble
+    val restTotal = (totals - "en").values.sum.toDouble
+    assert(restKept / restTotal > 0.6, s"rest rate ${restKept / restTotal} should be ~0.8")
+  }
 }

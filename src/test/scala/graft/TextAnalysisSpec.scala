@@ -76,4 +76,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(1L) == fp(3L))
     assert(fp(1L) != fp(2L))
   }
+
+  test("repetition metrics: counts, max frequency, and basis points are exact") {
+    import sqlImplicits._
+    val d = Seq(
+      (1L, "a a a a b"),          // 5 tokens, 2 distinct, max 4, bp = floor(1e4·(1-2/5)) = 6000
+      (2L, "x y z"),              // no repetition → bp 0
+      (3L, "w w"))                // 2 tokens, 1 distinct, max 2, bp 5000
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionMetrics(d).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    assert(r(0) == ((1L, 5L, 2L, 4L, 6000L)))
+    assert(r(1) == ((2L, 3L, 3L, 1L, 0L)))
+    assert(r(2) == ((3L, 2L, 1L, 2L, 5000L)))
+  }
 }
