@@ -832,6 +832,30 @@ object CoreQueries {
         |                - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE))), 4) AS corr_qty_price,
         |COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // Boolean and bitwise aggregates (every-row predicates and bit
+    // accumulation — the remaining aggregate family q02-q38 didn't
+    // touch; both engines share names and integer-width semantics).
+    GraftQuery(
+      "q39_bool_bit_aggs",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            bool_and(col("l_quantity") > 0).as("all_positive_qty"),
+            bool_or(col("l_discount") > 0.05).as("any_big_discount"),
+            bit_and(col("l_linenumber")).as("line_bits_and"),
+            bit_or(col("l_linenumber")).as("line_bits_or"),
+            bit_xor(col("l_partkey")).as("part_bits_xor"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        |bool_and(l_quantity > 0) AS all_positive_qty,
+        |bool_or(l_discount > 0.05) AS any_big_discount,
+        |bit_and(l_linenumber) AS line_bits_and,
+        |bit_or(l_linenumber) AS line_bits_or,
+        |bit_xor(l_partkey) AS part_bits_xor
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     )
   )
 

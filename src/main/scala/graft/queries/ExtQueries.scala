@@ -116,7 +116,26 @@ object ExtQueries {
     GraftQuery(
       "x07_lang_id",
       (s, d) => TextAnalysis.languageId(t(s, d, "documents")).orderBy("doc_id"),
-      None
+      // The heuristic is pure scoring — argmax of per-language stopword
+      // hits, ties to the lexicographically larger code, zero hits →
+      // 'und' — so DuckDB reproduces it exactly: the CASE probes codes
+      // in descending lexicographic order (zh > fr > es > en > de).
+      Some(s"""$toksCte,
+        |s AS (SELECT doc_id, lang,
+        |  len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS s_en,
+        |  len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un'], x))) AS s_es,
+        |  len(list_filter(toks, x -> list_contains(['le','la','de','et','un','les','des'], x))) AS s_fr,
+        |  len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','ein','zu'], x))) AS s_de,
+        |  len(list_filter(toks, x -> list_contains(['的','是','了','在','和','有','我'], x))) AS s_zh
+        |FROM t)
+        |SELECT doc_id, lang AS lang_given,
+        |CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und'
+        |     WHEN s_zh = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'zh'
+        |     WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr'
+        |     WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es'
+        |     WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en'
+        |     ELSE 'de' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin)
     ),
 
     // Per-document quality metrics.
