@@ -12,9 +12,17 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens with empties dropped (so "" → [] not [""]). */
+  /** Whitespace tokens with empties dropped (so "" → [] not [""]).
+    * Native codegen scanner ([[graft.plans.WhitespaceTokens]]) —
+    * byte-identical to `filter(split(trim(text), "\\s+"), length(_) >
+    * 0)` but stays inside whole-stage codegen instead of the HOF's
+    * interpreted fallback (this call sits under every shingle, token
+    * stat, and fingerprint).
+    */
   def tokens(text: Column): Column =
-    filter(split(trim(text), "\\s+"), t => length(t) > lit(0))
+    org.apache.spark.sql.graftops.ColumnBridge.column(
+      graft.plans.WhitespaceTokens(
+        org.apache.spark.sql.graftops.ColumnBridge.expression(text)))
 
   /** Distinct word n-gram shingles, order-sensitive — the dedup unit
     * for MinHash/Jaccard. Docs shorter than n get an empty array.

@@ -96,6 +96,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       { exprs: Seq[Expression] => DotProduct(exprs.head, exprs(1)) }))
+    ext.injectFunction(WhitespaceTokens.functionDescription)
     ext.injectOptimizerRule(_ => HaversineBoundingBox)
   }
 }
