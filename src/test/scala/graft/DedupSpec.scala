@@ -88,4 +88,25 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "n_chars")
     assert(Dedup.ngramJaccardPairs(far, minJaccard = 0.0).count() == 0)
   }
+
+  test("shingle df cap drops boilerplate as similarity evidence, keeps rare-shingle dups") {
+    import sqlImplicits._
+    // "x y z" is a boilerplate shingle present in ALL four docs; docs
+    // 1/2 also share rare payload shingles, docs 3/4 share ONLY the
+    // boilerplate.
+    val d = Seq(
+      (1L, "x y z p q r s t", "en", 100L),
+      (2L, "x y z p q r s u", "en", 100L),
+      (3L, "x y z m1 m2 m3 m4 m5", "en", 100L),
+      (4L, "x y z k1 k2 k3 k4 k5", "en", 100L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val uncapped = Dedup.ngramJaccardPairs(d, minJaccard = 0.01)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((3L, 4L))) // boilerplate alone links 3-4
+    // Cap at df ≤ 3: the universal "x y z" (df=4) stops counting.
+    val capped = Dedup.ngramJaccardPairs(d, minJaccard = 0.01, maxShingleDf = Some(3L))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.contains((3L, 4L)), s"boilerplate-only pair survived: $capped")
+    assert(capped.contains((1L, 2L)), s"rare-shingle dup lost: $capped")
+  }
 }

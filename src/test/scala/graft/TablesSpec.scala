@@ -98,6 +98,31 @@ class TablesSpec extends SparkSpec {
       s"expected day-level pruning in:\n$plan")
   }
 
+  test("dynamic partition pruning: dim-side filter prunes fact partitions at runtime") {
+    import org.apache.spark.sql.functions._
+    import sqlImplicits._
+    Tables.createDatabase(spark, "graft_test_db")
+    val fact = (0 until 2000).map(i => (i.toLong, i % 10, i * 1.5)).toDF("id", "day", "v")
+    Tables.writePartitioned(fact, "graft_test_db.dpp_fact", Seq("day"))
+    // The dim must be a file-backed table: a local relation would fold
+    // the filter away and leave no selective predicate for the DPP
+    // optimizer rule to key on.
+    Tables.overwriteTable(
+      (0 until 10).map(i => (i, if (i < 2) "keep" else "drop")).toDF("day_key", "tag"),
+      "graft_test_db.dpp_dim")
+    val dim = spark.table("graft_test_db.dpp_dim").where(col("tag") === "keep")
+    // The filter lives on the DIM side only — static pruning can't see
+    // it. DPP must inject a runtime subquery filter into the fact scan
+    // so only 2 of 10 partitions are read (the 100 TB star-join
+    // pattern: never scan fact partitions the dim filter excludes).
+    val joined = spark.table("graft_test_db.dpp_fact")
+      .join(dim, col("day") === col("day_key"))
+    assert(joined.count() == 400)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      s"expected a dynamic-pruning subquery on the fact scan in:\n$plan")
+  }
+
   test("citybike warehouse bootstrap lands all five star tables") {
     val wh = graft.etl.CityBike.build(spark)
     Tables.bootstrapCityBike(spark, wh, db = "citybike_test")
