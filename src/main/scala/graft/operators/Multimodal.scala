@@ -89,6 +89,53 @@ object Multimodal {
       }
   }
 
+  /** A media feature row: fixed-width embedding extracted per file. */
+  final case class MediaFeature(doc_id: Long, mime: String, feature: Array[Float])
+
+  /** Batched feature extraction (the CLIP/encoder slot of a real
+    * pipeline). STUB: derives a deterministic unit-norm vector from
+    * the decode checksum via splitmix64 — no model in this
+    * environment. The plumbing is the real contract: batched
+    * per-partition execution, payloads never outlive the call, output
+    * is a fixed-width `array<float>` ready for the Similarity
+    * operators (ANN/near-dup run unchanged on it).
+    */
+  def extractFeaturesStub(meta: Dataset[MediaMeta], dim: Int = 16)(implicit spark: SparkSession): Dataset[MediaFeature] = {
+    import spark.implicits._
+    meta.mapPartitions(_.map { m =>
+      // STUB: a real implementation would run an encoder over decoded
+      // pixels/samples here.
+      var x = m.checksum
+      val v = new Array[Float](dim)
+      var i = 0
+      while (i < dim) {
+        x += 0x9e3779b97f4a7c15L
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        v(i) = ((z ^ (z >>> 31)).toDouble / Long.MaxValue).toFloat
+        i += 1
+      }
+      val norm = math.sqrt(v.map(f => f.toDouble * f).sum)
+      MediaFeature(m.doc_id, m.mime, v.map(f => (f / norm).toFloat))
+    })
+  }
+
+  /** Aspect-ratio-preserving fit into a bounding box — pure metadata
+    * arithmetic (this one is NOT a stub): the landing-size computation
+    * every image pipeline runs before decode-to-target.
+    */
+  def resizePlan(meta: DataFrame, maxW: Int = 336, maxH: Int = 336): DataFrame = {
+    val scale = least(
+      lit(maxW).cast("double") / col("width"),
+      lit(maxH).cast("double") / col("height"),
+      lit(1.0)) // never upscale
+    meta.select(
+      col("doc_id"), col("mime"), col("width"), col("height"),
+      floor(col("width") * scale).cast("int").as("target_w"),
+      floor(col("height") * scale).cast("int").as("target_h"))
+  }
+
   /** End-to-end: synthesize → decode (stub) → frame-sample → rollup
     * per mime type. The shape a real multimodal ingest would have.
     */

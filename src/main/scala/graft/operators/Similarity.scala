@@ -37,8 +37,9 @@ object Similarity {
     * for an external query set). Self-pairs excluded.
     * Output: (query_id, neighbor_id, cosine, rank) — rank 1..k.
     */
-  def cosineTopK(embeddings: DataFrame, k: Int = 3, queryMod: Int = 100): DataFrame = {
-    val corpus = prepared(embeddings, "sim.cosine.prep")
+  def cosineTopK(embeddings: DataFrame, k: Int = 3, queryMod: Int = 100,
+      site: String = "sim.cosine.prep"): DataFrame = {
+    val corpus = prepared(embeddings, site)
     val queries = corpus
       .filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))

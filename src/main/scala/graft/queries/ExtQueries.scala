@@ -480,6 +480,25 @@ object ExtQueries {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
         |      < CASE WHEN lang = 'en' THEN '3333' ELSE 'b333' END
         |GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+
+    // Multimodal → similarity composition: binary payloads → batched
+    // stub decode → stub feature vectors → exact cosine top-3. The
+    // joint pipeline a multimodal ingest runs (encode once, search
+    // many); stub-derived vectors → rows-only, with the feature
+    // contract pinned in MultimodalSpec.
+    GraftQuery(
+      "x24_multimodal_ann",
+      (s, d) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val meta = Multimodal.extractMeta(Multimodal.synthesizeMedia(t(s, d, "documents")))
+        val feats = Multimodal.extractFeaturesStub(meta)
+        Similarity.cosineTopK(
+          feats.toDF.select(col("doc_id").as("vec_id"), col("feature").as("embedding")),
+          site = "sim.mm.prep")
+          .orderBy("query_id", "rank")
+      },
+      None
     )
   )
 }

@@ -42,4 +42,32 @@ class MultimodalSpec extends SparkSpec {
     assert(sum.length == 3)
     assert(sum.map(_.getLong(1)).sum == 4) // all four files accounted for
   }
+
+  test("stub features are unit-norm, fixed-width, and deterministic") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val meta = Multimodal.extractMeta(Multimodal.synthesizeMedia(docs))
+    val f1 = Multimodal.extractFeaturesStub(meta).collect().map(f => f.doc_id -> f.feature.toSeq).toMap
+    val f2 = Multimodal.extractFeaturesStub(meta).collect().map(f => f.doc_id -> f.feature.toSeq).toMap
+    assert(f1 == f2) // deterministic across runs
+    f1.values.foreach { v =>
+      assert(v.length == 16)
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-5, s"norm $norm")
+    }
+  }
+
+  test("resize plan fits the box, preserves aspect ratio, never upscales") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import sqlImplicits._
+    val meta = Seq(
+      (1L, "image/png", 1280, 720),  // downscale, landscape
+      (2L, "image/png", 720, 1280),  // downscale, portrait
+      (3L, "image/png", 100, 50))    // already fits → untouched
+      .toDF("doc_id", "mime", "width", "height")
+    val out = Multimodal.resizePlan(meta, maxW = 336, maxH = 336)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(4), r.getInt(5)))).toMap
+    assert(out(1L) == ((336, 189))) // 1280×720 · (336/1280)
+    assert(out(2L) == ((189, 336)))
+    assert(out(3L) == ((100, 50)))
+  }
 }

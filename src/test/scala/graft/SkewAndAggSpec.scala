@@ -46,6 +46,39 @@ class SkewAndAggSpec extends SparkSpec {
     assert(out(1) == Seq(10.0, 20.0, 30.0))
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    import sqlImplicits._
+    // One hot key carries ~all left rows; force SMJ (no broadcast) and
+    // drop the skew thresholds so local-mode data sizes trigger the
+    // optimizer. This is Spark's own runtime answer to the problem
+    // Skew.saltedJoin solves statically — the engine supports both.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      val left = (1 to 40000).map(i => (if (i % 100 == 0) i.toLong % 37 else 7L, s"payload-$i"))
+        .toDF("k", "v")
+      val right = (0L until 64L).map(i => (i, s"dim-$i")).toDF("k", "name")
+      val joined = left.join(right, Seq("k"))
+      assert(joined.collect().length == 40000) // materialize joined ITSELF so ITS adaptive plan finalizes
+      val plan = (joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }).toString
+      assert(plan.contains("skew=true"), s"expected a skew-split SMJ in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("VectorMean rejects ragged vectors instead of silently truncating") {
     import sqlImplicits._
     val df = Seq((0, Seq(1.0, 2.0, 3.0)), (0, Seq(1.0, 2.0))).toDF("g", "vec")
