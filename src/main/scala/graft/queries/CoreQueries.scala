@@ -856,8 +856,30 @@ object CoreQueries {
         |bit_or(l_linenumber) AS line_bits_or,
         |bit_xor(l_partkey) AS part_bits_xor
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // RANGE window frame over a calendar interval — value-based frames
+    // (trailing 30-day spend per customer) are a different execution
+    // family from the ROWS frames of q22: the frame boundary is found
+    // by value comparison, not row offset. Engine-portable SQL text,
+    // decimal-exact running sum.
+    GraftQuery(
+      "q40_range_frame",
+      (s, d) => {
+        t(s, d, "orders").createOrReplaceTempView("orders")
+        s.sql(rangeFrameSql)
+      },
+      Some(rangeFrameSql)
     )
   )
+
+  /** Engine-portable SQL: identical text for spark.sql and DuckDB. */
+  lazy val rangeFrameSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+      |  PARTITION BY o_custkey ORDER BY o_orderdate
+      |  RANGE BETWEEN INTERVAL '30' DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+      |FROM orders ORDER BY o_orderkey""".stripMargin
 
   /** Engine-portable SQL: identical text for spark.sql and DuckDB.
     * (Single-arg GROUPING() only — Spark has no multi-arg form.)
