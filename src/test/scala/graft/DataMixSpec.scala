@@ -67,6 +67,20 @@ class DataMixSpec extends SparkSpec {
     assert(DataMix.md5Sample(docs, 1.0, Seq(col("doc_id"))).count() == docs.count())
   }
 
+  test("samples nest: raising the fraction only adds rows (both gates)") {
+    // The property that makes incremental training-set growth sound: a
+    // 30% sample extends the 10% sample, it doesn't reshuffle it —
+    // true by construction for threshold gates on a fixed hash.
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val x10 = ids(DataMix.hashSample(docs, 0.1, 42L, Seq(col("doc_id"))))
+    val x30 = ids(DataMix.hashSample(docs, 0.3, 42L, Seq(col("doc_id"))))
+    assert(x10.subsetOf(x30) && x10.size < x30.size)
+    val m10 = ids(DataMix.md5Sample(docs, 0.1, Seq(col("doc_id"))))
+    val m30 = ids(DataMix.md5Sample(docs, 0.3, Seq(col("doc_id"))))
+    assert(m10.subsetOf(m30) && m10.size < m30.size)
+  }
+
   test("md5 quota caps every group and picks a stable subset") {
     val kept = DataMix.md5Quota(docs, col("source"), 5, Seq(col("doc_id")))
     val perSource = kept.groupBy("source").agg(count(lit(1)).as("n"))
