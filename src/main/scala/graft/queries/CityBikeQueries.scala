@@ -173,6 +173,35 @@ object CityBikeQueries {
         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
 
+    // v2-era day-grain date dimension exercised end-to-end: rides
+    // joined to the day-grain dim on the start DAY, rolled up per the
+    // dim's (year, ISO week) attributes. The oracle recomputes from
+    // the raw CSV — Spark weekofyear and DuckDB week are both
+    // ISO-8601, so the (calendar-year, iso-week) grouping key matches
+    // bit-for-bit, including the 2024-12-31 → week 1 boundary row.
+    GraftQuery(
+      "cb08_weekly_daygrain",
+      (s, _) => {
+        val wh = CityBike.build(s)
+        val dayDim = CityBike.dateDimensionDayGrain(wh.rides)
+          .select(col("date").as("day_ts"), col("year"), col("week"))
+        wh.rides
+          .join(dayDim, to_date(col("started_at")).cast("timestamp") === col("day_ts"))
+          .groupBy("year", "week")
+          .agg(
+            count(lit(1)).as("n_rides"),
+            davg(graft.functions.CoreFunctions
+              .durationSeconds(col("started_at"), col("ended_at")).cast("int")).as("avg_duration_s"))
+          .orderBy("year", "week")
+      },
+      Some(s"""$rawCte
+        |SELECT CAST(year(started_at) AS INT) AS year,
+        |  CAST(week(started_at) AS INT) AS week,
+        |  COUNT(*) AS n_rides,
+        |  ${davgSql("CAST(trunc(dur_s) AS INT)")} AS avg_duration_s
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
     // Star-schema cardinality summary — the §5.2-item-4 golden check
     // as a query (member=2, rideable=2, station=172, date=101201,
     // fact=50611 on the shipped fixture).
