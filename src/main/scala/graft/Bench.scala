@@ -47,7 +47,10 @@ object Bench {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.values.sum else 0.0
-      println(s"""{"metric":"total","value":$total,"unit":"sec","warm":true,"cold_total":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
+      // Totals LAST: harnesses that keep only the tail of captured
+      // output truncate the FRONT of this (long) line — the headline
+      // numbers must live at the end to survive.
+      println(s"""{"queries":$qs,"sf":"$sfDir","warm":true,"cold_total":$coldTotal,"metric":"total","unit":"sec","value":$total}""")
     }
     spark.stop()
   }

@@ -44,6 +44,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length == 4) // 10h/click, 11h/click, 11h/view, 12h/view
   }
 
+  test("training-data ops run unchanged on a stream: quality gate + md5 sample parity") {
+    import org.apache.spark.sql.functions._
+    import sqlImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    // The stateless training-data operators (quality filtering,
+    // deterministic sampling) are plain column plans — readStream
+    // swaps the source, the plan is identical, results must match
+    // batch row-for-row.
+    val docs = Seq(
+      (1L, ("long enough document " * 8).trim, "en"),
+      (2L, "too short", "en"),
+      (3L, ("words all the way down " * 9).trim, "en"),
+      (4L, ("plenty of reasonable text here " * 7).trim, "es"))
+      .map { case (id, text, lang) => (id, text, lang, text.length.toLong) }
+    val stream = MemoryStream[(Long, String, String, Long)]
+    stream.addData(docs: _*)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("doc_id", "text", "lang", "n_chars")
+
+    // qualityVerdict (pure column pipeline), not qualityFilter (whose
+    // first-failure semi-join would be a stream-stream join).
+    def pipeline(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.DataMix.md5Sample(
+        graft.operators.TextAnalysis.qualityVerdict(shape(df), minTokens = 10)
+          .filter(col("verdict") === "kept"),
+        0.9, Seq(col("doc_id")))
+        .select("doc_id")
+
+    val streamed = EventStreams.runToMemory(
+      pipeline(stream.toDF), "quality_stream_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(_.getLong(0)).toSet
+    val batched = pipeline(docs.toDF).collect().map(_.getLong(0)).toSet
+    assert(streamed == batched)
+    assert(batched.nonEmpty && !batched.contains(2L)) // the gate actually fired
+  }
+
   test("late data beyond the watermark is dropped in streaming mode") {
     import sqlImplicits._
     implicit val sqlCtx = spark.sqlContext
