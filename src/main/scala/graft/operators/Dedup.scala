@@ -101,11 +101,15 @@ object Dedup {
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
-  /** Per-document 64-bit SimHash. Output: (doc_id, simhash). */
+  /** Per-document 64-bit SimHash. Output: (doc_id, simhash).
+    * Tokenizes via the native `graft_tokens` (registered by
+    * GraftExtensions — required in the session) so the token stream is
+    * byte-identical to every other text operator's.
+    */
   def simhashes(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(
       col(idCol),
-      simhash64(s"filter(split(trim($textCol), '\\\\s+'), t -> length(t) > 0)").as("simhash"))
+      simhash64(s"graft_tokens($textCol)").as("simhash"))
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3
     * guaranteed complete by the 4×16-bit pigeonhole bands; higher
