@@ -134,7 +134,71 @@ object Similarity {
         .select(col("cell"), transform(col("pm"), e => e.getField("m")).as("cvec"))
         .withColumn("cnorm", l2norm(col("cvec"))))
 
-    // Cell assignment by nearest centroid (cosine), probes for queries.
+    ivfSearch(base, centroids, k, queryMod, nProbes)
+  }
+
+  /** IVF ANN with centroids learned by Lloyd's k-means instead of
+    * provided coarse labels — the productionized variant. Each round
+    * is one broadcast-assign plus one single-shuffle recompute through
+    * the [[graft.functions.VectorMean]] typed aggregate (map-side
+    * partial element-wise sums — the shuffle carries k partial
+    * vectors per partition, never the corpus). Deterministic
+    * hash-order seeding; lineage truncated per round. At 100 TB,
+    * seed from a sample (k-means|| style) instead of a global sort.
+    */
+  def ivfTopKKmeans(
+      embeddings: DataFrame,
+      k: Int = 3,
+      queryMod: Int = 100,
+      nProbes: Int = 2,
+      cells: Int = 8,
+      maxIter: Int = 3): DataFrame = {
+    val base = prepared(embeddings.select(col("vec_id"), col("embedding")), "sim.kmeans.prep")
+    val centroids = OpCache.swap("sim.kmeans.centroids", kmeansCentroids(base, cells, maxIter))
+    ivfSearch(base, centroids, k, queryMod, nProbes)
+  }
+
+  /** Lloyd's k-means over a prepared (vec_id, vec, norm) corpus.
+    * Output: (cell, cvec, cnorm) — the IVF centroid table shape.
+    */
+  private def kmeansCentroids(base: DataFrame, k: Int, maxIter: Int): DataFrame = {
+    val seedW = Window.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    var cents = base
+      .withColumn("__r", row_number().over(seedW))
+      .filter(col("__r") <= k)
+      .select((col("__r") - 1).cast("int").as("cell"), col("vec").as("cvec"))
+      .withColumn("cnorm", l2norm(col("cvec")))
+      .localCheckpoint(true)
+    var iter = 0
+    while (iter < maxIter) {
+      val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
+      val assigned = base.crossJoin(broadcast(cents))
+        .select(
+          base("vec_id"), base("vec"),
+          col("cell"),
+          cosineWithNorms(dot(col("vec"), col("cvec")), col("norm"), col("cnorm")).as("csim"))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") === 1)
+      cents = assigned
+        .groupBy(col("cell"))
+        .agg(graft.functions.VectorMean.vectorMean(col("vec")).as("cvec"))
+        .withColumn("cnorm", l2norm(col("cvec")))
+        .localCheckpoint(true) // truncate lineage each round
+      iter += 1
+    }
+    cents
+  }
+
+  /** Shared IVF probe: assign corpus rows to their cell, queries to
+    * their `nProbes` nearest cells, equi-join on cell, exact cosine +
+    * top-k on the candidates.
+    */
+  private def ivfSearch(
+      base: DataFrame,
+      centroids: DataFrame,
+      k: Int,
+      queryMod: Int,
+      nProbes: Int): DataFrame = {
     def assign(df: DataFrame, probes: Int): DataFrame = {
       val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
       df.crossJoin(broadcast(centroids))

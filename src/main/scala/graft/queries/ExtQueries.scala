@@ -499,6 +499,17 @@ object ExtQueries {
           .orderBy("query_id", "rank")
       },
       None
+    ),
+
+    // IVF with LEARNED centroids: Lloyd's k-means (broadcast-assign +
+    // single-shuffle VectorMean recompute per round) replaces the
+    // provided coarse labels — the productionized ANN index build.
+    // Recall vs brute force asserted in SimilaritySpec; rows-only.
+    GraftQuery(
+      "x25_ann_ivf_kmeans",
+      (s, d) =>
+        Similarity.ivfTopKKmeans(t(s, d, "embeddings")).orderBy("query_id", "rank"),
+      None
     )
   )
 }

@@ -54,6 +54,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall (exact=${exact.size}, hit=${(exact & approx).size})")
   }
 
+  test("k-means IVF achieves reasonable recall vs brute force") {
+    val exact = Similarity.cosineTopK(real, k = 3, queryMod = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopKKmeans(real, k = 3, queryMod = 100, nProbes = 4, cells = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // Learned cells won't match the generator's label clusters exactly;
+    // probing 4 of 10 learned cells should still recover a usable share.
+    assert(recall >= 0.4, s"k-means IVF recall $recall")
+  }
+
   test("embedding near-dup pairs finds a planted duplicate vector") {
     import sqlImplicits._
     val v = Array.tabulate(64)(i => math.sin(i * 0.7).toFloat)
