@@ -114,4 +114,37 @@ object TextFunctions {
   /** Count of tokens appearing in the English stopword list. */
   def stopwordCount(toks: Column): Column =
     size(filter(toks, t => t.isin(langStopwords.head._2: _*)))
+
+  /** Distinctive character n-grams per language for the n-gram
+    * language heuristic (zh uses single hanzi — script presence IS
+    * the signal there). Tiny by design, like [[langStopwords]].
+    */
+  val langNgramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "he", "ing", " a ", " the ", "er", "on"),
+    "es" -> Seq(" el ", " la ", " que ", "os ", "as ", " un ", "ue"),
+    "fr" -> Seq(" le ", " les ", " des ", " et ", "ou", "aux", "é"),
+    "de" -> Seq("ch", " der ", " die ", " und ", "ei", "sch", "ß"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我")
+  )
+
+  /** N-gram language heuristic: score each language by the total
+    * characters its profile n-grams cover in the text — computed as
+    * `length(text) - length(replace(text, gram, ''))`, a pure
+    * codegen'd string fold with no regex, no tokenizer, and an exact
+    * SQL-portable replay (`replace`/`length` agree across engines).
+    * Argmax with ties to the lexicographically larger code; zero
+    * coverage → "und". Complements [[langId]] (token/stopword based):
+    * this one needs no tokenization, so it works on unsegmented
+    * scripts (zh) where whitespace tokens don't exist.
+    */
+  def langIdNgram(text: Column): Column = {
+    val scored = array(langNgramProfiles.map { case (lang, grams) =>
+      val score = grams
+        .map(g => length(text) - length(replace(text, lit(g), lit(""))))
+        .reduce(_ + _)
+      struct(score.as("score"), lit(lang).as("lang"))
+    }: _*)
+    val best = array_max(scored)
+    when(best.getField("score") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
 }

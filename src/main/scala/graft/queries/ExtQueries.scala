@@ -510,6 +510,50 @@ object ExtQueries {
       (s, d) =>
         Similarity.ivfTopKKmeans(t(s, d, "embeddings")).orderBy("query_id", "rank"),
       None
+    ),
+
+    // Character-n-gram language heuristic (no tokenizer — works on
+    // unsegmented scripts): coverage scoring via literal
+    // replace/length arithmetic, replayed exactly in SQL. The oracle
+    // is GENERATED from the same profile table as the Spark operator,
+    // so the two can never drift.
+    GraftQuery(
+      "x26_lang_id_ngram",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            col("lang").as("lang_given"),
+            graft.functions.TextFunctions.langIdNgram(col("text")).as("lang_pred"))
+          .orderBy("doc_id"),
+      Some(langNgramOracleSql)
     )
   )
+
+  /** DuckDB replay of [[graft.functions.TextFunctions.langIdNgram]],
+    * generated from the same `langNgramProfiles` — coverage score per
+    * language, argmax with descending-lexicographic tie-break.
+    */
+  private lazy val langNgramOracleSql: String = {
+    val profiles = graft.functions.TextFunctions.langNgramProfiles
+    def esc(g: String) = g.replace("'", "''")
+    val scoreCols = profiles.map { case (lang, grams) =>
+      grams.map(g => s"(length(text) - length(replace(text, '${esc(g)}', '')))")
+        .mkString("  (", " + ", s") AS s_$lang")
+    }.mkString(",\n")
+    val all = profiles.map { case (lang, _) => s"s_$lang" }.mkString(", ")
+    // ties → lexicographically larger code: probe codes descending
+    val cases = profiles.map(_._1).sorted.reverse.init
+      .map(l => s"WHEN s_$l = greatest($all) THEN '$l'")
+      .mkString("\n     ")
+    val lowest = profiles.map(_._1).sorted.head
+    s"""WITH s AS (SELECT doc_id, lang,
+       |$scoreCols
+       |FROM documents)
+       |SELECT doc_id, lang AS lang_given,
+       |CASE WHEN greatest($all) = 0 THEN 'und'
+       |     $cases
+       |     ELSE '$lowest' END AS lang_pred
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
 }

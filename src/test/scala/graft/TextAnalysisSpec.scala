@@ -77,6 +77,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(1L) != fp(2L))
   }
 
+  test("char-n-gram language heuristic: no tokenizer, handles unsegmented scripts") {
+    import sqlImplicits._
+    import org.apache.spark.sql.functions.col
+    val d = Seq(
+      (1L, "the weather in the north is cold and the days are getting shorter"),
+      (2L, "el que no ha visto el mar no sabe que es la belleza"),
+      (3L, "der Hund und die Katze schlafen in der schönen Küche"),
+      (4L, "我是在和有的了"), // unsegmented — whitespace tokenizers see ONE token
+      (5L, ""))
+      .toDF("doc_id", "text")
+    val out = d.select(col("doc_id"), graft.functions.TextFunctions.langIdNgram(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en", out.toString)
+    assert(out(2L) == "es", out.toString)
+    assert(out(3L) == "de", out.toString)
+    assert(out(4L) == "zh", out.toString)
+    assert(out(5L) == "und", out.toString)
+  }
+
   test("repetition metrics: counts, max frequency, and basis points are exact") {
     import sqlImplicits._
     val d = Seq(
