@@ -79,6 +79,21 @@ object DataMix {
       .drop("__qrank")
   }
 
+  /** Engine-portable split label on the md5 gate: every row gets
+    * exactly one of "test" (hash prefix below the fraction threshold)
+    * or "train" — the same draw [[md5Sample]] keeps, so
+    * `md5Sample(df, f)` ≡ rows labeled "test" at `testFrac = f`.
+    * Disjoint and exhaustive by construction.
+    */
+  def md5SplitLabel(testFrac: Double, keyCols: Seq[Column]): Column = {
+    require(testFrac >= 0 && testFrac <= 1, s"testFrac $testFrac out of range")
+    val t = math.floor(testFrac * 65536).toLong
+    if (t >= 65536L) lit("test")
+    else when(
+      substring(md5(concat_ws("", keyCols.map(_.cast("string")): _*)), 1, 4) < lit(f"$t%04x"),
+      "test").otherwise("train")
+  }
+
   /** Disjoint, exhaustive train/test split on the same hash gate. */
   def trainTestSplit(df: DataFrame, testFrac: Double, salt: Long, keyCols: Seq[Column]): (DataFrame, DataFrame) = {
     val cut = lit((testFrac * Buckets).toLong)

@@ -527,6 +527,28 @@ object ExtQueries {
             graft.functions.TextFunctions.langIdNgram(col("text")).as("lang_pred"))
           .orderBy("doc_id"),
       Some(langNgramOracleSql)
+    ),
+
+    // Deterministic 20% train/test split manifest: per (split, lang)
+    // cardinalities and char mass. The md5 gate makes the split
+    // row-exact reproducible in DuckDB — the oracle certifies the
+    // partition is disjoint AND exhaustive (counts must sum to the
+    // table) with the exact same rows on each side.
+    GraftQuery(
+      "x27_train_test_split",
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn(
+            "split",
+            graft.operators.DataMix.md5SplitLabel(0.2, Seq(col("doc_id"))))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+          .orderBy("split", "lang"),
+      // floor(0.2·65536) = 13107 = 0x3333
+      Some("""SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333'
+        |            THEN 'test' ELSE 'train' END AS split,
+        |lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     )
   )
 

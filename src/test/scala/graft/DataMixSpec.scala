@@ -81,6 +81,19 @@ class DataMixSpec extends SparkSpec {
     assert(m10.subsetOf(m30) && m10.size < m30.size)
   }
 
+  test("md5 split label agrees with md5Sample and partitions exhaustively") {
+    val labeled = docs.withColumn("split", DataMix.md5SplitLabel(0.2, Seq(col("doc_id"))))
+    val test = labeled.filter(col("split") === "test")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val train = labeled.filter(col("split") === "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sampled = DataMix.md5Sample(docs, 0.2, Seq(col("doc_id")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(test == sampled) // the split's test side IS the sample
+    assert((test & train).isEmpty)
+    assert(test.size + train.size == docs.count())
+  }
+
   test("md5 quota caps every group and picks a stable subset") {
     val kept = DataMix.md5Quota(docs, col("source"), 5, Seq(col("doc_id")))
     val perSource = kept.groupBy("source").agg(count(lit(1)).as("n"))
