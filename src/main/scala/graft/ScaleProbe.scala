@@ -76,6 +76,7 @@ object ScaleProbe {
       time(s"simhash_pairs          x$k", Dedup.simhashPairs(d, maxHamming = 3))
       time(s"ann_sign_lsh_topk      x$k", Similarity.annSignLshTopK(v))
       time(s"cosine_topk_bruteforce x$k", Similarity.cosineTopK(v))
+      time(s"ann_ivf_kmeans         x$k", Similarity.ivfTopKKmeans(v))
       d.unpersist(); v.unpersist()
     }
     spark.stop()
