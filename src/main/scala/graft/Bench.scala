@@ -50,7 +50,8 @@ object Bench {
       // Totals LAST: harnesses that keep only the tail of captured
       // output truncate the FRONT of this (long) line — the headline
       // numbers must live at the end to survive.
-      println(s"""{"queries":$qs,"sf":"$sfDir","warm":true,"cold_total":$coldTotal,"metric":"total","unit":"sec","value":$total}""")
+      val warm = coldTotal >= 0 // without the warmup pass the timed pass itself runs cold
+      println(s"""{"queries":$qs,"sf":"$sfDir","warm":$warm,"cold_total":$coldTotal,"metric":"total","unit":"sec","value":$total}""")
     }
     spark.stop()
   }

@@ -91,11 +91,19 @@ object TextFunctions {
     * lexicographically larger code (array_max over (score, lang)
     * structs — deterministic). Zero hits → "und" (undetermined).
     */
-  def langId(toks: Column): Column = {
-    val scored = array(langStopwords.map { case (lang, words) =>
-      struct(
-        size(filter(toks, t => t.isin(words: _*))).as("score"),
-        lit(lang).as("lang"))
+  def langId(toks: Column): Column =
+    argmaxLang(langStopwords.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words: _*)))
+    })
+
+  /** Shared language-scoring argmax: highest score wins, ties go to
+    * the lexicographically larger code (array_max over (score, lang)
+    * structs), zero total evidence → "und". Both heuristics AND both
+    * SQL oracles replay exactly this rule — change it in one place.
+    */
+  private def argmaxLang(scoredByLang: Seq[(String, Column)]): Column = {
+    val scored = array(scoredByLang.map { case (lang, score) =>
+      struct(score.as("score"), lit(lang).as("lang"))
     }: _*)
     val best = array_max(scored)
     when(best.getField("score") === 0, lit("und")).otherwise(best.getField("lang"))
@@ -137,14 +145,10 @@ object TextFunctions {
     * this one needs no tokenization, so it works on unsegmented
     * scripts (zh) where whitespace tokens don't exist.
     */
-  def langIdNgram(text: Column): Column = {
-    val scored = array(langNgramProfiles.map { case (lang, grams) =>
-      val score = grams
+  def langIdNgram(text: Column): Column =
+    argmaxLang(langNgramProfiles.map { case (lang, grams) =>
+      lang -> grams
         .map(g => length(text) - length(replace(text, lit(g), lit(""))))
         .reduce(_ + _)
-      struct(score.as("score"), lit(lang).as("lang"))
-    }: _*)
-    val best = array_max(scored)
-    when(best.getField("score") === 0, lit("und")).otherwise(best.getField("lang"))
-  }
+    })
 }

@@ -58,11 +58,16 @@ object AsOfJoin {
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-    val r = right.select(
-      col(key),
-      col(rightTs).as("__ts"),
-      lit(0).as("__side"),
-      struct(col(rightTs).as("__rts") +: payloadCols.map(col): _*).as("__payload"))
+    // A NULL right timestamp satisfies no `rightTs <= leftTs` predicate
+    // (UNKNOWN in SQL) — drop such rows, or the nulls-first sort would
+    // make one the carried match for every left row.
+    val r = right
+      .filter(col(rightTs).isNotNull)
+      .select(
+        col(key),
+        col(rightTs).as("__ts"),
+        lit(0).as("__side"),
+        struct(col(rightTs).as("__rts") +: payloadCols.map(col): _*).as("__payload"))
 
     // Left rows carry a NULL struct, so last(ignoreNulls) below keys the
     // carry on right-row PRESENCE; individual payload fields stay NULL

@@ -16,6 +16,28 @@ object DataMix {
   private def gate(salt: Long, keyCols: Seq[Column]): Column =
     pmod(xxhash64((lit(salt) +: keyCols): _*), lit(Buckets))
 
+  /** Shared md5 draw: first 4 hex chars of md5 over the \u0001-joined
+    * stringified key (separator prevents ("ab","c") vs ("a","bc")
+    * key-boundary collisions). Every md5 gate hashes EXACTLY this, so
+    * sample/split/quota/stratified draws agree with each other.
+    */
+  private def md5Hash(keyCols: Seq[Column]): Column =
+    md5(concat_ws("\u0001", keyCols.map(_.cast("string")): _*))
+
+  private def md5Prefix(keyCols: Seq[Column]): Column =
+    substring(md5Hash(keyCols), 1, 4)
+
+  /** frac as a 4-hex-char exclusive upper bound for [[md5Prefix]].
+    * frac = 1 maps to "zzzz": every hex prefix sorts below it, so the
+    * gate keeps everything (the naive "10000" would sort BELOW most
+    * prefixes and silently keep ~1/16).
+    */
+  private def hexThreshold(frac: Double): String = {
+    require(frac >= 0 && frac <= 1, s"frac $frac out of range")
+    val t = math.floor(frac * 65536).toLong
+    if (t >= 65536L) "zzzz" else f"$t%04x"
+  }
+
   /** Keep a deterministic `frac` of rows, keyed by `keyCols`. */
   def hashSample(df: DataFrame, frac: Double, salt: Long, keyCols: Seq[Column]): DataFrame = {
     require(frac >= 0 && frac <= 1, s"frac $frac out of range")
@@ -31,13 +53,8 @@ object DataMix {
     * `hashSample` in hot paths, this where cross-engine row-exact
     * reproducibility is the contract.
     */
-  def md5Sample(df: DataFrame, frac: Double, keyCols: Seq[Column]): DataFrame = {
-    require(frac >= 0 && frac <= 1, s"frac $frac out of range")
-    val t = math.floor(frac * 65536).toLong
-    if (t >= 65536L) df // "10000" would compare lexicographically below "2..."-"f..."
-    else df.filter(
-      substring(md5(concat_ws("\u0001", keyCols.map(_.cast("string")): _*)), 1, 4) < lit(f"$t%04x"))
-  }
+  def md5Sample(df: DataFrame, frac: Double, keyCols: Seq[Column]): DataFrame =
+    df.filter(md5Prefix(keyCols) < lit(hexThreshold(frac)))
 
   /** Per-stratum md5 gate rates: rebalance a corpus by keeping each
     * stratum (e.g. language) at its own deterministic fraction —
@@ -51,15 +68,10 @@ object DataMix {
       rates: Map[String, Double],
       defaultFrac: Double,
       keyCols: Seq[Column]): DataFrame = {
-    def hex(frac: Double): String = {
-      require(frac >= 0 && frac <= 1, s"frac $frac out of range")
-      f"${math.floor(frac * 65536).toLong}%04x"
+    val threshold = rates.foldLeft(lit(hexThreshold(defaultFrac))) { case (acc, (stratum, frac)) =>
+      when(stratumCol === stratum, lit(hexThreshold(frac))).otherwise(acc)
     }
-    val threshold = rates.foldLeft(lit(hex(defaultFrac))) { case (acc, (stratum, frac)) =>
-      when(stratumCol === stratum, lit(hex(frac))).otherwise(acc)
-    }
-    df.filter(
-      substring(md5(concat_ws("", keyCols.map(_.cast("string")): _*)), 1, 4) < threshold)
+    df.filter(md5Prefix(keyCols) < threshold)
   }
 
   /** Per-group quota: keep at most `quota` rows per `groupCol`, chosen
@@ -70,7 +82,7 @@ object DataMix {
     * `quota` winners per group past the filter.
     */
   def md5Quota(df: DataFrame, groupCol: Column, quota: Int, keyCols: Seq[Column]): DataFrame = {
-    val h = md5(concat_ws("", keyCols.map(_.cast("string")): _*))
+    val h = md5Hash(keyCols) // FULL hash: 4-hex prefix ties would leave ordering to the tiebreak
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol)
       .orderBy(h.asc, keyCols.head.asc) // key tiebreak: total order even on hash collision
@@ -85,14 +97,8 @@ object DataMix {
     * `md5Sample(df, f)` ≡ rows labeled "test" at `testFrac = f`.
     * Disjoint and exhaustive by construction.
     */
-  def md5SplitLabel(testFrac: Double, keyCols: Seq[Column]): Column = {
-    require(testFrac >= 0 && testFrac <= 1, s"testFrac $testFrac out of range")
-    val t = math.floor(testFrac * 65536).toLong
-    if (t >= 65536L) lit("test")
-    else when(
-      substring(md5(concat_ws("", keyCols.map(_.cast("string")): _*)), 1, 4) < lit(f"$t%04x"),
-      "test").otherwise("train")
-  }
+  def md5SplitLabel(testFrac: Double, keyCols: Seq[Column]): Column =
+    when(md5Prefix(keyCols) < lit(hexThreshold(testFrac)), "test").otherwise("train")
 
   /** Disjoint, exhaustive train/test split on the same hash gate. */
   def trainTestSplit(df: DataFrame, testFrac: Double, salt: Long, keyCols: Seq[Column]): (DataFrame, DataFrame) = {

@@ -132,8 +132,8 @@ object Multimodal {
       lit(1.0)) // never upscale
     meta.select(
       col("doc_id"), col("mime"), col("width"), col("height"),
-      floor(col("width") * scale).cast("int").as("target_w"),
-      floor(col("height") * scale).cast("int").as("target_h"))
+      greatest(floor(col("width") * scale).cast("int"), lit(1)).as("target_w"),
+      greatest(floor(col("height") * scale).cast("int"), lit(1)).as("target_h"))
   }
 
   /** End-to-end: synthesize → decode (stub) → frame-sample → rollup

@@ -154,9 +154,19 @@ object Similarity {
       cells: Int = 8,
       maxIter: Int = 3): DataFrame = {
     val base = prepared(embeddings.select(col("vec_id"), col("embedding")), "sim.kmeans.prep")
-    val centroids = OpCache.swap("sim.kmeans.centroids", kmeansCentroids(base, cells, maxIter))
+    // Memoized on the exact input plan: the Lloyd loop is EAGER
+    // (localCheckpoint per round), so an OpCache swap would arrive
+    // after the work is already redone — the memo short-circuits the
+    // recompute itself. The cached value is the tiny checkpointed
+    // centroid table (k rows).
+    val key = (base.sparkSession,
+      base.queryExecution.analyzed.canonicalized.toString, cells, maxIter)
+    val centroids = kmeansMemo.getOrElseUpdate(key, kmeansCentroids(base, cells, maxIter))
     ivfSearch(base, centroids, k, queryMod, nProbes)
   }
+
+  private val kmeansMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Int, Int), DataFrame]
 
   /** Lloyd's k-means over a prepared (vec_id, vec, norm) corpus.
     * Output: (cell, cvec, cnorm) — the IVF centroid table shape.

@@ -3,7 +3,7 @@ package graft
 /** Every declared query must also run under ANSI mode (Spark 4's
   * default posture): the operators guard division (`try_divide`),
   * casts, and array access, so flipping the session to strict mode
-  * must not turn any of the 70 queries into a runtime error. Smoke
+  * must not turn any declared query into a runtime error. Smoke
   * tier data (sf0.001) keeps the sweep fast; correctness is the
   * oracle gate's job — this pins ERROR-FREEDOM under strict
   * semantics.

@@ -52,6 +52,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(row.getAs[Timestamp]("rts_asof") == ts("2024-01-01 11:00:00"))
   }
 
+  test("right rows with NULL timestamps never match (UNKNOWN predicate, not nulls-first)") {
+    import sqlImplicits._
+    val left = Seq((1L, ts("2024-01-01 12:00:00"))).toDF("k", "lts")
+    val right = Seq(
+      (1L, None, Some(9.0)), // NULL ts: must not become anyone's match
+      (1L, Some(ts("2024-01-01 11:00:00")), Some(5.0)))
+      .toDF("k", "rts", "v")
+    val row = AsOfJoin.joinAsOf(left, right, "k", "lts", "rts", Seq("v")).head
+    assert(row.getAs[java.lang.Double]("v_asof") == 5.0)
+    assert(row.getAs[Timestamp]("rts_asof") == ts("2024-01-01 11:00:00"))
+  }
+
   test("left side already carrying a payload column name is rejected, not corrupted") {
     import sqlImplicits._
     val left = Seq((1L, ts("2024-01-01 12:00:00"), 123.0)).toDF("k", "lts", "v")

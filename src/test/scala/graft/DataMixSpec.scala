@@ -105,6 +105,13 @@ class DataMixSpec extends SparkSpec {
     assert(again == kept.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("stratified sample at rate 1.0 keeps the whole stratum (hex-threshold edge)") {
+    val kept = DataMix.md5StratifiedSample(
+      docs, col("lang"), Map("en" -> 0.1), defaultFrac = 1.0, keyCols = Seq(col("doc_id")))
+    val nonEnTotal = docs.filter(col("lang") =!= "en").count()
+    assert(kept.filter(col("lang") =!= "en").count() == nonEnTotal)
+  }
+
   test("stratified md5 sample applies per-stratum rates") {
     val kept = DataMix.md5StratifiedSample(
       docs, col("lang"), Map("en" -> 0.1), defaultFrac = 0.8, keyCols = Seq(col("doc_id")))
