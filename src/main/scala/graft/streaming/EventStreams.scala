@@ -54,6 +54,58 @@ object EventStreams {
       }
   }
 
+  final case class AsOfState(rateTs: Long, rate: Double)
+  final case class EnrichedEvent(
+      event_id: Long, user_id: Long, ts: java.sql.Timestamp, value: Double,
+      rate: Option[Double], rate_ts: Option[java.sql.Timestamp])
+
+  /** Streaming as-of enrichment — the streaming face of
+    * [[graft.operators.AsOfJoin]], which Spark cannot express as a
+    * stream-stream join (no ASOF operator; an interval join would
+    * return ALL prior rates, not the latest). One union'd stream
+    * carries both sides; per user, flatMapGroupsWithState holds only
+    * the LATEST reference row ("rate" events) and every other event is
+    * emitted with the rate in force at its event time. State is one
+    * row per key — bounded regardless of stream length, the property
+    * that makes this shape run forever on a 1000-executor cluster.
+    *
+    * In-order delivery within each micro-batch is restored by sorting
+    * the group's batch (rates before other events at equal ts —
+    * inclusive `<=` semantics, matching the batch operator). A rate
+    * arriving in a LATER micro-batch than an already-emitted event
+    * cannot retroactively re-enrich it (append mode) — the documented
+    * divergence from batch, inherent to any single-pass streaming
+    * as-of.
+    */
+  def asofEnrich(events: Dataset[Event])(implicit spark: SparkSession): Dataset[EnrichedEvent] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, EnrichedEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[AsOfState]) =>
+          val ordered = batch.toIndexedSeq
+            .sortBy(e => (e.ts.getTime, if (e.event_type == "rate") 0 else 1))
+          var cur = state.getOption
+          val out = IndexedSeq.newBuilder[EnrichedEvent]
+          ordered.foreach { e =>
+            if (e.event_type == "rate") {
+              // never regress to an out-of-order OLDER rate
+              if (cur.forall(_.rateTs <= e.ts.getTime)) cur = Some(AsOfState(e.ts.getTime, e.value))
+            } else {
+              // a late event older than the held rate gets None (only
+              // the latest rate is kept — never attach a FUTURE rate)
+              val applicable = cur.filter(_.rateTs <= e.ts.getTime)
+              out += EnrichedEvent(
+                e.event_id, userId, e.ts, e.value,
+                applicable.map(_.rate), applicable.map(s => new java.sql.Timestamp(s.rateTs)))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact deduplication on event_id bounded by the
     * watermark — the streaming face of the training-data dedup
     * operators: state holds only ids newer than the watermark, so

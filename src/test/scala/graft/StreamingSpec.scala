@@ -81,6 +81,47 @@ class StreamingSpec extends SparkSpec {
     assert(batched.nonEmpty && !batched.contains(2L)) // the gate actually fired
   }
 
+  test("streaming as-of enrichment matches the batch as-of join on in-order delivery") {
+    import org.apache.spark.sql.functions._
+    import sqlImplicits._
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq(
+      Event(100L, ts("2024-01-01 09:00:00"), 7L, "rate", 1.5),
+      Event(1L, ts("2024-01-01 09:30:00"), 7L, "click", 10.0), // rate 1.5
+      Event(2L, ts("2024-01-01 08:00:00"), 8L, "click", 20.0), // no rate yet → None
+      Event(101L, ts("2024-01-01 10:00:00"), 7L, "rate", 2.5))
+    val batch2 = Seq(
+      Event(3L, ts("2024-01-01 11:00:00"), 7L, "click", 30.0), // rate 2.5 carried ACROSS batches
+      Event(102L, ts("2024-01-01 11:30:00"), 8L, "rate", 9.0),
+      Event(4L, ts("2024-01-01 11:45:00"), 8L, "click", 40.0)) // rate 9.0, same batch
+
+    val stream = MemoryStream[Event]
+    val q = EventStreams.asofEnrich(stream.toDS).toDF
+      .writeStream.format("memory").queryName("asof_enrich_test")
+      .outputMode("append").start()
+    stream.addData(batch1: _*); q.processAllAvailable()
+    stream.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("asof_enrich_test")
+      .select("event_id", "rate")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+
+    assert(streamed == Map(1L -> Some(1.5), 2L -> None, 3L -> Some(2.5), 4L -> Some(9.0)))
+
+    // Parity with the batch operator on the same (in-order) data.
+    val all = (batch1 ++ batch2)
+    val left = all.filter(_.event_type == "click")
+      .map(e => (e.event_id, e.user_id, e.ts)).toDF("event_id", "user_id", "ts")
+    val right = all.filter(_.event_type == "rate")
+      .map(e => (e.user_id, e.ts, e.value)).toDF("user_id", "rts", "rate")
+    val batched = graft.operators.AsOfJoin
+      .joinAsOf(left, right, "user_id", "ts", "rts", Seq("rate"))
+      .select("event_id", "rate_asof")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(batched == streamed)
+  }
+
   test("late data beyond the watermark is dropped in streaming mode") {
     import sqlImplicits._
     implicit val sqlCtx = spark.sqlContext
