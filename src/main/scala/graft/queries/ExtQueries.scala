@@ -501,6 +501,30 @@ object ExtQueries {
       None
     ),
 
+    // Salted two-phase aggregation under a hot key: partials per
+    // (key, salt) spread the skew, then combine — and the result must
+    // equal the plain one-phase GROUP BY, which is exactly what the
+    // DuckDB oracle computes. Decimal-exact sums make the equality
+    // bit-level despite the different aggregation order.
+    GraftQuery(
+      "x28_salted_agg",
+      (s, d) =>
+        graft.operators.Skew.saltedAggregate(
+          t(s, d, "lineitem"), "l_returnflag", col("l_orderkey"), saltFactor = 16) {
+          // phase 1: exact decimal partials per (key, salt)
+          g => g.agg(
+            sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("p_qty"),
+            count(lit(1)).as("p_n"))
+        } { g =>
+          // phase 2: combine partials (decimal sums are order-exact)
+          g.agg(
+            sum(col("p_qty")).cast("double").as("sum_qty"),
+            sum(col("p_n")).as("n_rows"))
+        }.orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag, ${graft.functions.CoreFunctions.dsumSql("l_quantity")} AS sum_qty, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
     // IVF with LEARNED centroids: Lloyd's k-means (broadcast-assign +
     // single-shuffle VectorMean recompute per round) replaces the
     // provided coarse labels — the productionized ANN index build.
