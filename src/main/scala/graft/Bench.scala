@@ -38,7 +38,7 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       } else -1.0
-    (1 to repeat).foreach { _ =>
+    (1 to repeat).foreach { pass =>
       val results = queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -50,7 +50,8 @@ object Bench {
       // Totals LAST: harnesses that keep only the tail of captured
       // output truncate the FRONT of this (long) line — the headline
       // numbers must live at the end to survive.
-      val warm = coldTotal >= 0 // without the warmup pass the timed pass itself runs cold
+      // warm = anything ran before this pass (warmup, or an earlier repeat)
+      val warm = coldTotal >= 0 || pass > 1
       println(s"""{"queries":$qs,"sf":"$sfDir","warm":$warm,"cold_total":$coldTotal,"metric":"total","unit":"sec","value":$total}""")
     }
     spark.stop()

@@ -218,6 +218,17 @@ object CityBike {
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Warehouse]
 
+  /** Drop memoized warehouses (test teardown / config-change rebuilds —
+    * e.g. the ANSI sweep must re-run the ETL under the new settings).
+    */
+  def clearMemo(): Unit = {
+    memo.values.foreach { wh =>
+      Seq(wh.rides, wh.memberDim, wh.rideableDim, wh.stationDim, wh.dateDim, wh.fact)
+        .foreach(_.unpersist(blocking = false))
+    }
+    memo.clear()
+  }
+
   def build(spark: SparkSession, path: String = DefaultCsvPath): Warehouse =
     // Memoized per (session, path): the consumer queries each start
     // from the warehouse, and returning the SAME DataFrame objects

@@ -19,7 +19,10 @@ object VectorMean {
     override def zero: Buf = Buf(Array.emptyDoubleArray, 0L)
 
     override def reduce(b: Buf, v: Seq[Double]): Buf = {
-      if (b.sums.isEmpty) b.sums = new Array[Double](v.length)
+      // init keyed on n (not sums.isEmpty): a zero-length FIRST vector
+      // must pin the group's dimension at 0 so a later non-empty
+      // vector errors as ragged instead of silently re-initializing
+      if (b.n == 0) b.sums = new Array[Double](v.length)
       require(
         v.length == b.sums.length,
         s"vectorMean: ragged input — vector of dim ${v.length} in a group of dim ${b.sums.length}")
@@ -30,8 +33,8 @@ object VectorMean {
     }
 
     override def merge(a: Buf, b: Buf): Buf = {
-      if (a.sums.isEmpty) b
-      else if (b.sums.isEmpty) a
+      if (a.n == 0) b
+      else if (b.n == 0) a
       else {
         require(
           a.sums.length == b.sums.length,

@@ -22,7 +22,10 @@ object DataMix {
     * sample/split/quota/stratified draws agree with each other.
     */
   private def md5Hash(keyCols: Seq[Column]): Column =
-    md5(concat_ws("\u0001", keyCols.map(_.cast("string")): _*))
+    // NULL-safe: concat_ws silently DROPS nulls, which would collide
+    // (NULL,"x") with ("x",NULL) and "x" — encode NULL as a sentinel
+    md5(concat_ws("\u0001",
+      keyCols.map(c => coalesce(c.cast("string"), lit("\u0002"))): _*))
 
   private def md5Prefix(keyCols: Seq[Column]): Column =
     substring(md5Hash(keyCols), 1, 4)

@@ -18,10 +18,14 @@ import org.apache.spark.storage.StorageLevel
   */
 object OpCache {
 
-  private val live = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // Keyed by (session, call site): a plan-equal DataFrame from a
+  // STOPPED session must never be handed back to a new one.
+  private val live = scala.collection.mutable.Map
+    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
 
-  def swap(key: String, df: DataFrame): DataFrame =
-    live.get(key) match {
+  def swap(key: String, df: DataFrame): DataFrame = synchronized {
+    val k = (df.sparkSession, key)
+    live.get(k) match {
       // Same input (plan-equal, so identical output attributes — both
       // plans come from the same operator code): hand back the live
       // cached table instead of re-registering it.
@@ -29,12 +33,13 @@ object OpCache {
         old
       case other =>
         other.foreach(_.unpersist(blocking = false))
-        live.put(key, df)
+        live.put(k, df)
         df.persist(StorageLevel.MEMORY_AND_DISK)
     }
+  }
 
   /** Drop every live operator table (end-of-session / test teardown). */
-  def clear(): Unit = {
+  def clear(): Unit = synchronized {
     live.values.foreach(_.unpersist(blocking = false))
     live.clear()
   }

@@ -112,7 +112,9 @@ object ExtQueries {
       None
     ),
 
-    // Stopword-scored language ID vs the given label.
+    // Stopword-scored language ID vs the given label. (NULL text has
+    // no portable replay — Spark size(null tokens) vs DuckDB NULL
+    // comparisons diverge; the driver fixtures carry none, verified.)
     GraftQuery(
       "x07_lang_id",
       (s, d) => TextAnalysis.languageId(t(s, d, "documents")).orderBy("doc_id"),

@@ -15,9 +15,14 @@ class AnsiSweepSpec extends SparkSpec {
     val saved = conf.get("spark.sql.ansi.enabled")
     try {
       conf.set("spark.sql.ansi.enabled", "true")
+      // Drop memoized/cached tables materialized by earlier suites
+      // under non-ANSI settings — otherwise the sweep would silently
+      // skip re-executing the ETL under strict mode.
+      graft.operators.OpCache.clear()
+      graft.etl.CityBike.clearMemo()
       val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
         try { fn(spark, "/root/testdata/sf0.001").count(); None }
-        catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+        catch { case e: Throwable => Some(s"$name: ${String.valueOf(e.getMessage).take(120)}") }
       }
       assert(failures.isEmpty, s"ANSI failures:\n${failures.mkString("\n")}")
     } finally conf.set("spark.sql.ansi.enabled", saved)
