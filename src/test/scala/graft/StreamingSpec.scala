@@ -122,6 +122,30 @@ class StreamingSpec extends SparkSpec {
     assert(batched == streamed)
   }
 
+  test("streaming as-of guards: stale rates never regress state, late events never see future rates") {
+    import sqlImplicits._
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val q = EventStreams.asofEnrich(stream.toDS).toDF
+      .writeStream.format("memory").queryName("asof_guard_test")
+      .outputMode("append").start()
+    // batch 1: rate@10:00 = 2.0 held in state
+    stream.addData(Event(100L, ts("2024-01-01 10:00:00"), 7L, "rate", 2.0))
+    q.processAllAvailable()
+    // batch 2 (out of order): a STALE rate@08:00 and a LATE click@09:00
+    stream.addData(
+      Event(101L, ts("2024-01-01 08:00:00"), 7L, "rate", 0.5), // must NOT regress state
+      Event(1L, ts("2024-01-01 09:00:00"), 7L, "click", 1.0),  // older than held rate → None
+      Event(2L, ts("2024-01-01 11:00:00"), 7L, "click", 1.0))  // after held rate → 2.0
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("asof_guard_test")
+      .select("event_id", "rate")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(out == Map(1L -> None, 2L -> Some(2.0)), out.toString)
+  }
+
   test("late data beyond the watermark is dropped in streaming mode") {
     import sqlImplicits._
     implicit val sqlCtx = spark.sqlContext
