@@ -97,4 +97,23 @@ class CityBikeSpec extends SparkSpec {
     assert(math.abs(dist - 1.369339086269023) < 1e-9, s"distance $dist")  // haversine of the two stations
     assert(math.abs(speed - dist / (371.574 / 60 / 60)) < 1e-9, s"speed $speed")
   }
+
+  test("malformed CSV rows land as nulls, not crashes (S1 permissive scan)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-badcsv")
+    val f = dir.resolve("rides.csv")
+    java.nio.file.Files.writeString(f,
+      """ride_id;rideable_type;started_at;ended_at;start_station_name;start_station_id;end_station_name;end_station_id;start_lat;start_lng;end_lat;end_lng;member_casual
+        |GOOD1;electric_bike;2025-01-01 10:00:00.5;2025-01-01 10:10:00.5;A;1;B;2;40.7;-74.0;40.8;-74.1;member
+        |BAD1;classic_bike;not-a-timestamp;2025-01-01 11:00:00;A;1;B;2;oops;-74.0;40.8;-74.1;casual
+        |""".stripMargin)
+    val rides = graft.etl.CityBike.readRides(spark, f.toString)
+    assert(rides.count() == 2) // both rows survive the scan
+    val bad = rides.filter(col("ride_id") === "BAD1").head
+    assert(bad.isNullAt(bad.fieldIndex("started_at"))) // unparseable ts → null
+    assert(bad.isNullAt(bad.fieldIndex("start_lat")))  // non-numeric double → null
+    assert(bad.getAs[String]("member_casual") == "casual") // valid fields keep their values
+    // and the downstream measure derivation tolerates the nulls
+    val good = rides.filter(col("ride_id") === "GOOD1").head
+    assert(good.getAs[java.sql.Timestamp]("started_at") != null)
+  }
 }
