@@ -77,6 +77,7 @@ object ScaleProbe {
       time(s"ann_sign_lsh_topk      x$k", Similarity.annSignLshTopK(v))
       time(s"cosine_topk_bruteforce x$k", Similarity.cosineTopK(v))
       time(s"ann_ivf_kmeans         x$k", Similarity.ivfTopKKmeans(v))
+      time(s"dedup_report_e2e       x$k", Dedup.dedupReport(d, minEstJaccard = 0.5))
       d.unpersist(); v.unpersist()
     }
     spark.stop()
