@@ -503,6 +503,104 @@ object ExtQueries {
       None
     ),
 
+    // Fully engine-portable MinHash+LSH: md5 lane hashes, md5 band
+    // keys — the COMPLETE LSH pipeline (shingle → 8-lane signature →
+    // 4-band bucketing → candidate join → signature-agreement
+    // estimate) reproduced bit-for-bit by the DuckDB oracle. The
+    // xxhash64 operator variant (x03) stays as the hot path; this
+    // query certifies the pipeline's SHAPE end-to-end: if banding,
+    // bucketing, or the agreement estimate drifted, the hash check
+    // would catch it.
+    GraftQuery(
+      "x29_minhash_portable",
+      (s, d) => {
+        import graft.functions.TextFunctions.{tokens, wordShingles}
+        // 0.4 md5-gated corpus subset (floor(0.4*65536) = 0x6666):
+        // the 16 md5 lane hashes per shingle are the cost center, and
+        // the gate itself is engine-portable so the oracle sees the
+        // identical subset.
+        val corpus = graft.operators.DataMix
+          .md5Sample(t(s, d, "documents"), 0.4, Seq(col("doc_id")))
+        val ex = corpus.select(
+          col("doc_id"), col("lang"), col("n_chars"),
+          explode(wordShingles(tokens(col("text")), 3)).as("sg"))
+        val lanes = ex
+          .select(
+            col("doc_id"), col("lang"), col("n_chars"),
+            posexplode(array((0 until 8).map(i =>
+              md5(concat(lit(i.toString), lit(""), col("sg")))): _*)).as(Seq("lane", "h")))
+          .groupBy("doc_id", "lang", "n_chars", "lane")
+          .agg(min(col("h")).as("mh"))
+        val sig = lanes
+          .groupBy("doc_id", "lang", "n_chars")
+          .agg(array_sort(collect_list(struct(col("lane"), col("mh")))).as("lm"))
+          .select(
+            col("doc_id"), col("lang"), col("n_chars"),
+            transform(col("lm"), e => e.getField("mh")).as("s"))
+        val banded = sig.select(
+          col("doc_id"), col("lang"), col("n_chars"), col("s"),
+          posexplode(array((0 until 4).map(b =>
+            md5(concat((1 to 2).map(j => element_at(col("s"), b * 2 + j)): _*))): _*))
+            .as(Seq("band_id", "band_key")))
+        val a = banded.select(
+          col("lang"), col("band_id"), col("band_key"),
+          col("doc_id").as("doc_a"), col("n_chars").as("len_a"), col("s").as("sa"))
+        val b = banded.select(
+          col("lang"), col("band_id"), col("band_key"),
+          col("doc_id").as("doc_b"), col("n_chars").as("len_b"), col("s").as("sb"))
+        val cand = a.join(b, Seq("lang", "band_id", "band_key"))
+          .filter(col("doc_a") < col("doc_b") && abs(col("len_a") - col("len_b")) <= 50)
+          .select("doc_a", "doc_b", "sa", "sb")
+          .dropDuplicates("doc_a", "doc_b")
+        cand
+          .withColumn(
+            "est_jaccard",
+            aggregate(
+              zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
+              lit(0), (acc, v) => acc + v).cast("double") / 8.0)
+          .filter(col("est_jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                     x -> length(x) > 0) AS toks
+        |  FROM documents
+        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '6666'),
+        |sh AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+        |              ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |         END AS sg
+        |  FROM t),
+        |ln AS (
+        |  SELECT doc_id, lang, n_chars, r.range AS lane,
+        |         min(md5(CAST(r.range AS VARCHAR) || chr(1) || u.sg_el)) AS mh
+        |  FROM sh, unnest(sh.sg) AS u(sg_el), range(8) AS r
+        |  GROUP BY 1, 2, 3, 4),
+        |sig AS (
+        |  SELECT doc_id, lang, n_chars, list(mh ORDER BY lane) AS s
+        |  FROM ln GROUP BY 1, 2, 3),
+        |banded AS (
+        |  SELECT doc_id, lang, n_chars, s, b.range AS band_id,
+        |         md5(s[b.range * 2 + 1] || s[b.range * 2 + 2]) AS band_key
+        |  FROM sig, range(4) AS b),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+        |  FROM banded a JOIN banded b
+        |    ON a.lang = b.lang AND a.band_id = b.band_id AND a.band_key = b.band_key
+        |   AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 50)
+        |SELECT doc_a, doc_b,
+        |  ROUND(list_sum(list_transform(range(1, 9),
+        |          i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 8.0, 4) AS est_jaccard
+        |FROM cand
+        |WHERE list_sum(list_transform(range(1, 9),
+        |        i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 8.0 >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
     // Salted two-phase aggregation under a hot key: partials per
     // (key, salt) spread the skew, then combine — and the result must
     // equal the plain one-phase GROUP BY, which is exactly what the
