@@ -103,6 +103,34 @@ object DataMix {
   def md5SplitLabel(testFrac: Double, keyCols: Seq[Column]): Column =
     when(md5Prefix(keyCols) < lit(hexThreshold(testFrac)), "test").otherwise("train")
 
+  /** Sequence packing: assign each row to a fixed-token-budget bin —
+    * the pretraining step that concatenates documents into context
+    * windows. Rows are ordered by the deterministic md5 shuffle within
+    * each stratum, a running token count accumulates, and a row's bin
+    * is how many full budgets precede it (rows may straddle bins —
+    * split-on-pack semantics). One window shuffle per stratum; at
+    * 100 TB the stratum (e.g. lang × source shard) bounds each
+    * partition's sort. Engine-portable: ordering, cumsum, and floor
+    * all replay exactly in SQL.
+    */
+  def packSequences(
+      df: DataFrame,
+      nTokens: Column,
+      budget: Int,
+      stratumCol: Column,
+      keyCols: Seq[Column]): DataFrame = {
+    require(budget > 0, s"budget $budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(md5Hash(keyCols).asc, keyCols.head.asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__cum", sum(nTokens).over(w))
+      .withColumn("bin_id",
+        floor((col("__cum") - nTokens).cast("double") / budget).cast("long"))
+      .drop("__cum")
+  }
+
   /** Disjoint, exhaustive train/test split on the same hash gate. */
   def trainTestSplit(df: DataFrame, testFrac: Double, salt: Long, keyCols: Seq[Column]): (DataFrame, DataFrame) = {
     val cut = lit((testFrac * Buckets).toLong)

@@ -601,6 +601,41 @@ object ExtQueries {
         |ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
+    // Sequence packing: documents binned into 2048-token context
+    // windows per language, in deterministic md5-shuffle order — the
+    // pretraining concatenation step as a windowed cumsum. Bin sizes
+    // hover at the budget (straddling rows spill into the next bin).
+    GraftQuery(
+      "x30_seq_packing",
+      (s, d) => {
+        val withTokens = t(s, d, "documents")
+          .select(
+            col("doc_id"), col("lang"),
+            size(graft.functions.TextFunctions.tokens(col("text"))).as("n_tokens"))
+        graft.operators.DataMix
+          .packSequences(withTokens, col("n_tokens"), 2048, col("lang"), Seq(col("doc_id")))
+          .groupBy("lang", "bin_id")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("bin_tokens"))
+          .orderBy("lang", "bin_id")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, lang,
+        |         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                         x -> length(x) > 0)) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |         CAST(SUM(n_tokens) OVER (PARTITION BY lang
+        |                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT lang,
+        |  CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 2048) AS BIGINT) AS bin_id,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
     // Salted two-phase aggregation under a hot key: partials per
     // (key, salt) spread the skew, then combine — and the result must
     // equal the plain one-phase GROUP BY, which is exactly what the

@@ -94,6 +94,32 @@ class DataMixSpec extends SparkSpec {
     assert(test.size + train.size == docs.count())
   }
 
+  test("sequence packing: bins fill toward the budget, partition exhaustively, stay stable") {
+    import sqlImplicits._
+    val withTokens = docs.select(col("doc_id"), col("lang"),
+      (col("n_chars") % 100 + 1).cast("int").as("n_tokens"))
+    val packed = DataMix.packSequences(withTokens, col("n_tokens"), 500, col("lang"), Seq(col("doc_id")))
+    assert(packed.count() == docs.count()) // every row lands in exactly one bin
+    val bins = packed.groupBy("lang", "bin_id").agg(sum(col("n_tokens")).as("tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // every non-final bin of a stratum holds ≥ budget − max row (no
+    // premature spill); bin 0 exists for every stratum
+    val byLang = bins.groupBy(_._1)
+    byLang.foreach { case (lang, bs) =>
+      assert(bs.exists(_._2 == 0L), s"$lang missing bin 0")
+      val lastBin = bs.map(_._2).max
+      bs.filter(_._2 < lastBin).foreach { case (_, b, tok) =>
+        assert(tok >= 500 - 100, s"$lang bin $b underfilled: $tok")
+      }
+    }
+    // repartition-stable (the md5 order is data-derived, not physical)
+    val again = DataMix.packSequences(
+      withTokens.repartition(13), col("n_tokens"), 500, col("lang"), Seq(col("doc_id")))
+      .select("doc_id", "bin_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val first = packed.select("doc_id", "bin_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == first)
+  }
+
   test("md5 quota caps every group and picks a stable subset") {
     val kept = DataMix.md5Quota(docs, col("source"), 5, Seq(col("doc_id")))
     val perSource = kept.groupBy("source").agg(count(lit(1)).as("n"))
