@@ -636,6 +636,43 @@ object ExtQueries {
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     ),
 
+    // Decontamination: exact train→test leakage. A test-split document
+    // whose content digest also appears in the train split is
+    // contaminated (its eval score is memorizable). Composition of the
+    // md5 split gate and content hashing — a semi-join on the digest,
+    // the shape that scales (digests shuffle, bodies don't). Fully
+    // portable, so the oracle certifies split + hash + join end to end.
+    GraftQuery(
+      "x31_contamination",
+      (s, d) => {
+        val labeled = t(s, d, "documents").withColumn(
+          "split", graft.operators.DataMix.md5SplitLabel(0.2, Seq(col("doc_id"))))
+        val trainHashes = labeled.filter(col("split") === "train")
+          .select(md5(col("text")).as("h")).distinct()
+          .withColumn("__hit", lit(1))
+        val test = labeled.filter(col("split") === "test")
+          .withColumn("h", md5(col("text")))
+        test.join(trainHashes, Seq("h"), "left") // distinct hashes → ≤1 match per row
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_test"),
+            sum(coalesce(col("__hit"), lit(0))).as("n_contaminated"))
+          .orderBy("lang")
+      },
+      Some("""WITH labeled AS (
+        |  SELECT doc_id, lang, text,
+        |         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333'
+        |              THEN 'test' ELSE 'train' END AS split
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_test,
+        |CAST(SUM(CASE WHEN EXISTS (
+        |  SELECT 1 FROM labeled tr
+        |  WHERE tr.split = 'train' AND md5(tr.text) = md5(t.text))
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+        |FROM labeled t WHERE split = 'test'
+        |GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+
     // Salted two-phase aggregation under a hot key: partials per
     // (key, salt) spread the skew, then combine — and the result must
     // equal the plain one-phase GROUP BY, which is exactly what the
