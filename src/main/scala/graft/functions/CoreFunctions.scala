@@ -61,10 +61,10 @@ object CoreFunctions {
 
   /** Deterministic surrogate key over a natural key (SURVEY F17):
     * stable across runs, 1 key per distinct natural key — unlike the
-    * reference's uuid4. `` separator avoids ambiguous concat.
+    * reference's uuid4. U+0001 (SOH) separator avoids ambiguous concat.
     */
   def surrogateKey(naturalKey: Column*): Column =
-    sha2(concat_ws("", naturalKey: _*), 256)
+    sha2(concat_ws("\u0001", naturalKey: _*), 256)
 
   /** Reference-faithful uuid4 keys (v4.py:148) - nondeterministic per
     * run, so golden tests and oracle comparison cannot use them; kept

@@ -60,9 +60,12 @@ object AsOfJoin {
       .withColumn("__side", lit(1))
     // A NULL right timestamp satisfies no `rightTs <= leftTs` predicate
     // (UNKNOWN in SQL) — drop such rows, or the nulls-first sort would
-    // make one the carried match for every left row.
+    // make one the carried match for every left row. Same for NULL keys:
+    // ASOF equality never matches NULL = NULL, but Window.partitionBy
+    // groups NULL keys into one partition and would carry a NULL-keyed
+    // right row into NULL-keyed left rows.
     val r = right
-      .filter(col(rightTs).isNotNull)
+      .filter(col(rightTs).isNotNull && col(key).isNotNull)
       .select(
         col(key),
         col(rightTs).as("__ts"),

@@ -38,9 +38,20 @@ object OpCache {
     }
   }
 
+  // Operator-local caches that don't route through swap (e.g. the
+  // k-means centroid memo, which caches EAGER localCheckpoint'd
+  // results) register an eviction hook so clear() empties them too —
+  // one call tears down ALL operator state.
+  private val clearHooks = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+
+  def registerClearHook(hook: () => Unit): Unit = synchronized {
+    clearHooks += hook
+  }
+
   /** Drop every live operator table (end-of-session / test teardown). */
   def clear(): Unit = synchronized {
     live.values.foreach(_.unpersist(blocking = false))
     live.clear()
+    clearHooks.foreach(_.apply())
   }
 }

@@ -165,8 +165,13 @@ object Similarity {
     ivfSearch(base, centroids, k, queryMod, nProbes)
   }
 
+  // Evicted via OpCache.clear(): entries hold localCheckpoint'd tables
+  // keyed by (session, canonical plan) — without eviction, scale-probe
+  // loops and per-test sessions would retain one table per distinct
+  // input plan for the JVM lifetime.
   private val kmeansMemo = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String, Int, Int), DataFrame]
+  OpCache.registerClearHook(() => kmeansMemo.clear())
 
   /** Lloyd's k-means over a prepared (vec_id, vec, norm) corpus.
     * Output: (cell, cvec, cnorm) — the IVF centroid table shape.

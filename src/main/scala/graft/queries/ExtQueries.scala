@@ -17,8 +17,11 @@ import graft.queries.CoreQueries.t
   */
 object ExtQueries {
 
-  /** English stopword list as a DuckDB SQL array literal. */
-  private val stopSql = "['the','a','of','and','is','to','in']"
+  /** English stopword list as a DuckDB SQL array literal — generated
+    * from the same list TextFunctions.stopwordCount filters on.
+    */
+  private val stopSql = graft.functions.TextFunctions.langStopwords.head._2
+    .map(w => s"'${w.replace("'", "''")}'").mkString("[", ",", "]")
 
   /** Shared oracle CTE: whitespace tokens with empties dropped. */
   private val toksCte =
@@ -120,24 +123,11 @@ object ExtQueries {
       (s, d) => TextAnalysis.languageId(t(s, d, "documents")).orderBy("doc_id"),
       // The heuristic is pure scoring — argmax of per-language stopword
       // hits, ties to the lexicographically larger code, zero hits →
-      // 'und' — so DuckDB reproduces it exactly: the CASE probes codes
-      // in descending lexicographic order (zh > fr > es > en > de).
-      Some(s"""$toksCte,
-        |s AS (SELECT doc_id, lang,
-        |  len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS s_en,
-        |  len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un'], x))) AS s_es,
-        |  len(list_filter(toks, x -> list_contains(['le','la','de','et','un','les','des'], x))) AS s_fr,
-        |  len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','ein','zu'], x))) AS s_de,
-        |  len(list_filter(toks, x -> list_contains(['的','是','了','在','和','有','我'], x))) AS s_zh
-        |FROM t)
-        |SELECT doc_id, lang AS lang_given,
-        |CASE WHEN greatest(s_en, s_es, s_fr, s_de, s_zh) = 0 THEN 'und'
-        |     WHEN s_zh = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'zh'
-        |     WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr'
-        |     WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es'
-        |     WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en'
-        |     ELSE 'de' END AS lang_pred
-        |FROM s ORDER BY doc_id""".stripMargin)
+      // 'und' — so DuckDB reproduces it exactly. The SQL is GENERATED
+      // from TextFunctions.langStopwords (like langNgramOracleSql from
+      // langNgramProfiles): editing the Scala list can never silently
+      // desynchronize the oracle.
+      Some(langStopwordOracleSql)
     ),
 
     // Per-document quality metrics.
@@ -528,7 +518,7 @@ object ExtQueries {
           .select(
             col("doc_id"), col("lang"), col("n_chars"),
             posexplode(array((0 until 8).map(i =>
-              md5(concat(lit(i.toString), lit(""), col("sg")))): _*)).as(Seq("lane", "h")))
+              md5(concat(lit(i.toString), lit("\u0001"), col("sg")))): _*)).as(Seq("lane", "h")))
           .groupBy("doc_id", "lang", "n_chars", "lane")
           .agg(min(col("h")).as("mh"))
         val sig = lanes
@@ -747,6 +737,35 @@ object ExtQueries {
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     )
   )
+
+  /** DuckDB replay of [[graft.functions.TextFunctions.langId]] (the
+    * stopword heuristic behind x07), generated from the same
+    * `langStopwords` table — per-language stopword-hit counts, argmax
+    * with descending-lexicographic tie-break, zero hits → 'und'.
+    */
+  private lazy val langStopwordOracleSql: String = {
+    val profiles = graft.functions.TextFunctions.langStopwords
+    def esc(w: String) = w.replace("'", "''")
+    val scoreCols = profiles.map { case (lang, words) =>
+      val arr = words.map(w => s"'${esc(w)}'").mkString("[", ",", "]")
+      s"  len(list_filter(toks, x -> list_contains($arr, x))) AS s_$lang"
+    }.mkString(",\n")
+    val all = profiles.map { case (lang, _) => s"s_$lang" }.mkString(", ")
+    // ties → lexicographically larger code: probe codes descending
+    val cases = profiles.map(_._1).sorted.reverse.init
+      .map(l => s"WHEN s_$l = greatest($all) THEN '$l'")
+      .mkString("\n     ")
+    val lowest = profiles.map(_._1).sorted.head
+    s"""$toksCte,
+       |s AS (SELECT doc_id, lang,
+       |$scoreCols
+       |FROM t)
+       |SELECT doc_id, lang AS lang_given,
+       |CASE WHEN greatest($all) = 0 THEN 'und'
+       |     $cases
+       |     ELSE '$lowest' END AS lang_pred
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
 
   /** DuckDB replay of [[graft.functions.TextFunctions.langIdNgram]],
     * generated from the same `langNgramProfiles` — coverage score per

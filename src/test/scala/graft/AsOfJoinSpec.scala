@@ -64,6 +64,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(row.getAs[Timestamp]("rts_asof") == ts("2024-01-01 11:00:00"))
   }
 
+  test("right rows with NULL keys never match NULL-keyed left rows (ASOF equality is null-rejecting)") {
+    import sqlImplicits._
+    val left = Seq(
+      (None, ts("2024-01-01 12:00:00"), "null-key"),
+      (Some(1L), ts("2024-01-01 12:00:00"), "real-key"))
+      .toDF("k", "lts", "tag")
+    val right = Seq(
+      (None, Some(ts("2024-01-01 11:00:00")), Some(9.0)), // NULL key: must match nothing
+      (Some(1L), Some(ts("2024-01-01 11:00:00")), Some(5.0)))
+      .toDF("k", "rts", "v")
+    val out = AsOfJoin.joinAsOf(left, right, "k", "lts", "rts", Seq("v"))
+      .collect()
+      .map(r => r.getAs[String]("tag") -> Option(r.getAs[java.lang.Double]("v_asof")).map(_.toDouble))
+      .toMap
+    assert(out("null-key").isEmpty) // NULL = NULL never matches
+    assert(out("real-key").contains(5.0))
+  }
+
   test("left side already carrying a payload column name is rejected, not corrupted") {
     import sqlImplicits._
     val left = Seq((1L, ts("2024-01-01 12:00:00"), 123.0)).toDF("k", "lts", "v")
