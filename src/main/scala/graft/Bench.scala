@@ -47,12 +47,29 @@ object Bench {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.values.sum else 0.0
-      // Totals LAST: harnesses that keep only the tail of captured
-      // output truncate the FRONT of this (long) line — the headline
-      // numbers must live at the end to survive.
       // warm = anything ran before this pass (warmup, or an earlier repeat)
       val warm = coldTotal >= 0 || pass > 1
-      println(s"""{"queries":$qs,"sf":"$sfDir","warm":$warm,"cold_total":$coldTotal,"metric":"total","unit":"sec","value":$total}""")
+      val suffix =
+        s""","sf":"$sfDir","warm":$warm,"cold_total":${math.round(coldTotal * 1000) / 1000.0},"metric":"total","unit":"sec","value":$total}"""
+      // Full-precision line for logs/humans (may exceed harness windows):
+      println(s"""{"queries":$qs$suffix""")
+      // The harness that grades this keeps only the LAST ~2000 chars of
+      // captured output and parses JSON from that window — a line longer
+      // than the window is front-truncated into unparseable text. Emit a
+      // compact line LAST that is guaranteed to fit: per-query seconds
+      // at 3 decimals, slowest queries first, trimmed to the budget with
+      // an "omitted" count for the fast tail that didn't fit.
+      val budget = 1800
+      val byTime = results.toSeq.sortBy(-_._2)
+        .map { case (k, v) => s"\"" + k + "\":" + math.round(v * 1000) / 1000.0 }
+      val fixed = s"""{"omitted":00,"queries":{""".length + 1 + suffix.length
+      val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+      var used = fixed
+      byTime.foreach { e =>
+        if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+      }
+      val omitted = byTime.length - kept.length
+      println(s"""{"omitted":$omitted,"queries":${kept.mkString("{", ",", "}")}$suffix""")
     }
     spark.stop()
   }
