@@ -109,6 +109,19 @@ object TextFunctions {
     when(best.getField("score") === 0, lit("und")).otherwise(best.getField("lang"))
   }
 
+  /** PII patterns as (kind, regex, replacement). The regexes use only
+    * syntax common to Java regex and RE2 (character classes, bounded
+    * repetition — no backrefs, no lookaround), so the same pattern
+    * string drives both the Spark operator and the generated DuckDB
+    * oracle; redaction applies them in THIS order (email first — an
+    * address would otherwise leave its user part behind after the
+    * host's dotted tail is eaten by a later rule).
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}", "<PHONE>"))
+
   /** Rolling FNV-style fingerprint over the token sequence (order
     * sensitive, wraps on Long overflow — deterministic on the JVM).
     */

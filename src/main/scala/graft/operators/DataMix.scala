@@ -131,6 +131,48 @@ object DataMix {
       .drop("__cum")
   }
 
+  /** Temperature-weighted source rebalance: downsample each source at
+    * rate (min_count / count)^(1-t) — t = 1 keeps everything
+    * (proportional mix), t = 0 flattens every source to ~the smallest
+    * one (uniform mix), 0 < t < 1 interpolates (the standard
+    * multilingual/ multi-source temperature-sampling curve). The rate
+    * becomes a per-source [[md5Prefix]] threshold, so the kept rows
+    * are deterministic and engine-portable given the thresholds.
+    *
+    * Scale shape: the per-source counts are ONE partial-aggregated
+    * groupBy into a tiny table (rows = #sources), rates derive from it
+    * driver-free, and the thresholds broadcast-join back onto the
+    * corpus — the 100 TB side is touched once, by a scan + filter.
+    *
+    * At t = 0.5 the whole computation is IEEE-exact across engines:
+    * count division and `sqrt` are correctly-rounded operations and
+    * ×65536 is a power-of-two scale, so floor() lands identically in
+    * any engine and the gate replays bit-for-bit in SQL (general `pow`
+    * carries no such guarantee — x35's oracle pins t = 0.5).
+    */
+  def temperatureMix(
+      df: DataFrame,
+      sourceCol: Column,
+      temperature: Double,
+      keyCols: Seq[Column]): DataFrame = {
+    require(temperature >= 0 && temperature <= 1, s"temperature $temperature out of range")
+    val counts = df.groupBy(sourceCol.as("__src")).agg(count(lit(1)).as("__cnt"))
+    val minCnt = counts.agg(min(col("__cnt")).as("__min"))
+    val ratio = col("__min").cast("double") / col("__cnt")
+    val rate =
+      if (temperature == 0.5) sqrt(ratio) // correctly rounded → oracle-exact
+      else pow(ratio, 1.0 - temperature)
+    val thr = floor(rate * 65536).cast("int")
+    val rates = counts.crossJoin(broadcast(minCnt))
+      .select(
+        col("__src"),
+        when(thr >= 65536, lit("zzzz")) // rate 1: every hex prefix must pass
+          .otherwise(format_string("%04x", thr)).as("__thr"))
+    df.join(broadcast(rates), sourceCol === col("__src"))
+      .filter(md5Prefix(keyCols) < col("__thr"))
+      .drop("__src", "__thr")
+  }
+
   /** Disjoint, exhaustive train/test split on the same hash gate. */
   def trainTestSplit(df: DataFrame, testFrac: Double, salt: Long, keyCols: Seq[Column]): (DataFrame, DataFrame) = {
     val cut = lit((testFrac * Buckets).toLong)

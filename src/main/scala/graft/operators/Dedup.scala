@@ -199,6 +199,64 @@ object Dedup {
       .filter(col("cluster_size") > 1)
   }
 
+  /** Bloom-prefiltered semi-join: keep `big` rows whose `key` appears
+    * in `small`, with the big side pruned by a broadcast Bloom filter
+    * BEFORE any shuffle. The 100 TB decontamination shape: the filter
+    * is sized on the SMALL side's cardinality (test set, blocklist),
+    * ships to every executor as a few MB of bits, and eliminates the
+    * overwhelmingly-non-matching big side at scan speed — only the
+    * survivors (true matches + fpp false positives) reach the exact
+    * semi-join that guarantees correctness. Result is bit-identical to
+    * the plain semi-join; the bloom is pure pruning.
+    *
+    * The membership probe is a `mightContainString` UDF — deliberate:
+    * a custom codegen Expression would save a row-at-a-time call on a
+    * path that is already ~100ns/row, and the UDF keeps the sketch a
+    * plain broadcast value.
+    */
+  def bloomSemiJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val bf = small.stat.bloomFilter(key, expectedItems, fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((s: String) => s != null && bc.value.mightContainString(s))
+    big.filter(might(col(key)))
+      .join(small.select(col(key)).distinct(), Seq(key), "left_semi")
+  }
+
+  /** Per-document duplicated-n-gram fraction (the RefinedWeb-style
+    * substring-contamination signal): of a document's distinct word
+    * `n`-grams, how many also appear in at least one other document.
+    * Output: (doc_id, n_grams, n_dup_grams, dup_bp) — dup_bp is the
+    * fraction in floor basis points (bit-portable, no round-half).
+    * Docs with fewer than `n` tokens have no grams and are absent.
+    *
+    * Shape: explode distinct shingles → md5 digest (the shuffle
+    * carries 32-byte digests, not text) → document frequency as a
+    * window over the digest (ONE shuffle, no self-join, no pipeline
+    * recompute) → per-doc rollup. Σ rows = Σ distinct grams; both
+    * shuffles are hash-partitioned on high-cardinality keys.
+    */
+  def ngramDupStats(docs: DataFrame, shingleN: Int = 5): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), explode(wordShingles(tokens(col("text")), shingleN)).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("gh"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+    grams
+      .withColumn("df", count(lit(1)).over(w))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1).otherwise(0)).as("n_dup_grams"))
+      .select(
+        col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        floor(lit(10000.0) * col("n_dup_grams").cast("double") / col("n_grams"))
+          .cast("long").as("dup_bp"))
+  }
+
   /** Blocked word-shingle Jaccard near-dup pairs. Blocking: same lang,
     * |n_chars difference| ≤ `lenBand`. Output: (doc_a, doc_b, jaccard)
     * with jaccard ≥ minJaccard.

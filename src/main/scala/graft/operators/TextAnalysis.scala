@@ -121,6 +121,59 @@ object TextAnalysis {
           .otherwise("kept").as("verdict"))
   }
 
+  /** PII scan + redaction: per-row match counts for each pattern in
+    * [[graft.functions.TextFunctions.piiPatterns]] and the text with
+    * all of them replaced (in pattern order) by their placeholders —
+    * the scrubbing step of a training-data pipeline. Pure codegen'd
+    * regexp work, no shuffle; counts are taken on the ORIGINAL text so
+    * a row's `n_<kind>` columns always describe what the redaction
+    * removed.
+    */
+  def piiScan(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counted = graft.functions.TextFunctions.piiPatterns.foldLeft(docs) {
+      case (df, (kind, pattern, _)) =>
+        df.withColumn(s"n_$kind", size(regexp_extract_all(col(textCol), lit(pattern), lit(0))))
+    }
+    val redacted = graft.functions.TextFunctions.piiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pattern, replacement)) => regexp_replace(c, pattern, replacement)
+    }
+    counted.withColumn("redacted", redacted)
+  }
+
+  /** Fixed-size overlapping character chunks — the context-window
+    * splitter feeding embedding/indexing pipelines. Chunk `i` covers
+    * characters `[i·step, i·step + chunkSize)` with
+    * `step = chunkSize - overlap`; the last chunk may run short, empty
+    * text yields no chunks. One generated row per chunk via
+    * posexplode — no shuffle, and chunk bodies are born distributed
+    * (never collected or concatenated per document).
+    */
+  def chunkText(
+      docs: DataFrame,
+      chunkSize: Int,
+      overlap: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(chunkSize > 0, s"chunkSize $chunkSize must be positive")
+    require(overlap >= 0 && overlap < chunkSize, s"overlap $overlap must be in [0, chunkSize)")
+    val step = chunkSize - overlap
+    val len = length(col(textCol))
+    // floor((len-1)/step) + 1 chunks: the last chunk START stays < len.
+    val n = when(len === 0, lit(0))
+      .otherwise((floor((len - 1).cast("double") / step) + 1).cast("int"))
+    docs
+      .select(col(idCol), col(textCol).as("__t"), n.as("__n"))
+      .select(
+        col(idCol),
+        posexplode(
+          // guard: sequence(0, -1) would DESCEND, not produce empty
+          when(col("__n") === 0, array().cast("array<string>"))
+            .otherwise(transform(
+              sequence(lit(0), col("__n") - 1),
+              i => col("__t").substr(i * step + 1, lit(chunkSize)))))
+          .as(Seq("chunk_id", "chunk")))
+  }
+
   /** Kept subset under [[qualityVerdict]]'s rules. */
   def qualityFilter(docs: DataFrame, minTokens: Int = 40, maxPunctRatio: Double = 0.2, minAvgTokenLen: Double = 4.0): DataFrame =
     docs.join(

@@ -735,8 +735,202 @@ object ExtQueries {
         |            THEN 'test' ELSE 'train' END AS split,
         |lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // PII scan + redaction. The corpus is synthetic word soup with no
+    // real PII, so the query plants deterministic addresses/IPs/phones
+    // on every 5th doc (both engines build the identical decoration),
+    // then scans and redacts — certifying pattern semantics, count
+    // extraction, and the full redaction chain via the md5 of the
+    // scrubbed text. The oracle's patterns are GENERATED from the same
+    // TextFunctions.piiPatterns the operator applies.
+    GraftQuery(
+      "x32_pii_redact",
+      (s, d) => {
+        val decorated = t(s, d, "documents").select(
+          col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(
+              col("text"),
+              lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com or 10."), (col("doc_id") % 200).cast("string"),
+              lit(".0."), (col("doc_id") % 97).cast("string"),
+              lit(" tel +1-555-"), (lit(1000) + col("doc_id") % 9000).cast("string")))
+            .otherwise(col("text")).as("text"))
+        TextAnalysis.piiScan(decorated)
+          .select(
+            col("doc_id"), col("n_email"), col("n_ipv4"), col("n_phone"),
+            md5(col("redacted")).as("redacted_md5"))
+          .orderBy("doc_id")
+      },
+      Some(piiOracleSql)
+    ),
+
+    // Bloom-prefiltered decontamination: train docs sharing ANY word
+    // 3-gram with the test split (the n-gram-overlap contamination
+    // rule). The bloom filter is built on the test side's shingle
+    // digests and prunes the train side before the exact semi-join —
+    // the result is bit-identical to the plain semi-join the oracle
+    // runs, certifying the bloom path loses nothing.
+    GraftQuery(
+      "x33_bloom_decontaminate",
+      (s, d) => {
+        import graft.functions.TextFunctions.{tokens, wordShingles}
+        val labeled = t(s, d, "documents").withColumn(
+          "split", graft.operators.DataMix.md5SplitLabel(0.2, Seq(col("doc_id"))))
+        val sh = labeled
+          .select(
+            col("doc_id"), col("split"),
+            explode(wordShingles(tokens(col("text")), 3)).as("g"))
+          .select(col("doc_id"), col("split"), md5(col("g")).as("gh"))
+        val testSh = sh.filter(col("split") === "test").select("gh").distinct()
+        val contaminated = Dedup
+          .bloomSemiJoin(sh.filter(col("split") === "train"), testSh, "gh", expectedItems = 200000L)
+          .select("doc_id").distinct()
+          .withColumn("__c", lit(1))
+        labeled.filter(col("split") === "train")
+          .join(contaminated, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_train"),
+            sum(coalesce(col("__c"), lit(0))).as("n_contaminated"))
+          .orderBy("source")
+      },
+      Some("""WITH labeled AS (
+        |  SELECT doc_id, source, text,
+        |         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333'
+        |              THEN 'test' ELSE 'train' END AS split
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, split,
+        |         list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                     x -> length(x) > 0) AS toks
+        |  FROM labeled),
+        |sh AS (
+        |  SELECT doc_id, split,
+        |         unnest(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+        |                ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END) AS g
+        |  FROM tk),
+        |te AS (SELECT DISTINCT md5(g) AS gh FROM sh WHERE split = 'test'),
+        |cont AS (SELECT DISTINCT doc_id FROM sh
+        |         WHERE split = 'train' AND md5(g) IN (SELECT gh FROM te))
+        |SELECT source, COUNT(*) AS n_train,
+        |CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM cont) THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_contaminated
+        |FROM labeled WHERE split = 'train'
+        |GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
+    // Fixed-size overlapping chunks (200 chars, 50 overlap) — the
+    // context-window splitter. Chunk bodies verified via md5; both
+    // engines index by code point, so the oracle replays offsets
+    // exactly even on unsegmented zh text.
+    GraftQuery(
+      "x34_chunk_text",
+      (s, d) =>
+        TextAnalysis.chunkText(t(s, d, "documents"), chunkSize = 200, overlap = 50)
+          .select(
+            col("doc_id"), col("chunk_id"),
+            length(col("chunk")).as("chunk_len"),
+            md5(col("chunk")).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_id"),
+      Some("""WITH n AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN length(text) = 0 THEN 0
+        |              ELSE CAST(FLOOR(CAST(length(text) - 1 AS DOUBLE) / 150) AS INT) + 1
+        |         END AS nc
+        |  FROM documents),
+        |e AS (SELECT doc_id, text, unnest(range(0, nc)) AS i FROM n)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        |CAST(length(substring(text, CAST(i AS INT) * 150 + 1, 200)) AS INT) AS chunk_len,
+        |md5(substring(text, CAST(i AS INT) * 150 + 1, 200)) AS chunk_md5
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin)
+    ),
+
+    // Temperature-0.5 source rebalance: per-source keep rates
+    // (min_count/count)^0.5 as md5-gate thresholds, computed entirely
+    // in-engine. At t = 0.5 every step (count division, sqrt, ×2¹⁶,
+    // floor) is IEEE-correctly-rounded in both engines, so the
+    // thresholds — and therefore the exact kept row set — replay
+    // bit-for-bit in the oracle.
+    GraftQuery(
+      "x35_temperature_mix",
+      (s, d) =>
+        graft.operators.DataMix
+          .temperatureMix(t(s, d, "documents"), col("source"), temperature = 0.5,
+            keyCols = Seq(col("doc_id")))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+          .orderBy("source"),
+      Some("""WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+        |m AS (SELECT MIN(cnt) AS mn FROM c),
+        |r AS (SELECT source,
+        |        CAST(FLOOR(sqrt(CAST(mn AS DOUBLE) / cnt) * 65536) AS INT) AS thr
+        |      FROM c, m),
+        |k AS (SELECT d.source, d.n_chars, d.doc_id,
+        |        CASE WHEN r.thr >= 65536 THEN 'zzzz' ELSE printf('%04x', r.thr) END AS th
+        |      FROM documents d JOIN r USING (source))
+        |SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+        |FROM k WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < th
+        |GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
+    // Per-document duplicated-5-gram fraction — the substring-level
+    // contamination signal. Pure integer counting + one exact division
+    // into floor basis points.
+    GraftQuery(
+      "x36_ngram_dup_frac",
+      (s, d) => Dedup.ngramDupStats(t(s, d, "documents"), shingleN = 5).orderBy("doc_id"),
+      Some("""WITH t AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                             x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         unnest(CASE WHEN len(toks) < 5 THEN []::VARCHAR[]
+        |                ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+        |                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |                            toks[i+3] || ' ' || toks[i+4])) END) AS g
+        |  FROM t),
+        |c AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY md5(g)) AS df FROM sh)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+        |CAST(FLOOR(10000.0 * CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |           / COUNT(*)) AS BIGINT) AS dup_bp
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     )
   )
+
+  /** DuckDB replay of the x32 PII scan, GENERATED from
+    * [[graft.functions.TextFunctions.piiPatterns]] — the same pattern
+    * strings, the same application order, the same placeholders — so
+    * editing the Scala pattern table can never silently desynchronize
+    * the oracle. Patterns are RE2-compatible and contain no single
+    * quotes; backslashes pass through DuckDB string literals verbatim.
+    */
+  private lazy val piiOracleSql: String = {
+    val pats = graft.functions.TextFunctions.piiPatterns
+    val countCols = pats.map { case (kind, re, _) =>
+      s"CAST(len(regexp_extract_all(text, '$re')) AS INT) AS n_$kind"
+    }.mkString(",\n")
+    val redacted = pats.foldLeft("text") { case (acc, (_, re, repl)) =>
+      s"regexp_replace($acc, '$re', '$repl', 'g')"
+    }
+    s"""WITH dec AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 5 = 0
+       |              THEN text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+       |                   '@example.com or 10.' || CAST(doc_id % 200 AS VARCHAR) ||
+       |                   '.0.' || CAST(doc_id % 97 AS VARCHAR) ||
+       |                   ' tel +1-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+       |              ELSE text END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |$countCols,
+       |md5($redacted) AS redacted_md5
+       |FROM dec ORDER BY doc_id""".stripMargin
+  }
 
   /** DuckDB replay of [[graft.functions.TextFunctions.langId]] (the
     * stopword heuristic behind x07), generated from the same

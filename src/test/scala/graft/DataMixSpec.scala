@@ -151,4 +151,33 @@ class DataMixSpec extends SparkSpec {
     val restTotal = (totals - "en").values.sum.toDouble
     assert(restKept / restTotal > 0.6, s"rest rate ${restKept / restTotal} should be ~0.8")
   }
+
+  test("temperatureMix: t=1 keeps everything, t=0 flattens toward the smallest source") {
+    import sqlImplicits._
+    val d = ((1L to 1600L).map(i => (i, "big")) ++ (10001L to 10100L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    val t1 = DataMix.temperatureMix(d, col("source"), 1.0, Seq(col("doc_id")))
+    assert(t1.count() == 1700L) // rate 1 for every source
+
+    val t0 = DataMix.temperatureMix(d, col("source"), 0.0, Seq(col("doc_id")))
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(t0("small") == 100L) // min source keeps all
+    assert(math.abs(t0("big") - 100L) < 40, s"t=0 big kept ${t0("big")}, want ~100")
+  }
+
+  test("temperatureMix: t=0.5 rate is sqrt-interpolated and partitioning-stable") {
+    import sqlImplicits._
+    val d = ((1L to 1600L).map(i => (i, "big")) ++ (10001L to 10100L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    val kept = DataMix.temperatureMix(d, col("source"), 0.5, Seq(col("doc_id")))
+    val bysrc = kept.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bysrc("small") == 100L) // min source keeps all
+    // big: rate sqrt(100/1600) = 0.25 → ~400 of 1600
+    assert(math.abs(bysrc("big") - 400L) < 80, s"t=0.5 big kept ${bysrc("big")}, want ~400")
+    val again = DataMix.temperatureMix(d.repartition(13), col("source"), 0.5, Seq(col("doc_id")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
 }

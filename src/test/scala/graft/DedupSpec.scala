@@ -109,4 +109,42 @@ class DedupSpec extends SparkSpec {
     assert(!capped.contains((3L, 4L)), s"boilerplate-only pair survived: $capped")
     assert(capped.contains((1L, 2L)), s"rare-shingle dup lost: $capped")
   }
+
+  test("bloomSemiJoin equals the exact semi-join (no false negatives, FPs verified away)") {
+    import sqlImplicits._
+    val big = (1L to 5000L).map(i => (i, s"key-$i")).toDF("id", "k")
+    val small = Seq("key-7", "key-4242", "key-5000", "key-absent").map(Tuple1(_)).toDF("k")
+    val viaBloom = Dedup.bloomSemiJoin(big, small, "k", expectedItems = 10L, fpp = 0.03)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val exact = big.join(small, Seq("k"), "left_semi")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(viaBloom == exact)
+    assert(viaBloom == Set(7L, 4242L, 5000L))
+  }
+
+  test("bloomSemiJoin ignores null keys on the big side") {
+    import sqlImplicits._
+    val big = Seq((1L, Some("a")), (2L, None), (3L, Some("b"))).toDF("id", "k")
+    val small = Seq(Tuple1("a")).toDF("k")
+    val r = Dedup.bloomSemiJoin(big, small, "k", expectedItems = 10L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(r == Set(1L))
+  }
+
+  test("ngramDupStats: planted shared 5-grams give exact dup fractions") {
+    import sqlImplicits._
+    val d = Seq(
+      // docs 1 and 2 share exactly one 5-gram ("a b c d e"); each has 2
+      (1L, "a b c d e f"),   // grams: "a b c d e", "b c d e f"
+      (2L, "z a b c d e"),   // grams: "z a b c d", "a b c d e"
+      (3L, "p q r s t u v"), // 3 grams, none shared
+      (4L, "w x y"))         // < 5 tokens → absent from output
+      .toDF("doc_id", "text")
+    val r = Dedup.ngramDupStats(d, shingleN = 5).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(
+      (1L, 2L, 1L, 5000L),
+      (2L, 2L, 1L, 5000L),
+      (3L, 3L, 0L, 0L)))
+  }
 }

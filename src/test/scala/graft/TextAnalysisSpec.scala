@@ -109,4 +109,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(1) == ((2L, 3L, 3L, 1L, 0L)))
     assert(r(2) == ((3L, 2L, 1L, 2L, 5000L)))
   }
+
+  test("pii scan counts and redacts every pattern kind, in order") {
+    import sqlImplicits._
+    val d = Seq(
+      (1L, "mail alice.smith@corp.example.org and bob+x@a.io now"),
+      (2L, "server 192.168.0.1 fell over, ping 10.0.0.255"),
+      (3L, "call +1-555-0199 or +44-201-9911 today"),
+      (4L, "clean text with no pii at all"),
+      (5L, "combo c@d.net at 8.8.8.8 via +1-800-1234"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.piiScan(d).orderBy("doc_id").collect()
+    def row(i: Int) = (r(i).getAs[Int]("n_email"), r(i).getAs[Int]("n_ipv4"),
+      r(i).getAs[Int]("n_phone"), r(i).getAs[String]("redacted"))
+    assert(row(0) == ((2, 0, 0, "mail <EMAIL> and <EMAIL> now")))
+    assert(row(1) == ((0, 2, 0, "server <IP> fell over, ping <IP>")))
+    assert(row(2) == ((0, 0, 2, "call <PHONE> or <PHONE> today")))
+    assert(row(3) == ((0, 0, 0, "clean text with no pii at all")))
+    assert(row(4) == ((1, 1, 1, "combo <EMAIL> at <IP> via <PHONE>")))
+  }
+
+  test("chunkText: coverage, overlap consistency, and edge sizes") {
+    import sqlImplicits._
+    // 10-char chunks, 3 overlap → step 7
+    val text = "abcdefghijklmnopqrstuvwxyz" // 26 chars → chunks at 0,7,14,21
+    val d = Seq((1L, text), (2L, "short"), (3L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.chunkText(d, chunkSize = 10, overlap = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getString(2)))
+    val c1 = r.filter(_._1 == 1L).map(_._3)
+    assert(c1.toSeq == Seq("abcdefghij", "hijklmnopq", "opqrstuvwx", "vwxyz"))
+    // every adjacent pair agrees on the 3-char overlap
+    c1.sliding(2).foreach { case Array(a, b) =>
+      assert(a.takeRight(3) == b.take(3) || b.length < 3)
+    }
+    // stitching chunks minus their overlap reconstructs the text
+    assert(c1.head + c1.tail.map(_.drop(3)).mkString == text)
+    assert(r.filter(_._1 == 2L).map(_._3).toSeq == Seq("short")) // sub-chunk text: 1 chunk
+    assert(!r.exists(_._1 == 3L)) // empty text: 0 chunks
+  }
 }
