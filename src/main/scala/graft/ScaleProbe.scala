@@ -78,6 +78,29 @@ object ScaleProbe {
       time(s"cosine_topk_bruteforce x$k", Similarity.cosineTopK(v))
       time(s"ann_ivf_kmeans         x$k", Similarity.ivfTopKKmeans(v))
       time(s"dedup_report_e2e       x$k", Dedup.dedupReport(d, minEstJaccard = 0.5))
+      // Decontamination at K× train volume vs a FIXED small test set
+      // (the realistic shape: the corpus grows, the eval set doesn't).
+      // bloom = broadcast-prune-then-verify; exact = plain semi-join.
+      // The bloom path's advantage grows with K because non-matching
+      // train shingles die at scan speed instead of shuffling.
+      locally {
+        import graft.functions.TextFunctions.{tokens, wordShingles}
+        def shingleDigests(src: DataFrame) = src
+          .select(col("doc_id"), tokens(col("text")).as("__toks"))
+          .select(col("doc_id"), explode(wordShingles(col("__toks"), 3)).as("g"))
+          .select(col("doc_id"), md5(col("g")).as("gh"))
+        val trainSh = shingleDigests(d)
+        val testSh = shingleDigests(
+          graft.operators.DataMix.md5Sample(docs, 0.05, Seq(col("doc_id"))))
+          .select("gh").distinct().persist()
+        testSh.count()
+        time(s"bloom_decontaminate    x$k",
+          Dedup.bloomSemiJoin(trainSh, testSh, "gh", expectedItems = 500000L)
+            .select("doc_id").distinct())
+        time(s"exact_decontaminate    x$k",
+          trainSh.join(testSh, Seq("gh"), "left_semi").select("doc_id").distinct())
+        testSh.unpersist()
+      }
       d.unpersist(); v.unpersist()
     }
     spark.stop()

@@ -172,8 +172,12 @@ object ExtQueries {
     GraftQuery(
       "x10_fingerprint",
       (s, d) => {
-        val tk = graft.functions.TextFunctions.tokens(col("text"))
+        // tokens materialized first: the slice() inside the shingle
+        // lambda indexes the attribute instead of re-tokenizing per
+        // shingle position
+        val tk = col("__toks")
         t(s, d, "documents")
+          .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("__toks"))
           .select(
             col("doc_id"),
             md5(concat_ws(" ", tk)).as("content_fp"),
@@ -511,9 +515,11 @@ object ExtQueries {
         // identical subset.
         val corpus = graft.operators.DataMix
           .md5Sample(t(s, d, "documents"), 0.4, Seq(col("doc_id")))
-        val ex = corpus.select(
-          col("doc_id"), col("lang"), col("n_chars"),
-          explode(wordShingles(tokens(col("text")), 3)).as("sg"))
+        val ex = corpus
+          .select(col("doc_id"), col("lang"), col("n_chars"), tokens(col("text")).as("__toks"))
+          .select(
+            col("doc_id"), col("lang"), col("n_chars"),
+            explode(wordShingles(col("__toks"), 3)).as("sg"))
         val lanes = ex
           .select(
             col("doc_id"), col("lang"), col("n_chars"),
@@ -779,9 +785,10 @@ object ExtQueries {
         val labeled = t(s, d, "documents").withColumn(
           "split", graft.operators.DataMix.md5SplitLabel(0.2, Seq(col("doc_id"))))
         val sh = labeled
+          .select(col("doc_id"), col("split"), tokens(col("text")).as("__toks"))
           .select(
             col("doc_id"), col("split"),
-            explode(wordShingles(tokens(col("text")), 3)).as("g"))
+            explode(wordShingles(col("__toks"), 3)).as("g"))
           .select(col("doc_id"), col("split"), md5(col("g")).as("gh"))
         val testSh = sh.filter(col("split") === "test").select("gh").distinct()
         val contaminated = Dedup
