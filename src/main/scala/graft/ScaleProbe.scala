@@ -85,9 +85,12 @@ object ScaleProbe {
       // train shingles die at scan speed instead of shuffling.
       locally {
         import graft.functions.TextFunctions.{tokens, wordShingles}
+        // 5-grams: the fixture's tiny vocabulary makes 3-gram overlap
+        // near-total (every train doc "contaminated" — nothing left to
+        // prune); 5-grams give a realistic low match rate.
         def shingleDigests(src: DataFrame) = src
           .select(col("doc_id"), tokens(col("text")).as("__toks"))
-          .select(col("doc_id"), explode(wordShingles(col("__toks"), 3)).as("g"))
+          .select(col("doc_id"), explode(wordShingles(col("__toks"), 5)).as("g"))
           .select(col("doc_id"), md5(col("g")).as("gh"))
         val trainSh = shingleDigests(d)
         val testSh = shingleDigests(

@@ -177,10 +177,17 @@ object Similarity {
     * Output: (cell, cvec, cnorm) — the IVF centroid table shape.
     */
   private def kmeansCentroids(base: DataFrame, k: Int, maxIter: Int): DataFrame = {
-    val seedW = Window.orderBy(xxhash64(col("vec_id")), col("vec_id"))
-    var cents = base
+    // Seed selection: deterministic hash-min k vectors. orderBy+limit
+    // is TakeOrderedAndProject (per-partition top-k + merge), so the
+    // full corpus is never globally sorted; the single-partition
+    // row_number window then runs over only the k survivors.
+    val seeds = base
+      .select(col("vec_id"), col("vec"), xxhash64(col("vec_id")).as("__h"))
+      .orderBy(col("__h"), col("vec_id"))
+      .limit(k)
+    val seedW = Window.orderBy(col("__h"), col("vec_id"))
+    var cents = seeds
       .withColumn("__r", row_number().over(seedW))
-      .filter(col("__r") <= k)
       .select((col("__r") - 1).cast("int").as("cell"), col("vec").as("cvec"))
       .withColumn("cnorm", l2norm(col("cvec")))
       .localCheckpoint(true)

@@ -16,8 +16,11 @@ object TextAnalysis {
     * ratio, stopword ratio, mean token length. Ratios guard /0.
     */
   def qualityMetrics(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    // tokens materialized once per row — the three token expressions
+    // below would otherwise each re-run the tokenizer
+    val toks = col("__toks")
     docs
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("__toks"))
       .select(
         col("doc_id"),
         length(col("text")).as("n_chars_m"),
@@ -105,8 +108,9 @@ object TextAnalysis {
       minTokens: Int = 40,
       maxPunctRatio: Double = 0.2,
       minAvgTokenLen: Double = 4.0): DataFrame = {
-    val toks = tokens(col("text"))
+    val toks = col("__toks")
     docs
+      .select(col("doc_id"), col("lang"), col("text"), tokens(col("text")).as("__toks"))
       .select(
         col("doc_id"), col("lang"),
         size(toks).as("n_tokens"),
@@ -120,6 +124,34 @@ object TextAnalysis {
           .when(col("token_chars").cast("double") / col("n_tokens") < minAvgTokenLen, "low_avg_token_len")
           .otherwise("kept").as("verdict"))
   }
+
+  /** Per-document character diversity: distinct-char count and the
+    * Simpson diversity index 1 - Σc²/N² over character frequencies —
+    * the tokenizer-free degenerate-text signal (works on unsegmented
+    * scripts; a one-character flood scores 0). Emitted as floor basis
+    * points: every intermediate is an exact integer below 2⁵³, so the
+    * single division is the only float op and the value replays
+    * bit-identically in any engine (unlike an entropy variant, whose
+    * ln() carries no cross-engine rounding guarantee).
+    * Shape: per-(doc, char) count with map-side combine, then per-doc
+    * rollup — shuffles carry counts, never text.
+    */
+  def charDiversity(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy("doc_id", "ch")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_chars_m"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("c") * col("c")).as("sum_sq"))
+      .select(
+        col("doc_id"), col("n_chars_m"), col("n_distinct_chars"),
+        floor(lit(10000.0)
+          * (col("n_chars_m") * col("n_chars_m") - col("sum_sq")).cast("double")
+          / (col("n_chars_m") * col("n_chars_m")).cast("double"))
+          .cast("long").as("diversity_bp"))
 
   /** PII scan + redaction: per-row match counts for each pattern in
     * [[graft.functions.TextFunctions.piiPatterns]] and the text with

@@ -906,6 +906,78 @@ object ExtQueries {
         |CAST(FLOOR(10000.0 * CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
         |           / COUNT(*)) AS BIGINT) AS dup_bp
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // End-to-end data-mix manifest: quality gate → exact-dedup keepers
+    // → stratified language rebalance (en 0.5 / rest 0.9) → 20% split
+    // → per-(split, lang) doc and token mass. Every stage is an
+    // already-oracled operator; this certifies they COMPOSE — the
+    // full pretraining data-mix pipeline replayed bit-for-bit in SQL.
+    GraftQuery(
+      "x37_pipeline_manifest",
+      (s, d) => {
+        import graft.operators.DataMix
+        val kept = TextAnalysis.qualityFilter(t(s, d, "documents"))
+        val keepers = kept.join(
+          kept.groupBy(md5(col("text")).as("__h")).agg(min(col("doc_id")).as("doc_id"))
+            .select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val sampled = DataMix.md5StratifiedSample(
+          keepers, col("lang"), Map("en" -> 0.5), defaultFrac = 0.9,
+          keyCols = Seq(col("doc_id")))
+        sampled
+          .withColumn("split", DataMix.md5SplitLabel(0.2, Seq(col("doc_id"))))
+          .select(col("split"), col("lang"),
+            size(graft.functions.TextFunctions.tokens(col("text"))).as("n_tokens"))
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens").cast("long")).as("total_tokens"))
+          .orderBy("split", "lang")
+      },
+      // en 0.5 → floor(0.5·65536) = 0x8000; 0.9 → 58982 = 0xe666;
+      // split 0.2 → 0x3333
+      Some("""WITH m AS (
+        |  SELECT doc_id, lang, text,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> length(x) > 0)) AS n_tokens,
+        |    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+        |    length(text) AS n_chars_m,
+        |    list_sum(list_transform(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                                        x -> length(x) > 0), x -> length(x))) AS token_chars
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id, lang, text, n_tokens FROM m
+        |  WHERE NOT (n_tokens < 40)
+        |    AND NOT (CAST(n_punct AS DOUBLE) / n_chars_m > 0.2)
+        |    AND NOT (CAST(token_chars AS DOUBLE) / n_tokens < 4.0)),
+        |keepers AS (
+        |  SELECT * FROM kept
+        |  WHERE doc_id IN (SELECT MIN(doc_id) FROM kept GROUP BY md5(text))),
+        |sampled AS (
+        |  SELECT * FROM keepers
+        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |        < CASE WHEN lang = 'en' THEN '8000' ELSE 'e666' END)
+        |SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333'
+        |            THEN 'test' ELSE 'train' END AS split,
+        |lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM sampled GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // Character-level Simpson diversity — degenerate-text detection
+    // with no tokenizer (works on zh). Pure integer counting; the one
+    // division is the only float op, so floor basis points replay
+    // exactly.
+    GraftQuery(
+      "x38_char_diversity",
+      (s, d) => TextAnalysis.charDiversity(t(s, d, "documents")).orderBy("doc_id"),
+      Some("""WITH cc AS (
+        |  SELECT doc_id, ch, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+        |  GROUP BY doc_id, ch)
+        |SELECT doc_id,
+        |CAST(SUM(c) AS BIGINT) AS n_chars_m,
+        |COUNT(*) AS n_distinct_chars,
+        |CAST(FLOOR(10000.0 * CAST(SUM(c) * SUM(c) - SUM(c * c) AS DOUBLE)
+        |           / CAST(SUM(c) * SUM(c) AS DOUBLE)) AS BIGINT) AS diversity_bp
+        |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     )
   )
 

@@ -129,6 +129,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row(4) == ((1, 1, 1, "combo <EMAIL> at <IP> via <PHONE>")))
   }
 
+  test("charDiversity: Simpson basis points are exact on planted texts") {
+    import sqlImplicits._
+    val d = Seq(
+      (1L, "aaaa"), // one char flooded → diversity 0
+      (2L, "abab"), // 2×2 → 1 - 8/16 = 0.5
+      (3L, "abcd")) // all distinct → 1 - 4/16 = 0.75
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.charDiversity(d).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq(
+      (1L, 4L, 1L, 0L),
+      (2L, 4L, 2L, 5000L),
+      (3L, 4L, 4L, 7500L)))
+  }
+
   test("chunkText: coverage, overlap consistency, and edge sizes") {
     import sqlImplicits._
     // 10-char chunks, 3 overlap → step 7
