@@ -74,14 +74,71 @@ object Dedup {
       shingleN: Int = 3,
       minEstJaccard: Double = 0.5,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    // Materialize signatures once: both sides of the bucket self-join
-    // read the cached 24-byte-per-doc table instead of recomputing the
-    // tokenize→shingle→hash pipeline per side.
-    val sigs = OpCache.swap("dedup.minhash.sigs",
-      minhashSignatures(docs, numHashes, shingleN, idCol, textCol))
+      textCol: String = "text"): DataFrame =
+    lshPairsFromSigs(
+      // Materialize signatures once: both sides of the bucket self-join
+      // read the cached 24-byte-per-doc table instead of recomputing
+      // the tokenize→shingle→hash pipeline per side.
+      OpCache.swap("dedup.minhash.sigs",
+        minhashSignatures(docs, numHashes, shingleN, idCol, textCol)),
+      numHashes, bands, minEstJaccard, idCol)
 
+  /** Character n-gram MinHash signatures — the dedup unit for
+    * UNSEGMENTED scripts (zh/ja/th), where whitespace tokens don't
+    * exist and a word-shingle pipeline sees one giant token (< the
+    * shingle width → no shingles at all → the doc silently skips
+    * dedup). Same explode → hash → groupBy-min shape as the word
+    * variant; `substr` inside the lambda indexes the text attribute
+    * directly, so there is no per-position re-evaluation hazard.
+    */
+  def charMinhashSignatures(
+      docs: DataFrame,
+      numHashes: Int = 16,
+      charN: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val shingles = array_distinct(
+      when(length(t) < charN, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), length(t) - (charN - 1)),
+          i => t.substr(i, lit(charN)))))
+    val exploded = docs.select(col(idCol), explode(shingles).as("shingle"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    exploded
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"), mins: _*)
+      .select(
+        col(idCol),
+        col("n_shingles"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash+LSH near-dup pairs over character shingles — covers the
+    * documents word-level LSH is blind to. Same banding/bucketing as
+    * [[minhashLshPairs]].
+    */
+  def charMinhashLshPairs(
+      docs: DataFrame,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      charN: Int = 8,
+      minEstJaccard: Double = 0.5,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    lshPairsFromSigs(
+      OpCache.swap("dedup.charminhash.sigs",
+        charMinhashSignatures(docs, numHashes, charN, idCol, textCol)),
+      numHashes, bands, minEstJaccard, idCol)
+
+  /** Shared LSH candidate join over any (id, sig) signature table. */
+  private def lshPairsFromSigs(
+      sigs: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      minEstJaccard: Double,
+      idCol: String): DataFrame = {
+    val rowsPerBand = numHashes / bands
     val banded = sigs.select(
       col(idCol),
       col("sig"),

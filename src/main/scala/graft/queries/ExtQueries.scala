@@ -978,6 +978,22 @@ object ExtQueries {
         |CAST(FLOOR(10000.0 * CAST(SUM(c) * SUM(c) - SUM(c * c) AS DOUBLE)
         |           / CAST(SUM(c) * SUM(c) AS DOUBLE)) AS BIGINT) AS diversity_bp
         |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Character-shingle MinHash+LSH near-dup candidates on a 0.3-gated
+    // subset — dedup for unsegmented scripts, where the word pipeline
+    // sees one giant token and silently skips the doc. xxhash-based →
+    // rows-only; planted-dup behavior (incl. the word-pipeline
+    // blindness it fixes) is pinned in DedupSpec, and the LSH pipeline
+    // SHAPE is oracle-certified by x29.
+    GraftQuery(
+      "x39_char_neardup",
+      (s, d) =>
+        Dedup.charMinhashLshPairs(
+          graft.operators.DataMix.md5Sample(t(s, d, "documents"), 0.3, Seq(col("doc_id"))))
+          .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+          .orderBy("doc_a", "doc_b"),
+      None
     )
   )
 

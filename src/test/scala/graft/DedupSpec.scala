@@ -131,6 +131,20 @@ class DedupSpec extends SparkSpec {
     assert(r == Set(1L))
   }
 
+  test("char-shingle LSH finds unsegmented near-dups the word pipeline is blind to") {
+    import sqlImplicits._
+    val zhA = "天地玄黄宇宙洪荒日月盈昃辰宿列张寒来暑往秋收冬藏闰余成岁律吕调阳云腾致雨露结为霜"
+    val zhB = zhA.patch(10, "改换", 2) // small edit → near-dup
+    val zhC = zhA.reverse             // same chars, different shingles
+    val d = Seq((1L, zhA), (2L, zhB), (3L, zhC)).toDF("doc_id", "text")
+    // word pipeline: each doc is ONE token → no 3-gram shingles → no signatures at all
+    assert(Dedup.minhashSignatures(d).count() == 0)
+    // char pipeline: (1,2) near-dup surfaces, the reversal does not
+    val pairs = Dedup.charMinhashLshPairs(d, minEstJaccard = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("ngramDupStats: planted shared 5-grams give exact dup fractions") {
     import sqlImplicits._
     val d = Seq(
