@@ -980,6 +980,64 @@ object ExtQueries {
         |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     ),
 
+    // Portable SimHash: 16-bit signatures from md5 token hashes with
+    // per-bit ±1 multiset voting, 4-bit nibble bands, hamming ≤ 3
+    // pairs — the COMPLETE SimHash pipeline in pure integer
+    // arithmetic, replayed bit-for-bit by the oracle (hex→int via the
+    // same strpos table both sides; >>, &, bit_count are exact). With
+    // x29 (MinHash+LSH) and x02 (Jaccard) this closes portable
+    // certification of all three dedup families; the 64-bit xxhash
+    // operator (x04) stays as the hot path.
+    GraftQuery(
+      "x40_simhash_portable",
+      (s, d) => {
+        import graft.functions.TextFunctions.tokens
+        // token → 16-bit hash: first 4 md5 hex nibbles, hex→int via
+        // strpos arithmetic (identical formula in the oracle)
+        def nib(c: org.apache.spark.sql.Column) =
+          instr(lit("0123456789abcdef"), c) - 1
+        val h = (lit(4096) * nib(substring(col("th"), 1, 1))
+          + lit(256) * nib(substring(col("th"), 2, 1))
+          + lit(16) * nib(substring(col("th"), 3, 1))
+          + nib(substring(col("th"), 4, 1)))
+        val toks = graft.operators.DataMix
+          .md5Sample(t(s, d, "documents"), 0.4, Seq(col("doc_id")))
+          .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+          .select(col("doc_id"), col("lang"), substring(md5(col("tok")), 1, 4).as("th"))
+          .select(col("doc_id"), col("lang"), h.as("h"))
+        val votes = toks
+          .groupBy("doc_id", "lang")
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            (0 until 16).map(b =>
+              sum(when(shiftright(col("h"), b).bitwiseAND(lit(1)) === 1, 1).otherwise(-1))
+                .as(s"v$b")): _*)
+        val sig = votes.select(
+          col("doc_id"), col("lang"),
+          (0 until 16).map(b =>
+            when(col(s"v$b") > 0, lit(1 << b)).otherwise(lit(0))).reduce(_ + _).as("sh"))
+        val banded = sig.select(
+          col("doc_id"), col("lang"), col("sh"),
+          posexplode(array((0 until 4).map(q =>
+            shiftright(col("sh"), q * 4).bitwiseAND(lit(15))): _*)).as(Seq("band_id", "band_key")))
+        val a = banded.select(
+          col("lang"), col("band_id"), col("band_key"),
+          col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        val b2 = banded.select(
+          col("lang"), col("band_id"), col("band_key"),
+          col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        a.join(b2, Seq("lang", "band_id", "band_key"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(
+            col("doc_a"), col("doc_b"),
+            bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(simhashPortableOracleSql)
+    ),
+
     // Character-shingle MinHash+LSH near-dup candidates on a 0.3-gated
     // subset — dedup for unsegmented scripts, where the word pipeline
     // sees one giant token and silently skips the doc. xxhash-based →
@@ -996,6 +1054,45 @@ object ExtQueries {
       None
     )
   )
+
+  /** DuckDB replay of the x40 portable SimHash — the 16 vote columns
+    * and signature bits are GENERATED so the lane structure can never
+    * drift from the Spark side. Hex→int, shifts, masks, and bit_count
+    * are pure integer ops; the replay is bit-exact by construction.
+    */
+  private lazy val simhashPortableOracleSql: String = {
+    def nibSql(i: Int) = s"(strpos('0123456789abcdef', substring(md5(tok), $i, 1)) - 1)"
+    val hSql = s"(4096 * ${nibSql(1)} + 256 * ${nibSql(2)} + 16 * ${nibSql(3)} + ${nibSql(4)})"
+    val voteCols = (0 until 16)
+      .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n    ")
+    val sigBits = (0 until 16)
+      .map(b => s"(CASE WHEN v$b > 0 THEN ${1 << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang,
+       |         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |                            x -> length(x) > 0)) AS tok
+       |  FROM documents
+       |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '6666'),
+       |h AS (SELECT doc_id, lang, $hSql AS h FROM tk),
+       |v AS (
+       |  SELECT doc_id, lang,
+       |    $voteCols
+       |  FROM h GROUP BY 1, 2),
+       |sig AS (SELECT doc_id, lang, $sigBits AS sh FROM v),
+       |banded AS (
+       |  SELECT doc_id, lang, sh, b.range AS band_id,
+       |         (sh >> CAST(b.range * 4 AS INT)) & 15 AS band_key
+       |  FROM sig, range(4) AS b)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+       |FROM banded a JOIN banded b
+       |  ON a.lang = b.lang AND a.band_id = b.band_id AND a.band_key = b.band_key
+       | AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** DuckDB replay of the x32 PII scan, GENERATED from
     * [[graft.functions.TextFunctions.piiPatterns]] — the same pattern
