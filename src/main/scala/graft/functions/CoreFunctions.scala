@@ -61,10 +61,15 @@ object CoreFunctions {
 
   /** Deterministic surrogate key over a natural key (SURVEY F17):
     * stable across runs, 1 key per distinct natural key — unlike the
-    * reference's uuid4. U+0001 (SOH) separator avoids ambiguous concat.
+    * reference's uuid4. U+0001 (SOH) separator avoids ambiguous
+    * concat; NULL components are encoded as a U+0002 sentinel because
+    * concat_ws silently DROPS nulls, which would collide (NULL, "x"),
+    * ("x", NULL), and ("x") into one key (same hardening as
+    * DataMix.md5Hash).
     */
   def surrogateKey(naturalKey: Column*): Column =
-    sha2(concat_ws("\u0001", naturalKey: _*), 256)
+    sha2(concat_ws("\u0001",
+      naturalKey.map(c => coalesce(c.cast("string"), lit("\u0002"))): _*), 256)
 
   /** Reference-faithful uuid4 keys (v4.py:148) - nondeterministic per
     * run, so golden tests and oracle comparison cannot use them; kept

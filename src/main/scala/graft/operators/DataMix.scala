@@ -168,7 +168,10 @@ object DataMix {
         col("__src"),
         when(thr >= 65536, lit("zzzz")) // rate 1: every hex prefix must pass
           .otherwise(format_string("%04x", thr)).as("__thr"))
-    df.join(broadcast(rates), sourceCol === col("__src"))
+    // Null-safe join: groupBy above puts NULL sources in their own
+    // group (with their own rate); a plain === would silently DROP
+    // those rows here instead of gating them.
+    df.join(broadcast(rates), sourceCol <=> col("__src"))
       .filter(md5Prefix(keyCols) < col("__thr"))
       .drop("__src", "__thr")
   }

@@ -281,10 +281,24 @@ object Dedup {
       fpp: Double = 0.01): DataFrame = {
     val bf = small.stat.bloomFilter(key, expectedItems, fpp)
     val bc = big.sparkSession.sparkContext.broadcast(bf)
+    bloomBroadcasts.synchronized { bloomBroadcasts += bc }
     val might = udf((s: String) => s != null && bc.value.mightContainString(s))
+    // No .distinct() on the small side: left_semi output is unaffected
+    // by right-side duplicates, and the dedup would cost a shuffle.
     big.filter(might(col(key)))
-      .join(small.select(col(key)).distinct(), Seq(key), "left_semi")
+      .join(small.select(col(key)), Seq(key), "left_semi")
   }
+
+  // Released via OpCache.clear() (test teardown / probe-loop resets):
+  // each bloomSemiJoin call pins a sketch broadcast for the session
+  // lifetime otherwise. unpersist (not destroy) — a cached plan that
+  // still references one re-broadcasts on demand.
+  private val bloomBroadcasts =
+    scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.broadcast.Broadcast[_]]
+  OpCache.registerClearHook(() => bloomBroadcasts.synchronized {
+    bloomBroadcasts.foreach(b => scala.util.Try(b.unpersist(false)))
+    bloomBroadcasts.clear()
+  })
 
   /** Per-document duplicated-n-gram fraction (the RefinedWeb-style
     * substring-contamination signal): of a document's distinct word

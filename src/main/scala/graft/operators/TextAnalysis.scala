@@ -138,6 +138,11 @@ object TextAnalysis {
     */
   def charDiversity(docs: DataFrame): DataFrame =
     docs
+      // Spark split('', '') yields [""] — a phantom character row that
+      // would score an empty doc as 1 char (and diverge from SQL
+      // replays, where splitting '' yields nothing). Empty docs have
+      // no diversity to measure: drop them, matching the oracle.
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
       .groupBy("doc_id", "ch")
       .agg(count(lit(1)).as("c"))
@@ -176,9 +181,14 @@ object TextAnalysis {
     * splitter feeding embedding/indexing pipelines. Chunk `i` covers
     * characters `[i·step, i·step + chunkSize)` with
     * `step = chunkSize - overlap`; the last chunk may run short, empty
-    * text yields no chunks. One generated row per chunk via
-    * posexplode — no shuffle, and chunk bodies are born distributed
-    * (never collected or concatenated per document).
+    * text yields no chunks. Chunk count is 1 while the text fits in
+    * one chunk, else ceil((len - chunkSize)/step) + 1 — the count
+    * stops once a chunk reaches the end, so no chunk is ever fully
+    * contained in its predecessor (a naive floor((len-1)/step)+1
+    * emits a redundant sub-overlap tail whenever len mod step lands
+    * in [1, overlap]). One generated row per chunk via posexplode —
+    * no shuffle, and chunk bodies are born distributed (never
+    * collected or concatenated per document).
     */
   def chunkText(
       docs: DataFrame,
@@ -190,9 +200,9 @@ object TextAnalysis {
     require(overlap >= 0 && overlap < chunkSize, s"overlap $overlap must be in [0, chunkSize)")
     val step = chunkSize - overlap
     val len = length(col(textCol))
-    // floor((len-1)/step) + 1 chunks: the last chunk START stays < len.
     val n = when(len === 0, lit(0))
-      .otherwise((floor((len - 1).cast("double") / step) + 1).cast("int"))
+      .when(len <= chunkSize, lit(1))
+      .otherwise((ceil((len - chunkSize).cast("double") / step) + 1).cast("int"))
     docs
       .select(col(idCol), col(textCol).as("__t"), n.as("__n"))
       .select(

@@ -845,7 +845,8 @@ object ExtQueries {
       Some("""WITH n AS (
         |  SELECT doc_id, text,
         |         CASE WHEN length(text) = 0 THEN 0
-        |              ELSE CAST(FLOOR(CAST(length(text) - 1 AS DOUBLE) / 150) AS INT) + 1
+        |              WHEN length(text) <= 200 THEN 1
+        |              ELSE CAST(CEIL(CAST(length(text) - 200 AS DOUBLE) / 150) AS INT) + 1
         |         END AS nc
         |  FROM documents),
         |e AS (SELECT doc_id, text, unnest(range(0, nc)) AS i FROM n)

@@ -166,6 +166,20 @@ class DataMixSpec extends SparkSpec {
     assert(math.abs(t0("big") - 100L) < 40, s"t=0 big kept ${t0("big")}, want ~100")
   }
 
+  test("temperatureMix: NULL sources form their own stratum and are never dropped") {
+    import sqlImplicits._
+    val d = ((1L to 400L).map(i => (i, Some("big"))) ++ (10001L to 10100L).map(i => (i, None: Option[String])))
+      .toDF("doc_id", "source")
+    val t1 = DataMix.temperatureMix(d, col("source"), 1.0, Seq(col("doc_id")))
+    assert(t1.count() == 500L) // t=1 keeps everything, NULL rows included
+    val bysrc = DataMix.temperatureMix(d, col("source"), 0.5, Seq(col("doc_id")))
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(bysrc(None) == 100L) // NULL is the min stratum → fully kept
+    // big: rate sqrt(100/400) = 0.5 → ~200 of 400
+    assert(math.abs(bysrc(Some("big")) - 200L) < 60, s"got ${bysrc(Some("big"))}")
+  }
+
   test("temperatureMix: t=0.5 rate is sqrt-interpolated and partitioning-stable") {
     import sqlImplicits._
     val d = ((1L to 1600L).map(i => (i, "big")) ++ (10001L to 10100L).map(i => (i, "small")))

@@ -163,4 +163,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.filter(_._1 == 2L).map(_._3).toSeq == Seq("short")) // sub-chunk text: 1 chunk
     assert(!r.exists(_._1 == 3L)) // empty text: 0 chunks
   }
+
+  test("chunkText never emits a chunk fully contained in its predecessor") {
+    import sqlImplicits._
+    // 15 chars, size 10, overlap 3, step 7: a floor((len-1)/step)+1
+    // count would add a 1-char tail chunk already covered by chunk 1
+    val d = Seq((1L, "abcdefghijklmno")).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkText(d, chunkSize = 10, overlap = 3)
+      .orderBy("chunk_id").collect().map(_.getString(2))
+    assert(chunks.toSeq == Seq("abcdefghij", "hijklmno")) // 2 chunks, end reached
+    assert(chunks.last.length > 3) // tail longer than the overlap
+  }
 }
