@@ -30,6 +30,23 @@ object Tables {
     }
   }
 
+  /** JSON-lines source with an explicit schema (never inference — a
+    * schema-inference pass reads the whole input twice and locks in
+    * whatever types the first sample happened to contain). Corrupt
+    * lines land in `_corrupt_record` when the schema declares it,
+    * PERMISSIVE-null otherwise — same malformed-row contract as the
+    * CSV source.
+    */
+  def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** JSON-lines sink — the interchange format of training-data
+    * pipelines (one document per line, splittable when uncompressed,
+    * schema-on-read for downstream consumers).
+    */
+  def writeJsonLines(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
   /** D1: database-exists probe (check_and_create_db.py:23). */
   def databaseExists(spark: SparkSession, name: String): Boolean =
     spark.catalog.databaseExists(name)

@@ -139,6 +139,33 @@ object EventStreams {
       .drop("c_user_id")
   }
 
+  /** Stream-side decontamination / blocklist filter: drop stream rows
+    * whose `keyCol` appears in a STATIC reference set, pre-pruned by a
+    * broadcast Bloom filter — the streaming face of
+    * [[graft.operators.Dedup.bloomSemiJoin]]. The bloom probe runs at
+    * scan speed on every micro-batch with no state store and no
+    * stream-static join for the overwhelmingly-clean rows; only bloom
+    * survivors (matches + fpp false positives) reach the exact
+    * left_anti join against the static set, which removes the false
+    * positives. Output ≡ a plain stream-static left_anti on the key.
+    * State: none (the static side broadcasts); safe on unbounded
+    * streams.
+    */
+  def decontaminateStream(
+      stream: DataFrame,
+      blocklist: DataFrame,
+      keyCol: String,
+      expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val bf = blocklist.stat.bloomFilter(keyCol, expectedItems, fpp)
+    val bc = stream.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((s: String) => s != null && bc.value.mightContainString(s))
+    val clean = stream.filter(!might(col(keyCol)))
+    val suspect = stream.filter(might(col(keyCol)))
+      .join(broadcast(blocklist.select(col(keyCol))), Seq(keyCol), "left_anti")
+    clean.unionByName(suspect)
+  }
+
   /** Convenience: run a streaming DataFrame to completion against a
     * memory sink and return the result table (test/demo harness).
     */

@@ -203,6 +203,31 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((10L, 1L), (10L, 2L)), s"got $pairs")
   }
 
+  test("streaming bloom decontamination equals the batch anti-join, across micro-batches") {
+    import sqlImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val batch1 = (1L to 300L).map(i => (i, s"doc-$i"))
+    val batch2 = (301L to 600L).map(i => (i, s"doc-$i"))
+    val blocklist = Seq("doc-42", "doc-333", "doc-600", "doc-nope")
+      .map(Tuple1(_)).toDF("k")
+
+    val filtered = EventStreams.decontaminateStream(
+      stream.toDF.toDF("id", "k"), blocklist, "k",
+      // tiny filter + low fpp head-room: false positives MUST occur
+      // only probabilistically, the anti-join removes them either way
+      expectedItems = 4L, fpp = 0.2)
+
+    stream.addData(batch1: _*)
+    stream.addData(batch2: _*)
+    val out = EventStreams.runToMemory(filtered, "bloom_decon_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .select("id").collect().map(_.getLong(0)).toSet
+
+    val expected = (batch1 ++ batch2).map(_._1).toSet -- Set(42L, 333L, 600L)
+    assert(out == expected)
+  }
+
   test("streaming foreachBatch upserts into a managed warehouse table") {
     import sqlImplicits._
     implicit val sqlCtx = spark.sqlContext

@@ -123,6 +123,26 @@ class TablesSpec extends SparkSpec {
       s"expected a dynamic-pruning subquery on the fact scan in:\n$plan")
   }
 
+  test("json-lines round-trip preserves rows; corrupt lines null-land under the declared schema") {
+    import sqlImplicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val d = Seq((1L, "alpha", "en"), (2L, "beta", "es"), (3L, "gamma", "zh"))
+      .toDF("doc_id", "text", "lang")
+    Tables.writeJsonLines(d, s"$dir/docs")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val back = Tables.readJsonLines(spark, s"$dir/docs", schema)
+    assert(back.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      == Seq((1L, "alpha", "en"), (2L, "beta", "es"), (3L, "gamma", "zh")))
+    // malformed line: PERMISSIVE mode lands nulls, never throws
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/bad.json"), "{\"doc_id\": oops not json\n")
+    val bad = Tables.readJsonLines(spark, s"$dir/bad.json", schema).collect()
+    assert(bad.length == 1 && bad.head.isNullAt(0))
+  }
+
   test("citybike warehouse bootstrap lands all five star tables") {
     val wh = graft.etl.CityBike.build(spark)
     Tables.bootstrapCityBike(spark, wh, db = "citybike_test")
