@@ -284,7 +284,11 @@ object ExtQueries {
       (s, d) => {
         val docs = t(s, d, "documents")
         val toks = docs.select(col("doc_id"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
-        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        // (doc, term, tf) is the reusable artifact of the pipeline —
+        // cached so the window + rank stages read it instead of
+        // re-running tokenize→explode→count
+        val tf = graft.operators.OpCache.swap("ext.x17.tf",
+          toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
         val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
         // Document frequency as a window over tf (one shuffle on term)
         // instead of a groupBy + self-join, which would recompute the
