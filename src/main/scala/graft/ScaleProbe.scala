@@ -74,6 +74,7 @@ object ScaleProbe {
       time(s"minhash_lsh_pairs      x$k", Dedup.minhashLshPairs(d, minEstJaccard = 0.5))
       time(s"ngram_jaccard_pairs    x$k", Dedup.ngramJaccardPairs(d))
       time(s"simhash_pairs          x$k", Dedup.simhashPairs(d, maxHamming = 3))
+      time(s"char_minhash_lsh_pairs x$k", Dedup.charMinhashLshPairs(d))
       time(s"ann_sign_lsh_topk      x$k", Similarity.annSignLshTopK(v))
       time(s"cosine_topk_bruteforce x$k", Similarity.cosineTopK(v))
       time(s"ann_ivf_kmeans         x$k", Similarity.ivfTopKKmeans(v))

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DataMix, TextAnalysis}
+
+/** Seeded property tests for the data-mix and text operators — the
+  * invariants that must hold for EVERY input, not just the fixture:
+  * chunk stitching reconstructs the text, hash-gate samples nest as
+  * the rate grows, diversity stays in range, packing conserves tokens.
+  * Fixed seed → same coverage every run (repo property-test pattern).
+  */
+class InvariantsSpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(20260812L)
+
+  test("chunkText: stitching reconstructs the text; all chunks full-size except a >overlap tail") {
+    import sqlImplicits._
+    val cases = Seq.fill(40) {
+      val len = rnd.nextInt(51) // 0..50, includes empty
+      val text = Seq.fill(len)(('a' + rnd.nextInt(26)).toChar).mkString
+      val size = 1 + rnd.nextInt(12)
+      val overlap = if (size == 1) 0 else rnd.nextInt(size)
+      (text, size, overlap)
+    }
+    cases.zipWithIndex.foreach { case ((text, size, overlap), i) =>
+      val chunks = TextAnalysis.chunkText(
+        Seq((i.toLong, text)).toDF("doc_id", "text"), size, overlap)
+        .orderBy("chunk_id").collect().map(_.getString(2)).toSeq
+      val ctx = s"case $i: len=${text.length} size=$size overlap=$overlap chunks=$chunks"
+      if (text.isEmpty) assert(chunks.isEmpty, ctx)
+      else {
+        // stitching (drop each successor's overlap prefix) == text
+        assert(chunks.head + chunks.tail.map(_.drop(overlap)).mkString == text, ctx)
+        // all but the last are exactly chunk-size
+        chunks.init.foreach(c => assert(c.length == size, ctx))
+        // the tail chunk is never fully contained in its predecessor
+        if (chunks.length > 1) assert(chunks.last.length > overlap, ctx)
+        assert(chunks.last.length <= size, ctx)
+      }
+    }
+  }
+
+  test("md5Sample: nested by rate — every row kept at frac a survives at frac b >= a") {
+    import sqlImplicits._
+    val d = (1L to 2000L).toDF("doc_id")
+    val fracs = Seq(0.0, 0.1, 0.35, 0.7, 1.0)
+    val kept = fracs.map(f =>
+      DataMix.md5Sample(d, f, Seq(col("doc_id")))
+        .collect().map(_.getLong(0)).toSet)
+    assert(kept.head.isEmpty)
+    assert(kept.last.size == 2000)
+    kept.sliding(2).foreach { case Seq(lo, hi) => assert(lo.subsetOf(hi)) }
+  }
+
+  test("temperatureMix: nested by temperature — hotter mixes keep supersets") {
+    import sqlImplicits._
+    val d = ((1L to 900L).map(i => (i, "a")) ++ (2001L to 2100L).map(i => (i, "b")))
+      .toDF("doc_id", "source")
+    val kept = Seq(0.0, 0.5, 1.0).map(t =>
+      DataMix.temperatureMix(d, col("source"), t, Seq(col("doc_id")))
+        .collect().map(_.getLong(0)).toSet)
+    kept.sliding(2).foreach { case Seq(cold, hot) => assert(cold.subsetOf(hot)) }
+    assert(kept.last.size == 1000) // t=1 keeps everything
+  }
+
+  test("charDiversity: bp in [0, 10000); floods score 0; n distinct chars score floor(1e4(1-1/n))") {
+    import sqlImplicits._
+    val cases = (0 until 20).map { i =>
+      val len = 1 + rnd.nextInt(40)
+      val alphabet = 1 + rnd.nextInt(6)
+      (i.toLong, Seq.fill(len)(('a' + rnd.nextInt(alphabet)).toChar).mkString)
+    }
+    val rows = TextAnalysis.charDiversity(cases.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    cases.foreach { case (id, text) =>
+      val (n, distinct, bp) = rows(id)
+      assert(n == text.length)
+      assert(distinct == text.distinct.length)
+      assert(bp >= 0 && bp < 10000, s"doc $id bp=$bp")
+      if (distinct == 1) assert(bp == 0)
+      // exact replay of the Simpson formula on driver-side counts
+      val counts = text.groupBy(identity).values.map(_.length.toLong)
+      val expected = math.floor(
+        10000.0 * (n * n - counts.map(c => c * c).sum).toDouble / (n * n)).toLong
+      assert(bp == expected, s"doc $id: $bp != $expected")
+    }
+  }
+
+  test("packSequences: conserves rows and tokens per stratum; bin ids start at 0 and are dense") {
+    import sqlImplicits._
+    val d = (1L to 500L)
+      .map(i => (i, s"s${i % 3}", 1 + rnd.nextInt(600)))
+      .toDF("doc_id", "stratum", "n_tokens")
+    val packed = DataMix.packSequences(d, col("n_tokens"), budget = 1024,
+      col("stratum"), Seq(col("doc_id")))
+    assert(packed.count() == 500)
+    assert(packed.agg(sum("n_tokens")).head.getLong(0)
+      == d.agg(sum("n_tokens")).head.getLong(0))
+    packed.groupBy("stratum").agg(collect_set("bin_id").as("bins"))
+      .collect().foreach { r =>
+        val bins = r.getSeq[Long](1).sorted
+        assert(bins == (0L until bins.length).toSeq, s"stratum ${r.getString(0)}: $bins")
+      }
+  }
+}
