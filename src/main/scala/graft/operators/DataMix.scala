@@ -131,6 +131,38 @@ object DataMix {
       .drop("__cum")
   }
 
+  /** Greedy per-group token-budget quota: keep each group's rows in
+    * deterministic md5 order while the running token total stays
+    * within `budget` — the "sample this source down to N tokens" step
+    * of a data-mix manifest (quotas in token mass, not doc counts).
+    * Prefix semantics: the first row that would overflow the budget
+    * stops the group — later, smaller rows are NOT back-filled, so
+    * membership is a pure prefix of the md5 order and replays exactly
+    * in SQL. One window shuffle on the group key.
+    */
+  def md5TokenQuota(
+      df: DataFrame,
+      groupCol: Column,
+      tokenCol: Column,
+      budget: Long,
+      keyCols: Seq[Column]): DataFrame = {
+    require(budget > 0, s"budget $budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(md5Hash(keyCols).asc, keyCols.head.asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__cumtok", sum(tokenCol).over(w))
+      .filter(col("__cumtok") <= budget)
+      .drop("__cumtok")
+  }
+
+  /** The md5-shuffle ordering key [[packSequences]]/[[md5TokenQuota]]
+    * sort by, exposed so consumers (bin materialization, manifests)
+    * can replay the exact same order.
+    */
+  def md5OrderKey(keyCols: Seq[Column]): Column = md5Hash(keyCols)
+
   /** Temperature-weighted source rebalance: downsample each source at
     * rate (min_count / count)^(1-t) — t = 1 keeps everything
     * (proportional mix), t = 0 flattens every source to ~the smallest

@@ -985,6 +985,90 @@ object ExtQueries {
         |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     ),
 
+    // Materialized sequence packing: the x30 bin assignment followed by
+    // the actual concatenation — documents joined in md5-shuffle order
+    // within each bin, separator U+0001, certified via the md5 of each
+    // packed blob. The oracle replays the concatenation with an
+    // ORDER BY inside string_agg; collect_list order is
+    // nondeterministic in Spark, so the engine sorts (key, tiebreak)
+    // structs before joining — the canonical distributed pattern for
+    // order-sensitive aggregation.
+    GraftQuery(
+      "x41_pack_concat",
+      (s, d) => {
+        import graft.operators.DataMix
+        val wt = t(s, d, "documents").select(
+          col("doc_id"), col("lang"), col("text"),
+          size(graft.functions.TextFunctions.tokens(col("text"))).as("n_tokens"))
+        val packed = DataMix.packSequences(wt, col("n_tokens"), 2048, col("lang"), Seq(col("doc_id")))
+          .withColumn("ok", DataMix.md5OrderKey(Seq(col("doc_id"))))
+        packed
+          .groupBy("lang", "bin_id")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens").cast("long")).as("bin_tokens"),
+            md5(concat_ws("\u0001",
+              transform(
+                array_sort(collect_list(struct(col("ok"), col("doc_id"), col("text")))),
+                e => e.getField("text")))).as("packed_md5"))
+          .orderBy("lang", "bin_id")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                         x -> length(x) > 0)) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, text, n_tokens,
+        |         CAST(SUM(n_tokens) OVER (PARTITION BY lang
+        |                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT lang,
+        |  CAST(FLOOR(CAST(cum - n_tokens AS DOUBLE) / 2048) AS BIGINT) AS bin_id,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+        |  md5(string_agg(text, chr(1) ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)) AS packed_md5
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // Greedy token-budget quota: each source keeps its md5-order
+    // prefix of documents until 20k tokens — the quota unit a real
+    // mix manifest uses (token mass, not doc count). Prefix semantics
+    // replay exactly in SQL.
+    GraftQuery(
+      "x42_token_quota",
+      (s, d) => {
+        val wt = t(s, d, "documents").select(
+          col("doc_id"), col("source"), col("n_chars"),
+          size(graft.functions.TextFunctions.tokens(col("text"))).as("n_tokens"))
+        graft.operators.DataMix
+          .md5TokenQuota(wt, col("source"), col("n_tokens"), budget = 20000L, Seq(col("doc_id")))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_kept"),
+            sum(col("n_tokens").cast("long")).as("kept_tokens"),
+            min(col("doc_id")).as("min_kept_id"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, source,
+        |         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                         x -> length(x) > 0)) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         CAST(SUM(n_tokens) OVER (PARTITION BY source
+        |                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT source, COUNT(*) AS n_kept,
+        |CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+        |MIN(doc_id) AS min_kept_id
+        |FROM c WHERE cum <= 20000
+        |GROUP BY source ORDER BY source""".stripMargin)
+    ),
+
     // Portable SimHash: 16-bit signatures from md5 token hashes with
     // per-bit ±1 multiset voting, 4-bit nibble bands, hamming ≤ 3
     // pairs — the COMPLETE SimHash pipeline in pure integer
