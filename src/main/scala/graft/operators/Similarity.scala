@@ -158,19 +158,28 @@ object Similarity {
     // (localCheckpoint per round), so an OpCache swap would arrive
     // after the work is already redone — the memo short-circuits the
     // recompute itself. The cached value is the tiny checkpointed
-    // centroid table (k rows).
-    val key = (base.sparkSession,
-      base.queryExecution.analyzed.canonicalized.toString, cells, maxIter)
-    val centroids = kmeansMemo.getOrElseUpdate(key, kmeansCentroids(base, cells, maxIter))
+    // centroid table (k rows). Keyed on semanticHash + a sameResult
+    // confirmation (a plan STRING can truncate via maxToStringFields
+    // and collide two different inputs onto one cached result).
+    val plan = base.queryExecution.analyzed
+    val key = (base.sparkSession, plan.semanticHash(), cells, maxIter)
+    val centroids = kmeansMemo.get(key) match {
+      case Some((storedPlan, df)) if storedPlan.sameResult(plan) => df
+      case _ =>
+        val df = kmeansCentroids(base, cells, maxIter)
+        kmeansMemo.put(key, (plan, df))
+        df
+    }
     ivfSearch(base, centroids, k, queryMod, nProbes)
   }
 
   // Evicted via OpCache.clear(): entries hold localCheckpoint'd tables
-  // keyed by (session, canonical plan) — without eviction, scale-probe
+  // keyed by (session, plan hash) — without eviction, scale-probe
   // loops and per-test sessions would retain one table per distinct
   // input plan for the JVM lifetime.
   private val kmeansMemo = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String, Int, Int), DataFrame]
+    .empty[(org.apache.spark.sql.SparkSession, Int, Int, Int),
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]
   OpCache.registerClearHook(() => kmeansMemo.clear())
 
   /** Lloyd's k-means over a prepared (vec_id, vec, norm) corpus.

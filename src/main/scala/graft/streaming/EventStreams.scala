@@ -159,9 +159,13 @@ object EventStreams {
       fpp: Double = 0.01): DataFrame = {
     val bf = blocklist.stat.bloomFilter(keyCol, expectedItems, fpp)
     val bc = stream.sparkSession.sparkContext.broadcast(bf)
-    val might = udf((s: String) => s != null && bc.value.mightContainString(s))
-    val clean = stream.filter(!might(col(keyCol)))
-    val suspect = stream.filter(might(col(keyCol)))
+    // Shared lifecycle with bloomSemiJoin: OpCache.clear() releases the
+    // sketch; otherwise every call pins one broadcast per session life.
+    graft.operators.Dedup.trackBloomBroadcast(bc)
+    // Type-dispatched probe (string vs integral) — see bloomMightContain.
+    val might = graft.operators.Dedup.bloomMightContain(stream, blocklist, keyCol, bc)
+    val clean = stream.filter(!might)
+    val suspect = stream.filter(might)
       .join(broadcast(blocklist.select(col(keyCol))), Seq(keyCol), "left_anti")
     clean.unionByName(suspect)
   }

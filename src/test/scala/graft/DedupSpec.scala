@@ -131,6 +131,37 @@ class DedupSpec extends SparkSpec {
     assert(r == Set(1L))
   }
 
+  test("bloomSemiJoin dispatches long-key probes (no false negatives on numeric keys)") {
+    import sqlImplicits._
+    // A string-cast probe against a long-populated sketch would test
+    // false for every row and return the empty set.
+    val big = (1L to 2000L).map(i => (i, i * 7L)).toDF("id", "k")
+    val small = Seq(7L * 13L, 7L * 999L, 41L).map(Tuple1(_)).toDF("k")
+    val viaBloom = Dedup.bloomSemiJoin(big, small, "k", expectedItems = 10L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(viaBloom == Set(13L, 999L))
+    // Int keys probe through the same long path.
+    val bigInt = (1 to 100).map(i => (i.toLong, i)).toDF("id", "k")
+    val smallInt = Seq(5, 50).map(Tuple1(_)).toDF("k")
+    val viaInt = Dedup.bloomSemiJoin(bigInt, smallInt, "k", expectedItems = 10L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(viaInt == Set(5L, 50L))
+  }
+
+  test("bloomSemiJoin rejects mismatched and unsupported key types") {
+    import sqlImplicits._
+    val bigStr = Seq((1L, "a")).toDF("id", "k")
+    val smallLong = Seq(Tuple1(1L)).toDF("k")
+    intercept[IllegalArgumentException] {
+      Dedup.bloomSemiJoin(bigStr, smallLong, "k", expectedItems = 10L)
+    }
+    val bigDouble = Seq((1L, 1.5)).toDF("id", "k")
+    val smallDouble = Seq(Tuple1(1.5)).toDF("k")
+    intercept[Exception] { // stat.bloomFilter or the probe rejects doubles
+      Dedup.bloomSemiJoin(bigDouble, smallDouble, "k", expectedItems = 10L)
+    }
+  }
+
   test("char-shingle LSH finds unsegmented near-dups the word pipeline is blind to") {
     import sqlImplicits._
     val zhA = "天地玄黄宇宙洪荒日月盈昃辰宿列张寒来暑往秋收冬藏闰余成岁律吕调阳云腾致雨露结为霜"
