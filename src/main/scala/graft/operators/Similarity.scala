@@ -10,13 +10,19 @@ import graft.functions.VectorFunctions._
   * column (similarity-search extensions).
   *
   * Scale design (100 TB / 1000-executor target):
-  *  - the query set is small and broadcast; the corpus streams — the
-  *    all-pairs work is a broadcast nested loop whose inner side is
-  *    the scan, so it parallelizes linearly with corpus partitions;
-  *  - norms are computed once per row before the join (never inside);
+  *  - the query set is an EXTERNAL DataFrame (the `queryMod` overloads
+  *    are test conveniences that slice the corpus); it is broadcast
+  *    only while its optimizer-estimated size fits the session
+  *    broadcast threshold — above that the candidate joins degrade
+  *    gracefully to shuffled equi-joins instead of blowing the
+  *    broadcast limit;
+  *  - norms are computed once per row before any join (never inside);
   *  - the LSH variant buckets both sides on sign-LSH signature bands
   *    so each corpus row is compared only to queries sharing a band —
-  *    the bucket join is an equi-join, shuffle- and broadcast-friendly.
+  *    the bucket join is an equi-join on (band_id, band_key) carrying
+  *    IDS ONLY; vectors are re-attached after the candidate pairs are
+  *    deduplicated, so no shuffle ever carries array payloads per
+  *    candidate pair.
   */
 object Similarity {
 
@@ -32,20 +38,46 @@ object Similarity {
         toDoubleVec(col("embedding")).as("vec"))
         .withColumn("norm", l2norm(col("vec"))))
 
+  /** Broadcast `df` only when its optimizer-estimated size fits the
+    * session broadcast threshold. An external query set is not
+    * guaranteed small — a forced broadcast hint would grow with it
+    * linearly; past the threshold, the unhinted plan falls back to a
+    * shuffled hash / sort-merge join on the bucket keys.
+    */
+  private def maybeBroadcast(df: DataFrame): DataFrame = {
+    val confStr = df.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+    val threshold =
+      if (confStr.startsWith("-")) -1L
+      else scala.util.Try(
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(confStr)).getOrElse(-1L)
+    if (threshold > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold)
+      broadcast(df)
+    else df
+  }
+
   /** Brute-force exact cosine top-k: every query row against the full
-    * corpus. Queries = rows with vec_id % queryMod == 0 (a stand-in
-    * for an external query set). Self-pairs excluded.
+    * corpus (the recall baseline the ANN variants are measured
+    * against). Self-pairs excluded by id.
     * Output: (query_id, neighbor_id, cosine, rank) — rank 1..k.
     */
   def cosineTopK(embeddings: DataFrame, k: Int = 3, queryMod: Int = 100,
-      site: String = "sim.cosine.prep"): DataFrame = {
+      site: String = "sim.cosine.prep"): DataFrame =
+    cosineTopK(embeddings, embeddings.filter(col("vec_id") % queryMod === 0), k, site)
+
+  /** External-query-set form: `queries` has the corpus shape
+    * (vec_id, embedding). Brute force is inherently all-pairs — the
+    * query side should be small; above the broadcast threshold the
+    * planner falls back to a nested-loop join.
+    */
+  def cosineTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+      site: String): DataFrame = {
     val corpus = prepared(embeddings, site)
-    val queries = corpus
-      .filter(col("vec_id") % queryMod === 0)
+    val qprep = prepared(queries, site + ".q")
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
 
     val scored = corpus
-      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .join(maybeBroadcast(qprep), col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"),
         col("vec_id").as("neighbor_id"),
@@ -70,31 +102,47 @@ object Similarity {
       queryMod: Int = 100,
       nPlanes: Int = 16,
       bands: Int = 4,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64): DataFrame =
+    annSignLshTopK(embeddings, embeddings.filter(col("vec_id") % queryMod === 0),
+      k, nPlanes, bands, dim)
+
+  /** External-query-set form. The banded candidate join carries ids
+    * only; vectors are re-attached AFTER the (query_id, neighbor_id)
+    * pairs are deduplicated, so neither the bucket join nor the dedup
+    * shuffle moves array payloads.
+    */
+  def annSignLshTopK(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nPlanes: Int,
+      bands: Int,
+      dim: Int): DataFrame = {
     val base = OpCache.swap("sim.lsh.sig",
       prepared(embeddings, "sim.lsh.prep")
         .withColumn("sig", signLshSignature(col("vec"), nPlanes, dim)))
+    val qbase = OpCache.swap("sim.lsh.qsig",
+      prepared(queries, "sim.lsh.qprep")
+        .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
+        .withColumn("qsig", signLshSignature(col("qvec"), nPlanes, dim)))
 
-    def banded(df: DataFrame): DataFrame =
-      df.select(
-        col("*"),
-        posexplode(array(signatureBands(col("sig"), nPlanes, bands): _*)).as(Seq("band_id", "band_key")))
+    val corpusB = base.select(
+      col("vec_id"),
+      posexplode(array(signatureBands(col("sig"), nPlanes, bands): _*)).as(Seq("band_id", "band_key")))
+    val queriesB = qbase.select(
+      col("query_id"),
+      posexplode(array(signatureBands(col("qsig"), nPlanes, bands): _*)).as(Seq("band_id", "band_key")))
 
-    val corpus = banded(base)
-      .select(col("band_id"), col("band_key"), col("vec_id"), col("vec"), col("norm"))
-    val queries = banded(base.filter(col("vec_id") % queryMod === 0))
-      .select(
-        col("band_id"), col("band_key"),
-        col("vec_id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
-
-    val candidates = corpus
-      .join(broadcast(queries), Seq("band_id", "band_key"))
+    val candidates = corpusB
+      .join(maybeBroadcast(queriesB), Seq("band_id", "band_key"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("vec"), col("norm"), col("qvec"), col("qnorm"))
-      .dropDuplicates("query_id", "neighbor_id") // collided in >1 band
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id") // collided in >1 band; two-long rows
 
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     candidates
+      .join(base.select(col("vec_id").as("neighbor_id"), col("vec"), col("norm")), Seq("neighbor_id"))
+      .join(maybeBroadcast(qbase.select(col("query_id"), col("qvec"), col("qnorm"))), Seq("query_id"))
       .select(
         col("query_id"),
         col("neighbor_id"),
@@ -119,7 +167,17 @@ object Similarity {
       k: Int = 3,
       queryMod: Int = 100,
       nProbes: Int = 2,
-      centroidCol: String = "label"): DataFrame = {
+      centroidCol: String = "label"): DataFrame =
+    ivfTopK(embeddings, embeddings.filter(col("vec_id") % queryMod === 0),
+      k, nProbes, centroidCol)
+
+  /** External-query-set form of [[ivfTopK]]. */
+  def ivfTopK(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nProbes: Int,
+      centroidCol: String): DataFrame = {
     val base = prepared(embeddings.select(col("vec_id"), col("embedding"), col(centroidCol)), "sim.ivf.prep")
 
     // Per-cell mean vector via positional explode → elementwise avg →
@@ -134,7 +192,8 @@ object Similarity {
         .select(col("cell"), transform(col("pm"), e => e.getField("m")).as("cvec"))
         .withColumn("cnorm", l2norm(col("cvec"))))
 
-    ivfSearch(base, centroids, k, queryMod, nProbes)
+    ivfSearch(prepared(queries.select("vec_id", "embedding"), "sim.ivf.qprep"),
+      base, centroids, k, nProbes)
   }
 
   /** IVF ANN with centroids learned by Lloyd's k-means instead of
@@ -152,7 +211,18 @@ object Similarity {
       queryMod: Int = 100,
       nProbes: Int = 2,
       cells: Int = 8,
-      maxIter: Int = 3): DataFrame = {
+      maxIter: Int = 3): DataFrame =
+    ivfTopKKmeans(embeddings, embeddings.filter(col("vec_id") % queryMod === 0),
+      k, nProbes, cells, maxIter)
+
+  /** External-query-set form of [[ivfTopKKmeans]]. */
+  def ivfTopKKmeans(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nProbes: Int,
+      cells: Int,
+      maxIter: Int): DataFrame = {
     val base = prepared(embeddings.select(col("vec_id"), col("embedding")), "sim.kmeans.prep")
     // Memoized on the exact input plan: the Lloyd loop is EAGER
     // (localCheckpoint per round), so an OpCache swap would arrive
@@ -170,7 +240,8 @@ object Similarity {
         kmeansMemo.put(key, (plan, df))
         df
     }
-    ivfSearch(base, centroids, k, queryMod, nProbes)
+    ivfSearch(prepared(queries.select("vec_id", "embedding"), "sim.kmeans.qprep"),
+      base, centroids, k, nProbes)
   }
 
   // Evicted via OpCache.clear(): entries hold localCheckpoint'd tables
@@ -222,13 +293,16 @@ object Similarity {
 
   /** Shared IVF probe: assign corpus rows to their cell, queries to
     * their `nProbes` nearest cells, equi-join on cell, exact cosine +
-    * top-k on the candidates.
+    * top-k on the candidates. The pair dedup (a query probing two
+    * cells can meet the same corpus row twice only if assignments
+    * collide — kept for safety) runs on (ids, cosine scalar), never on
+    * vector payloads.
     */
   private def ivfSearch(
+      qprep: DataFrame,
       base: DataFrame,
       centroids: DataFrame,
       k: Int,
-      queryMod: Int,
       nProbes: Int): DataFrame = {
     def assign(df: DataFrame, probes: Int): DataFrame = {
       val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
@@ -243,12 +317,12 @@ object Similarity {
 
     val corpus = assign(base, 1)
       .select(col("cell"), col("vec_id"), col("vec"), col("norm"))
-    val queries = assign(base.filter(col("vec_id") % queryMod === 0), nProbes)
+    val queries = assign(qprep, nProbes)
       .select(col("cell"), col("vec_id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
 
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     corpus
-      .join(broadcast(queries), Seq("cell"))
+      .join(maybeBroadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"),
@@ -261,6 +335,9 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: vectors whose cosine exceeds a
     * threshold, found via the same sign-LSH banding (no all-pairs).
+    * The banded self-join and the pair dedup carry ids only — vectors
+    * are re-attached per deduplicated pair, so shuffle volume is two
+    * longs per candidate, not ~1 KB of array payload.
     * Output: (vec_a, vec_b, cosine) with vec_a < vec_b.
     */
   def embeddingNearDupPairs(
@@ -272,16 +349,21 @@ object Similarity {
     val base = OpCache.swap("sim.neardup.sig",
       prepared(embeddings, "sim.neardup.prep")
         .withColumn("sig", signLshSignature(col("vec"), nPlanes, dim)))
-    val banded = base.select(
-      col("vec_id"), col("vec"), col("norm"),
+    val bandedIds = base.select(
+      col("vec_id"),
       posexplode(array(signatureBands(col("sig"), nPlanes, bands): _*)).as(Seq("band_id", "band_key")))
 
-    val a = banded.select(col("band_id"), col("band_key"), col("vec_id").as("vec_a"), col("vec").as("va"), col("norm").as("na"))
-    val b = banded.select(col("band_id"), col("band_key"), col("vec_id").as("vec_b"), col("vec").as("vb"), col("norm").as("nb"))
+    val a = bandedIds.select(col("band_id"), col("band_key"), col("vec_id").as("vec_a"))
+    val b = bandedIds.select(col("band_id"), col("band_key"), col("vec_id").as("vec_b"))
 
-    a.join(b, Seq("band_id", "band_key"))
+    val pairs = a.join(b, Seq("band_id", "band_key"))
       .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
+
+    pairs
+      .join(base.select(col("vec_id").as("vec_a"), col("vec").as("va"), col("norm").as("na")), Seq("vec_a"))
+      .join(base.select(col("vec_id").as("vec_b"), col("vec").as("vb"), col("norm").as("nb")), Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"), round(cosineWithNorms(dot(col("va"), col("vb")), col("na"), col("nb")), 4).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }

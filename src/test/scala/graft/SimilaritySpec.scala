@@ -65,6 +65,36 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"k-means IVF recall $recall")
   }
 
+  test("external query tables reproduce the queryMod slice exactly, on every operator") {
+    // The queryMod overloads are conveniences over the external-query
+    // primary form; passing the same slice explicitly must be
+    // indistinguishable, for all four operators.
+    val slice = real.filter(org.apache.spark.sql.functions.col("vec_id") % 100 === 0)
+      .select("vec_id", "embedding")
+    def rows(df: DataFrame): Set[(Long, Long, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(rows(Similarity.cosineTopK(real, slice, 3, "sim.cosine.prep")) ==
+      rows(Similarity.cosineTopK(real, k = 3, queryMod = 100)))
+    assert(rows(Similarity.annSignLshTopK(real, slice, 3, 16, 4, 64)) ==
+      rows(Similarity.annSignLshTopK(real, k = 3, queryMod = 100)))
+    assert(rows(Similarity.ivfTopK(real, slice, 3, 4, "label")) ==
+      rows(Similarity.ivfTopK(real, k = 3, queryMod = 100, nProbes = 4)))
+    assert(rows(Similarity.ivfTopKKmeans(real, slice, 3, 4, 10, 3)) ==
+      rows(Similarity.ivfTopKKmeans(real, k = 3, queryMod = 100, nProbes = 4, cells = 10)))
+  }
+
+  test("external query vectors need not exist in the corpus") {
+    import sqlImplicits._
+    // A held-out probe vector close to corpus vector 0 must surface it.
+    val first = real.orderBy("vec_id").limit(1).collect()(0)
+    val target = first.getLong(0)
+    val probe = first.getSeq[Float](1).toArray.map(x => x * 0.999f + 1e-5f)
+    val q = Seq((-1L, probe.toSeq)).toDF("vec_id", "embedding")
+    val got = Similarity.cosineTopK(real, q, 1, "sim.cosine.prep")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((-1L, target)), s"got ${got.toSeq}")
+  }
+
   test("embedding near-dup pairs finds a planted duplicate vector") {
     import sqlImplicits._
     val v = Array.tabulate(64)(i => math.sin(i * 0.7).toFloat)
