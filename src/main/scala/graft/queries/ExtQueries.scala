@@ -1141,6 +1141,36 @@ object ExtQueries {
           .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
           .orderBy("doc_a", "doc_b"),
       None
+    ),
+
+    // Engine-portable twins of the ANN family (PortableAnn): quantized
+    // integer vectors + generated ±1 plane literals + sum-centroids
+    // make banding, cell assignment, probe fan-out, candidate dedup
+    // and top-k ranking bit-replayable in DuckDB. These certify the
+    // pipeline shapes behind x06/x13/x15/x25; the float/xxhash
+    // operators stay the production hot path.
+    GraftQuery(
+      "x43_ann_lsh_portable",
+      (s, d) => PortableAnn.annLsh(t(s, d, "embeddings")),
+      Some(PortableAnn.annLshSql)
+    ),
+
+    GraftQuery(
+      "x44_ann_ivf_portable",
+      (s, d) => PortableAnn.ivfLabel(t(s, d, "embeddings")),
+      Some(PortableAnn.ivfLabelSql)
+    ),
+
+    GraftQuery(
+      "x45_neardup_portable",
+      (s, d) => PortableAnn.nearDup(t(s, d, "embeddings")),
+      Some(PortableAnn.nearDupSql)
+    ),
+
+    GraftQuery(
+      "x46_ann_kmeans_portable",
+      (s, d) => PortableAnn.ivfKmeans(t(s, d, "embeddings")),
+      Some(PortableAnn.ivfKmeansSql)
     )
   )
 

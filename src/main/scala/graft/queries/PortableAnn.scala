@@ -1,0 +1,327 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Engine-portable twins of the ANN family (sign-LSH, IVF, k-means
+  * IVF, embedding near-dup) — the same pipeline SHAPES as
+  * [[graft.operators.Similarity]], re-expressed so a DuckDB oracle
+  * replays them bit-for-bit (the x29/x40 certification pattern).
+  *
+  * Portability levers, chosen so no step depends on summation order or
+  * engine-specific rounding:
+  *  - vectors are QUANTIZED to integer-valued doubles —
+  *    `floor(x * 1024)` (×2¹⁰ is exact float scaling, floor has no
+  *    tie-breaking) — so every dot product is exact integer arithmetic
+  *    below 2⁵³, identical in any engine under any summation order;
+  *  - sign-LSH hyperplanes are the SAME deterministic ±1 tables the
+  *    production operator uses ([[VectorFunctions.rademacherPlane]]),
+  *    emitted as literals into BOTH the Spark plan and the generated
+  *    SQL, so the two can never drift;
+  *  - IVF/k-means centroids are elementwise integer SUMS, not means —
+  *    cosine assignment only reads a centroid's direction, so the sum
+  *    is semantically the mean cell assignment while staying exact
+  *    (order-independent) integer arithmetic;
+  *  - k-means seeds rank by md5(vec_id) (portable), mirroring the
+  *    production operator's xxhash64 hash-order seeding;
+  *  - cosines divide exact-integer dots by sqrt of exact-integer
+  *    norms — sqrt/division are IEEE correctly-rounded, so the doubles
+  *    (and therefore every rank ordering) are bit-identical across
+  *    engines.
+  *
+  * The xxhash64/float production operators stay the hot path; these
+  * twins certify END-TO-END that banding, bucketing, cell assignment,
+  * probe fan-out, candidate dedup, and top-k ranking are right.
+  */
+object PortableAnn {
+
+  private val Dim = 64
+  private val NPlanes = 16
+  private val Bands = 4 // 4 bits per band
+  private val QueryMod = 100
+
+  // ---------------------------------------------------------------- Spark side
+
+  /** float embedding → integer-valued double vector (exact ×1024, floor). */
+  private def quantize(emb: Column): Column =
+    transform(emb, x => floor(x.cast("double") * lit(1024.0)).cast("double"))
+
+  private def dot(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
+
+  /** Quantized corpus: (vec_id [, label], qv, nm). */
+  private def qcorpus(embeddings: DataFrame, extra: Seq[String] = Nil): DataFrame =
+    embeddings
+      .select((Seq(col("vec_id")) ++ extra.map(col) :+ quantize(col("embedding")).as("qv")): _*)
+      .withColumn("nm", sqrt(dot(col("qv"), col("qv"))))
+
+  /** nPlanes-bit signature over the quantized vector — same plane
+    * tables as the production operator.
+    */
+  private def sigCol: Column =
+    (0 until NPlanes).map { j =>
+      val plane = array(VectorFunctions.rademacherPlane(j, Dim).map(lit): _*)
+      when(dot(col("qv"), plane) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private def bandedIds(sigged: DataFrame, idAlias: String): DataFrame =
+    sigged.select(
+      col("vec_id").as(idAlias),
+      posexplode(array((0 until Bands).map(b =>
+        shiftright(col("sig"), b * 4).bitwiseAND(lit(15))): _*)).as(Seq("band_id", "band_key")))
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Portable sign-LSH ANN top-3 (the x06 pipeline shape). */
+  def annLsh(embeddings: DataFrame): DataFrame = {
+    val base = qcorpus(embeddings).withColumn("sig", sigCol)
+    val corpusB = bandedIds(base, "neighbor_id")
+    val queriesB = bandedIds(base.filter(col("vec_id") % QueryMod === 0), "query_id")
+
+    val cand = corpusB.join(queriesB, Seq("band_id", "band_key"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+      .dropDuplicates("query_id", "neighbor_id")
+
+    val scored = cand
+      .join(base.select(col("vec_id").as("neighbor_id"), col("qv"), col("nm")), Seq("neighbor_id"))
+      .join(
+        base.select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("nm").as("qnm")),
+        Seq("query_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("qqv")) / (col("nm") * col("qnm"))).as("cosine"))
+    topK(scored, 3)
+  }
+
+  /** Portable embedding near-dup pairs (the x15 pipeline shape). */
+  def nearDup(embeddings: DataFrame, minCosine: Double = 0.95): DataFrame = {
+    val base = qcorpus(embeddings).withColumn("sig", sigCol)
+    val a = bandedIds(base, "vec_a")
+    val b = bandedIds(base, "vec_b")
+    val pairs = a.join(b, Seq("band_id", "band_key"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .dropDuplicates("vec_a", "vec_b")
+    pairs
+      .join(base.select(col("vec_id").as("vec_a"), col("qv").as("va"), col("nm").as("na")), Seq("vec_a"))
+      .join(base.select(col("vec_id").as("vec_b"), col("qv").as("vb"), col("nm").as("nb")), Seq("vec_b"))
+      .select(
+        col("vec_a"), col("vec_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 4).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Elementwise-SUM centroid table: (cell, cvec, cn). Integer sums —
+    * exact under any aggregation order; direction-equivalent to the
+    * mean for cosine assignment.
+    */
+  private def sumCentroids(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg(sum(col("x")).as("sx"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("sx")))).as("pm"))
+      .select(col("cell"), transform(col("pm"), e => e.getField("sx")).as("cvec"))
+      .withColumn("cn", sqrt(dot(col("cvec"), col("cvec"))))
+
+  /** Assign each row to its `probes` nearest centroid cells. */
+  private def assign(df: DataFrame, cent: DataFrame, probes: Int): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
+    df.crossJoin(broadcast(cent))
+      .withColumn("csim", dot(col("qv"), col("cvec")) / (col("nm") * col("cn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= probes)
+      .select(df("vec_id"), df("qv"), df("nm"), col("cell"))
+  }
+
+  private def ivfProbeTopK(base: DataFrame, cent: DataFrame): DataFrame = {
+    val corp = assign(base, cent, 1)
+    val qry = assign(base.filter(col("vec_id") % QueryMod === 0), cent, 2)
+      .select(col("cell"), col("vec_id").as("query_id"), col("qv").as("qqv"), col("nm").as("qnm"))
+    val scored = corp.join(qry, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("qqv")) / (col("nm") * col("qnm"))).as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
+    topK(scored, 3)
+  }
+
+  /** Portable IVF ANN with per-label sum-centroids (the x13 shape). */
+  def ivfLabel(embeddings: DataFrame): DataFrame = {
+    val base = qcorpus(embeddings, Seq("label"))
+    val cent = sumCentroids(base.select(col("label").as("cell"), col("qv")))
+    ivfProbeTopK(base.select("vec_id", "qv", "nm"), cent)
+  }
+
+  /** Portable k-means IVF (the x25 shape): md5-ranked seeds, two
+    * unrolled Lloyd rounds with sum-centroids, 2-probe search.
+    */
+  def ivfKmeans(embeddings: DataFrame, cells: Int = 8): DataFrame = {
+    val base = qcorpus(embeddings)
+    val seedW = Window.orderBy(col("__m"), col("vec_id"))
+    var cent = base
+      .withColumn("__m", md5(col("vec_id").cast("string")))
+      .orderBy(col("__m"), col("vec_id"))
+      .limit(cells)
+      .withColumn("cell", (row_number().over(seedW) - 1).cast("int"))
+      .select(col("cell"), col("qv").as("cvec"))
+      .withColumn("cn", sqrt(dot(col("cvec"), col("cvec"))))
+    for (_ <- 0 until 2)
+      cent = sumCentroids(assign(base, cent, 1).select(col("cell"), col("qv")))
+    ivfProbeTopK(base, cent)
+  }
+
+  // ---------------------------------------------------------------- DuckDB side
+
+  /** Shared SQL prefix: quantized corpus with norms. */
+  private val qCte =
+    """WITH c AS (
+      |  SELECT vec_id, label,
+      |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS DOUBLE)) AS qv
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, qv, sqrt(list_dot_product(qv, qv)) AS nm FROM c)""".stripMargin
+
+  private def planeSqlLit(j: Int): String =
+    VectorFunctions.rademacherPlane(j, Dim)
+      .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+
+  /** sig as a sum of per-plane CASE bits — planes GENERATED from the
+    * same Scala table the Spark plan uses.
+    */
+  private lazy val sigSql: String =
+    (0 until NPlanes)
+      .map(j => s"(CASE WHEN list_dot_product(qv, ${planeSqlLit(j)}) > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString("\n      + ")
+
+  private val topKSql =
+    """SELECT query_id, neighbor_id, ROUND(cosine, 4) AS cosine, CAST(rk AS INT) AS rank
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |                                   ORDER BY cosine DESC, neighbor_id) AS rk FROM scored)
+      |WHERE rk <= 3 ORDER BY query_id, rank""".stripMargin
+
+  lazy val annLshSql: String =
+    s"""$qCte,
+       |sig AS (
+       |  SELECT vec_id, qv, nm,
+       |      $sigSql AS sig
+       |  FROM n),
+       |banded AS (
+       |  SELECT vec_id, sig, b.range AS band_id,
+       |         (sig >> CAST(b.range * 4 AS INT)) & 15 AS band_key
+       |  FROM sig, range($Bands) AS b),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM banded c
+       |  JOIN banded q ON c.band_id = q.band_id AND c.band_key = q.band_key
+       |  WHERE q.vec_id % $QueryMod = 0 AND c.vec_id <> q.vec_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |         list_dot_product(cv.qv, qu.qv) / (cv.nm * qu.nm) AS cosine
+       |  FROM cand
+       |  JOIN sig cv ON cv.vec_id = cand.neighbor_id
+       |  JOIN sig qu ON qu.vec_id = cand.query_id)
+       |$topKSql""".stripMargin
+
+  lazy val nearDupSql: String =
+    s"""$qCte,
+       |sig AS (
+       |  SELECT vec_id, qv, nm,
+       |      $sigSql AS sig
+       |  FROM n),
+       |banded AS (
+       |  SELECT vec_id, sig, b.range AS band_id,
+       |         (sig >> CAST(b.range * 4 AS INT)) & 15 AS band_key
+       |  FROM sig, range($Bands) AS b),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM banded a
+       |  JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |  WHERE a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, ROUND(cosine, 4) AS cosine
+       |FROM (SELECT vec_a, vec_b,
+       |             list_dot_product(x.qv, y.qv) / (x.nm * y.nm) AS cosine
+       |      FROM pairs JOIN sig x ON x.vec_id = vec_a
+       |                 JOIN sig y ON y.vec_id = vec_b)
+       |WHERE cosine >= 0.95 ORDER BY vec_a, vec_b""".stripMargin
+
+  /** One Lloyd step in SQL: assign `src` (n-shaped) to nearest cell of
+    * `centCte`, then recompute sum-centroids. Emits two CTE bodies.
+    */
+  private def lloydSql(round: Int, centIn: String): String =
+    s"""a$round AS (
+       |  SELECT vec_id, qv, nm, cell FROM (
+       |    SELECT n.vec_id, n.qv, n.nm, ct.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |             ORDER BY list_dot_product(n.qv, ct.cvec) / (n.nm * ct.cn) DESC, ct.cell) AS rk
+       |    FROM n CROSS JOIN $centIn ct)
+       |  WHERE rk = 1),
+       |s$round AS (
+       |  SELECT cell, r.range AS i, SUM(qv[r.range]) AS sx
+       |  FROM a$round, range(1, ${Dim + 1}) AS r GROUP BY 1, 2),
+       |cent$round AS (
+       |  SELECT cell, list(sx ORDER BY i) AS cvec,
+       |         sqrt(list_dot_product(list(sx ORDER BY i), list(sx ORDER BY i))) AS cn
+       |  FROM s$round GROUP BY cell)""".stripMargin
+
+  /** Shared probe/top-k tail: corpus 1-probe + queries 2-probe against
+    * the final centroid CTE.
+    */
+  private def ivfTailSql(centCte: String): String =
+    s"""corp AS (
+       |  SELECT cell, vec_id, qv, nm FROM (
+       |    SELECT n.vec_id, n.qv, n.nm, ct.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |             ORDER BY list_dot_product(n.qv, ct.cvec) / (n.nm * ct.cn) DESC, ct.cell) AS rk
+       |    FROM n CROSS JOIN $centCte ct)
+       |  WHERE rk = 1),
+       |qry AS (
+       |  SELECT cell, vec_id AS query_id, qv AS qqv, nm AS qnm FROM (
+       |    SELECT n.vec_id, n.qv, n.nm, ct.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |             ORDER BY list_dot_product(n.qv, ct.cvec) / (n.nm * ct.cn) DESC, ct.cell) AS rk
+       |    FROM n CROSS JOIN $centCte ct
+       |    WHERE n.vec_id % $QueryMod = 0)
+       |  WHERE rk <= 2),
+       |scored AS (
+       |  SELECT DISTINCT query_id, corp.vec_id AS neighbor_id,
+       |         list_dot_product(corp.qv, qry.qqv) / (corp.nm * qry.qnm) AS cosine
+       |  FROM corp JOIN qry USING (cell)
+       |  WHERE corp.vec_id <> qry.query_id)
+       |$topKSql""".stripMargin
+
+  lazy val ivfLabelSql: String =
+    s"""$qCte,
+       |sl AS (
+       |  SELECT label AS cell, r.range AS i, SUM(qv[r.range]) AS sx
+       |  FROM n, range(1, ${Dim + 1}) AS r GROUP BY 1, 2),
+       |centL AS (
+       |  SELECT cell, list(sx ORDER BY i) AS cvec,
+       |         sqrt(list_dot_product(list(sx ORDER BY i), list(sx ORDER BY i))) AS cn
+       |  FROM sl GROUP BY cell),
+       |${ivfTailSql("centL")}""".stripMargin
+
+  lazy val ivfKmeansSql: String =
+    s"""$qCte,
+       |cent0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell,
+       |         qv AS cvec, sqrt(list_dot_product(qv, qv)) AS cn
+       |  FROM (SELECT vec_id, qv FROM c
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
+       |${lloydSql(1, "cent0")},
+       |${lloydSql(2, "cent1")},
+       |${ivfTailSql("cent2")}""".stripMargin
+}
