@@ -373,7 +373,10 @@ object Dedup {
     * recompute) → per-doc rollup. Σ rows = Σ distinct grams; both
     * shuffles are hash-partitioned on high-cardinality keys.
     */
-  def ngramDupStats(docs: DataFrame, shingleN: Int = 5): DataFrame = {
+  def ngramDupStats(
+      docs: DataFrame,
+      shingleN: Int = 5,
+      maxGramDf: Option[Long] = None): DataFrame = {
     // Materialize the token array in its own projection: inside the
     // shingle lambda each element_at would otherwise re-run the
     // tokenizer per gram position (n re-tokenizations per shingle —
@@ -382,9 +385,28 @@ object Dedup {
       .select(col("doc_id"), tokens(col("text")).as("__toks"))
       .select(col("doc_id"), explode(wordShingles(col("__toks"), shingleN)).as("g"))
       .select(col("doc_id"), md5(col("g")).as("gh"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("gh")
-    grams
-      .withColumn("df", count(lit(1)).over(w))
+    val withDf = maxGramDf match {
+      case None =>
+        // One shuffle: df as a window over the gram digest. Right for
+        // real text (digests are high-cardinality), but a boilerplate
+        // gram in 10⁶ docs becomes one straggler window partition —
+        // that's what the capped path below is for.
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+        grams.withColumn("df", count(lit(1)).over(w))
+      case Some(cap) =>
+        // 100 TB skew guard (mirrors ngramJaccardPairs.maxShingleDf):
+        // df via groupBy (map-side partial combine — no single-gram
+        // partition ever materializes) and grams over the cap leave
+        // the universe entirely, numerator AND denominator —
+        // boilerplate stops being duplication evidence. Docs whose
+        // grams are all capped out drop from the output (as do docs
+        // with < n tokens).
+        val dfTab = grams.groupBy("gh")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap)
+        grams.join(dfTab, Seq("gh"))
+    }
+    withDf
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_grams"),

@@ -209,26 +209,33 @@ object ExtQueries {
       None
     ),
 
-    // HLL++ sketch vs exact distinct (A4): approx_count_distinct with
-    // its observed relative error. Engine-deterministic; DuckDB's HLL
-    // differs by construction → rows-only.
+    // HLL++ sketch vs exact distinct (A4), with an ERROR-BOUND oracle:
+    // DuckDB's HLL differs by construction, so the oracle instead
+    // certifies the exact counts AND that Spark's sketch landed within
+    // 3×rsd (rsd = 0.05 default) of them — the oracle emits TRUE for
+    // the bound columns, so a sketch drifting out of tolerance turns
+    // the hash row red.
     GraftQuery(
       "x12_approx_distinct",
       (s, d) =>
         t(s, d, "lineitem")
           .agg(
             countDistinct(col("l_partkey")).as("exact_parts"),
-            approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            approx_count_distinct(col("l_partkey")).as("ap"),
             countDistinct(col("l_orderkey")).as("exact_orders"),
-            approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+            approx_count_distinct(col("l_orderkey")).as("ao"))
           .select(
-            col("exact_parts"), col("approx_parts"),
-            round(abs(col("approx_parts") - col("exact_parts")).cast("double") / col("exact_parts"), 4)
-              .as("rel_err_parts"),
-            col("exact_orders"), col("approx_orders"),
-            round(abs(col("approx_orders") - col("exact_orders")).cast("double") / col("exact_orders"), 4)
-              .as("rel_err_orders")),
-      None
+            col("exact_parts"),
+            (abs(col("ap") - col("exact_parts")).cast("double") / col("exact_parts") <= 0.15)
+              .as("parts_within_3rsd"),
+            col("exact_orders"),
+            (abs(col("ao") - col("exact_orders")).cast("double") / col("exact_orders") <= 0.15)
+              .as("orders_within_3rsd")),
+      Some("""SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |       TRUE AS parts_within_3rsd,
+        |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |       TRUE AS orders_within_3rsd
+        |FROM lineitem""".stripMargin)
     ),
 
     // IVF-bucketed ANN top-3 (centroid cells + probe-2) — recall vs
@@ -1171,6 +1178,91 @@ object ExtQueries {
       "x46_ann_kmeans_portable",
       (s, d) => PortableAnn.ivfKmeans(t(s, d, "embeddings")),
       Some(PortableAnn.ivfKmeansSql)
+    ),
+
+    // Engine-portable char-shingle MinHash+LSH (the x39 pipeline shape
+    // for unsegmented scripts): 8-char shingles, md5 lane hashes, md5
+    // band keys, signature-agreement estimate — the char-level
+    // counterpart of x29, certifying the charMinhashLshPairs shape
+    // end-to-end. 0.3 md5 gate = x39's subset; threshold 0.25 keeps
+    // weaker candidate pairs in the certified output.
+    GraftQuery(
+      "x47_char_neardup_portable",
+      (s, d) => {
+        val corpus = graft.operators.DataMix
+          .md5Sample(t(s, d, "documents"), 0.3, Seq(col("doc_id")))
+        val charN = 8
+        val tcol = col("text")
+        val shingles = when(length(tcol) < charN, array().cast("array<string>"))
+          .otherwise(array_distinct(transform(
+            sequence(lit(1), length(tcol) - (charN - 1)),
+            i => tcol.substr(i, lit(charN)))))
+        val ex = corpus.select(col("doc_id"), explode(shingles).as("sg"))
+        val lanes = ex
+          .select(
+            col("doc_id"),
+            posexplode(array((0 until 8).map(i =>
+              md5(concat(lit(i.toString), lit("\u0001"), col("sg")))): _*)).as(Seq("lane", "h")))
+          .groupBy("doc_id", "lane")
+          .agg(min(col("h")).as("mh"))
+        val sig = lanes
+          .groupBy("doc_id")
+          .agg(array_sort(collect_list(struct(col("lane"), col("mh")))).as("lm"))
+          .select(col("doc_id"), transform(col("lm"), e => e.getField("mh")).as("s"))
+        val banded = sig.select(
+          col("doc_id"), col("s"),
+          posexplode(array((0 until 4).map(b =>
+            md5(concat((1 to 2).map(j => element_at(col("s"), b * 2 + j)): _*))): _*))
+            .as(Seq("band_id", "band_key")))
+        val a = banded.select(
+          col("band_id"), col("band_key"), col("doc_id").as("doc_a"), col("s").as("sa"))
+        val b = banded.select(
+          col("band_id"), col("band_key"), col("doc_id").as("doc_b"), col("s").as("sb"))
+        a.join(b, Seq("band_id", "band_key"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b", "sa", "sb")
+          .dropDuplicates("doc_a", "doc_b")
+          .withColumn(
+            "est_jaccard",
+            aggregate(
+              zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
+              lit(0), (acc, v) => acc + v).cast("double") / 8.0)
+          .filter(col("est_jaccard") >= 0.25)
+          .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4ccc'),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(text) < 8 THEN []::VARCHAR[]
+        |              ELSE list_distinct(list_transform(range(1, length(text) - 6),
+        |                     i -> substring(text, i, 8)))
+        |         END AS sg
+        |  FROM t),
+        |ln AS (
+        |  SELECT doc_id, r.range AS lane,
+        |         min(md5(CAST(r.range AS VARCHAR) || chr(1) || u.sg_el)) AS mh
+        |  FROM sh, unnest(sh.sg) AS u(sg_el), range(8) AS r
+        |  GROUP BY 1, 2),
+        |sig AS (SELECT doc_id, list(mh ORDER BY lane) AS s FROM ln GROUP BY 1),
+        |banded AS (
+        |  SELECT doc_id, s, b.range AS band_id,
+        |         md5(s[b.range * 2 + 1] || s[b.range * 2 + 2]) AS band_key
+        |  FROM sig, range(4) AS b),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+        |  FROM banded a JOIN banded b
+        |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+        |   AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  ROUND(list_sum(list_transform(range(1, 9),
+        |          i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 8.0, 4) AS est_jaccard
+        |FROM cand
+        |WHERE list_sum(list_transform(range(1, 9),
+        |        i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 8.0 >= 0.25
+        |ORDER BY doc_a, doc_b""".stripMargin)
     )
   )
 

@@ -110,6 +110,29 @@ class DedupSpec extends SparkSpec {
     assert(capped.contains((1L, 2L)), s"rare-shingle dup lost: $capped")
   }
 
+  test("ngramDupStats maxGramDf removes boilerplate grams from the universe") {
+    import sqlImplicits._
+    // Docs 1..40 share one boilerplate 5-gram ("b1..b5"); docs 1 and 2
+    // are identical (so their other grams have df=2); docs 3..40 have
+    // unique tails. Uncapped: every doc counts the boilerplate gram as
+    // duplicated. Capped at df<=10: the df=40 boilerplate gram leaves
+    // the universe, so only docs 1,2 still carry duplicated grams.
+    val docs = (1L to 40L).map { i =>
+      val rare = if (i <= 2) " r1 r2 r3 r4 r5" else s" u${i}a u${i}b u${i}c u${i}d u${i}e"
+      (i, s"b1 b2 b3 b4 b5$rare")
+    }.toDF("doc_id", "text")
+    val uncapped = Dedup.ngramDupStats(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(uncapped.size == 40 && uncapped.values.forall(_ >= 1))
+    val capped = Dedup.ngramDupStats(docs, maxGramDf = Some(10L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(capped.map(_._1).toSet == (1L to 40L).toSet)
+    // Every doc keeps its 5 non-boilerplate grams in the universe;
+    // only 1 and 2 (identical) still have duplicated ones.
+    assert(capped.forall { case (_, n, _) => n == 5L }, s"got ${capped.toSeq}")
+    assert(capped.forall { case (id, _, dup) => (dup >= 1) == (id <= 2) }, s"got ${capped.toSeq}")
+  }
+
   test("bloomSemiJoin equals the exact semi-join (no false negatives, FPs verified away)") {
     import sqlImplicits._
     val big = (1L to 5000L).map(i => (i, s"key-$i")).toDF("id", "k")
