@@ -35,21 +35,86 @@ object Multimodal {
   /** One sampled frame reference. */
   final case class FrameSample(doc_id: Long, frame_idx: Int, frame_key: String)
 
+  private def fnv64(payload: Array[Byte]): Long = {
+    var h = 1469598103934665603L // FNV offset basis, pure-JVM determinism
+    var i = 0
+    while (i < payload.length) { h = (h ^ (payload(i) & 0xffL)) * 1099511628211L; i += 1 }
+    h
+  }
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) | ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  /** REAL decode path: BMP (BITMAPINFOHEADER) header parse. Gated on
+    * the "BM" magic plus structural validity (biSize = 40, sane
+    * dimensions) so arbitrary binary/text payloads can never
+    * false-positive into garbage dimensions. Negative height is the
+    * legal top-down encoding. Pure JVM — no codec dependency.
+    */
+  def decodeBmp(f: MediaFile): Option[MediaMeta] = {
+    val p = f.payload
+    if (p.length >= 54 && p(0) == 'B'.toByte && p(1) == 'M'.toByte && le32(p, 14) == 40) {
+      val w = le32(p, 18)
+      val h = le32(p, 22)
+      if (w > 0 && w < 65536 && h != 0 && math.abs(h) < 65536)
+        Some(MediaMeta(f.doc_id, "image/bmp", p.length.toLong, w, math.abs(h), 1, fnv64(p)))
+      else None
+    } else None
+  }
+
+  /** REAL decode path: WAV (RIFF) chunk walk — fmt gives sample rate /
+    * channels / block align, data gives the payload span; n_frames is
+    * the per-channel sample-frame count (dataBytes / blockAlign).
+    * Metadata mapping: width = sample rate, height = channels. Chunks
+    * are word-aligned per the RIFF spec. Pure JVM.
+    */
+  def decodeWav(f: MediaFile): Option[MediaMeta] = {
+    val p = f.payload
+    val riff = p.length >= 44 &&
+      p(0) == 'R'.toByte && p(1) == 'I'.toByte && p(2) == 'F'.toByte && p(3) == 'F'.toByte &&
+      p(8) == 'W'.toByte && p(9) == 'A'.toByte && p(10) == 'V'.toByte && p(11) == 'E'.toByte
+    if (!riff) return None
+    var off = 12
+    var channels = 0
+    var rate = 0
+    var block = 0
+    var dataLen = -1
+    while (off + 8 <= p.length) {
+      val id = new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = le32(p, off + 4)
+      if (sz < 0) return None
+      if (id == "fmt " && off + 8 + 16 <= p.length) {
+        channels = le16(p, off + 10)
+        rate = le32(p, off + 12)
+        block = le16(p, off + 20)
+      } else if (id == "data") dataLen = sz
+      off += 8 + sz + (sz & 1)
+    }
+    if (channels > 0 && rate > 0 && block > 0 && dataLen >= 0)
+      Some(MediaMeta(f.doc_id, "audio/wav", p.length.toLong, rate, channels, dataLen / block, fnv64(p)))
+    else None
+  }
+
   /** Deterministic fake decode of a payload batch. Runs per partition
-    * (batched, like a vectorized decode); replace the body with a real
-    * codec call to productionize. Marked clearly as a stub.
+    * (batched, like a vectorized decode). Payloads with a recognized
+    * public container magic take a REAL pure-JVM header parse
+    * ([[decodeBmp]], [[decodeWav]]); everything else falls through to
+    * the clearly-marked stub (no image/audio codecs in this
+    * environment for compressed formats).
     */
   def decodeStub(files: Iterator[MediaFile]): Iterator[MediaMeta] =
     files.map { f =>
-      // STUB: a real implementation would decode f.payload here.
-      val n = f.payload.length.toLong
-      var h = 1469598103934665603L // FNV offset basis, pure-JVM determinism
-      var i = 0
-      while (i < f.payload.length) { h = (h ^ (f.payload(i) & 0xffL)) * 1099511628211L; i += 1 }
-      val width = (math.abs(h % 1280L) + 16L).toInt
-      val height = (math.abs((h >> 16) % 720L) + 16L).toInt
-      val frames = (math.abs((h >> 32) % 30L) + 1L).toInt
-      MediaMeta(f.doc_id, f.mime, n, width, height, frames, h)
+      decodeBmp(f).orElse(decodeWav(f)).getOrElse {
+        // STUB: a real implementation would decode f.payload here.
+        val n = f.payload.length.toLong
+        val h = fnv64(f.payload)
+        val width = (math.abs(h % 1280L) + 16L).toInt
+        val height = (math.abs((h >> 16) % 720L) + 16L).toInt
+        val frames = (math.abs((h >> 32) % 30L) + 1L).toInt
+        MediaMeta(f.doc_id, f.mime, n, width, height, frames, h)
+      }
     }
 
   /** Synthesize a media table from `documents` (the container ships no

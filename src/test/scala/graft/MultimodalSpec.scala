@@ -56,6 +56,73 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  /** Minimal valid 24-bit BMP: 54-byte header + padded pixel rows. */
+  private def bmpBytes(w: Int, h: Int): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val dataSize = rowBytes * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putShort(0).putShort(0).putInt(54) // reserved, pixel offset
+      .putInt(40).putInt(w).putInt(h)     // BITMAPINFOHEADER
+      .putShort(1).putShort(24)           // planes, bpp
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    (0 until dataSize).foreach(i => buf.put((i % 251).toByte))
+    buf.array()
+  }
+
+  /** Minimal PCM WAV: RIFF/fmt/data with the given geometry. */
+  private def wavBytes(rate: Int, channels: Int, bitsPerSample: Int, nFrames: Int): Array[Byte] = {
+    val block = channels * bitsPerSample / 8
+    val dataSize = nFrames * block
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize).put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate).putInt(rate * block)
+      .putShort(block.toShort).putShort(bitsPerSample.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    (0 until dataSize).foreach(i => buf.put((i % 13).toByte))
+    buf.array()
+  }
+
+  test("BMP and WAV payloads take the real header-decode path") {
+    implicit val s = spark
+    import sqlImplicits._
+    val media = Seq(
+      (10L, "application/octet-stream", bmpBytes(33, 21)),
+      (11L, "application/octet-stream", wavBytes(8000, 2, 16, 120)),
+      (12L, "application/octet-stream", "not a container at all".getBytes("UTF-8")))
+      .toDF("doc_id", "mime", "payload").as[Multimodal.MediaFile]
+    val meta = Multimodal.extractMeta(media).collect().map(m => m.doc_id -> m).toMap
+    // Real BMP parse: exact planted dimensions, single frame, detected mime.
+    assert(meta(10L).mime == "image/bmp")
+    assert((meta(10L).width, meta(10L).height, meta(10L).n_frames) == ((33, 21, 1)))
+    // Real WAV parse: rate/channels/sample-frame count from the chunks.
+    assert(meta(11L).mime == "audio/wav")
+    assert((meta(11L).width, meta(11L).height, meta(11L).n_frames) == ((8000, 2, 120)))
+    // Unrecognized payloads still flow through the documented stub.
+    assert(meta(12L).mime == "application/octet-stream")
+    assert(meta(12L).n_bytes == 22L)
+  }
+
+  test("top-down BMP (negative height) decodes to positive dimensions") {
+    val p = bmpBytes(8, 4)
+    val buf = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(22, -4) // legal top-down encoding
+    val got = Multimodal.decodeBmp(Multimodal.MediaFile(1L, "x", p))
+    assert(got.exists(m => m.width == 8 && m.height == 4))
+  }
+
+  test("text that merely starts with the magic letters never false-positives") {
+    val bm = Multimodal.decodeBmp(Multimodal.MediaFile(1L, "x",
+      ("BM this text is long enough to clear the 54-byte header check " +
+        "but has no null bytes anywhere").getBytes("UTF-8")))
+    assert(bm.isEmpty)
+    val rf = Multimodal.decodeWav(Multimodal.MediaFile(1L, "x",
+      ("RIFF text that is long enough but lacks the WAVE tag and chunks " +
+        "and therefore must be rejected").getBytes("UTF-8")))
+    assert(rf.isEmpty)
+  }
+
   test("resize plan fits the box, preserves aspect ratio, never upscales") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import sqlImplicits._
