@@ -1198,17 +1198,25 @@ object ExtQueries {
             sequence(lit(1), length(tcol) - (charN - 1)),
             i => tcol.substr(i, lit(charN)))))
         val ex = corpus.select(col("doc_id"), explode(shingles).as("sg"))
-        val lanes = ex
-          .select(
-            col("doc_id"),
-            posexplode(array((0 until 8).map(i =>
-              md5(concat(lit(i.toString), lit("\u0001"), col("sg")))): _*)).as(Seq("lane", "h")))
-          .groupBy("doc_id", "lane")
-          .agg(min(col("h")).as("mh"))
-        val sig = lanes
+        // Char-shingle volume ~ chars/doc (~10x the word pipeline), so
+        // the 8 lanes come from SUBSTRINGS of two md5s (4 x 32 bits
+        // each) instead of 8 independent md5s - materialized as
+        // attributes first so each hash runs once per shingle, not
+        // once per lane reference. Fixed-width lowercase hex means the
+        // string min IS the numeric 32-bit min.
+        val hashed = ex.select(
+          col("doc_id"),
+          md5(concat(lit("a"), lit("\u0001"), col("sg"))).as("ha"),
+          md5(concat(lit("b"), lit("\u0001"), col("sg"))).as("hb"))
+        // One groupBy with 8 min-aggregate columns (the
+        // minhashSignatures shape): no 8x lane explosion, map-side
+        // partial combine, the shuffle carries one row per doc.
+        val mins = (0 until 8).map(j =>
+          min(substring(if (j < 4) col("ha") else col("hb"), (j % 4) * 8 + 1, 8)).as(s"m$j"))
+        val sig = hashed
           .groupBy("doc_id")
-          .agg(array_sort(collect_list(struct(col("lane"), col("mh")))).as("lm"))
-          .select(col("doc_id"), transform(col("lm"), e => e.getField("mh")).as("s"))
+          .agg(mins.head, mins.tail: _*)
+          .select(col("doc_id"), array((0 until 8).map(j => col(s"m$j")): _*).as("s"))
         val banded = sig.select(
           col("doc_id"), col("s"),
           posexplode(array((0 until 4).map(b =>
@@ -1241,10 +1249,16 @@ object ExtQueries {
         |                     i -> substring(text, i, 8)))
         |         END AS sg
         |  FROM t),
+        |h2 AS (
+        |  SELECT doc_id,
+        |         md5('a' || chr(1) || u.sg_el) AS ha,
+        |         md5('b' || chr(1) || u.sg_el) AS hb
+        |  FROM sh, unnest(sh.sg) AS u(sg_el)),
         |ln AS (
         |  SELECT doc_id, r.range AS lane,
-        |         min(md5(CAST(r.range AS VARCHAR) || chr(1) || u.sg_el)) AS mh
-        |  FROM sh, unnest(sh.sg) AS u(sg_el), range(8) AS r
+        |         min(substring(CASE WHEN r.range < 4 THEN ha ELSE hb END,
+        |                       CAST((r.range % 4) * 8 + 1 AS INT), 8)) AS mh
+        |  FROM h2, range(8) AS r
         |  GROUP BY 1, 2),
         |sig AS (SELECT doc_id, list(mh ORDER BY lane) AS s FROM ln GROUP BY 1),
         |banded AS (
