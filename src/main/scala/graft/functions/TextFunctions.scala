@@ -40,6 +40,20 @@ object TextFunctions {
     array_distinct(when(size(toks) < n, array().cast("array<string>")).otherwise(grams))
   }
 
+  /** Distinct overlapping character `n`-gram shingles — the dedup unit
+    * for unsegmented scripts (zh/ja/th), where whitespace tokens don't
+    * exist. Texts shorter than `n` produce no shingles. Shared by the
+    * production char-LSH operator and its portable certified twin so
+    * the two can never diverge. `substr` indexes the text column
+    * directly (no per-position re-evaluation hazard — the lambda
+    * argument is the scalar, not an array rebuild).
+    */
+  def charShingles(text: Column, n: Int): Column =
+    when(length(text) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
+
   // (A per-row array-HOF MinHash signature used to live here; it was
   //  superseded by Dedup.minhashSignatures' explode→groupBy-min
   //  formulation — the HOF form re-evaluates the interpreted shingle

@@ -97,13 +97,7 @@ object Dedup {
       charN: Int = 8,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
-    val shingles = array_distinct(
-      when(length(t) < charN, array().cast("array<string>"))
-        .otherwise(transform(
-          sequence(lit(1), length(t) - (charN - 1)),
-          i => t.substr(i, lit(charN)))))
-    val exploded = docs.select(col(idCol), explode(shingles).as("shingle"))
+    val exploded = docs.select(col(idCol), explode(charShingles(col(textCol), charN)).as("shingle"))
     val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
     exploded
       .groupBy(col(idCol))
@@ -400,11 +394,15 @@ object Dedup {
         // the universe entirely, numerator AND denominator —
         // boilerplate stops being duplication evidence. Docs whose
         // grams are all capped out drop from the output (as do docs
-        // with < n tokens).
-        val dfTab = grams.groupBy("gh")
+        // with < n tokens). The exploded gram table is materialized
+        // once (ngramJaccardPairs does the same): both the df build
+        // and the join probe read it, and the tokenize/shingle/md5
+        // pipeline dominates its cost.
+        val cached = OpCache.swap("dedup.dupstats.grams", grams)
+        val dfTab = cached.groupBy("gh")
           .agg(count(lit(1)).as("df"))
           .filter(col("df") <= cap)
-        grams.join(dfTab, Seq("gh"))
+        cached.join(dfTab, Seq("gh"))
     }
     withDf
       .groupBy("doc_id")

@@ -58,7 +58,9 @@ object Multimodal {
     if (p.length >= 54 && p(0) == 'B'.toByte && p(1) == 'M'.toByte && le32(p, 14) == 40) {
       val w = le32(p, 18)
       val h = le32(p, 22)
-      if (w > 0 && w < 65536 && h != 0 && math.abs(h) < 65536)
+      // Bounds BEFORE abs: math.abs(Int.MinValue) is negative, so an
+      // abs-then-compare gate would accept biHeight = 0x80000000.
+      if (w > 0 && w < 65536 && h != 0 && h > -65536 && h < 65536)
         Some(MediaMeta(f.doc_id, "image/bmp", p.length.toLong, w, math.abs(h), 1, fnv64(p)))
       else None
     } else None
@@ -76,24 +78,28 @@ object Multimodal {
       p(0) == 'R'.toByte && p(1) == 'I'.toByte && p(2) == 'F'.toByte && p(3) == 'F'.toByte &&
       p(8) == 'W'.toByte && p(9) == 'A'.toByte && p(10) == 'V'.toByte && p(11) == 'E'.toByte
     if (!riff) return None
-    var off = 12
+    // Long offsets + every-chunk-must-fit: declared sizes are
+    // untrusted (a size near 2³¹ would wrap an Int walk into a
+    // negative offset and crash the task instead of falling through
+    // to the stub; a truncated data chunk would overstate n_frames).
+    var off = 12L
     var channels = 0
     var rate = 0
     var block = 0
-    var dataLen = -1
+    var dataLen = -1L
     while (off + 8 <= p.length) {
-      val id = new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val sz = le32(p, off + 4)
-      if (sz < 0) return None
-      if (id == "fmt " && off + 8 + 16 <= p.length) {
-        channels = le16(p, off + 10)
-        rate = le32(p, off + 12)
-        block = le16(p, off + 20)
+      val id = new String(p, off.toInt, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = le32(p, off.toInt + 4).toLong & 0xffffffffL
+      if (off + 8 + sz > p.length) return None // malformed/truncated
+      if (id == "fmt " && sz >= 16) {
+        channels = le16(p, off.toInt + 10)
+        rate = le32(p, off.toInt + 12)
+        block = le16(p, off.toInt + 20)
       } else if (id == "data") dataLen = sz
       off += 8 + sz + (sz & 1)
     }
     if (channels > 0 && rate > 0 && block > 0 && dataLen >= 0)
-      Some(MediaMeta(f.doc_id, "audio/wav", p.length.toLong, rate, channels, dataLen / block, fnv64(p)))
+      Some(MediaMeta(f.doc_id, "audio/wav", p.length.toLong, rate, channels, (dataLen / block).toInt, fnv64(p)))
     else None
   }
 

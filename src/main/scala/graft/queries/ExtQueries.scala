@@ -1191,13 +1191,8 @@ object ExtQueries {
       (s, d) => {
         val corpus = graft.operators.DataMix
           .md5Sample(t(s, d, "documents"), 0.3, Seq(col("doc_id")))
-        val charN = 8
-        val tcol = col("text")
-        val shingles = when(length(tcol) < charN, array().cast("array<string>"))
-          .otherwise(array_distinct(transform(
-            sequence(lit(1), length(tcol) - (charN - 1)),
-            i => tcol.substr(i, lit(charN)))))
-        val ex = corpus.select(col("doc_id"), explode(shingles).as("sg"))
+        val ex = corpus.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.charShingles(col("text"), 8)).as("sg"))
         // Char-shingle volume ~ chars/doc (~10x the word pipeline), so
         // the 8 lanes come from SUBSTRINGS of two md5s (4 x 32 bits
         // each) instead of 8 independent md5s - materialized as

@@ -112,6 +112,29 @@ class MultimodalSpec extends SparkSpec {
     assert(got.exists(m => m.width == 8 && m.height == 4))
   }
 
+  test("malformed containers fall through to the stub instead of crashing") {
+    // WAV whose first chunk declares a size near Int.MaxValue: an Int
+    // offset walk would wrap negative and throw; the Long walk with
+    // every-chunk-must-fit rejects it.
+    val evil = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(56).put("WAVE".getBytes("US-ASCII"))
+      .put("junk".getBytes("US-ASCII")).putInt(0x7ffffff0)
+      .array()
+    assert(Multimodal.decodeWav(Multimodal.MediaFile(1L, "x", evil)).isEmpty)
+    // Truncated data chunk (declares more bytes than present) rejects
+    // rather than overstating n_frames.
+    val truncated = {
+      val ok = wavBytes(8000, 1, 16, 10)
+      java.nio.ByteBuffer.wrap(ok).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(40, 9999)
+      ok
+    }
+    assert(Multimodal.decodeWav(Multimodal.MediaFile(1L, "x", truncated)).isEmpty)
+    // BMP with biHeight = Int.MinValue (abs() stays negative) rejects.
+    val minH = bmpBytes(8, 4)
+    java.nio.ByteBuffer.wrap(minH).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(22, Int.MinValue)
+    assert(Multimodal.decodeBmp(Multimodal.MediaFile(1L, "x", minH)).isEmpty)
+  }
+
   test("text that merely starts with the magic letters never false-positives") {
     val bm = Multimodal.decodeBmp(Multimodal.MediaFile(1L, "x",
       ("BM this text is long enough to clear the 54-byte header check " +
