@@ -309,12 +309,15 @@ object Dedup {
 
   /** Broadcast-bloom membership probe dispatched on the key column's
     * actual type, mirroring how `DataFrameStatFunctions.bloomFilter`
-    * inserts: strings via `mightContainString`, integral types via
-    * `mightContainLong`. The dispatch is load-bearing for the
-    * "bit-identical to the plain semi-join" contract — a blanket
-    * string-cast probe against a long-populated sketch tests false for
-    * every row and silently turns pruning into false negatives.
-    * Mismatched or unsupported key types are rejected up front.
+    * inserts: strings hash their UTF-8 bytes, integral types probe as
+    * longs. The dispatch is load-bearing for the "bit-identical to the
+    * plain semi-join" contract — a blanket string-cast probe against a
+    * long-populated sketch tests false for every row and silently
+    * turns pruning into false negatives. Mismatched or unsupported key
+    * types are rejected up front. The probe itself is the codegen'd
+    * [[graft.plans.BloomMightContain]] — it stays inside whole-stage
+    * codegen on what is by design a full-scan-rate filter (no UDF
+    * boxing, no UTF8String→String conversion).
     */
   private[graft] def bloomMightContain(
       probed: DataFrame,
@@ -327,17 +330,16 @@ object Dedup {
     val insertType = inserted.schema(key).dataType
     require(probeType == insertType,
       s"bloom key '$key' type mismatch: probe side $probeType vs sketch side $insertType")
-    probeType match {
-      case StringType =>
-        val might = udf((s: String) => s != null && bc.value.mightContainString(s))
-        might(col(key))
-      case ByteType | ShortType | IntegerType | LongType =>
-        val might = udf((l: java.lang.Long) => l != null && bc.value.mightContainLong(l))
-        might(col(key).cast("long"))
+    val keyExpr = probeType match {
+      case StringType => col(key)
+      case ByteType | ShortType | IntegerType | LongType => col(key).cast("long")
       case other =>
         throw new IllegalArgumentException(
           s"bloom key '$key' has unsupported type $other (string or integral required)")
     }
+    org.apache.spark.sql.graftops.ColumnBridge.column(
+      graft.plans.BloomMightContain(
+        org.apache.spark.sql.graftops.ColumnBridge.expression(keyExpr), bc))
   }
 
   // Released via OpCache.clear() (test teardown / probe-loop resets):

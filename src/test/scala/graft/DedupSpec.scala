@@ -171,6 +171,24 @@ class DedupSpec extends SparkSpec {
     assert(viaInt == Set(5L, 50L))
   }
 
+  test("bloom probe is a native codegen expression, not a UDF") {
+    import sqlImplicits._
+    // Parquet-backed input: an in-memory LocalRelation would let the
+    // optimizer evaluate the deterministic probe at plan time and fold
+    // it into the LocalTableScan (valid, but hides the runtime shape
+    // this test pins).
+    val dir = java.nio.file.Files.createTempDirectory("bloom_plan").toString
+    (1L to 100L).map(i => (i, s"k-$i")).toDF("id", "k")
+      .write.mode("overwrite").parquet(dir)
+    val big = spark.read.parquet(dir)
+    val small = Seq(Tuple1("k-7")).toDF("k")
+    val probed = Dedup.bloomSemiJoin(big, small, "k", expectedItems = 10L)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_might_contain"), s"probe missing from plan:\n$plan")
+    assert(!plan.contains("UDF"), s"UDF still in plan:\n$plan")
+    assert(probed.select("id").collect().map(_.getLong(0)).toSet == Set(7L))
+  }
+
   test("bloomSemiJoin rejects mismatched and unsupported key types") {
     import sqlImplicits._
     val bigStr = Seq((1L, "a")).toDF("id", "k")
