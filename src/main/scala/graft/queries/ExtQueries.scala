@@ -1188,92 +1188,132 @@ object ExtQueries {
     // weaker candidate pairs in the certified output.
     GraftQuery(
       "x47_char_neardup_portable",
-      (s, d) => {
-        val corpus = graft.operators.DataMix
-          .md5Sample(t(s, d, "documents"), 0.3, Seq(col("doc_id")))
-        val ex = corpus.select(col("doc_id"),
-          explode(graft.functions.TextFunctions.charShingles(col("text"), 8)).as("sg"))
-        // Char-shingle volume ~ chars/doc (~10x the word pipeline), so
-        // the 8 lanes come from SUBSTRINGS of two md5s (4 x 32 bits
-        // each) instead of 8 independent md5s - materialized as
-        // attributes first so each hash runs once per shingle, not
-        // once per lane reference. Fixed-width lowercase hex means the
-        // string min IS the numeric 32-bit min.
-        val hashed = ex.select(
-          col("doc_id"),
-          md5(concat(lit("a"), lit("\u0001"), col("sg"))).as("ha"),
-          md5(concat(lit("b"), lit("\u0001"), col("sg"))).as("hb"))
-        // One groupBy with 8 min-aggregate columns (the
-        // minhashSignatures shape): no 8x lane explosion, map-side
-        // partial combine, the shuffle carries one row per doc.
-        val mins = (0 until 8).map(j =>
-          min(substring(if (j < 4) col("ha") else col("hb"), (j % 4) * 8 + 1, 8)).as(s"m$j"))
-        val sig = hashed
-          .groupBy("doc_id")
-          .agg(mins.head, mins.tail: _*)
-          .select(col("doc_id"), array((0 until 8).map(j => col(s"m$j")): _*).as("s"))
-        val banded = sig.select(
-          col("doc_id"), col("s"),
-          posexplode(array((0 until 4).map(b =>
-            md5(concat((1 to 2).map(j => element_at(col("s"), b * 2 + j)): _*))): _*))
-            .as(Seq("band_id", "band_key")))
-        val a = banded.select(
-          col("band_id"), col("band_key"), col("doc_id").as("doc_a"), col("s").as("sa"))
-        val b = banded.select(
-          col("band_id"), col("band_key"), col("doc_id").as("doc_b"), col("s").as("sb"))
-        a.join(b, Seq("band_id", "band_key"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b", "sa", "sb")
-          .dropDuplicates("doc_a", "doc_b")
-          .withColumn(
-            "est_jaccard",
-            aggregate(
-              zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
-              lit(0), (acc, v) => acc + v).cast("double") / 8.0)
-          .filter(col("est_jaccard") >= 0.25)
+      (s, d) =>
+        charPortablePairs(s, d)
           .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
-          .orderBy("doc_a", "doc_b")
-      },
-      Some("""WITH t AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4ccc'),
-        |sh AS (
-        |  SELECT doc_id,
-        |         CASE WHEN length(text) < 8 THEN []::VARCHAR[]
-        |              ELSE list_distinct(list_transform(range(1, length(text) - 6),
-        |                     i -> substring(text, i, 8)))
-        |         END AS sg
-        |  FROM t),
-        |h2 AS (
-        |  SELECT doc_id,
-        |         md5('a' || chr(1) || u.sg_el) AS ha,
-        |         md5('b' || chr(1) || u.sg_el) AS hb
-        |  FROM sh, unnest(sh.sg) AS u(sg_el)),
-        |ln AS (
-        |  SELECT doc_id, r.range AS lane,
-        |         min(substring(CASE WHEN r.range < 4 THEN ha ELSE hb END,
-        |                       CAST((r.range % 4) * 8 + 1 AS INT), 8)) AS mh
-        |  FROM h2, range(8) AS r
-        |  GROUP BY 1, 2),
-        |sig AS (SELECT doc_id, list(mh ORDER BY lane) AS s FROM ln GROUP BY 1),
-        |banded AS (
-        |  SELECT doc_id, s, b.range AS band_id,
-        |         md5(s[b.range * 2 + 1] || s[b.range * 2 + 2]) AS band_key
-        |  FROM sig, range(4) AS b),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
-        |  FROM banded a JOIN banded b
-        |    ON a.band_id = b.band_id AND a.band_key = b.band_key
-        |   AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b,
-        |  ROUND(list_sum(list_transform(range(1, 9),
-        |          i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 8.0, 4) AS est_jaccard
-        |FROM cand
-        |WHERE list_sum(list_transform(range(1, 9),
-        |        i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 8.0 >= 0.25
-        |ORDER BY doc_a, doc_b""".stripMargin)
+          .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $charPortablePairsCte
+        |SELECT doc_a, doc_b, ROUND(est_jaccard, 4) AS est_jaccard
+        |FROM cpairs ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // Cluster resolution, oracle-certified end-to-end: connected
+    // components (Dedup.resolveClusters - the iterative min-label
+    // propagation behind x16) over the PORTABLE char-LSH pair set,
+    // replayed in DuckDB as a recursive min-reachability CTE. Cluster
+    // label = min doc_id of the component in both formulations, so the
+    // hash row certifies the component structure exactly.
+    GraftQuery(
+      "x48_dedup_resolve_portable",
+      (s, d) =>
+        Dedup.resolveClusters(charPortablePairs(s, d).select("doc_a", "doc_b"))
+          .select(col("id").as("doc_id"), col("cluster_id"))
+          .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $charPortablePairsCte,
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM cpairs
+        |  UNION ALL
+        |  SELECT doc_b AS src, doc_a AS dst FROM cpairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS lab FROM nodes
+        |  UNION
+        |  SELECT e.src AS id, r.lab
+        |  FROM edges e JOIN reach r ON e.dst = r.id)
+        |SELECT id AS doc_id, min(lab) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)
     )
   )
+
+  /** Shared Spark side of the x47/x48 portable char-LSH pair set:
+    * 8-char shingles on the 0.3 md5-gated corpus, 8 minhash lanes from
+    * substrings of two md5s (char-shingle volume is ~10x the word
+    * pipeline, so per-shingle hashing is 2 md5s, not 8; fixed-width
+    * lowercase hex makes the string min the numeric 32-bit min), one
+    * groupBy with 8 min-aggregate columns (no lane explosion, map-side
+    * partial combine), md5 2-lane band keys, signature-agreement
+    * estimate >= 0.25. Output: (doc_a, doc_b, est_jaccard unrounded).
+    */
+  private def charPortablePairs(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val corpus = graft.operators.DataMix
+      .md5Sample(t(s, d, "documents"), 0.3, Seq(col("doc_id")))
+    val ex = corpus.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.charShingles(col("text"), 8)).as("sg"))
+    val hashed = ex.select(
+      col("doc_id"),
+      md5(concat(lit("a"), lit("\u0001"), col("sg"))).as("ha"),
+      md5(concat(lit("b"), lit("\u0001"), col("sg"))).as("hb"))
+    val mins = (0 until 8).map(j =>
+      min(substring(if (j < 4) col("ha") else col("hb"), (j % 4) * 8 + 1, 8)).as(s"m$j"))
+    val sig = hashed
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until 8).map(j => col(s"m$j")): _*).as("s"))
+    val banded = sig.select(
+      col("doc_id"), col("s"),
+      posexplode(array((0 until 4).map(b =>
+        md5(concat((1 to 2).map(j => element_at(col("s"), b * 2 + j)): _*))): _*))
+        .as(Seq("band_id", "band_key")))
+    val a = banded.select(
+      col("band_id"), col("band_key"), col("doc_id").as("doc_a"), col("s").as("sa"))
+    val b = banded.select(
+      col("band_id"), col("band_key"), col("doc_id").as("doc_b"), col("s").as("sb"))
+    a.join(b, Seq("band_id", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sa", "sb")
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn(
+        "est_jaccard",
+        aggregate(
+          zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / 8.0)
+      .filter(col("est_jaccard") >= 0.25)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** Shared DuckDB CTE chain replaying [[charPortablePairs]], ending
+    * in `cpairs(doc_a, doc_b, est_jaccard)`. Spliced after `WITH` /
+    * `WITH RECURSIVE` by x47/x48.
+    */
+  private lazy val charPortablePairsCte: String =
+    """t AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4ccc'),
+      |sh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN length(text) < 8 THEN []::VARCHAR[]
+      |              ELSE list_distinct(list_transform(range(1, length(text) - 6),
+      |                     i -> substring(text, i, 8)))
+      |         END AS sg
+      |  FROM t),
+      |h2 AS (
+      |  SELECT doc_id,
+      |         md5('a' || chr(1) || u.sg_el) AS ha,
+      |         md5('b' || chr(1) || u.sg_el) AS hb
+      |  FROM sh, unnest(sh.sg) AS u(sg_el)),
+      |ln AS (
+      |  SELECT doc_id, r.range AS lane,
+      |         min(substring(CASE WHEN r.range < 4 THEN ha ELSE hb END,
+      |                       CAST((r.range % 4) * 8 + 1 AS INT), 8)) AS mh
+      |  FROM h2, range(8) AS r
+      |  GROUP BY 1, 2),
+      |sig AS (SELECT doc_id, list(mh ORDER BY lane) AS s FROM ln GROUP BY 1),
+      |banded AS (
+      |  SELECT doc_id, s, b.range AS band_id,
+      |         md5(s[b.range * 2 + 1] || s[b.range * 2 + 2]) AS band_key
+      |  FROM sig, range(4) AS b),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+      |  FROM banded a JOIN banded b
+      |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+      |   AND a.doc_id < b.doc_id),
+      |cpairs AS (
+      |  SELECT doc_a, doc_b,
+      |         list_sum(list_transform(range(1, 9),
+      |             i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 8.0 AS est_jaccard
+      |  FROM cand
+      |  WHERE list_sum(list_transform(range(1, 9),
+      |          i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 8.0 >= 0.25)""".stripMargin
 
   /** DuckDB replay of the x40 portable SimHash — the 16 vote columns
     * and signature bits are GENERATED so the lane structure can never
