@@ -73,6 +73,11 @@ object ScaleProbe {
       d.count(); v.count() // materialize inputs outside the timers
       time(s"minhash_lsh_pairs      x$k", Dedup.minhashLshPairs(d, minEstJaccard = 0.5))
       time(s"ngram_jaccard_pairs    x$k", Dedup.ngramJaccardPairs(d))
+      // dup-gram stats: window-df default vs the groupBy+join df cap —
+      // the capped path must stay in the same cost class while being
+      // immune to a single high-df gram straggler partition.
+      time(s"ngram_dup_stats        x$k", Dedup.ngramDupStats(d))
+      time(s"ngram_dup_stats_capped x$k", Dedup.ngramDupStats(d, maxGramDf = Some(1000L)))
       time(s"simhash_pairs          x$k", Dedup.simhashPairs(d, maxHamming = 3))
       time(s"char_minhash_lsh_pairs x$k", Dedup.charMinhashLshPairs(d))
       time(s"ann_sign_lsh_topk      x$k", Similarity.annSignLshTopK(v))
