@@ -228,6 +228,24 @@ class StreamingSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("streaming decontamination dispatches long-key bloom probes") {
+    import sqlImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    // A string-cast probe against a long-populated sketch would test
+    // false everywhere: no pruning, but worse, it must STILL equal the
+    // anti-join — this pins that the typed dispatch keeps the
+    // prune-then-verify contract on numeric keys.
+    val stream = MemoryStream[(Long, Long)]
+    val blocklist = Seq(14L, 77L, 9999L).map(Tuple1(_)).toDF("k")
+    val filtered = EventStreams.decontaminateStream(
+      stream.toDF.toDF("id", "k"), blocklist, "k", expectedItems = 3L)
+    stream.addData((1L to 100L).map(i => (i, i * 7L)): _*)
+    val out = EventStreams.runToMemory(filtered, "bloom_decon_long_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out == (1L to 100L).toSet - 2L - 11L, s"got ${out.size} rows")
+  }
+
   test("streaming foreachBatch upserts into a managed warehouse table") {
     import sqlImplicits._
     implicit val sqlCtx = spark.sqlContext
