@@ -456,11 +456,17 @@ object Dedup {
 
     val ex = maxShingleDf match {
       case Some(cap) =>
-        val rare = exAll.groupBy(col("lang"), col("h"))
+        // Anti-join against the CAPPED-OUT shingle list: it is tiny by
+        // construction (a cap only bites boilerplate), so it
+        // partial-aggregates and broadcasts — the inverted join
+        // against the kept-shingle table would be a big-big join on
+        // ≈ distinct-shingle cardinality.
+        val hot = exAll.groupBy(col("lang"), col("h"))
           .agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap)
+          .filter(col("df") > cap)
           .select("lang", "h")
-        OpCache.swap("dedup.ngram.ex.capped", exAll.join(rare, Seq("lang", "h")))
+        OpCache.swap("dedup.ngram.ex.capped",
+          exAll.join(broadcast(hot), Seq("lang", "h"), "left_anti"))
       case None => exAll
     }
 
