@@ -83,6 +83,24 @@ class SimilaritySpec extends SparkSpec {
       rows(Similarity.ivfTopKKmeans(real, k = 3, queryMod = 100, nProbes = 4, cells = 10)))
   }
 
+  test("results are identical when the broadcast threshold forces shuffled joins") {
+    // Above the broadcast threshold the candidate joins degrade to
+    // shuffled equi-joins; answers must not change.
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val withBcast = Similarity.annSignLshTopK(real, k = 3, queryMod = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      graft.operators.OpCache.clear() // drop plans cached under the old conf
+      val shuffled = Similarity.annSignLshTopK(real, k = 3, queryMod = 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      assert(shuffled == withBcast)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+      graft.operators.OpCache.clear()
+    }
+  }
+
   test("external query vectors need not exist in the corpus") {
     import sqlImplicits._
     // A held-out probe vector close to corpus vector 0 must surface it.
