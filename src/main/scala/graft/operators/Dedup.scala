@@ -258,6 +258,15 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // A silently-truncated propagation returns labels that are NOT the
+    // component minimum — wrong clusters with no signal (and a
+    // divergence from the exact transitive-closure oracle). Components
+    // deeper than the bound must fail loudly; near-dup clusters are
+    // shallow, so a legitimate hit means the input is pathological or
+    // maxIter was lowered.
+    if (!converged) throw new IllegalStateException(
+      s"resolveClusters did not converge in $maxIter rounds — " +
+        "a component's diameter exceeds the bound; raise maxIter")
     labels.withColumnRenamed("label", "cluster_id")
   }
 
@@ -285,12 +294,9 @@ object Dedup {
     * overwhelmingly-non-matching big side at scan speed — only the
     * survivors (true matches + fpp false positives) reach the exact
     * semi-join that guarantees correctness. Result is bit-identical to
-    * the plain semi-join; the bloom is pure pruning.
-    *
-    * The membership probe is a `mightContainString` UDF — deliberate:
-    * a custom codegen Expression would save a row-at-a-time call on a
-    * path that is already ~100ns/row, and the UDF keeps the sketch a
-    * plain broadcast value.
+    * the plain semi-join; the bloom is pure pruning. The membership
+    * probe is the codegen'd [[graft.plans.BloomMightContain]] (see
+    * [[bloomMightContain]] for the type dispatch).
     */
   def bloomSemiJoin(
       big: DataFrame,
@@ -388,20 +394,26 @@ object Dedup {
         // 100 TB skew guard (mirrors ngramJaccardPairs.maxShingleDf):
         // grams over the cap leave the universe entirely, numerator
         // AND denominator — boilerplate stops being duplication
-        // evidence. Shape: the CAPPED-OUT gram list is tiny by
-        // construction (a cap only bites the handful of boilerplate
-        // digests), so it aggregates with map-side partial combine,
-        // broadcasts, and prunes via anti-join before the window —
-        // whose partitions are then bounded by the cap, so the
-        // straggler partition cannot exist. (The inverted
+        // evidence. Shape: the CAPPED-OUT gram list is normally tiny
+        // (a cap only bites the handful of boilerplate digests), so it
+        // aggregates with map-side partial combine, broadcasts (size-
+        // guarded: an aggressive cap on templated data can make it
+        // large, in which case the anti-join degrades to a shuffled
+        // join instead of OOMing the driver), and prunes before the
+        // window — whose partitions are then bounded by the cap, so
+        // the straggler partition cannot exist. (The inverted
         // formulation — joining against the KEPT-gram df table — is a
         // big-big join on ≈ distinct-gram cardinality; measured 4–6×
-        // slower at probe ×20.)
-        val hot = grams.groupBy("gh")
+        // slower at probe ×20.) The exploded gram table is
+        // materialized once: the hot-list build and the probe side
+        // both read the cache instead of re-running the dominant
+        // tokenize→shingle→md5 pipeline.
+        val cached = OpCache.swap("dedup.dupstats.grams", grams)
+        val hot = cached.groupBy("gh")
           .agg(count(lit(1)).as("df"))
           .filter(col("df") > cap)
           .select("gh")
-        grams.join(broadcast(hot), Seq("gh"), "left_anti")
+        cached.join(Broadcasting.maybeBroadcast(hot), Seq("gh"), "left_anti")
     }
     universe
       .withColumn("df", count(lit(1)).over(w))
@@ -456,17 +468,18 @@ object Dedup {
 
     val ex = maxShingleDf match {
       case Some(cap) =>
-        // Anti-join against the CAPPED-OUT shingle list: it is tiny by
-        // construction (a cap only bites boilerplate), so it
-        // partial-aggregates and broadcasts — the inverted join
-        // against the kept-shingle table would be a big-big join on
+        // Anti-join against the CAPPED-OUT shingle list: it is
+        // normally tiny (a cap only bites boilerplate), so it
+        // partial-aggregates and broadcasts (size-guarded — see
+        // Broadcasting.maybeBroadcast) — the inverted join against the
+        // kept-shingle table would be a big-big join on
         // ≈ distinct-shingle cardinality.
         val hot = exAll.groupBy(col("lang"), col("h"))
           .agg(count(lit(1)).as("df"))
           .filter(col("df") > cap)
           .select("lang", "h")
         OpCache.swap("dedup.ngram.ex.capped",
-          exAll.join(broadcast(hot), Seq("lang", "h"), "left_anti"))
+          exAll.join(Broadcasting.maybeBroadcast(hot), Seq("lang", "h"), "left_anti"))
       case None => exAll
     }
 

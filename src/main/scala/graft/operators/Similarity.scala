@@ -38,23 +38,12 @@ object Similarity {
         toDoubleVec(col("embedding")).as("vec"))
         .withColumn("norm", l2norm(col("vec"))))
 
-  /** Broadcast `df` only when its optimizer-estimated size fits the
-    * session broadcast threshold. An external query set is not
-    * guaranteed small — a forced broadcast hint would grow with it
-    * linearly; past the threshold, the unhinted plan falls back to a
-    * shuffled hash / sort-merge join on the bucket keys.
+  /** An external query set is not guaranteed small — a forced
+    * broadcast hint would grow with it linearly; past the threshold,
+    * the unhinted plan falls back to a shuffled hash / sort-merge join
+    * on the bucket keys.
     */
-  private def maybeBroadcast(df: DataFrame): DataFrame = {
-    val confStr = df.sparkSession.conf
-      .get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
-    val threshold =
-      if (confStr.startsWith("-")) -1L
-      else scala.util.Try(
-        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(confStr)).getOrElse(-1L)
-    if (threshold > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold)
-      broadcast(df)
-    else df
-  }
+  private def maybeBroadcast(df: DataFrame): DataFrame = Broadcasting.maybeBroadcast(df)
 
   /** Brute-force exact cosine top-k: every query row against the full
     * corpus (the recall baseline the ANN variants are measured

@@ -71,6 +71,21 @@ class DedupSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("cluster resolution fails loudly instead of returning truncated labels") {
+    import sqlImplicits._
+    // A 7-node path needs more than 2 min-label rounds; a silent exit
+    // would hand back labels that are not the component minimum.
+    val chain = (1L to 6L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.resolveClusters(chain, maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // The same chain converges with the default bound.
+    val labels = Dedup.resolveClusters(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.values.toSet == Set(1L))
+  }
+
   test("dedup report keeps the canonical doc and lists removals") {
     val report = Dedup.dedupReport(docs, minEstJaccard = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toSeq))
