@@ -8,14 +8,16 @@ import org.apache.spark.sql.functions._
   * per-partition decode functions (the Scala analogue of a
   * vectorized/batched decode UDF).
   *
-  * The actual media decode is STUBBED (`decodeStub` — no codec
-  * libraries in this environment): it derives deterministic fake
-  * dimensions from the payload bytes. Everything around it — the
-  * schema contract, binary column handling, partition-batched
-  * execution, frame-sampling explode, downstream aggregation — is
-  * real Spark plumbing, and is what matters at 100 TB (payload bytes
-  * stay columnar, never shuffled: metadata is extracted first and
-  * payloads dropped before any wide operation).
+  * Uncompressed public container formats decode for REAL (pure-JVM
+  * header parsers: [[decodeBmp]], [[decodeWav]]); compressed codecs
+  * are STUBBED (`decodeStub`'s fallback — no codec libraries in this
+  * environment) with deterministic fake dimensions derived from the
+  * payload bytes. Everything around the decode — the schema contract,
+  * binary column handling, partition-batched execution, frame-sampling
+  * explode, downstream aggregation — is real Spark plumbing, and is
+  * what matters at 100 TB (payload bytes stay columnar, never
+  * shuffled: metadata is extracted first and payloads dropped before
+  * any wide operation).
   */
 object Multimodal {
 
@@ -214,9 +216,9 @@ object Multimodal {
     val media = synthesizeMedia(docs)
     val meta = extractMeta(media)
     val frames = sampleFrames(meta)
-    meta.toDF
+    meta.toDF()
       .join(
-        frames.toDF.groupBy("doc_id").agg(count(lit(1)).as("n_sampled")),
+        frames.toDF().groupBy("doc_id").agg(count(lit(1)).as("n_sampled")),
         Seq("doc_id"), "left")
       .groupBy("mime")
       .agg(

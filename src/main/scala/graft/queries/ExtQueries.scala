@@ -501,7 +501,7 @@ object ExtQueries {
         val meta = Multimodal.extractMeta(Multimodal.synthesizeMedia(t(s, d, "documents")))
         val feats = Multimodal.extractFeaturesStub(meta)
         Similarity.cosineTopK(
-          feats.toDF.select(col("doc_id").as("vec_id"), col("feature").as("embedding")),
+          feats.toDF().select(col("doc_id").as("vec_id"), col("feature").as("embedding")),
           site = "sim.mm.prep")
           .orderBy("query_id", "rank")
       },
