@@ -125,6 +125,79 @@ object Multimodal {
       }
     }
 
+  private def putLe32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte
+    b(off + 1) = ((v >> 8) & 0xff).toByte
+    b(off + 2) = ((v >> 16) & 0xff).toByte
+    b(off + 3) = ((v >> 24) & 0xff).toByte
+  }
+  private def putLe16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte
+    b(off + 1) = ((v >> 8) & 0xff).toByte
+  }
+
+  /** A structurally valid 24-bit BMP header (+ `doc_id%64` trailing pad
+    * bytes; no pixel data — the parser reads only the header), every
+    * field derived arithmetically from `doc_id` so an engine-portable
+    * oracle can predict what the REAL parser must emit. Every 5th doc
+    * stores the legal negative (top-down) height, exercising the
+    * parser's abs path.
+    */
+  def buildBmp(id: Long): Array[Byte] = {
+    val w = 16 + (id % 617).toInt
+    val h = 16 + ((id * 7) % 411).toInt
+    val stored = if (id % 5 == 0) -h else h
+    val b = new Array[Byte](54 + (id % 64).toInt)
+    b(0) = 'B'.toByte; b(1) = 'M'.toByte
+    putLe32(b, 2, b.length) // file size
+    putLe32(b, 10, 54) // pixel-array offset
+    putLe32(b, 14, 40) // BITMAPINFOHEADER
+    putLe32(b, 18, w)
+    putLe32(b, 22, stored)
+    putLe16(b, 26, 1) // planes
+    putLe16(b, 28, 24) // bpp
+    b
+  }
+
+  /** A structurally valid PCM WAV (RIFF/fmt/data) whose rate, channel
+    * count and sample-frame count derive arithmetically from `doc_id`
+    * (data chunk is zeros — the parser reads only structure).
+    */
+  def buildWav(id: Long): Array[Byte] = {
+    val channels = 1 + ((id / 2) % 2).toInt
+    val rate = 8000 + (id % 8).toInt * 1000
+    val block = channels * 2 // 16-bit samples
+    val dataBytes = block * (1 + (id % 100).toInt)
+    val b = new Array[Byte](44 + dataBytes)
+    b(0) = 'R'.toByte; b(1) = 'I'.toByte; b(2) = 'F'.toByte; b(3) = 'F'.toByte
+    putLe32(b, 4, 36 + dataBytes)
+    b(8) = 'W'.toByte; b(9) = 'A'.toByte; b(10) = 'V'.toByte; b(11) = 'E'.toByte
+    b(12) = 'f'.toByte; b(13) = 'm'.toByte; b(14) = 't'.toByte; b(15) = ' '.toByte
+    putLe32(b, 16, 16) // fmt chunk size
+    putLe16(b, 20, 1) // PCM
+    putLe16(b, 22, channels)
+    putLe32(b, 24, rate)
+    putLe32(b, 28, rate * block) // byte rate
+    putLe16(b, 32, block)
+    putLe16(b, 34, 16) // bits per sample
+    b(36) = 'd'.toByte; b(37) = 'a'.toByte; b(38) = 't'.toByte; b(39) = 'a'.toByte
+    putLe32(b, 40, dataBytes)
+    b
+  }
+
+  /** Synthesize VALID containers corpus-wide (BMP for even ids, WAV for
+    * odd) so the real header parsers run over every row and their
+    * output is predictable row-by-row from `doc_id` alone — the basis
+    * of the portable multimodal oracle (x49).
+    */
+  def synthesizeContainers(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { id =>
+      if (id % 2 == 0) MediaFile(id, "image/bmp", buildBmp(id))
+      else MediaFile(id, "audio/wav", buildWav(id))
+    }
+  }
+
   /** Synthesize a media table from `documents` (the container ships no
     * real media): payload = UTF-8 bytes of the text, mime cycled by id.
     */

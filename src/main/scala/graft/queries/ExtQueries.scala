@@ -1227,6 +1227,54 @@ object ExtQueries {
         |  FROM edges e JOIN reach r ON e.dst = r.id)
         |SELECT id AS doc_id, min(lab) AS cluster_id
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Portable multimodal decode certification: synthesize VALID
+    // BMP/WAV containers whose header fields derive arithmetically
+    // from doc_id, run the REAL pure-JVM parsers corpus-wide
+    // (extractMeta), frame-sample and resize-plan — while the oracle
+    // predicts every field from doc_id alone. If decodeBmp/decodeWav
+    // misread any header byte (width, height sign, chunk walk, frame
+    // count), the hash mismatches. Closes the multimodal family's
+    // certification gap: x11/x24 stay rows-only (fnv64 checksums are
+    // not SQL-expressible), but the decode path itself is now oracled.
+    GraftQuery(
+      "x49_multimodal_portable",
+      (s, d) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val metaDs = Multimodal
+          .extractMeta(Multimodal.synthesizeContainers(t(s, d, "documents")))
+        val meta = metaDs.toDF()
+        val sampled = Multimodal.sampleFrames(metaDs)
+          .toDF()
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sampled"))
+        Multimodal.resizePlan(meta)
+          .join(meta.select("doc_id", "n_bytes", "n_frames"), Seq("doc_id"))
+          .join(sampled, Seq("doc_id"))
+          .select(
+            col("doc_id"), col("mime"), col("n_bytes"),
+            col("width"), col("height"), col("n_frames"),
+            col("target_w"), col("target_h"), col("n_sampled"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS mime,
+        |    CASE WHEN doc_id % 2 = 0 THEN 54 + doc_id % 64
+        |         ELSE 44 + (2 * (1 + (doc_id // 2) % 2)) * (1 + doc_id % 100) END AS n_bytes,
+        |    CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 617
+        |              ELSE 8000 + (doc_id % 8) * 1000 END AS INT) AS width,
+        |    CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + (doc_id * 7) % 411
+        |              ELSE 1 + (doc_id // 2) % 2 END AS INT) AS height,
+        |    CAST(CASE WHEN doc_id % 2 = 0 THEN 1
+        |              ELSE 1 + doc_id % 100 END AS INT) AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, mime, n_bytes, width, height, n_frames,
+        |  GREATEST(CAST(FLOOR(width * LEAST(336.0 / width, 336.0 / height, 1.0)) AS INT), 1) AS target_w,
+        |  GREATEST(CAST(FLOOR(height * LEAST(336.0 / width, 336.0 / height, 1.0)) AS INT), 1) AS target_h,
+        |  CAST(LEAST(4, n_frames) AS BIGINT) AS n_sampled
+        |FROM m ORDER BY doc_id""".stripMargin)
     )
   )
 

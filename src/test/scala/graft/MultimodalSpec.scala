@@ -146,6 +146,26 @@ class MultimodalSpec extends SparkSpec {
     assert(rf.isEmpty)
   }
 
+  test("synthesized containers round-trip through the real parsers (x49 basis)") {
+    // Even id → BMP; id % 5 == 0 also exercises the stored-negative
+    // (top-down) height. The parser must recover exactly the fields
+    // the builder derived from the id — the invariant the x49 oracle
+    // certifies corpus-wide.
+    val bmp = Multimodal.decodeBmp(Multimodal.MediaFile(10L, "image/bmp", Multimodal.buildBmp(10L)))
+    assert(bmp.isDefined)
+    assert(bmp.get.width == 16 + 10 % 617)
+    assert(bmp.get.height == 16 + (10 * 7) % 411) // abs of the negative stored height
+    assert(bmp.get.n_bytes == 54 + 10 % 64)
+    assert(bmp.get.n_frames == 1)
+    // Odd id → WAV: rate/channels/frame-count recovered from the chunk walk.
+    val wav = Multimodal.decodeWav(Multimodal.MediaFile(7L, "audio/wav", Multimodal.buildWav(7L)))
+    assert(wav.isDefined)
+    assert(wav.get.width == 8000 + (7 % 8) * 1000)
+    assert(wav.get.height == 1 + (7 / 2) % 2)
+    assert(wav.get.n_frames == 1 + 7 % 100)
+    assert(wav.get.n_bytes == 44 + (2 * (1 + (7 / 2) % 2)) * (1 + 7 % 100))
+  }
+
   test("resize plan fits the box, preserves aspect ratio, never upscales") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import sqlImplicits._
