@@ -59,6 +59,39 @@ object DataMix {
   def md5Sample(df: DataFrame, frac: Double, keyCols: Seq[Column]): DataFrame =
     df.filter(md5Prefix(keyCols) < lit(hexThreshold(frac)))
 
+  /** Deterministic shard assignment — the partitioning function a
+    * shard-writer uses to emit N training shards WITHOUT a global
+    * sort: `df.repartition(nShards, col("shard_id"))` then one file
+    * per partition. Stable across runs, partitionings, and cluster
+    * sizes (pure key hash, no seed plumbing), so re-runs land every
+    * row in the same shard. Production path (xxhash64).
+    */
+  def hashShard(df: DataFrame, nShards: Int, salt: Long, keyCols: Seq[Column]): DataFrame = {
+    require(nShards > 0, s"nShards $nShards must be positive")
+    df.withColumn(
+      "shard_id",
+      pmod(xxhash64((lit(salt) +: keyCols): _*), lit(nShards.toLong)).cast("int"))
+  }
+
+  private def hexNibble(c: Column): Column = instr(lit("0123456789abcdef"), c) - 1
+
+  /** The [[md5Prefix]] draw as a 16-bit integer (hex→int via the same
+    * nibble table the portable oracles replay with `strpos`).
+    */
+  private def md5Bucket16(keyCols: Seq[Column]): Column = {
+    val p = md5Prefix(keyCols)
+    hexNibble(substring(p, 1, 1)) * 4096 + hexNibble(substring(p, 2, 1)) * 256 +
+      hexNibble(substring(p, 3, 1)) * 16 + hexNibble(substring(p, 4, 1))
+  }
+
+  /** Engine-portable twin of [[hashShard]]: shard = 16-bit md5 draw
+    * mod `nShards`. Same cross-engine contract as [[md5Sample]].
+    */
+  def md5Shard(df: DataFrame, nShards: Int, keyCols: Seq[Column]): DataFrame = {
+    require(nShards > 0, s"nShards $nShards must be positive")
+    df.withColumn("shard_id", (md5Bucket16(keyCols) % nShards).cast("int"))
+  }
+
   /** Per-stratum md5 gate rates: rebalance a corpus by keeping each
     * stratum (e.g. language) at its own deterministic fraction —
     * downsample the dominant stratum, keep the tail. Unlisted strata

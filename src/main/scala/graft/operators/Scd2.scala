@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Type-2 slowly-changing-dimension merge — the warehouse operation
+  * the reference's star-schema rebuild sidesteps by re-creating its
+  * dimensions from scratch every load
+  * (/root/reference/src/check_and_create_db_v4.py:214-233 drops and
+  * refills the dim tables). At 100 TB a dimension is merged, not
+  * rebuilt: one batch of staged updates closes changed rows and opens
+  * new versions, keyed history stays queryable as of any date.
+  *
+  * Contract: `current` carries the dimension with `valid_from`,
+  * `valid_to` (NULL = open) and `is_current`; `updates` carries one
+  * staged row per key (latest state, no history). The merge
+  *  - closes the open row of every key whose tracked attributes
+  *    changed (`valid_to` = `effective`, `is_current` = false),
+  *  - opens a new version for changed and brand-new keys
+  *    (`valid_from` = `effective`, open-ended),
+  *  - passes unchanged open rows and all closed history through
+  *    untouched.
+  *
+  * Attribute comparison uses null-safe equality (`<=>`): NULL → value
+  * and value → NULL both count as changes, NULL → NULL does not.
+  *
+  * Scale shape: closed history is routed around the join entirely
+  * (union, no shuffle); the only wide operation is ONE key join
+  * between the open slice and the update batch — broadcast when the
+  * batch is small, shuffled hash join otherwise, AQE's choice. No
+  * window functions, no global sort.
+  */
+object Scd2 {
+
+  /** Merge one staged update batch into an SCD2 dimension.
+    *
+    * @param current   SCD2 dimension: key ++ attrs ++ (valid_from,
+    *                  valid_to, is_current)
+    * @param updates   staged latest-state rows: key ++ attrs
+    * @param keyCols   natural-key column names
+    * @param attrCols  tracked attribute column names
+    * @param effective the batch's effective date/timestamp (applied to
+    *                  closed rows' valid_to and opened rows' valid_from)
+    */
+  def merge(
+      current: DataFrame,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      attrCols: Seq[String],
+      effective: Column): DataFrame = {
+    val metaCols = Seq("valid_from", "valid_to", "is_current")
+    val outCols = (keyCols ++ attrCols ++ metaCols).map(col)
+
+    // Presence markers instead of key-null checks: a (pathological)
+    // NULL natural key would defeat `key IS NULL` side-detection —
+    // `<=>` matches it across the join, so both sides' keys are
+    // non-detectably "present". A literal marker is NULL exactly when
+    // the full-outer join had no row from that side.
+    val open = current.filter(col("is_current")).withColumn("__c", lit(1))
+    val closed = current.filter(!col("is_current"))
+    val staged = updates.select((keyCols ++ attrCols).map(col): _*).withColumn("__u", lit(1))
+
+    val joinCond = keyCols.map(k => col(s"cur.$k") <=> col(s"upd.$k")).reduce(_ && _)
+    val changed = attrCols.map(a => !(col(s"cur.$a") <=> col(s"upd.$a"))).reduce(_ || _)
+    val j = open.as("cur").join(staged.as("upd"), joinCond, "full_outer")
+    val matched = col("__c").isNotNull && col("__u").isNotNull
+
+    // Unchanged or update-absent open rows: pass through.
+    val untouched = j
+      .filter((matched && !changed) || col("__u").isNull)
+      .select((keyCols ++ attrCols).map(c => col(s"cur.$c")) ++ metaCols.map(col): _*)
+
+    // Changed keys: the open row closes at the effective date.
+    val closedNow = j
+      .filter(matched && changed)
+      .select(
+        (keyCols ++ attrCols).map(c => col(s"cur.$c")) ++ Seq(
+          col("valid_from"),
+          effective.as("valid_to"),
+          lit(false).as("is_current")): _*)
+
+    // Changed + brand-new keys: a fresh open version from the staged row.
+    val opened = j
+      .filter((matched && changed) || col("__c").isNull)
+      .select(
+        (keyCols ++ attrCols).map(c => col(s"upd.$c")) ++ Seq(
+          effective.as("valid_from"),
+          lit(null).cast(current.schema("valid_to").dataType).as("valid_to"),
+          lit(true).as("is_current")): _*)
+
+    closed.select(outCols: _*)
+      .unionByName(untouched)
+      .unionByName(closedNow)
+      .unionByName(opened)
+  }
+
+  /** Point-in-time slice: the dimension as of `at` (rows whose validity
+    * interval covers it) — the query every SCD2 consumer runs.
+    */
+  def asOf(dim: DataFrame, at: Column): DataFrame =
+    dim.filter(col("valid_from") <= at && (col("valid_to").isNull || at < col("valid_to")))
+}

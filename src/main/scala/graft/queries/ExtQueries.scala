@@ -1275,6 +1275,121 @@ object ExtQueries {
         |  GREATEST(CAST(FLOOR(height * LEAST(336.0 / width, 336.0 / height, 1.0)) AS INT), 1) AS target_h,
         |  CAST(LEAST(4, n_frames) AS BIGINT) AS n_sampled
         |FROM m ORDER BY doc_id""".stripMargin)
+    ),
+
+    // SCD2 dimension merge: current dim from customer (one open row
+    // per key), one staged batch with arithmetically-derived changes
+    // (every 7th key: new segment + rebalanced account), no-op rows
+    // (every 11th key restaged unchanged — must NOT version), and
+    // brand-new keys (custkey+1000000 for every 97th). The oracle
+    // states the expected SCD2 output directly: closed old versions,
+    // untouched opens, new opens. Exercises the generic
+    // Scd2.merge operator end-to-end.
+    GraftQuery(
+      "x50_scd2_merge",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+        val current = cust.select(
+          col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          lit(java.sql.Date.valueOf("2024-01-01")).as("valid_from"),
+          lit(null).cast("date").as("valid_to"),
+          lit(true).as("is_current"))
+        val updates = cust.filter(col("c_custkey") % 7 === 0)
+          .select(
+            col("c_custkey"),
+            concat(col("c_mktsegment"), lit("_V2")).as("c_mktsegment"),
+            (col("c_acctbal") + 100.0).as("c_acctbal"))
+          .unionByName(cust
+            .filter(col("c_custkey") % 7 =!= 0 && col("c_custkey") % 11 === 0)
+            .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")))
+          .unionByName(cust.filter(col("c_custkey") % 97 === 0)
+            .select(
+              (col("c_custkey") + 1000000).as("c_custkey"),
+              lit("NEWSEG").as("c_mktsegment"),
+              lit(0.0).as("c_acctbal")))
+        graft.operators.Scd2.merge(
+          current, updates,
+          keyCols = Seq("c_custkey"),
+          attrCols = Seq("c_mktsegment", "c_acctbal"),
+          effective = lit(java.sql.Date.valueOf("2024-06-01")))
+          .orderBy("c_custkey", "valid_from")
+      },
+      Some("""SELECT c_custkey, c_mktsegment, c_acctbal,
+        |       DATE '2024-01-01' AS valid_from, DATE '2024-06-01' AS valid_to,
+        |       FALSE AS is_current
+        |FROM customer WHERE c_custkey % 7 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, c_acctbal,
+        |       DATE '2024-01-01', NULL, TRUE
+        |FROM customer WHERE c_custkey % 7 <> 0
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment || '_V2', c_acctbal + 100.0,
+        |       DATE '2024-06-01', NULL, TRUE
+        |FROM customer WHERE c_custkey % 7 = 0
+        |UNION ALL
+        |SELECT c_custkey + 1000000, 'NEWSEG', 0.0,
+        |       DATE '2024-06-01', NULL, TRUE
+        |FROM customer WHERE c_custkey % 97 = 0
+        |ORDER BY c_custkey, valid_from""".stripMargin)
+    ),
+
+    // Keyed snapshot diff (batch CDC): old = documents; new = the same
+    // snapshot with every 13th doc dropped, every remaining 11th doc
+    // revised, and additions at doc_id+1000000 for every 17th. The
+    // operator reduces each side to (key, md5-of-values) before the
+    // full-outer join — digests, not rows, ride the shuffle. The
+    // oracle states the expected delta directly.
+    GraftQuery(
+      "x51_snapshot_diff",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val newSnap = docs.filter(col("doc_id") % 13 =!= 0)
+          .withColumn(
+            "text",
+            when(col("doc_id") % 11 === 0, concat(lit("REVISED "), col("text")))
+              .otherwise(col("text")))
+          .unionByName(docs.filter(col("doc_id") % 17 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000))
+        graft.operators.SnapshotDiff.diff(docs, newSnap, Seq("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id + 1000000 AS doc_id, 'added' AS change_type
+        |FROM documents WHERE doc_id % 17 = 0
+        |UNION ALL
+        |SELECT doc_id, 'removed' FROM documents WHERE doc_id % 13 = 0
+        |UNION ALL
+        |SELECT doc_id, 'changed' FROM documents
+        |WHERE doc_id % 13 <> 0 AND doc_id % 11 = 0
+        |ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Deterministic shard manifest: every doc lands in one of 16
+    // shards by the portable md5 draw; the manifest (counts, char
+    // mass, id range per shard) certifies assignment and balance.
+    // This is the shard-writer's partitioning function — N output
+    // files via repartition(shard_id), no global sort.
+    GraftQuery(
+      "x52_shard_manifest",
+      (s, d) =>
+        graft.operators.DataMix.md5Shard(t(s, d, "documents"), 16, Seq(col("doc_id")))
+          .groupBy("shard_id")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            min(col("doc_id")).as("min_doc_id"),
+            max(col("doc_id")).as("max_doc_id"))
+          .orderBy("shard_id"),
+      Some("""WITH s AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(( (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |         + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |         + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |         + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 16 AS INT) AS shard_id
+        |  FROM documents)
+        |SELECT shard_id, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+        |FROM s GROUP BY shard_id ORDER BY shard_id""".stripMargin)
     )
   )
 

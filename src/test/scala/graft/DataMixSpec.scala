@@ -194,4 +194,25 @@ class DataMixSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == kept.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("shard assignment is total, roughly balanced, and partitioning-stable") {
+    import sqlImplicits._
+    val d = (1L to 3200L).map(i => (i, i % 50)).toDF("doc_id", "grp")
+    for (sharded <- Seq(
+        DataMix.md5Shard(d, 16, Seq(col("doc_id"))),
+        DataMix.hashShard(d, 16, salt = 7L, Seq(col("doc_id"))))) {
+      val counts = sharded.groupBy("shard_id").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(counts.keySet == (0 until 16).toSet) // every shard hit, none out of range
+      assert(counts.values.sum == 3200L) // total: every row exactly one shard
+      // 200/shard expected; md5/xxhash draws should stay well within 2x
+      assert(counts.values.forall(n => n > 100 && n < 400), s"imbalanced: $counts")
+    }
+    // Cross-partitioning determinism for the portable draw:
+    val one = DataMix.md5Shard(d, 16, Seq(col("doc_id")))
+      .select("doc_id", "shard_id").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val two = DataMix.md5Shard(d.repartition(13), 16, Seq(col("doc_id")))
+      .select("doc_id", "shard_id").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(one == two)
+  }
 }

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Scd2
+
+/** SCD2 merge on planted data: every merge case (change, no-op,
+  * new key, update-absent key, closed-history passthrough) plus the
+  * null-attr semantics the `<=>` comparison defines.
+  */
+class Scd2Spec extends SparkSpec {
+
+  import java.sql.Date
+
+  private val d0 = Date.valueOf("2023-01-01")
+  private val d1 = Date.valueOf("2023-06-01")
+  private val d2 = Date.valueOf("2024-01-01")
+
+  //  key 1: closed history row + open row whose segment will change
+  //  key 2: open row restaged unchanged (no-op)
+  //  key 3: open row, absent from the update batch
+  //  key 4: open row with NULL attr; staged non-null (null→value = change)
+  //  key 5: open row with NULL attr; staged NULL (null→null = no-op)
+  //  key 9: brand-new key, only in the update batch
+  private lazy val current: DataFrame = {
+    import sqlImplicits._
+    Seq(
+      (1L, "OLD", Some(d0), Some(d1), false),
+      (1L, "MID", Some(d1), None, true),
+      (2L, "KEEP", Some(d0), None, true),
+      (3L, "LONE", Some(d0), None, true),
+      (4L, null.asInstanceOf[String], Some(d0), None, true),
+      (5L, null.asInstanceOf[String], Some(d0), None, true))
+      .toDF("k", "seg", "valid_from", "valid_to", "is_current")
+  }
+
+  private lazy val updates: DataFrame = {
+    import sqlImplicits._
+    Seq(
+      (1L, "NEW"),
+      (2L, "KEEP"),
+      (4L, "FILLED"),
+      (5L, null.asInstanceOf[String]),
+      (9L, "FRESH"))
+      .toDF("k", "seg")
+  }
+
+  private lazy val merged =
+    Scd2.merge(current, updates, Seq("k"), Seq("seg"), lit(d2))
+      .orderBy("k", "valid_from")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(2), Option(r.getDate(3)), r.getBoolean(4)))
+
+  test("changed key closes the open row and opens a new version") {
+    val k1 = merged.filter(_._1 == 1L)
+    assert(k1.toSeq == Seq(
+      (1L, "OLD", d0, Some(d1), false), // closed history untouched
+      (1L, "MID", d1, Some(d2), false), // open row closed at effective
+      (1L, "NEW", d2, None, true))) // new open version
+  }
+
+  test("no-op restage and update-absent keys pass through unversioned") {
+    assert(merged.filter(_._1 == 2L).toSeq == Seq((2L, "KEEP", d0, None, true)))
+    assert(merged.filter(_._1 == 3L).toSeq == Seq((3L, "LONE", d0, None, true)))
+  }
+
+  test("null to value is a change; null to null is not") {
+    assert(merged.filter(_._1 == 4L).toSeq == Seq(
+      (4L, null, d0, Some(d2), false),
+      (4L, "FILLED", d2, None, true)))
+    assert(merged.filter(_._1 == 5L).toSeq == Seq((5L, null, d0, None, true)))
+  }
+
+  test("brand-new key inserts a single open row") {
+    assert(merged.filter(_._1 == 9L).toSeq == Seq((9L, "FRESH", d2, None, true)))
+  }
+
+  test("asOf slices the dimension at a point in time") {
+    val dim = Scd2.merge(current, updates, Seq("k"), Seq("seg"), lit(d2))
+    // Before the merge's effective date: key 1 resolves to MID.
+    val before = Scd2.asOf(dim, lit(Date.valueOf("2023-09-01")))
+      .filter(col("k") === 1L).collect()
+    assert(before.length == 1 && before.head.getString(1) == "MID")
+    // After: key 1 resolves to NEW; key 9 exists.
+    val after = Scd2.asOf(dim, lit(Date.valueOf("2024-02-01")))
+    assert(after.filter(col("k") === 1L).head().getString(1) == "NEW")
+    assert(after.filter(col("k") === 9L).count() == 1)
+    // A key absent at the slice date (9 before its insert) is absent.
+    assert(Scd2.asOf(dim, lit(Date.valueOf("2023-09-01"))).filter(col("k") === 9L).count() == 0)
+  }
+}
