@@ -47,6 +47,17 @@ object Tables {
   def writeJsonLines(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
 
+  /** ORC source/sink — the second columnar interchange format (Hive
+    * ecosystems standardize on it); same pushdown/pruning behavior as
+    * parquet through the datasource V2 scan, so queries are
+    * format-agnostic.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
   /** D1: database-exists probe (check_and_create_db.py:23). */
   def databaseExists(spark: SparkSession, name: String): Boolean =
     spark.catalog.databaseExists(name)

@@ -143,6 +143,21 @@ class TablesSpec extends SparkSpec {
     assert(bad.length == 1 && bad.head.isNullAt(0))
   }
 
+  test("orc round-trip preserves rows and pushes filters to the scan") {
+    import sqlImplicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val d = Seq((1L, "alpha", 10.5), (2L, "beta", 20.25), (3L, "gamma", 30.0))
+      .toDF("id", "name", "score")
+    Tables.writeOrc(d, s"$dir/t")
+    val back = Tables.readOrc(spark, s"$dir/t")
+    assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      == Seq((1L, "alpha", 10.5), (2L, "beta", 20.25), (3L, "gamma", 30.0)))
+    // Same pushdown contract as parquet: the predicate must reach the
+    // ORC scan, not evaluate post-scan only.
+    val plan = back.filter($"id" > 1L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)"), plan)
+  }
+
   test("citybike warehouse bootstrap lands all five star tables") {
     val wh = graft.etl.CityBike.build(spark)
     Tables.bootstrapCityBike(spark, wh, db = "citybike_test")
