@@ -84,6 +84,30 @@ object ScaleProbe {
       time(s"cosine_topk_bruteforce x$k", Similarity.cosineTopK(v))
       time(s"ann_ivf_kmeans         x$k", Similarity.ivfTopKKmeans(v))
       time(s"dedup_report_e2e       x$k", Dedup.dedupReport(d, minEstJaccard = 0.5))
+      // Snapshot diff: value columns are digested before the join, so
+      // the shuffle volume is keys+32B digests — the curve must track
+      // row count, not row width.
+      time(s"snapshot_diff          x$k", {
+        val nw = d.filter(col("doc_id") % 13 =!= 0)
+          .withColumn(
+            "text",
+            when(col("doc_id") % 11 === 0, concat(lit("REVISED "), col("text")))
+              .otherwise(col("text")))
+        graft.operators.SnapshotDiff.diff(d, nw, Seq("doc_id"))
+      })
+      // SCD2 merge: closed history never enters the join; cost is one
+      // key join of the open slice against the staged batch.
+      time(s"scd2_merge             x$k", {
+        val cur = d.select(
+          col("doc_id"), col("lang"),
+          lit(java.sql.Date.valueOf("2024-01-01")).as("valid_from"),
+          lit(null).cast("date").as("valid_to"),
+          lit(true).as("is_current"))
+        val upd = d.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), concat(col("lang"), lit("-x")).as("lang"))
+        graft.operators.Scd2.merge(cur, upd, Seq("doc_id"), Seq("lang"),
+          lit(java.sql.Date.valueOf("2024-06-01")))
+      })
       // Decontamination at K× train volume vs a FIXED small test set
       // (the realistic shape: the corpus grows, the eval set doesn't).
       // bloom = broadcast-prune-then-verify; exact = plain semi-join.
