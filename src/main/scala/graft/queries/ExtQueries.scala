@@ -1390,6 +1390,75 @@ object ExtQueries {
         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
         |FROM s GROUP BY shard_id ORDER BY shard_id""".stripMargin)
+    ),
+
+    // Incremental aggregate maintenance: the orders rollup is built as
+    // two decimal-exact re-aggregatable states (pre/post a cut date),
+    // merged, then finalized — while the ORACLE computes the rollup
+    // from scratch over all rows. Green means incremental == full to
+    // the bit: decimal state sums are associative/commutative, so
+    // batch boundaries cannot leak into the result.
+    GraftQuery(
+      "x53_incremental_rollup",
+      (s, d) => {
+        val orders = t(s, d, "orders")
+        val cut = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+        val keys = Seq("o_orderpriority")
+        val measures = Seq("o_totalprice")
+        val base = graft.operators.IncrementalAgg
+          .rollup(orders.filter(col("o_orderdate") < cut), keys, measures)
+        val delta = graft.operators.IncrementalAgg
+          .rollup(orders.filter(col("o_orderdate") >= cut), keys, measures)
+        graft.operators.IncrementalAgg.finalizeState(
+          graft.operators.IncrementalAgg.merge(Seq(base, delta), keys), keys, measures)
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_o_totalprice,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4)
+        |    AS avg_o_totalprice
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+
+    // Z-order layout certification: Morton codes of bucketized
+    // (l_quantity, l_extendedprice), rolled up per coarse z-cell with
+    // each cell's bounding box — the footer stats a z-clustered file
+    // would carry. Pure integer bit arithmetic; the oracle replays
+    // the bucketization and the full spread cascade bit-for-bit.
+    GraftQuery(
+      "x54_zorder_cells",
+      (s, d) => {
+        import graft.operators.ZOrder
+        val li = t(s, d, "lineitem")
+        val z = ZOrder.zValue(
+          ZOrder.bucket(col("l_quantity"), 1.0, 51.0),
+          ZOrder.bucket(col("l_extendedprice"), 900.0, 105000.0))
+        li.select(
+          shiftright(z, 26).as("z_cell"),
+          col("l_quantity"), col("l_extendedprice"))
+          .groupBy("z_cell")
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty"),
+            min(col("l_extendedprice")).as("min_price"),
+            max(col("l_extendedprice")).as("max_price"))
+          .orderBy("z_cell")
+      },
+      Some("""WITH b AS (
+        |  SELECT l_quantity AS q, l_extendedprice AS p,
+        |    COALESCE(CAST(LEAST(GREATEST(FLOOR((l_quantity - 1.0) / 50.0 * 65536.0), 0), 65535) AS BIGINT), 0) AS ab,
+        |    COALESCE(CAST(LEAST(GREATEST(FLOOR((l_extendedprice - 900.0) / 104100.0 * 65536.0), 0), 65535) AS BIGINT), 0) AS bb
+        |  FROM lineitem),
+        |s1 AS (SELECT q, p, (ab | (ab << 8)) & 16711935 AS ab, (bb | (bb << 8)) & 16711935 AS bb FROM b),
+        |s2 AS (SELECT q, p, (ab | (ab << 4)) & 252645135 AS ab, (bb | (bb << 4)) & 252645135 AS bb FROM s1),
+        |s3 AS (SELECT q, p, (ab | (ab << 2)) & 858993459 AS ab, (bb | (bb << 2)) & 858993459 AS bb FROM s2),
+        |s4 AS (SELECT q, p, (ab | (ab << 1)) & 1431655765 AS ab, (bb | (bb << 1)) & 1431655765 AS bb FROM s3),
+        |z AS (SELECT q, p, (ab | (bb << 1)) >> 26 AS z_cell FROM s4)
+        |SELECT z_cell, COUNT(*) AS n,
+        |       MIN(q) AS min_qty, MAX(q) AS max_qty,
+        |       MIN(p) AS min_price, MAX(p) AS max_price
+        |FROM z GROUP BY z_cell ORDER BY z_cell""".stripMargin)
     )
   )
 

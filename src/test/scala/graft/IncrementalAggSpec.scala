@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.IncrementalAgg
+
+/** Incremental rollup maintenance: merge-of-states equals
+  * from-scratch, independent of batch boundaries and merge order;
+  * retraction via negated states.
+  */
+class IncrementalAggSpec extends SparkSpec {
+
+  private lazy val rows = {
+    import sqlImplicits._
+    Seq(
+      ("a", 10.25), ("a", 0.50), ("a", 3.125), ("b", 100.0),
+      ("b", 0.0625), ("c", 7.75), ("c", 2.25), ("c", 0.125), ("c", 9.0))
+      .toDF("k", "v")
+  }
+
+  private def finalized(state: org.apache.spark.sql.DataFrame) =
+    IncrementalAgg.finalizeState(state, Seq("k"), Seq("v"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+
+  test("merge of arbitrary batch splits equals the from-scratch rollup") {
+    val full = finalized(IncrementalAgg.rollup(rows, Seq("k"), Seq("v")))
+    // three different splits, one of them three-way, one merged in reverse
+    val s1 = Seq(rows.limit(4), rows.exceptAll(rows.limit(4)))
+    val s2 = Seq(rows.limit(2), rows.exceptAll(rows.limit(7)), rows.limit(7).exceptAll(rows.limit(2)))
+    for (split <- Seq(s1, s1.reverse, s2, s2.reverse)) {
+      val states = split.map(b => IncrementalAgg.rollup(b, Seq("k"), Seq("v")))
+      assert(finalized(IncrementalAgg.merge(states, Seq("k"))) === full)
+    }
+  }
+
+  test("a negated state retracts a batch exactly") {
+    val batch = rows.limit(3)
+    val withBatch = IncrementalAgg.rollup(rows, Seq("k"), Seq("v"))
+    val negated = IncrementalAgg.rollup(batch, Seq("k"), Seq("v"))
+      .select(col("k"), (-col("n")).as("n"), (-col("sum_v")).as("sum_v"))
+    val retracted = IncrementalAgg.merge(Seq(withBatch, negated), Seq("k"))
+      // retraction can leave n = 0 keys; a reader drops them
+      .filter(col("n") > 0)
+    val direct = IncrementalAgg.rollup(rows.exceptAll(batch), Seq("k"), Seq("v"))
+    assert(finalized(retracted) === finalized(direct))
+  }
+
+  test("finalize derives totals and 4-dp averages") {
+    val out = finalized(IncrementalAgg.rollup(rows, Seq("k"), Seq("v")))
+    val a = out.find(_._1 == "a").get
+    assert(a._2 == 3L && a._3 == 13.875 && a._4 == 4.625)
+  }
+}
