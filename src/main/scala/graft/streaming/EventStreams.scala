@@ -170,6 +170,40 @@ object EventStreams {
     clean.unionByName(suspect)
   }
 
+  /** Streaming incremental-rollup maintenance — the streaming face of
+    * [[graft.operators.IncrementalAgg]] (x53): each micro-batch is
+    * reduced to a decimal-exact re-aggregatable state and merged into
+    * a persisted state table. Per batch the cost is one partial-agg
+    * groupBy over the BATCH plus a merge against |keys| state rows —
+    * the base data is never rescanned, so the maintained rollup stays
+    * O(batch) while the table it summarizes grows without bound.
+    * State-table overwrite is staged (see `Tables.upsertTable`: the
+    * state feeds its own merge plan). Production runs add a
+    * `checkpointLocation`; on a replayed batch the decimal merge is
+    * NOT idempotent, so exactly-once there means keying state versions
+    * by batch id — out of scope for this operator, noted by contract.
+    */
+  def maintainRollup(
+      stream: DataFrame,
+      stateTable: String,
+      keys: Seq[String],
+      measures: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery = {
+    val fold: (DataFrame, Long) => Unit = { (batch, _) =>
+      val spark = batch.sparkSession
+      val delta = graft.operators.IncrementalAgg.rollup(batch, keys, measures)
+      val merged =
+        if (spark.catalog.tableExists(stateTable))
+          graft.operators.IncrementalAgg.merge(Seq(spark.table(stateTable), delta), keys)
+        else delta
+      val staging = stateTable + "__staging"
+      graft.sources.Tables.overwriteTable(merged, staging)
+      graft.sources.Tables.overwriteTable(spark.table(staging), stateTable)
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
+      ()
+    }
+    stream.writeStream.foreachBatch(fold).start()
+  }
+
   /** Convenience: run a streaming DataFrame to completion against a
     * memory sink and return the result table (test/demo harness).
     */

@@ -303,6 +303,33 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() == events.size, "restart must not duplicate rows")
   }
 
+  test("streaming rollup maintenance equals the batch rollup after any batch split") {
+    import sqlImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      ("a", 10.25), ("a", 0.5), ("b", 3.125), ("b", 100.0),
+      ("a", 0.0625), ("c", 7.75), ("c", 2.25), ("b", 0.125))
+    val stream = MemoryStream[(String, Double)]
+    spark.sql("DROP TABLE IF EXISTS stream_rollup_state")
+    val q = EventStreams.maintainRollup(
+      stream.toDF().toDF("k", "v"), "stream_rollup_state", Seq("k"), Seq("v"))
+    // three uneven micro-batches
+    stream.addData(rows.take(3): _*); q.processAllAvailable()
+    stream.addData(rows.slice(3, 4): _*); q.processAllAvailable()
+    stream.addData(rows.drop(4): _*); q.processAllAvailable()
+    q.stop()
+
+    import graft.operators.IncrementalAgg
+    def fin(df: org.apache.spark.sql.DataFrame) =
+      IncrementalAgg.finalizeState(df, Seq("k"), Seq("v"))
+        .orderBy("k").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val streamed = fin(spark.table("stream_rollup_state"))
+    val batch = fin(IncrementalAgg.rollup(rows.toDF("k", "v"), Seq("k"), Seq("v")))
+    assert(streamed == batch)
+    spark.sql("DROP TABLE IF EXISTS stream_rollup_state")
+  }
+
   test("mapGroupsWithState sessionizer accumulates per user across batches") {
     import sqlImplicits._
     implicit val sqlCtx = spark.sqlContext
