@@ -451,12 +451,12 @@ object Dedup {
     * many rare shingles, so recall loss is bounded; disabled (None) by
     * default for exact parity with the uncapped oracle.
     */
-  def ngramJaccardPairs(
-      docs: DataFrame,
-      shingleN: Int = 3,
-      lenBand: Long = 50,
-      minJaccard: Double = 0.5,
-      maxShingleDf: Option[Long] = None): DataFrame = {
+  /** Shared inverted gram index for the pairwise n-gram measures:
+    * (doc_id, lang, n_chars, h) with one row per distinct shingle,
+    * OpCache-materialized (Jaccard and containment reuse the same
+    * cached table), optionally df-capped.
+    */
+  private def gramIndex(docs: DataFrame, shingleN: Int, maxShingleDf: Option[Long]): DataFrame = {
     // One interpreted shingle-pipeline pass per doc, materialized.
     val exAll = OpCache.swap("dedup.ngram.ex",
       docs
@@ -466,7 +466,7 @@ object Dedup {
           explode(wordShingles(col("__toks"), shingleN)).as("shingle"))
         .select(col("doc_id"), col("lang"), col("n_chars"), xxhash64(col("shingle")).as("h")))
 
-    val ex = maxShingleDf match {
+    maxShingleDf match {
       case Some(cap) =>
         // Anti-join against the CAPPED-OUT shingle list: it is
         // normally tiny (a cap only bites boilerplate), so it
@@ -482,7 +482,15 @@ object Dedup {
           exAll.join(Broadcasting.maybeBroadcast(hot), Seq("lang", "h"), "left_anti"))
       case None => exAll
     }
+  }
 
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      shingleN: Int = 3,
+      lenBand: Long = 50,
+      minJaccard: Double = 0.5,
+      maxShingleDf: Option[Long] = None): DataFrame = {
+    val ex = gramIndex(docs, shingleN, maxShingleDf)
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sg"))
 
     val a = ex.select(col("lang"), col("h"), col("doc_id").as("doc_a"), col("n_chars").as("len_a"))
@@ -500,5 +508,38 @@ object Dedup {
         col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Overlap-coefficient (containment) pairs: |A∩B| / min(|A|,|B|) —
+    * the asymmetric near-dup measure that finds a SHORT document
+    * embedded in a LONGER one (quotations, boilerplate inclusion,
+    * copy-paste-and-extend), which symmetric Jaccard misses because
+    * the size disparity drowns the intersection. Same inverted-index
+    * formulation and df-cap escape hatch as [[ngramJaccardPairs]] —
+    * the two share the OpCache'd gram index — but deliberately NO
+    * length band: size disparity is the signal here, not noise.
+    */
+  def ngramContainmentPairs(
+      docs: DataFrame,
+      shingleN: Int = 3,
+      minOverlap: Double = 0.8,
+      maxShingleDf: Option[Long] = None): DataFrame = {
+    val ex = gramIndex(docs, shingleN, maxShingleDf)
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sg"))
+
+    val a = ex.select(col("lang"), col("h"), col("doc_id").as("doc_a"))
+    val b = ex.select(col("lang"), col("h"), col("doc_id").as("doc_b"))
+
+    a.join(b, Seq("lang", "h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sg").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sg").as("n_b")), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= minOverlap)
   }
 }

@@ -1459,6 +1459,86 @@ object ExtQueries {
         |       MIN(q) AS min_qty, MAX(q) AS max_qty,
         |       MIN(p) AS min_price, MAX(p) AS max_price
         |FROM z GROUP BY z_cell ORDER BY z_cell""".stripMargin)
+    ),
+
+    // Overlap-coefficient containment pairs: |A∩B| / min(|A|,|B|) ≥
+    // 0.8 — catches a short doc embedded in a longer one, which
+    // Jaccard's symmetric denominator hides. Shares the inverted gram
+    // index with x02 (same OpCache table); exact-SQL oracle via
+    // list_intersect over the same distinct shingles.
+    GraftQuery(
+      "x55_ngram_containment",
+      (s, d) =>
+        Dedup.ngramContainmentPairs(t(s, d, "documents"))
+          .select(col("doc_a"), col("doc_b"), round(col("containment"), 4).as("containment"))
+          .orderBy("doc_a", "doc_b"),
+      Some(s"""$toksCte,
+        |sh AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+        |              ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |         END AS sg
+        |  FROM t)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       ROUND(CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) /
+        |             LEAST(len(a.sg), len(b.sg)), 4) AS containment
+        |FROM sh a JOIN sh b
+        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE len(a.sg) > 0 AND len(b.sg) > 0
+        |  AND CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE) /
+        |      LEAST(len(a.sg), len(b.sg)) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // CDC-driven dimension maintenance — the x51 + x50 COMPOSITION:
+    // snapshot-diff the documents table against its next version,
+    // stage only the added/changed keys as updates, and SCD2-merge
+    // them into a content-hash dimension. Removed docs pass through
+    // untouched (absence from a snapshot is not an attribute change).
+    // The oracle states the expected dimension directly.
+    GraftQuery(
+      "x56_cdc_scd2",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val dim = docs.select(
+          col("doc_id"), md5(col("text")).as("content_hash"),
+          lit(java.sql.Date.valueOf("2024-01-01")).as("valid_from"),
+          lit(null).cast("date").as("valid_to"),
+          lit(true).as("is_current"))
+        val newSnap = docs.filter(col("doc_id") % 13 =!= 0)
+          .withColumn(
+            "text",
+            when(col("doc_id") % 11 === 0, concat(lit("REVISED "), col("text")))
+              .otherwise(col("text")))
+          .unionByName(docs.filter(col("doc_id") % 17 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000))
+        val delta = graft.operators.SnapshotDiff.diff(docs, newSnap, Seq("doc_id"))
+          .filter(col("change_type").isin("added", "changed"))
+        val updates = newSnap
+          .select(col("doc_id"), md5(col("text")).as("content_hash"))
+          .join(delta.select("doc_id"), Seq("doc_id"), "left_semi")
+        graft.operators.Scd2.merge(
+          dim, updates,
+          keyCols = Seq("doc_id"),
+          attrCols = Seq("content_hash"),
+          effective = lit(java.sql.Date.valueOf("2024-06-01")))
+          .orderBy("doc_id", "valid_from")
+      },
+      Some("""SELECT doc_id, md5(text) AS content_hash,
+        |       DATE '2024-01-01' AS valid_from, DATE '2024-06-01' AS valid_to,
+        |       FALSE AS is_current
+        |FROM documents WHERE doc_id % 13 <> 0 AND doc_id % 11 = 0
+        |UNION ALL
+        |SELECT doc_id, md5(text), DATE '2024-01-01', NULL, TRUE
+        |FROM documents WHERE NOT (doc_id % 13 <> 0 AND doc_id % 11 = 0)
+        |UNION ALL
+        |SELECT doc_id, md5('REVISED ' || text), DATE '2024-06-01', NULL, TRUE
+        |FROM documents WHERE doc_id % 13 <> 0 AND doc_id % 11 = 0
+        |UNION ALL
+        |SELECT doc_id + 1000000, md5(text), DATE '2024-06-01', NULL, TRUE
+        |FROM documents WHERE doc_id % 17 = 0
+        |ORDER BY doc_id, valid_from""".stripMargin)
     )
   )
 

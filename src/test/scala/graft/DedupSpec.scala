@@ -232,6 +232,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("containment pairs catch a short doc embedded in a long one that Jaccard misses") {
+    import sqlImplicits._
+    val short = "the quick brown fox jumps over the lazy dog"
+    // distinct filler tokens: every filler shingle is unique, so the
+    // long doc's shingle set stays ~8x the short one's
+    val long = short + " " + (1 to 60).map(i => s"filler$i").mkString(" ")
+    val d = Seq(
+      (1L, short, "en"),
+      (2L, long, "en"),
+      (3L, "entirely different text about spark engines and shuffles at scale here", "en"))
+      .map { case (id, t, l) => (id, t, l, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+    // Every shingle of doc 1 appears in doc 2 → containment 1.0 …
+    val cont = Dedup.ngramContainmentPairs(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(cont == Seq((1L, 2L, 1.0)))
+    // … while symmetric Jaccard (even without the length band) stays
+    // far below any useful threshold: size disparity drowns it.
+    val jac = Dedup.ngramJaccardPairs(d, lenBand = 10000, minJaccard = 0.0)
+      .filter($"doc_a" === 1L && $"doc_b" === 2L)
+      .head().getDouble(2)
+    assert(jac < 0.2, s"jaccard $jac")
+  }
+
   test("ngramDupStats: planted shared 5-grams give exact dup fractions") {
     import sqlImplicits._
     val d = Seq(
