@@ -1539,6 +1539,51 @@ object ExtQueries {
         |SELECT doc_id + 1000000, md5(text), DATE '2024-06-01', NULL, TRUE
         |FROM documents WHERE doc_id % 17 = 0
         |ORDER BY doc_id, valid_from""".stripMargin)
+    ),
+
+    // Mergeable histogram quantiles: per-returnflag median and p95 of
+    // l_extendedprice from TWO partial states (pre/post a ship-date
+    // cut) merged — certifying that bucketize → additive merge →
+    // cumsum → first-crossing is bit-replayable AND batch-boundary
+    // independent (the oracle histograms all rows at once). Estimate
+    // = left bucket edge; error < one bucket width by construction
+    // (spec-pinned against exact percentiles).
+    GraftQuery(
+      "x57_quantile_sketch",
+      (s, d) => {
+        import graft.operators.QuantileSketch
+        val li = t(s, d, "lineitem")
+        val keys = Seq("l_returnflag")
+        val cut = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+        val (lo, hi, nb) = (900.0, 105000.0, 128)
+        val a = QuantileSketch.rollup(
+          li.filter(col("l_shipdate") < cut), keys, col("l_extendedprice"), lo, hi, nb)
+        val b = QuantileSketch.rollup(
+          li.filter(col("l_shipdate") >= cut), keys, col("l_extendedprice"), lo, hi, nb)
+        QuantileSketch
+          .quantiles(QuantileSketch.merge(Seq(a, b), keys), keys, Seq(0.5, 0.95), lo, hi, nb)
+          .orderBy("l_returnflag", "q")
+      },
+      Some("""WITH h AS (
+        |  SELECT l_returnflag,
+        |    COALESCE(CAST(LEAST(GREATEST(FLOOR((l_extendedprice - 900.0) / 104100.0 * 128.0), 0), 127) AS BIGINT), 0) AS bucket,
+        |    COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, bucket, n,
+        |    SUM(n) OVER (PARTITION BY l_returnflag ORDER BY bucket
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(n) OVER (PARTITION BY l_returnflag) AS total
+        |  FROM h),
+        |q AS (
+        |  SELECT l_returnflag, CAST(0.5 AS DOUBLE) AS q, MIN(bucket) AS bucket
+        |  FROM c WHERE CAST(cum AS DOUBLE) >= 0.5 * CAST(total AS DOUBLE) GROUP BY 1
+        |  UNION ALL
+        |  SELECT l_returnflag, CAST(0.95 AS DOUBLE), MIN(bucket)
+        |  FROM c WHERE CAST(cum AS DOUBLE) >= 0.95 * CAST(total AS DOUBLE) GROUP BY 1)
+        |SELECT l_returnflag, q,
+        |       900.0 + CAST(bucket AS DOUBLE) * 813.28125 AS est
+        |FROM q ORDER BY l_returnflag, q""".stripMargin)
     )
   )
 

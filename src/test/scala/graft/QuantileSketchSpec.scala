@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.QuantileSketch
+
+/** Histogram-quantile sketch: merge invariance, the one-bucket-width
+  * error bound against exact percentiles, and edge clamping.
+  */
+class QuantileSketchSpec extends SparkSpec {
+
+  private val (lo, hi, nb) = (0.0, 100.0, 50)
+  private val width = (hi - lo) / nb
+
+  private lazy val values: Seq[Double] =
+    (1 to 500).map(i => (i * 37 % 1000) / 10.0) // deterministic spread over [0, 100)
+
+  private lazy val df = {
+    import sqlImplicits._
+    values.zipWithIndex.map { case (v, i) => (if (i % 2 == 0) "a" else "b", v) }.toDF("k", "v")
+  }
+
+  test("merge of splits equals the single-pass state") {
+    val full = QuantileSketch.rollup(df, Seq("k"), col("v"), lo, hi, nb)
+    val merged = QuantileSketch.merge(
+      Seq(df.limit(123), df.exceptAll(df.limit(123)))
+        .map(b => QuantileSketch.rollup(b, Seq("k"), col("v"), lo, hi, nb)),
+      Seq("k"))
+    assert(merged.exceptAll(full).count() == 0 && full.exceptAll(merged).count() == 0)
+  }
+
+  test("estimates sit within one bucket width of the exact quantile") {
+    val qs = Seq(0.1, 0.5, 0.9, 0.99)
+    val state = QuantileSketch.rollup(df, Seq("k"), col("v"), lo, hi, nb)
+    val est = QuantileSketch.quantiles(state, Seq("k"), qs, lo, hi, nb)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    for (k <- Seq("a", "b"); q <- qs) {
+      val sorted = values.zipWithIndex
+        .filter { case (_, i) => (if (i % 2 == 0) "a" else "b") == k }
+        .map(_._1).sorted
+      // exact lower quantile: smallest x with rank >= q * n
+      val exact = sorted(math.max(0, math.ceil(q * sorted.size).toInt - 1))
+      val e = est((k, q))
+      assert(exact >= e && exact < e + width,
+        s"k=$k q=$q exact=$exact est=$e width=$width")
+    }
+  }
+
+  test("out-of-range values clamp to edge buckets; mass is never dropped") {
+    import sqlImplicits._
+    val d = Seq(("a", -50.0), ("a", 10.0), ("a", 500.0)).toDF("k", "v")
+    val state = QuantileSketch.rollup(d, Seq("k"), col("v"), lo, hi, nb).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(state == Map(0L -> 1L, 5L -> 1L, (nb - 1).toLong -> 1L))
+    assert(state.values.sum == 3L)
+  }
+}
