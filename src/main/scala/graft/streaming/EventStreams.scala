@@ -178,30 +178,55 @@ object EventStreams {
     * the base data is never rescanned, so the maintained rollup stays
     * O(batch) while the table it summarizes grows without bound.
     * State-table overwrite is staged (see `Tables.upsertTable`: the
-    * state feeds its own merge plan). Production runs add a
-    * `checkpointLocation`; on a replayed batch the decimal merge is
-    * NOT idempotent, so exactly-once there means keying state versions
-    * by batch id — out of scope for this operator, noted by contract.
+    * state feeds its own merge plan).
+    *
+    * EXACTLY-ONCE under replay: the decimal merge is not naturally
+    * idempotent, so every state row is stamped with the highest batch
+    * id folded in (`__last_batch`), and [[foldRollupBatch]] skips any
+    * batch id ≤ that watermark. With a `checkpointLocation`, a
+    * restarted query replays the in-flight batch with its ORIGINAL
+    * id (the foreachBatch contract), the stamp check drops it, and
+    * the rollup is applied exactly once.
     */
   def maintainRollup(
       stream: DataFrame,
       stateTable: String,
       keys: Seq[String],
       measures: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery = {
-    val fold: (DataFrame, Long) => Unit = { (batch, _) =>
-      val spark = batch.sparkSession
-      val delta = graft.operators.IncrementalAgg.rollup(batch, keys, measures)
-      val merged =
-        if (spark.catalog.tableExists(stateTable))
-          graft.operators.IncrementalAgg.merge(Seq(spark.table(stateTable), delta), keys)
-        else delta
-      val staging = stateTable + "__staging"
-      graft.sources.Tables.overwriteTable(merged, staging)
-      graft.sources.Tables.overwriteTable(spark.table(staging), stateTable)
-      spark.sql(s"DROP TABLE IF EXISTS $staging")
-      ()
-    }
+    val fold: (DataFrame, Long) => Unit =
+      (batch, id) => foldRollupBatch(batch, id, stateTable, keys, measures)
     stream.writeStream.foreachBatch(fold).start()
+  }
+
+  /** One idempotent fold step of [[maintainRollup]]: merge `batch`
+    * into `stateTable` unless a batch with this id (or later) was
+    * already folded in.
+    */
+  def foldRollupBatch(
+      batch: DataFrame,
+      batchId: Long,
+      stateTable: String,
+      keys: Seq[String],
+      measures: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val exists = spark.catalog.tableExists(stateTable)
+    val applied = exists && {
+      // max over an empty state is null → nothing folded yet
+      val m = spark.table(stateTable).agg(max(col("__last_batch"))).head().get(0)
+      m != null && m.asInstanceOf[Long] >= batchId
+    }
+    if (applied) return // replayed batch: already in the state
+    val delta = graft.operators.IncrementalAgg.rollup(batch, keys, measures)
+    val merged =
+      if (exists)
+        graft.operators.IncrementalAgg.merge(
+          Seq(spark.table(stateTable).drop("__last_batch"), delta), keys)
+      else delta
+    val staging = stateTable + "__staging"
+    graft.sources.Tables.overwriteTable(
+      merged.withColumn("__last_batch", lit(batchId)), staging)
+    graft.sources.Tables.overwriteTable(spark.table(staging), stateTable)
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
   }
 
   /** Convenience: run a streaming DataFrame to completion against a

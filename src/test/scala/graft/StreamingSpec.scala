@@ -327,6 +327,16 @@ class StreamingSpec extends SparkSpec {
     val streamed = fin(spark.table("stream_rollup_state"))
     val batch = fin(IncrementalAgg.rollup(rows.toDF("k", "v"), Seq("k"), Seq("v")))
     assert(streamed == batch)
+
+    // Exactly-once under replay: re-folding an already-applied batch id
+    // (the foreachBatch restart contract) must not change the state.
+    EventStreams.foldRollupBatch(
+      rows.take(3).toDF("k", "v"), batchId = 1L, "stream_rollup_state", Seq("k"), Seq("v"))
+    assert(fin(spark.table("stream_rollup_state")) == batch, "replayed batch double-counted")
+    // A NEW batch id still folds in.
+    EventStreams.foldRollupBatch(
+      Seq(("z", 5.0)).toDF("k", "v"), batchId = 99L, "stream_rollup_state", Seq("k"), Seq("v"))
+    assert(fin(spark.table("stream_rollup_state")).exists(_._1 == "z"))
     spark.sql("DROP TABLE IF EXISTS stream_rollup_state")
   }
 
