@@ -78,6 +78,10 @@ object ScaleProbe {
       // immune to a single high-df gram straggler partition.
       time(s"ngram_dup_stats        x$k", Dedup.ngramDupStats(d))
       time(s"ngram_dup_stats_capped x$k", Dedup.ngramDupStats(d, maxGramDf = Some(1000L)))
+      // Containment: same Σdf² inverted-index shape as Jaccard but no
+      // length band — the curve tells whether the df cap must default on.
+      time(s"ngram_containment      x$k", Dedup.ngramContainmentPairs(d))
+      time(s"ngram_containment_cap  x$k", Dedup.ngramContainmentPairs(d, maxShingleDf = Some(1000L)))
       time(s"simhash_pairs          x$k", Dedup.simhashPairs(d, maxHamming = 3))
       time(s"char_minhash_lsh_pairs x$k", Dedup.charMinhashLshPairs(d))
       time(s"ann_sign_lsh_topk      x$k", Similarity.annSignLshTopK(v))
