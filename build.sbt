@@ -26,8 +26,18 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 8g forces constant GC once the 90+-query bench has its operator
+  // 8g forces constant GC once the 100+-query bench has its operator
   // caches resident; 24g on the 128 GiB box keeps the warm pass
-  // GC-quiet (measured: warm total 46.0s -> 37.4s at sf0.1).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // GC-quiet (measured: warm total 46.0s -> 37.4s at sf0.1). Scale to
+  // a quarter of physical RAM (capped 4..24g) so smaller machines
+  // aren't OOM-killed; SPARK_DRIVER_MEM overrides.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", {
+    val totalGb =
+      try {
+        java.lang.management.ManagementFactory.getOperatingSystemMXBean
+          .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+          .getTotalMemorySize / (1L << 30)
+      } catch { case _: Throwable => 16L }
+    s"${math.max(4L, math.min(24L, totalGb / 4))}g"
+  })}",
 )

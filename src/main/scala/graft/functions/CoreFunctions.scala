@@ -98,6 +98,21 @@ object CoreFunctions {
   // exact and engine-independent; the final cast back to double of a
   // 4-dp decimal < 2^53/10^4 is bit-deterministic in both engines.
 
+  /** Linear bucketization of `c` from [lo, hi) onto 0..n-1, clamped at
+    * both ends (out-of-range values land in the edge buckets; NULL →
+    * bucket 0). Shared by the layout (ZOrder) and sketch
+    * (QuantileSketch) operators so the clamp/NULL semantics and their
+    * engine-portable oracle replays can never drift apart. The bucket
+    * expression is `floor((c - lo) / (hi - lo) * n)` — division before
+    * multiplication, the exact order the oracles replicate.
+    */
+  def bucketize(c: Column, lo: Double, hi: Double, n: Long): Column = {
+    require(n > 0, s"bucket count $n must be positive")
+    require(hi > lo, s"degenerate range [$lo, $hi]")
+    val raw = floor((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(n.toDouble)).cast("long")
+    coalesce(least(greatest(raw, lit(0L)), lit(n - 1)), lit(0L))
+  }
+
   /** Exact decimal sum of a double column, returned as double. */
   def dsum(c: Column): Column =
     sum(c.cast(DecimalType(18, 4))).cast("double")

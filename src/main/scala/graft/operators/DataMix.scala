@@ -89,6 +89,10 @@ object DataMix {
     */
   def md5Shard(df: DataFrame, nShards: Int, keyCols: Seq[Column]): DataFrame = {
     require(nShards > 0, s"nShards $nShards must be positive")
+    // The portable draw is 16-bit: more shards than draw values would
+    // leave shards >= 65536 permanently empty (use hashShard's 64-bit
+    // draw for extreme fan-out).
+    require(nShards <= 65536, s"nShards $nShards exceeds the 16-bit md5 draw; use hashShard")
     df.withColumn("shard_id", (md5Bucket16(keyCols) % nShards).cast("int"))
   }
 

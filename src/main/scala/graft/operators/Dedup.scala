@@ -427,34 +427,11 @@ object Dedup {
           .cast("long").as("dup_bp"))
   }
 
-  /** Blocked word-shingle Jaccard near-dup pairs. Blocking: same lang,
-    * |n_chars difference| ≤ `lenBand`. Output: (doc_a, doc_b, jaccard)
-    * with jaccard ≥ minJaccard.
-    *
-    * Inverted-index formulation (no per-pair array_intersect): explode
-    * distinct shingles, hash them to longs (codegen'd; collision odds
-    * ~n²/2⁶⁴), self-join on (lang, shingle hash) so only pairs that
-    * actually share a shingle are ever produced, count the matches per
-    * pair, then join per-doc shingle counts back to finish the Jaccard
-    * |A∩B| / (|A|+|B|-|A∩B|). Every step is a codegen'd hash join or
-    * partial-aggregated groupBy — the shape that scales: shuffle volume
-    * is Σ_shingle df² rows, not |block|² array comparisons.
-    *
-    * `maxShingleDf`: the 100 TB skew bound. The self-join's shuffle
-    * volume is Σ_shingle df², so one boilerplate shingle appearing in
-    * 10⁶ docs alone yields 10¹² candidate rows. With a cap, shingles
-    * whose document frequency exceeds it are dropped BEFORE the
-    * self-join and the Jaccard is computed over the surviving (rare)
-    * shingle universe on both the intersection and the sizes —
-    * boilerplate stops being evidence of similarity at all, which is
-    * the standard df-capped near-dup measure. Near-duplicates share
-    * many rare shingles, so recall loss is bounded; disabled (None) by
-    * default for exact parity with the uncapped oracle.
-    */
   /** Shared inverted gram index for the pairwise n-gram measures:
     * (doc_id, lang, n_chars, h) with one row per distinct shingle,
     * OpCache-materialized (Jaccard and containment reuse the same
-    * cached table), optionally df-capped.
+    * cached table), optionally df-capped (see the `maxShingleDf`
+    * contract on [[ngramJaccardPairs]]).
     */
   private def gramIndex(docs: DataFrame, shingleN: Int, maxShingleDf: Option[Long]): DataFrame = {
     // One interpreted shingle-pipeline pass per doc, materialized.
@@ -484,6 +461,30 @@ object Dedup {
     }
   }
 
+  /** Blocked word-shingle Jaccard near-dup pairs. Blocking: same lang,
+    * |n_chars difference| ≤ `lenBand`. Output: (doc_a, doc_b, jaccard)
+    * with jaccard ≥ minJaccard.
+    *
+    * Inverted-index formulation (no per-pair array_intersect): explode
+    * distinct shingles, hash them to longs (codegen'd; collision odds
+    * ~n²/2⁶⁴), self-join on (lang, shingle hash) so only pairs that
+    * actually share a shingle are ever produced, count the matches per
+    * pair, then join per-doc shingle counts back to finish the Jaccard
+    * |A∩B| / (|A|+|B|-|A∩B|). Every step is a codegen'd hash join or
+    * partial-aggregated groupBy — the shape that scales: shuffle volume
+    * is Σ_shingle df² rows, not |block|² array comparisons.
+    *
+    * `maxShingleDf`: the 100 TB skew bound. The self-join's shuffle
+    * volume is Σ_shingle df², so one boilerplate shingle appearing in
+    * 10⁶ docs alone yields 10¹² candidate rows. With a cap, shingles
+    * whose document frequency exceeds it are dropped BEFORE the
+    * self-join and the Jaccard is computed over the surviving (rare)
+    * shingle universe on both the intersection and the sizes —
+    * boilerplate stops being evidence of similarity at all, which is
+    * the standard df-capped near-dup measure. Near-duplicates share
+    * many rare shingles, so recall loss is bounded; disabled (None) by
+    * default for exact parity with the uncapped oracle.
+    */
   def ngramJaccardPairs(
       docs: DataFrame,
       shingleN: Int = 3,

@@ -22,14 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object QuantileSketch {
 
-  private def bucketCol(value: Column, lo: Double, hi: Double, nb: Int): Column = {
-    require(nb > 0, s"bucket count $nb must be positive")
-    require(hi > lo, s"degenerate range [$lo, $hi]")
-    val raw = floor((value.cast("double") - lit(lo)) / lit(hi - lo) * lit(nb.toDouble)).cast("long")
-    coalesce(least(greatest(raw, lit(0L)), lit(nb.toLong - 1)), lit(0L))
-  }
-
-  /** Histogram state for `df`: keys ++ (bucket, n). */
+  /** Histogram state for `df`: keys ++ (bucket, n). NULL and NaN
+    * measure values are EXCLUDED — a non-value is not quantile mass
+    * (counting it in bucket 0 would drag every estimate toward `lo`);
+    * out-of-range real values clamp to the edge buckets
+    * ([[graft.functions.CoreFunctions.bucketize]], shared with
+    * ZOrder so the two bucketizations can never drift).
+    */
   def rollup(
       df: DataFrame,
       keys: Seq[String],
@@ -37,7 +36,9 @@ object QuantileSketch {
       lo: Double,
       hi: Double,
       nb: Int = 128): DataFrame =
-    df.groupBy(keys.map(col) :+ bucketCol(value, lo, hi, nb).as("bucket"): _*)
+    df.filter(value.isNotNull && !isnan(value.cast("double")))
+      .groupBy(keys.map(col) :+
+        graft.functions.CoreFunctions.bucketize(value, lo, hi, nb.toLong).as("bucket"): _*)
       .agg(count(lit(1)).as("n"))
 
   /** Additive merge of histogram states (any batches, any order). */
@@ -62,20 +63,28 @@ object QuantileSketch {
       nb: Int = 128): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"quantiles $qs out of (0,1]")
     val keyCols = keys.map(col)
+    // ONE window pass computes cum/total; every requested q reduces in
+    // the same aggregation (min over a guarded bucket), and only the
+    // tiny |keys|-row aggregate is reshaped to one row per (key, q).
     val cum = state
       .withColumn("cum", sum(col("n")).over(
         Window.partitionBy(keyCols: _*).orderBy(col("bucket"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("total", sum(col("n")).over(Window.partitionBy(keyCols: _*)))
+    val agged = cum.groupBy(keyCols: _*).agg(
+      min(when(
+        col("cum").cast("double") >= lit(qs.head) * col("total").cast("double"),
+        col("bucket"))).as("__b0"),
+      qs.tail.zipWithIndex.map { case (q, i) =>
+        min(when(
+          col("cum").cast("double") >= lit(q) * col("total").cast("double"),
+          col("bucket"))).as(s"__b${i + 1}")
+      }: _*)
     val width = (hi - lo) / nb
-    qs.map { q =>
-      cum
-        .filter(col("cum").cast("double") >= lit(q) * col("total").cast("double"))
-        .groupBy(keyCols: _*)
-        .agg(min(col("bucket")).as("bucket"))
-        .select(
-          keyCols :+ lit(q).as("q") :+
-            (lit(lo) + col("bucket").cast("double") * lit(width)).as("est"): _*)
+    qs.zipWithIndex.map { case (q, i) =>
+      agged.select(
+        keyCols :+ lit(q).as("q") :+
+          (lit(lo) + col(s"__b$i").cast("double") * lit(width)).as("est"): _*)
     }.reduce(_ unionByName _)
   }
 }

@@ -18,13 +18,12 @@ object ZOrder {
   /** Linear bucketization of `c` from [lo, hi] onto 0..2^bits-1,
     * clamped at both ends (out-of-range and the hi endpoint land in
     * the edge buckets; NULL → bucket 0 so layout never drops rows).
+    * Delegates to [[graft.functions.CoreFunctions.bucketize]] — the
+    * single clamp/NULL implementation shared with QuantileSketch.
     */
   def bucket(c: Column, lo: Double, hi: Double, bits: Int = 16): Column = {
     require(bits > 0 && bits <= 16, s"bits $bits out of 1..16")
-    require(hi > lo, s"degenerate range [$lo, $hi]")
-    val n = 1L << bits
-    val raw = floor((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(n.toDouble)).cast("long")
-    coalesce(least(greatest(raw, lit(0L)), lit(n - 1)), lit(0L))
+    graft.functions.CoreFunctions.bucketize(c, lo, hi, 1L << bits)
   }
 
   /** Spread the low 16 bits of `x` onto even bit positions 0,2,…,30 —

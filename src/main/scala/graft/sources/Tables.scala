@@ -117,13 +117,41 @@ object Tables {
     */
   def upsertTable(updates: DataFrame, table: String, key: String): Unit = {
     val spark = updates.sparkSession
-    val staging = table + "__staging"
     val merged = spark.table(table)
       .join(updates.select(key).distinct(), Seq(key), "left_anti")
       .unionByName(updates)
-    overwriteTable(merged, staging)
+    stagedOverwrite(merged, table)
+  }
+
+  /** Overwrite `table` with a plan that (possibly) READS `table`:
+    * materialize to a staging table first, then copy back — a direct
+    * overwrite would drop the table out from under its own scan. The
+    * staging table is the crash-recovery artifact: the final copy is
+    * drop-then-write (parquet has no atomic swap), so a crash there
+    * loses `table` while `<table>__staging` still holds the complete
+    * result — [[recoverStaged]] restores it on the next run.
+    */
+  def stagedOverwrite(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    val staging = table + "__staging"
+    overwriteTable(df, staging)
     overwriteTable(spark.table(staging), table)
     spark.sql(s"DROP TABLE IF EXISTS $staging")
+  }
+
+  /** Crash recovery for [[stagedOverwrite]]: if `table` is missing but
+    * its staging table survives, the previous run died between the
+    * staging write and the final copy — the staging table IS the
+    * intended content; restore it. Returns true if a recovery ran.
+    */
+  def recoverStaged(spark: SparkSession, table: String): Boolean = {
+    val staging = table + "__staging"
+    val needed = !spark.catalog.tableExists(table) && spark.catalog.tableExists(staging)
+    if (needed) {
+      overwriteTable(spark.table(staging), table)
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
+    }
+    needed
   }
 
   /** Optional JDBC sink for Postgres/Power-BI parity (S2/S3 over the

@@ -192,15 +192,25 @@ object EventStreams {
       stream: DataFrame,
       stateTable: String,
       keys: Seq[String],
-      measures: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery = {
+      measures: Seq[String],
+      checkpointLocation: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val fold: (DataFrame, Long) => Unit =
       (batch, id) => foldRollupBatch(batch, id, stateTable, keys, measures)
-    stream.writeStream.foreachBatch(fold).start()
+    val w = stream.writeStream.foreachBatch(fold)
+    // Without a checkpoint a restarted source replays from scratch
+    // with batch ids RESET to 0 — the __last_batch watermark would
+    // then wrongly skip genuinely-new batches that reuse low ids. The
+    // exactly-once guarantee holds only checkpointed; tests that run
+    // a single uninterrupted query may omit it.
+    checkpointLocation.fold(w)(p => w.option("checkpointLocation", p)).start()
   }
 
   /** One idempotent fold step of [[maintainRollup]]: merge `batch`
     * into `stateTable` unless a batch with this id (or later) was
-    * already folded in.
+    * already folded in. Runs [[graft.sources.Tables.recoverStaged]]
+    * first, so a crash between the staged write and the final state
+    * copy is healed from the surviving staging table before the
+    * replayed batch is considered.
     */
   def foldRollupBatch(
       batch: DataFrame,
@@ -209,6 +219,7 @@ object EventStreams {
       keys: Seq[String],
       measures: Seq[String]): Unit = {
     val spark = batch.sparkSession
+    graft.sources.Tables.recoverStaged(spark, stateTable)
     val exists = spark.catalog.tableExists(stateTable)
     val applied = exists && {
       // max over an empty state is null → nothing folded yet
@@ -222,11 +233,8 @@ object EventStreams {
         graft.operators.IncrementalAgg.merge(
           Seq(spark.table(stateTable).drop("__last_batch"), delta), keys)
       else delta
-    val staging = stateTable + "__staging"
-    graft.sources.Tables.overwriteTable(
-      merged.withColumn("__last_batch", lit(batchId)), staging)
-    graft.sources.Tables.overwriteTable(spark.table(staging), stateTable)
-    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    graft.sources.Tables.stagedOverwrite(
+      merged.withColumn("__last_batch", lit(batchId)), stateTable)
   }
 
   /** Convenience: run a streaming DataFrame to completion against a

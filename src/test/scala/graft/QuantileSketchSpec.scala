@@ -46,6 +46,20 @@ class QuantileSketchSpec extends SparkSpec {
     }
   }
 
+  test("NULL and NaN carry no quantile mass") {
+    import sqlImplicits._
+    val d = (Seq.fill(30)(Option(90.0)) ++ Seq.fill(20)(Option.empty[Double]) ++
+      Seq.fill(20)(Option(Double.NaN)))
+      .map(("a", _)).toDF("k", "v")
+    val state = QuantileSketch.rollup(d, Seq("k"), col("v"), lo, hi, nb)
+    // only the 30 real values count …
+    assert(state.agg(sum("n")).head().getLong(0) == 30L)
+    // … so the median sits at 90, not dragged toward lo by non-values
+    val med = QuantileSketch.quantiles(state, Seq("k"), Seq(0.5), lo, hi, nb)
+      .head().getDouble(2)
+    assert(med == 90.0, s"median $med")
+  }
+
   test("out-of-range values clamp to edge buckets; mass is never dropped") {
     import sqlImplicits._
     val d = Seq(("a", -50.0), ("a", 10.0), ("a", 500.0)).toDF("k", "v")

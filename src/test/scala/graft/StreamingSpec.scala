@@ -337,6 +337,17 @@ class StreamingSpec extends SparkSpec {
     EventStreams.foldRollupBatch(
       Seq(("z", 5.0)).toDF("k", "v"), batchId = 99L, "stream_rollup_state", Seq("k"), Seq("v"))
     assert(fin(spark.table("stream_rollup_state")).exists(_._1 == "z"))
+
+    // Crash between the staged write and the final copy: state table
+    // gone, staging intact. The next fold must heal from staging and
+    // then skip the replayed batch id.
+    val healed = fin(spark.table("stream_rollup_state"))
+    graft.sources.Tables.overwriteTable(
+      spark.table("stream_rollup_state"), "stream_rollup_state__staging")
+    spark.sql("DROP TABLE stream_rollup_state")
+    EventStreams.foldRollupBatch(
+      Seq(("z", 5.0)).toDF("k", "v"), batchId = 99L, "stream_rollup_state", Seq("k"), Seq("v"))
+    assert(fin(spark.table("stream_rollup_state")) == healed, "staged recovery lost or double-counted state")
     spark.sql("DROP TABLE IF EXISTS stream_rollup_state")
   }
 

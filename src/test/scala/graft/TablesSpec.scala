@@ -11,10 +11,15 @@ import graft.sources.Tables
 class TablesSpec extends SparkSpec {
 
   test("database bootstrap: probe + create is idempotent") {
-    assert(!Tables.databaseExists(spark, "graft_test_db"))
-    Tables.createDatabase(spark, "graft_test_db")
-    Tables.createDatabase(spark, "graft_test_db") // IF NOT EXISTS
-    assert(Tables.databaseExists(spark, "graft_test_db"))
+    // Own database name: graft_test_db is shared with StreamingSpec's
+    // upsert test, and suites run in parallel — asserting its global
+    // non-existence was order-dependent.
+    val db = "graft_probe_db"
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    assert(!Tables.databaseExists(spark, db))
+    Tables.createDatabase(spark, db)
+    Tables.createDatabase(spark, db) // IF NOT EXISTS
+    assert(Tables.databaseExists(spark, db))
   }
 
   test("append/overwrite sinks have to_sql append/replace semantics") {
