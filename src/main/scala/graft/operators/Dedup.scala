@@ -511,6 +511,32 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Exact edit-distance verification of candidate pairs — the second
+    * stage of the canonical near-dup pipeline: LSH GENERATES a linear
+    * number of candidates, an exact O(len²) measure VERIFIES each one,
+    * and the quadratic cost is only ever paid per candidate, never per
+    * corpus pair. Joins each (doc_a, doc_b) to its texts (two hash
+    * joins on id) and keeps pairs whose normalized edit similarity
+    * `1 − lev/max(len_a, len_b)` reaches `minSimilarity`. Codegen'd
+    * `levenshtein`; candidate tables from any generator
+    * ([[minhashLshPairs]], [[charMinhashLshPairs]], [[simhashPairs]]).
+    */
+  def editVerifiedPairs(
+      candidates: DataFrame,
+      docs: DataFrame,
+      minSimilarity: Double = 0.8): DataFrame = {
+    val t = docs.select(col("doc_id"), col("text"))
+    candidates.select("doc_a", "doc_b")
+      .join(t.select(col("doc_id").as("doc_a"), col("text").as("__ta")), Seq("doc_a"))
+      .join(t.select(col("doc_id").as("doc_b"), col("text").as("__tb")), Seq("doc_b"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        levenshtein(col("__ta"), col("__tb")).as("lev"),
+        (lit(1.0) - levenshtein(col("__ta"), col("__tb")).cast("double") /
+          greatest(length(col("__ta")), length(col("__tb"))).cast("double")).as("edit_sim"))
+      .filter(col("edit_sim") >= minSimilarity)
+  }
+
   /** Overlap-coefficient (containment) pairs: |A∩B| / min(|A|,|B|) —
     * the asymmetric near-dup measure that finds a SHORT document
     * embedded in a LONGER one (quotations, boilerplate inclusion,

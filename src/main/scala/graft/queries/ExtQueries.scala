@@ -1584,6 +1584,38 @@ object ExtQueries {
         |SELECT l_returnflag, q,
         |       900.0 + CAST(bucket AS DOUBLE) * 813.28125 AS est
         |FROM q ORDER BY l_returnflag, q""".stripMargin)
+    ),
+
+    // Generate-then-verify, certified end-to-end: the portable
+    // char-LSH candidate set (x47's cpairs) exact-verified by edit
+    // distance — the canonical near-dup pipeline shape, where the
+    // O(len²) measure runs per CANDIDATE, never per corpus pair.
+    // Every candidate is emitted with its distance, similarity, and
+    // verdict, so the oracle certifies the verification computation
+    // over the whole candidate set, not just the survivors.
+    GraftQuery(
+      "x58_edit_verified_neardup",
+      (s, d) =>
+        Dedup.editVerifiedPairs(
+          charPortablePairs(s, d).select("doc_a", "doc_b"),
+          t(s, d, "documents"),
+          minSimilarity = 0.0)
+          .select(
+            col("doc_a"), col("doc_b"), col("lev").cast("long").as("lev"),
+            round(col("edit_sim"), 4).as("edit_sim"),
+            (col("edit_sim") >= 0.8).as("is_dup"))
+          .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $charPortablePairsCte
+        |SELECT p.doc_a, p.doc_b,
+        |  levenshtein(a.text, b.text) AS lev,
+        |  ROUND(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+        |        GREATEST(length(a.text), length(b.text)), 4) AS edit_sim,
+        |  (1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+        |   GREATEST(length(a.text), length(b.text))) >= 0.8 AS is_dup
+        |FROM cpairs p
+        |JOIN documents a ON a.doc_id = p.doc_a
+        |JOIN documents b ON b.doc_id = p.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin)
     )
   )
 

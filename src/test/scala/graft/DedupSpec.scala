@@ -256,6 +256,23 @@ class DedupSpec extends SparkSpec {
     assert(jac < 0.2, s"jaccard $jac")
   }
 
+  test("edit verification keeps true near-dups and rejects false LSH candidates") {
+    import sqlImplicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val d = Seq(
+      (1L, base),
+      (2L, base.replace("today", "tonight")), // one-word edit → high similarity
+      (3L, "totally different content that an unlucky band collision might pair up"))
+      .toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b") // incl. a false candidate
+    val out = Dedup.editVerifiedPairs(cands, d, minSimilarity = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L))) // false candidate verified away
+    // unfiltered: both candidates scored, similarity in [0,1]
+    val all = Dedup.editVerifiedPairs(cands, d, minSimilarity = 0.0).collect()
+    assert(all.length == 2 && all.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+
   test("ngramDupStats: planted shared 5-grams give exact dup fractions") {
     import sqlImplicits._
     val d = Seq(
