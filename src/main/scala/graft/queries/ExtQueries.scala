@@ -1616,6 +1616,33 @@ object ExtQueries {
         |JOIN documents a ON a.doc_id = p.doc_a
         |JOIN documents b ON b.doc_id = p.doc_b
         |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // Long-key bloom decontamination, oracled: orders of negative-
+    // balance customers via the broadcast-bloom prefilter + exact
+    // semi-join, with the probe dispatched on the INTEGRAL key type
+    // (the silent-false-negative hazard the typed BloomMightContain
+    // dispatch exists to prevent — x33 certifies the string-key path,
+    // this certifies the long-key path). Oracle = the plain semi-join
+    // the bloom pipeline must be bit-identical to.
+    GraftQuery(
+      "x59_bloom_long_keys",
+      (s, d) => {
+        val blocklist = t(s, d, "customer")
+          .filter(col("c_acctbal") < 0)
+          .select(col("c_custkey").as("o_custkey"))
+        Dedup.bloomSemiJoin(t(s, d, "orders"), blocklist, "o_custkey", expectedItems = 100000L)
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            countDistinct(col("o_custkey")).as("n_custs"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |       COUNT(DISTINCT o_custkey) AS n_custs
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     )
   )
 
