@@ -1684,17 +1684,22 @@ object ExtQueries {
       col("band_id"), col("band_key"), col("doc_id").as("doc_a"), col("s").as("sa"))
     val b = banded.select(
       col("band_id"), col("band_key"), col("doc_id").as("doc_b"), col("s").as("sb"))
-    a.join(b, Seq("band_id", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sa", "sb")
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn(
-        "est_jaccard",
-        aggregate(
-          zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / 8.0)
-      .filter(col("est_jaccard") >= 0.25)
-      .select("doc_a", "doc_b", "est_jaccard")
+    // Three queries consume this pair set (x47 pairs, x48 cluster
+    // resolution, x58 edit verification) — cache the finished pairs,
+    // not just the signatures, so the band join runs once per input.
+    graft.operators.OpCache.swap(
+      "ext.x47.pairs",
+      a.join(b, Seq("band_id", "band_key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .dropDuplicates("doc_a", "doc_b")
+        .withColumn(
+          "est_jaccard",
+          aggregate(
+            zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast("double") / 8.0)
+        .filter(col("est_jaccard") >= 0.25)
+        .select("doc_a", "doc_b", "est_jaccard"))
   }
 
   /** Shared DuckDB CTE chain replaying [[charPortablePairs]], ending
