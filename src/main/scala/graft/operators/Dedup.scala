@@ -526,9 +526,20 @@ object Dedup {
       docs: DataFrame,
       minSimilarity: Double = 0.8): DataFrame = {
     val t = docs.select(col("doc_id"), col("text"))
-    candidates.select("doc_a", "doc_b")
+    val joined = candidates.select("doc_a", "doc_b")
       .join(t.select(col("doc_id").as("doc_a"), col("text").as("__ta")), Seq("doc_a"))
       .join(t.select(col("doc_id").as("doc_b"), col("text").as("__tb")), Seq("doc_b"))
+    // Length pre-filter: lev >= |len_a − len_b| always, so a pair whose
+    // length gap alone exceeds the similarity budget cannot pass — it
+    // is rejected at scan speed BEFORE the O(len²) computation. A no-op
+    // at minSimilarity = 0 (report-everything mode).
+    val la = length(col("__ta")).cast("double")
+    val lb = length(col("__tb")).cast("double")
+    val prefiltered =
+      if (minSimilarity > 0.0)
+        joined.filter(abs(la - lb) <= lit(1.0 - minSimilarity) * greatest(la, lb))
+      else joined
+    prefiltered
       .select(
         col("doc_a"), col("doc_b"),
         levenshtein(col("__ta"), col("__tb")).as("lev"),
