@@ -207,17 +207,28 @@ object EventStreams {
 
   /** One idempotent fold step of [[maintainRollup]]: merge `batch`
     * into `stateTable` unless a batch with this id (or later) was
-    * already folded in. Runs [[graft.sources.Tables.recoverStaged]]
-    * first, so a crash between the staged write and the final state
-    * copy is healed from the surviving staging table before the
-    * replayed batch is considered.
+    * already folded in.
     */
   def foldRollupBatch(
       batch: DataFrame,
       batchId: Long,
       stateTable: String,
       keys: Seq[String],
-      measures: Seq[String]): Unit = {
+      measures: Seq[String]): Unit =
+    foldStateBatch(batch, batchId, stateTable)(
+      b => graft.operators.IncrementalAgg.rollup(b, keys, measures),
+      (s, d) => graft.operators.IncrementalAgg.merge(Seq(s, d), keys))
+
+  /** The idempotent-fold skeleton shared by every maintained
+    * mergeable state (rollups, histograms): heal a half-finished
+    * staged overwrite ([[graft.sources.Tables.recoverStaged]]), skip
+    * batch ids at or below the state's `__last_batch` watermark
+    * (exactly-once under checkpointed replay), otherwise reduce the
+    * batch to a delta state, merge, and stamp.
+    */
+  private def foldStateBatch(batch: DataFrame, batchId: Long, stateTable: String)(
+      mkDelta: DataFrame => DataFrame,
+      mergeStates: (DataFrame, DataFrame) => DataFrame): Unit = {
     val spark = batch.sparkSession
     graft.sources.Tables.recoverStaged(spark, stateTable)
     val exists = spark.catalog.tableExists(stateTable)
@@ -227,14 +238,35 @@ object EventStreams {
       m != null && m.asInstanceOf[Long] >= batchId
     }
     if (applied) return // replayed batch: already in the state
-    val delta = graft.operators.IncrementalAgg.rollup(batch, keys, measures)
+    val delta = mkDelta(batch)
     val merged =
-      if (exists)
-        graft.operators.IncrementalAgg.merge(
-          Seq(spark.table(stateTable).drop("__last_batch"), delta), keys)
+      if (exists) mergeStates(spark.table(stateTable).drop("__last_batch"), delta)
       else delta
     graft.sources.Tables.stagedOverwrite(
       merged.withColumn("__last_batch", lit(batchId)), stateTable)
+  }
+
+  /** Streaming histogram-quantile maintenance — the
+    * [[graft.operators.QuantileSketch]] face of [[maintainRollup]]:
+    * per-key bucket counts folded per micro-batch through the same
+    * idempotent skeleton. Read quantiles any time with
+    * `QuantileSketch.quantiles(spark.table(stateTable).drop("__last_batch"), …)`.
+    */
+  def maintainHistogram(
+      stream: DataFrame,
+      stateTable: String,
+      keys: Seq[String],
+      value: org.apache.spark.sql.Column,
+      lo: Double,
+      hi: Double,
+      nb: Int = 128,
+      checkpointLocation: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val fold: (DataFrame, Long) => Unit = (batch, id) =>
+      foldStateBatch(batch, id, stateTable)(
+        b => graft.operators.QuantileSketch.rollup(b, keys, value, lo, hi, nb),
+        (s, d) => graft.operators.QuantileSketch.merge(Seq(s, d), keys))
+    val w = stream.writeStream.foreachBatch(fold)
+    checkpointLocation.fold(w)(p => w.option("checkpointLocation", p)).start()
   }
 
   /** Convenience: run a streaming DataFrame to completion against a

@@ -351,6 +351,27 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS stream_rollup_state")
   }
 
+  test("streaming histogram maintenance answers the same quantiles as a single pass") {
+    import sqlImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.QuantileSketch
+    val vals = (1 to 400).map(i => ("a", (i * 37 % 1000) / 10.0))
+    val stream = MemoryStream[(String, Double)]
+    spark.sql("DROP TABLE IF EXISTS stream_hist_state")
+    val q = EventStreams.maintainHistogram(
+      stream.toDF().toDF("k", "v"), "stream_hist_state", Seq("k"), col("v"), 0.0, 100.0, 50)
+    stream.addData(vals.take(150): _*); q.processAllAvailable()
+    stream.addData(vals.drop(150): _*); q.processAllAvailable()
+    q.stop()
+    def qs(state: org.apache.spark.sql.DataFrame) =
+      QuantileSketch.quantiles(state, Seq("k"), Seq(0.5, 0.9), 0.0, 100.0, 50)
+        .orderBy("q").collect().map(r => (r.getDouble(1), r.getDouble(2))).toSeq
+    val streamed = qs(spark.table("stream_hist_state").drop("__last_batch"))
+    val single = qs(QuantileSketch.rollup(vals.toDF("k", "v"), Seq("k"), col("v"), 0.0, 100.0, 50))
+    assert(streamed == single)
+    spark.sql("DROP TABLE IF EXISTS stream_hist_state")
+  }
+
   test("mapGroupsWithState sessionizer accumulates per user across batches") {
     import sqlImplicits._
     implicit val sqlCtx = spark.sqlContext
