@@ -87,6 +87,10 @@ object ScaleProbe {
       time(s"ann_sign_lsh_topk      x$k", Similarity.annSignLshTopK(v))
       time(s"cosine_topk_bruteforce x$k", Similarity.cosineTopK(v))
       time(s"ann_ivf_kmeans         x$k", Similarity.ivfTopKKmeans(v))
+      // PQ is an exhaustive ADC scan — same O(N·Q) class as the brute
+      // baseline but m table-adds per score instead of dim multiplies
+      // (compose with IVF cells when even that is too much).
+      time(s"ann_pq                 x$k", Similarity.pqTopK(v))
       time(s"dedup_report_e2e       x$k", Dedup.dedupReport(d, minEstJaccard = 0.5))
       // Snapshot diff: value columns are digested before the join, so
       // the shuffle volume is keys+32B digests — the curve must track

@@ -356,4 +356,181 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(cosineWithNorms(dot(col("va"), col("vb")), col("na"), col("nb")), 4).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
+
+  // ------------------------------------------------------ product quantization
+
+  /** Product-quantization ANN — the memory-compressed scale path: each
+    * vector is encoded as `m` small codes (one k-means codebook per
+    * subspace), queries score the WHOLE corpus through per-query
+    * lookup tables (asymmetric distance computation: `m` table adds
+    * per vector instead of `dim` multiplies), and only the top
+    * `rerank` candidates per query are re-ranked with their true
+    * vectors. At 100 TB the encoded corpus is `m` bytes/vector
+    * (codes ≤ 256) instead of `4·dim` — the difference between an
+    * in-memory scan and a disk-bound one.
+    *
+    * Scale shape: codebook training advances ALL subspaces together —
+    * one equi-join assign + one partial-aggregated recompute per Lloyd
+    * round (never one loop per subspace); ADC scoring is corpus-codes
+    * ⨝ broadcast lookup table → partial-agg sum (map-side combine on
+    * (query, vec)); the exact re-rank re-attaches true vectors for
+    * ids only. Compose with IVF cells for query-side pruning when
+    * even the O(N·m) table scan is too much (IVF-PQ).
+    * Output: (query_id, neighbor_id, cosine, rank) — cosine EXACT
+    * from the re-rank, so recall is directly measurable against
+    * [[cosineTopK]].
+    */
+  def pqTopK(
+      embeddings: DataFrame,
+      k: Int = 3,
+      queryMod: Int = 100,
+      m: Int = 8,
+      codes: Int = 32,
+      rerank: Int = 64,
+      maxIter: Int = 3,
+      dim: Int = 64): DataFrame =
+    pqTopK(embeddings, embeddings.filter(col("vec_id") % queryMod === 0),
+      k, m, codes, rerank, maxIter, dim)
+
+  /** External-query-set form of [[pqTopK]]. */
+  def pqTopK(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      m: Int,
+      codes: Int,
+      rerank: Int,
+      maxIter: Int,
+      dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    require(codes <= 256, s"codes $codes exceeds one byte — the PQ memory contract")
+    val sub = dim / m
+    val base = prepared(embeddings.select(col("vec_id"), col("embedding")), "sim.pq.prep")
+
+    // (vec_id, sub_j, svec): the corpus split into m subspace rows.
+    def subRows(df: DataFrame): DataFrame =
+      df.select(
+        col("vec_id"),
+        posexplode(array((0 until m).map(j =>
+          slice(col("vec"), j * sub + 1, sub)): _*)).as(Seq("sub_j", "svec")))
+
+    // Codebooks for all m subspaces trained in one dataflow (memoized:
+    // the Lloyd loop is eager, an OpCache swap would arrive too late).
+    val plan = base.queryExecution.analyzed
+    val key = (base.sparkSession, plan.semanticHash(), m, codes, maxIter)
+    val codebooks = pqMemo.get(key) match {
+      case Some((storedPlan, df)) if storedPlan.sameResult(plan) => df
+      case _ =>
+        val df = pqCodebooks(subRows(base), codes, maxIter)
+        pqMemo.put(key, (plan, df))
+        df
+    }
+
+    // Encode the corpus: nearest code per (vec_id, sub_j) by L2. The
+    // true norm rides along as per-row metadata — the ADC score must
+    // be normalized by it (approximating the DOT alone would shortlist
+    // by magnitude, not direction, and bury true cosine neighbors
+    // under large-norm vectors).
+    val encW = Window.partitionBy("vec_id", "sub_j").orderBy(col("d2").asc, col("code").asc)
+    val encoded = subRows(base)
+      .join(base.select(col("vec_id"), col("norm")), Seq("vec_id"))
+      .join(broadcast(codebooks), Seq("sub_j"))
+      .select(
+        col("vec_id"), col("sub_j"), col("code"), col("norm"),
+        (col("cn2") - lit(2.0) * dot(col("svec"), col("cvec"))).as("d2")) // |s|² constant per rank group
+      .withColumn("crank", row_number().over(encW))
+      .filter(col("crank") === 1)
+      .select("vec_id", "sub_j", "code", "norm")
+
+    // Pack each vector's m codes into one array — the compressed
+    // corpus representation (m small ints/vector vs 4·dim bytes).
+    val packed = encoded
+      .groupBy("vec_id")
+      .agg(
+        array_sort(collect_list(struct(col("sub_j"), col("code")))).as("sc"),
+        first(col("norm")).as("norm"))
+      .select(col("vec_id"), transform(col("sc"), e => e.getField("code")).as("vcodes"), col("norm"))
+
+    // Per-query lookup table dot(q_j, c_{j,code}) packed into ONE
+    // array indexed sub_j·codes + code (array_sort on (sub_j, code)
+    // structs gives exactly that order).
+    val qprep = prepared(queries.select(col("vec_id"), col("embedding")), "sim.pq.qprep")
+    val lut = subRows(qprep)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(codebooks), Seq("sub_j"))
+      .select(col("query_id"), col("sub_j"), col("code"), dot(col("svec"), col("cvec")).as("qdot"))
+      .groupBy("query_id")
+      .agg(array_sort(collect_list(struct(col("sub_j"), col("code"), col("qdot")))).as("lc"))
+      .select(col("query_id"), transform(col("lc"), e => e.getField("qdot")).as("lut"))
+
+    // ADC as a codegen'd per-pair EXPRESSION (m element_at adds), not
+    // a join-materialized explosion: the pair join has brute force's
+    // topology but moves m codes per row instead of the vector, and
+    // each score is m table adds instead of dim multiplies. The score
+    // is normalized by the corpus row's true norm to approximate the
+    // COSINE ordering (the query norm is constant per rank group).
+    val adc = (0 until m).map(j =>
+      element_at(col("lut"), lit(j * codes + 1) + element_at(col("vcodes"), j + 1)))
+      .reduce(_ + _)
+    val approxW = Window.partitionBy("query_id").orderBy(col("approx_cos").desc, col("vec_id").asc)
+    val shortlist = packed
+      .join(maybeBroadcast(lut), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), (adc / col("norm")).as("approx_cos"))
+      .withColumn("arank", row_number().over(approxW))
+      .filter(col("arank") <= rerank)
+      .select("query_id", "vec_id")
+
+    // Exact re-rank of the shortlist: true vectors re-attached by id.
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
+    shortlist
+      .join(base.select(col("vec_id"), col("vec"), col("norm")), Seq("vec_id"))
+      .join(
+        maybeBroadcast(qprep.select(
+          col("vec_id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))),
+        Seq("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineWithNorms(dot(col("vec"), col("qvec")), col("norm"), col("qnorm")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
+  private val pqMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, Int, Int, Int, Int),
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]
+  OpCache.registerClearHook(() => pqMemo.clear())
+
+  /** Per-subspace k-means codebooks, all subspaces per round in ONE
+    * assign + ONE recompute (grouping key (sub_j, code)). Seeds:
+    * hash-order min `codes` subvectors per subspace via a per-subspace
+    * rank (no global sort). Output: (sub_j, code, cvec, cn2 = |c|²).
+    */
+  private def pqCodebooks(subRows: DataFrame, codes: Int, maxIter: Int): DataFrame = {
+    val seedW = Window.partitionBy("sub_j").orderBy(col("__h"), col("vec_id"))
+    var books = subRows
+      .select(col("sub_j"), col("vec_id"), col("svec"), xxhash64(col("vec_id")).as("__h"))
+      .withColumn("__r", row_number().over(seedW))
+      .filter(col("__r") <= codes)
+      .select(col("sub_j"), (col("__r") - 1).cast("int").as("code"), col("svec").as("cvec"))
+      .withColumn("cn2", dot(col("cvec"), col("cvec")))
+      .localCheckpoint(true)
+    var iter = 0
+    while (iter < maxIter) {
+      val w = Window.partitionBy("vec_id", "sub_j").orderBy(col("d2").asc, col("code").asc)
+      books = subRows
+        .join(broadcast(books), Seq("sub_j"))
+        .select(
+          col("vec_id"), col("sub_j"), col("code"), col("svec"),
+          (col("cn2") - lit(2.0) * dot(col("svec"), col("cvec"))).as("d2"))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") === 1)
+        .groupBy(col("sub_j"), col("code"))
+        .agg(graft.functions.VectorMean.vectorMean(col("svec")).as("cvec"))
+        .withColumn("cn2", dot(col("cvec"), col("cvec")))
+        .localCheckpoint(true) // truncate lineage each round
+      iter += 1
+    }
+    books
+  }
 }

@@ -1643,6 +1643,20 @@ object ExtQueries {
         |FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+
+    // Product-quantization ANN: m=8 one-byte codebooks, ADC scoring of
+    // the whole corpus through per-query lookup tables, exact cosine
+    // re-rank of the shortlist — the memory-compressed scale path
+    // (m bytes/vector instead of 4·dim). xxhash-seeded k-means →
+    // rows-only; recall vs brute force and re-rank exactness pinned in
+    // SimilaritySpec.
+    GraftQuery(
+      "x60_pq_ann",
+      (s, d) =>
+        Similarity.pqTopK(t(s, d, "embeddings"))
+          .orderBy("query_id", "rank"),
+      None
     )
   )
 

@@ -65,6 +65,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"k-means IVF recall $recall")
   }
 
+  test("PQ ANN with exact re-rank achieves high recall vs brute force") {
+    val exact = Similarity.cosineTopK(real, k = 3, queryMod = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.pqTopK(real, k = 3, queryMod = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // ADC scores every corpus vector (no bucketing loss) and the top
+    // 32 are re-ranked exactly — recall should beat the bucketed ANN
+    // variants; only codebook quantization error can lose a neighbor.
+    assert(recall >= 0.6, s"PQ recall $recall (exact=${exact.size}, hit=${(exact & approx).size})")
+    // Re-ranked cosines are EXACT: every reported (query, neighbor,
+    // cosine) must match brute force's value for that same pair.
+    val exactScores = Similarity.cosineTopK(real, k = 50, queryMod = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Similarity.pqTopK(real, k = 3, queryMod = 100).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exactScores.get(key).foreach(c => assert(c == r.getDouble(2), s"cosine mismatch at $key"))
+    }
+  }
+
   test("external query tables reproduce the queryMod slice exactly, on every operator") {
     // The queryMod overloads are conveniences over the external-query
     // primary form; passing the same slice explicitly must be
