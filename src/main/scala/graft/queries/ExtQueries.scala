@@ -1657,6 +1657,18 @@ object ExtQueries {
         Similarity.pqTopK(t(s, d, "embeddings"))
           .orderBy("query_id", "rank"),
       None
+    ),
+
+    // Engine-portable PQ twin: subspace split, md5-seeded codebooks,
+    // two Lloyd rounds with sum-centroids, dot-argmax encode, ADC
+    // shortlist, exact re-rank — every comparison before the final
+    // cosine is exact integer arithmetic, replayed bit-for-bit by
+    // DuckDB. Completes portable certification of the ANN family:
+    // sign-LSH x43, IVF x44, near-dup x45, k-means x46, PQ x61.
+    GraftQuery(
+      "x61_pq_portable",
+      (s, d) => PortableAnn.pq(t(s, d, "embeddings")),
+      Some(PortableAnn.pqSql)
     )
   )
 

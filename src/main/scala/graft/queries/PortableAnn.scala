@@ -200,6 +200,78 @@ object PortableAnn {
     ivfProbeTopK(base, graft.operators.OpCache.swap("portable.ann.kmeans.cent", cent))
   }
 
+  // ------------------------------------------------------------- portable PQ
+
+  private val PqM = 4
+  private val PqSub = Dim / PqM
+  private val PqCodes = 4
+  private val PqRerank = 8
+
+  /** Portable product-quantization ANN (the x60 pipeline shape):
+    * subspace split → md5-seeded codebooks, two unrolled Lloyd rounds
+    * with SUM-centroids → encode → per-query lookup table → ADC
+    * shortlist → exact re-rank. Assignment and ADC rank by RAW
+    * integer dot products (no normalization), so every comparison up
+    * to the final re-rank cosine is exact integer arithmetic — the
+    * only doubles are the last-stage cosines, IEEE-identical across
+    * engines like all the twins'.
+    */
+  def pq(embeddings: DataFrame): DataFrame = {
+    val base = sharedBase(embeddings).select("vec_id", "qv", "nm")
+    val sr = base.select(
+      col("vec_id"),
+      posexplode(array((0 until PqM).map(j =>
+        slice(col("qv"), j * PqSub + 1, PqSub)): _*)).as(Seq("sub_j", "sv")))
+
+    val seedW = Window.partitionBy("sub_j").orderBy(col("__m"), col("vec_id"))
+    var books = sr
+      .withColumn("__m", md5(col("vec_id").cast("string")))
+      .withColumn("__r", row_number().over(seedW))
+      .filter(col("__r") <= PqCodes)
+      .select(col("sub_j"), (col("__r") - 1).cast("int").as("code"), col("sv").as("cv"))
+
+    def assignTo(b: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id", "sub_j").orderBy(col("d").desc, col("code"))
+      sr.join(b, Seq("sub_j"))
+        .withColumn("d", dot(col("sv"), col("cv")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+    }
+    for (_ <- 0 until 2)
+      books = assignTo(books)
+        .select(col("sub_j"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub_j", "code", "pos")
+        .agg(sum(col("x")).as("sx"))
+        .groupBy("sub_j", "code")
+        .agg(array_sort(collect_list(struct(col("pos"), col("sx")))).as("pm"))
+        .select(col("sub_j"), col("code"), transform(col("pm"), e => e.getField("sx")).as("cv"))
+
+    val enc = assignTo(books).select("vec_id", "sub_j", "code")
+    val lut = sr.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("sub_j"), col("sv"))
+      .join(books, Seq("sub_j"))
+      .select(col("query_id"), col("sub_j"), col("code"), dot(col("sv"), col("cv")).as("qd"))
+
+    val shortW = Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id").asc)
+    val short = enc.join(lut, Seq("sub_j", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("qd")).as("approx"))
+      .withColumn("rk", row_number().over(shortW))
+      .filter(col("rk") <= PqRerank)
+      .select("query_id", "vec_id")
+
+    val scored = short
+      .join(base.select(col("vec_id"), col("qv"), col("nm")), Seq("vec_id"))
+      .join(
+        base.select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("nm").as("qnm")),
+        Seq("query_id"))
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qv"), col("qqv")) / (col("nm") * col("qnm"))).as("cosine"))
+    topK(scored, 3)
+  }
+
   // ---------------------------------------------------------------- DuckDB side
 
   /** Shared SQL prefix: quantized corpus with norms. */
@@ -339,4 +411,66 @@ object PortableAnn {
        |${lloydSql(1, "cent0")},
        |${lloydSql(2, "cent1")},
        |${ivfTailSql("cent2")}""".stripMargin
+
+  /** One PQ Lloyd round: dot-argmax assign against `bkIn`, elementwise
+    * SUM recompute per (sub_j, code) → `bk$round`.
+    */
+  private def pqLloydSql(round: Int, bkIn: String): String =
+    s"""pa$round AS (
+       |  SELECT vec_id, sub_j, code, sv FROM (
+       |    SELECT sr.vec_id, sr.sub_j, b.code, sr.sv,
+       |           ROW_NUMBER() OVER (PARTITION BY sr.vec_id, sr.sub_j
+       |             ORDER BY list_dot_product(sr.sv, b.cv) DESC, b.code) AS rk
+       |    FROM sr JOIN $bkIn b USING (sub_j))
+       |  WHERE rk = 1),
+       |ps$round AS (
+       |  SELECT sub_j, code, r.range AS i, SUM(sv[r.range]) AS sx
+       |  FROM pa$round, range(1, ${PqSub + 1}) AS r GROUP BY 1, 2, 3),
+       |bk$round AS (
+       |  SELECT sub_j, code, list(sx ORDER BY i) AS cv FROM ps$round GROUP BY 1, 2)""".stripMargin
+
+  lazy val pqSql: String =
+    s"""$qCte,
+       |sr AS (
+       |  SELECT vec_id, j.range AS sub_j,
+       |         list_slice(qv, j.range * $PqSub + 1, j.range * $PqSub + $PqSub) AS sv
+       |  FROM n, range($PqM) AS j),
+       |bk0 AS (
+       |  SELECT sub_j, CAST(r - 1 AS INT) AS code, sv AS cv FROM (
+       |    SELECT sub_j, sv,
+       |           ROW_NUMBER() OVER (PARTITION BY sub_j
+       |             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+       |    FROM sr)
+       |  WHERE r <= $PqCodes),
+       |${pqLloydSql(1, "bk0")},
+       |${pqLloydSql(2, "bk1")},
+       |enc AS (
+       |  SELECT vec_id, sub_j, code FROM (
+       |    SELECT sr.vec_id, sr.sub_j, b.code,
+       |           ROW_NUMBER() OVER (PARTITION BY sr.vec_id, sr.sub_j
+       |             ORDER BY list_dot_product(sr.sv, b.cv) DESC, b.code) AS rk
+       |    FROM sr JOIN bk2 b USING (sub_j))
+       |  WHERE rk = 1),
+       |lut AS (
+       |  SELECT sr.vec_id AS query_id, sr.sub_j, b.code,
+       |         list_dot_product(sr.sv, b.cv) AS qd
+       |  FROM sr JOIN bk2 b USING (sub_j)
+       |  WHERE sr.vec_id % $QueryMod = 0),
+       |sc AS (
+       |  SELECT l.query_id, e.vec_id, SUM(l.qd) AS approx
+       |  FROM enc e JOIN lut l ON e.sub_j = l.sub_j AND e.code = l.code
+       |  WHERE e.vec_id <> l.query_id GROUP BY 1, 2),
+       |short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY approx DESC, vec_id) AS rk
+       |    FROM sc)
+       |  WHERE rk <= $PqRerank),
+       |scored AS (
+       |  SELECT s.query_id, s.vec_id AS neighbor_id,
+       |         list_dot_product(cn.qv, qn.qv) / (cn.nm * qn.nm) AS cosine
+       |  FROM short s JOIN n cn ON cn.vec_id = s.vec_id
+       |               JOIN n qn ON qn.vec_id = s.query_id)
+       |$topKSql""".stripMargin
 }
