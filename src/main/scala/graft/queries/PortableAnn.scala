@@ -246,6 +246,10 @@ object PortableAnn {
         .agg(array_sort(collect_list(struct(col("pos"), col("sx")))).as("pm"))
         .select(col("sub_j"), col("code"), transform(col("pm"), e => e.getField("sx")).as("cv"))
 
+    // Two unrolled Lloyd rounds dominate the twin's cost and are
+    // deterministic given the corpus — cache the converged codebooks
+    // (same lifecycle as the x46 centroid cache).
+    books = graft.operators.OpCache.swap("portable.pq.books", books)
     val enc = assignTo(books).select("vec_id", "sub_j", "code")
     val lut = sr.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("sub_j"), col("sv"))
