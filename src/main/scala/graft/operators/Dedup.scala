@@ -543,8 +543,13 @@ object Dedup {
       .select(
         col("doc_a"), col("doc_b"),
         levenshtein(col("__ta"), col("__tb")).as("lev"),
-        (lit(1.0) - levenshtein(col("__ta"), col("__tb")).cast("double") /
-          greatest(length(col("__ta")), length(col("__tb"))).cast("double")).as("edit_sim"))
+        // Two empty texts: max length 0 would divide by zero (null sim
+        // in legacy mode, error under ANSI) and silently drop a
+        // PERFECT duplicate — they are identical, similarity 1.
+        when(greatest(length(col("__ta")), length(col("__tb"))) === 0, lit(1.0))
+          .otherwise(lit(1.0) - levenshtein(col("__ta"), col("__tb")).cast("double") /
+            greatest(length(col("__ta")), length(col("__tb"))).cast("double"))
+          .as("edit_sim"))
       .filter(col("edit_sim") >= minSimilarity)
   }
 

@@ -417,7 +417,7 @@ object Similarity {
     // Codebooks for all m subspaces trained in one dataflow (memoized:
     // the Lloyd loop is eager, an OpCache swap would arrive too late).
     val plan = base.queryExecution.analyzed
-    val key = (base.sparkSession, plan.semanticHash(), m, codes, maxIter)
+    val key = (base.sparkSession, plan.semanticHash(), m, codes, maxIter, dim)
     val codebooks = pqMemo.get(key) match {
       case Some((storedPlan, df)) if storedPlan.sameResult(plan) => df
       case _ =>
@@ -426,30 +426,29 @@ object Similarity {
         df
     }
 
-    // Encode the corpus: nearest code per (vec_id, sub_j) by L2. The
-    // true norm rides along as per-row metadata — the ADC score must
-    // be normalized by it (approximating the DOT alone would shortlist
-    // by magnitude, not direction, and bury true cosine neighbors
-    // under large-norm vectors).
+    // Encode the corpus: nearest code per (vec_id, sub_j) by L2.
     val encW = Window.partitionBy("vec_id", "sub_j").orderBy(col("d2").asc, col("code").asc)
     val encoded = subRows(base)
-      .join(base.select(col("vec_id"), col("norm")), Seq("vec_id"))
       .join(broadcast(codebooks), Seq("sub_j"))
       .select(
-        col("vec_id"), col("sub_j"), col("code"), col("norm"),
+        col("vec_id"), col("sub_j"), col("code"),
         (col("cn2") - lit(2.0) * dot(col("svec"), col("cvec"))).as("d2")) // |s|² constant per rank group
       .withColumn("crank", row_number().over(encW))
       .filter(col("crank") === 1)
-      .select("vec_id", "sub_j", "code", "norm")
+      .select("vec_id", "sub_j", "code")
 
     // Pack each vector's m codes into one array — the compressed
-    // corpus representation (m small ints/vector vs 4·dim bytes).
+    // corpus representation (m small ints/vector vs 4·dim bytes). The
+    // true norm joins HERE, onto the N-row packed table (not the m×N
+    // exploded rows): the ADC score must be normalized by it —
+    // approximating the DOT alone would shortlist by magnitude, not
+    // direction, and bury true cosine neighbors under large-norm
+    // vectors.
     val packed = encoded
       .groupBy("vec_id")
-      .agg(
-        array_sort(collect_list(struct(col("sub_j"), col("code")))).as("sc"),
-        first(col("norm")).as("norm"))
-      .select(col("vec_id"), transform(col("sc"), e => e.getField("code")).as("vcodes"), col("norm"))
+      .agg(array_sort(collect_list(struct(col("sub_j"), col("code")))).as("sc"))
+      .select(col("vec_id"), transform(col("sc"), e => e.getField("code")).as("vcodes"))
+      .join(base.select(col("vec_id"), col("norm")), Seq("vec_id"))
 
     // Per-query lookup table dot(q_j, c_{j,code}) packed into ONE
     // array indexed sub_j·codes + code (array_sort on (sub_j, code)
@@ -497,7 +496,7 @@ object Similarity {
   }
 
   private val pqMemo = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, Int, Int, Int, Int),
+    .empty[(org.apache.spark.sql.SparkSession, Int, Int, Int, Int, Int),
       (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]
   OpCache.registerClearHook(() => pqMemo.clear())
 
@@ -518,7 +517,7 @@ object Similarity {
     var iter = 0
     while (iter < maxIter) {
       val w = Window.partitionBy("vec_id", "sub_j").orderBy(col("d2").asc, col("code").asc)
-      books = subRows
+      val recomputed = subRows
         .join(broadcast(books), Seq("sub_j"))
         .select(
           col("vec_id"), col("sub_j"), col("code"), col("svec"),
@@ -527,6 +526,17 @@ object Similarity {
         .filter(col("crank") === 1)
         .groupBy(col("sub_j"), col("code"))
         .agg(graft.functions.VectorMean.vectorMean(col("svec")).as("cvec"))
+      // Empty-cluster handling: a code that won zero subvectors (e.g.
+      // duplicate seed subvectors losing every tie) would VANISH from
+      // the recomputed table — and the packed ADC lookup downstream
+      // indexes the lut positionally, so the codebook must stay DENSE
+      // (every (sub_j, code) present). Keep the previous round's
+      // centroid for starved codes.
+      books = books.select(col("sub_j"), col("code"), col("cvec").as("__prev"))
+        .join(recomputed, Seq("sub_j", "code"), "left")
+        .select(
+          col("sub_j"), col("code"),
+          coalesce(col("cvec"), col("__prev")).as("cvec"))
         .withColumn("cn2", dot(col("cvec"), col("cvec")))
         .localCheckpoint(true) // truncate lineage each round
       iter += 1

@@ -1605,17 +1605,19 @@ object ExtQueries {
             round(col("edit_sim"), 4).as("edit_sim"),
             (col("edit_sim") >= 0.8).as("is_dup"))
           .orderBy("doc_a", "doc_b"),
-      Some(s"""WITH $charPortablePairsCte
-        |SELECT p.doc_a, p.doc_b,
-        |  levenshtein(a.text, b.text) AS lev,
-        |  ROUND(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
-        |        GREATEST(length(a.text), length(b.text)), 4) AS edit_sim,
-        |  (1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
-        |   GREATEST(length(a.text), length(b.text))) >= 0.8 AS is_dup
-        |FROM cpairs p
-        |JOIN documents a ON a.doc_id = p.doc_a
-        |JOIN documents b ON b.doc_id = p.doc_b
-        |ORDER BY doc_a, doc_b""".stripMargin)
+      Some(s"""WITH $charPortablePairsCte,
+        |es AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    levenshtein(a.text, b.text) AS lev,
+        |    CASE WHEN GREATEST(length(a.text), length(b.text)) = 0 THEN 1.0
+        |         ELSE 1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+        |              GREATEST(length(a.text), length(b.text)) END AS edit_sim
+        |  FROM cpairs p
+        |  JOIN documents a ON a.doc_id = p.doc_a
+        |  JOIN documents b ON b.doc_id = p.doc_b)
+        |SELECT doc_a, doc_b, lev, ROUND(edit_sim, 4) AS edit_sim,
+        |       edit_sim >= 0.8 AS is_dup
+        |FROM es ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
     // Long-key bloom decontamination, oracled: orders of negative-

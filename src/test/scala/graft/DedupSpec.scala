@@ -271,6 +271,12 @@ class DedupSpec extends SparkSpec {
     // unfiltered: both candidates scored, similarity in [0,1]
     val all = Dedup.editVerifiedPairs(cands, d, minSimilarity = 0.0).collect()
     assert(all.length == 2 && all.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    // two EMPTY texts are a perfect duplicate (sim 1), not a
+    // divide-by-zero null that silently drops the pair
+    val empties = Seq((7L, ""), (8L, "")).toDF("doc_id", "text")
+    val e = Dedup.editVerifiedPairs(Seq((7L, 8L)).toDF("doc_a", "doc_b"), empties)
+      .collect()
+    assert(e.length == 1 && e.head.getDouble(3) == 1.0)
   }
 
   test("bounded edit verification equals the unbanded filter") {

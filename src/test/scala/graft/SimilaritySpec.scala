@@ -101,6 +101,28 @@ class SimilaritySpec extends SparkSpec {
       rows(Similarity.ivfTopK(real, k = 3, queryMod = 100, nProbes = 4)))
     assert(rows(Similarity.ivfTopKKmeans(real, slice, 3, 4, 10, 3)) ==
       rows(Similarity.ivfTopKKmeans(real, k = 3, queryMod = 100, nProbes = 4, cells = 10)))
+    assert(rows(Similarity.pqTopK(real, slice, 3, 8, 32, 64, 3, 64)) ==
+      rows(Similarity.pqTopK(real, k = 3, queryMod = 100)))
+  }
+
+  test("PQ survives empty clusters from a degenerate (two-point) corpus") {
+    import sqlImplicits._
+    // 40 vectors but only two distinct values: most of the 32 codes
+    // per subspace win zero subvectors — the codebook must stay dense
+    // (starved codes keep their previous centroid) or the packed ADC
+    // lookup misaligns/overruns. Every query must still rank its own
+    // cluster's copies first with exact cosine 1.0.
+    val vs = (0L until 40L).map { i =>
+      val v = Array.fill(64)(if (i % 2 == 0) 1.0f else -0.5f)
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(vs, k = 3, queryMod = 10) // queries: 0,10,20,30
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 12) // 4 queries × k=3, none lost to null scores
+    out.foreach { case (q, n, c) =>
+      assert(q % 2 == n % 2, s"query $q got cross-cluster neighbor $n")
+      assert(c == 1.0, s"identical-copy cosine was $c")
+    }
   }
 
   test("results are identical when the broadcast threshold forces shuffled joins") {
