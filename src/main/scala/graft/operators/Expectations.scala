@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations — the constraint layer the
+  * reference delegated to PostgreSQL DDL (PRIMARY KEY / FOREIGN KEY /
+  * typed columns, /root/reference/src/check_and_create_db_v4.py:85-137)
+  * re-expressed as a CHECK that scales: Spark doesn't enforce
+  * constraints on write, so a warehouse asserts them as a validation
+  * pass and gates the publish on the report.
+  *
+  * Scale shape: all ROW-LOCAL expectations (not-null, range, set
+  * membership, regex) fold into ONE aggregation pass over the table —
+  * a single scan regardless of how many expectations are declared
+  * (`sum(when(violated, 1))` per expectation, partial-aggregated).
+  * Uniqueness is one groupBy on the key; referential integrity is one
+  * left-anti join per declared reference (broadcast when the
+  * referenced side is small). The report is one tiny row per
+  * expectation: (name, kind, n_violations, pass).
+  */
+object Expectations {
+
+  sealed trait Expectation { def name: String }
+
+  /** Row-local: any of `cols` NULL ⇒ violation. */
+  final case class NotNull(name: String, cols: Seq[String]) extends Expectation
+
+  /** Row-local: value outside [lo, hi] ⇒ violation (NULL passes — pair
+    * with NotNull to reject nulls).
+    */
+  final case class InRange(name: String, col: String, lo: Double, hi: Double) extends Expectation
+
+  /** Row-local: value not in `allowed` ⇒ violation (NULL passes). */
+  final case class OneOf(name: String, col: String, allowed: Seq[String]) extends Expectation
+
+  /** Row-local: value not matching `regex` ⇒ violation (NULL passes). */
+  final case class Matches(name: String, col: String, regex: String) extends Expectation
+
+  /** Key-level: any key tuple appearing more than once ⇒ each extra
+    * row is a violation (count = rows − distinct keys).
+    */
+  final case class Unique(name: String, cols: Seq[String]) extends Expectation
+
+  /** Reference-level: rows whose `fkCols` tuple (fully non-null) has
+    * no match in `ref`'s `refCols` ⇒ violations. NULL-bearing keys
+    * pass (SQL FK semantics).
+    */
+  final case class RefIntegrity(
+      name: String, fkCols: Seq[String], ref: DataFrame, refCols: Seq[String]) extends Expectation
+
+  private def rowLocalViolation(e: Expectation): Option[Column] = e match {
+    case NotNull(_, cols) => Some(cols.map(col(_).isNull).reduce(_ || _))
+    case InRange(_, c, lo, hi) => Some(col(c).isNotNull && (col(c) < lo || col(c) > hi))
+    case OneOf(_, c, allowed) => Some(col(c).isNotNull && !col(c).isin(allowed: _*))
+    case Matches(_, c, re) => Some(col(c).isNotNull && !col(c).rlike(re))
+    case _ => None
+  }
+
+  private def kind(e: Expectation): String = e match {
+    case _: NotNull => "not_null"
+    case _: InRange => "in_range"
+    case _: OneOf => "one_of"
+    case _: Matches => "matches"
+    case _: Unique => "unique"
+    case _: RefIntegrity => "ref_integrity"
+  }
+
+  /** Validate `df` against `expectations`; one report row each:
+    * (expectation, kind, n_violations, pass), in declaration order
+    * recoverable by name.
+    */
+  def check(df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
+    require(expectations.nonEmpty, "no expectations declared")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val rowLocal = expectations.flatMap(e => rowLocalViolation(e).map(e -> _))
+    val onePass: Option[DataFrame] =
+      if (rowLocal.isEmpty) None
+      else Some {
+        val aggs = rowLocal.map { case (e, v) =>
+          sum(when(v, 1L).otherwise(0L)).as(e.name)
+        }
+        val row = df.agg(aggs.head, aggs.tail: _*)
+        // melt the single wide row into (expectation, kind, n) rows
+        rowLocal.map { case (e, _) =>
+          row.select(
+            lit(e.name).as("expectation"), lit(kind(e)).as("kind"),
+            coalesce(col(e.name), lit(0L)).as("n_violations"))
+        }.reduce(_ unionByName _)
+      }
+
+    val keyed = expectations.collect {
+      case e @ Unique(name, cols) =>
+        df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n"))
+          .agg(coalesce(sum(col("__n") - 1), lit(0L)).as("n_violations"))
+          .select(lit(name).as("expectation"), lit(kind(e)).as("kind"), col("n_violations"))
+      case e @ RefIntegrity(name, fkCols, ref, refCols) =>
+        val nonNullFk = df.filter(fkCols.map(col(_).isNotNull).reduce(_ && _))
+        val refKeys = Broadcasting.maybeBroadcast(
+          ref.select(refCols.zip(fkCols).map { case (r, f) => col(r).as(f) }: _*).distinct())
+        nonNullFk.join(refKeys, fkCols, "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit(name).as("expectation"), lit(kind(e)).as("kind"), col("n_violations"))
+    }
+
+    (onePass.toSeq ++ keyed)
+      .reduce(_ unionByName _)
+      .withColumn("pass", col("n_violations") === 0L)
+  }
+}

@@ -1671,6 +1671,62 @@ object ExtQueries {
       "x61_pq_portable",
       (s, d) => PortableAnn.pq(t(s, d, "embeddings")),
       Some(PortableAnn.pqSql)
+    ),
+
+    // Data-quality expectations over the fact table: the PK/FK/typed
+    // constraints the reference pushed into Postgres DDL, asserted as
+    // one validation pass (row-local checks fold into ONE aggregate
+    // scan; uniqueness one groupBy; FK one broadcast anti-join). Two
+    // checks intentionally bite (a tight range, a narrowed domain) so
+    // nonzero violation counts are certified too.
+    GraftQuery(
+      "x62_expectations",
+      (s, d) => {
+        import graft.operators.Expectations._
+        check(
+          t(s, d, "lineitem"),
+          Seq(
+            NotNull("a_qty_not_null", Seq("l_quantity")),
+            InRange("b_qty_tight", "l_quantity", 1.0, 30.0),
+            OneOf("c_flag_domain", "l_returnflag", Seq("A", "N")),
+            Matches("d_status_shape", "l_linestatus", "^[OF]$"),
+            Unique("e_line_pk", Seq("l_orderkey", "l_linenumber")),
+            RefIntegrity("f_orders_fk", Seq("l_orderkey"), t(s, d, "orders"), Seq("o_orderkey"))))
+          .orderBy("expectation")
+      },
+      Some("""SELECT 'a_qty_not_null' AS expectation, 'not_null' AS kind,
+        |       CAST(COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS BIGINT) AS n_violations,
+        |       COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) = 0 AS pass
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'b_qty_tight', 'in_range',
+        |       CAST(COUNT(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1.0 OR l_quantity > 30.0) THEN 1 END) AS BIGINT),
+        |       COUNT(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1.0 OR l_quantity > 30.0) THEN 1 END) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'c_flag_domain', 'one_of',
+        |       CAST(COUNT(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N') THEN 1 END) AS BIGINT),
+        |       COUNT(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N') THEN 1 END) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'd_status_shape', 'matches',
+        |       CAST(COUNT(CASE WHEN l_linestatus IS NOT NULL AND NOT regexp_matches(l_linestatus, '^[OF]$') THEN 1 END) AS BIGINT),
+        |       COUNT(CASE WHEN l_linestatus IS NOT NULL AND NOT regexp_matches(l_linestatus, '^[OF]$') THEN 1 END) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'e_line_pk', 'unique',
+        |       CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+        |       COUNT(*) = COUNT(DISTINCT (l_orderkey, l_linenumber))
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'f_orders_fk', 'ref_integrity',
+        |       CAST(COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT),
+        |       COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) = 0
+        |FROM (SELECT l.l_orderkey, o.o_orderkey FROM lineitem l
+        |      LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |        ON l.l_orderkey = o.o_orderkey
+        |      WHERE l.l_orderkey IS NOT NULL)
+        |ORDER BY expectation""".stripMargin)
     )
   )
 

