@@ -154,6 +154,39 @@ object Tables {
     needed
   }
 
+  /** Write-audit-publish: stage `df`, validate the STAGED data against
+    * `expectations`, and only then move it to `table` — the gated
+    * publish a warehouse runs so a bad load can never shadow a good
+    * table (the reference's Postgres constraints rejected bad rows at
+    * insert; Spark validates the staged batch as a whole instead).
+    * Returns the violation report; on any failing expectation the
+    * target table is left UNTOUCHED and the staging table is kept for
+    * inspection.
+    */
+  def publishChecked(
+      df: DataFrame,
+      table: String,
+      expectations: Seq[graft.operators.Expectations.Expectation]): DataFrame = {
+    val spark = df.sparkSession
+    val staging = table + "__audit"
+    overwriteTable(df, staging)
+    // A prior publish's dropped staging table can leave a stale
+    // relation/file-index cache under the same name — refresh before
+    // reading what was just written.
+    spark.catalog.refreshTable(staging)
+    val staged = spark.table(staging)
+    // Materialize the report BEFORE deciding: the lazy plan reads the
+    // staging table, which a successful publish drops — a caller
+    // evaluating the returned report later would read a dropped table.
+    val report = graft.operators.Expectations.check(staged, expectations).localCheckpoint(true)
+    val failed = report.filter(!org.apache.spark.sql.functions.col("pass")).count()
+    if (failed == 0) {
+      overwriteTable(staged, table)
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
+    }
+    report
+  }
+
   /** Optional JDBC sink for Postgres/Power-BI parity (S2/S3 over the
     * wire). Thin and untested here — no database server ships in this
     * environment; the call shape matches the parquet sinks.

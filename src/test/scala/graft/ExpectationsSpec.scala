@@ -55,6 +55,28 @@ class ExpectationsSpec extends SparkSpec {
     assert(report.forall(_.getLong(2) == 0L))
   }
 
+  test("write-audit-publish gates the table on the report") {
+    import sqlImplicits._
+    val table = "graft_wap_target"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}__audit")
+    // good load publishes
+    val good = Seq((1L, 5.0), (2L, 7.0)).toDF("id", "qty")
+    val r1 = graft.sources.Tables.publishChecked(good, table,
+      Seq(InRange("rng", "qty", 0.0, 100.0), Unique("pk", Seq("id"))))
+    assert(r1.collect().forall(_.getBoolean(3)))
+    assert(spark.table(table).count() == 2)
+    // bad load is rejected: target untouched, audit table kept
+    val bad = Seq((3L, 500.0), (3L, 1.0)).toDF("id", "qty")
+    val r2 = graft.sources.Tables.publishChecked(bad, table,
+      Seq(InRange("rng", "qty", 0.0, 100.0), Unique("pk", Seq("id"))))
+    assert(r2.filter(!col("pass")).count() == 2)
+    assert(spark.table(table).count() == 2, "failed publish must not shadow the good table")
+    assert(spark.catalog.tableExists(s"${table}__audit"), "staging kept for inspection")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}__audit")
+  }
+
   test("row-local expectations share ONE aggregate scan") {
     val plan = check(facts, Seq(
       NotNull("a", Seq("qty")),
