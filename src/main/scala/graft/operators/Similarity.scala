@@ -468,12 +468,19 @@ object Similarity {
     // each score is m table adds instead of dim multiplies. The score
     // is normalized by the corpus row's true norm to approximate the
     // COSINE ordering (the query norm is constant per rank group).
+    // The lut is FORCE-broadcast: one m·codes-double row per query
+    // (~2 KB at the defaults), and its post-aggregate size estimate is
+    // unbounded — left to maybeBroadcast the planner degrades this
+    // non-equi join to a true CartesianProduct, which has no redeeming
+    // fallback. The ADC scan's contract is a broadcastable query set;
+    // for query sets beyond broadcast scale, prune corpus-side first
+    // (IVF-PQ) instead of scanning.
     val adc = (0 until m).map(j =>
       element_at(col("lut"), lit(j * codes + 1) + element_at(col("vcodes"), j + 1)))
       .reduce(_ + _)
     val approxW = Window.partitionBy("query_id").orderBy(col("approx_cos").desc, col("vec_id").asc)
     val shortlist = packed
-      .join(maybeBroadcast(lut), col("vec_id") =!= col("query_id"))
+      .join(broadcast(lut), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), (adc / col("norm")).as("approx_cos"))
       .withColumn("arank", row_number().over(approxW))
       .filter(col("arank") <= rerank)
