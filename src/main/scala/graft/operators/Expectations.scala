@@ -72,6 +72,15 @@ object Expectations {
     */
   def check(df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
     require(expectations.nonEmpty, "no expectations declared")
+    val dup = expectations.groupBy(_.name).collect { case (n, es) if es.size > 1 => n }
+    require(dup.isEmpty, s"duplicate expectation names: ${dup.mkString(", ")}")
+    expectations.foreach {
+      case RefIntegrity(n, fk, _, ref) =>
+        require(fk.length == ref.length,
+          s"$n: fkCols (${fk.length}) and refCols (${ref.length}) differ — " +
+            "a silent zip would weaken the declared composite reference")
+      case _ => ()
+    }
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -79,15 +88,17 @@ object Expectations {
     val onePass: Option[DataFrame] =
       if (rowLocal.isEmpty) None
       else Some {
-        val aggs = rowLocal.map { case (e, v) =>
-          sum(when(v, 1L).otherwise(0L)).as(e.name)
+        // Positional aliases, not user names: a name with a dot would
+        // re-resolve as nested-field access and fail analysis.
+        val aggs = rowLocal.zipWithIndex.map { case ((_, v), i) =>
+          sum(when(v, 1L).otherwise(0L)).as(s"__e$i")
         }
         val row = df.agg(aggs.head, aggs.tail: _*)
         // melt the single wide row into (expectation, kind, n) rows
-        rowLocal.map { case (e, _) =>
+        rowLocal.zipWithIndex.map { case ((e, _), i) =>
           row.select(
             lit(e.name).as("expectation"), lit(kind(e)).as("kind"),
-            coalesce(col(e.name), lit(0L)).as("n_violations"))
+            coalesce(col(s"__e$i"), lit(0L)).as("n_violations"))
         }.reduce(_ unionByName _)
       }
 

@@ -472,9 +472,14 @@ object Similarity {
     // (~2 KB at the defaults), and its post-aggregate size estimate is
     // unbounded — left to maybeBroadcast the planner degrades this
     // non-equi join to a true CartesianProduct, which has no redeeming
-    // fallback. The ADC scan's contract is a broadcastable query set;
-    // for query sets beyond broadcast scale, prune corpus-side first
-    // (IVF-PQ) instead of scanning.
+    // fallback. The contract (a broadcastable query set) is ENFORCED,
+    // not assumed: the guard fails loudly on a query set whose lut
+    // would blow the driver, instead of OOMing it. Past that scale,
+    // prune corpus-side first (IVF-PQ) instead of scanning.
+    val lutBytes = qprep.count() * (m.toLong * codes * 8 + 16)
+    require(lutBytes < (512L << 20),
+      s"PQ query set needs a ~${lutBytes >> 20} MB lookup-table broadcast — " +
+        "beyond the ADC scan's contract; prune with IVF cells (IVF-PQ) instead")
     val adc = (0 until m).map(j =>
       element_at(col("lut"), lit(j * codes + 1) + element_at(col("vcodes"), j + 1)))
       .reduce(_ + _)

@@ -167,6 +167,7 @@ object Tables {
       df: DataFrame,
       table: String,
       expectations: Seq[graft.operators.Expectations.Expectation]): DataFrame = {
+    require(expectations.nonEmpty, "publishChecked with no expectations — nothing would be audited")
     val spark = df.sparkSession
     val staging = table + "__audit"
     overwriteTable(df, staging)
@@ -176,13 +177,19 @@ object Tables {
     spark.catalog.refreshTable(staging)
     val staged = spark.table(staging)
     // Materialize the report BEFORE deciding: the lazy plan reads the
-    // staging table, which a successful publish drops — a caller
-    // evaluating the returned report later would read a dropped table.
+    // staging table, which a successful publish renames away — a
+    // caller evaluating the returned report later would read a
+    // dropped table.
     val report = graft.operators.Expectations.check(staged, expectations).localCheckpoint(true)
     val failed = report.filter(!org.apache.spark.sql.functions.col("pass")).count()
     if (failed == 0) {
-      overwriteTable(staged, table)
-      spark.sql(s"DROP TABLE IF EXISTS $staging")
+      // Metadata-only swap, not a second data write: re-writing the
+      // validated batch into the target would double the I/O AND leave
+      // a drop-then-rewrite window where a crash destroys the
+      // previously-good table. The drop→rename gap is catalog-fast;
+      // the data files are never rewritten.
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"ALTER TABLE $staging RENAME TO $table")
     }
     report
   }
