@@ -46,6 +46,27 @@ class IncrementalAggSpec extends SparkSpec {
     assert(finalized(retracted) === finalized(direct))
   }
 
+  test("random splits, merge orders, and nested merges all equal from-scratch (property, seeded)") {
+    import sqlImplicits._
+    val rnd = new scala.util.Random(7)
+    val data = Seq.fill(200)((
+      s"k${rnd.nextInt(6)}",
+      // dyadic fractions: exact in decimal(18,4) AND in double
+      (rnd.nextInt(1 << 14).toDouble / 16.0)))
+    val full = finalized(IncrementalAgg.rollup(data.toDF("k", "v"), Seq("k"), Seq("v")))
+    for (trial <- 1 to 5) {
+      // random 2-5-way split with shuffled batch order
+      val n = 2 + rnd.nextInt(4)
+      val shuffled = rnd.shuffle(data)
+      val bounds = (Seq(0, shuffled.size) ++ Seq.fill(n - 1)(rnd.nextInt(shuffled.size + 1))).sorted
+      val batches = bounds.zip(bounds.tail).map { case (a, b) => shuffled.slice(a, b) }
+      val states = rnd.shuffle(batches).map(b => IncrementalAgg.rollup(b.toDF("k", "v"), Seq("k"), Seq("v")))
+      // fold pairwise (nested merges of merges), not just one flat merge
+      val folded = states.reduce((a, b) => IncrementalAgg.merge(Seq(a, b), Seq("k")))
+      assert(finalized(folded) === full, s"trial $trial diverged")
+    }
+  }
+
   test("finalize derives totals and 4-dp averages") {
     val out = finalized(IncrementalAgg.rollup(rows, Seq("k"), Seq("v")))
     val a = out.find(_._1 == "a").get

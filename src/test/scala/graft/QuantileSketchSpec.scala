@@ -46,6 +46,27 @@ class QuantileSketchSpec extends SparkSpec {
     }
   }
 
+  test("random splits and nested merges reproduce single-pass quantiles (property, seeded)") {
+    import sqlImplicits._
+    val rnd = new scala.util.Random(11)
+    val data = Seq.fill(300)(("k" + rnd.nextInt(3), rnd.nextDouble() * 100.0))
+    val qs = Seq(0.25, 0.5, 0.75, 0.95)
+    def quant(state: org.apache.spark.sql.DataFrame) =
+      QuantileSketch.quantiles(state, Seq("k"), qs, lo, hi, nb)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val full = quant(QuantileSketch.rollup(data.toDF("k", "v"), Seq("k"), col("v"), lo, hi, nb))
+    for (trial <- 1 to 4) {
+      val shuffled = rnd.shuffle(data)
+      val cut1 = rnd.nextInt(shuffled.size)
+      val cut2 = cut1 + rnd.nextInt(shuffled.size - cut1 + 1)
+      val states = Seq(
+        shuffled.slice(0, cut1), shuffled.slice(cut1, cut2), shuffled.drop(cut2))
+        .map(b => QuantileSketch.rollup(b.toDF("k", "v"), Seq("k"), col("v"), lo, hi, nb))
+      val folded = states.reduce((a, b) => QuantileSketch.merge(Seq(a, b), Seq("k")))
+      assert(quant(folded) === full, s"trial $trial diverged")
+    }
+  }
+
   test("NULL and NaN carry no quantile mass") {
     import sqlImplicits._
     val d = (Seq.fill(30)(Option(90.0)) ++ Seq.fill(20)(Option.empty[Double]) ++
