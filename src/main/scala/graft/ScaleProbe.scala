@@ -91,6 +91,10 @@ object ScaleProbe {
       // baseline but m table-adds per score instead of dim multiplies
       // (compose with IVF cells when even that is too much).
       time(s"ann_pq                 x$k", Similarity.pqTopK(v))
+      // IVF-PQ: the same ADC arithmetic restricted to probed cells —
+      // this curve should flatten relative to ann_pq as K grows, since
+      // each query scores nProbes/cells of the corpus.
+      time(s"ann_ivf_pq             x$k", Similarity.ivfPqTopK(v))
       time(s"dedup_report_e2e       x$k", Dedup.dedupReport(d, minEstJaccard = 0.5))
       // Snapshot diff: value columns are digested before the join, so
       // the shuffle volume is keys+32B digests — the curve must track

@@ -213,24 +213,28 @@ object Similarity {
       cells: Int,
       maxIter: Int): DataFrame = {
     val base = prepared(embeddings.select(col("vec_id"), col("embedding")), "sim.kmeans.prep")
-    // Memoized on the exact input plan: the Lloyd loop is EAGER
-    // (localCheckpoint per round), so an OpCache swap would arrive
-    // after the work is already redone — the memo short-circuits the
-    // recompute itself. The cached value is the tiny checkpointed
-    // centroid table (k rows). Keyed on semanticHash + a sameResult
-    // confirmation (a plan STRING can truncate via maxToStringFields
-    // and collide two different inputs onto one cached result).
+    ivfSearch(prepared(queries.select("vec_id", "embedding"), "sim.kmeans.qprep"),
+      base, memoizedKmeans(base, cells, maxIter), k, nProbes)
+  }
+
+  /** Memoized on the exact input plan: the Lloyd loop is EAGER
+    * (localCheckpoint per round), so an OpCache swap would arrive
+    * after the work is already redone — the memo short-circuits the
+    * recompute itself. The cached value is the tiny checkpointed
+    * centroid table (k rows). Keyed on semanticHash + a sameResult
+    * confirmation (a plan STRING can truncate via maxToStringFields
+    * and collide two different inputs onto one cached result).
+    */
+  private def memoizedKmeans(base: DataFrame, cells: Int, maxIter: Int): DataFrame = {
     val plan = base.queryExecution.analyzed
     val key = (base.sparkSession, plan.semanticHash(), cells, maxIter)
-    val centroids = kmeansMemo.get(key) match {
+    kmeansMemo.get(key) match {
       case Some((storedPlan, df)) if storedPlan.sameResult(plan) => df
       case _ =>
         val df = kmeansCentroids(base, cells, maxIter)
         kmeansMemo.put(key, (plan, df))
         df
     }
-    ivfSearch(prepared(queries.select("vec_id", "embedding"), "sim.kmeans.qprep"),
-      base, centroids, k, nProbes)
   }
 
   // Evicted via OpCache.clear(): entries hold localCheckpoint'd tables
@@ -293,20 +297,9 @@ object Similarity {
       centroids: DataFrame,
       k: Int,
       nProbes: Int): DataFrame = {
-    def assign(df: DataFrame, probes: Int): DataFrame = {
-      val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
-      df.crossJoin(broadcast(centroids))
-        .select(
-          df("*"), col("cell"),
-          cosineWithNorms(dot(col("vec"), col("cvec")), col("norm"), col("cnorm")).as("csim"))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= probes)
-        .drop("csim", "crank")
-    }
-
-    val corpus = assign(base, 1)
+    val corpus = assignCells(base, centroids, 1)
       .select(col("cell"), col("vec_id"), col("vec"), col("norm"))
-    val queries = assign(qprep, nProbes)
+    val queries = assignCells(qprep, centroids, nProbes)
       .select(col("cell"), col("vec_id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
 
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -320,6 +313,22 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+  }
+
+  /** Nearest-`probes` centroid cells for each prepared row — the IVF
+    * cell assignment shared by the probe search and the IVF-PQ encode.
+    * The centroid table is tiny (k rows) and force-broadcast; output
+    * keeps the input columns plus `cell`.
+    */
+  private def assignCells(df: DataFrame, centroids: DataFrame, probes: Int): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
+    df.crossJoin(broadcast(centroids))
+      .select(
+        df("*"), col("cell"),
+        cosineWithNorms(dot(col("vec"), col("cvec")), col("norm"), col("cnorm")).as("csim"))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= probes)
+      .drop("csim", "crank")
   }
 
   /** Embedding near-duplicate pairs: vectors whose cosine exceeds a
@@ -406,68 +415,11 @@ object Similarity {
     require(codes <= 256, s"codes $codes exceeds one byte — the PQ memory contract")
     val sub = dim / m
     val base = prepared(embeddings.select(col("vec_id"), col("embedding")), "sim.pq.prep")
-
-    // (vec_id, sub_j, svec): the corpus split into m subspace rows.
-    def subRows(df: DataFrame): DataFrame =
-      df.select(
-        col("vec_id"),
-        posexplode(array((0 until m).map(j =>
-          slice(col("vec"), j * sub + 1, sub)): _*)).as(Seq("sub_j", "svec")))
-
-    // Codebooks for all m subspaces trained in one dataflow (memoized:
-    // the Lloyd loop is eager, an OpCache swap would arrive too late).
-    val plan = base.queryExecution.analyzed
-    val key = (base.sparkSession, plan.semanticHash(), m, codes, maxIter, dim)
-    val codebooks = pqMemo.get(key) match {
-      case Some((storedPlan, df)) if storedPlan.sameResult(plan) => df
-      case _ =>
-        val df = pqCodebooks(subRows(base), codes, maxIter)
-        pqMemo.put(key, (plan, df))
-        df
-    }
-
-    // Encode the corpus: nearest code per (vec_id, sub_j) by L2.
-    val encW = Window.partitionBy("vec_id", "sub_j").orderBy(col("d2").asc, col("code").asc)
-    val encoded = subRows(base)
-      .join(broadcast(codebooks), Seq("sub_j"))
-      .select(
-        col("vec_id"), col("sub_j"), col("code"),
-        (col("cn2") - lit(2.0) * dot(col("svec"), col("cvec"))).as("d2")) // |s|² constant per rank group
-      .withColumn("crank", row_number().over(encW))
-      .filter(col("crank") === 1)
-      .select("vec_id", "sub_j", "code")
-
-    // Pack each vector's m codes into one array — the compressed
-    // corpus representation (m small ints/vector vs 4·dim bytes). The
-    // true norm joins HERE, onto the N-row packed table (not the m×N
-    // exploded rows): the ADC score must be normalized by it —
-    // approximating the DOT alone would shortlist by magnitude, not
-    // direction, and bury true cosine neighbors under large-norm
-    // vectors.
-    val packed = encoded
-      .groupBy("vec_id")
-      .agg(array_sort(collect_list(struct(col("sub_j"), col("code")))).as("sc"))
-      .select(col("vec_id"), transform(col("sc"), e => e.getField("code")).as("vcodes"))
-      .join(base.select(col("vec_id"), col("norm")), Seq("vec_id"))
-
-    // Per-query lookup table dot(q_j, c_{j,code}) packed into ONE
-    // array indexed sub_j·codes + code (array_sort on (sub_j, code)
-    // structs gives exactly that order).
+    val codebooks = memoPqCodebooks(base, m, codes, maxIter, sub)
+    val packed = encodePacked(base, codebooks, m, sub)
     val qprep = prepared(queries.select(col("vec_id"), col("embedding")), "sim.pq.qprep")
-    val lut = subRows(qprep)
-      .withColumnRenamed("vec_id", "query_id")
-      .join(broadcast(codebooks), Seq("sub_j"))
-      .select(col("query_id"), col("sub_j"), col("code"), dot(col("svec"), col("cvec")).as("qdot"))
-      .groupBy("query_id")
-      .agg(array_sort(collect_list(struct(col("sub_j"), col("code"), col("qdot")))).as("lc"))
-      .select(col("query_id"), transform(col("lc"), e => e.getField("qdot")).as("lut"))
+    val lut = queryLuts(qprep, codebooks, m, sub)
 
-    // ADC as a codegen'd per-pair EXPRESSION (m element_at adds), not
-    // a join-materialized explosion: the pair join has brute force's
-    // topology but moves m codes per row instead of the vector, and
-    // each score is m table adds instead of dim multiplies. The score
-    // is normalized by the corpus row's true norm to approximate the
-    // COSINE ordering (the query norm is constant per rank group).
     // The lut is FORCE-broadcast: one m·codes-double row per query
     // (~2 KB at the defaults), and its post-aggregate size estimate is
     // unbounded — left to maybeBroadcast the planner degrades this
@@ -475,23 +427,187 @@ object Similarity {
     // fallback. The contract (a broadcastable query set) is ENFORCED,
     // not assumed: the guard fails loudly on a query set whose lut
     // would blow the driver, instead of OOMing it. Past that scale,
-    // prune corpus-side first (IVF-PQ) instead of scanning.
+    // prune corpus-side first ([[ivfPqTopK]]) instead of scanning.
     val lutBytes = qprep.count() * (m.toLong * codes * 8 + 16)
     require(lutBytes < (512L << 20),
       s"PQ query set needs a ~${lutBytes >> 20} MB lookup-table broadcast — " +
-        "beyond the ADC scan's contract; prune with IVF cells (IVF-PQ) instead")
-    val adc = (0 until m).map(j =>
-      element_at(col("lut"), lit(j * codes + 1) + element_at(col("vcodes"), j + 1)))
-      .reduce(_ + _)
+        "beyond the ADC scan's contract; prune with IVF cells (ivfPqTopK) instead")
     val approxW = Window.partitionBy("query_id").orderBy(col("approx_cos").desc, col("vec_id").asc)
     val shortlist = packed
       .join(broadcast(lut), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), (adc / col("norm")).as("approx_cos"))
+      .select(col("query_id"), col("vec_id"), (adcScore(m, codes) / col("norm")).as("approx_cos"))
       .withColumn("arank", row_number().over(approxW))
       .filter(col("arank") <= rerank)
       .select("query_id", "vec_id")
 
-    // Exact re-rank of the shortlist: true vectors re-attached by id.
+    exactRerank(shortlist, base, qprep, k)
+  }
+
+  /** IVF-PQ: the composed scale path — IVF cells prune the CORPUS side
+    * of the ADC scan so each query scores only the rows in its
+    * `nProbes` probed cells, while PQ keeps the per-row cost at m
+    * table adds and m bytes of shuffle payload. [[pqTopK]]'s ADC is
+    * exhaustive O(N·Q); here it is O((N/cells)·nProbes·Q) and — the
+    * structural win — the pair join becomes an EQUI-join on `cell`
+    * instead of a broadcast nested loop, so past the broadcast
+    * threshold it degrades to a shuffled hash join, never a cartesian,
+    * and no 512 MB lut-broadcast contract is needed.
+    *
+    * Coarse cells are Lloyd-learned ([[ivfTopKKmeans]]'s machinery,
+    * memoized); codebooks are trained globally on the raw vectors
+    * (per-cell residual codebooks are the classic refinement — they
+    * sharpen ADC precision, which the exact re-rank here already
+    * restores at shortlist size `rerank`). Recall loss vs plain PQ is
+    * exactly the IVF probe miss (a true neighbor living in an
+    * unprobed cell); raise `nProbes` to trade scan volume back for
+    * recall.
+    * Output: (query_id, neighbor_id, cosine, rank) — cosine EXACT.
+    */
+  def ivfPqTopK(
+      embeddings: DataFrame,
+      k: Int = 3,
+      queryMod: Int = 100,
+      nProbes: Int = 2,
+      cells: Int = 8,
+      m: Int = 8,
+      codes: Int = 32,
+      rerank: Int = 64,
+      maxIter: Int = 3,
+      dim: Int = 64): DataFrame =
+    ivfPqTopK(embeddings, embeddings.filter(col("vec_id") % queryMod === 0),
+      k, nProbes, cells, m, codes, rerank, maxIter, dim)
+
+  /** External-query-set form of [[ivfPqTopK]]. */
+  def ivfPqTopK(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nProbes: Int,
+      cells: Int,
+      m: Int,
+      codes: Int,
+      rerank: Int,
+      maxIter: Int,
+      dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    require(codes <= 256, s"codes $codes exceeds one byte — the PQ memory contract")
+    val sub = dim / m
+    val base = prepared(embeddings.select(col("vec_id"), col("embedding")), "sim.ivfpq.prep")
+    val centroids = memoizedKmeans(base, cells, maxIter)
+    val codebooks = memoPqCodebooks(base, m, codes, maxIter, sub)
+
+    // Encoded corpus carries its cell: (cell, vec_id, vcodes, norm).
+    // The cell join is id-to-id (both sides N rows, m+1 narrow cols).
+    val packed = encodePacked(base, codebooks, m, sub)
+      .join(assignCells(base, centroids, 1).select(col("vec_id"), col("cell")), Seq("vec_id"))
+
+    val qprep = prepared(queries.select(col("vec_id"), col("embedding")), "sim.ivfpq.qprep")
+    // One (query_id, cell, lut) row per probed cell — nProbes rows per
+    // query, each a ~2 KB lut array; broadcast while small, shuffled
+    // equi-join on cell beyond the threshold.
+    val lutCells = queryLuts(qprep, codebooks, m, sub)
+      .join(
+        assignCells(qprep, centroids, nProbes).select(col("vec_id").as("query_id"), col("cell")),
+        Seq("query_id"))
+
+    // ADC only within probed cells: equi-join on cell. A corpus row
+    // lives in exactly one cell and probe cells are distinct per
+    // query, so (query_id, vec_id) pairs are already unique — no
+    // dedup shuffle.
+    val approxW = Window.partitionBy("query_id").orderBy(col("approx_cos").desc, col("vec_id").asc)
+    val shortlist = packed
+      .join(maybeBroadcast(lutCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), (adcScore(m, codes) / col("norm")).as("approx_cos"))
+      .withColumn("arank", row_number().over(approxW))
+      .filter(col("arank") <= rerank)
+      .select("query_id", "vec_id")
+
+    exactRerank(shortlist, base, qprep, k)
+  }
+
+  /** (vec_id, sub_j, svec): a prepared corpus split into m subspace
+    * rows of width `sub`.
+    */
+  private def subRowsOf(df: DataFrame, m: Int, sub: Int): DataFrame =
+    df.select(
+      col("vec_id"),
+      posexplode(array((0 until m).map(j =>
+        slice(col("vec"), j * sub + 1, sub)): _*)).as(Seq("sub_j", "svec")))
+
+  /** Codebooks for all m subspaces trained in one dataflow (memoized:
+    * the Lloyd loop is eager, an OpCache swap would arrive too late).
+    * Shared by [[pqTopK]] and [[ivfPqTopK]] — same base, same books.
+    */
+  private def memoPqCodebooks(
+      base: DataFrame, m: Int, codes: Int, maxIter: Int, sub: Int): DataFrame = {
+    val plan = base.queryExecution.analyzed
+    val key = (base.sparkSession, plan.semanticHash(), m, codes, maxIter, sub)
+    pqMemo.get(key) match {
+      case Some((storedPlan, df)) if storedPlan.sameResult(plan) => df
+      case _ =>
+        val df = pqCodebooks(subRowsOf(base, m, sub), codes, maxIter)
+        pqMemo.put(key, (plan, df))
+        df
+    }
+  }
+
+  /** Encode the corpus (nearest code per (vec_id, sub_j) by L2) and
+    * pack each vector's m codes into one array — the compressed corpus
+    * representation (m small ints/vector vs 4·dim bytes). The true
+    * norm joins HERE, onto the N-row packed table (not the m×N
+    * exploded rows): the ADC score must be normalized by it —
+    * approximating the DOT alone would shortlist by magnitude, not
+    * direction, and bury true cosine neighbors under large-norm
+    * vectors. Output: (vec_id, vcodes, norm).
+    */
+  private def encodePacked(
+      base: DataFrame, codebooks: DataFrame, m: Int, sub: Int): DataFrame = {
+    val encW = Window.partitionBy("vec_id", "sub_j").orderBy(col("d2").asc, col("code").asc)
+    val encoded = subRowsOf(base, m, sub)
+      .join(broadcast(codebooks), Seq("sub_j"))
+      .select(
+        col("vec_id"), col("sub_j"), col("code"),
+        (col("cn2") - lit(2.0) * dot(col("svec"), col("cvec"))).as("d2")) // |s|² constant per rank group
+      .withColumn("crank", row_number().over(encW))
+      .filter(col("crank") === 1)
+      .select("vec_id", "sub_j", "code")
+    encoded
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("sub_j"), col("code")))).as("sc"))
+      .select(col("vec_id"), transform(col("sc"), e => e.getField("code")).as("vcodes"))
+      .join(base.select(col("vec_id"), col("norm")), Seq("vec_id"))
+  }
+
+  /** Per-query lookup table dot(q_j, c_{j,code}) packed into ONE array
+    * indexed sub_j·codes + code (array_sort on (sub_j, code) structs
+    * gives exactly that order). Output: (query_id, lut).
+    */
+  private def queryLuts(
+      qprep: DataFrame, codebooks: DataFrame, m: Int, sub: Int): DataFrame =
+    subRowsOf(qprep, m, sub)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(codebooks), Seq("sub_j"))
+      .select(col("query_id"), col("sub_j"), col("code"), dot(col("svec"), col("cvec")).as("qdot"))
+      .groupBy("query_id")
+      .agg(array_sort(collect_list(struct(col("sub_j"), col("code"), col("qdot")))).as("lc"))
+      .select(col("query_id"), transform(col("lc"), e => e.getField("qdot")).as("lut"))
+
+  /** ADC as a codegen'd per-pair EXPRESSION (m element_at adds), not a
+    * join-materialized explosion: the pair join moves m codes per row
+    * instead of the vector, and each score is m table adds instead of
+    * dim multiplies.
+    */
+  private def adcScore(m: Int, codes: Int): org.apache.spark.sql.Column =
+    (0 until m).map(j =>
+      element_at(col("lut"), lit(j * codes + 1) + element_at(col("vcodes"), j + 1)))
+      .reduce(_ + _)
+
+  /** Exact re-rank of an (query_id, vec_id) shortlist: true vectors
+    * re-attached by id, exact cosine, top-k.
+    */
+  private def exactRerank(
+      shortlist: DataFrame, base: DataFrame, qprep: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
     shortlist
       .join(base.select(col("vec_id"), col("vec"), col("norm")), Seq("vec_id"))

@@ -1727,6 +1727,32 @@ object ExtQueries {
         |        ON l.l_orderkey = o.o_orderkey
         |      WHERE l.l_orderkey IS NOT NULL)
         |ORDER BY expectation""".stripMargin)
+    ),
+
+    // IVF-PQ: corpus-side pruning composed onto the PQ ADC scan — each
+    // query scores only the rows in its probed IVF cells (equi-join on
+    // cell, never a lut cartesian/broadcast-nested-loop), with PQ
+    // keeping per-row cost at m table adds and the exact re-rank
+    // restoring true cosines. The declared scale path past pqTopK's
+    // exhaustive O(N·Q) scan. xxhash-seeded k-means cells → rows-only;
+    // recall and re-rank exactness pinned in SimilaritySpec; pipeline
+    // shape certified cross-engine by the x64 twin.
+    GraftQuery(
+      "x63_ivf_pq_ann",
+      (s, d) =>
+        Similarity.ivfPqTopK(t(s, d, "embeddings"), nProbes = 4)
+          .orderBy("query_id", "rank"),
+      None
+    ),
+
+    // Engine-portable IVF-PQ twin: label sum-centroid coarse cells
+    // (x44's quantizer), corpus 1-probe / query 2-probe assignment,
+    // and the SAME portable PQ chain as x61 with the ADC sum matched
+    // on cell — DuckDB replays the composed pruning bit-for-bit.
+    GraftQuery(
+      "x64_ivf_pq_portable",
+      (s, d) => PortableAnn.ivfPq(t(s, d, "embeddings")),
+      Some(PortableAnn.ivfPqSql)
     )
   )
 

@@ -218,54 +218,105 @@ object PortableAnn {
     */
   def pq(embeddings: DataFrame): DataFrame = {
     val base = sharedBase(embeddings).select("vec_id", "qv", "nm")
-    val sr = base.select(
-      col("vec_id"),
-      posexplode(array((0 until PqM).map(j =>
-        slice(col("qv"), j * PqSub + 1, PqSub)): _*)).as(Seq("sub_j", "sv")))
-
-    val seedW = Window.partitionBy("sub_j").orderBy(col("__m"), col("vec_id"))
-    var books = sr
-      .withColumn("__m", md5(col("vec_id").cast("string")))
-      .withColumn("__r", row_number().over(seedW))
-      .filter(col("__r") <= PqCodes)
-      .select(col("sub_j"), (col("__r") - 1).cast("int").as("code"), col("sv").as("cv"))
-
-    def assignTo(b: DataFrame): DataFrame = {
-      val w = Window.partitionBy("vec_id", "sub_j").orderBy(col("d").desc, col("code"))
-      sr.join(b, Seq("sub_j"))
-        .withColumn("d", dot(col("sv"), col("cv")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-    }
-    for (_ <- 0 until 2)
-      books = assignTo(books)
-        .select(col("sub_j"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy("sub_j", "code", "pos")
-        .agg(sum(col("x")).as("sx"))
-        .groupBy("sub_j", "code")
-        .agg(array_sort(collect_list(struct(col("pos"), col("sx")))).as("pm"))
-        .select(col("sub_j"), col("code"), transform(col("pm"), e => e.getField("sx")).as("cv"))
-
-    // Two unrolled Lloyd rounds dominate the twin's cost and are
-    // deterministic given the corpus — cache the converged codebooks
-    // (same lifecycle as the x46 centroid cache).
-    books = graft.operators.OpCache.swap("portable.pq.books", books)
-    val enc = assignTo(books).select("vec_id", "sub_j", "code")
-    val lut = sr.filter(col("vec_id") % QueryMod === 0)
-      .select(col("vec_id").as("query_id"), col("sub_j"), col("sv"))
-      .join(books, Seq("sub_j"))
-      .select(col("query_id"), col("sub_j"), col("code"), dot(col("sv"), col("cv")).as("qd"))
-
+    val sr = pqSubRows(base)
+    val books = pqTrainedBooks(sr)
     val shortW = Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id").asc)
-    val short = enc.join(lut, Seq("sub_j", "code"))
+    val short = pqEncoded(sr, books).join(pqLut(sr, books), Seq("sub_j", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
       .agg(sum(col("qd")).as("approx"))
       .withColumn("rk", row_number().over(shortW))
       .filter(col("rk") <= PqRerank)
       .select("query_id", "vec_id")
+    topK(pqRerank(short, base), 3)
+  }
 
-    val scored = short
+  /** Portable IVF-PQ (the x63 pipeline shape): the same portable PQ
+    * machinery with the ADC restricted to probed IVF cells — corpus
+    * rows carry their 1-probe cell (per-label sum-centroids, the x44
+    * coarse quantizer), queries probe their 2 nearest cells, and the
+    * ADC join matches on (cell, sub_j, code), so a corpus row is
+    * scored only for queries probing its cell. Exact re-rank restores
+    * true cosines. Certifies end-to-end that the composed hot path
+    * ([[graft.operators.Similarity.ivfPqTopK]]) prunes corpus-side
+    * without corrupting the ADC sum or the final ranking.
+    */
+  def ivfPq(embeddings: DataFrame): DataFrame = {
+    val baseL = sharedBase(embeddings)
+    val base = baseL.select("vec_id", "qv", "nm")
+    val cent = sumCentroids(baseL.select(col("label").as("cell"), col("qv")))
+    val corpCells = assign(base, cent, 1).select(col("vec_id"), col("cell"))
+    val qryCells = assign(base.filter(col("vec_id") % QueryMod === 0), cent, 2)
+      .select(col("vec_id").as("query_id"), col("cell"))
+
+    val sr = pqSubRows(base)
+    val books = pqTrainedBooks(sr)
+    val shortW = Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id").asc)
+    val short = pqEncoded(sr, books).join(corpCells, Seq("vec_id"))
+      .join(pqLut(sr, books).join(qryCells, Seq("query_id")), Seq("cell", "sub_j", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("qd")).as("approx"))
+      .withColumn("rk", row_number().over(shortW))
+      .filter(col("rk") <= PqRerank)
+      .select("query_id", "vec_id")
+    topK(pqRerank(short, base), 3)
+  }
+
+  /** (vec_id, sub_j, sv): quantized corpus split into PqM subspaces. */
+  private def pqSubRows(base: DataFrame): DataFrame =
+    base.select(
+      col("vec_id"),
+      posexplode(array((0 until PqM).map(j =>
+        slice(col("qv"), j * PqSub + 1, PqSub)): _*)).as(Seq("sub_j", "sv")))
+
+  /** Nearest code per (vec_id, sub_j) by raw-dot argmax. */
+  private def pqAssignTo(sr: DataFrame, b: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id", "sub_j").orderBy(col("d").desc, col("code"))
+    sr.join(b, Seq("sub_j"))
+      .withColumn("d", dot(col("sv"), col("cv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+  }
+
+  /** md5-seeded codebooks, two unrolled Lloyd rounds with SUM
+    * centroids. The rounds dominate the twin's cost and are
+    * deterministic given the corpus — the converged codebooks are
+    * cached (same lifecycle as the x46 centroid cache) and shared by
+    * the plain-PQ and IVF-PQ twins (plan-equal under the same corpus).
+    */
+  private def pqTrainedBooks(sr: DataFrame): DataFrame = {
+    val seedW = Window.partitionBy("sub_j").orderBy(col("__m"), col("vec_id"))
+    var books = sr
+      .withColumn("__m", md5(col("vec_id").cast("string")))
+      .withColumn("__r", row_number().over(seedW))
+      .filter(col("__r") <= PqCodes)
+      .select(col("sub_j"), (col("__r") - 1).cast("int").as("code"), col("sv").as("cv"))
+    for (_ <- 0 until 2)
+      books = pqAssignTo(sr, books)
+        .select(col("sub_j"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub_j", "code", "pos")
+        .agg(sum(col("x")).as("sx"))
+        .groupBy("sub_j", "code")
+        .agg(array_sort(collect_list(struct(col("pos"), col("sx")))).as("pm"))
+        .select(col("sub_j"), col("code"), transform(col("pm"), e => e.getField("sx")).as("cv"))
+    graft.operators.OpCache.swap("portable.pq.books", books)
+  }
+
+  /** Encoded corpus: (vec_id, sub_j, code). */
+  private def pqEncoded(sr: DataFrame, books: DataFrame): DataFrame =
+    pqAssignTo(sr, books).select("vec_id", "sub_j", "code")
+
+  /** Per-query partial lookup rows: (query_id, sub_j, code, qd). */
+  private def pqLut(sr: DataFrame, books: DataFrame): DataFrame =
+    sr.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("sub_j"), col("sv"))
+      .join(books, Seq("sub_j"))
+      .select(col("query_id"), col("sub_j"), col("code"), dot(col("sv"), col("cv")).as("qd"))
+
+  /** Exact re-rank scoring of a (query_id, vec_id) shortlist. */
+  private def pqRerank(short: DataFrame, base: DataFrame): DataFrame =
+    short
       .join(base.select(col("vec_id"), col("qv"), col("nm")), Seq("vec_id"))
       .join(
         base.select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("nm").as("qnm")),
@@ -273,8 +324,6 @@ object PortableAnn {
       .select(
         col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("qv"), col("qqv")) / (col("nm") * col("qnm"))).as("cosine"))
-    topK(scored, 3)
-  }
 
   // ---------------------------------------------------------------- DuckDB side
 
@@ -433,9 +482,12 @@ object PortableAnn {
        |bk$round AS (
        |  SELECT sub_j, code, list(sx ORDER BY i) AS cv FROM ps$round GROUP BY 1, 2)""".stripMargin
 
-  lazy val pqSql: String =
-    s"""$qCte,
-       |sr AS (
+  /** Shared PQ CTE chain (subspace split → seeded codebooks → two
+    * Lloyd rounds → encode → per-query lut) spliced into both the
+    * plain-PQ and IVF-PQ oracles — one source, no drift.
+    */
+  private lazy val pqCoreCtes: String =
+    s"""sr AS (
        |  SELECT vec_id, j.range AS sub_j,
        |         list_slice(qv, j.range * $PqSub + 1, j.range * $PqSub + $PqSub) AS sv
        |  FROM n, range($PqM) AS j),
@@ -459,12 +511,13 @@ object PortableAnn {
        |  SELECT sr.vec_id AS query_id, sr.sub_j, b.code,
        |         list_dot_product(sr.sv, b.cv) AS qd
        |  FROM sr JOIN bk2 b USING (sub_j)
-       |  WHERE sr.vec_id % $QueryMod = 0),
-       |sc AS (
-       |  SELECT l.query_id, e.vec_id, SUM(l.qd) AS approx
-       |  FROM enc e JOIN lut l ON e.sub_j = l.sub_j AND e.code = l.code
-       |  WHERE e.vec_id <> l.query_id GROUP BY 1, 2),
-       |short AS (
+       |  WHERE sr.vec_id % $QueryMod = 0)""".stripMargin
+
+  /** Shared shortlist/re-rank tail after an `sc(query_id, vec_id,
+    * approx)` CTE.
+    */
+  private lazy val pqTailSql: String =
+    s"""short AS (
        |  SELECT query_id, vec_id FROM (
        |    SELECT query_id, vec_id,
        |           ROW_NUMBER() OVER (PARTITION BY query_id
@@ -477,4 +530,51 @@ object PortableAnn {
        |  FROM short s JOIN n cn ON cn.vec_id = s.vec_id
        |               JOIN n qn ON qn.vec_id = s.query_id)
        |$topKSql""".stripMargin
+
+  lazy val pqSql: String =
+    s"""$qCte,
+       |$pqCoreCtes,
+       |sc AS (
+       |  SELECT l.query_id, e.vec_id, SUM(l.qd) AS approx
+       |  FROM enc e JOIN lut l ON e.sub_j = l.sub_j AND e.code = l.code
+       |  WHERE e.vec_id <> l.query_id GROUP BY 1, 2),
+       |$pqTailSql""".stripMargin
+
+  /** IVF-PQ oracle: label sum-centroids (x44's coarse quantizer),
+    * corpus 1-probe / query 2-probe cell assignment, and the shared PQ
+    * chain with the ADC sum additionally matched on cell.
+    */
+  lazy val ivfPqSql: String =
+    s"""$qCte,
+       |sl AS (
+       |  SELECT label AS cell, r.range AS i, SUM(qv[r.range]) AS sx
+       |  FROM n, range(1, ${Dim + 1}) AS r GROUP BY 1, 2),
+       |centL AS (
+       |  SELECT cell, list(sx ORDER BY i) AS cvec,
+       |         sqrt(list_dot_product(list(sx ORDER BY i), list(sx ORDER BY i))) AS cn
+       |  FROM sl GROUP BY cell),
+       |cellc AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT n.vec_id, ct.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |             ORDER BY list_dot_product(n.qv, ct.cvec) / (n.nm * ct.cn) DESC, ct.cell) AS rk
+       |    FROM n CROSS JOIN centL ct)
+       |  WHERE rk = 1),
+       |cellq AS (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT n.vec_id, ct.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |             ORDER BY list_dot_product(n.qv, ct.cvec) / (n.nm * ct.cn) DESC, ct.cell) AS rk
+       |    FROM n CROSS JOIN centL ct
+       |    WHERE n.vec_id % $QueryMod = 0)
+       |  WHERE rk <= 2),
+       |$pqCoreCtes,
+       |sc AS (
+       |  SELECT l.query_id, e.vec_id, SUM(l.qd) AS approx
+       |  FROM enc e
+       |  JOIN cellc cc ON cc.vec_id = e.vec_id
+       |  JOIN lut l ON e.sub_j = l.sub_j AND e.code = l.code
+       |  JOIN cellq cq ON cq.query_id = l.query_id AND cq.cell = cc.cell
+       |  WHERE e.vec_id <> l.query_id GROUP BY 1, 2),
+       |$pqTailSql""".stripMargin
 }

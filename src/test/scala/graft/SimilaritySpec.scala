@@ -85,6 +85,41 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ achieves reasonable recall vs brute force, with exact re-ranked cosines") {
+    val exact = Similarity.cosineTopK(real, k = 3, queryMod = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfPqTopK(real, k = 3, queryMod = 100, nProbes = 4, cells = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // Composes both loss sources: IVF probe miss (4 of 10 cells) and
+    // PQ quantization error inside the probed cells — the floor is
+    // the bucketed-ANN one, not plain PQ's.
+    assert(recall >= 0.4, s"IVF-PQ recall $recall (exact=${exact.size}, hit=${(exact & approx).size})")
+    // Survivor cosines must be EXACT (the re-rank contract).
+    val exactScores = Similarity.cosineTopK(real, k = 50, queryMod = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Similarity.ivfPqTopK(real, k = 3, queryMod = 100, nProbes = 4, cells = 10).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exactScores.get(key).foreach(c => assert(c == r.getDouble(2), s"cosine mismatch at $key"))
+    }
+  }
+
+  test("IVF-PQ with nProbes = cells reproduces the exhaustive ADC scan exactly") {
+    // With every cell probed, corpus-side pruning removes nothing: the
+    // cell equi-join covers every (corpus, query) pair exactly once,
+    // the codebooks are memo-shared with plain PQ (same base plan),
+    // and both rank ADC scores with the same tie-breaks — so the
+    // composed operator must be bit-identical to pqTopK at the same
+    // rerank budget. Any divergence means cell matching corrupted the
+    // ADC sum or dropped/duplicated a candidate.
+    val wide = Similarity.pqTopK(real, k = 3, queryMod = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val pruned = Similarity.ivfPqTopK(real, k = 3, queryMod = 100, nProbes = 10, cells = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(pruned == wide,
+      s"only-in-ivfpq=${pruned -- wide} only-in-pq=${wide -- pruned}")
+  }
+
   test("external query tables reproduce the queryMod slice exactly, on every operator") {
     // The queryMod overloads are conveniences over the external-query
     // primary form; passing the same slice explicitly must be
@@ -103,6 +138,8 @@ class SimilaritySpec extends SparkSpec {
       rows(Similarity.ivfTopKKmeans(real, k = 3, queryMod = 100, nProbes = 4, cells = 10)))
     assert(rows(Similarity.pqTopK(real, slice, 3, 8, 32, 64, 3, 64)) ==
       rows(Similarity.pqTopK(real, k = 3, queryMod = 100)))
+    assert(rows(Similarity.ivfPqTopK(real, slice, 3, 4, 10, 8, 32, 64, 3, 64)) ==
+      rows(Similarity.ivfPqTopK(real, k = 3, queryMod = 100, nProbes = 4, cells = 10)))
   }
 
   test("PQ survives empty clusters from a degenerate (two-point) corpus") {
