@@ -1753,6 +1753,56 @@ object ExtQueries {
       "x64_ivf_pq_portable",
       (s, d) => PortableAnn.ivfPq(t(s, d, "embeddings")),
       Some(PortableAnn.ivfPqSql)
+    ),
+
+    // Driver-visible recall gate for the ANN hot paths (x06/x13/x25/
+    // x60/x63 are rows-only — engine-deterministic but not DuckDB-
+    // replayable). Each float hot path is scored against the ORACLED
+    // exact baseline (x05's operator) and emits a recall>=threshold
+    // boolean; the oracle recomputes n_exact independently and pins
+    // every verdict true. A recall collapse in any hot path (e.g. a
+    // plane-table or cell-assignment regression the portable twins
+    // share) flips a boolean and fails the hash gate. Thresholds sit
+    // ~0.15 under the observed minimum across sf0.001/sf0.01
+    // (0.40–1.00), so they catch collapse, not fixture noise.
+    GraftQuery(
+      "x65_ann_recall_gate",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val exact = Similarity.cosineTopK(emb).select("query_id", "neighbor_id")
+        def gate(method: String, approx: org.apache.spark.sql.DataFrame, minRecall: Double) =
+          exact
+            .join(
+              approx.select(col("query_id"), col("neighbor_id"), lit(1).as("__hit")),
+              Seq("query_id", "neighbor_id"), "left")
+            .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("__hit"), lit(0))).as("n_hit"))
+            .select(
+              lit(method).as("method"),
+              col("n_exact"),
+              (col("n_hit").cast("double") >= col("n_exact").cast("double") * lit(minRecall))
+                .as("recall_ok"))
+        gate("ann_lsh", Similarity.annSignLshTopK(emb), 0.30)
+          .unionByName(gate("ivf_kmeans", Similarity.ivfTopKKmeans(emb), 0.30))
+          .unionByName(gate("ivf_label", Similarity.ivfTopK(emb), 0.25))
+          .unionByName(gate("ivf_pq", Similarity.ivfPqTopK(emb, nProbes = 4), 0.40))
+          .unionByName(gate("pq", Similarity.pqTopK(emb), 0.50))
+          .orderBy("method")
+      },
+      Some("""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id % 100 = 0),
+        |s AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(c.v, q.qv) AS cosine
+        |  FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+        |e AS (
+        |  SELECT count(*) AS n_exact FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |                                 ORDER BY cosine DESC, neighbor_id) AS rk FROM s)
+        |  WHERE rk <= 3)
+        |SELECT m.method, e.n_exact, true AS recall_ok
+        |FROM e CROSS JOIN (VALUES ('ann_lsh'), ('ivf_kmeans'), ('ivf_label'),
+        |                          ('ivf_pq'), ('pq')) m(method)
+        |ORDER BY method""".stripMargin)
     )
   )
 
