@@ -224,50 +224,85 @@ object Dedup {
   OpCache.registerClearHook(() => resolveMemo.clear())
 
   private def resolveClustersUncached(pairs: DataFrame, maxIter: Int): DataFrame = {
-    val edges = OpCache.swap("dedup.edges",
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Alternating large-star / small-star (Kiveris et al., "Connected
+    // Components in MapReduce and Beyond"): each round rewires edges
+    // toward the neighborhood minimum, halving component height — the
+    // round count is O(log n) in the WORST case, where the previous
+    // min-label propagation was O(component diameter) and legitimately
+    // blew its bound on chained boilerplate (a 50-deep near-dup chain
+    // is pathological but possible at 100 TB). Edges keep the (u > v)
+    // orientation as an invariant; every step is a groupBy/join on
+    // node ids — two longs per row, no payloads.
+    val nodes = OpCache.swap("dedup.nodes",
+      pairs.select(col("doc_a").as("id"))
+        .unionByName(pairs.select(col("doc_b").as("id")))
         .distinct())
 
     // localCheckpoint (not persist): each round must TRUNCATE lineage,
     // or the logical plan doubles per iteration and analysis cost goes
     // exponential (the classic iterative-algorithm trap).
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    var edges = pairs
+      .select(
+        greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
       .localCheckpoint(true)
 
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("label")).as("nlabel"))
-      // Carry the previous label through the checkpoint so convergence
-      // is a cheap filter+count on the materialized result, not another
-      // shuffle join against the previous round.
-      val updated = labels
-        .join(neighborMin, Seq("id"), "left")
-        .select(
-          col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
-          col("label").as("__old"))
+      // Large-star: over SYMMETRIC neighborhoods, attach every
+      // strictly-larger neighbor to the neighborhood minimum
+      // (including the center). Keeps u > v by construction: the
+      // emitted (v, m) has v > u ≥ m.
+      val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val lmins = sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val afterLarge = sym.join(lmins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // Small-star: over the ORIENTED neighborhoods (all of u's
+      // parents are < u), attach u and all its smaller neighbors to
+      // their minimum — after this, each u has exactly one parent.
+      val smins = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
+      val updated = smins.select(col("u"), col("m").as("v"))
+        .unionByName(
+          afterLarge.join(smins, Seq("u"))
+            .filter(col("v") =!= col("m"))
+            .select(col("v").as("u"), col("m").as("v")))
+        .distinct()
         .localCheckpoint(true)
-      val changed = updated.filter(col("label") =!= col("__old")).count()
-      labels = updated.drop("__old")
-      converged = changed == 0
+      // Fixpoint test, EXACT and structural: the result is final iff
+      // it is a forest of stars — no parent is itself a child (no
+      // 2-chain) AND every child has exactly one parent (a node can
+      // still collect two parents from two small-star groups while
+      // staying chain-free; that state is NOT converged — its roots
+      // merge in later rounds). Two cheap jobs on the materialized
+      // round result; no checksum heuristics that could terminate
+      // early on collision.
+      converged = updated
+        .join(updated.select(col("u").as("v")), Seq("v"), "left_semi")
+        .isEmpty &&
+        updated.groupBy("u").agg(count(lit(1)).as("c")).filter(col("c") > 1).isEmpty
+      edges = updated
       iter += 1
     }
-    // A silently-truncated propagation returns labels that are NOT the
+    // A silently-truncated resolution returns parents that are NOT the
     // component minimum — wrong clusters with no signal (and a
-    // divergence from the exact transitive-closure oracle). Components
-    // deeper than the bound must fail loudly; near-dup clusters are
-    // shallow, so a legitimate hit means the input is pathological or
-    // maxIter was lowered.
+    // divergence from the exact transitive-closure oracle). The bound
+    // is now logarithmic (15 rounds covers any physical graph), so a
+    // hit means the input is degenerate or maxIter was lowered.
     if (!converged) throw new IllegalStateException(
-      s"resolveClusters did not converge in $maxIter rounds — " +
-        "a component's diameter exceeds the bound; raise maxIter")
-    labels.withColumnRenamed("label", "cluster_id")
+      s"resolveClusters did not converge in $maxIter star rounds — " +
+        "raise maxIter")
+    // Stars to labels: children point at their root; roots (ids with
+    // no parent edge) label themselves.
+    edges.select(col("u").as("id"), col("v").as("cluster_id"))
+      .unionByName(
+        nodes.join(edges.select(col("u").as("id")), Seq("id"), "left_anti")
+          .select(col("id"), col("id").as("cluster_id")))
   }
 
   /** End-to-end dedup: find near-dup pairs (MinHash+LSH), resolve

@@ -73,17 +73,35 @@ class DedupSpec extends SparkSpec {
 
   test("cluster resolution fails loudly instead of returning truncated labels") {
     import sqlImplicits._
-    // A 7-node path needs more than 2 min-label rounds; a silent exit
-    // would hand back labels that are not the component minimum.
-    val chain = (1L to 6L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // A 100-node path cannot reach a star forest in one alternating
+    // round; a silent exit would hand back labels that are not the
+    // component minimum.
+    val chain = (1L to 99L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val e = intercept[IllegalStateException] {
-      Dedup.resolveClusters(chain, maxIter = 2).collect()
+      Dedup.resolveClusters(chain, maxIter = 1).collect()
     }
     assert(e.getMessage.contains("did not converge"))
     // The same chain converges with the default bound.
     val labels = Dedup.resolveClusters(chain)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.values.toSet == Set(1L))
+  }
+
+  test("a 50-deep chain resolves inside the default round bound") {
+    import sqlImplicits._
+    // O(diameter) min-label propagation threw at maxIter=15 on this
+    // input; the large-star/small-star rounds halve component height,
+    // so depth 50 needs only O(log 50) rounds. Ids descend so the
+    // component minimum (1) sits at the FAR end of the chain — the
+    // worst case for label propagation. A second disjoint component
+    // guards against everything collapsing into one cluster.
+    val deep = (1L to 50L).map(i => (i + 1, i)).toDF("doc_a", "doc_b")
+      .unionByName(Seq((200L, 201L)).toDF("doc_a", "doc_b"))
+    val labels = Dedup.resolveClusters(deep, maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 51L).forall(labels(_) == 1L), s"chain labels: $labels")
+    assert(labels(200L) == 200L && labels(201L) == 200L)
+    assert(labels.size == 53)
   }
 
   test("dedup report keeps the canonical doc and lists removals") {
