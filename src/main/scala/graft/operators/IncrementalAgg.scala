@@ -30,12 +30,28 @@ object IncrementalAgg {
 
   /** Re-aggregatable state for `df` grouped by `keys`:
     * keys ++ (n, sum_<measure>...).
+    *
+    * Measure domain: |value| < 10¹⁴ with 4 decimal places kept
+    * (DECIMAL(18,4)). A value outside that domain (or NaN) does not
+    * silently vanish from the sum while still counting in `n` — the
+    * non-ANSI cast would null it and skew every derived average — it
+    * RAISES, per row, at execution time. Sums accumulate at
+    * DECIMAL(28,4) (Spark's sum widening): overflowing that needs
+    * ~10¹⁴ rows at the domain maximum, documented as out of scope.
     */
   def rollup(df: DataFrame, keys: Seq[String], measures: Seq[String]): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
-        measures.map(m => sum(col(m).cast(Exact)).as(s"sum_$m")): _*)
+        measures.map { m =>
+          val guarded = when(
+            col(m).isNotNull && col(m).cast(Exact).isNull,
+            raise_error(concat(
+              lit(s"IncrementalAgg: measure $m value "), col(m).cast("string"),
+              lit(" outside the DECIMAL(18,4) domain"))))
+            .otherwise(col(m).cast(Exact))
+          sum(guarded).as(s"sum_$m")
+        }: _*)
 
   /** Additive merge of state tables — any number of batches, any
     * order, including retractions encoded as negated states.

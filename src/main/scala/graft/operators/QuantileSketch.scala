@@ -22,12 +22,18 @@ import org.apache.spark.sql.functions._
   */
 object QuantileSketch {
 
-  /** Histogram state for `df`: keys ++ (bucket, n). NULL and NaN
-    * measure values are EXCLUDED — a non-value is not quantile mass
-    * (counting it in bucket 0 would drag every estimate toward `lo`);
-    * out-of-range real values clamp to the edge buckets
+  /** Histogram state for `df`: keys ++ (bucket, n, __lo, __hi, __nb).
+    * NULL and NaN measure values are EXCLUDED — a non-value is not
+    * quantile mass (counting it in bucket 0 would drag every estimate
+    * toward `lo`); out-of-range real values clamp to the edge buckets
     * ([[graft.functions.CoreFunctions.bucketize]], shared with
     * ZOrder so the two bucketizations can never drift).
+    *
+    * The state RECORDS its own bucketization (`__lo`/`__hi`/`__nb`
+    * literal columns): bucket indices are meaningless without it, and
+    * a consumer supplying different parameters would silently decode
+    * every estimate wrong — [[quantiles]] validates the recorded
+    * parameters against its arguments and raises on mismatch.
     */
   def rollup(
       df: DataFrame,
@@ -40,13 +46,23 @@ object QuantileSketch {
       .groupBy(keys.map(col) :+
         graft.functions.CoreFunctions.bucketize(value, lo, hi, nb.toLong).as("bucket"): _*)
       .agg(count(lit(1)).as("n"))
+      .withColumn("__lo", lit(lo))
+      .withColumn("__hi", lit(hi))
+      .withColumn("__nb", lit(nb))
 
-  /** Additive merge of histogram states (any batches, any order). */
+  /** Additive merge of histogram states (any batches, any order). The
+    * bucketization columns join the grouping key: states built with
+    * the SAME parameters merge additively as before, while mixed
+    * parameters survive as distinct rows that [[quantiles]] then
+    * rejects loudly (they cannot be summed meaningfully).
+    */
   def merge(states: Seq[DataFrame], keys: Seq[String]): DataFrame = {
     require(states.nonEmpty, "merge of zero states")
     states.reduce(_ unionByName _)
-      .groupBy((keys :+ "bucket").map(col): _*)
+      .groupBy((keys ++ Seq("bucket", "__lo", "__hi", "__nb")).map(col): _*)
       .agg(sum(col("n")).as("n"))
+      // back to rollup's column order — merge output IS a state
+      .select((keys ++ Seq("bucket", "n", "__lo", "__hi", "__nb")).map(col): _*)
   }
 
   /** Quantile estimates from a state: one row per key per q —
@@ -63,10 +79,24 @@ object QuantileSketch {
       nb: Int = 128): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"quantiles $qs out of (0,1]")
     val keyCols = keys.map(col)
+    // The state carries its own bucketization — decoding it with
+    // different parameters is silently wrong, so mismatches RAISE at
+    // execution (row-level guard; no driver-side action added to a
+    // lazy transform). Also rejects mixed-parameter rows a bad merge
+    // let through.
+    val checked = state.filter(
+      when(
+        col("__lo") =!= lit(lo) || col("__hi") =!= lit(hi) || col("__nb") =!= lit(nb),
+        raise_error(concat(
+          lit(s"QuantileSketch: state bucketized as (lo, hi, nb) = ("),
+          col("__lo"), lit(", "), col("__hi"), lit(", "), col("__nb"),
+          lit(s") but quantiles() was asked to decode ($lo, $hi, $nb)"))))
+        .otherwise(lit(true)))
+      .drop("__lo", "__hi", "__nb")
     // ONE window pass computes cum/total; every requested q reduces in
     // the same aggregation (min over a guarded bucket), and only the
     // tiny |keys|-row aggregate is reshaped to one row per (key, q).
-    val cum = state
+    val cum = checked
       .withColumn("cum", sum(col("n")).over(
         Window.partitionBy(keyCols: _*).orderBy(col("bucket"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

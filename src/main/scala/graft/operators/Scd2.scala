@@ -58,7 +58,23 @@ object Scd2 {
     // the full-outer join had no row from that side.
     val open = current.filter(col("is_current")).withColumn("__c", lit(1))
     val closed = current.filter(!col("is_current"))
-    val staged = updates.select((keyCols ++ attrCols).map(col): _*).withColumn("__u", lit(1))
+    // The one-staged-row-per-key contract is ENFORCED, not assumed: a
+    // duplicate key would fan out through the full-outer join and
+    // silently open duplicate current versions — dimension corruption
+    // with no signal. The guard is the `__u` presence marker itself
+    // (raises per offending row at execution); its window pre-shuffles
+    // the batch on the join key it was about to shuffle on anyway.
+    val dupW = org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)
+    val staged = updates.select((keyCols ++ attrCols).map(col): _*)
+      .withColumn("__cnt", count(lit(1)).over(dupW))
+      .withColumn("__u", when(
+        col("__cnt") > 1,
+        raise_error(concat(
+          lit("Scd2.merge: duplicate update rows for key ("),
+          concat_ws(", ", keyCols.map(k => col(k).cast("string")): _*),
+          lit(") — the contract is one staged row per key"))))
+        .otherwise(lit(1)))
+      .drop("__cnt")
 
     val joinCond = keyCols.map(k => col(s"cur.$k") <=> col(s"upd.$k")).reduce(_ && _)
     val changed = attrCols.map(a => !(col(s"cur.$a") <=> col(s"upd.$a"))).reduce(_ || _)

@@ -186,10 +186,19 @@ object Tables {
       // Metadata-only swap, not a second data write: re-writing the
       // validated batch into the target would double the I/O AND leave
       // a drop-then-rewrite window where a crash destroys the
-      // previously-good table. The drop→rename gap is catalog-fast;
-      // the data files are never rewritten.
+      // previously-good table. The validated batch is first renamed
+      // onto the `__staging` suffix so the drop→rename gap is covered
+      // by the SAME crash recovery as [[stagedOverwrite]]: a crash
+      // between the DROP and the final RENAME leaves `table` missing
+      // with `<table>__staging` holding the validated content —
+      // exactly the state [[recoverStaged]] heals. (The `__audit`
+      // suffix survives only on a FAILED publish, where the target was
+      // never touched, so it needs no recovery path.)
+      val ready = table + "__staging"
+      spark.sql(s"DROP TABLE IF EXISTS $ready")
+      spark.sql(s"ALTER TABLE $staging RENAME TO $ready")
       spark.sql(s"DROP TABLE IF EXISTS $table")
-      spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+      spark.sql(s"ALTER TABLE $ready RENAME TO $table")
     }
     report
   }

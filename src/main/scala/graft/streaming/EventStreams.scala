@@ -177,8 +177,8 @@ object EventStreams {
     * groupBy over the BATCH plus a merge against |keys| state rows —
     * the base data is never rescanned, so the maintained rollup stays
     * O(batch) while the table it summarizes grows without bound.
-    * State-table overwrite is staged (see `Tables.upsertTable`: the
-    * state feeds its own merge plan).
+    * State-table overwrite is staged (see `Tables.stagedOverwrite`:
+    * the state feeds its own merge plan).
     *
     * EXACTLY-ONCE under replay: the decimal merge is not naturally
     * idempotent, so every state row is stamped with the highest batch

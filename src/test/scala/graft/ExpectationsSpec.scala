@@ -77,6 +77,27 @@ class ExpectationsSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS ${table}__audit")
   }
 
+  test("publish leaves no staging residue and its crash window is self-healing") {
+    import sqlImplicits._
+    val table = "graft_wap_crash"
+    for (s <- Seq("", "__audit", "__staging")) spark.sql(s"DROP TABLE IF EXISTS $table$s")
+    val good = Seq((1L, 5.0), (2L, 7.0)).toDF("id", "qty")
+    graft.sources.Tables.publishChecked(good, table, Seq(Unique("pk", Seq("id"))))
+    assert(spark.table(table).count() == 2)
+    assert(!spark.catalog.tableExists(s"${table}__audit"), "clean publish keeps no audit table")
+    assert(!spark.catalog.tableExists(s"${table}__staging"), "clean publish keeps no staging table")
+    // Simulate the publish crash window: the validated batch was
+    // renamed onto __staging and the target dropped, then the process
+    // died before the final rename. recoverStaged must restore it —
+    // the same healing stagedOverwrite gets.
+    graft.sources.Tables.overwriteTable(spark.table(table), s"${table}__staging")
+    spark.sql(s"DROP TABLE $table")
+    assert(graft.sources.Tables.recoverStaged(spark, table), "recovery must trigger")
+    assert(spark.table(table).count() == 2, "validated content restored")
+    assert(!spark.catalog.tableExists(s"${table}__staging"))
+    for (s <- Seq("", "__audit", "__staging")) spark.sql(s"DROP TABLE IF EXISTS $table$s")
+  }
+
   test("row-local expectations share ONE aggregate scan") {
     val plan = check(facts, Seq(
       NotNull("a", Seq("qty")),

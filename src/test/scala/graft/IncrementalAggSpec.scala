@@ -34,6 +34,23 @@ class IncrementalAggSpec extends SparkSpec {
     }
   }
 
+  test("out-of-domain measures raise instead of vanishing from the state") {
+    import sqlImplicits._
+    // 1e15 exceeds DECIMAL(18,4)'s 14 integral digits: the non-ANSI
+    // cast would null it silently — still counted in n, absent from
+    // sum_v, every derived average skewed. The guard must raise.
+    val bad = Seq(("a", 1.0), ("a", 1e15)).toDF("k", "v")
+    val e = intercept[Exception] {
+      IncrementalAgg.rollup(bad, Seq("k"), Seq("v")).collect()
+    }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).mkString("|")
+    assert(messages.contains("DECIMAL(18,4)"), messages.take(300))
+    // Near the domain boundary (exactly representable as a double) is fine.
+    val edge = Seq(("a", 99999999999999.0)).toDF("k", "v")
+    assert(IncrementalAgg.rollup(edge, Seq("k"), Seq("v")).collect().length == 1)
+  }
+
   test("a negated state retracts a batch exactly") {
     val batch = rows.limit(3)
     val withBatch = IncrementalAgg.rollup(rows, Seq("k"), Seq("v"))

@@ -46,6 +46,18 @@ class QuantileSketchSpec extends SparkSpec {
     }
   }
 
+  test("decoding a state with mismatched bucketization raises") {
+    // The state records (lo, hi, nb); reading buckets under different
+    // parameters would silently shift every estimate. Must be loud.
+    val state = QuantileSketch.rollup(df, Seq("k"), col("v"), lo, hi, nb)
+    val e = intercept[Exception] {
+      QuantileSketch.quantiles(state, Seq("k"), Seq(0.5), lo, hi * 2, nb).collect()
+    }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).mkString("|")
+    assert(messages.contains("bucketized"), messages.take(300))
+  }
+
   test("random splits and nested merges reproduce single-pass quantiles (property, seeded)") {
     import sqlImplicits._
     val rnd = new scala.util.Random(11)

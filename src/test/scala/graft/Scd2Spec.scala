@@ -76,6 +76,20 @@ class Scd2Spec extends SparkSpec {
     assert(merged.filter(_._1 == 9L).toSeq == Seq((9L, "FRESH", d2, None, true)))
   }
 
+  test("duplicate staged keys raise instead of opening duplicate current versions") {
+    import sqlImplicits._
+    // Two staged rows for key 1 would each match the open row through
+    // the full-outer join and open two concurrent versions — silent
+    // dimension corruption. The contract is enforced at execution.
+    val dup = Seq((1L, "NEW"), (1L, "NEWER")).toDF("k", "seg")
+    val e = intercept[Exception] {
+      Scd2.merge(current, dup, Seq("k"), Seq("seg"), lit(d2)).collect()
+    }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).mkString("|")
+    assert(messages.contains("one staged row per key"), messages.take(300))
+  }
+
   test("asOf slices the dimension at a point in time") {
     val dim = Scd2.merge(current, updates, Seq("k"), Seq("seg"), lit(d2))
     // Before the merge's effective date: key 1 resolves to MID.
