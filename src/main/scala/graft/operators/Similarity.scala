@@ -248,21 +248,79 @@ object Similarity {
 
   /** Lloyd's k-means over a prepared (vec_id, vec, norm) corpus.
     * Output: (cell, cvec, cnorm) — the IVF centroid table shape.
+    *
+    * Seeding is k-means||-style (Bahmani et al., VLDB'12), adapted to
+    * one deterministic dataflow: a hash-min anchor, one
+    * distance-weighted oversampling pass (each point kept with
+    * probability ∝ its squared distance from the anchor, budget
+    * l = 4k draws via xxhash64 — spread seeds land far apart instead
+    * of wherever the hash order clumped), then a weight-based
+    * reduction — every corpus point votes for its nearest candidate
+    * and the k most-voted candidates become the seeds (the paper
+    * reduces by weighted k-means++; top-k-by-weight keeps the
+    * reduction a single window, SQL-replayable by the portable twin,
+    * and drops only low-mass candidates Lloyd would starve anyway).
+    * Quality-blind hash-order seeding repeatedly planted multiple
+    * seeds inside one true cluster; distance-weighting is the
+    * standard 100 TB fix and stays two broadcast passes over the
+    * corpus.
     */
   private def kmeansCentroids(base: DataFrame, k: Int, maxIter: Int): DataFrame = {
-    // Seed selection: deterministic hash-min k vectors. orderBy+limit
-    // is TakeOrderedAndProject (per-partition top-k + merge), so the
-    // full corpus is never globally sorted; the single-partition
-    // row_number window then runs over only the k survivors.
-    val seeds = base
+    // Anchor: deterministic hash-min vector. orderBy+limit is
+    // TakeOrderedAndProject (per-partition top-k + merge) — the corpus
+    // is never globally sorted.
+    val anchor = base
       .select(col("vec_id"), col("vec"), xxhash64(col("vec_id")).as("__h"))
       .orderBy(col("__h"), col("vec_id"))
-      .limit(k)
-    val seedW = Window.orderBy(col("__h"), col("vec_id"))
-    var cents = seeds
+      .limit(1)
+      .select(col("vec_id"), col("vec"))
+
+    // Oversample ∝ d²(x, anchor): draw < l·d²/Σd², with the scalar
+    // Σd² attached as a 1-row broadcast (BNLJ of one row — not a
+    // driver collect, not a single-partition window).
+    val l = 4 * k
+    val d2 = base
+      .crossJoin(broadcast(anchor
+        .select(col("vec").as("__avec"))
+        .withColumn("__anorm", l2norm(col("__avec")))))
+      .select(
+        col("vec_id"), col("vec"),
+        (col("norm") * col("norm") + col("__anorm") * col("__anorm")
+          - lit(2.0) * dot(col("vec"), col("__avec"))).as("__d2"))
+    val tot = d2.agg(sum(col("__d2")).as("__tot"))
+    val sampled = d2
+      .crossJoin(broadcast(tot))
+      // xxhash64 → uniform in [0,1): shift to non-negative 63-bit
+      .filter(
+        (shiftrightunsigned(xxhash64(col("vec_id"), lit("kmpp")), 1)
+          .cast("double") / lit(Long.MaxValue.toDouble)) * col("__tot")
+          < lit(l.toDouble) * col("__d2"))
+      .select(col("vec_id"), col("vec"))
+    val candidates = anchor.unionByName(sampled)
+      .dropDuplicates("vec_id")
+      .withColumn("cnorm", l2norm(col("vec")))
+      .localCheckpoint(true) // tiny (~l rows); read twice below
+
+    // Weight-based reduction: every corpus point votes for its
+    // nearest candidate; the k most-voted candidates (ties → lower
+    // vec_id) are the seeds.
+    val voteW = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cand_id").asc)
+    val votes = base
+      .crossJoin(broadcast(candidates.select(
+        col("vec_id").as("cand_id"), col("vec").as("cvec"), col("cnorm"))))
+      .select(
+        col("vec_id"), col("cand_id"),
+        cosineWithNorms(dot(col("vec"), col("cvec")), col("norm"), col("cnorm")).as("csim"))
+      .withColumn("__r", row_number().over(voteW))
+      .filter(col("__r") === 1)
+      .groupBy(col("cand_id"))
+      .agg(count(lit(1)).as("__w"))
+    val seedW = Window.orderBy(col("__w").desc, col("cand_id").asc)
+    var cents = candidates
+      .join(votes, col("vec_id") === col("cand_id"))
       .withColumn("__r", row_number().over(seedW))
-      .select((col("__r") - 1).cast("int").as("cell"), col("vec").as("cvec"))
-      .withColumn("cnorm", l2norm(col("cvec")))
+      .filter(col("__r") <= k)
+      .select((col("__r") - 1).cast("int").as("cell"), col("vec").as("cvec"), col("cnorm"))
       .localCheckpoint(true)
     var iter = 0
     while (iter < maxIter) {

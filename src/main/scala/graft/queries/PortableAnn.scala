@@ -178,25 +178,65 @@ object PortableAnn {
     ivfProbeTopK(base.select("vec_id", "qv", "nm"), cent)
   }
 
-  /** Portable k-means IVF (the x25 shape): md5-ranked seeds, two
-    * unrolled Lloyd rounds with sum-centroids, 2-probe search.
+  /** Portable k-means IVF (the x25 shape): k-means||-style seeding —
+    * md5-min anchor, one distance-weighted oversampling pass, vote
+    * reduction to `cells` seeds — then two unrolled Lloyd rounds with
+    * sum-centroids and the 2-probe search, mirroring the production
+    * operator's seeding shape ([[graft.operators.Similarity]]
+    * kmeansCentroids) with md5 draws in place of xxhash64.
+    *
+    * The sampling decision is EXACT INTEGER arithmetic end to end:
+    * quantized vectors make every d² an integer-valued double, the
+    * 32-bit md5 draw is compared by cross-multiplication in
+    * DECIMAL(38,0) (`draw·Σd² < l·d²·2³²` — magnitudes ~10²² overflow
+    * int64, so both engines compute it in wide decimal/hugeint), and
+    * so the sampled candidate set can never drift between engines.
     */
   def ivfKmeans(embeddings: DataFrame, cells: Int = 8): DataFrame = {
     val base = sharedBase(embeddings).select("vec_id", "qv", "nm")
-    val seedW = Window.orderBy(col("__m"), col("vec_id"))
-    var cent = base
+    val anchor = base
       .withColumn("__m", md5(col("vec_id").cast("string")))
       .orderBy(col("__m"), col("vec_id"))
-      .limit(cells)
-      .withColumn("cell", (row_number().over(seedW) - 1).cast("int"))
-      .select(col("cell"), col("qv").as("cvec"))
+      .limit(1)
+      .select(col("vec_id"), col("qv"))
+    val d2 = base
+      .crossJoin(broadcast(anchor.select(col("qv").as("av"))))
+      .select(
+        col("vec_id"), col("qv"),
+        (dot(col("qv"), col("qv")) + dot(col("av"), col("av"))
+          - lit(2.0) * dot(col("qv"), col("av"))).as("d2"))
+    val tot = d2.agg(sum(col("d2")).as("tot"))
+    val wide = "decimal(38,0)"
+    val draw = conv(
+      substring(md5(concat(lit("k"), lit("\u0001"), col("vec_id").cast("string"))), 1, 8),
+      16, 10).cast(wide)
+    val sampled = d2.crossJoin(broadcast(tot))
+      .filter(draw * col("tot").cast(wide)
+        < lit(4 * cells).cast(wide) * col("d2").cast(wide) * lit(4294967296L).cast(wide))
+      .select(col("vec_id"), col("qv"))
+    val cand = anchor.unionByName(sampled)
+      .dropDuplicates("vec_id")
+      .select(col("vec_id").as("cand_id"), col("qv").as("cvec"))
       .withColumn("cn", sqrt(dot(col("cvec"), col("cvec"))))
+    val voteW = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cand_id").asc)
+    val votes = base.crossJoin(broadcast(cand))
+      .select(
+        col("vec_id"), col("cand_id"),
+        (dot(col("qv"), col("cvec")) / (col("nm") * col("cn"))).as("cs"))
+      .withColumn("rk", row_number().over(voteW))
+      .filter(col("rk") === 1)
+      .groupBy("cand_id")
+      .agg(count(lit(1)).as("w"))
+    val seedW = Window.orderBy(col("w").desc, col("cand_id").asc)
+    var cent = cand.join(votes, Seq("cand_id"))
+      .withColumn("rk", row_number().over(seedW))
+      .filter(col("rk") <= cells)
+      .select((col("rk") - 1).cast("int").as("cell"), col("cvec"), col("cn"))
     for (_ <- 0 until 2)
       cent = sumCentroids(assign(base, cent, 1).select(col("cell"), col("qv")))
-    // The two unrolled Lloyd rounds (crossJoin + window + two-level
-    // aggregate each) dominate the twin's cost and are deterministic
-    // given the corpus — cache the converged centroid table so warm
-    // passes pay only the probe/top-k stage.
+    // The seeding + two unrolled Lloyd rounds dominate the twin's cost
+    // and are deterministic given the corpus — cache the converged
+    // centroid table so warm passes pay only the probe/top-k stage.
     ivfProbeTopK(base, graft.operators.OpCache.swap("portable.ann.kmeans.cent", cent))
   }
 
@@ -454,13 +494,47 @@ object PortableAnn {
        |  FROM sl GROUP BY cell),
        |${ivfTailSql("centL")}""".stripMargin
 
+  /** 32-bit integer draw from the first 8 hex chars of an md5 column —
+    * generated nibble arithmetic (the x40 pattern), exact in both
+    * engines.
+    */
+  private def draw32Sql(hexCol: String): String =
+    (1 to 8).map { i =>
+      val p = math.pow(16, 8 - i).toLong
+      s"$p * (strpos('0123456789abcdef', substring($hexCol, $i, 1)) - 1)"
+    }.mkString("(", " + ", ")")
+
   lazy val ivfKmeansSql: String =
     s"""$qCte,
+       |an AS (SELECT vec_id, qv FROM n
+       |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+       |kd AS (
+       |  SELECT n.vec_id, n.qv,
+       |         CAST(list_dot_product(n.qv, n.qv) + list_dot_product(a.qv, a.qv)
+       |              - 2 * list_dot_product(n.qv, a.qv) AS HUGEINT) AS d2,
+       |         md5('k' || chr(1) || CAST(n.vec_id AS VARCHAR)) AS kh
+       |  FROM n CROSS JOIN an a),
+       |kt AS (SELECT SUM(d2) AS tot FROM kd),
+       |samp AS (
+       |  SELECT vec_id, qv FROM kd, kt
+       |  WHERE CAST(${draw32Sql("kh")} AS HUGEINT) * kt.tot
+       |        < 32 * kd.d2 * CAST(4294967296 AS HUGEINT)),
+       |cand AS (
+       |  SELECT vec_id AS cand_id, qv AS cvec, sqrt(list_dot_product(qv, qv)) AS cn
+       |  FROM (SELECT vec_id, qv FROM an UNION ALL SELECT vec_id, qv FROM samp)),
+       |vote AS (
+       |  SELECT cand_id, COUNT(*) AS w FROM (
+       |    SELECT n.vec_id, cd.cand_id,
+       |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |             ORDER BY list_dot_product(n.qv, cd.cvec) / (n.nm * cd.cn) DESC, cd.cand_id) AS rk
+       |    FROM n CROSS JOIN cand cd)
+       |  WHERE rk = 1 GROUP BY cand_id),
        |cent0 AS (
-       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell,
-       |         qv AS cvec, sqrt(list_dot_product(qv, qv)) AS cn
-       |  FROM (SELECT vec_id, qv FROM c
-       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)),
+       |  SELECT CAST(rk - 1 AS INT) AS cell, cvec, cn FROM (
+       |    SELECT cd.cvec, cd.cn,
+       |           ROW_NUMBER() OVER (ORDER BY v.w DESC, cd.cand_id) AS rk
+       |    FROM cand cd JOIN vote v USING (cand_id))
+       |  WHERE rk <= 8),
        |${lloydSql(1, "cent0")},
        |${lloydSql(2, "cent1")},
        |${ivfTailSql("cent2")}""".stripMargin
