@@ -1803,6 +1803,87 @@ object ExtQueries {
         |FROM e CROSS JOIN (VALUES ('ann_lsh'), ('ivf_kmeans'), ('ivf_label'),
         |                          ('ivf_pq'), ('pq')) m(method)
         |ORDER BY method""".stripMargin)
+    ),
+
+    // Streaming rollup maintenance, certified cross-engine: the
+    // EXACT batch-side fold maintainRollup runs per micro-batch
+    // (recoverStaged → watermark check → delta rollup → decimal merge
+    // → staged overwrite) replayed over three deterministic batches
+    // PLUS a replayed batch id (the checkpointed-restart case — the
+    // __last_batch watermark must drop it, or the state double-counts).
+    // The oracle is the from-scratch rollup over ALL rows: the
+    // maintained state must equal it bit-for-bit (x53 proves the
+    // algebra; this proves the persisted, crash-recovered FOLD LOOP).
+    GraftQuery(
+      "x66_streaming_fold_rollup",
+      (s, d) => {
+        import graft.streaming.EventStreams
+        val orders = t(s, d, "orders")
+        val state = "graft_x66_state"
+        Seq("", "__staging").foreach(x => graft.sources.Tables.dropManaged(s, state + x))
+        val keys = Seq("o_orderpriority")
+        val measures = Seq("o_totalprice")
+        val batches = (0 to 2).map(i => orders.filter(col("o_orderkey") % 3 === i))
+        batches.zipWithIndex.foreach { case (b, i) =>
+          EventStreams.foldRollupBatch(b, i.toLong, state, keys, measures)
+        }
+        // foreachBatch replay: batch 1 arrives again with its original
+        // id; the watermark must make this fold a no-op.
+        EventStreams.foldRollupBatch(batches(1), 1L, state, keys, measures)
+        graft.operators.IncrementalAgg.finalizeState(
+          s.table(state).drop("__last_batch"), keys, measures)
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_o_totalprice,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4)
+        |    AS avg_o_totalprice
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+
+    // Streaming histogram maintenance, certified the same way: the
+    // maintainHistogram fold (same idempotent skeleton, bucket-count
+    // states) over three batches + a replayed id, decoded to p50/p95 —
+    // must equal quantiles from the from-scratch histogram over all
+    // rows (the x57 oracle replay).
+    GraftQuery(
+      "x67_streaming_fold_histogram",
+      (s, d) => {
+        import graft.streaming.EventStreams
+        val li = t(s, d, "lineitem")
+        val state = "graft_x67_state"
+        Seq("", "__staging").foreach(x => graft.sources.Tables.dropManaged(s, state + x))
+        val keys = Seq("l_returnflag")
+        val (lo, hi, nb) = (900.0, 105000.0, 128)
+        val batches = (0 to 2).map(i => li.filter(col("l_orderkey") % 3 === i))
+        batches.zipWithIndex.foreach { case (b, i) =>
+          EventStreams.foldHistogramBatch(b, i.toLong, state, keys, col("l_extendedprice"), lo, hi, nb)
+        }
+        EventStreams.foldHistogramBatch(batches(1), 1L, state, keys, col("l_extendedprice"), lo, hi, nb)
+        graft.operators.QuantileSketch.quantiles(
+          s.table(state).drop("__last_batch"), keys, Seq(0.5, 0.95), lo, hi, nb)
+          .orderBy("l_returnflag", "q")
+      },
+      Some("""WITH h AS (
+        |  SELECT l_returnflag,
+        |    COALESCE(CAST(LEAST(GREATEST(FLOOR((l_extendedprice - 900.0) / 104100.0 * 128.0), 0), 127) AS BIGINT), 0) AS bucket,
+        |    COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, bucket, n,
+        |    SUM(n) OVER (PARTITION BY l_returnflag ORDER BY bucket
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(n) OVER (PARTITION BY l_returnflag) AS total
+        |  FROM h),
+        |q AS (
+        |  SELECT l_returnflag, CAST(0.5 AS DOUBLE) AS q, MIN(bucket) AS bucket
+        |  FROM c WHERE CAST(cum AS DOUBLE) >= 0.5 * CAST(total AS DOUBLE) GROUP BY 1
+        |  UNION ALL
+        |  SELECT l_returnflag, CAST(0.95 AS DOUBLE), MIN(bucket)
+        |  FROM c WHERE CAST(cum AS DOUBLE) >= 0.95 * CAST(total AS DOUBLE) GROUP BY 1)
+        |SELECT l_returnflag, q,
+        |       900.0 + CAST(bucket AS DOUBLE) * 813.28125 AS est
+        |FROM q ORDER BY l_returnflag, q""".stripMargin)
     )
   )
 

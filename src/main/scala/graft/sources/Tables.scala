@@ -203,6 +203,22 @@ object Tables {
     report
   }
 
+  /** Drop a managed table AND its on-disk location. An ephemeral
+    * catalog (fresh derby/in-memory metastore per run) forgets tables
+    * while their warehouse directories survive — the next CREATE under
+    * the same name then fails with LOCATION_ALREADY_EXISTS even though
+    * `DROP TABLE IF EXISTS` reported nothing to drop. State-table
+    * consumers that must be re-runnable across sessions reset through
+    * this.
+    */
+  def dropManaged(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase(java.util.Locale.ROOT))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+  }
+
   /** Optional JDBC sink for Postgres/Power-BI parity (S2/S3 over the
     * wire). Thin and untested here — no database server ships in this
     * environment; the call shape matches the parquet sinks.

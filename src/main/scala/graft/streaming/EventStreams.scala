@@ -262,12 +262,26 @@ object EventStreams {
       nb: Int = 128,
       checkpointLocation: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val fold: (DataFrame, Long) => Unit = (batch, id) =>
-      foldStateBatch(batch, id, stateTable)(
-        b => graft.operators.QuantileSketch.rollup(b, keys, value, lo, hi, nb),
-        (s, d) => graft.operators.QuantileSketch.merge(Seq(s, d), keys))
+      foldHistogramBatch(batch, id, stateTable, keys, value, lo, hi, nb)
     val w = stream.writeStream.foreachBatch(fold)
     checkpointLocation.fold(w)(p => w.option("checkpointLocation", p)).start()
   }
+
+  /** One idempotent fold step of [[maintainHistogram]] (the histogram
+    * sibling of [[foldRollupBatch]]).
+    */
+  def foldHistogramBatch(
+      batch: DataFrame,
+      batchId: Long,
+      stateTable: String,
+      keys: Seq[String],
+      value: org.apache.spark.sql.Column,
+      lo: Double,
+      hi: Double,
+      nb: Int = 128): Unit =
+    foldStateBatch(batch, batchId, stateTable)(
+      b => graft.operators.QuantileSketch.rollup(b, keys, value, lo, hi, nb),
+      (s, d) => graft.operators.QuantileSketch.merge(Seq(s, d), keys))
 
   /** Convenience: run a streaming DataFrame to completion against a
     * memory sink and return the result table (test/demo harness).
