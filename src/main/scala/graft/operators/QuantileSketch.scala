@@ -34,6 +34,11 @@ object QuantileSketch {
     * a consumer supplying different parameters would silently decode
     * every estimate wrong — [[quantiles]] validates the recorded
     * parameters against its arguments and raises on mismatch.
+    * Persisted state tables written BEFORE these columns existed do
+    * not carry them and must be rebuilt from base data (merge/
+    * quantiles fail on them with an unresolved-column analysis error
+    * — loud, by design: backfilling parameters into an old state
+    * would assert a provenance nobody recorded).
     */
   def rollup(
       df: DataFrame,

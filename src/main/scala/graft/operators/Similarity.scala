@@ -315,9 +315,15 @@ object Similarity {
       .filter(col("__r") === 1)
       .groupBy(col("cand_id"))
       .agg(count(lit(1)).as("__w"))
+    // LEFT join + weight 0: a candidate that wins no votes must stay
+    // rankable as backfill — an inner join would drop it and silently
+    // return fewer than k seeds on vote-concentrated corpora, and an
+    // IVF index with fewer cells than requested turns the downstream
+    // cell equi-join into near-exhaustive skew with no signal.
     val seedW = Window.orderBy(col("__w").desc, col("cand_id").asc)
     var cents = candidates
-      .join(votes, col("vec_id") === col("cand_id"))
+      .join(votes, col("vec_id") === col("cand_id"), "left")
+      .withColumn("__w", coalesce(col("__w"), lit(0L)))
       .withColumn("__r", row_number().over(seedW))
       .filter(col("__r") <= k)
       .select((col("__r") - 1).cast("int").as("cell"), col("vec").as("cvec"), col("cnorm"))

@@ -1769,7 +1769,11 @@ object ExtQueries {
       "x65_ann_recall_gate",
       (s, d) => {
         val emb = t(s, d, "embeddings")
-        val exact = Similarity.cosineTopK(emb).select("query_id", "neighbor_id")
+        // Five gates each aggregate over the baseline — cache it, or
+        // the N·Q brute-force join re-runs once per gate.
+        val exact = graft.operators.OpCache.swap(
+          "ext.x65.exact",
+          Similarity.cosineTopK(emb).select("query_id", "neighbor_id"))
         def gate(method: String, approx: org.apache.spark.sql.DataFrame, minRecall: Double) =
           exact
             .join(

@@ -205,13 +205,17 @@ object PortableAnn {
         col("vec_id"), col("qv"),
         (dot(col("qv"), col("qv")) + dot(col("av"), col("av"))
           - lit(2.0) * dot(col("qv"), col("av"))).as("d2"))
-    val tot = d2.agg(sum(col("d2")).as("tot"))
     val wide = "decimal(38,0)"
+    // Sum in DECIMAL, not double: the SQL twin sums HUGEINT exactly,
+    // and a double Σd² would round past 2⁵³ (reachable on a large
+    // corpus) — flipping borderline sampling decisions in one engine
+    // only. Exactness end-to-end, not just at the comparison.
+    val tot = d2.agg(sum(col("d2").cast(wide)).as("tot"))
     val draw = conv(
       substring(md5(concat(lit("k"), lit("\u0001"), col("vec_id").cast("string"))), 1, 8),
       16, 10).cast(wide)
     val sampled = d2.crossJoin(broadcast(tot))
-      .filter(draw * col("tot").cast(wide)
+      .filter(draw * col("tot")
         < lit(4 * cells).cast(wide) * col("d2").cast(wide) * lit(4294967296L).cast(wide))
       .select(col("vec_id"), col("qv"))
     val cand = anchor.unionByName(sampled)
@@ -227,8 +231,11 @@ object PortableAnn {
       .filter(col("rk") === 1)
       .groupBy("cand_id")
       .agg(count(lit(1)).as("w"))
+    // LEFT join + weight 0 (mirrors the production backfill: zero-vote
+    // candidates stay rankable so the seed count never shrinks).
     val seedW = Window.orderBy(col("w").desc, col("cand_id").asc)
-    var cent = cand.join(votes, Seq("cand_id"))
+    var cent = cand.join(votes, Seq("cand_id"), "left")
+      .withColumn("w", coalesce(col("w"), lit(0L)))
       .withColumn("rk", row_number().over(seedW))
       .filter(col("rk") <= cells)
       .select((col("rk") - 1).cast("int").as("cell"), col("cvec"), col("cn"))
@@ -532,8 +539,8 @@ object PortableAnn {
        |cent0 AS (
        |  SELECT CAST(rk - 1 AS INT) AS cell, cvec, cn FROM (
        |    SELECT cd.cvec, cd.cn,
-       |           ROW_NUMBER() OVER (ORDER BY v.w DESC, cd.cand_id) AS rk
-       |    FROM cand cd JOIN vote v USING (cand_id))
+       |           ROW_NUMBER() OVER (ORDER BY COALESCE(v.w, 0) DESC, cd.cand_id) AS rk
+       |    FROM cand cd LEFT JOIN vote v USING (cand_id))
        |  WHERE rk <= 8),
        |${lloydSql(1, "cent0")},
        |${lloydSql(2, "cent1")},

@@ -169,6 +169,12 @@ object Tables {
       expectations: Seq[graft.operators.Expectations.Expectation]): DataFrame = {
     require(expectations.nonEmpty, "publishChecked with no expectations — nothing would be audited")
     val spark = df.sparkSession
+    // Heal a previous publish that died between its DROP and final
+    // RENAME (target missing, validated batch on `__staging`) BEFORE
+    // touching anything: without this, the crash window depended on
+    // some OTHER caller running recoverStaged, and the `__staging`
+    // drop below would destroy the only surviving validated copy.
+    recoverStaged(spark, table)
     val staging = table + "__audit"
     overwriteTable(df, staging)
     // A prior publish's dropped staging table can leave a stale
@@ -214,7 +220,15 @@ object Tables {
   def dropManaged(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase(java.util.Locale.ROOT))
+    // Managed layout: <warehouse>/<table> for the default database,
+    // <warehouse>/<db>.db/<table> for a named one.
+    val rel = table.toLowerCase(java.util.Locale.ROOT).split('.') match {
+      case Array(t) => t
+      case Array(db, t) => s"$db.db/$t"
+      case parts => throw new IllegalArgumentException(
+        s"dropManaged: cannot resolve location for '$table' (${parts.length} name parts)")
+    }
+    val p = new org.apache.hadoop.fs.Path(wh, rel)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
   }

@@ -104,6 +104,38 @@ class DedupSpec extends SparkSpec {
     assert(labels.size == 53)
   }
 
+  test("star-round resolution equals union-find on random graphs (property, seeded)") {
+    import sqlImplicits._
+    // The alternating-star fixpoint is subtle (a chain-free state can
+    // still hide a multi-parent node whose roots must merge) — check
+    // the whole algorithm against a driver-side union-find over many
+    // random topologies: sparse, dense, chains, self-loops, singleton
+    // pairs, and id ranges that don't start at 1.
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 12) {
+      val n = 2 + rnd.nextInt(50)
+      val base = rnd.nextInt(1000).toLong
+      val m = 1 + rnd.nextInt(2 * n)
+      val pairs = Seq.fill(m)((base + rnd.nextInt(n), base + rnd.nextInt(n)))
+      // driver-side union-find ground truth
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      // path-compress to the true minimum root
+      val expected = nodes.map(x => x -> find(x)).toMap
+      val got = Dedup.resolveClusters(pairs.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial (n=$n m=$m base=$base)")
+    }
+  }
+
   test("dedup report keeps the canonical doc and lists removals") {
     val report = Dedup.dedupReport(docs, minEstJaccard = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toSeq))

@@ -88,13 +88,17 @@ class ExpectationsSpec extends SparkSpec {
     assert(!spark.catalog.tableExists(s"${table}__staging"), "clean publish keeps no staging table")
     // Simulate the publish crash window: the validated batch was
     // renamed onto __staging and the target dropped, then the process
-    // died before the final rename. recoverStaged must restore it —
-    // the same healing stagedOverwrite gets.
+    // died before the final rename. The NEXT publishChecked must heal
+    // it at entry (no separate recovery step for the caller to
+    // forget) — even when that next publish itself fails its audit,
+    // the healed table must survive untouched.
     graft.sources.Tables.overwriteTable(spark.table(table), s"${table}__staging")
     spark.sql(s"DROP TABLE $table")
-    assert(graft.sources.Tables.recoverStaged(spark, table), "recovery must trigger")
-    assert(spark.table(table).count() == 2, "validated content restored")
-    assert(!spark.catalog.tableExists(s"${table}__staging"))
+    val bad = Seq((9L, 1.0), (9L, 2.0)).toDF("id", "qty")
+    val r = graft.sources.Tables.publishChecked(bad, table, Seq(Unique("pk", Seq("id"))))
+    assert(r.filter(!col("pass")).count() == 1, "bad batch must fail its audit")
+    assert(spark.table(table).count() == 2, "crashed publish healed at entry, not shadowed")
+    assert(!spark.catalog.tableExists(s"${table}__staging"), "staging consumed by recovery")
     for (s <- Seq("", "__audit", "__staging")) spark.sql(s"DROP TABLE IF EXISTS $table$s")
   }
 
