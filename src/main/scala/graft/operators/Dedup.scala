@@ -125,6 +125,20 @@ object Dedup {
         charMinhashSignatures(docs, numHashes, charN, idCol, textCol)),
       numHashes, bands, minEstJaccard, idCol)
 
+  /** Band a (id, sig) signature table: one row per (id, band) with the
+    * band's bucket hash. Shared by the self-join and cross-corpus LSH.
+    */
+  private def bandedSigs(
+      sigs: DataFrame, numHashes: Int, bands: Int, idCol: String): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    sigs.select(
+      col(idCol),
+      col("sig"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+      }: _*)).as(Seq("band_id", "band_hash")))
+  }
+
   /** Shared LSH candidate join over any (id, sig) signature table. */
   private def lshPairsFromSigs(
       sigs: DataFrame,
@@ -132,14 +146,7 @@ object Dedup {
       bands: Int,
       minEstJaccard: Double,
       idCol: String): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val banded = sigs.select(
-      col(idCol),
-      col("sig"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
-      }: _*)).as(Seq("band_id", "band_hash")))
-
+    val banded = bandedSigs(sigs, numHashes, bands, idCol)
     val a = banded.select(
       col("band_id"), col("band_hash"),
       col(idCol).as("doc_a"), col("sig").as("sig_a"))
@@ -150,6 +157,45 @@ object Dedup {
     a.join(b, Seq("band_id", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), minhashEstimate(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .distinct() // a pair may collide in several bands
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** Cross-corpus MinHash+LSH near-duplicate candidates — train-vs-eval
+    * decontamination by NEAR-duplicate, where the exact-shingle overlap
+    * scan ([[bloomSemiJoin]]-based contamination) misses lightly edited
+    * or paraphrased benchmark leaks. Bands both corpora's signatures
+    * and bucket-joins LEFT against RIGHT only (no within-side pairs).
+    *
+    * 100 TB shape: the right side (eval/benchmark set) is the small
+    * one — its banded signature table broadcasts while it fits
+    * (shuffled equi-join beyond), and train rows not sharing a bucket
+    * with any eval row never leave their scan. No all-pairs anywhere.
+    * Output: (left_id, right_id, est_jaccard).
+    */
+  def minhashLshPairsAcross(
+      left: DataFrame,
+      right: DataFrame,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleN: Int = 3,
+      minEstJaccard: Double = 0.5,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val l = bandedSigs(
+      OpCache.swap("dedup.minhash.sigs.across.l",
+        minhashSignatures(left, numHashes, shingleN, idCol, textCol)),
+      numHashes, bands, idCol)
+      .select(col("band_id"), col("band_hash"), col(idCol).as("left_id"), col("sig").as("sig_l"))
+    val r = bandedSigs(
+      OpCache.swap("dedup.minhash.sigs.across.r",
+        minhashSignatures(right, numHashes, shingleN, idCol, textCol)),
+      numHashes, bands, idCol)
+      .select(col("band_id"), col("band_hash"), col(idCol).as("right_id"), col("sig").as("sig_r"))
+    l.join(Broadcasting.maybeBroadcast(r), Seq("band_id", "band_hash"))
+      .select(
+        col("left_id"), col("right_id"),
+        minhashEstimate(col("sig_l"), col("sig_r")).as("est_jaccard"))
       .distinct() // a pair may collide in several bands
       .filter(col("est_jaccard") >= minEstJaccard)
   }

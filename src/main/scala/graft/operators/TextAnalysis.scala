@@ -12,6 +12,38 @@ import graft.functions.TextFunctions._
   */
 object TextAnalysis {
 
+  /** Corpus-frequency token rarity — a perplexity proxy that needs no
+    * model: per document, the mean document-frequency of its DISTINCT
+    * tokens and the fraction that are corpus-unique (df = 1). Low
+    * mean_df / high rare_frac marks rare-vocabulary documents (OCR
+    * noise, other-language leakage, genuinely novel text) — the cheap
+    * first-pass signal a pipeline applies before any model scores
+    * anything. All-integer counts folded through the decimal-exact
+    * average pattern, so outputs are engine-portable bit-for-bit.
+    *
+    * Scale shape: one groupBy on token (the df table), one equi-join
+    * back, one groupBy on doc — no corpus-wide windows, no all-pairs;
+    * df comes from per-doc DISTINCT tokens so join fan-out is bounded
+    * by per-doc vocabulary. Docs with zero tokens have no vocabulary
+    * to score and drop out (by contract, matching the SQL replay).
+    * Output: (doc_id, n_distinct, mean_df, rare_frac).
+    */
+  def tokenRarity(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // Read twice (df build + join-back) — materialize once.
+    val toks = OpCache.swap("text.rarity.toks",
+      docs.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok")))
+    val dfTab = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    toks.join(dfTab, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        round(sum(col("df").cast(DecimalType(18, 4))).cast("double") / count(lit(1)), 4)
+          .as("mean_df"),
+        round(sum(when(col("df") === 1, 1).otherwise(0).cast(DecimalType(18, 4)))
+          .cast("double") / count(lit(1)), 4).as("rare_frac"))
+  }
+
   /** Per-document quality metrics: char/token counts, punctuation
     * ratio, stopword ratio, mean token length. Ratios guard /0.
     */

@@ -1888,8 +1888,148 @@ object ExtQueries {
         |SELECT l_returnflag, q,
         |       900.0 + CAST(bucket AS DOUBLE) * 813.28125 AS est
         |FROM q ORDER BY l_returnflag, q""".stripMargin)
+    ),
+
+    // Corpus-frequency token rarity — the model-free perplexity proxy:
+    // mean document-frequency of each doc's distinct tokens plus the
+    // corpus-unique fraction. Integer counts through the decimal-exact
+    // average pattern → fully oracled (no rows-only carve-out needed
+    // for a "statistical" quality signal).
+    GraftQuery(
+      "x68_token_rarity",
+      (s, d) => TextAnalysis.tokenRarity(t(s, d, "documents")).orderBy("doc_id"),
+      Some(s"""$toksCte,
+        |u AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM t),
+        |d AS (SELECT tok, COUNT(*) AS df FROM u GROUP BY tok)
+        |SELECT u.doc_id, COUNT(*) AS n_distinct,
+        |  ROUND(CAST(SUM(CAST(d.df AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS mean_df,
+        |  ROUND(CAST(SUM(CAST(CASE WHEN d.df = 1 THEN 1 ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+        |        / COUNT(*), 4) AS rare_frac
+        |FROM u JOIN d USING (tok)
+        |GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin)
+    ),
+
+    // Cross-corpus near-dup decontamination (train vs eval): banded
+    // MinHash bucket join BETWEEN corpora — catches lightly edited
+    // benchmark leaks the exact-shingle contamination scan (x31)
+    // misses. xxhash hot path → rows-only; the x70 twin oracles the
+    // pipeline shape; planted-leak recall spec-pinned in DedupSpec.
+    GraftQuery(
+      "x69_decontaminate_neardup",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.minhashLshPairsAcross(docs, docs.filter(col("doc_id") % 17 === 0))
+          .select(
+            col("left_id"), col("right_id"),
+            round(col("est_jaccard"), 4).as("est_jaccard"))
+          .orderBy("left_id", "right_id")
+      },
+      None
+    ),
+
+    // Engine-portable cross-corpus decontamination twin: the x29
+    // md5-lane signatures computed independently for a 0.4-gated
+    // "train" corpus and a doc_id%17 "eval" set, banded, bucket-joined
+    // ACROSS sides only — DuckDB replays the leak report bit-for-bit.
+    GraftQuery(
+      "x70_decontaminate_portable",
+      (s, d) => {
+        val train = wordPortableSig(
+          graft.operators.DataMix.md5Sample(t(s, d, "documents"), 0.4, Seq(col("doc_id"))),
+          "ext.x70.train")
+        val eval_ = wordPortableSig(
+          t(s, d, "documents").filter(col("doc_id") % 17 === 0), "ext.x70.eval")
+        def band(df: org.apache.spark.sql.DataFrame, idAlias: String, sigAlias: String) =
+          df.select(
+            col("doc_id").as(idAlias), col("s").as(sigAlias),
+            posexplode(array((0 until 4).map(b =>
+              md5(concat((1 to 2).map(j => element_at(col("s"), b * 2 + j)): _*))): _*))
+              .as(Seq("band_id", "band_key")))
+        band(train, "train_id", "sa")
+          .join(band(eval_, "eval_id", "sb"), Seq("band_id", "band_key"))
+          .select(col("train_id"), col("eval_id"), col("sa"), col("sb"))
+          .dropDuplicates("train_id", "eval_id")
+          .withColumn(
+            "est_jaccard",
+            aggregate(
+              zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1).otherwise(0)),
+              lit(0), (acc, v) => acc + v).cast("double") / 8.0)
+          .filter(col("est_jaccard") >= 0.5)
+          .select(col("train_id"), col("eval_id"), round(col("est_jaccard"), 4).as("est_jaccard"))
+          .orderBy("train_id", "eval_id")
+      },
+      Some(s"""WITH ${wordPortableSigCte("a",
+            "WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '6666'")},
+        |${wordPortableSigCte("b", "WHERE doc_id % 17 = 0")},
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS eval_id, a.s AS sa, b.s AS sb
+        |  FROM abanded a JOIN bbanded b
+        |    ON a.band_id = b.band_id AND a.band_key = b.band_key)
+        |SELECT train_id, eval_id,
+        |  ROUND(list_sum(list_transform(range(1, 9),
+        |          i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 8.0, 4) AS est_jaccard
+        |FROM cand
+        |WHERE list_sum(list_transform(range(1, 9),
+        |        i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 8.0 >= 0.5
+        |ORDER BY train_id, eval_id""".stripMargin)
     )
   )
+
+  /** Portable md5-lane word-MinHash signatures for an arbitrary corpus
+    * slice — the x29 lane formulation (8 lanes, 3-gram word shingles,
+    * per-lane min of md5(lane ∥ 0x01 ∥ shingle)) factored so the
+    * cross-corpus decontamination twin (x70) signs its train and eval
+    * sides with exactly the same arithmetic. Output: (doc_id, s).
+    */
+  private def wordPortableSig(corpus: org.apache.spark.sql.DataFrame, site: String): org.apache.spark.sql.DataFrame = {
+    import graft.functions.TextFunctions.{tokens, wordShingles}
+    val ex = corpus
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), explode(wordShingles(col("__toks"), 3)).as("sg"))
+    val lanes = ex
+      .select(
+        col("doc_id"),
+        posexplode(array((0 until 8).map(i =>
+          md5(concat(lit(i.toString), lit("\u0001"), col("sg")))): _*)).as(Seq("lane", "h")))
+      .groupBy("doc_id", "lane")
+      .agg(min(col("h")).as("mh"))
+    graft.operators.OpCache.swap(
+      site,
+      lanes
+        .groupBy("doc_id")
+        .agg(array_sort(collect_list(struct(col("lane"), col("mh")))).as("lm"))
+        .select(col("doc_id"), transform(col("lm"), e => e.getField("mh")).as("s")))
+  }
+
+  /** DuckDB CTE chain replaying [[wordPortableSig]] for one corpus
+    * side, all CTE names prefixed with `p` (so two sides coexist in
+    * one WITH): `${p}banded(doc_id, s, band_id, band_key)` is the
+    * final CTE.
+    */
+  private def wordPortableSigCte(p: String, whereClause: String): String =
+    s"""${p}t AS (
+       |  SELECT doc_id,
+       |         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |                     x -> length(x) > 0) AS toks
+       |  FROM documents
+       |  $whereClause),
+       |${p}sh AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+       |              ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+       |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+       |         END AS sg
+       |  FROM ${p}t),
+       |${p}ln AS (
+       |  SELECT doc_id, r.range AS lane,
+       |         min(md5(CAST(r.range AS VARCHAR) || chr(1) || u.sg_el)) AS mh
+       |  FROM ${p}sh, unnest(${p}sh.sg) AS u(sg_el), range(8) AS r
+       |  GROUP BY 1, 2),
+       |${p}sig AS (SELECT doc_id, list(mh ORDER BY lane) AS s FROM ${p}ln GROUP BY 1),
+       |${p}banded AS (
+       |  SELECT doc_id, s, b.range AS band_id,
+       |         md5(s[b.range * 2 + 1] || s[b.range * 2 + 2]) AS band_key
+       |  FROM ${p}sig, range(4) AS b)""".stripMargin
 
   /** Shared Spark side of the x47/x48 portable char-LSH pair set:
     * 8-char shingles on the 0.3 md5-gated corpus, 8 minhash lanes from

@@ -136,6 +136,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cross-corpus LSH flags planted eval leaks in train, nothing within-side") {
+    import sqlImplicits._
+    val leak = "the quick brown fox jumps over the lazy dog again and again today"
+    val edited = leak.replace("today", "tomorrow") // light edit — still near-dup
+    val train = Seq(
+      (1L, leak), // verbatim leak
+      (2L, edited), // edited leak
+      (3L, "completely unrelated text about database engines and shuffle joins here"),
+      (4L, "another unrelated document that shares no shingles with the benchmark"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq((100L, leak)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairsAcross(train, eval_, minEstJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 100L)), s"verbatim leak missed: $pairs")
+    assert(pairs.forall(_._2 == 100L), s"non-eval id on the right side: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._1 == 4L), s"unrelated doc flagged: $pairs")
+  }
+
   test("dedup report keeps the canonical doc and lists removals") {
     val report = Dedup.dedupReport(docs, minEstJaccard = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toSeq))

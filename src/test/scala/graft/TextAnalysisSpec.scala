@@ -27,6 +27,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(2).getInt(2) == 0 && r(2).getDouble(3) == 0.0 && r(2).getDouble(4) == 0.0)
   }
 
+  test("token rarity: exact df means and corpus-unique fractions") {
+    import sqlImplicits._
+    // vocab: "a" in all three docs (df=3), "b" in two (df=2),
+    // "x"/"y"/"z" unique (df=1). Duplicate tokens within a doc count
+    // once (distinct vocabulary).
+    val corpus = Seq(
+      (1L, "a b x a"), // distinct {a,b,x}: dfs 3,2,1 → mean 2.0, rare 1/3
+      (2L, "a b y"), // dfs 3,2,1 → mean 2.0, rare 1/3
+      (3L, "a z")) // dfs 3,1 → mean 2.0, rare 1/2
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.tokenRarity(corpus).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getDouble(3)))
+    assert(r(0) == ((1L, 3L, 2.0, 0.3333)))
+    assert(r(1) == ((2L, 3L, 2.0, 0.3333)))
+    assert(r(2) == ((3L, 2L, 2.0, 0.5)))
+  }
+
   test("language id picks the dominant stopword language") {
     val r = TextAnalysis.languageId(docs).orderBy("doc_id").collect()
     assert(r(0).getString(2) == "en")
