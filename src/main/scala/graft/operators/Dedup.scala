@@ -367,6 +367,32 @@ object Dedup {
       .filter(col("cluster_size") > 1)
   }
 
+  /** Canonical-selection dedup report: resolve near-dup clusters and
+    * keep the HIGHEST-SCORING member per cluster (ties → lowest id) —
+    * the production policy when "longest/cleanest member" beats
+    * "lowest id" ([[dedupReport]]'s rule). `scores` is any per-doc
+    * quality signal (token count, quality score, recency…).
+    * Scale shape: clusters from the O(log n) star rounds, one equi-
+    * join to attach scores, one window per cluster — no all-pairs.
+    * Output per cluster with size > 1: (keep_id, cluster_size,
+    * removed_ids sorted asc).
+    */
+  def dedupReportBest(pairs: DataFrame, scores: DataFrame): DataFrame = {
+    val labeled = resolveClusters(pairs)
+      .join(scores.select(col("doc_id").as("id"), col("score")), Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("score").desc, col("id").asc)
+    labeled
+      .withColumn("__r", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        min(when(col("__r") === 1, col("id"))).as("keep_id"),
+        array_sort(collect_list(when(col("__r") =!= 1, col("id")))).as("removed_ids"))
+      .filter(col("cluster_size") > 1)
+      .select("keep_id", "cluster_size", "removed_ids")
+  }
+
   /** Bloom-prefiltered semi-join: keep `big` rows whose `key` appears
     * in `small`, with the big side pruned by a broadcast Bloom filter
     * BEFORE any shuffle. The 100 TB decontamination shape: the filter

@@ -1972,6 +1972,55 @@ object ExtQueries {
         |WHERE list_sum(list_transform(range(1, 9),
         |        i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 8.0 >= 0.5
         |ORDER BY train_id, eval_id""".stripMargin)
+    ),
+
+    // Canonical selection by quality: the x47 portable pair set →
+    // star-round cluster resolution → keep the LONGEST member per
+    // cluster (token count as the quality score; ties → lowest id) —
+    // the full production dedup policy (resolve + keep-best + removal
+    // list) certified end-to-end by one recursive-CTE + rank replay.
+    GraftQuery(
+      "x71_dedup_keep_best",
+      (s, d) => {
+        val scores = t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("score"))
+        Dedup.dedupReportBest(charPortablePairs(s, d).select("doc_a", "doc_b"), scores)
+          .orderBy("keep_id")
+      },
+      Some(s"""WITH RECURSIVE $charPortablePairsCte,
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM cpairs
+        |  UNION ALL
+        |  SELECT doc_b AS src, doc_a AS dst FROM cpairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS lab FROM nodes
+        |  UNION
+        |  SELECT e.src AS id, r.lab
+        |  FROM edges e JOIN reach r ON e.dst = r.id),
+        |lab AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+        |tk AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+        |                              x -> length(x) > 0)) AS BIGINT) AS score
+        |  FROM documents),
+        |m AS (
+        |  SELECT l.id, l.cluster_id,
+        |         ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+        |                            ORDER BY tk.score DESC, l.id) AS rk
+        |  FROM lab l JOIN tk ON tk.doc_id = l.id),
+        |base AS (
+        |  SELECT cluster_id, COUNT(*) AS cluster_size,
+        |         MIN(CASE WHEN rk = 1 THEN id END) AS keep_id
+        |  FROM m GROUP BY 1),
+        |rem AS (
+        |  SELECT cluster_id, list(id ORDER BY id) AS removed_ids
+        |  FROM m WHERE rk <> 1 GROUP BY 1)
+        |SELECT keep_id, cluster_size, removed_ids
+        |FROM base JOIN rem USING (cluster_id)
+        |WHERE cluster_size > 1 ORDER BY keep_id""".stripMargin)
     )
   )
 

@@ -154,6 +154,19 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._1 == 4L), s"unrelated doc flagged: $pairs")
   }
 
+  test("keep-best report keeps the highest-scoring member, not the lowest id") {
+    import sqlImplicits._
+    // cluster {1,2,3}: doc 2 has the best score → keep 2, remove 1,3.
+    // cluster {10,11}: tie on score → keep the LOWER id 10.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 7L), (10L, 4L), (11L, 4L))
+      .toDF("doc_id", "score")
+    val r = Dedup.dedupReportBest(pairs, scores)
+      .orderBy("keep_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getSeq[Long](2).toSeq))
+    assert(r.toSeq == Seq((2L, 3L, Seq(1L, 3L)), (10L, 2L, Seq(11L))))
+  }
+
   test("dedup report keeps the canonical doc and lists removals") {
     val report = Dedup.dedupReport(docs, minEstJaccard = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toSeq))
