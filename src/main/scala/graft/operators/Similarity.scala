@@ -302,18 +302,18 @@ object Similarity {
       .localCheckpoint(true) // tiny (~l rows); read twice below
 
     // Weight-based reduction: every corpus point votes for its
-    // nearest candidate; the k most-voted candidates (ties → lower
+    // nearest candidate (argmax via partial-agg max(struct) — ties on
+    // csim fall to the larger -cand_id = smaller cand_id, the window
+    // order exactly); the k most-voted candidates (ties → lower
     // vec_id) are the seeds.
-    val voteW = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cand_id").asc)
     val votes = base
       .crossJoin(broadcast(candidates.select(
         col("vec_id").as("cand_id"), col("vec").as("cvec"), col("cnorm"))))
-      .select(
-        col("vec_id"), col("cand_id"),
-        cosineWithNorms(dot(col("vec"), col("cvec")), col("norm"), col("cnorm")).as("csim"))
-      .withColumn("__r", row_number().over(voteW))
-      .filter(col("__r") === 1)
-      .groupBy(col("cand_id"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(
+        cosineWithNorms(dot(col("vec"), col("cvec")), col("norm"), col("cnorm")).as("csim"),
+        (-col("cand_id")).as("__nc"), col("cand_id"))).as("m"))
+      .groupBy(col("m.cand_id").as("cand_id"))
       .agg(count(lit(1)).as("__w"))
     // LEFT join + weight 0: a candidate that wins no votes must stay
     // rankable as backfill — an inner join would drop it and silently
@@ -330,17 +330,17 @@ object Similarity {
       .localCheckpoint(true)
     var iter = 0
     while (iter < maxIter) {
-      val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
-      val assigned = base.crossJoin(broadcast(cents))
-        .select(
-          base("vec_id"), base("vec"),
-          col("cell"),
-          cosineWithNorms(dot(col("vec"), col("cvec")), col("norm"), col("cnorm")).as("csim"))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") === 1)
-      cents = assigned
-        .groupBy(col("cell"))
-        .agg(graft.functions.VectorMean.vectorMean(col("vec")).as("cvec"))
+      // Argmax assignment via partial-agg max(struct): (csim, cell) is
+      // unique within a vec_id group, so the vec payload never decides
+      // — winner == the (csim DESC, cell ASC) window head, with
+      // map-side combine instead of a per-key sort shuffle.
+      cents = base.crossJoin(broadcast(cents))
+        .groupBy(base("vec_id"))
+        .agg(max(struct(
+          cosineWithNorms(dot(col("vec"), col("cvec")), col("norm"), col("cnorm")).as("csim"),
+          (-col("cell")).as("__nc"), col("cell"), base("vec"))).as("m"))
+        .groupBy(col("m.cell").as("cell"))
+        .agg(graft.functions.VectorMean.vectorMean(col("m.vec")).as("cvec"))
         .withColumn("cnorm", l2norm(col("cvec")))
         .localCheckpoint(true) // truncate lineage each round
       iter += 1
@@ -383,16 +383,35 @@ object Similarity {
     * cell assignment shared by the probe search and the IVF-PQ encode.
     * The centroid table is tiny (k rows) and force-broadcast; output
     * keeps the input columns plus `cell`.
+    *
+    * The 1-probe case (every corpus row, the N·cells hot path) is an
+    * ARGMAX, computed as `max(struct(csim, -cell, payload))` with
+    * map-side partial aggregation — the shuffle carries one combined
+    * row per vec_id instead of `cells` scored rows into a per-key
+    * window sort. Struct comparison is lexicographic, so the winner
+    * is exactly the window's (csim DESC, cell ASC) head: ties on csim
+    * fall to the LARGER -cell = smaller cell, and (csim, cell) is
+    * unique within a group, so the payload field never decides.
     */
   private def assignCells(df: DataFrame, centroids: DataFrame, probes: Int): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
-    df.crossJoin(broadcast(centroids))
+    val scored = df.crossJoin(broadcast(centroids))
       .select(
         df("*"), col("cell"),
         cosineWithNorms(dot(col("vec"), col("cvec")), col("norm"), col("cnorm")).as("csim"))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") <= probes)
-      .drop("csim", "crank")
+    if (probes == 1) {
+      val payload = df.columns.filterNot(_ == "vec_id").map(col)
+      scored
+        .groupBy(col("vec_id"))
+        .agg(max(struct(
+          (col("csim") +: (-col("cell")).as("__nc") +: payload :+ col("cell")): _*)).as("m"))
+        .select(col("vec_id") +: df.columns.filterNot(_ == "vec_id").map(c => col(s"m.$c")) :+ col("m.cell").as("cell"): _*)
+    } else {
+      val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
+      scored
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= probes)
+        .drop("csim", "crank")
+    }
   }
 
   /** Embedding near-duplicate pairs: vectors whose cosine exceeds a
@@ -627,15 +646,18 @@ object Similarity {
     */
   private def encodePacked(
       base: DataFrame, codebooks: DataFrame, m: Int, sub: Int): DataFrame = {
-    val encW = Window.partitionBy("vec_id", "sub_j").orderBy(col("d2").asc, col("code").asc)
+    // Nearest code per (vec_id, sub_j) is an ARGMIN over the N·m·codes
+    // scored rows — min(struct(d2, code)) partial-aggregates map-side
+    // (the shuffle carries one row per subspace slot, not `codes`
+    // scored rows into a window sort); lexicographic struct order ==
+    // the (d2 ASC, code ASC) window head exactly.
     val encoded = subRowsOf(base, m, sub)
       .join(broadcast(codebooks), Seq("sub_j"))
-      .select(
-        col("vec_id"), col("sub_j"), col("code"),
-        (col("cn2") - lit(2.0) * dot(col("svec"), col("cvec"))).as("d2")) // |s|² constant per rank group
-      .withColumn("crank", row_number().over(encW))
-      .filter(col("crank") === 1)
-      .select("vec_id", "sub_j", "code")
+      .groupBy(col("vec_id"), col("sub_j"))
+      .agg(min(struct(
+        (col("cn2") - lit(2.0) * dot(col("svec"), col("cvec"))).as("d2"), // |s|² constant per group
+        col("code"))).as("m"))
+      .select(col("vec_id"), col("sub_j"), col("m.code").as("code"))
     encoded
       .groupBy("vec_id")
       .agg(array_sort(collect_list(struct(col("sub_j"), col("code")))).as("sc"))
@@ -708,16 +730,18 @@ object Similarity {
       .localCheckpoint(true)
     var iter = 0
     while (iter < maxIter) {
-      val w = Window.partitionBy("vec_id", "sub_j").orderBy(col("d2").asc, col("code").asc)
+      // Argmin assignment via partial-agg min(struct): (d2, code) is
+      // unique within a (vec_id, sub_j) group (codes distinct), so the
+      // svec payload never decides the comparison — winner == the
+      // (d2 ASC, code ASC) window head, at `codes`× less shuffle.
       val recomputed = subRows
         .join(broadcast(books), Seq("sub_j"))
-        .select(
-          col("vec_id"), col("sub_j"), col("code"), col("svec"),
-          (col("cn2") - lit(2.0) * dot(col("svec"), col("cvec"))).as("d2"))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") === 1)
-        .groupBy(col("sub_j"), col("code"))
-        .agg(graft.functions.VectorMean.vectorMean(col("svec")).as("cvec"))
+        .groupBy(col("vec_id"), col("sub_j"))
+        .agg(min(struct(
+          (col("cn2") - lit(2.0) * dot(col("svec"), col("cvec"))).as("d2"),
+          col("code"), col("svec"))).as("m"))
+        .groupBy(col("sub_j"), col("m.code").as("code"))
+        .agg(graft.functions.VectorMean.vectorMean(col("m.svec")).as("cvec"))
       // Empty-cluster handling: a code that won zero subvectors (e.g.
       // duplicate seed subvectors losing every tie) would VANISH from
       // the recomputed table — and the packed ADC lookup downstream

@@ -148,14 +148,30 @@ object PortableAnn {
       .select(col("cell"), transform(col("pm"), e => e.getField("sx")).as("cvec"))
       .withColumn("cn", sqrt(dot(col("cvec"), col("cvec"))))
 
-  /** Assign each row to its `probes` nearest centroid cells. */
+  /** Assign each row to its `probes` nearest centroid cells. The
+    * 1-probe (full-corpus) case is an argmax via partial-agg
+    * max(struct) — same winner as the (csim DESC, cell ASC) window
+    * head (ties on csim fall to the larger -cell = smaller cell; the
+    * qv/nm payload is constant within a group), with map-side combine
+    * instead of a per-key sort shuffle.
+    */
   private def assign(df: DataFrame, cent: DataFrame, probes: Int): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
-    df.crossJoin(broadcast(cent))
+    val scored = df.crossJoin(broadcast(cent))
       .withColumn("csim", dot(col("qv"), col("cvec")) / (col("nm") * col("cn")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= probes)
-      .select(df("vec_id"), df("qv"), df("nm"), col("cell"))
+    if (probes == 1)
+      scored
+        .groupBy(df("vec_id"))
+        .agg(max(struct(
+          col("csim"), (-col("cell")).as("__nc"), col("cell"),
+          df("qv").as("qv"), df("nm").as("nm"))).as("m"))
+        .select(col("vec_id"), col("m.qv").as("qv"), col("m.nm").as("nm"), col("m.cell").as("cell"))
+    else {
+      val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell").asc)
+      scored
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= probes)
+        .select(df("vec_id"), df("qv"), df("nm"), col("cell"))
+    }
   }
 
   private def ivfProbeTopK(base: DataFrame, cent: DataFrame): DataFrame = {
@@ -222,14 +238,13 @@ object PortableAnn {
       .dropDuplicates("vec_id")
       .select(col("vec_id").as("cand_id"), col("qv").as("cvec"))
       .withColumn("cn", sqrt(dot(col("cvec"), col("cvec"))))
-    val voteW = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cand_id").asc)
+    // Argmax vote via partial-agg max(struct) — window-head equivalent.
     val votes = base.crossJoin(broadcast(cand))
-      .select(
-        col("vec_id"), col("cand_id"),
-        (dot(col("qv"), col("cvec")) / (col("nm") * col("cn"))).as("cs"))
-      .withColumn("rk", row_number().over(voteW))
-      .filter(col("rk") === 1)
-      .groupBy("cand_id")
+      .groupBy(col("vec_id"))
+      .agg(max(struct(
+        (dot(col("qv"), col("cvec")) / (col("nm") * col("cn"))).as("cs"),
+        (-col("cand_id")).as("__nc"), col("cand_id"))).as("m"))
+      .groupBy(col("m.cand_id").as("cand_id"))
       .agg(count(lit(1)).as("w"))
     // LEFT join + weight 0 (mirrors the production backfill: zero-vote
     // candidates stay rankable so the seed count never shrinks).
@@ -323,14 +338,18 @@ object PortableAnn {
       posexplode(array((0 until PqM).map(j =>
         slice(col("qv"), j * PqSub + 1, PqSub)): _*)).as(Seq("sub_j", "sv")))
 
-  /** Nearest code per (vec_id, sub_j) by raw-dot argmax. */
-  private def pqAssignTo(sr: DataFrame, b: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id", "sub_j").orderBy(col("d").desc, col("code"))
+  /** Nearest code per (vec_id, sub_j) by raw-dot argmax — partial-agg
+    * max(struct(d, -code, sv)): same winner as the (d DESC, code ASC)
+    * window head (sv is constant within a group), `codes`× less
+    * shuffle. Output: (vec_id, sub_j, code, sv).
+    */
+  private def pqAssignTo(sr: DataFrame, b: DataFrame): DataFrame =
     sr.join(b, Seq("sub_j"))
-      .withColumn("d", dot(col("sv"), col("cv")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-  }
+      .groupBy(col("vec_id"), col("sub_j"))
+      .agg(max(struct(
+        dot(col("sv"), col("cv")).as("d"), (-col("code")).as("__nc"),
+        col("code"), col("sv"))).as("m"))
+      .select(col("vec_id"), col("sub_j"), col("m.code").as("code"), col("m.sv").as("sv"))
 
   /** md5-seeded codebooks, two unrolled Lloyd rounds with SUM
     * centroids. The rounds dominate the twin's cost and are
