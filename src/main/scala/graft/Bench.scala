@@ -33,9 +33,19 @@ object Bench {
     val coldTotal =
       if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
         val t0 = System.nanoTime()
-        queries.foreach { case (_, fn) =>
+        val coldTimes = queries.map { case (name, fn) =>
+          val q0 = System.nanoTime()
           try fn(spark, sfDir).count() catch { case _: Throwable => () }
+          name -> (System.nanoTime() - q0) / 1e9
         }
+        // Cold profile (SPARK_GRAFT_COLD_DETAIL=1): per-query FIRST-RUN
+        // seconds, slowest first — codegen + operator-cache build land
+        // on whichever query touches them first, so this is the map of
+        // where the per-session tax actually goes.
+        if (sys.env.getOrElse("SPARK_GRAFT_COLD_DETAIL", "0") == "1")
+          coldTimes.toSeq.sortBy(-_._2).foreach { case (n, s) =>
+            println(f"[cold] $n%-28s $s%7.2fs")
+          }
         (System.nanoTime() - t0) / 1e9
       } else -1.0
     (1 to repeat).foreach { pass =>

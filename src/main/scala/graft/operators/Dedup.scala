@@ -618,6 +618,79 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Exact shared-substring runs between document pairs — the
+    * generate-and-count core of suffix-array-style exact substring
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): two documents sharing `minRun`
+    * CONSECUTIVE token k-grams share a verbatim span of
+    * `minRun + k - 1` tokens, which n-gram-SET measures (Jaccard,
+    * containment) cannot see — a 50-token verbatim quote inside two
+    * otherwise-unrelated documents moves set overlap barely, but is
+    * exactly what substring dedup must catch.
+    *
+    * Positional k-grams are equi-joined on the gram text, collinear
+    * matches grouped per (pair, diagonal = pos_a − pos_b), and each
+    * diagonal split into consecutive islands; the longest island is
+    * the longest shared run. Within one (pair, diagonal), `pa`
+    * determines `pb`, so island rows are already distinct — no
+    * dedup pass needed.
+    *
+    * Scale shape: an inverted-index equi-join like
+    * [[ngramJaccardPairs]] — pairs meet only on shared grams, never
+    * all-pairs. `maxGramDf` caps stop-gram fan-out (a capped gram
+    * never seeds a match; recall is lost only for runs built ENTIRELY
+    * of corpus-frequent grams — at 100 TB the cap is mandatory, as one
+    * boilerplate gram in 10⁶ docs is otherwise a 10¹² join). The
+    * island windows partition by (doc_a, doc_b, diag) — bounded by
+    * per-pair match counts, never corpus-wide.
+    * Output: (doc_a, doc_b, max_run, match_tokens).
+    */
+  def substringRunPairs(
+      docs: DataFrame,
+      k: Int = 5,
+      minRun: Long = 3,
+      maxGramDf: Option[Long] = None,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k $k must be positive")
+    // Positional grams: transform over a materialized token attribute
+    // (element_at inside the lambda would re-tokenize per gram
+    // position — the x02 lesson), NO array_distinct: a gram repeated
+    // at several positions participates in several diagonals.
+    val grams = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(
+        col("doc_id"),
+        posexplode(
+          when(size(col("__toks")) < k, array().cast("array<string>"))
+            .otherwise(transform(
+              sequence(lit(1), size(col("__toks")) - lit(k - 1)),
+              i => concat_ws(" ", (0 until k).map(j =>
+                element_at(col("__toks"), (i + lit(j)).cast("int"))): _*))))
+          .as(Seq("pos", "g")))
+    val indexed = maxGramDf match {
+      case Some(cap) =>
+        val dfTab = grams.select("g", "doc_id").distinct()
+          .groupBy("g").agg(count(lit(1)).as("gdf"))
+        grams.join(dfTab.filter(col("gdf") <= cap).select("g"), Seq("g"), "left_semi")
+      case None => grams
+    }
+    val ex = OpCache.swap("dedup.runs.grams", indexed)
+    val j = ex.select(col("g"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+      .join(ex.select(col("g"), col("doc_id").as("doc_b"), col("pos").as("pb")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), (col("pa") - col("pb")).as("diag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    j.withColumn("__grp", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("__grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy("doc_a", "doc_b")
+      .agg(max(col("run")).as("max_run"))
+      .filter(col("max_run") >= minRun)
+      .withColumn("match_tokens", col("max_run") + lit(k - 1).cast("long"))
+  }
+
   /** Exact edit-distance verification of candidate pairs — the second
     * stage of the canonical near-dup pipeline: LSH GENERATES a linear
     * number of candidates, an exact O(len²) measure VERIFIES each one,

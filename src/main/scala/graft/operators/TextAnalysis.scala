@@ -44,6 +44,55 @@ object TextAnalysis {
           .cast("double") / count(lit(1)), 4).as("rare_frac"))
   }
 
+  /** CCNet-style line-level boilerplate stripping: a line is
+    * boilerplate when its trimmed form appears in at least `minDf`
+    * DISTINCT documents (license headers, generator footers, nav
+    * chrome — the lines that repeat verbatim across a crawl). Per
+    * document, boilerplate lines are removed and the remainder is
+    * reassembled in original order. Whitespace-only lines are never
+    * boilerplate: they carry no signal, and all of them would
+    * otherwise collapse onto one empty key whose df condemns every
+    * blank separator in the corpus.
+    *
+    * Scale shape: one distinct + groupBy on the trimmed line (the df
+    * table — each distinct (doc, line) shuffles once), one equi-join
+    * back, one per-doc ordered reassembly — no corpus-wide windows,
+    * no all-pairs. The df table is df >= minDf only (the boilerplate
+    * set is tiny next to the corpus), so the join-back broadcasts
+    * while it fits.
+    * Output: (doc_id, n_lines, n_boiler, clean_text).
+    */
+  def stripBoilerplate(docs: DataFrame, minDf: Long = 3): DataFrame = {
+    // Read twice (df build + join-back) — materialize once.
+    val lines = OpCache.swap("text.boiler.lines",
+      docs.select(
+        col("doc_id"),
+        posexplode(split(col("text"), "\n", -1)).as(Seq("pos", "line"))))
+    val boiler = lines
+      .filter(length(trim(col("line"))) > 0)
+      .select(col("doc_id"), trim(col("line")).as("lkey"))
+      .distinct()
+      .groupBy("lkey").agg(count(lit(1)).as("line_df"))
+      .filter(col("line_df") >= minDf)
+      .select("lkey")
+    lines
+      .join(Broadcasting.maybeBroadcast(boiler),
+        trim(col("line")) === col("lkey"), "left")
+      .withColumn("__boiler", col("lkey").isNotNull)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__boiler"), 1).otherwise(0)).as("n_boiler"),
+        // when() without otherwise yields NULL for kept=false rows and
+        // collect_list drops NULLs — the sort key is the unique pos.
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("__boiler"), struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          "\n").as("clean_text"))
+  }
+
   /** Per-document quality metrics: char/token counts, punctuation
     * ratio, stopword ratio, mean token length. Ratios guard /0.
     */

@@ -2021,6 +2021,89 @@ object ExtQueries {
         |SELECT keep_id, cluster_size, removed_ids
         |FROM base JOIN rem USING (cluster_id)
         |WHERE cluster_size > 1 ORDER BY keep_id""".stripMargin)
+    ),
+
+    // CCNet-style line-level boilerplate stripping. The corpus has no
+    // naturally repeated lines (single-line bag-of-words docs), so the
+    // query plants them: every document gets the same license header
+    // and one of three generator footers, built by plain concatenation
+    // in BOTH engines from the same base table — the operator must
+    // then strip exactly the planted chrome (df 167–500 >= 3) while
+    // keeping every original text line (df 1), order-preserved. A df
+    // miscount, threshold slip, or reassembly reorder flips the hash.
+    GraftQuery(
+      "x72_strip_boilerplate",
+      (s, d) => {
+        val injected = t(s, d, "documents").select(
+          col("doc_id"),
+          concat(
+            lit("LICENSE: CC-BY-4.0\n"),
+            col("text"),
+            lit("\n-- generated by corpusgen v"),
+            (col("doc_id") % 3).cast("string")).as("text"))
+        TextAnalysis.stripBoilerplate(injected, minDf = 3).orderBy("doc_id")
+      },
+      Some("""WITH inj AS (
+        |  SELECT doc_id,
+        |         'LICENSE: CC-BY-4.0' || chr(10) || text || chr(10) ||
+        |         '-- generated by corpusgen v' || CAST(doc_id % 3 AS VARCHAR) AS text
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |         generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+        |         unnest(string_split(text, chr(10))) AS line
+        |  FROM inj),
+        |b AS (
+        |  SELECT trim(line) AS lkey
+        |  FROM (SELECT DISTINCT doc_id, trim(line) AS line FROM l
+        |        WHERE len(trim(line)) > 0)
+        |  GROUP BY 1 HAVING COUNT(*) >= 3),
+        |m AS (
+        |  SELECT l.doc_id, l.pos, l.line, b.lkey IS NOT NULL AS boiler
+        |  FROM l LEFT JOIN b ON trim(l.line) = b.lkey)
+        |SELECT doc_id, COUNT(*) AS n_lines,
+        |       CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |       COALESCE(string_agg(CASE WHEN NOT boiler THEN line END,
+        |                           chr(10) ORDER BY pos), '') AS clean_text
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Exact shared-substring runs (suffix-array-style substring dedup,
+    // diagonal-island formulation): pairs sharing >= 3 consecutive
+    // token 5-grams, i.e. a verbatim span of >= 7 tokens. Catches the
+    // long verbatim quotes that set-overlap measures (x02/x55) dilute
+    // away. Fully oracled — the join key is the gram TEXT, no hashing
+    // anywhere; DuckDB replays join, diagonals, and islands exactly.
+    GraftQuery(
+      "x73_substring_runs",
+      (s, d) =>
+        Dedup.substringRunPairs(t(s, d, "documents"), k = 5, minRun = 3)
+          .orderBy("doc_a", "doc_b"),
+      Some(s"""$toksCte,
+        |sh AS (
+        |  SELECT doc_id, unnest(range(1, greatest(len(toks) - 3, 1))) AS pos, toks
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, pos,
+        |         toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2] || ' ' ||
+        |         toks[pos+3] || ' ' || toks[pos+4] AS g
+        |  FROM sh WHERE len(toks) >= 5),
+        |j AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+        |         a.pos - b.pos AS diag
+        |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |r AS (
+        |  SELECT doc_a, doc_b, diag, pa,
+        |         pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+        |                                 ORDER BY pa) AS grp
+        |  FROM j),
+        |runs AS (
+        |  SELECT doc_a, doc_b, COUNT(*) AS run
+        |  FROM r GROUP BY doc_a, doc_b, diag, grp)
+        |SELECT doc_a, doc_b, MAX(run) AS max_run, MAX(run) + 4 AS match_tokens
+        |FROM runs GROUP BY doc_a, doc_b
+        |HAVING MAX(run) >= 3
+        |ORDER BY doc_a, doc_b""".stripMargin)
     )
   )
 

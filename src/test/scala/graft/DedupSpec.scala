@@ -396,4 +396,44 @@ class DedupSpec extends SparkSpec {
       (2L, 2L, 1L, 5000L),
       (3L, 3L, 0L, 0L)))
   }
+
+  test("substringRunPairs: consecutive shared grams form runs; scattered ones don't") {
+    import sqlImplicits._
+    val d = Seq(
+      // 1↔2 share the verbatim 7-token span "q w e r t y u" → 3
+      // consecutive 5-grams (run 3, match_tokens 7), at DIFFERENT
+      // offsets (diagonal ≠ 0)
+      (1L, "q w e r t y u i o p"),
+      (2L, "z z z q w e r t y u"),
+      // 3 shares two NON-ADJACENT 5-grams with 1 (positions 0–4 and
+      // 5–9 of doc 1 — islands of length 1 each, below minRun 3)
+      (3L, "q w e r t x x t y u i o x"),
+      (4L, "m n b v c x l k j h"))
+      .toDF("doc_id", "text")
+    val r = Dedup.substringRunPairs(d, k = 5, minRun = 3)
+      .orderBy("doc_a", "doc_b")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq((1L, 2L, 3L, 7L)))
+    // lowering minRun surfaces the scattered-gram pair with its true run of 1
+    val loose = Dedup.substringRunPairs(d, k = 5, minRun = 1)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
+    assert(loose((1L, 3L)) == 1L)
+  }
+
+  test("substringRunPairs maxGramDf drops stop-gram-seeded matches only") {
+    import sqlImplicits._
+    // "the of and in to" appears in ALL four docs (df 4); the real
+    // shared run between 1 and 2 uses grams of df 2 and survives a
+    // cap of 3 — the boilerplate-only 3↔4 match does not.
+    val d = Seq(
+      (1L, "the of and in to a b c d e f g"),
+      (2L, "x x the of and in to a b c d e f g"),
+      (3L, "the of and in to p q r s t"),
+      (4L, "the of and in to l m n o k"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.substringRunPairs(d, k = 5, minRun = 1, maxGramDf = Some(3L))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+    assert(capped.contains((1L, 2L)))
+    assert(!capped.contains((3L, 4L)))
+  }
 }

@@ -191,4 +191,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(chunks.toSeq == Seq("abcdefghij", "hijklmno")) // 2 chunks, end reached
     assert(chunks.last.length > 3) // tail longer than the overlap
   }
+
+  test("stripBoilerplate removes corpus-frequent lines, keeps order and blanks") {
+    import sqlImplicits._
+    // "HEADER" in 3 docs (df=3 → boiler at minDf=3); " HEADER  " must
+    // hit the same trimmed key; "FOOT" in only 2 docs (df=2 → kept);
+    // whitespace-only lines are never boilerplate; unique bodies kept
+    // in original order.
+    val corpus = Seq(
+      (1L, "HEADER\nalpha one\n\nbeta two\nFOOT"),
+      (2L, " HEADER  \ngamma three\nFOOT"),
+      (3L, "HEADER\ndelta four"),
+      (4L, "")) // one empty line, kept
+      .toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.stripBoilerplate(corpus, minDf = 3)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    assert(r(0) == ((1L, 5L, 1L, "alpha one\n\nbeta two\nFOOT")))
+    // padded header stripped via the trimmed key; original spacing of
+    // KEPT lines is preserved verbatim
+    assert(r(1) == ((2L, 3L, 1L, "gamma three\nFOOT")))
+    assert(r(2) == ((3L, 2L, 1L, "delta four")))
+    assert(r(3) == ((4L, 1L, 0L, "")))
+  }
 }
