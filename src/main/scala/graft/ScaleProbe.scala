@@ -82,6 +82,11 @@ object ScaleProbe {
       // length band — the curve tells whether the df cap must default on.
       time(s"ngram_containment      x$k", Dedup.ngramContainmentPairs(d))
       time(s"ngram_containment_cap  x$k", Dedup.ngramContainmentPairs(d, maxShingleDf = Some(1000L)))
+      // Substring runs: positional-gram join — same inverted-index
+      // class as containment, plus the per-(pair, diagonal) island
+      // windows; the capped curve is the 100 TB configuration.
+      time(s"substring_runs         x$k", Dedup.substringRunPairs(d))
+      time(s"substring_runs_capped  x$k", Dedup.substringRunPairs(d, maxGramDf = Some(1000L)))
       time(s"simhash_pairs          x$k", Dedup.simhashPairs(d, maxHamming = 3))
       time(s"char_minhash_lsh_pairs x$k", Dedup.charMinhashLshPairs(d))
       time(s"ann_sign_lsh_topk      x$k", Similarity.annSignLshTopK(v))

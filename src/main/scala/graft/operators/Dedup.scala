@@ -325,13 +325,17 @@ object Dedup {
       // 2-chain) AND every child has exactly one parent (a node can
       // still collect two parents from two small-star groups while
       // staying chain-free; that state is NOT converged — its roots
-      // merge in later rounds). Two cheap jobs on the materialized
-      // round result; no checksum heuristics that could terminate
-      // early on collision.
+      // merge in later rounds). Both violation kinds union into ONE
+      // probe (one job per round, not two — the loop is eager, so
+      // per-round jobs are the cold cost of every resolution); no
+      // checksum heuristics that could terminate early on collision.
       converged = updated
         .join(updated.select(col("u").as("v")), Seq("v"), "left_semi")
-        .isEmpty &&
-        updated.groupBy("u").agg(count(lit(1)).as("c")).filter(col("c") > 1).isEmpty
+        .select(lit(1).as("__viol"))
+        .unionByName(
+          updated.groupBy("u").agg(count(lit(1)).as("c"))
+            .filter(col("c") > 1).select(lit(1).as("__viol")))
+        .isEmpty
       edges = updated
       iter += 1
     }

@@ -33,7 +33,13 @@ object Similarity {
     */
   private def prepared(embeddings: DataFrame, site: String): DataFrame =
     OpCache.swap(site,
-      embeddings.select(
+      // Normalize to (vec_id, embedding) FIRST: every operator family
+      // preps the same corpus, and the shared "sim.prep"/"sim.prep.q"
+      // sites only dedupe the materialization if every caller's input
+      // plan is EQUAL — a caller-side projection difference (raw table
+      // vs pre-selected columns) would silently turn the shared site
+      // into a rebuild-per-operator thrash.
+      embeddings.select(col("vec_id"), col("embedding")).select(
         col("vec_id"),
         toDoubleVec(col("embedding")).as("vec"))
         .withColumn("norm", l2norm(col("vec"))))
@@ -51,7 +57,7 @@ object Similarity {
     * Output: (query_id, neighbor_id, cosine, rank) — rank 1..k.
     */
   def cosineTopK(embeddings: DataFrame, k: Int = 3, queryMod: Int = 100,
-      site: String = "sim.cosine.prep"): DataFrame =
+      site: String = "sim.prep"): DataFrame =
     cosineTopK(embeddings, embeddings.filter(col("vec_id") % queryMod === 0), k, site)
 
   /** External-query-set form: `queries` has the corpus shape
@@ -108,10 +114,10 @@ object Similarity {
       bands: Int,
       dim: Int): DataFrame = {
     val base = OpCache.swap("sim.lsh.sig",
-      prepared(embeddings, "sim.lsh.prep")
+      prepared(embeddings, "sim.prep")
         .withColumn("sig", signLshSignature(col("vec"), nPlanes, dim)))
     val qbase = OpCache.swap("sim.lsh.qsig",
-      prepared(queries, "sim.lsh.qprep")
+      prepared(queries, "sim.prep.q")
         .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
         .withColumn("qsig", signLshSignature(col("qvec"), nPlanes, dim)))
 
@@ -167,7 +173,7 @@ object Similarity {
       k: Int,
       nProbes: Int,
       centroidCol: String): DataFrame = {
-    val base = prepared(embeddings.select(col("vec_id"), col("embedding"), col(centroidCol)), "sim.ivf.prep")
+    val base = prepared(embeddings, "sim.prep")
 
     // Per-cell mean vector via positional explode → elementwise avg →
     // re-assembled in position order (deterministic).
@@ -181,7 +187,7 @@ object Similarity {
         .select(col("cell"), transform(col("pm"), e => e.getField("m")).as("cvec"))
         .withColumn("cnorm", l2norm(col("cvec"))))
 
-    ivfSearch(prepared(queries.select("vec_id", "embedding"), "sim.ivf.qprep"),
+    ivfSearch(prepared(queries, "sim.prep.q"),
       base, centroids, k, nProbes)
   }
 
@@ -212,8 +218,8 @@ object Similarity {
       nProbes: Int,
       cells: Int,
       maxIter: Int): DataFrame = {
-    val base = prepared(embeddings.select(col("vec_id"), col("embedding")), "sim.kmeans.prep")
-    ivfSearch(prepared(queries.select("vec_id", "embedding"), "sim.kmeans.qprep"),
+    val base = prepared(embeddings, "sim.prep")
+    ivfSearch(prepared(queries, "sim.prep.q"),
       base, memoizedKmeans(base, cells, maxIter), k, nProbes)
   }
 
@@ -428,7 +434,7 @@ object Similarity {
       bands: Int = 4,
       dim: Int = 64): DataFrame = {
     val base = OpCache.swap("sim.neardup.sig",
-      prepared(embeddings, "sim.neardup.prep")
+      prepared(embeddings, "sim.prep")
         .withColumn("sig", signLshSignature(col("vec"), nPlanes, dim)))
     val bandedIds = base.select(
       col("vec_id"),
@@ -497,10 +503,10 @@ object Similarity {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     require(codes <= 256, s"codes $codes exceeds one byte — the PQ memory contract")
     val sub = dim / m
-    val base = prepared(embeddings.select(col("vec_id"), col("embedding")), "sim.pq.prep")
+    val base = prepared(embeddings, "sim.prep")
     val codebooks = memoPqCodebooks(base, m, codes, maxIter, sub)
     val packed = encodePacked(base, codebooks, m, sub)
-    val qprep = prepared(queries.select(col("vec_id"), col("embedding")), "sim.pq.qprep")
+    val qprep = prepared(queries, "sim.prep.q")
     val lut = queryLuts(qprep, codebooks, m, sub)
 
     // The lut is FORCE-broadcast: one m·codes-double row per query
@@ -575,7 +581,7 @@ object Similarity {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     require(codes <= 256, s"codes $codes exceeds one byte — the PQ memory contract")
     val sub = dim / m
-    val base = prepared(embeddings.select(col("vec_id"), col("embedding")), "sim.ivfpq.prep")
+    val base = prepared(embeddings, "sim.prep")
     val centroids = memoizedKmeans(base, cells, maxIter)
     val codebooks = memoPqCodebooks(base, m, codes, maxIter, sub)
 
@@ -584,7 +590,7 @@ object Similarity {
     val packed = encodePacked(base, codebooks, m, sub)
       .join(assignCells(base, centroids, 1).select(col("vec_id"), col("cell")), Seq("vec_id"))
 
-    val qprep = prepared(queries.select(col("vec_id"), col("embedding")), "sim.ivfpq.qprep")
+    val qprep = prepared(queries, "sim.prep.q")
     // One (query_id, cell, lut) row per probed cell — nProbes rows per
     // query, each a ~2 KB lut array; broadcast while small, shuffled
     // equi-join on cell beyond the threshold.

@@ -800,12 +800,16 @@ object ExtQueries {
         import graft.functions.TextFunctions.{tokens, wordShingles}
         val labeled = t(s, d, "documents").withColumn(
           "split", graft.operators.DataMix.md5SplitLabel(0.2, Seq(col("doc_id"))))
-        val sh = labeled
+        // Read twice per invocation — the bloom BUILD (an eager
+        // aggregate over the test side) and the train-side probe scan
+        // both start from this table; uncached, the tokenize + shingle
+        // + md5 pass runs twice.
+        val sh = graft.operators.OpCache.swap("ext.x33.sh", labeled
           .select(col("doc_id"), col("split"), tokens(col("text")).as("__toks"))
           .select(
             col("doc_id"), col("split"),
             explode(wordShingles(col("__toks"), 3)).as("g"))
-          .select(col("doc_id"), col("split"), md5(col("g")).as("gh"))
+          .select(col("doc_id"), col("split"), md5(col("g")).as("gh")))
         val testSh = sh.filter(col("split") === "test").select("gh").distinct()
         val contaminated = Dedup
           .bloomSemiJoin(sh.filter(col("split") === "train"), testSh, "gh", expectedItems = 200000L)
