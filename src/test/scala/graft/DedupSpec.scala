@@ -420,6 +420,43 @@ class DedupSpec extends SparkSpec {
     assert(loose((1L, 3L)) == 1L)
   }
 
+  test("substringRunPairs equals brute-force diagonal runs on random corpora (property, seeded)") {
+    import sqlImplicits._
+    // 4-token vocabulary forces heavy gram collisions and repeated
+    // grams WITHIN documents — the cases where the diagonal-island
+    // bookkeeping could double-count or split runs.
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d")
+    val k = 3
+    val docs = (1L to 12L).map(i =>
+      (i, Seq.fill(rnd.nextInt(15) + 5)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    def grams(s: String): IndexedSeq[String] = {
+      val t = s.split("\\s+").filter(_.nonEmpty).toIndexedSeq
+      if (t.length < k) IndexedSeq.empty
+      else (0 to t.length - k).map(i => t.slice(i, i + k).mkString(" "))
+    }
+    val expect = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      ga = grams(ta); gb = grams(tb)
+      if ga.nonEmpty && gb.nonEmpty
+    } yield {
+      val best = (-(gb.length - 1) to (ga.length - 1)).map { d =>
+        var bestRun = 0; var run = 0
+        (0 until ga.length).foreach { pa =>
+          val pb = pa - d
+          if (pb >= 0 && pb < gb.length && ga(pa) == gb(pb)) {
+            run += 1; bestRun = math.max(bestRun, run)
+          } else run = 0
+        }
+        bestRun
+      }.max
+      ((ia, ib), best.toLong)
+    }).filter(_._2 >= 2L).toMap
+    val got = Dedup.substringRunPairs(docs.toDF("doc_id", "text"), k = k, minRun = 2)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
+    assert(got == expect && expect.nonEmpty)
+  }
+
   test("substringRunPairs maxGramDf drops stop-gram-seeded matches only") {
     import sqlImplicits._
     // "the of and in to" appears in ALL four docs (df 4); the real

@@ -214,4 +214,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(2) == ((3L, 2L, 1L, "delta four")))
     assert(r(3) == ((4L, 1L, 0L, "")))
   }
+
+  test("stripBoilerplate extremes: huge minDf is the identity, minDf=1 strips all non-blank") {
+    import sqlImplicits._
+    val corpus = Seq(
+      (1L, "one\n\ntwo"),
+      (2L, "three\nfour"),
+      (3L, "one\nfive"))
+      .toDF("doc_id", "text")
+    // minDf above the corpus size: nothing can reach it — reassembly
+    // must reproduce every text byte-for-byte (order, blanks, all)
+    val id = graft.operators.TextAnalysis.stripBoilerplate(corpus, minDf = 1000L)
+      .orderBy("doc_id").collect()
+    assert(id.map(_.getString(3)).toSeq == Seq("one\n\ntwo", "three\nfour", "one\nfive"))
+    assert(id.map(_.getLong(2)).forall(_ == 0L))
+    // minDf=1: every non-blank line is its own boilerplate — only the
+    // blank separator survives
+    val all = graft.operators.TextAnalysis.stripBoilerplate(corpus, minDf = 1L)
+      .orderBy("doc_id").collect()
+    assert(all.map(x => (x.getLong(2), x.getString(3))).toSeq ==
+      Seq((2L, ""), (2L, ""), (2L, "")))
+  }
 }
