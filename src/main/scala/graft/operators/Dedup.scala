@@ -672,14 +672,28 @@ object Dedup {
               i => concat_ws(" ", (0 until k).map(j =>
                 element_at(col("__toks"), (i + lit(j)).cast("int"))): _*))))
           .as(Seq("pos", "g")))
-    val indexed = maxGramDf match {
+    // Materialize the PRE-cap gram table: the dominant tokenize→gram
+    // pipeline runs once, shared by the capped and uncapped calls
+    // (plan-equal site) and by the hot-list build + both join sides.
+    val cached = OpCache.swap("dedup.runs.grams", grams)
+    val ex = maxGramDf match {
       case Some(cap) =>
-        val dfTab = grams.select("g", "doc_id").distinct()
-          .groupBy("g").agg(count(lit(1)).as("gdf"))
-        grams.join(dfTab.filter(col("gdf") <= cap).select("g"), Seq("g"), "left_semi")
-      case None => grams
+        // Hot-list anti-join (the ngramDupStats shape): the over-cap
+        // gram list is normally tiny, aggregates with map-side
+        // combine, and broadcasts size-guarded. The cap counts gram
+        // OCCURRENCES (the family convention — ngramDupStats.
+        // maxGramDf), not distinct docs: same stop-gram insurance,
+        // one combined groupBy instead of a distinct + groupBy double
+        // shuffle over the full positional-gram table. The inverted
+        // formulation — semi-joining against the KEPT-gram df table —
+        // is a big-big join on ≈ distinct-gram cardinality, measured
+        // 4–6× slower at probe ×20.
+        val hot = cached.groupBy("g").agg(count(lit(1)).as("gdf"))
+          .filter(col("gdf") > cap)
+          .select("g")
+        cached.join(Broadcasting.maybeBroadcast(hot), Seq("g"), "left_anti")
+      case None => cached
     }
-    val ex = OpCache.swap("dedup.runs.grams", indexed)
     val j = ex.select(col("g"), col("doc_id").as("doc_a"), col("pos").as("pa"))
       .join(ex.select(col("g"), col("doc_id").as("doc_b"), col("pos").as("pb")), Seq("g"))
       .filter(col("doc_a") < col("doc_b"))

@@ -63,11 +63,15 @@ object TextAnalysis {
     * Output: (doc_id, n_lines, n_boiler, clean_text).
     */
   def stripBoilerplate(docs: DataFrame, minDf: Long = 3): DataFrame = {
-    // Read twice (df build + join-back) — materialize once.
+    // Read twice (df build + join-back) — materialize once. NULL text
+    // normalizes to "" so the doc still emits its (1-line, nothing
+    // stripped) row — posexplode of a NULL split would silently drop
+    // the document from the output entirely.
     val lines = OpCache.swap("text.boiler.lines",
       docs.select(
         col("doc_id"),
-        posexplode(split(col("text"), "\n", -1)).as(Seq("pos", "line"))))
+        posexplode(split(coalesce(col("text"), lit("")), "\n", -1))
+          .as(Seq("pos", "line"))))
     val boiler = lines
       .filter(length(trim(col("line"))) > 0)
       .select(col("doc_id"), trim(col("line")).as("lkey"))

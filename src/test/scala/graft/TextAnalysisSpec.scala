@@ -202,7 +202,8 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, "HEADER\nalpha one\n\nbeta two\nFOOT"),
       (2L, " HEADER  \ngamma three\nFOOT"),
       (3L, "HEADER\ndelta four"),
-      (4L, "")) // one empty line, kept
+      (4L, ""), // one empty line, kept
+      (5L, null.asInstanceOf[String])) // NULL text must not vanish from the output
       .toDF("doc_id", "text")
     val r = graft.operators.TextAnalysis.stripBoilerplate(corpus, minDf = 3)
       .orderBy("doc_id").collect()
@@ -213,6 +214,7 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(1) == ((2L, 3L, 1L, "gamma three\nFOOT")))
     assert(r(2) == ((3L, 2L, 1L, "delta four")))
     assert(r(3) == ((4L, 1L, 0L, "")))
+    assert(r(4) == ((5L, 1L, 0L, "")))
   }
 
   test("stripBoilerplate extremes: huge minDf is the identity, minDf=1 strips all non-blank") {
