@@ -2108,6 +2108,25 @@ object ExtQueries {
         |FROM runs GROUP BY doc_a, doc_b
         |HAVING MAX(run) >= 3
         |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // Heavy-hitter tokens via a mergeable Misra-Gries sketch
+    // (bounded ≤2k buffer per partition, 1-row merge) + an exact
+    // count restricted to the ≤k candidates — the full token
+    // cardinality is never shuffled. The exact-count filter removes
+    // the sketch's false positives, and the sketch provably can't
+    // miss anything above N/(k+1), so the output is the TRUE heavy
+    // hitters — an exact DuckDB oracle over an approximate pipeline.
+    GraftQuery(
+      "x74_frequent_tokens",
+      (s, d) => graft.operators.HeavyHitters.frequentTokens(t(s, d, "documents"), k = 30),
+      Some(s"""$toksCte,
+        |u AS (SELECT unnest(toks) AS tok FROM t),
+        |n AS (SELECT COUNT(*) AS total FROM u),
+        |c AS (SELECT tok, COUNT(*) AS cnt FROM u GROUP BY tok)
+        |SELECT c.tok, c.cnt FROM c, n
+        |WHERE c.cnt * 31 > n.total
+        |ORDER BY cnt DESC, tok""".stripMargin)
     )
   )
 
