@@ -2127,8 +2127,151 @@ object ExtQueries {
         |SELECT c.tok, c.cnt FROM c, n
         |WHERE c.cnt * 31 > n.total
         |ORDER BY cnt DESC, tok""".stripMargin)
+    ),
+
+    // BM25 top-k keyword search (the retrieval face of the pipeline:
+    // query-probing the corpus, contamination triage). ln-based idf
+    // is not bit-portable across engines → rows-only; ranking
+    // quality and the agreement with the rational-idf twin are
+    // spec-pinned in TextSearchSpec, and x76 oracles the pipeline
+    // shape bit-for-bit.
+    GraftQuery(
+      "x75_bm25_search",
+      (s, d) => {
+        import s.implicits._
+        val q = searchQueryTable
+          .flatMap { case (qid, ts) => ts.map(qid -> _) }
+          .toDF("query_id", "term")
+        graft.operators.TextSearch.bm25TopK(t(s, d, "documents"), q, topK = 5)
+          .select(
+            col("query_id"), col("doc_id"),
+            round(col("score"), 4).as("score"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      None
+    ),
+
+    // Engine-portable BM25 twin: same pruned-postings pipeline with a
+    // rational idf (N-df+0.5)/(df+0.5) — no ln — and each query's
+    // term sum UNROLLED in fixed left-to-right order, so every float
+    // op (integer-derived divisions and products) is IEEE-identical
+    // in DuckDB. Both sides are generated from `searchQueryTable`.
+    GraftQuery(
+      "x76_bm25_portable",
+      (s, d) => portableBm25(s, d, topK = 5),
+      Some(portableBm25Sql(topK = 5))
     )
   )
+
+  /** The x75/x76 search workload, shared by the BM25 hot path and the
+    * portable twin (both the Spark plan and the DuckDB SQL are
+    * generated from this one table): three queries mixing common
+    * terms with one rare term ("dup") so idf visibly reorders.
+    */
+  // lazy: referenced from the `all` val above, which initializes first
+  private lazy val searchQueryTable: Seq[(String, Seq[String])] = Seq(
+    ("alpha", Seq("join", "hash", "dup")),
+    ("beta", Seq("customer", "order", "line")),
+    ("gamma", Seq("vector", "stream")))
+
+  private lazy val searchTerms: Seq[String] = searchQueryTable.flatMap(_._2).distinct
+
+  /** Engine side of the x76 portable BM25 twin: rational idf, per-doc
+    * conditional tf aggregation, and the per-query score sum unrolled
+    * left-to-right — every float op mirrors [[portableBm25Sql]]
+    * exactly (integer-derived +,−,×,÷ only, identical tree shape).
+    */
+  private def portableBm25(
+      s: org.apache.spark.sql.SparkSession, d: String, topK: Int): org.apache.spark.sql.DataFrame = {
+    val docs = t(s, d, "documents")
+    val uc = graft.operators.OpCache.swap(
+      "ext.x76.toks",
+      docs.select(
+        col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok")))
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val dfCols = count(lit(1)).cast("long").as("n_tokens") +:
+      searchTerms.map(tm =>
+        countDistinct(when(col("tok") === tm, col("doc_id"))).as(s"df_$tm"))
+    val stats = graft.operators.OpCache.swap(
+      "ext.x76.stats",
+      uc.agg(dfCols.head, dfCols.tail: _*).crossJoin(nd))
+    val perQuery = searchQueryTable.map { case (qid, terms) =>
+      val aggCols = count(lit(1)).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (tm, i) =>
+          sum(when(col("tok") === tm, 1).otherwise(0)).cast("long").as(s"tf$i")
+        }
+      val perDoc = uc
+        .groupBy(col("doc_id"))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .filter(terms.indices.map(i => col(s"tf$i")).reduceLeft(_ + _) > 0)
+        .crossJoin(broadcast(stats))
+      val score = terms.zipWithIndex.map { case (tm, i) =>
+        when(
+          col(s"tf$i") > 0,
+          ((col("n_docs").cast("double") - col(s"df_$tm") + lit(0.5)) /
+            (col(s"df_$tm") + lit(0.5))) *
+            ((col(s"tf$i") * lit(2.2)) /
+              (col(s"tf$i") + lit(1.2) * (lit(0.25) + (lit(0.75) * col("dl")) /
+                (col("n_tokens").cast("double") / col("n_docs"))))))
+          .otherwise(lit(0.0))
+      }.reduceLeft(_ + _)
+      perDoc.select(lit(qid).as("query_id"), col("doc_id"), score.as("score"))
+    }
+    perQuery.reduceLeft(_ unionByName _)
+      .withColumn(
+        "rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= topK)
+      .select(
+        col("query_id"), col("doc_id"),
+        round(col("score"), 4).as("score"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB mirror of [[portableBm25]], generated from the same
+    * `searchQueryTable` with identical expression trees.
+    */
+  private def portableBm25Sql(topK: Int): String = {
+    val dfCols = searchTerms
+      .map(tm => s"COUNT(DISTINCT CASE WHEN tok = '$tm' THEN doc_id END) AS df_$tm")
+      .mkString(",\n         ")
+    val perQuery = searchQueryTable.map { case (qid, terms) =>
+      val tfCols = terms.zipWithIndex
+        .map { case (tm, i) =>
+          s"CAST(SUM(CASE WHEN tok = '$tm' THEN 1 ELSE 0 END) AS BIGINT) AS tf$i"
+        }
+        .mkString(", ")
+      val tfSum = terms.indices.map(i => s"tf$i").mkString(" + ")
+      val score = terms.zipWithIndex.map { case (tm, i) =>
+        s"CASE WHEN tf$i > 0 THEN ((CAST(n_docs AS DOUBLE) - df_$tm + 0.5) / (df_$tm + 0.5))" +
+          s" * ((tf$i * 2.2) / (tf$i + 1.2 * (0.25 + (0.75 * dl) /" +
+          s" (CAST(n_tokens AS DOUBLE) / n_docs)))) ELSE 0.0 END"
+      }.mkString(" + ")
+      s"""SELECT '$qid' AS query_id, doc_id, $score AS score
+         |FROM (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl, $tfCols
+         |      FROM u GROUP BY doc_id) pd, stats
+         |WHERE ($tfSum) > 0""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$toksCte,
+       |u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       |stats AS (
+       |  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+       |         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |         $dfCols
+       |  FROM u),
+       |scored AS (
+       |$perQuery),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, doc_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, doc_id, ROUND(score, 4) AS score, rank
+       |FROM ranked WHERE rank <= $topK
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   /** Portable md5-lane word-MinHash signatures for an arbitrary corpus
     * slice — the x29 lane formulation (8 lanes, 3-gram word shingles,
