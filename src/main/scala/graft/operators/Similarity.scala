@@ -455,6 +455,68 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
   }
 
+  // --------------------------------------------------------- semantic dedup
+
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al.,
+    * "SemDeDup", arXiv:2303.09540): k-means the embedding space, then
+    * compare pairs ONLY within a cell. The paper's scale contract:
+    * `cells` grows with the corpus (k ∝ N / cell budget), so the
+    * per-cell comparison is bounded by cell size, never N² — and the
+    * candidate generation shuffles (cell, id) only; vectors are
+    * re-attached per surviving pair.
+    * Output: (vec_a, vec_b, cosine), vec_a < vec_b, cosine ≥ minCosine.
+    */
+  def semanticDupPairs(
+      embeddings: DataFrame,
+      minCosine: Double = 0.95,
+      cells: Int = 8,
+      maxIter: Int = 3): DataFrame = {
+    val assigned = semanticAssigned(embeddings, cells, maxIter)
+    val ids = assigned.select(col("cell"), col("vec_id"))
+    ids
+      .join(ids.select(col("cell"), col("vec_id").as("vec_b")), Seq("cell"))
+      .filter(col("vec_id") < col("vec_b"))
+      .select(col("vec_id").as("vec_a"), col("vec_b"))
+      .join(
+        assigned.select(col("vec_id").as("vec_a"), col("vec").as("va"), col("norm").as("na")),
+        Seq("vec_a"))
+      .join(
+        assigned.select(col("vec_id").as("vec_b"), col("vec").as("vb"), col("norm").as("nb")),
+        Seq("vec_b"))
+      .select(
+        col("vec_a"), col("vec_b"),
+        round(cosineWithNorms(dot(col("va"), col("vb")), col("na"), col("nb")), 4).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
+  /** Per-vector atypicality for SemDeDup canonical selection: the
+    * NEGATED cosine to the assigned cell centroid, shaped for
+    * [[Dedup.dedupReportBest]] (which keeps the HIGHEST score) — so
+    * the kept member is the one FARTHEST from its centroid, the
+    * paper's keep rule. Output: (doc_id, score).
+    */
+  def semanticKeepScores(
+      embeddings: DataFrame,
+      cells: Int = 8,
+      maxIter: Int = 3): DataFrame = {
+    val assigned = semanticAssigned(embeddings, cells, maxIter)
+    assigned
+      .join(broadcast(memoizedKmeans(prepared(embeddings, "sim.prep"), cells, maxIter)), Seq("cell"))
+      .select(
+        col("vec_id").as("doc_id"),
+        (-cosineWithNorms(dot(col("vec"), col("cvec")), col("norm"), col("cnorm"))).as("score"))
+  }
+
+  /** Shared 1-probe cell assignment for the SemDeDup faces — one
+    * OpCache site, plan-equal across pairs/scores callers.
+    */
+  private def semanticAssigned(embeddings: DataFrame, cells: Int, maxIter: Int): DataFrame = {
+    val base = prepared(embeddings, "sim.prep")
+    OpCache.swap(
+      "sim.semdedup.assigned",
+      assignCells(base, memoizedKmeans(base, cells, maxIter), probes = 1))
+  }
+
   // ------------------------------------------------------ product quantization
 
   /** Product-quantization ANN — the memory-compressed scale path: each

@@ -2160,6 +2160,33 @@ object ExtQueries {
       "x76_bm25_portable",
       (s, d) => portableBm25(s, d, topK = 5),
       Some(portableBm25Sql(topK = 5))
+    ),
+
+    // SemDeDup-style semantic dedup candidates: learned k-means cells
+    // (the x25 machinery), within-cell cosine pairs — the paper's
+    // contract is per-cell all-pairs with cells ∝ corpus size. Float
+    // k-means + xxhash seeding → rows-only; presented like x15 (the
+    // fixture plants no true near-dups, max cosine ≈ 0.51, so this
+    // surfaces the candidate surface a threshold would cut); the x78
+    // twin oracles the full pipeline through cluster resolution.
+    GraftQuery(
+      "x77_semantic_dedup",
+      (s, d) =>
+        Similarity.semanticDupPairs(t(s, d, "embeddings"), minCosine = 0.3, cells = 8)
+          .orderBy(col("cosine").desc, col("vec_a").asc, col("vec_b").asc)
+          .limit(20),
+      None
+    ),
+
+    // Engine-portable SemDeDup twin: label sum-centroid cells (the
+    // x44 cell table), 1-probe assignment, within-cell pairs ≥ 0.4,
+    // star-round cluster resolution (≡ recursive CTE, certified by
+    // x48), keep = farthest-from-centroid. DuckDB replays the whole
+    // report — pairs, components, keep rule — bit-for-bit.
+    GraftQuery(
+      "x78_semantic_dedup_portable",
+      (s, d) => PortableAnn.semanticDedup(t(s, d, "embeddings")),
+      Some(PortableAnn.semanticDedupSql)
     )
   )
 

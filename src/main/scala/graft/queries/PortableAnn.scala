@@ -134,6 +134,53 @@ object PortableAnn {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Portable semantic dedup (the x77 pipeline shape, label-centroid
+    * cells): per-label integer sum-centroids (the x44 cell table),
+    * 1-probe assignment, within-cell pairs ≥ minCosine, production
+    * star-round cluster resolution (certified ≡ the recursive CTE by
+    * x48), keep = farthest-from-centroid (lowest csim, ties → lowest
+    * id — the SemDeDup keep rule). Every float op is an
+    * integer-derived division or sqrt, so DuckDB replays the report
+    * bit-for-bit. Output: (keep_id, cluster_size, removed_ids).
+    */
+  def semanticDedup(embeddings: DataFrame, minCosine: Double = 0.4): DataFrame = {
+    val base = sharedBase(embeddings)
+    val cent = sumCentroids(base.select(col("label").as("cell"), col("qv")))
+    val assigned = graft.operators.OpCache.swap(
+      "portable.semdedup.assigned",
+      assign(base.select("vec_id", "qv", "nm"), cent, 1))
+    val ids = assigned.select(col("cell"), col("vec_id"))
+    val pairs = ids
+      .join(ids.select(col("cell"), col("vec_id").as("doc_b")), Seq("cell"))
+      .filter(col("vec_id") < col("doc_b"))
+      .select(col("vec_id").as("doc_a"), col("doc_b"))
+      .join(
+        assigned.select(col("vec_id").as("doc_a"), col("qv").as("va"), col("nm").as("na")),
+        Seq("doc_a"))
+      .join(
+        assigned.select(col("vec_id").as("doc_b"), col("qv").as("vb"), col("nm").as("nb")),
+        Seq("doc_b"))
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= minCosine)
+      .select("doc_a", "doc_b")
+    val csims = assigned
+      .join(broadcast(cent), Seq("cell"))
+      .select(
+        col("vec_id").as("id"),
+        (dot(col("qv"), col("cvec")) / (col("nm") * col("cn"))).as("csim"))
+    val labeled = graft.operators.Dedup.resolveClusters(pairs).join(csims, Seq("id"))
+    val w = Window.partitionBy("cluster_id").orderBy(col("csim").asc, col("id").asc)
+    labeled
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        min(when(col("rk") === 1, col("id"))).as("keep_id"),
+        array_sort(collect_list(when(col("rk") =!= 1, col("id")))).as("removed_ids"))
+      .filter(col("cluster_size") > 1)
+      .select("keep_id", "cluster_size", "removed_ids")
+      .orderBy("keep_id")
+  }
+
   /** Elementwise-SUM centroid table: (cell, cvec, cn). Integer sums —
     * exact under any aggregation order; direction-equivalent to the
     * mean for cosine assignment.
@@ -473,6 +520,61 @@ object PortableAnn {
        |      FROM pairs JOIN sig x ON x.vec_id = vec_a
        |                 JOIN sig y ON y.vec_id = vec_b)
        |WHERE cosine >= 0.95 ORDER BY vec_a, vec_b""".stripMargin
+
+  /** DuckDB mirror of [[semanticDedup]]: label sum-centroids, 1-probe
+    * assignment, within-cell pairs, recursive-CTE connected
+    * components, farthest-from-centroid keep rule.
+    */
+  lazy val semanticDedupSql: String =
+    s"""${qCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |sl AS (
+       |  SELECT label AS cell, r.range AS i, SUM(qv[r.range]) AS sx
+       |  FROM n, range(1, ${Dim + 1}) AS r GROUP BY 1, 2),
+       |centL AS (
+       |  SELECT cell, list(sx ORDER BY i) AS cvec,
+       |         sqrt(list_dot_product(list(sx ORDER BY i), list(sx ORDER BY i))) AS cn
+       |  FROM sl GROUP BY cell),
+       |asg AS (
+       |  SELECT vec_id, qv, nm, cell FROM (
+       |    SELECT n.vec_id, n.qv, n.nm, ct.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |             ORDER BY list_dot_product(n.qv, ct.cvec) / (n.nm * ct.cn) DESC, ct.cell) AS rk
+       |    FROM n CROSS JOIN centL ct)
+       |  WHERE rk = 1),
+       |cpairs AS (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.qv, b.qv) / (a.nm * b.nm) >= 0.4),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM cpairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM cpairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach AS (
+       |  SELECT id, id AS lab FROM nodes
+       |  UNION
+       |  SELECT e.src AS id, r.lab
+       |  FROM edges e JOIN reach r ON e.dst = r.id),
+       |lab AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+       |cs AS (
+       |  SELECT asg.vec_id AS id,
+       |         list_dot_product(asg.qv, ct.cvec) / (asg.nm * ct.cn) AS csim
+       |  FROM asg JOIN centL ct USING (cell)),
+       |m AS (
+       |  SELECT l.id, l.cluster_id,
+       |         ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+       |                            ORDER BY cs.csim ASC, l.id) AS rk
+       |  FROM lab l JOIN cs ON cs.id = l.id),
+       |bs AS (
+       |  SELECT cluster_id, COUNT(*) AS cluster_size,
+       |         MIN(CASE WHEN rk = 1 THEN id END) AS keep_id
+       |  FROM m GROUP BY 1),
+       |rem AS (
+       |  SELECT cluster_id, list(id ORDER BY id) AS removed_ids
+       |  FROM m WHERE rk <> 1 GROUP BY 1)
+       |SELECT keep_id, cluster_size, removed_ids
+       |FROM bs JOIN rem USING (cluster_id)
+       |WHERE cluster_size > 1 ORDER BY keep_id""".stripMargin
 
   /** One Lloyd step in SQL: assign `src` (n-shaped) to nearest cell of
     * `centCte`, then recompute sum-centroids. Emits two CTE bodies.

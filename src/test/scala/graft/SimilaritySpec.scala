@@ -202,4 +202,30 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
+
+  test("semantic dedup finds planted dup groups and keeps the farthest-from-centroid member") {
+    import sqlImplicits._
+    // Two tight families far apart + singletons; each family has one
+    // planted near-dup pair (cosine ≈ 1) and one looser member.
+    def fam(seed: Double, eps: Double): Array[Float] =
+      Array.tabulate(64)(i => (math.sin(i * seed) + eps * math.cos(i * 2.9)).toFloat)
+    val df = Seq(
+      (1L, fam(0.7, 0.0).toSeq), (2L, fam(0.7, 1e-4).toSeq), (3L, fam(0.7, 0.35).toSeq),
+      (10L, fam(1.3, 0.0).toSeq), (11L, fam(1.3, 1e-4).toSeq),
+      (20L, fam(2.1, 0.0).toSeq)).toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticDupPairs(df, minCosine = 0.99, cells = 3, maxIter = 4)
+      .select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (10L, 11L)), s"got $pairs")
+    // Keep rule: within {1,2}, the kept member is the one FARTHEST
+    // from its cell centroid (the looser family member 3 pulls the
+    // centroid, so either of 1/2 can win only via the score rule —
+    // assert the report keeps exactly one of each planted pair).
+    val report = graft.operators.Dedup.dedupReportBest(
+      pairs.toSeq.toDF("doc_a", "doc_b"),
+      Similarity.semanticKeepScores(df, cells = 3, maxIter = 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(report.map(_._2).forall(_ == 2L), s"got ${report.toSeq}")
+    assert(report.map(_._1).toSet.subsetOf(Set(1L, 2L, 10L, 11L)), s"got ${report.toSeq}")
+  }
 }
