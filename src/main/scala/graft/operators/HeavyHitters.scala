@@ -112,4 +112,64 @@ object HeavyHitters {
     frequentKeys(
       docs.select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok")),
       "tok", k)
+
+  // ------------------------------------------------------- mergeable state
+
+  /** The sketch as MAINTAINED STATE: one row
+    * `(cand: Map[key,cnt], total: Long)` — the mergeable-summaries
+    * form that the streaming fold
+    * ([[graft.streaming.EventStreams.foldSketchBatch]]) accumulates
+    * per micro-batch. Candidate guarantees survive any batching:
+    * per-merge trims subtract Σd ≤ N/(k+1) over the COMBINED stream,
+    * so a key above threshold can never leave the state.
+    */
+  def sketchState(keys: DataFrame, keyCol: String, k: Int): DataFrame =
+    keys.agg(
+      misraGries(col(keyCol), k).as("cand"),
+      count(lit(1)).as("total"))
+
+  /** Declarative Misra-Gries merge of two 1-row states — the same
+    * batch trim as the Aggregator (subtract the (k+1)-th largest,
+    * drop ≤ 0), expressed over the ≤2k exploded entries.
+    */
+  def mergeSketchStates(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val entries = a.select(explode(col("cand")).as(Seq("key", "cnt")))
+      .unionByName(b.select(explode(col("cand")).as(Seq("key", "cnt"))))
+      .groupBy(col("key")).agg(sum(col("cnt")).as("cnt"))
+    // ≤ 2k rows by construction — the single-partition window is the
+    // point (state merging is tiny), not an oversight.
+    val ranked = entries.withColumn(
+      "__rk", row_number().over(Window.orderBy(col("cnt").desc, col("key"))))
+    val d = ranked.agg(
+      coalesce(max(when(col("__rk") === k + 1, col("cnt"))), lit(0L)).as("__d"))
+    val totals = a.select(col("total")).unionByName(b.select(col("total")))
+      .agg(sum(col("total")).as("total"))
+    ranked
+      .crossJoin(broadcast(d))
+      .filter(col("cnt") > col("__d"))
+      .select(col("key"), (col("cnt") - col("__d")).as("cnt"))
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("key"), col("cnt"))))).as("cand"))
+      .crossJoin(broadcast(totals))
+  }
+
+  /** Exact heavy hitters from maintained sketch state: recount the
+    * ≤k candidates over the corpus (broadcast semi-join, same tail as
+    * [[frequentKeys]]) and threshold on the state's exact total. The
+    * no-miss guarantee makes this EQUAL to a from-scratch
+    * [[frequentKeys]] over the full stream, however it was batched.
+    */
+  def frequentFromSketch(
+      state: DataFrame, keys: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val ks = keys.select(col(keyCol).as("__hh_key"))
+    val candidates = state.select(explode(map_keys(col("cand"))).as("__hh_key"))
+    ks.join(Broadcasting.maybeBroadcast(candidates), Seq("__hh_key"), "left_semi")
+      .groupBy(col("__hh_key"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(state.select(col("total"))))
+      .filter(col("cnt") * (k + 1) > col("total"))
+      .select(col("__hh_key").as(keyCol), col("cnt"))
+      .orderBy(col("cnt").desc, col(keyCol))
+  }
 }

@@ -2187,6 +2187,40 @@ object ExtQueries {
       "x78_semantic_dedup_portable",
       (s, d) => PortableAnn.semanticDedup(t(s, d, "embeddings")),
       Some(PortableAnn.semanticDedupSql)
+    ),
+
+    // Streaming heavy-hitter maintenance, certified the x66 way: the
+    // Misra-Gries state folded over three micro-batches (+ a replayed
+    // id that must no-op), then the exact candidate recount — the
+    // no-miss guarantee is batching-independent, so the result must
+    // EQUAL the from-scratch x74 heavy hitters, which is exactly the
+    // oracle it shares.
+    GraftQuery(
+      "x79_streaming_fold_sketch",
+      (s, d) => {
+        import graft.streaming.EventStreams
+        val docs = t(s, d, "documents")
+        def toks(df: org.apache.spark.sql.DataFrame) = df.select(
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+        val state = "graft_x79_state"
+        Seq("", "__staging").foreach(x => graft.sources.Tables.dropManaged(s, state + x))
+        val batches = (0 to 2).map(i => toks(docs.filter(col("doc_id") % 3 === i)))
+        batches.zipWithIndex.foreach { case (b, i) =>
+          EventStreams.foldSketchBatch(b, i.toLong, state, "tok", k = 30)
+        }
+        // foreachBatch replay: batch 1 arrives again with its original
+        // id; the watermark must make this fold a no-op.
+        EventStreams.foldSketchBatch(batches(1), 1L, state, "tok", k = 30)
+        graft.operators.HeavyHitters.frequentFromSketch(
+          s.table(state).drop("__last_batch"), toks(docs), "tok", k = 30)
+      },
+      Some(s"""$toksCte,
+        |u AS (SELECT unnest(toks) AS tok FROM t),
+        |n AS (SELECT COUNT(*) AS total FROM u),
+        |c AS (SELECT tok, COUNT(*) AS cnt FROM u GROUP BY tok)
+        |SELECT c.tok, c.cnt FROM c, n
+        |WHERE c.cnt * 31 > n.total
+        |ORDER BY cnt DESC, tok""".stripMargin)
     )
   )
 

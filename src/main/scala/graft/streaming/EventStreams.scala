@@ -283,6 +283,39 @@ object EventStreams {
       b => graft.operators.QuantileSketch.rollup(b, keys, value, lo, hi, nb),
       (s, d) => graft.operators.QuantileSketch.merge(Seq(s, d), keys))
 
+  /** Streaming heavy-hitter maintenance — the
+    * [[graft.operators.HeavyHitters]] face of [[maintainRollup]]:
+    * a 1-row Misra-Gries state `(cand, total)` folded per
+    * micro-batch through the same idempotent skeleton. The no-miss
+    * guarantee is batching-independent, so
+    * `HeavyHitters.frequentFromSketch(state, corpus, key, k)` equals
+    * a from-scratch pass at any point.
+    */
+  def maintainFrequentKeys(
+      stream: DataFrame,
+      stateTable: String,
+      keyCol: String,
+      k: Int,
+      checkpointLocation: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val fold: (DataFrame, Long) => Unit =
+      (batch, id) => foldSketchBatch(batch, id, stateTable, keyCol, k)
+    val w = stream.writeStream.foreachBatch(fold)
+    checkpointLocation.fold(w)(p => w.option("checkpointLocation", p)).start()
+  }
+
+  /** One idempotent fold step of [[maintainFrequentKeys]] (the sketch
+    * sibling of [[foldRollupBatch]]).
+    */
+  def foldSketchBatch(
+      batch: DataFrame,
+      batchId: Long,
+      stateTable: String,
+      keyCol: String,
+      k: Int): Unit =
+    foldStateBatch(batch, batchId, stateTable)(
+      b => graft.operators.HeavyHitters.sketchState(b, keyCol, k),
+      (s, d) => graft.operators.HeavyHitters.mergeSketchStates(s, d, k))
+
   /** Convenience: run a streaming DataFrame to completion against a
     * memory sink and return the result table (test/demo harness).
     */

@@ -65,6 +65,33 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("folded sketch state over any batching yields the exact from-scratch heavy hitters") {
+    import graft.streaming.EventStreams
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val keys = stream(rnd, 2000 + rnd.nextInt(2000), 300)
+      val k = 4 + rnd.nextInt(12)
+      val state = s"hh_fold_state_$trial"
+      spark.sql(s"DROP TABLE IF EXISTS $state")
+      // random contiguous batch split
+      val cut1 = rnd.nextInt(keys.size)
+      val cut2 = cut1 + rnd.nextInt(keys.size - cut1)
+      val batches = Seq(keys.take(cut1), keys.slice(cut1, cut2), keys.drop(cut2))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        EventStreams.foldSketchBatch(b.toDF("tok"), i.toLong, state, "tok", k)
+      }
+      // replayed id: must be a no-op
+      EventStreams.foldSketchBatch(batches(1).toDF("tok"), 1L, state, "tok", k)
+      val st = spark.table(state).drop("__last_batch")
+      // exact total survived the folds
+      assert(st.select("total").as[Long].head() == keys.size.toLong)
+      val got = HeavyHitters.frequentFromSketch(st, keys.toDF("tok"), "tok", k)
+        .as[(String, Long)].collect().toSeq
+      assert(got == bruteHeavy(keys, k), s"trial $trial (k=$k cuts=$cut1/$cut2)")
+      spark.sql(s"DROP TABLE IF EXISTS $state")
+    }
+  }
+
   test("edges: empty input, all-distinct keys, single dominant key") {
     assert(HeavyHitters.frequentKeys(Seq.empty[String].toDF("tok"), "tok", 5).count() == 0)
     // 100 distinct keys, each cnt=1: 1*(k+1) > 100 is false for k=5

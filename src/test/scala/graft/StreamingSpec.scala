@@ -372,6 +372,27 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS stream_hist_state")
   }
 
+  test("streaming heavy-hitter maintenance recovers the exact from-scratch frequent keys") {
+    import sqlImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.HeavyHitters
+    val keys = (1 to 600).map(i => if (i % 3 == 0) "hot" else s"k${i % 97}")
+    val stream = MemoryStream[String]
+    spark.sql("DROP TABLE IF EXISTS stream_hh_state")
+    val q = EventStreams.maintainFrequentKeys(
+      stream.toDF().toDF("tok"), "stream_hh_state", "tok", k = 6)
+    stream.addData(keys.take(250): _*); q.processAllAvailable()
+    stream.addData(keys.drop(250): _*); q.processAllAvailable()
+    q.stop()
+    val st = spark.table("stream_hh_state").drop("__last_batch")
+    val streamed = HeavyHitters.frequentFromSketch(st, keys.toDF("tok"), "tok", 6)
+      .as[(String, Long)].collect().toSeq
+    val scratch = HeavyHitters.frequentKeys(keys.toDF("tok"), "tok", 6)
+      .as[(String, Long)].collect().toSeq
+    assert(streamed == scratch && streamed.head._1 == "hot")
+    spark.sql("DROP TABLE IF EXISTS stream_hh_state")
+  }
+
   test("mapGroupsWithState sessionizer accumulates per user across batches") {
     import sqlImplicits._
     implicit val sqlCtx = spark.sqlContext
