@@ -37,6 +37,13 @@ object CoreQueries {
       case (acc, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
         // integer div: double division would lose ns precision at 2^60
         acc.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case (acc, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        // µs-precision files read as TIMESTAMP_NTZ; normalize to the
+        // session-tz TIMESTAMP the nanos path produces. Session tz is
+        // pinned UTC, so the instant is unchanged — and the explicit
+        // cast keeps `unix_micros(ts)` resolvable under ANSI mode,
+        // which forbids the NTZ→LTZ implicit coercion.
+        acc.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case (acc, _) => acc
     }
   }
