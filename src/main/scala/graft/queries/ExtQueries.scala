@@ -2221,6 +2221,30 @@ object ExtQueries {
         |SELECT c.tok, c.cnt FROM c, n
         |WHERE c.cnt * 31 > n.total
         |ORDER BY cnt DESC, tok""".stripMargin)
+    ),
+
+    // Per-group bounded top-k via the mergeable BoundedTopK aggregator:
+    // best-3 events by value per event_type. The shuffle carries ≤k
+    // rows per (group, partition) — no window sort of whole groups —
+    // but the (score desc, id asc) total order makes the selection
+    // exactly the row_number() formulation, which is the oracle.
+    GraftQuery(
+      "x80_topk_per_group",
+      (s, d) =>
+        graft.operators.TopK.topKPerGroup(
+            t(s, d, "events"), Seq("event_type"), "value", "event_id", 3)
+          .select(
+            col("event_type"), col("rank"), col("event_id"),
+            round(col("value"), 4).as("value"))
+          .orderBy("event_type", "rank"),
+      Some("""SELECT event_type, CAST(rnk AS INT) AS rank, event_id, round(value, 4) AS value
+        |FROM (
+        |  SELECT event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value DESC, event_id) AS rnk
+        |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL)
+        |WHERE rnk <= 3
+        |ORDER BY event_type, rank""".stripMargin)
     )
   )
 
