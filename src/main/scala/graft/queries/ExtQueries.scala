@@ -2245,6 +2245,39 @@ object ExtQueries {
         |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL)
         |WHERE rnk <= 3
         |ORDER BY event_type, rank""".stripMargin)
+    ),
+
+    // Interval coalescing (gaps-and-islands): each event opens a
+    // 10-minute activity interval; merge per user into maximal
+    // disjoint spans. One shuffle + one per-key sort in the engine;
+    // the oracle states the same islands with window SQL.
+    GraftQuery(
+      "x81_interval_coalesce",
+      (s, d) =>
+        graft.operators.Intervals.coalesce(
+            t(s, d, "events")
+              .select(
+                col("user_id"), col("ts").as("s"),
+                (col("ts") + expr("INTERVAL 10 MINUTES")).as("e")),
+            Seq("user_id"), "s", "e")
+          .orderBy("user_id", "span_start"),
+      Some("""WITH iv AS (
+        |  SELECT user_id, ts AS s, ts + INTERVAL 10 MINUTE AS e FROM events),
+        |g AS (
+        |  SELECT user_id, s, e,
+        |    CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |           OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM iv),
+        |i AS (
+        |  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY s, e
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM g)
+        |SELECT user_id, MIN(s) AS span_start, MAX(e) AS span_end, COUNT(*) AS n_merged
+        |FROM i GROUP BY user_id, island
+        |ORDER BY user_id, span_start""".stripMargin)
     )
   )
 
