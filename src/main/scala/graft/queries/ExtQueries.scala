@@ -2278,6 +2278,36 @@ object ExtQueries {
         |SELECT user_id, MIN(s) AS span_start, MAX(e) AS span_end, COUNT(*) AS n_merged
         |FROM i GROUP BY user_id, island
         |ORDER BY user_id, span_start""".stripMargin)
+    ),
+
+    // Windowed token co-occurrence with lift: anchor-explode keeps the
+    // candidate pairs linear (window·L per doc, never L²); lift is one
+    // exactly-rounded division of integer products so the float is
+    // bit-portable (PMI = ln lift stays engine-side, monotone in it).
+    GraftQuery(
+      "x82_cooccur_lift",
+      (s, d) =>
+        graft.operators.Cooccur.withLift(t(s, d, "documents"), window = 2, minPairCount = 5L)
+          .select(
+            col("tok_a"), col("tok_b"), col("pair_n"), col("cnt_a"), col("cnt_b"),
+            round(col("lift"), 4).as("lift"))
+          .orderBy("tok_a", "tok_b"),
+      Some(s"""$toksCte,
+        |p AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM t),
+        |pr AS (
+        |  SELECT least(a.tok, b.tok) AS tok_a, greatest(a.tok, b.tok) AS tok_b,
+        |         COUNT(*) AS pair_n
+        |  FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos - a.pos IN (1, 2)
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |u AS (SELECT tok, COUNT(*) AS cnt FROM p GROUP BY tok),
+        |n AS (SELECT COUNT(*) AS total FROM p)
+        |SELECT pr.tok_a, pr.tok_b, pr.pair_n, ua.cnt AS cnt_a, ub.cnt AS cnt_b,
+        |       round(CAST(pr.pair_n * n.total AS DOUBLE) /
+        |             CAST(ua.cnt * ub.cnt AS DOUBLE), 4) AS lift
+        |FROM pr CROSS JOIN n
+        |JOIN u ua ON ua.tok = pr.tok_a
+        |JOIN u ub ON ub.tok = pr.tok_b
+        |ORDER BY tok_a, tok_b""".stripMargin)
     )
   )
 
