@@ -2308,6 +2308,28 @@ object ExtQueries {
         |JOIN u ua ON ua.tok = pr.tok_a
         |JOIN u ub ON ub.tok = pr.tok_b
         |ORDER BY tok_a, tok_b""".stripMargin)
+    ),
+
+    // Single-scan column profile of the documents table (long/string
+    // columns only: their string rendering is engine-portable).
+    // Exact distincts here for the oracle; profileApprox is the
+    // non-expanded at-scale variant of the same plan.
+    GraftQuery(
+      "x83_profile",
+      (s, d) =>
+        graft.operators.Profile.profile(
+            t(s, d, "documents"), Seq("doc_id", "lang", "source", "n_chars"))
+          .select(
+            col("col_name"), col("n_rows"), col("n_null"), col("n_distinct"),
+            col("min_value"), col("max_value"), round(col("avg_len"), 4).as("avg_len"))
+          .orderBy("col_name"),
+      Some(Seq("doc_id", "lang", "source", "n_chars").map(c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_null, COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_value, CAST(MAX($c) AS VARCHAR) AS max_value,
+           |  round(AVG(length(CAST($c AS VARCHAR))), 4) AS avg_len
+           |FROM documents""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))
     )
   )
 

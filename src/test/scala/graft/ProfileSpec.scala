@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Profile
+
+class ProfileSpec extends SparkSpec {
+
+  private def sample = {
+    import sqlImplicits._
+    Seq(
+      (1L, "alpha", java.lang.Long.valueOf(10L)),
+      (2L, "beta", java.lang.Long.valueOf(7L)),
+      (3L, null.asInstanceOf[String], null.asInstanceOf[java.lang.Long]),
+      (4L, "alpha", java.lang.Long.valueOf(10L)))
+      .toDF("id", "name", "score")
+  }
+
+  test("exact profile reports counts, nulls, distincts, bounds, lengths") {
+    val p = Profile.profile(sample, Seq("id", "name", "score"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val id = p("id")
+    assert(id.getLong(1) == 4 && id.getLong(2) == 0 && id.getLong(3) == 4)
+    assert(id.getString(4) == "1" && id.getString(5) == "4" && id.getDouble(6) == 1.0)
+    val name = p("name")
+    assert(name.getLong(2) == 1 && name.getLong(3) == 2)
+    assert(name.getString(4) == "alpha" && name.getString(5) == "beta")
+    assert(math.abs(name.getDouble(6) - (5 + 4 + 5) / 3.0) < 1e-12)
+    val score = p("score")
+    assert(score.getLong(2) == 1 && score.getLong(3) == 2)
+    assert(score.getString(4) == "7" && score.getString(5) == "10")
+  }
+
+  test("approx profile matches exact on everything but (close) distincts") {
+    val exact = Profile.profile(sample, Seq("id", "name")).drop("n_distinct")
+      .collect().map(_.toSeq).toSet
+    val approx = Profile.profileApprox(sample, Seq("id", "name"))
+    assert(approx.drop("n_distinct").collect().map(_.toSeq).toSet == exact)
+    val nd = approx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(nd("id") == 4 && nd("name") == 2) // tiny cardinalities: HLL exact
+  }
+
+  test("profile is a single scan of the input") {
+    val plan = Profile.profile(sample, Seq("id", "name", "score"))
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("LocalTableScan"))
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
+  }
+
+  test("result is independent of partitioning") {
+    val a = Profile.profile(sample.coalesce(1), Seq("id", "name", "score"))
+      .collect().map(_.toSeq).toSet
+    val b = Profile.profile(sample.repartition(7), Seq("id", "name", "score"))
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+}
