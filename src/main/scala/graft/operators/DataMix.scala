@@ -267,4 +267,54 @@ object DataMix {
     */
   def shuffleDeterministic(df: DataFrame, salt: Long, keyCols: Seq[Column]): DataFrame =
     df.orderBy(xxhash64((lit(salt) +: keyCols): _*))
+
+  /** The [[md5Hash]] draw widened to 52 bits as an EXACT double in
+    * (0,1]: 13 hex nibbles → integer v ∈ [0, 2^52), then (v+1)/2^52.
+    * Both steps are exactly representable (the divisor is a power of
+    * two), so u is bit-identical in any engine that replays the same
+    * nibble arithmetic — the seed of the weighted draw below.
+    */
+  private def md5Uniform52(keyCols: Seq[Column]): Column = {
+    val h = md5Hash(keyCols)
+    val v = (1 to 13)
+      .map(i => hexNibble(substring(h, i, 1)).cast("long") * lit(1L << (4 * (13 - i))))
+      .reduce(_ + _)
+    (v.cast("double") + lit(1.0)) / lit(4503599627370496.0) // 2^52
+  }
+
+  /** Deterministic weighted sample WITHOUT replacement of `k` rows —
+    * Efraimidis–Spirakis A-ES: each row draws u from its md5 key and
+    * ranks by `-ln(u)/weight` (an Exponential(weight) variate); the k
+    * smallest ranks are the sample, with inclusion probability
+    * proportional to weight at every prefix. One pass: the global
+    * k-smallest selection runs through the mergeable
+    * [[TopK.topK]] aggregator (≤k candidates per partition cross the
+    * shuffle — no global sort), then a broadcast semi-join keeps the
+    * winners. Rows with weight ≤ 0 or a null id cannot participate.
+    *
+    * The draw u is bit-portable ([[md5Uniform52]]); `ln` is
+    * correctly-rounded to within 1 ulp everywhere, so the ORDERING
+    * (all that matters — ranks are never emitted) agrees across
+    * engines except for ranks within an ulp of each other —
+    * vanishing at 52 random bits. Ties break by id ascending.
+    */
+  def md5WeightedSample(
+      df: DataFrame,
+      k: Int,
+      weightCol: String,
+      idCol: String,
+      keyCols: Seq[Column]): DataFrame = {
+    require(k > 0, s"md5WeightedSample: k must be positive, got $k")
+    val w = col(weightCol).cast("double")
+    val eligible = df.filter(w > 0 && col(idCol).isNotNull)
+    // smallest rank first ⟺ largest −rank: reuse the bounded top-k
+    val score = -(-log(md5Uniform52(keyCols)) / w)
+    val winners = eligible
+      .select(score.as("__s"), col(idCol).cast("long").as("__id"))
+      .agg(graft.operators.TopK.topK(col("__s"), col("__id"), k).as("__top"))
+      .select(explode(col("__top")).as("p"))
+      .select(col("p._2").as("__id"))
+    eligible.join(
+      broadcast(winners), col(idCol).cast("long") === col("__id"), "left_semi")
+  }
 }

@@ -2330,6 +2330,36 @@ object ExtQueries {
            |  round(AVG(length(CAST($c AS VARCHAR))), 4) AS avg_len
            |FROM documents""".stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))
+    ),
+
+    // A-ES weighted sample (k=100 documents, weight = n_chars): u is
+    // a bit-portable 52-bit md5 draw; the oracle replays the same
+    // nibble arithmetic and takes the same k smallest −ln(u)/w ranks.
+    // Ranks are never emitted — only the selected rows — so the ln
+    // ulp is an ordering concern only, vanishing at 52 random bits.
+    GraftQuery(
+      "x84_weighted_sample",
+      (s, d) =>
+        graft.operators.DataMix.md5WeightedSample(
+            t(s, d, "documents"), 100, "n_chars", "doc_id", Seq(col("doc_id")))
+          .select("doc_id", "n_chars")
+          .orderBy("doc_id"),
+      Some {
+        val v = (1 to 13)
+          .map(i => s"(strpos('0123456789abcdef', substring(h, $i, 1)) - 1) * ${1L << (4 * (13 - i))}")
+          .mkString("(", "\n         + ", ")")
+        s"""WITH m AS (
+           |  SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h
+           |  FROM documents WHERE n_chars > 0 AND doc_id IS NOT NULL),
+           |u AS (
+           |  SELECT doc_id, n_chars,
+           |    (CAST($v AS DOUBLE) + 1.0) / 4503599627370496.0 AS u
+           |  FROM m),
+           |s AS (
+           |  SELECT doc_id, n_chars FROM u
+           |  ORDER BY -ln(u) / n_chars ASC, doc_id ASC LIMIT 100)
+           |SELECT doc_id, n_chars FROM s ORDER BY doc_id""".stripMargin
+      }
     )
   )
 

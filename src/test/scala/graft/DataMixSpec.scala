@@ -215,4 +215,39 @@ class DataMixSpec extends SparkSpec {
       .select("doc_id", "shard_id").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(one == two)
   }
+
+  /** JVM replica of the engine's A-ES draw: md5 hex of the stringified
+    * key, 13 nibbles → u ∈ (0,1], rank −ln(u)/w.
+    */
+  private def aesRank(key: String, w: Double): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val v = hex.take(13).foldLeft(0L)((acc, c) => acc * 16 + "0123456789abcdef".indexOf(c))
+    -math.log((v.toDouble + 1.0) / 4503599627370496.0) / w
+  }
+
+  test("md5WeightedSample selects exactly the k smallest A-ES ranks") {
+    import sqlImplicits._
+    val rows = (1L to 500L).map(i => (i, (i % 7 + 1).toDouble))
+    val df = rows.toDF("doc_id", "w")
+    val want = rows
+      .map { case (id, w) => (aesRank(id.toString, w), id) }
+      .sortBy(identity).take(40).map(_._2).toSet
+    val got = DataMix.md5WeightedSample(df.repartition(11), 40, "w", "doc_id", Seq(col("doc_id")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    assert(got.size == 40)
+  }
+
+  test("md5WeightedSample favors heavy weights and drops w<=0") {
+    import sqlImplicits._
+    // 100 heavy (w=100) + 100 light (w=1) + poisoned rows
+    val df = ((1L to 100L).map(i => (i, 100.0)) ++ (101L to 200L).map(i => (i, 1.0)) ++
+      Seq((201L, 0.0), (202L, -5.0))).toDF("doc_id", "w")
+    val got = DataMix.md5WeightedSample(df, 20, "w", "doc_id", Seq(col("doc_id")))
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(got.length == 20)
+    assert(!got.contains(201L) && !got.contains(202L))
+    assert(got.count(_ <= 100L) >= 17, s"heavy items under-sampled: ${got.toSeq.sorted}")
+  }
 }
