@@ -157,6 +157,31 @@ object ScaleProbe {
       time(s"neardup_decontaminate  x$k",
         Dedup.minhashLshPairsAcross(
           d, graft.operators.DataMix.md5Sample(docs, 0.05, Seq(col("doc_id")))))
+      // Bounded top-k per group: shuffle width is ≤k·partitions rows
+      // per group regardless of K, so the curve must track the SCAN,
+      // not the group sizes.
+      time(s"topk_per_group         x$k",
+        graft.operators.TopK.topKPerGroup(d, Seq("lang"), "n_chars", "doc_id", 10))
+      // Co-occurrence: anchor-explode keeps candidates at window·L —
+      // the pair volume (and time) must grow linearly with K.
+      time(s"cooccur_pairs          x$k",
+        graft.operators.Cooccur.pairCounts(d, window = 2, minPairCount = 5L))
+      // A-ES weighted sample: one scan + a k-bounded aggregate; the
+      // curve is the scan curve.
+      time(s"weighted_sample        x$k",
+        graft.operators.DataMix.md5WeightedSample(
+          d, 1000, "n_chars", "doc_id", Seq(col("doc_id"))))
+      // Interval coalescing: synthetic per-key interval chains (1000
+      // keys, 5-min steps, 8-min widths → long overlap islands); cost
+      // is one shuffle + per-key sort.
+      time(s"interval_coalesce      x$k",
+        graft.operators.Intervals.coalesce(
+          d.select(
+            (col("doc_id") % 1000).as("key"),
+            timestamp_micros(col("doc_id").divide(1000).cast("long") * 300000000L).as("s"),
+            timestamp_micros(col("doc_id").divide(1000).cast("long") * 300000000L + 480000000L)
+              .as("e")),
+          Seq("key"), "s", "e"))
       d.unpersist(); v.unpersist()
     }
     spark.stop()

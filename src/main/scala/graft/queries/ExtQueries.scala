@@ -2360,6 +2360,42 @@ object ExtQueries {
            |  ORDER BY -ln(u) / n_chars ASC, doc_id ASC LIMIT 100)
            |SELECT doc_id, n_chars FROM s ORDER BY doc_id""".stripMargin
       }
+    ),
+
+    // Streaming leaderboard fold certification (the x66/x67/x79
+    // pattern): three uneven micro-batches + one replayed batch id
+    // folded through maintainTopK's skeleton; bounded top-k is
+    // mergeable, so the state must EQUAL the from-scratch x80 pass —
+    // which is exactly the oracle it shares.
+    GraftQuery(
+      "x85_streaming_fold_topk",
+      (s, d) => {
+        import graft.streaming.EventStreams
+        val ev = t(s, d, "events")
+        val state = "graft_x85_state"
+        Seq("", "__staging").foreach(x => graft.sources.Tables.dropManaged(s, state + x))
+        val batches = (0 to 2).map(i => ev.filter(col("event_id") % 3 === i))
+        batches.zipWithIndex.foreach { case (b, i) =>
+          EventStreams.foldTopKBatch(b, i.toLong, state, Seq("event_type"), "value", "event_id", 3)
+        }
+        // foreachBatch replay: batch 1 arrives again with its original
+        // id; the watermark must make this fold a no-op.
+        EventStreams.foldTopKBatch(
+          batches(1), 1L, state, Seq("event_type"), "value", "event_id", 3)
+        s.table(state).drop("__last_batch")
+          .select(
+            col("event_type"), col("rank"), col("event_id"),
+            round(col("value"), 4).as("value"))
+          .orderBy("event_type", "rank")
+      },
+      Some("""SELECT event_type, CAST(rnk AS INT) AS rank, event_id, round(value, 4) AS value
+        |FROM (
+        |  SELECT event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value DESC, event_id) AS rnk
+        |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL)
+        |WHERE rnk <= 3
+        |ORDER BY event_type, rank""".stripMargin)
     )
   )
 

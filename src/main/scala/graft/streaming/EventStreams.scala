@@ -316,6 +316,46 @@ object EventStreams {
       b => graft.operators.HeavyHitters.sketchState(b, keyCol, k),
       (s, d) => graft.operators.HeavyHitters.mergeSketchStates(s, d, k))
 
+  /** Streaming per-group leaderboard maintenance — the
+    * [[graft.operators.TopK]] face of [[maintainRollup]]: the state
+    * is the current `(groupCols*, rank, id, score)` top-k table,
+    * folded per micro-batch through the same idempotent skeleton.
+    * Bounded top-k is a mergeable summary
+    * (`topk(A ∪ B) = topk(topk(A) ∪ topk(B))` for fixed k), so the
+    * maintained state equals a from-scratch pass over everything
+    * folded in — the watermark guarantees the union sides stay
+    * id-disjoint under replay.
+    */
+  def maintainTopK(
+      stream: DataFrame,
+      stateTable: String,
+      groupCols: Seq[String],
+      scoreCol: String,
+      idCol: String,
+      k: Int,
+      checkpointLocation: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val fold: (DataFrame, Long) => Unit =
+      (batch, id) => foldTopKBatch(batch, id, stateTable, groupCols, scoreCol, idCol, k)
+    val w = stream.writeStream.foreachBatch(fold)
+    checkpointLocation.fold(w)(p => w.option("checkpointLocation", p)).start()
+  }
+
+  /** One idempotent fold step of [[maintainTopK]] (the leaderboard
+    * sibling of [[foldRollupBatch]]).
+    */
+  def foldTopKBatch(
+      batch: DataFrame,
+      batchId: Long,
+      stateTable: String,
+      groupCols: Seq[String],
+      scoreCol: String,
+      idCol: String,
+      k: Int): Unit =
+    foldStateBatch(batch, batchId, stateTable)(
+      b => graft.operators.TopK.topKPerGroup(b, groupCols, scoreCol, idCol, k),
+      (s, d) => graft.operators.TopK.topKPerGroup(
+        s.drop("rank").unionByName(d.drop("rank")), groupCols, scoreCol, idCol, k))
+
   /** Convenience: run a streaming DataFrame to completion against a
     * memory sink and return the result table (test/demo harness).
     */

@@ -413,4 +413,40 @@ class StreamingSpec extends SparkSpec {
     assert(last(7L) == ((3L, 11.0)))
     assert(last(8L) == ((2L, 20.0)))
   }
+
+  test("maintained top-k state equals the from-scratch pass, exactly-once under replay") {
+    import sqlImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1L to 120L).map(i => (s"g${i % 4}", i, (i % 11).toDouble))
+    val stream = MemoryStream[(String, Long, Double)]
+    val q = EventStreams.maintainTopK(
+      stream.toDF().toDF("g", "id", "score"), "stream_topk_state",
+      Seq("g"), "score", "id", k = 5)
+    stream.addData(rows.take(50): _*); q.processAllAvailable()
+    stream.addData(rows.slice(50, 51): _*); q.processAllAvailable()
+    stream.addData(rows.drop(51): _*); q.processAllAvailable()
+    q.stop()
+
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("g", "rank", "id", "score").orderBy("g", "rank")
+        .collect().map(_.toSeq).toSeq
+    val streamed = snap(spark.table("stream_topk_state"))
+    val batch = snap(graft.operators.TopK.topKPerGroup(
+      rows.toDF("g", "id", "score"), Seq("g"), "score", "id", 5))
+    assert(streamed == batch)
+
+    // Replayed batch id: the watermark must make the fold a no-op
+    // (a re-unioned id would otherwise occupy two leaderboard slots).
+    EventStreams.foldTopKBatch(
+      rows.take(50).toDF("g", "id", "score"), batchId = 1L,
+      "stream_topk_state", Seq("g"), "score", "id", 5)
+    assert(snap(spark.table("stream_topk_state")) == batch, "replayed batch re-folded")
+
+    // A new batch id with a dominating score still folds in.
+    EventStreams.foldTopKBatch(
+      Seq(("g0", 999L, 1e6)).toDF("g", "id", "score"), batchId = 42L,
+      "stream_topk_state", Seq("g"), "score", "id", 5)
+    val after = snap(spark.table("stream_topk_state"))
+    assert(after.exists(r => r(2) == 999L && r(1) == 1))
+  }
 }
