@@ -2396,6 +2396,50 @@ object ExtQueries {
         |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL)
         |WHERE rnk <= 3
         |ORDER BY event_type, rank""".stripMargin)
+    ),
+
+    // Scaled-integer PageRank (5 rounds, d=85/100) over the
+    // supplier↔customer trade graph. Ranks are longs in 1e-9 units,
+    // every division floors, sums are exact — so the oracle's
+    // unrolled 5-CTE replay matches bit-for-bit, and the result is
+    // partitioning-independent by construction.
+    GraftQuery(
+      "x86_pagerank",
+      (s, d) => {
+        val eo = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(
+            concat(lit("s"), col("l_suppkey")).as("src"),
+            concat(lit("c"), col("o_custkey")).as("dst"))
+        graft.operators.PageRank.ranks(graft.operators.PageRank.undirected(eo), iters = 5)
+          .select("id", "rank_scaled")
+          .orderBy("id")
+      },
+      Some {
+        val rounds = (1 to 5).map { i =>
+          s"""r$i AS (
+             |  SELECT nodes.id,
+             |    (SELECT ((1000000000::BIGINT * 15) // 100) // n FROM c)
+             |      + (coalesce(m.mass, 0) * 85) // 100 AS rank_scaled
+             |  FROM nodes LEFT JOIN (
+             |    SELECT e.dst AS id, SUM(r${i - 1}.rank_scaled // deg.outdeg) AS mass
+             |    FROM r${i - 1}
+             |    JOIN deg ON r${i - 1}.id = deg.src
+             |    JOIN e ON e.src = deg.src
+             |    GROUP BY e.dst) m ON m.id = nodes.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e0 AS (
+           |  SELECT DISTINCT concat('s', l_suppkey) AS src, concat('c', o_custkey) AS dst
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+           |nodes AS (SELECT DISTINCT src AS id FROM e),
+           |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+           |c AS (SELECT COUNT(*) AS n FROM nodes),
+           |r0 AS (SELECT id, (SELECT 1000000000::BIGINT // n FROM c) AS rank_scaled FROM nodes),
+           |$rounds
+           |SELECT id, CAST(rank_scaled AS BIGINT) AS rank_scaled FROM r5
+           |ORDER BY id""".stripMargin
+      }
     )
   )
 
