@@ -2440,6 +2440,51 @@ object ExtQueries {
            |SELECT id, CAST(rank_scaled AS BIGINT) AS rank_scaled FROM r5
            |ORDER BY id""".stripMargin
       }
+    ),
+
+    // Triangle counting over the supplier↔customer↔nation graph: a
+    // triangle is a "local trade" (supplier sold to a customer of the
+    // supplier's own nation). The engine orients edges by (deg, id)
+    // so wedges are generated at the lowest-degree corner (O(|E|^1.5)
+    // worst case); counts are exact and orientation-independent, so
+    // the id-ordered naive SQL replays the same per-node counts.
+    GraftQuery(
+      "x87_triangles",
+      (s, d) => {
+        val sc = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(
+            concat(lit("s"), col("l_suppkey")).as("src"),
+            concat(lit("c"), col("o_custkey")).as("dst"))
+        val cn = t(s, d, "customer").select(
+          concat(lit("c"), col("c_custkey")).as("src"),
+          concat(lit("n"), col("c_nationkey")).as("dst"))
+        val sn = t(s, d, "supplier").select(
+          concat(lit("s"), col("s_suppkey")).as("src"),
+          concat(lit("n"), col("s_nationkey")).as("dst"))
+        graft.operators.Triangles.perNode(sc.unionByName(cn).unionByName(sn))
+          .orderBy("v")
+      },
+      Some("""WITH raw AS (
+        |  SELECT concat('s', l_suppkey) AS x, concat('c', o_custkey) AS y
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  UNION ALL
+        |  SELECT concat('c', c_custkey), concat('n', c_nationkey) FROM customer
+        |  UNION ALL
+        |  SELECT concat('s', s_suppkey), concat('n', s_nationkey) FROM supplier),
+        |und AS (
+        |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |  FROM raw WHERE x <> y),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM und e1
+        |  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT v, COUNT(*) AS n_triangles FROM (
+        |  SELECT x AS v FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri)
+        |GROUP BY v ORDER BY v""".stripMargin)
     )
   )
 
