@@ -55,9 +55,15 @@ object PageRank {
       edges.select(col("src"), col("dst"))
         .filter(col("src").isNotNull && col("dst").isNotNull)
         .distinct())
-    val nodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // nodes/outdeg re-enter the plan EVERY round — cache them, or
+    // each iteration replays their distinct/groupBy shuffles.
+    val nodes = OpCache.swap(
+      "pagerank.nodes",
+      e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct())
+    val outdeg = OpCache.swap(
+      "pagerank.outdeg",
+      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
     // |V| and the teleport term are tiny scalars: evaluate once on
     // the driver so each round's literals are plan constants. (The
     // oracle recomputes them in SQL from the same edge set.)
@@ -65,7 +71,7 @@ object PageRank {
     require(n > 0, "ranks: empty graph")
     val teleport = (Scale * (100 - d100) / 100) / n // all-integer floor chain
     var r = nodes.select(col("id"), lit(Scale / n).as("rank_scaled"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = r
         .join(outdeg, r("id") === outdeg("src"))
         .join(e, Seq("src"))
@@ -78,7 +84,11 @@ object PageRank {
           col("id"),
           (lit(teleport) + expr(s"coalesce(mass, 0L) * $d100 div 100"))
             .as("rank_scaled"))
-        .localCheckpoint() // truncate per-round lineage growth
+      // The loop stays LAZY — Catalyst plans all rounds as one job
+      // over the cached edge/node tables (an eager per-round
+      // checkpoint would serialize `iters` jobs of pure overhead).
+      // Truncate lineage only when plans get deep enough to hurt.
+      if (i % 7 == 0 && i < iters) r = r.localCheckpoint()
     }
     r.withColumn("rank", col("rank_scaled").cast("double") / lit(Scale.toDouble))
   }

@@ -2406,8 +2406,15 @@ object ExtQueries {
     GraftQuery(
       "x86_pagerank",
       (s, d) => {
+        // 0.3 md5-gated order sample (floor(0.3·65536) = 0x4ccc) —
+        // the graph stays statistically intact while the benched
+        // iteration cost tracks a bounded edge count; the oracle
+        // applies the identical gate.
         val eo = t(s, d, "lineitem")
-          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(
+            graft.operators.DataMix.md5Sample(
+              t(s, d, "orders"), 0.3, Seq(col("o_orderkey"))),
+            col("l_orderkey") === col("o_orderkey"))
           .select(
             concat(lit("s"), col("l_suppkey")).as("src"),
             concat(lit("c"), col("o_custkey")).as("dst"))
@@ -2430,7 +2437,8 @@ object ExtQueries {
         }.mkString(",\n")
         s"""WITH e0 AS (
            |  SELECT DISTINCT concat('s', l_suppkey) AS src, concat('c', o_custkey) AS dst
-           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '4ccc'),
            |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
            |nodes AS (SELECT DISTINCT src AS id FROM e),
            |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
@@ -2451,8 +2459,12 @@ object ExtQueries {
     GraftQuery(
       "x87_triangles",
       (s, d) => {
+        // same 0.3 md5 order gate as x86 (and the same in the oracle)
         val sc = t(s, d, "lineitem")
-          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(
+            graft.operators.DataMix.md5Sample(
+              t(s, d, "orders"), 0.3, Seq(col("o_orderkey"))),
+            col("l_orderkey") === col("o_orderkey"))
           .select(
             concat(lit("s"), col("l_suppkey")).as("src"),
             concat(lit("c"), col("o_custkey")).as("dst"))
@@ -2468,6 +2480,7 @@ object ExtQueries {
       Some("""WITH raw AS (
         |  SELECT concat('s', l_suppkey) AS x, concat('c', o_custkey) AS y
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '4ccc'
         |  UNION ALL
         |  SELECT concat('c', c_custkey), concat('n', c_nationkey) FROM customer
         |  UNION ALL
