@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Mergeable HyperLogLog cardinality state (Flajolet et al. 2007;
+  * mergeable-summaries form) — the distinct-count face of the
+  * maintained-state family: unlike `approx_count_distinct` (whose
+  * sketch lives only inside one aggregation), the register array here
+  * is a first-class column, so partial sketches can be stored,
+  * shipped, unioned across tables/days, and folded through the
+  * streaming skeleton — count-distinct over a month = one register
+  * merge of 30 daily states, never a re-scan.
+  *
+  * Registers are `array<int>` (2^p entries); the element-wise `max`
+  * merge is idempotent, commutative and associative, so states merge
+  * in any order/grouping and replays cannot corrupt them. Estimation
+  * is pure column arithmetic (`aggregate`/`filter` HOFs + the
+  * standard bias/linear-counting corrections) — no UDF anywhere.
+  * Standard error ≈ 1.04/√(2^p): p=12 → ~1.6%.
+  */
+object Hll {
+
+  /** Register update: index = top p hash bits, rho = leading zeros of
+    * the remaining 64−p bits + 1 (capped 64−p+1 when they are zero).
+    */
+  private final class SketchAgg(p: Int)
+      extends Aggregator[Long, Array[Int], Seq[Int]] {
+    private val m = 1 << p
+    override def zero: Array[Int] = new Array[Int](m)
+
+    override def reduce(b: Array[Int], h: Long): Array[Int] = {
+      val idx = (h >>> (64 - p)).toInt
+      val w = h << p
+      val rho = if (w == 0) 64 - p + 1 else java.lang.Long.numberOfLeadingZeros(w) + 1
+      if (rho > b(idx)) b(idx) = rho
+      b
+    }
+
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+
+    override def finish(b: Array[Int]): Seq[Int] = b.toSeq
+    override def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Int]] = ExpressionEncoder()
+  }
+
+  private val instances = scala.collection.concurrent.TrieMap.empty[Int, SketchAgg]
+
+  /** Column form: HLL registers of `xxhash64(key)` inside any
+    * `agg(...)`. Null keys must be filtered by the caller (a null
+    * would otherwise hash as a constant and occupy one register).
+    */
+  def sketchAgg(key: Column, p: Int = 12): Column = {
+    require(p >= 4 && p <= 18, s"sketchAgg: p must be in [4,18], got $p")
+    udaf(instances.getOrElseUpdate(p, new SketchAgg(p))).apply(xxhash64(key))
+  }
+
+  /** Cardinality estimate from a registers column — raw harmonic-mean
+    * estimate with the standard small-range linear-counting
+    * correction; pure column arithmetic.
+    */
+  def estimate(registers: Column, p: Int = 12): Column = {
+    val m = (1 << p).toDouble
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val z = size(filter(registers, r => r === 0)).cast("double")
+    val s = aggregate(
+      registers, lit(0.0), (acc, r) => acc + pow(lit(2.0), -r.cast("double")))
+    val raw = lit(alpha * m * m) / s
+    when(raw <= lit(2.5 * m) && z > 0, lit(m) * log(lit(m) / z))
+      .otherwise(raw)
+      .cast("long")
+  }
+
+  /** Element-wise register merge of two sketch columns. */
+  def mergeRegisters(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => greatest(x, y))
+
+  /** Per-group distinct estimates: (groupCols*, registers, est). */
+  def distinctByGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      keyCol: String,
+      p: Int = 12): DataFrame =
+    df.filter(col(keyCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sketchAgg(col(keyCol), p).as("registers"))
+      .withColumn("est", estimate(col("registers"), p))
+
+  /** Merge per-group sketch STATES (the streaming-fold / cross-table
+    * form): rows with the same group keys merge registers
+    * element-wise. Inputs must share the same p.
+    */
+  def mergeStates(states: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "mergeStates: no states")
+    states
+      .map(_.select((groupCols.map(col) :+ col("registers")): _*))
+      .reduce(_ unionByName _)
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggregate(
+        collect_list(col("registers")),
+        // identity: a zero register loses every max
+        array_repeat(lit(0), size(first(col("registers")))),
+        (acc, r) => zip_with(acc, r, (x, y) => greatest(x, y))).as("registers"))
+  }
+}

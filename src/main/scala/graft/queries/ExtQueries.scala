@@ -2498,6 +2498,74 @@ object ExtQueries {
         |  UNION ALL SELECT y FROM tri
         |  UNION ALL SELECT z FROM tri)
         |GROUP BY v ORDER BY v""".stripMargin)
+    ),
+
+    // Mergeable-HLL cardinality with the x12-style error-bound
+    // oracle: per-language distinct-token estimates from first-class
+    // register states must sit within 3 standard errors of the exact
+    // counts (which the oracle recomputes); an estimator or register
+    // regression flips a boolean and fails the driver's hash gate.
+    GraftQuery(
+      "x88_hll_distinct",
+      (s, d) => {
+        import graft.functions.TextFunctions.tokens
+        val toks = graft.operators.OpCache.swap(
+          "ext.x88.toks",
+          t(s, d, "documents")
+            .select(col("lang"), explode(tokens(col("text"))).as("tok")))
+        val est = graft.operators.Hll.distinctByGroup(toks, Seq("lang"), "tok")
+        val exact = toks.groupBy("lang").agg(countDistinct(col("tok")).as("exact_toks"))
+        val bound = lit(3.0 * 1.04 / math.sqrt((1 << 12).toDouble))
+        exact.join(est.select(col("lang"), col("est")), Seq("lang"))
+          .select(
+            col("lang"), col("exact_toks"),
+            (abs(col("est") - col("exact_toks")).cast("double") / col("exact_toks") <= bound)
+              .as("within_3rsd"))
+          .orderBy("lang")
+      },
+      Some(s"""$toksCte
+        |SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS exact_toks,
+        |       TRUE AS within_3rsd
+        |FROM (SELECT lang, unnest(toks) AS tok FROM t)
+        |GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+
+    // Streaming cardinality fold certification: the token stream
+    // split into three uneven batches (+ one replayed id) folded
+    // through maintainDistinct's skeleton; register max-merge is
+    // idempotent and order-free, so the state's estimates must carry
+    // the same error-bound booleans — x88's oracle, shared.
+    GraftQuery(
+      "x89_streaming_fold_hll",
+      (s, d) => {
+        import graft.streaming.EventStreams
+        val docs = t(s, d, "documents")
+        def toks(df: org.apache.spark.sql.DataFrame) = df.select(
+          col("lang"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+        val state = "graft_x89_state"
+        Seq("", "__staging").foreach(x => graft.sources.Tables.dropManaged(s, state + x))
+        val batches = (0 to 2).map(i => toks(docs.filter(col("doc_id") % 3 === i)))
+        batches.zipWithIndex.foreach { case (b, i) =>
+          EventStreams.foldDistinctBatch(b, i.toLong, state, Seq("lang"), "tok")
+        }
+        EventStreams.foldDistinctBatch(batches(1), 1L, state, Seq("lang"), "tok")
+        val est = s.table(state).drop("__last_batch")
+          .select(col("lang"), graft.operators.Hll.estimate(col("registers")).as("est"))
+        val exact = toks(docs).groupBy("lang").agg(countDistinct(col("tok")).as("exact_toks"))
+        val bound = lit(3.0 * 1.04 / math.sqrt((1 << 12).toDouble))
+        exact.join(est, Seq("lang"))
+          .select(
+            col("lang"), col("exact_toks"),
+            (abs(col("est") - col("exact_toks")).cast("double") / col("exact_toks") <= bound)
+              .as("within_3rsd"))
+          .orderBy("lang")
+      },
+      Some(s"""$toksCte
+        |SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS exact_toks,
+        |       TRUE AS within_3rsd
+        |FROM (SELECT lang, unnest(toks) AS tok FROM t)
+        |GROUP BY lang ORDER BY lang""".stripMargin)
     )
   )
 

@@ -356,6 +356,41 @@ object EventStreams {
       (s, d) => graft.operators.TopK.topKPerGroup(
         s.drop("rank").unionByName(d.drop("rank")), groupCols, scoreCol, idCol, k))
 
+  /** Streaming cardinality maintenance — the [[graft.operators.Hll]]
+    * face of [[maintainRollup]]: per-group HLL register arrays folded
+    * per micro-batch through the same idempotent skeleton. The
+    * element-wise-max merge is idempotent on top of the watermark, so
+    * the maintained registers EQUAL the from-scratch sketch of
+    * everything folded in. Estimate any time with
+    * `Hll.estimate(spark.table(state).col("registers"), p)`.
+    */
+  def maintainDistinct(
+      stream: DataFrame,
+      stateTable: String,
+      groupCols: Seq[String],
+      keyCol: String,
+      p: Int = 12,
+      checkpointLocation: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val fold: (DataFrame, Long) => Unit =
+      (batch, id) => foldDistinctBatch(batch, id, stateTable, groupCols, keyCol, p)
+    val w = stream.writeStream.foreachBatch(fold)
+    checkpointLocation.fold(w)(p => w.option("checkpointLocation", p)).start()
+  }
+
+  /** One idempotent fold step of [[maintainDistinct]] (the
+    * cardinality sibling of [[foldRollupBatch]]).
+    */
+  def foldDistinctBatch(
+      batch: DataFrame,
+      batchId: Long,
+      stateTable: String,
+      groupCols: Seq[String],
+      keyCol: String,
+      p: Int = 12): Unit =
+    foldStateBatch(batch, batchId, stateTable)(
+      b => graft.operators.Hll.distinctByGroup(b, groupCols, keyCol, p).drop("est"),
+      (s, d) => graft.operators.Hll.mergeStates(Seq(s, d), groupCols))
+
   /** Convenience: run a streaming DataFrame to completion against a
     * memory sink and return the result table (test/demo harness).
     */

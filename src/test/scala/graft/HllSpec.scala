@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Hll
+
+class HllSpec extends SparkSpec {
+
+  test("estimates land within 3 standard errors across cardinalities") {
+    import sqlImplicits._
+    for (n <- Seq(100, 1000, 20000)) {
+      val df = (1 to n).map(i => s"key-$i").toDF("k")
+      val est = df.agg(Hll.sketchAgg(col("k"), 12).as("r"))
+        .select(Hll.estimate(col("r"), 12)).head().getLong(0)
+      val rsd = 1.04 / math.sqrt(1 << 12)
+      assert(
+        math.abs(est - n).toDouble / n <= 3 * rsd,
+        s"n=$n est=$est (err ${math.abs(est - n).toDouble / n})")
+    }
+  }
+
+  test("sketch(A ∪ B) equals merge(sketch(A), sketch(B)) register-for-register") {
+    import sqlImplicits._
+    val a = (1 to 4000).map(i => ("g", s"a-$i")).toDF("g", "k")
+    val b = (1 to 4000).map(i => ("g", s"b-${i % 2500}")).toDF("g", "k")
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Hll.distinctByGroup(df, Seq("g"), "k").select("g", "registers")
+    val whole = regs(a.unionByName(b)).collect().head.getSeq[Int](1)
+    val merged = Hll.mergeStates(Seq(regs(a), regs(b)), Seq("g"))
+      .collect().head.getSeq[Int](1)
+    assert(merged == whole)
+  }
+
+  test("registers are independent of partitioning; duplicates don't move them") {
+    import sqlImplicits._
+    val rows = (1 to 5000).map(i => s"k-${i % 1200}")
+    val one = rows.toDF("k").coalesce(1)
+      .agg(Hll.sketchAgg(col("k")).as("r")).head().getSeq[Int](0)
+    val many = (rows ++ rows.take(2000)).toDF("k").repartition(17)
+      .agg(Hll.sketchAgg(col("k")).as("r")).head().getSeq[Int](0)
+    assert(one == many)
+  }
+
+  test("per-group estimates track exact group cardinalities") {
+    import sqlImplicits._
+    val df = (1 to 9000).map(i => (s"g${i % 3}", s"k-${i % (1000 * (i % 3 + 1))}"))
+      .toDF("g", "k")
+    val exact = df.groupBy("g").agg(countDistinct(col("k")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = Hll.distinctByGroup(df, Seq("g"), "k")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("est")).toMap
+    val rsd = 1.04 / math.sqrt(1 << 12)
+    exact.foreach { case (g, n) =>
+      assert(math.abs(est(g) - n).toDouble / n <= 3 * rsd, s"$g: exact=$n est=${est(g)}")
+    }
+  }
+}
