@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Robust per-group dispersion statistics — the outlier-screening
+  * pass of a data-quality pipeline (fence bad sensor readings, clip
+  * degenerate document scores) using order statistics instead of
+  * moment statistics, so a single wild value cannot drag the fences.
+  *
+  * Exact percentiles (`percentile`, linear interpolation — the same
+  * definition as DuckDB's `quantile_cont`) require per-group sorted
+  * aggregation: one shuffle per pass. [[iqrOutliers]] is two passes
+  * (fences, then a broadcast join-back to classify) — at 100 TB swap
+  * the exact percentile for [[QuantileSketch]] buckets and keep the
+  * same two-pass shape; the contract here is the exact, oracled one.
+  */
+object RobustStats {
+
+  /** Per-group Tukey fences: `(groupCols*, q1, q3, iqr, lo_fence,
+    * hi_fence)` with fences at q1/q3 ∓ `k`·IQR. Null values are
+    * ignored (percentile semantics).
+    */
+  def iqrFences(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Double = 1.5): DataFrame = {
+    val v = col(valueCol).cast("double")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        percentile(v, lit(0.25)).as("q1"),
+        percentile(v, lit(0.75)).as("q3"))
+      .select(
+        groupCols.map(col) ++ Seq(
+          col("q1"), col("q3"), (col("q3") - col("q1")).as("iqr"),
+          (col("q1") - lit(k) * (col("q3") - col("q1"))).as("lo_fence"),
+          (col("q3") + lit(k) * (col("q3") - col("q1"))).as("hi_fence")): _*)
+  }
+
+  /** Rows classified against their group's fences: input columns plus
+    * `is_outlier`. The fence table is group-cardinality-sized —
+    * broadcast when small (the common case).
+    */
+  def iqrOutliers(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Double = 1.5): DataFrame = {
+    val fences = iqrFences(df, groupCols, valueCol, k)
+      .select((groupCols.map(col) :+ col("lo_fence") :+ col("hi_fence")): _*)
+    df.join(Broadcasting.maybeBroadcast(fences), groupCols)
+      .withColumn(
+        "is_outlier",
+        col(valueCol).isNotNull &&
+          (col(valueCol) < col("lo_fence") || col(valueCol) > col("hi_fence")))
+  }
+
+  /** Per-group robust summary: fences plus outlier counts —
+    * `(groupCols*, n, n_outliers, q1, q3, iqr, lo_fence, hi_fence)`.
+    */
+  def iqrSummary(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Double = 1.5): DataFrame =
+    iqrOutliers(df, groupCols, valueCol, k)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(col(valueCol)).as("n"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+        first(col("lo_fence")).as("lo_fence"),
+        first(col("hi_fence")).as("hi_fence"))
+
+  /** Per-group median absolute deviation: `(groupCols*, med, mad)` —
+    * two exact-percentile passes (median, then median of absolute
+    * deviations from it).
+    */
+  def mad(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val med = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(v, lit(0.5)).as("med"))
+    df.join(Broadcasting.maybeBroadcast(med), groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        first(col("med")).as("med"),
+        percentile(abs(v - col("med")), lit(0.5)).as("mad"))
+  }
+}

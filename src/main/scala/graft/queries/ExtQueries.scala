@@ -2566,6 +2566,37 @@ object ExtQueries {
         |       TRUE AS within_3rsd
         |FROM (SELECT lang, unnest(toks) AS tok FROM t)
         |GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+
+    // Robust per-group outlier screening: Tukey fences from exact
+    // quartiles (Spark `percentile` ≡ DuckDB `quantile_cont`, same
+    // linear interpolation), outliers counted against them. Order
+    // statistics, so wild values can't drag the fences.
+    GraftQuery(
+      "x90_iqr_outliers",
+      (s, d) =>
+        graft.operators.RobustStats.iqrSummary(t(s, d, "events"), Seq("event_type"), "value")
+          .select(
+            col("event_type"), col("n"), col("n_outliers"),
+            round(col("lo_fence"), 4).as("lo_fence"),
+            round(col("hi_fence"), 4).as("hi_fence"))
+          .orderBy("event_type"),
+      Some("""WITH f AS (
+        |  SELECT event_type,
+        |         quantile_cont(value, 0.25) AS q1,
+        |         quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY event_type),
+        |x AS (
+        |  SELECT e.event_type, e.value,
+        |         f.q1 - 1.5 * (f.q3 - f.q1) AS lo_fence,
+        |         f.q3 + 1.5 * (f.q3 - f.q1) AS hi_fence
+        |  FROM events e JOIN f USING (event_type))
+        |SELECT event_type, COUNT(value) AS n,
+        |       COUNT(CASE WHEN value < lo_fence OR value > hi_fence
+        |                  THEN 1 END) AS n_outliers,
+        |       round(ANY_VALUE(lo_fence), 4) AS lo_fence,
+        |       round(ANY_VALUE(hi_fence), 4) AS hi_fence
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin)
     )
   )
 
