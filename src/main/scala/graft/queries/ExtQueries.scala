@@ -2597,6 +2597,42 @@ object ExtQueries {
         |       round(ANY_VALUE(lo_fence), 4) AS lo_fence,
         |       round(ANY_VALUE(hi_fence), 4) AS hi_fence
         |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // Exact-threshold Jaccard set-similarity join (lossless prefix
+    // filter, rare-token-first index). The oracle has no prefix
+    // notion at all — it brute-forces every shared-token pair on the
+    // same 0.25 md5 corpus gate — so any prefix-pruning recall loss
+    // in the engine would surface as a missing row.
+    GraftQuery(
+      "x91_jaccard_setjoin",
+      (s, d) =>
+        graft.operators.SetJoin.jaccardJoin(
+            graft.operators.DataMix.md5Sample(
+              t(s, d, "documents"), 0.25, Seq(col("doc_id"))), 0.5)
+          .select(
+            col("doc_a"), col("doc_b"), col("inter"),
+            round(col("jaccard"), 4).as("jaccard"))
+          .orderBy("doc_a", "doc_b"),
+      Some("""WITH s AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'),
+        |u AS (
+        |  SELECT doc_id, unnest(list_distinct(list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'), x -> length(x) > 0))) AS tok
+        |  FROM s),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM u GROUP BY doc_id),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM u a JOIN u b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.doc_a, p.doc_b, CAST(p.inter AS INT) AS inter,
+        |       round(CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter), 4) AS jaccard
+        |FROM p
+        |JOIN sz sa ON sa.doc_id = p.doc_a
+        |JOIN sz sb ON sb.doc_id = p.doc_b
+        |WHERE p.inter * 1000000 >= 500000 * (sa.n + sb.n - p.inter)
+        |ORDER BY doc_a, doc_b""".stripMargin)
     )
   )
 
