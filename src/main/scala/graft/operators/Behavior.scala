@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral / event-sequence analytics over an event stream shape
+  * `(user, type, ts, id)` — the funnel, transition-matrix and cohort
+  * views every product warehouse serves.
+  *
+  * All three are windows-and-aggregates compositions: one shuffle on
+  * the user key dominates each (plus one tiny rollup), so they scale
+  * like any keyed window. Sequence order is always (ts, id) — the id
+  * tie-break makes every result deterministic under equal
+  * timestamps.
+  */
+object Behavior {
+
+  /** ORDERED funnel: stage i counts a user only if stage i's event
+    * occurs STRICTLY AFTER that user's earliest qualifying stage-i−1
+    * event (the earliest-completion semantics). One aggregation pass
+    * per stage (stages are few; each pass is a user-keyed shuffle).
+    * Output: (stage, event_type, n_users), stage 1-based.
+    */
+  def funnel(
+      events: DataFrame,
+      stages: Seq[String],
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(stages.nonEmpty, "funnel: no stages")
+    var cur = events
+      .groupBy(col(userCol))
+      .agg(min(when(col(typeCol) === stages.head, col(tsCol))).as("t1"))
+    for (i <- 2 to stages.size) {
+      val prevCols = (1 until i).map(j => s"t$j")
+      cur = events
+        .join(cur, Seq(userCol))
+        .groupBy((userCol +: prevCols).map(col): _*)
+        .agg(min(when(
+          col(typeCol) === stages(i - 1) && col(tsCol) > col(s"t${i - 1}"),
+          col(tsCol))).as(s"t$i"))
+    }
+    val counts = cur.agg(
+      count(col("t1")).as("n1"),
+      (2 to stages.size).map(i => count(col(s"t$i")).as(s"n$i")): _*)
+    counts.select(posexplode(array((1 to stages.size).map(i => col(s"n$i")): _*))
+        .as(Seq("idx", "n_users")))
+      .select(
+        (col("idx") + 1).cast("int").as("stage"),
+        element_at(typedLit(stages), col("idx") + 1).as("event_type"),
+        col("n_users"))
+  }
+
+  /** First-order transition matrix: counts of consecutive
+    * (prev_type → type) pairs per user in (ts, id) order. Output:
+    * (prev_type, event_type, n), the Markov-chain view of behavior.
+    */
+  def transitions(
+      events: DataFrame,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol).asc, col(idCol).asc)
+    events
+      .withColumn("prev_type", lag(col(typeCol), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col(typeCol))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Weekly cohort retention: users grouped by the week of their
+    * FIRST event; each (cohort_week, week_offset) cell counts the
+    * distinct users of that cohort active in that week. Weeks are
+    * `date_trunc('week', …)` (Monday-start in Spark and DuckDB
+    * alike); the offset is an exact integer division of the
+    * microsecond gap. Output: (cohort_week, week_offset, n_users).
+    */
+  def cohortRetention(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val firstTs = events.groupBy(col(userCol))
+      .agg(date_trunc("week", min(col(tsCol))).as("cohort_week"))
+    events
+      .join(firstTs, Seq(userCol))
+      .select(
+        col(userCol), col("cohort_week"),
+        ((unix_micros(date_trunc("week", col(tsCol))) - unix_micros(col("cohort_week")))
+          / lit(604800000000L)).cast("int").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count_distinct(col(userCol)).as("n_users"))
+  }
+}

@@ -2633,6 +2633,73 @@ object ExtQueries {
         |JOIN sz sb ON sb.doc_id = p.doc_b
         |WHERE p.inter * 1000000 >= 500000 * (sa.n + sb.n - p.inter)
         |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // Ordered funnel (view → click → purchase): stage i counts a
+    // user only if its event falls STRICTLY AFTER the user's earliest
+    // qualifying stage-(i−1) event — one user-keyed aggregation pass
+    // per stage, replayed by the oracle's chained CTEs.
+    GraftQuery(
+      "x92_funnel",
+      (s, d) =>
+        graft.operators.Behavior.funnel(
+            t(s, d, "events"), Seq("view", "click", "purchase"))
+          .orderBy("stage"),
+      Some("""WITH s1 AS (
+        |  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        |  FROM events GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, s1.t1,
+        |         MIN(CASE WHEN e.event_type = 'click' AND e.ts > s1.t1 THEN e.ts END) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id GROUP BY e.user_id, s1.t1),
+        |s3 AS (
+        |  SELECT e.user_id, s2.t1, s2.t2,
+        |         MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t2 THEN e.ts END) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id GROUP BY e.user_id, s2.t1, s2.t2)
+        |SELECT 1 AS stage, 'view' AS event_type, COUNT(t1) AS n_users FROM s3
+        |UNION ALL SELECT 2, 'click', COUNT(t2) FROM s3
+        |UNION ALL SELECT 3, 'purchase', COUNT(t3) FROM s3
+        |ORDER BY stage""".stripMargin)
+    ),
+
+    // First-order transition matrix in (ts, event_id) order — the
+    // Markov-chain view of user behavior; one window + one rollup.
+    GraftQuery(
+      "x93_transitions",
+      (s, d) =>
+        graft.operators.Behavior.transitions(t(s, d, "events"))
+          .orderBy("prev_type", "event_type"),
+      Some("""WITH o AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type, COUNT(*) AS n
+        |FROM o WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type
+        |ORDER BY prev_type, event_type""".stripMargin)
+    ),
+
+    // Weekly cohort retention: cohort = Monday-truncated week of each
+    // user's first event; offsets are exact integer divisions of the
+    // microsecond gap (date_trunc('week') is Monday-start in both
+    // engines).
+    GraftQuery(
+      "x94_cohort_retention",
+      (s, d) =>
+        graft.operators.Behavior.cohortRetention(t(s, d, "events"))
+          .orderBy("cohort_week", "week_offset"),
+      Some("""WITH f AS (
+        |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, f.cohort_week,
+        |         CAST((epoch_us(date_trunc('week', e.ts)) - epoch_us(f.cohort_week))
+        |              // 604800000000 AS INT) AS week_offset
+        |  FROM events e JOIN f USING (user_id))
+        |SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS n_users
+        |FROM c GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin)
     )
   )
 

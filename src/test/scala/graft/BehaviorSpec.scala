@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Behavior
+
+class BehaviorSpec extends SparkSpec {
+
+  private def ts(min: Int) = new Timestamp(1704067200000L + min * 60000L) // 2024-01-01 UTC
+
+  private def events = {
+    import sqlImplicits._
+    Seq(
+      // u1 completes view→click→buy in order
+      (1L, "view", ts(0), 1L), (1L, "click", ts(10), 2L), (1L, "buy", ts(20), 3L),
+      // u2 clicks BEFORE viewing: stage 2 must not count the early click
+      (2L, "click", ts(0), 4L), (2L, "view", ts(5), 5L), (2L, "buy", ts(9), 6L),
+      // u3 views only
+      (3L, "view", ts(1), 7L),
+      // u4 never views
+      (4L, "click", ts(1), 8L), (4L, "buy", ts(2), 9L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+  }
+
+  test("funnel enforces strict event ordering per user") {
+    val got = Behavior.funnel(events, Seq("view", "click", "buy"))
+      .orderBy("stage")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // stage1: u1,u2,u3 viewed → 3; stage2: only u1 clicked after
+    // viewing → 1 (u2's click precedes the view); stage3: u1 → 1
+    assert(got.toSeq == Seq((1, "view", 3L), (2, "click", 1L), (3, "buy", 1L)))
+  }
+
+  test("transitions count consecutive pairs in (ts, id) order") {
+    val got = Behavior.transitions(events)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("view", "click") -> 1L, ("click", "buy") -> 2L,
+      ("click", "view") -> 1L, ("view", "buy") -> 1L))
+  }
+
+  test("cohort retention: first-week cohorts with exact week offsets") {
+    import sqlImplicits._
+    val wk = 7 * 24 * 60
+    val log = Seq(
+      (1L, ts(0), 1L), (1L, ts(wk + 5), 2L), (1L, ts(3 * wk), 3L),
+      (2L, ts(wk), 4L), (2L, ts(wk + 10), 5L),
+      (3L, ts(2), 6L))
+      .toDF("user_id", "ts", "event_id")
+    val got = Behavior.cohortRetention(log)
+      .collect().map(r => (r.getTimestamp(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // 2024-01-01 is a Monday: cohort week = that Monday for u1/u3,
+    // the next Monday for u2
+    val w0 = ts(0); val w1 = ts(wk)
+    assert(got == Map(
+      (w0, 0) -> 2L, (w0, 1) -> 1L, (w0, 3) -> 1L,
+      (w1, 0) -> 1L))
+  }
+
+  test("results are independent of partitioning") {
+    val a = Behavior.transitions(events.coalesce(1)).collect().map(_.toSeq).toSet
+    val b = Behavior.transitions(events.repartition(7)).collect().map(_.toSeq).toSet
+    assert(a == b)
+    val fa = Behavior.funnel(events.repartition(5), Seq("view", "click", "buy"))
+      .collect().map(_.toSeq).toSet
+    val fb = Behavior.funnel(events.coalesce(1), Seq("view", "click", "buy"))
+      .collect().map(_.toSeq).toSet
+    assert(fa == fb)
+  }
+}
