@@ -171,6 +171,33 @@ object ScaleProbe {
       time(s"weighted_sample        x$k",
         graft.operators.DataMix.md5WeightedSample(
           d, 1000, "n_chars", "doc_id", Seq(col("doc_id"))))
+      // Exact-threshold Jaccard set join: lossless prefix index —
+      // candidate volume rides the rare-token postings, so the curve
+      // must track pair volume, not corpus².
+      time(s"jaccard_setjoin        x$k",
+        graft.operators.SetJoin.jaccardJoin(
+          graft.operators.DataMix.md5Sample(d, 0.25, Seq(col("doc_id"))), 0.5))
+      // PageRank / triangles on a synthetic doc-similarity graph
+      // (doc_id chain + modular shortcuts): per-round cost is one
+      // edge join, so both curves must track |E| linearly.
+      locally {
+        val n = lit(5000L) * k
+        val edges = graft.operators.PageRank.undirected(
+          d.select(col("doc_id").as("src"), ((col("doc_id") + 1) % n).as("dst"))
+            // i→i+2 chords close every consecutive triple into a
+            // triangle, so the triangle probe counts real work
+            .unionByName(d.select(col("doc_id").as("src"), ((col("doc_id") + 2) % n).as("dst")))
+            .unionByName(d.select(col("doc_id").as("src"), (col("doc_id") % 97).as("dst"))))
+        time(s"pagerank_5it           x$k", graft.operators.PageRank.ranks(edges, 5))
+        time(s"triangles              x$k", graft.operators.Triangles.perNode(edges))
+      }
+      // Mergeable HLL over the token stream: one scan + a k-register
+      // aggregate — the curve is the scan curve.
+      time(s"hll_distinct           x$k",
+        graft.operators.Hll.distinctByGroup(
+          d.select(col("lang"),
+            explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok")),
+          Seq("lang"), "tok"))
       // Interval coalescing: synthetic per-key interval chains (1000
       // keys, 5-min steps, 8-min widths → long overlap islands); cost
       // is one shuffle + per-key sort.

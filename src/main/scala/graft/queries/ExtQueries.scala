@@ -2700,6 +2700,33 @@ object ExtQueries {
         |SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS n_users
         |FROM c GROUP BY cohort_week, week_offset
         |ORDER BY cohort_week, week_offset""".stripMargin)
+    ),
+
+    // Time-series regularization: per-user 6-hour dense grid over the
+    // event stream, bucket MAX values, gaps forward-filled with the
+    // per-bucket observation count marking missing-ness.
+    GraftQuery(
+      "x95_resample_ffill",
+      (s, d) =>
+        graft.operators.Resample.ffillGrid(
+            t(s, d, "events"), Seq("user_id"), "ts", "value", 21600L)
+          .select(
+            col("user_id"), col("bucket"), col("n"),
+            round(col("v_ffill"), 4).as("v_ffill"))
+          .orderBy("user_id", "bucket"),
+      Some("""WITH b AS (
+        |  SELECT user_id, epoch_us(ts) // 21600000000 AS bucket,
+        |         MAX(value) AS v, COUNT(value) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY user_id, bucket),
+        |r AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM b GROUP BY user_id),
+        |g AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket FROM r)
+        |SELECT g.user_id, CAST(g.bucket AS BIGINT) AS bucket,
+        |       coalesce(b.n, 0) AS n,
+        |       round(last_value(b.v IGNORE NULLS)
+        |               OVER (PARTITION BY g.user_id ORDER BY g.bucket
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_ffill
+        |FROM g LEFT JOIN b ON b.user_id = g.user_id AND b.bucket = g.bucket
+        |ORDER BY g.user_id, g.bucket""".stripMargin)
     )
   )
 
