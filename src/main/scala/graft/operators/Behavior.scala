@@ -27,18 +27,24 @@ object Behavior {
       stages: Seq[String],
       userCol: String = "user_id",
       typeCol: String = "event_type",
-      tsCol: String = "ts"): DataFrame = {
+      tsCol: String = "ts",
+      withinSeconds: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel: no stages")
+    require(withinSeconds.forall(_ > 0), "funnel: withinSeconds must be positive")
     var cur = events
       .groupBy(col(userCol))
       .agg(min(when(col(typeCol) === stages.head, col(tsCol))).as("t1"))
     for (i <- 2 to stages.size) {
       val prevCols = (1 until i).map(j => s"t$j")
+      // strict-after, optionally within the conversion window of the
+      // previous stage's completion
+      val inWindow = withinSeconds.fold(lit(true))(w =>
+        unix_micros(col(tsCol)) - unix_micros(col(s"t${i - 1}")) <= w * 1000000L)
       cur = events
         .join(cur, Seq(userCol))
         .groupBy((userCol +: prevCols).map(col): _*)
         .agg(min(when(
-          col(typeCol) === stages(i - 1) && col(tsCol) > col(s"t${i - 1}"),
+          col(typeCol) === stages(i - 1) && col(tsCol) > col(s"t${i - 1}") && inWindow,
           col(tsCol))).as(s"t$i"))
     }
     val counts = cur.agg(

@@ -2727,6 +2727,37 @@ object ExtQueries {
         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_ffill
         |FROM g LEFT JOIN b ON b.user_id = g.user_id AND b.bucket = g.bucket
         |ORDER BY g.user_id, g.bucket""".stripMargin)
+    ),
+
+    // Funnel with a 24-hour conversion window: each stage must land
+    // strictly after AND within 86400 s of the previous stage's
+    // earliest completion.
+    GraftQuery(
+      "x96_funnel_window",
+      (s, d) =>
+        graft.operators.Behavior.funnel(
+            t(s, d, "events"), Seq("view", "click", "purchase"),
+            withinSeconds = Some(86400L))
+          .orderBy("stage"),
+      Some("""WITH s1 AS (
+        |  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        |  FROM events GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, s1.t1,
+        |         MIN(CASE WHEN e.event_type = 'click' AND e.ts > s1.t1
+        |                   AND epoch_us(e.ts) - epoch_us(s1.t1) <= 86400000000
+        |                  THEN e.ts END) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id GROUP BY e.user_id, s1.t1),
+        |s3 AS (
+        |  SELECT e.user_id, s2.t1, s2.t2,
+        |         MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t2
+        |                   AND epoch_us(e.ts) - epoch_us(s2.t2) <= 86400000000
+        |                  THEN e.ts END) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id GROUP BY e.user_id, s2.t1, s2.t2)
+        |SELECT 1 AS stage, 'view' AS event_type, COUNT(t1) AS n_users FROM s3
+        |UNION ALL SELECT 2, 'click', COUNT(t2) FROM s3
+        |UNION ALL SELECT 3, 'purchase', COUNT(t3) FROM s3
+        |ORDER BY stage""".stripMargin)
     )
   )
 

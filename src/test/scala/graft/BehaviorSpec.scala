@@ -33,6 +33,19 @@ class BehaviorSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, "view", 3L), (2, "click", 1L), (3, "buy", 1L)))
   }
 
+  test("conversion window drops slow completions") {
+    // u1 clicks 10 min after viewing: a 5-minute window loses stage 2
+    val tight = Behavior.funnel(
+      events, Seq("view", "click", "buy"), withinSeconds = Some(300L))
+      .orderBy("stage").collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(tight.toSeq == Seq((1, 3L), (2, 0L), (3, 0L)))
+    // u2's 4-minute view→buy also fits a 5-minute DIRECT funnel
+    val direct = Behavior.funnel(
+      events, Seq("view", "buy"), withinSeconds = Some(300L))
+      .orderBy("stage").collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(direct.toSeq == Seq((1, 3L), (2, 1L)))
+  }
+
   test("transitions count consecutive pairs in (ts, id) order") {
     val got = Behavior.transitions(events)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
