@@ -67,7 +67,14 @@ object Hll {
     */
   def estimate(registers: Column, p: Int = 12): Column = {
     val m = (1 << p).toDouble
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // Flajolet et al. §4 prescribe fixed bias constants for small m;
+    // the asymptotic 0.7213/(1+1.079/m) only holds for m >= 128.
+    val alpha = p match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
     val z = size(filter(registers, r => r === 0)).cast("double")
     val s = aggregate(
       registers, lit(0.0), (acc, r) => acc + pow(lit(2.0), -r.cast("double")))

@@ -24,24 +24,54 @@ object Resample {
     * bucket and `v_ffill` the forward-filled per-bucket MAX of
     * `valueCol`. Leading gaps before a key's first observation don't
     * exist (grid starts at the key's first bucket).
+    *
+    * Scale guard: the forward-fill window sorts each key's ENTIRE
+    * grid in one task, so one key with a years-long spread at a
+    * 1-second step would become a single monster partition at 100×.
+    * `maxGridPerKey` bounds the per-key grid LOUDLY — the bound is
+    * evaluated inside the plan (`assert_true` fused into the
+    * `sequence` upper bound, no extra driver action), so a
+    * pathological key fails the job with a named error instead of
+    * silently producing a straggler task.
     */
   def ffillGrid(
       df: DataFrame,
       keyCols: Seq[String],
       tsCol: String,
       valueCol: String,
-      stepSeconds: Long): DataFrame = {
+      stepSeconds: Long,
+      maxGridPerKey: Long = 2000000L): DataFrame = {
     require(stepSeconds > 0, s"ffillGrid: step must be positive, got $stepSeconds")
+    require(maxGridPerKey > 0, s"ffillGrid: maxGridPerKey must be positive, got $maxGridPerKey")
     val stepUs = stepSeconds * 1000000L
+    // FLOOR division, not `div` (which truncates toward zero): a
+    // pre-1970 timestamp has negative epoch micros and must land in
+    // the bucket below, matching the oracle's `//`. Subtracting the
+    // (always non-negative) pmod makes the numerator an exact multiple,
+    // so the trailing `div` is exact for either sign.
+    val bucketExpr = expr(
+      s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), ${stepUs}L)) div ${stepUs}L")
     val buckets = df
       .filter(col(tsCol).isNotNull)
-      .groupBy((keyCols.map(col) :+
-        expr(s"unix_micros($tsCol) div ${stepUs}L").as("bucket")): _*)
+      .groupBy((keyCols.map(col) :+ bucketExpr.as("bucket")): _*)
       .agg(max(col(valueCol)).as("v"), count(col(valueCol)).as("n"))
+    // coalesce(assert_true(...), b1): the assert yields NULL when the
+    // bound holds (so the sequence upper bound is b1) and raises
+    // otherwise — fusing the guard into a needed expression keeps the
+    // optimizer from pruning it.
+    val guardedB1 = coalesce(
+      assert_true(
+        col("b1") - col("b0") < lit(maxGridPerKey),
+        concat(
+          lit(s"ffillGrid: per-key grid exceeds $maxGridPerKey buckets ("),
+          col("b1") - col("b0") + 1,
+          lit(s" needed at step=${stepSeconds}s) — raise stepSeconds or maxGridPerKey"))
+      ).cast("long"),
+      col("b1"))
     val grid = buckets
       .groupBy(keyCols.map(col): _*)
       .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
-      .select((keyCols.map(col) :+ explode(sequence(col("b0"), col("b1"))).as("bucket")): _*)
+      .select((keyCols.map(col) :+ explode(sequence(col("b0"), guardedB1)).as("bucket")): _*)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("bucket").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

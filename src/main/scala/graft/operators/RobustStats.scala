@@ -63,14 +63,22 @@ object RobustStats {
       df: DataFrame,
       groupCols: Seq[String],
       valueCol: String,
-      k: Double = 1.5): DataFrame =
-    iqrOutliers(df, groupCols, valueCol, k)
+      k: Double = 1.5): DataFrame = {
+    val fences = iqrFences(df, groupCols, valueCol, k)
+    df.join(Broadcasting.maybeBroadcast(fences), groupCols)
       .groupBy(groupCols.map(col): _*)
       .agg(
         count(col(valueCol)).as("n"),
-        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+        sum(when(
+          col(valueCol).isNotNull &&
+            (col(valueCol) < col("lo_fence") || col(valueCol) > col("hi_fence")),
+          1L).otherwise(0L)).as("n_outliers"),
+        first(col("q1")).as("q1"),
+        first(col("q3")).as("q3"),
+        first(col("iqr")).as("iqr"),
         first(col("lo_fence")).as("lo_fence"),
         first(col("hi_fence")).as("hi_fence"))
+  }
 
   /** Per-group median absolute deviation: `(groupCols*, med, mad)` —
     * two exact-percentile passes (median, then median of absolute

@@ -1983,6 +1983,8 @@ object ExtQueries {
     // cluster (token count as the quality score; ties → lowest id) —
     // the full production dedup policy (resolve + keep-best + removal
     // list) certified end-to-end by one recursive-CTE + rank replay.
+    // removed_ids is serialized to csv (the x16/q32 convention): the
+    // driver's pandas comparator cannot hash ndarray cells.
     GraftQuery(
       "x71_dedup_keep_best",
       (s, d) => {
@@ -1991,6 +1993,9 @@ object ExtQueries {
             col("doc_id"),
             size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("score"))
         Dedup.dedupReportBest(charPortablePairs(s, d).select("doc_a", "doc_b"), scores)
+          .select(
+            col("keep_id"), col("cluster_size"),
+            array_join(transform(col("removed_ids"), _.cast("string")), ",").as("removed_csv"))
           .orderBy("keep_id")
       },
       Some(s"""WITH RECURSIVE $charPortablePairsCte,
@@ -2020,9 +2025,10 @@ object ExtQueries {
         |         MIN(CASE WHEN rk = 1 THEN id END) AS keep_id
         |  FROM m GROUP BY 1),
         |rem AS (
-        |  SELECT cluster_id, list(id ORDER BY id) AS removed_ids
+        |  SELECT cluster_id,
+        |         string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS removed_csv
         |  FROM m WHERE rk <> 1 GROUP BY 1)
-        |SELECT keep_id, cluster_size, removed_ids
+        |SELECT keep_id, cluster_size, removed_csv
         |FROM base JOIN rem USING (cluster_id)
         |WHERE cluster_size > 1 ORDER BY keep_id""".stripMargin)
     ),
@@ -2578,6 +2584,9 @@ object ExtQueries {
         graft.operators.RobustStats.iqrSummary(t(s, d, "events"), Seq("event_type"), "value")
           .select(
             col("event_type"), col("n"), col("n_outliers"),
+            round(col("q1"), 4).as("q1"),
+            round(col("q3"), 4).as("q3"),
+            round(col("iqr"), 4).as("iqr"),
             round(col("lo_fence"), 4).as("lo_fence"),
             round(col("hi_fence"), 4).as("hi_fence"))
           .orderBy("event_type"),
@@ -2587,13 +2596,16 @@ object ExtQueries {
         |         quantile_cont(value, 0.75) AS q3
         |  FROM events GROUP BY event_type),
         |x AS (
-        |  SELECT e.event_type, e.value,
+        |  SELECT e.event_type, e.value, f.q1, f.q3,
         |         f.q1 - 1.5 * (f.q3 - f.q1) AS lo_fence,
         |         f.q3 + 1.5 * (f.q3 - f.q1) AS hi_fence
         |  FROM events e JOIN f USING (event_type))
         |SELECT event_type, COUNT(value) AS n,
         |       COUNT(CASE WHEN value < lo_fence OR value > hi_fence
         |                  THEN 1 END) AS n_outliers,
+        |       round(ANY_VALUE(q1), 4) AS q1,
+        |       round(ANY_VALUE(q3), 4) AS q3,
+        |       round(ANY_VALUE(q3) - ANY_VALUE(q1), 4) AS iqr,
         |       round(ANY_VALUE(lo_fence), 4) AS lo_fence,
         |       round(ANY_VALUE(hi_fence), 4) AS hi_fence
         |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin)

@@ -141,7 +141,9 @@ object PortableAnn {
     * x48), keep = farthest-from-centroid (lowest csim, ties → lowest
     * id — the SemDeDup keep rule). Every float op is an
     * integer-derived division or sqrt, so DuckDB replays the report
-    * bit-for-bit. Output: (keep_id, cluster_size, removed_ids).
+    * bit-for-bit. Output: (keep_id, cluster_size, removed_csv) — the
+    * removal list is serialized to csv (the x16/q32 convention; the
+    * driver's pandas comparator cannot hash list cells).
     */
   def semanticDedup(embeddings: DataFrame, minCosine: Double = 0.4): DataFrame = {
     val base = sharedBase(embeddings)
@@ -177,7 +179,9 @@ object PortableAnn {
         min(when(col("rk") === 1, col("id"))).as("keep_id"),
         array_sort(collect_list(when(col("rk") =!= 1, col("id")))).as("removed_ids"))
       .filter(col("cluster_size") > 1)
-      .select("keep_id", "cluster_size", "removed_ids")
+      .select(
+        col("keep_id"), col("cluster_size"),
+        array_join(transform(col("removed_ids"), _.cast("string")), ",").as("removed_csv"))
       .orderBy("keep_id")
   }
 
@@ -570,9 +574,10 @@ object PortableAnn {
        |         MIN(CASE WHEN rk = 1 THEN id END) AS keep_id
        |  FROM m GROUP BY 1),
        |rem AS (
-       |  SELECT cluster_id, list(id ORDER BY id) AS removed_ids
+       |  SELECT cluster_id,
+       |         string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS removed_csv
        |  FROM m WHERE rk <> 1 GROUP BY 1)
-       |SELECT keep_id, cluster_size, removed_ids
+       |SELECT keep_id, cluster_size, removed_csv
        |FROM bs JOIN rem USING (cluster_id)
        |WHERE cluster_size > 1 ORDER BY keep_id""".stripMargin
 

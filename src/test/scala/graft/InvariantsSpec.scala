@@ -87,6 +87,29 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("oracled queries expose no top-level array/map columns (driver comparator limit)") {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    // The driver's DuckDB comparator sorts rows with pandas, which
+    // cannot hash list/ndarray cells — an array-valued output column
+    // silently turns the query's gate into an `err` row (the r5
+    // x71/x78 failure). Serialize lists to csv (the q32/x16
+    // convention) before declaring. Schema-only: no action is run.
+    val oracled = SparkEntry.oracleSql.keySet
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => oracled(name) }
+      .flatMap { case (name, fn) =>
+        fn(spark, "/root/testdata/sf0.001").schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+      }
+    assert(
+      offenders.isEmpty,
+      s"serialize these columns (array_join/to_json) before declaring:\n${offenders.mkString("\n")}")
+  }
+
   test("packSequences: conserves rows and tokens per stratum; bin ids start at 0 and are dense") {
     import sqlImplicits._
     val d = (1L to 500L)

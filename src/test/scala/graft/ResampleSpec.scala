@@ -36,6 +36,32 @@ class ResampleSpec extends SparkSpec {
       ("k2", 5L, 1L, 1.0)))
   }
 
+  test("pre-1970 timestamps floor to the bucket below (negative epoch)") {
+    import sqlImplicits._
+    // 1969-12-31 23:30 UTC = epoch −1800 s → hour bucket −1, not 0
+    // (truncation toward zero would land it in bucket 0).
+    val df = Seq(("k", new Timestamp(-1800000L), 1.0)).toDF("k", "ts", "v")
+    val got = Resample.ffillGrid(df, Seq("k"), "ts", "v", 3600L)
+      .collect().map(r => r.getLong(1))
+    assert(got.toSeq == Seq(-1L), s"got ${got.toSeq}")
+  }
+
+  test("a pathological key (wide spread, tiny step) fails loudly, not as a straggler") {
+    import sqlImplicits._
+    // 2001-bucket grid at a 1 s step against a 100-bucket cap.
+    val df = Seq(
+      ("k", new Timestamp(1704067200000L), 1.0),
+      ("k", new Timestamp(1704067200000L + 2000000L), 2.0)).toDF("k", "ts", "v")
+    val e = intercept[Exception] {
+      Resample.ffillGrid(df, Seq("k"), "ts", "v", 1L, maxGridPerKey = 100L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("ffillGrid")), e.toString)
+    // the same data passes under the default cap
+    assert(Resample.ffillGrid(df, Seq("k"), "ts", "v", 1L).count() == 2001L)
+  }
+
   test("result is independent of partitioning") {
     val a = Resample.ffillGrid(sample.coalesce(1), Seq("k"), "ts", "v", 3600L)
       .collect().map(_.toSeq).toSet

@@ -34,13 +34,29 @@ class SetJoinSpec extends SparkSpec {
   test("prefix filtering is lossless: result equals brute force at every threshold") {
     import sqlImplicits._
     val df = corpus.toDF("doc_id", "text")
-    for (t <- Seq(0.3, 0.5, 0.8)) {
+    // 0.55 and 1/3 exercise the thresholds where float ⌈t·sz⌉ rounds
+    // one above the exact integer product; 1/3 is not 1e-6-representable
+    // (brute quantizes identically, so both sides agree on tq/1e6).
+    for (t <- Seq(0.3, 1.0 / 3, 0.5, 0.55, 0.8)) {
       val got = SetJoin.jaccardJoin(df, t)
         .select("doc_a", "doc_b")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == brute(t), s"t=$t")
     }
     assert(brute(0.5).nonEmpty) // the planted dups actually bite
+  }
+
+  test("a pair at exactly the threshold survives the float-ceil rounding trap") {
+    import sqlImplicits._
+    // 0.55d * 20 = 11.000000000000001 → a float ceil yields 12 and
+    // silently shortens the prefix; the integer bound keeps the pair.
+    // Doc A: 20 distinct tokens; doc B: an 11-token subset → J = 0.55.
+    val a = (1 to 20).map(i => s"t$i")
+    val df = Seq(1L -> a.mkString(" "), 2L -> a.take(11).mkString(" "))
+      .toDF("doc_id", "text")
+    val got = SetJoin.jaccardJoin(df, 0.55)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(5)))
+    assert(got.toSeq == Seq((1L, 2L, 11, 0.55)), s"got ${got.toSeq}")
   }
 
   test("reported intersection and jaccard are exact") {
