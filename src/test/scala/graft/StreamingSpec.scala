@@ -393,6 +393,47 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS stream_hh_state")
   }
 
+  test("streaming distinct-count maintenance equals the from-scratch sketch, exactly-once under replay") {
+    import sqlImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Hll
+    val rows = (1 to 800).map(i => (s"g${i % 3}", s"u${(i * 31) % 157}"))
+    val stream = MemoryStream[(String, String)]
+    spark.sql("DROP TABLE IF EXISTS stream_hll_state")
+    val q = EventStreams.maintainDistinct(
+      stream.toDF().toDF("g", "u"), "stream_hll_state", Seq("g"), "u", p = 10)
+    // three uneven micro-batches (incl. a single-row one)
+    stream.addData(rows.take(300): _*); q.processAllAvailable()
+    stream.addData(rows.slice(300, 301): _*); q.processAllAvailable()
+    stream.addData(rows.drop(301): _*); q.processAllAvailable()
+    q.stop()
+
+    // Register-level equality, not just estimates: the element-wise
+    // max merge must make batching invisible.
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      df.select("g", "registers").orderBy("g")
+        .collect().map(r => (r.getString(0), r.getSeq[Int](1).toSeq)).toSeq
+    val streamed = regs(spark.table("stream_hll_state").drop("__last_batch"))
+    val scratch = regs(Hll.distinctByGroup(rows.toDF("g", "u"), Seq("g"), "u", 10).drop("est"))
+    assert(streamed == scratch)
+
+    // Replayed batch id: the watermark must make the fold a no-op.
+    EventStreams.foldDistinctBatch(
+      rows.take(300).toDF("g", "u"), batchId = 0L, "stream_hll_state", Seq("g"), "u", 10)
+    assert(regs(spark.table("stream_hll_state").drop("__last_batch")) == streamed,
+      "replayed batch changed the registers")
+
+    // The estimate stays inside the p=10 error band (~3.3% at 1.04/√m).
+    val est = spark.table("stream_hll_state")
+      .withColumn("est", Hll.estimate(col("registers"), 10))
+      .select("g", "est").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    exact.foreach { case (g, n) =>
+      assert(math.abs(est(g) - n) <= math.max(3L, (n * 0.15).toLong), s"$g: est=${est(g)} exact=$n")
+    }
+    spark.sql("DROP TABLE IF EXISTS stream_hll_state")
+  }
+
   test("mapGroupsWithState sessionizer accumulates per user across batches") {
     import sqlImplicits._
     implicit val sqlCtx = spark.sqlContext
