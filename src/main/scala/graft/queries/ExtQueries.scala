@@ -2770,6 +2770,133 @@ object ExtQueries {
         |UNION ALL SELECT 2, 'click', COUNT(t2) FROM s3
         |UNION ALL SELECT 3, 'purchase', COUNT(t3) FROM s3
         |ORDER BY stage""".stripMargin)
+    ),
+
+    // Count-Min point-frequency estimates (hot path): the xxhash64
+    // operator sketch over the token stream, probed with the tokens of
+    // every 100th document. xxhash64 → rows-only; counter/merge/
+    // estimate logic is spec-pinned (CountMinSpec, StreamingSpec) and
+    // the x98 twin oracles the identical pipeline shape.
+    GraftQuery(
+      "x97_cms_frequency",
+      (s, d) => {
+        val toks = graft.operators.OpCache.swap(
+          "ext.x76.toks",
+          t(s, d, "documents").select(
+            col("doc_id"),
+            explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok")))
+        val sk = graft.operators.CountMin.sketch(toks, "tok", d = 4, w = 512)
+        val probes = toks.filter(col("doc_id") % 100 === 0).select("tok")
+        graft.operators.CountMin.estimate(sk, probes, "tok", d = 4, w = 512)
+          .orderBy(col("est").desc, col("tok").asc)
+          .limit(25)
+      },
+      None
+    ),
+
+    // Engine-portable Count-Min twin: the same sketch→min-estimate
+    // pipeline with md5-nibble cells (2 hex nibbles → 0..255, the x40
+    // hex→int convention), d=4, probing EVERY distinct token and
+    // carrying the exact recount — est, exact and the one-sided
+    // overestimate guarantee all hash-compared against DuckDB's
+    // replay. A cell-index slip, counter miscount, or min-over-rows
+    // error flips the hash; is_over=false anywhere breaks the CMS
+    // contract itself.
+    GraftQuery(
+      "x98_cms_portable",
+      (s, d) => {
+        val occ = graft.operators.OpCache.swap(
+          "ext.x76.toks",
+          t(s, d, "documents").select(
+            col("doc_id"),
+            explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok")))
+          .select("tok")
+        def nib(h: org.apache.spark.sql.Column, i: Int) =
+          instr(lit("0123456789abcdef"), substring(h, i, 1)) - 1
+        def cellIdx(tokC: org.apache.spark.sql.Column, jC: org.apache.spark.sql.Column) = {
+          val h = md5(concat(lit("c"), lit("\u0001"), jC.cast("string"), lit("\u0001"), tokC))
+          nib(h, 1) * lit(16) + nib(h, 2)
+        }
+        val withJ = occ.select(
+          col("tok"), explode(array((0 until 4).map(j => lit(j)): _*)).as("j"))
+        val sk = graft.operators.OpCache.swap(
+          "ext.x98.sketch",
+          withJ.groupBy(col("j"), cellIdx(col("tok"), col("j")).as("idx"))
+            .agg(count(lit(1)).as("cnt")))
+        val probes = occ.distinct()
+          .select(col("tok"), explode(array((0 until 4).map(j => lit(j)): _*)).as("j"))
+          .withColumn("idx", cellIdx(col("tok"), col("j")))
+        val est = probes.join(graft.operators.Broadcasting.maybeBroadcast(sk), Seq("j", "idx"), "left")
+          .groupBy(col("tok"))
+          .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+        val exact = occ.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+        est.join(exact, Seq("tok"))
+          .select(col("tok"), col("est"), col("exact_n"), (col("est") >= col("exact_n")).as("is_over"))
+          .orderBy(col("est").desc, col("tok").asc)
+          .limit(25)
+      },
+      Some("""WITH tk AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                            x -> length(x) > 0)) AS tok
+        |  FROM documents),
+        |jx AS (SELECT tok, CAST(j.range AS INT) AS j FROM tk, range(4) AS j),
+        |hx AS (
+        |  SELECT j, tok,
+        |         (strpos('0123456789abcdef',
+        |            substring(md5('c' || chr(1) || CAST(j AS VARCHAR) || chr(1) || tok), 1, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef',
+        |            substring(md5('c' || chr(1) || CAST(j AS VARCHAR) || chr(1) || tok), 2, 1)) - 1) AS idx
+        |  FROM jx),
+        |sk AS (SELECT j, idx, COUNT(*) AS cnt FROM hx GROUP BY 1, 2),
+        |pr AS (SELECT DISTINCT tok FROM tk),
+        |px AS (
+        |  SELECT pr.tok, CAST(j.range AS INT) AS j,
+        |         (strpos('0123456789abcdef',
+        |            substring(md5('c' || chr(1) || CAST(j.range AS VARCHAR) || chr(1) || pr.tok), 1, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef',
+        |            substring(md5('c' || chr(1) || CAST(j.range AS VARCHAR) || chr(1) || pr.tok), 2, 1)) - 1) AS idx
+        |  FROM pr, range(4) AS j),
+        |est AS (
+        |  SELECT px.tok, MIN(COALESCE(sk.cnt, 0)) AS est
+        |  FROM px LEFT JOIN sk ON sk.j = px.j AND sk.idx = px.idx
+        |  GROUP BY px.tok),
+        |ex AS (SELECT tok, COUNT(*) AS exact_n FROM tk GROUP BY tok)
+        |SELECT est.tok, est.est, ex.exact_n, est.est >= ex.exact_n AS is_over
+        |FROM est JOIN ex USING (tok)
+        |ORDER BY est.est DESC, est.tok LIMIT 25""".stripMargin)
+    ),
+
+    // In-corpus bigram-LM perplexity scoring (CCNet's quality axis):
+    // add-1/2 smoothed conditional probabilities as exact integer
+    // ratios, each bigram's -ln quantized to integer micro-nats before
+    // the per-doc mean (order-independent sum — see NgramLm), so the
+    // oracle replays model fit AND scoring bit-for-bit.
+    GraftQuery(
+      "x99_bigram_nll",
+      (s, d) =>
+        graft.operators.NgramLm.bigramNll(
+            t(s, d, "documents"), quantizeMicroNats = true)
+          .select(col("doc_id"), col("n_bigrams"), round(col("avg_nll"), 4).as("avg_nll"))
+          .orderBy("doc_id"),
+      Some("""WITH tk AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                             x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |bgi AS (
+        |  SELECT doc_id, toks, unnest(range(1, greatest(len(toks), 1))) AS i FROM tk),
+        |bgr AS (
+        |  SELECT doc_id, toks[CAST(i AS INT)] AS w1,
+        |         toks[CAST(i AS INT)] || chr(1) || toks[CAST(i AS INT) + 1] AS bg
+        |  FROM bgi),
+        |cb AS (SELECT bg, COUNT(*) AS c_bg FROM bgr GROUP BY bg),
+        |chh AS (SELECT w1, COUNT(*) AS c_h FROM bgr GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT u.tok) AS v FROM tk, unnest(toks) AS u(tok))
+        |SELECT bgr.doc_id, COUNT(*) AS n_bigrams,
+        |       ROUND(SUM(CAST(round((ln(CAST(2 * c_h + v.v AS DOUBLE))
+        |                             - ln(CAST(2 * c_bg + 1 AS DOUBLE))) * 1000000) AS BIGINT))
+        |             / (COUNT(*) * 1000000.0), 4) AS avg_nll
+        |FROM bgr JOIN cb USING (bg) JOIN chh USING (w1) CROSS JOIN v
+        |GROUP BY bgr.doc_id ORDER BY doc_id""".stripMargin)
     )
   )
 

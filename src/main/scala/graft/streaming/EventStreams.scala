@@ -391,6 +391,41 @@ object EventStreams {
       b => graft.operators.Hll.distinctByGroup(b, groupCols, keyCol, p).drop("est"),
       (s, d) => graft.operators.Hll.mergeStates(Seq(s, d), groupCols))
 
+  /** Streaming point-frequency maintenance — the
+    * [[graft.operators.CountMin]] face of [[maintainRollup]]: the
+    * (j, idx, cnt) counter table folded per micro-batch through the
+    * same idempotent skeleton. Counters are sums, so the maintained
+    * sketch EQUALS the single-pass sketch of everything folded in
+    * (counter-level, not just estimate-level). Estimate any time with
+    * `CountMin.estimate(spark.table(state).drop("__last_batch"), …)`.
+    */
+  def maintainCountMin(
+      stream: DataFrame,
+      stateTable: String,
+      keyCol: String,
+      d: Int = 4,
+      w: Int = 512,
+      checkpointLocation: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val fold: (DataFrame, Long) => Unit =
+      (batch, id) => foldCountMinBatch(batch, id, stateTable, keyCol, d, w)
+    val wr = stream.writeStream.foreachBatch(fold)
+    checkpointLocation.fold(wr)(p => wr.option("checkpointLocation", p)).start()
+  }
+
+  /** One idempotent fold step of [[maintainCountMin]] (the
+    * point-frequency sibling of [[foldRollupBatch]]).
+    */
+  def foldCountMinBatch(
+      batch: DataFrame,
+      batchId: Long,
+      stateTable: String,
+      keyCol: String,
+      d: Int = 4,
+      w: Int = 512): Unit =
+    foldStateBatch(batch, batchId, stateTable)(
+      b => graft.operators.CountMin.sketch(b, keyCol, d, w),
+      (s, delta) => graft.operators.CountMin.merge(Seq(s, delta)))
+
   /** Convenience: run a streaming DataFrame to completion against a
     * memory sink and return the result table (test/demo harness).
     */

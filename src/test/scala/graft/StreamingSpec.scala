@@ -393,6 +393,45 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS stream_hh_state")
   }
 
+  test("streaming count-min maintenance equals the single-pass sketch, exactly-once under replay") {
+    import sqlImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.CountMin
+    val keys = (1 to 700).map(i => if (i % 3 == 0) "hot" else s"k${(i * 13) % 89}")
+    val stream = MemoryStream[String]
+    spark.sql("DROP TABLE IF EXISTS stream_cms_state")
+    val q = EventStreams.maintainCountMin(
+      stream.toDF().toDF("k"), "stream_cms_state", "k", d = 4, w = 256)
+    stream.addData(keys.take(200): _*); q.processAllAvailable()
+    stream.addData(keys.slice(200, 201): _*); q.processAllAvailable()
+    stream.addData(keys.drop(201): _*); q.processAllAvailable()
+    q.stop()
+
+    // Counter-level equality with the single-pass sketch: counters are
+    // sums, so batching must be invisible.
+    def counters(df: org.apache.spark.sql.DataFrame) =
+      df.select("j", "idx", "cnt").collect().map(_.toSeq).toSet
+    val streamed = counters(spark.table("stream_cms_state").drop("__last_batch"))
+    val single = counters(CountMin.sketch(keys.toDF("k"), "k", d = 4, w = 256))
+    assert(streamed == single)
+
+    // Replayed batch id: the watermark must make the fold a no-op.
+    EventStreams.foldCountMinBatch(
+      keys.take(200).toDF("k"), batchId = 0L, "stream_cms_state", "k", d = 4, w = 256)
+    assert(counters(spark.table("stream_cms_state").drop("__last_batch")) == streamed,
+      "replayed batch inflated the counters")
+
+    // Point estimates from the maintained state respect the one-sided
+    // guarantee against the exact recount.
+    val est = CountMin.estimate(
+      spark.table("stream_cms_state").drop("__last_batch"),
+      keys.toDF("k"), "k", d = 4, w = 256)
+    val exact = keys.toDF("k").groupBy("k").agg(count(lit(1)).as("exact"))
+    assert(est.join(exact, Seq("k")).filter(col("est") < col("exact")).count() == 0)
+    assert(est.filter(col("k") === "hot").head().getLong(1) >= 233L)
+    spark.sql("DROP TABLE IF EXISTS stream_cms_state")
+  }
+
   test("streaming distinct-count maintenance equals the from-scratch sketch, exactly-once under replay") {
     import sqlImplicits._
     implicit val sqlCtx = spark.sqlContext
