@@ -827,4 +827,89 @@ object Similarity {
     }
     books
   }
+
+  // ------------------------------------------------------------ persisted index
+
+  /** Train an IVF-PQ index ONCE and persist its artifacts as
+    * warehouse tables — the 100 TB deployment shape: the expensive
+    * part (k-means cells, PQ codebooks, corpus encoding) runs in one
+    * build job, and every later session probes the stored index
+    * without retraining. Artifacts under `prefix`:
+    *
+    *   {prefix}_cells   (cell, cvec, cnorm)          — coarse quantizer
+    *   {prefix}_books   (sub_j, code, cvec, cn2)     — PQ codebooks
+    *   {prefix}_corpus  (vec_id, vcodes, norm, cell) — m bytes/vector
+    *   {prefix}_meta    (cells, m, codes, sub, dim)  — search parameters
+    *
+    * The index stores CODES, not vectors (~m bytes vs 4·dim per row);
+    * the source embedding table remains the system of record and is
+    * re-read only for the exact re-rank of `rerank`-sized shortlists.
+    * Writes are staged overwrites ([[graft.sources.Tables]]), so a
+    * rebuild is atomic per artifact.
+    */
+  def buildIvfPqIndex(
+      embeddings: DataFrame,
+      prefix: String,
+      cells: Int = 8,
+      m: Int = 8,
+      codes: Int = 32,
+      maxIter: Int = 3,
+      dim: Int = 64): Unit = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    require(codes <= 256, s"codes $codes exceeds one byte — the PQ memory contract")
+    val sub = dim / m
+    val base = prepared(embeddings, "sim.prep")
+    val centroids = memoizedKmeans(base, cells, maxIter)
+    val codebooks = memoPqCodebooks(base, m, codes, maxIter, sub)
+    val packed = encodePacked(base, codebooks, m, sub)
+      .join(assignCells(base, centroids, 1).select(col("vec_id"), col("cell")), Seq("vec_id"))
+    graft.sources.Tables.overwriteTable(centroids, s"${prefix}_cells")
+    graft.sources.Tables.overwriteTable(codebooks, s"${prefix}_books")
+    graft.sources.Tables.overwriteTable(packed, s"${prefix}_corpus")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    graft.sources.Tables.overwriteTable(
+      Seq((cells, m, codes, sub, dim)).toDF("cells", "m", "codes", "sub", "dim"),
+      s"${prefix}_meta")
+  }
+
+  /** Probe a persisted IVF-PQ index: same search dataflow as
+    * [[ivfPqTopK]] — per-query luts against the stored codebooks, ADC
+    * equi-joined on the stored cell assignments, exact re-rank against
+    * the SOURCE embedding table — but with zero training work: cells,
+    * books and encodings are parquet scans. Search parameters (m,
+    * codes, sub) come from `{prefix}_meta`, so a caller cannot probe
+    * with mismatched geometry.
+    * Output: (query_id, neighbor_id, cosine, rank) — cosine EXACT.
+    */
+  def searchIvfPqIndex(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      prefix: String,
+      k: Int = 3,
+      nProbes: Int = 2,
+      rerank: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    val meta = spark.table(s"${prefix}_meta").head()
+    val m = meta.getAs[Int]("m")
+    val codes = meta.getAs[Int]("codes")
+    val sub = meta.getAs[Int]("sub")
+    val centroids = spark.table(s"${prefix}_cells")
+    val codebooks = spark.table(s"${prefix}_books")
+    val packed = spark.table(s"${prefix}_corpus")
+    val qprep = prepared(queries, "sim.prep.q")
+    val lutCells = queryLuts(qprep, codebooks, m, sub)
+      .join(
+        assignCells(qprep, centroids, nProbes).select(col("vec_id").as("query_id"), col("cell")),
+        Seq("query_id"))
+    val approxW = Window.partitionBy("query_id").orderBy(col("approx_cos").desc, col("vec_id").asc)
+    val shortlist = packed
+      .join(maybeBroadcast(lutCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), (adcScore(m, codes) / col("norm")).as("approx_cos"))
+      .withColumn("arank", row_number().over(approxW))
+      .filter(col("arank") <= rerank)
+      .select("query_id", "vec_id")
+    exactRerank(shortlist, prepared(embeddings, "sim.prep"), qprep, k)
+  }
 }

@@ -2897,6 +2897,26 @@ object ExtQueries {
         |             / (COUNT(*) * 1000000.0), 4) AS avg_nll
         |FROM bgr JOIN cb USING (bg) JOIN chh USING (w1) CROSS JOIN v
         |GROUP BY bgr.doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Persisted ANN index lifecycle, end to end in one query: train +
+    // persist the IVF-PQ artifacts as warehouse tables (staged
+    // overwrites — idempotent re-runs), drop every in-session training
+    // memo, then probe the STORED index. xxhash-seeded training →
+    // rows-only; index-vs-in-session equality is spec-pinned
+    // (SimilaritySpec) and the float ANN recall gate (x65) bounds the
+    // family's quality.
+    GraftQuery(
+      "x100_ann_index_search",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.buildIvfPqIndex(emb, "graft_ann_idx", cells = 8, m = 8, codes = 16, maxIter = 2)
+        Similarity.searchIvfPqIndex(
+            emb, emb.filter(col("vec_id") % 100 === 0), "graft_ann_idx",
+            k = 3, nProbes = 2, rerank = 32)
+          .orderBy("query_id", "rank")
+      },
+      None
     )
   )
 

@@ -203,6 +203,32 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("persisted IVF-PQ index reproduces the in-session search with zero retraining") {
+    import sqlImplicits._
+    val rnd = new scala.util.Random(77)
+    val rows = (0L until 400L).map { i =>
+      (i, Seq.tabulate(64)(d => (math.sin((i % 7) + d * 0.31) + rnd.nextDouble() * 0.1).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val expected = Similarity.ivfPqTopK(
+      df, k = 3, queryMod = 100, nProbes = 2, cells = 4, m = 8, codes = 16,
+      rerank = 32, maxIter = 2)
+      .collect().map(_.toSeq).toSet
+    // Build persists the SAME training (memo-shared with the run above).
+    Similarity.buildIvfPqIndex(df, "ann_idx_test", cells = 4, m = 8, codes = 16, maxIter = 2)
+    // Wipe every in-session memo/cache: the search below may rely on
+    // NOTHING trained this session — only the stored tables.
+    graft.operators.OpCache.clear()
+    val got = Similarity.searchIvfPqIndex(
+      df, df.filter(org.apache.spark.sql.functions.col("vec_id") % 100 === 0), "ann_idx_test",
+      k = 3, nProbes = 2, rerank = 32)
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+    Seq("cells", "books", "corpus", "meta")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS ann_idx_test_$s"))
+  }
+
   test("semantic dedup finds planted dup groups and keeps the farthest-from-centroid member") {
     import sqlImplicits._
     // Two tight families far apart + singletons; each family has one
