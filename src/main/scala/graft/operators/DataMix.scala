@@ -140,6 +140,23 @@ object DataMix {
   def md5SplitLabel(testFrac: Double, keyCols: Seq[Column]): Column =
     when(md5Prefix(keyCols) < lit(hexThreshold(testFrac)), "test").otherwise("train")
 
+  /** Split-leakage audit — the check that decides whether a split is
+    * GROUP-safe: a group (author, url domain, conversation, near-dup
+    * cluster) whose members land on BOTH sides of a train/test split
+    * leaks its signal across it, however clean the row-level split
+    * was. Keying [[md5SplitLabel]] on the group column makes
+    * straddling impossible by construction; this audit PROVES it for
+    * any split however produced. One aggregation pass:
+    * `(n_groups, n_straddling)` — n_straddling must be 0 for a
+    * group-safe split.
+    */
+  def splitLeakage(df: DataFrame, splitCol: Column, groupCol: Column): DataFrame =
+    df.groupBy(groupCol.as("group_key"))
+      .agg(countDistinct(splitCol).as("n_sides"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("n_sides") > 1, 1L).otherwise(0L)).as("n_straddling"))
+
   /** Sequence packing: assign each row to a fixed-token-budget bin —
     * the pretraining step that concatenates documents into context
     * windows. Rows are ordered by the deterministic md5 shuffle within

@@ -863,10 +863,15 @@ object Similarity {
     val codebooks = memoPqCodebooks(base, m, codes, maxIter, sub)
     val packed = encodePacked(base, codebooks, m, sub)
       .join(assignCells(base, centroids, 1).select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val spark = embeddings.sparkSession
+    // An ephemeral catalog forgets tables while their warehouse dirs
+    // survive — reset location + catalog entry so a rebuild in a fresh
+    // session cannot die on LOCATION_ALREADY_EXISTS.
+    Seq("cells", "books", "corpus", "meta")
+      .foreach(s => graft.sources.Tables.dropManaged(spark, s"${prefix}_$s"))
     graft.sources.Tables.overwriteTable(centroids, s"${prefix}_cells")
     graft.sources.Tables.overwriteTable(codebooks, s"${prefix}_books")
     graft.sources.Tables.overwriteTable(packed, s"${prefix}_corpus")
-    val spark = embeddings.sparkSession
     import spark.implicits._
     graft.sources.Tables.overwriteTable(
       Seq((cells, m, codes, sub, dim)).toDF("cells", "m", "codes", "sub", "dim"),

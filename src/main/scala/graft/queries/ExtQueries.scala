@@ -2917,6 +2917,48 @@ object ExtQueries {
           .orderBy("query_id", "rank")
       },
       None
+    ),
+
+    // Split-leakage audit: the doc_id-keyed split straddles source
+    // groups (members on both sides — leakage), the source-keyed split
+    // cannot (the group IS the draw key). Both split gates and both
+    // audits replay exactly in DuckDB — the oracle certifies the
+    // group-safety guarantee itself, not just the row counts.
+    GraftQuery(
+      "x101_split_leakage",
+      (s, d) => {
+        import graft.operators.DataMix
+        val docs = t(s, d, "documents")
+        val byDoc = docs.withColumn("split", DataMix.md5SplitLabel(0.2, Seq(col("doc_id"))))
+        val bySrc = docs.withColumn("split", DataMix.md5SplitLabel(0.2, Seq(col("source"))))
+        DataMix.splitLeakage(byDoc, col("split"), col("source"))
+          .withColumn("keyed_by", lit("doc_id"))
+          .unionByName(
+            DataMix.splitLeakage(bySrc, col("split"), col("source"))
+              .withColumn("keyed_by", lit("source")))
+          .select("keyed_by", "n_groups", "n_straddling")
+          .orderBy("keyed_by")
+      },
+      // floor(0.2·65536) = 13107 = 0x3333 (the x27 threshold)
+      Some("""WITH lab AS (
+        |  SELECT source,
+        |         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333'
+        |              THEN 'test' ELSE 'train' END AS split_doc,
+        |         CASE WHEN substring(md5(source), 1, 4) < '3333'
+        |              THEN 'test' ELSE 'train' END AS split_src
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, COUNT(DISTINCT split_doc) AS n1,
+        |         COUNT(DISTINCT split_src) AS n2
+        |  FROM lab GROUP BY source)
+        |SELECT 'doc_id' AS keyed_by, COUNT(*) AS n_groups,
+        |       CAST(SUM(CASE WHEN n1 > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+        |FROM g
+        |UNION ALL
+        |SELECT 'source', COUNT(*),
+        |       CAST(SUM(CASE WHEN n2 > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM g
+        |ORDER BY keyed_by""".stripMargin)
     )
   )
 

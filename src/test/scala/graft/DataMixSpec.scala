@@ -239,6 +239,21 @@ class DataMixSpec extends SparkSpec {
     assert(got.size == 40)
   }
 
+  test("splitLeakage: group-keyed splits never straddle; row-keyed splits do") {
+    import sqlImplicits._
+    // 40 groups × 25 rows — a doc-keyed 50% split straddles almost
+    // every group; a group-keyed split can straddle none.
+    val df = (1L to 1000L).map(i => (i, s"g${i % 40}")).toDF("doc_id", "grp")
+    def audit(keyed: org.apache.spark.sql.Column) = DataMix.splitLeakage(
+      df.withColumn("split", DataMix.md5SplitLabel(0.5, Seq(keyed))),
+      col("split"), col("grp"))
+      .head()
+    val byRow = audit(col("doc_id"))
+    val byGroup = audit(col("grp"))
+    assert(byRow.getLong(0) == 40L && byRow.getLong(1) > 30L, byRow.toString)
+    assert(byGroup.getLong(0) == 40L && byGroup.getLong(1) == 0L, byGroup.toString)
+  }
+
   test("md5WeightedSample favors heavy weights and drops w<=0") {
     import sqlImplicits._
     // 100 heavy (w=100) + 100 light (w=1) + poisoned rows
