@@ -232,6 +232,34 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Generic 64-bit-signature hamming pairs — the [[simhashPairs]]
+    * banding factored over ANY (id, sig) table (text SimHash, image
+    * dHash, audio fingerprints): 4×16-bit pigeonhole bands guarantee
+    * completeness for hamming ≤ 3 (a pair differing in ≤ 3 bits
+    * cannot differ in all four bands); higher thresholds are
+    * best-effort recall, never false positives. The banded self-join
+    * carries (id, sig) only. Output: (id_a, id_b, hamming).
+    */
+  def hammingPairs64(
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val banded = sigs.select(
+      col(idCol),
+      col(sigCol).as("__sig"),
+      posexplode(array((0 until 4).map { q =>
+        shiftright(col(sigCol), q * 16).bitwiseAND(lit(0xFFFFL))
+      }: _*)).as(Seq("band_id", "band_key")))
+    val a = banded.select(col("band_id"), col("band_key"), col(idCol).as("id_a"), col("__sig").as("sh_a"))
+    val b = banded.select(col("band_id"), col("band_key"), col(idCol).as("id_b"), col("__sig").as("sh_b"))
+    a.join(b, Seq("band_id", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming64(col("sh_a"), col("sh_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Transitive closure over near-duplicate pairs: connected-component
     * labels via iterative min-label propagation (the Pregel-style
     * formulation — each round every node takes the minimum label among

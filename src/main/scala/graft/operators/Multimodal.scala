@@ -185,6 +185,127 @@ object Multimodal {
     b
   }
 
+  /** A COMPLETE 24-bit BMP — header plus bottom-up, 4-byte-padded
+    * pixel rows — whose content is a smooth two-frequency luma field
+    * derived from `seed`: smooth enough that a small `phase` jitter
+    * leaves most dHash gradient signs intact (a perceptual
+    * near-duplicate), while a different seed reshapes the field
+    * entirely. Exists so the perceptual-dedup path runs on REAL pixel
+    * data end-to-end with no codec dependency ([[buildBmp]] stays
+    * header-only for the x49 header-oracle contract).
+    */
+  def buildBmpPixels(seed: Long, phase: Double = 0.0, w: Int = 32, h: Int = 32): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val b = new Array[Byte](54 + stride * h)
+    b(0) = 'B'.toByte; b(1) = 'M'.toByte
+    putLe32(b, 2, b.length)
+    putLe32(b, 10, 54)
+    putLe32(b, 14, 40)
+    putLe32(b, 18, w)
+    putLe32(b, 22, h) // bottom-up
+    putLe16(b, 26, 1)
+    putLe16(b, 28, 24)
+    val ax = 0.13 + (math.abs(seed) % 7) * 0.11
+    val ay = 0.17 + (math.abs(seed / 7) % 5) * 0.09
+    val p0 = (math.abs(seed) % 97) * 0.065
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = 128.0 + 60.0 * math.sin(ax * x + ay * y + p0 + phase) +
+          40.0 * math.cos(ay * x * 0.5 - ax * y * 0.7 + p0)
+        val lum = math.max(0, math.min(255, v.toInt))
+        val off = 54 + (h - 1 - y) * stride + x * 3
+        b(off) = lum.toByte; b(off + 1) = lum.toByte; b(off + 2) = lum.toByte
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  /** 64-bit difference hash over a decoded 24-bit BMP pixel array:
+    * 9×8 box-mean luma grid, bit (gy·8 + gx) set where cell (gx+1)
+    * out-brightens cell gx in its row. Gradient SIGNS survive
+    * brightness shifts and small content jitter — the classic
+    * perceptual near-dup signature. None for anything that isn't a
+    * parseable ≥9×8 24-bit BMP WITH pixel data (the header-only x49
+    * containers fall out here, by design).
+    */
+  def dhash64(f: MediaFile): Option[Long] = {
+    val b = f.payload
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val dataOff = le32(b, 10)
+    val w = le32(b, 18)
+    val hRaw = le32(b, 22)
+    val h = math.abs(hRaw)
+    if (le16(b, 28) != 24 || w < 9 || h < 8) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (dataOff < 54 || b.length < dataOff + stride.toLong * h) return None
+    // box-mean luma per grid cell (integer sums — deterministic)
+    val means = Array.ofDim[Long](8, 9)
+    var gy = 0
+    while (gy < 8) {
+      val y0 = (gy * h) / 8; val y1 = ((gy + 1) * h) / 8
+      var gx = 0
+      while (gx < 9) {
+        val x0 = (gx * w) / 9; val x1 = ((gx + 1) * w) / 9
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          val fileRow = if (hRaw > 0) h - 1 - y else y
+          val rowOff = dataOff + fileRow * stride
+          var x = x0
+          while (x < x1) {
+            val off = rowOff + x * 3
+            val lum = (29 * (b(off) & 0xff) + 150 * (b(off + 1) & 0xff) +
+              77 * (b(off + 2) & 0xff)) >> 8
+            sum += lum
+            x += 1
+          }
+          y += 1
+        }
+        means(gy)(gx) = sum / math.max(1, (y1 - y0).toLong * (x1 - x0))
+        gx += 1
+      }
+      gy += 1
+    }
+    var sig = 0L
+    gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (means(gy)(gx + 1) > means(gy)(gx)) sig |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    Some(sig)
+  }
+
+  /** A perceptual image signature row. */
+  final case class ImageSig(doc_id: Long, dhash: Long)
+
+  /** Per-image perceptual signatures `(doc_id, dhash)` for every
+    * parseable pixel-bearing BMP; opaque payloads drop out. The
+    * mapPartitions is the decode boundary — payloads die here, only
+    * 8-byte signatures flow downstream.
+    */
+  def imageDHashes(media: Dataset[MediaFile])(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap(f => dhash64(f).map(h => ImageSig(f.doc_id, h)))).toDF()
+  }
+
+  /** Perceptual image near-dup pairs: dHash signatures through the
+    * same 4×16-bit pigeonhole banding as text SimHash
+    * ([[Dedup.hammingPairs64]] — complete for hamming ≤ 3, no
+    * all-pairs). Output: (id_a, id_b, hamming).
+    */
+  def imageNearDupPairs(
+      media: Dataset[MediaFile],
+      maxHamming: Int = 3)(implicit spark: SparkSession): DataFrame =
+    graft.operators.Dedup.hammingPairs64(imageDHashes(media), "doc_id", "dhash", maxHamming)
+
   /** Synthesize VALID containers corpus-wide (BMP for even ids, WAV for
     * odd) so the real header parsers run over every row and their
     * output is predictable row-by-row from `doc_id` alone — the basis

@@ -2959,6 +2959,34 @@ object ExtQueries {
         |       CAST(SUM(CASE WHEN n2 > 1 THEN 1 ELSE 0 END) AS BIGINT)
         |FROM g
         |ORDER BY keyed_by""".stripMargin)
+    ),
+
+    // Perceptual image near-dup (dHash over REAL pixel arrays): every
+    // doc gets a full 32×32 24-bit BMP synthesized from its id; every
+    // 97th doc additionally plants a phase-jittered twin. The decode →
+    // 9×8 box-luma → 64-bit gradient hash runs in the JVM (the
+    // mapPartitions decode boundary), pairs via the SimHash pigeonhole
+    // bands. JVM pixel path → rows-only; twin recall, cross-seed
+    // rejection and brightness invariance are spec-pinned
+    // (MultimodalSpec).
+    GraftQuery(
+      "x102_image_neardup",
+      (s, d) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        val media = t(s, d, "documents").select(col("doc_id")).as[Long].flatMap { id =>
+          val orig = graft.operators.Multimodal.MediaFile(
+            id, "image/bmp", graft.operators.Multimodal.buildBmpPixels(id))
+          if (id % 97 == 0)
+            Seq(orig, graft.operators.Multimodal.MediaFile(
+              id + 10000000L, "image/bmp",
+              graft.operators.Multimodal.buildBmpPixels(id, phase = 0.005)))
+          else Seq(orig)
+        }
+        graft.operators.Multimodal.imageNearDupPairs(media, maxHamming = 3)
+          .orderBy("id_a", "id_b")
+      },
+      None
     )
   )
 

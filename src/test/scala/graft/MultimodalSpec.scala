@@ -166,6 +166,42 @@ class MultimodalSpec extends SparkSpec {
     assert(wav.get.n_bytes == 44 + (2 * (1 + (7 / 2) % 2)) * (1 + 7 % 100))
   }
 
+  test("image dHash: jittered twins pair, distinct seeds don't, header-only BMPs drop out") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import org.apache.spark.sql.functions.col
+    import sqlImplicits._
+    val media = spark.createDataset(
+      (1L to 40L).map(i => Multimodal.MediaFile(i, "image/bmp", Multimodal.buildBmpPixels(i))) ++
+        Seq(
+          // perceptual twin of seed 1: tiny phase jitter
+          Multimodal.MediaFile(1000001L, "image/bmp", Multimodal.buildBmpPixels(1L, phase = 0.005)),
+          // header-only container (the x49 kind): no pixels → no signature
+          Multimodal.MediaFile(999999L, "image/bmp", Multimodal.buildBmp(2L))))
+    val sigs = Multimodal.imageDHashes(media)
+    assert(sigs.filter(col("doc_id") === 999999L).count() == 0)
+    assert(sigs.count() == 41)
+    val pairs = Multimodal.imageNearDupPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 1000001L), s"planted twin missed: $pairs")
+    // distinct seeds reshape the field — no cross-seed pair at ≤ 3
+    val cross = pairs.filterNot(p => p._1 == 1L && p._2 == 1000001L)
+    assert(cross.isEmpty, s"unexpected cross-seed pairs: $cross")
+  }
+
+  test("dHash is invariant to a uniform brightness shift") {
+    // adding a constant to every pixel preserves all gradient signs
+    val base = Multimodal.buildBmpPixels(5L)
+    val brighter = base.clone()
+    var i = 54
+    while (i < brighter.length) {
+      brighter(i) = math.min(255, (brighter(i) & 0xff) + 20).toByte
+      i += 1
+    }
+    val h1 = Multimodal.dhash64(Multimodal.MediaFile(1L, "image/bmp", base))
+    val h2 = Multimodal.dhash64(Multimodal.MediaFile(2L, "image/bmp", brighter))
+    assert(h1.isDefined && h1 == h2, s"$h1 vs $h2")
+  }
+
   test("resize plan fits the box, preserves aspect ratio, never upscales") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import sqlImplicits._
