@@ -283,6 +283,125 @@ object Multimodal {
     Some(sig)
   }
 
+  /** A COMPLETE mono 16-bit PCM WAV whose samples are a carrier under
+    * a smooth seed-derived amplitude envelope — the audio analogue of
+    * [[buildBmpPixels]]: a small carrier `phase` jitter leaves the
+    * window-energy profile (and so the fingerprint) intact, while a
+    * different seed reshapes the envelope. 65 windows × 32 samples.
+    */
+  def buildWavSamples(seed: Long, phase: Double = 0.0): Array[Byte] = {
+    val windows = 65
+    val perWin = 32
+    val n = windows * perWin
+    val dataBytes = n * 2
+    val b = new Array[Byte](44 + dataBytes)
+    b(0) = 'R'.toByte; b(1) = 'I'.toByte; b(2) = 'F'.toByte; b(3) = 'F'.toByte
+    putLe32(b, 4, 36 + dataBytes)
+    b(8) = 'W'.toByte; b(9) = 'A'.toByte; b(10) = 'V'.toByte; b(11) = 'E'.toByte
+    b(12) = 'f'.toByte; b(13) = 'm'.toByte; b(14) = 't'.toByte; b(15) = ' '.toByte
+    putLe32(b, 16, 16)
+    putLe16(b, 20, 1) // PCM
+    putLe16(b, 22, 1) // mono
+    putLe32(b, 24, 8000)
+    putLe32(b, 28, 8000 * 2)
+    putLe16(b, 32, 2)
+    putLe16(b, 34, 16)
+    b(36) = 'd'.toByte; b(37) = 'a'.toByte; b(38) = 't'.toByte; b(39) = 'a'.toByte
+    putLe32(b, 40, dataBytes)
+    val ae = 0.23 + (math.abs(seed) % 11) * 0.04
+    val be = 0.31 + (math.abs(seed / 11) % 7) * 0.05
+    val pe = (math.abs(seed) % 89) * 0.07
+    var i = 0
+    while (i < n) {
+      val w = i / perWin
+      val amp = 8000.0 + 6000.0 * math.sin(ae * w + pe) + 3000.0 * math.cos(be * w - pe)
+      val s = (amp * math.sin(0.7 * i + phase)).toInt
+      putLe16(b, 44 + i * 2, s & 0xffff)
+      i += 1
+    }
+    b
+  }
+
+  /** 64-bit audio fingerprint over real PCM samples: the data chunk's
+    * first channel split into 65 equal windows, per-window energy
+    * (Σ s², long arithmetic), bit i set where window i+1 out-powers
+    * window i. Energy-delta SIGNS survive carrier phase shifts and
+    * uniform gain — the audio sibling of [[dhash64]]. None for
+    * non-PCM-16, sample-less, or too-short audio (the zero-sample x49
+    * containers produce a constant profile and are rejected by the
+    * all-equal guard).
+    */
+  def afp64(f: MediaFile): Option[Long] = {
+    val p = f.payload
+    val riff = p.length >= 44 &&
+      p(0) == 'R'.toByte && p(1) == 'I'.toByte && p(2) == 'F'.toByte && p(3) == 'F'.toByte &&
+      p(8) == 'W'.toByte && p(9) == 'A'.toByte && p(10) == 'V'.toByte && p(11) == 'E'.toByte
+    if (!riff) return None
+    var off = 12L
+    var channels = 0
+    var bits = 0
+    var block = 0
+    var dataOff = -1L
+    var dataLen = -1L
+    while (off + 8 <= p.length) {
+      val id = new String(p, off.toInt, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = le32(p, off.toInt + 4).toLong & 0xffffffffL
+      if (off + 8 + sz > p.length) return None
+      if (id == "fmt " && sz >= 16) {
+        channels = le16(p, off.toInt + 10)
+        block = le16(p, off.toInt + 20)
+        bits = le16(p, off.toInt + 22)
+      } else if (id == "data") { dataOff = off + 8; dataLen = sz }
+      off += 8 + sz + (sz & 1)
+    }
+    if (channels < 1 || bits != 16 || block < 2 || dataOff < 0) return None
+    val frames = (dataLen / block).toInt
+    if (frames < 65) return None
+    val energy = new Array[Long](65)
+    var w = 0
+    while (w < 65) {
+      val f0 = (w * frames) / 65; val f1 = ((w + 1) * frames) / 65
+      var sum = 0L
+      var fr = f0
+      while (fr < f1) {
+        val o = (dataOff + fr.toLong * block).toInt
+        val s = ((p(o) & 0xff) | (p(o + 1) << 8)).toShort.toLong // first channel
+        sum += s * s
+        fr += 1
+      }
+      energy(w) = sum
+      w += 1
+    }
+    var sig = 0L
+    var allEq = true
+    var i = 0
+    while (i < 64) {
+      if (energy(i + 1) > energy(i)) sig |= 1L << i
+      if (energy(i + 1) != energy(i)) allEq = false
+      i += 1
+    }
+    if (allEq) None else Some(sig) // silence/zero fill carries no signature
+  }
+
+  /** A perceptual audio signature row. */
+  final case class AudioSig(doc_id: Long, afp: Long)
+
+  /** Per-clip audio fingerprints `(doc_id, afp)`; non-audio and
+    * silent payloads drop out at the decode boundary.
+    */
+  def audioFingerprints(media: Dataset[MediaFile])(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap(f => afp64(f).map(h => AudioSig(f.doc_id, h)))).toDF()
+  }
+
+  /** Perceptual audio near-dup pairs through the shared pigeonhole
+    * banding. Output: (id_a, id_b, hamming).
+    */
+  def audioNearDupPairs(
+      media: Dataset[MediaFile],
+      maxHamming: Int = 3)(implicit spark: SparkSession): DataFrame =
+    graft.operators.Dedup.hammingPairs64(audioFingerprints(media), "doc_id", "afp", maxHamming)
+
   /** A perceptual image signature row. */
   final case class ImageSig(doc_id: Long, dhash: Long)
 

@@ -2987,6 +2987,32 @@ object ExtQueries {
           .orderBy("id_a", "id_b")
       },
       None
+    ),
+
+    // Perceptual audio near-dup (energy-delta fingerprint over REAL
+    // PCM samples) — the audio sibling of x102: every doc gets a mono
+    // 16-bit WAV synthesized from its id; every 97th doc plants a
+    // carrier-phase-jittered twin (same envelope → same fingerprint).
+    // JVM sample path → rows-only; twin recall, gain invariance and
+    // silent-clip fallout are spec-pinned (MultimodalSpec).
+    GraftQuery(
+      "x103_audio_neardup",
+      (s, d) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        import s.implicits._
+        val media = t(s, d, "documents").select(col("doc_id")).as[Long].flatMap { id =>
+          val orig = graft.operators.Multimodal.MediaFile(
+            id, "audio/wav", graft.operators.Multimodal.buildWavSamples(id))
+          if (id % 97 == 0)
+            Seq(orig, graft.operators.Multimodal.MediaFile(
+              id + 10000000L, "audio/wav",
+              graft.operators.Multimodal.buildWavSamples(id, phase = 0.01)))
+          else Seq(orig)
+        }
+        graft.operators.Multimodal.audioNearDupPairs(media, maxHamming = 3)
+          .orderBy("id_a", "id_b")
+      },
+      None
     )
   )
 

@@ -188,6 +188,44 @@ class MultimodalSpec extends SparkSpec {
     assert(cross.isEmpty, s"unexpected cross-seed pairs: $cross")
   }
 
+  test("audio fingerprint: jittered twins pair, distinct seeds don't, silent WAVs drop out") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import org.apache.spark.sql.functions.col
+    import sqlImplicits._
+    val media = spark.createDataset(
+      (1L to 40L).map(i => Multimodal.MediaFile(i, "audio/wav", Multimodal.buildWavSamples(i))) ++
+        Seq(
+          // carrier-phase jitter preserves the energy envelope
+          Multimodal.MediaFile(1000003L, "audio/wav", Multimodal.buildWavSamples(3L, phase = 0.01)),
+          // zero-sample container (the x49 kind): silent → no signature
+          Multimodal.MediaFile(999999L, "audio/wav", Multimodal.buildWav(7L))))
+    val sigs = Multimodal.audioFingerprints(media)
+    assert(sigs.filter(col("doc_id") === 999999L).count() == 0)
+    assert(sigs.count() == 41)
+    val pairs = Multimodal.audioNearDupPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs.exists(p => p._1 == 3L && p._2 == 1000003L), s"planted twin missed: $pairs")
+    val cross = pairs.filterNot(p => p._1 == 3L && p._2 == 1000003L)
+    assert(cross.isEmpty, s"unexpected cross-seed pairs: $cross")
+  }
+
+  test("audio fingerprint is invariant to uniform gain") {
+    // halving every sample scales all window energies by 1/4 —
+    // delta signs unchanged
+    val base = Multimodal.buildWavSamples(9L)
+    val softer = base.clone()
+    var fr = 0
+    while (fr < 65 * 32) {
+      val o = 44 + fr * 2
+      val s = (((softer(o) & 0xff) | (softer(o + 1) << 8)).toShort / 2).toShort
+      softer(o) = (s & 0xff).toByte; softer(o + 1) = ((s >> 8) & 0xff).toByte
+      fr += 1
+    }
+    val h1 = Multimodal.afp64(Multimodal.MediaFile(1L, "audio/wav", base))
+    val h2 = Multimodal.afp64(Multimodal.MediaFile(2L, "audio/wav", softer))
+    assert(h1.isDefined && h1 == h2, s"$h1 vs $h2")
+  }
+
   test("dHash is invariant to a uniform brightness shift") {
     // adding a constant to every pixel preserves all gradient signs
     val base = Multimodal.buildBmpPixels(5L)
