@@ -3013,8 +3013,88 @@ object ExtQueries {
           .orderBy("id_a", "id_b")
       },
       None
+    ),
+
+    // BPE vocabulary induction (Sennrich et al. 2016), FULLY oracled:
+    // 4 greedy merge rounds over the weighted word dictionary, each
+    // round's argmax pair chosen by (count desc, left, right) and
+    // applied via one leftmost-non-overlapping `replace` on the
+    // wrapped-symbol encoding (operators/Bpe.scala). The DuckDB oracle
+    // replays all 4 rounds as unrolled CTEs with the identical
+    // encoding — a wrong pair count, tie-break slip, or merge-scan
+    // divergence in ANY round cascades into every later round's hash.
+    GraftQuery(
+      "x104_bpe_merges",
+      (s, d) => {
+        val dict = graft.operators.OpCache.swap(
+          "ext.bpe.dict", graft.operators.Bpe.wordDict(t(s, d, "documents")))
+        graft.operators.Bpe.trainFromDict(dict, k = 4).merges.orderBy("rank")
+      },
+      Some(bpeSql(4, "SELECT * FROM merges ORDER BY rank"))
+    ),
+
+    // Final BPE segmentation after the same 4 merges: the 25 heaviest
+    // dictionary words with their merged subword sequence — certifies
+    // the dictionary STATE (not just the chosen pairs) round-trips the
+    // merge scanner identically in both engines.
+    GraftQuery(
+      "x105_bpe_segmentation",
+      (s, d) => {
+        val dict = graft.operators.OpCache.swap(
+          "ext.bpe.dict", graft.operators.Bpe.wordDict(t(s, d, "documents")))
+        graft.operators.Bpe.segmentation(
+          graft.operators.Bpe.trainFromDict(dict, k = 4), topN = 25)
+      },
+      Some(bpeSql(4,
+        """SELECT w, wc, CAST(len(s) AS INT) AS n_sym, array_to_string(s, ' ') AS sym_text
+          |FROM (SELECT w, wc, list_filter(string_split(sym, chr(1)), x -> x <> '') AS s FROM d4)
+          |ORDER BY wc DESC, w LIMIT 25""".stripMargin))
     )
   )
+
+  /** DuckDB replay of [[graft.operators.Bpe]] training: the word
+    * dictionary, `k` unrolled merge rounds (pair counts → argmax →
+    * one `replace` with the wrapped-symbol encoding), a `merges`
+    * relation, and the final dictionary `d<k>` — `finalSelect` picks
+    * the certified projection.
+    */
+  private def bpeSql(k: Int, finalSelect: String): String = {
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT p.l AS l, p.r AS r, CAST(SUM(wc) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT unnest(list_transform(range(1, len(s)),
+         |                  j -> struct_pack(l := s[j], r := s[j+1]))) AS p, wc
+         |    FROM (SELECT list_filter(string_split(sym, chr(1)), x -> x <> '') AS s, wc
+         |          FROM d${i - 1}))
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |d$i AS (
+         |  SELECT d.w,
+         |         replace(d.sym, chr(1)||b.l||chr(1)||chr(1)||b.r||chr(1),
+         |                 chr(1)||b.l||b.r||chr(1)) AS sym,
+         |         d.wc
+         |  FROM d${i - 1} d, b$i b)""".stripMargin
+    }.mkString(",\n")
+    val mergeRows = (1 to k).map { i =>
+      if (i == 1) s"SELECT 1 AS rank, l AS left_sym, r AS right_sym, cnt AS pair_count FROM b1"
+      else s"UNION ALL SELECT $i, l, r, cnt FROM b$i"
+    }.mkString("\n")
+    s"""WITH w0 AS (
+       |  SELECT w, COUNT(*) AS wc FROM (
+       |    SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+       |                              x -> length(x) > 0)) AS w
+       |    FROM documents)
+       |  WHERE length(w) <= 32 AND regexp_matches(w, '^[!-~]+${"$"}')
+       |  GROUP BY w),
+       |d0 AS (
+       |  SELECT w, regexp_replace(w, '(.)', chr(1) || '\\1' || chr(1), 'g') AS sym, wc
+       |  FROM w0),
+       |$rounds,
+       |merges AS (
+       |$mergeRows)
+       |$finalSelect""".stripMargin
+  }
 
   /** The x75/x76 search workload, shared by the BM25 hot path and the
     * portable twin (both the Spark plan and the DuckDB SQL are
