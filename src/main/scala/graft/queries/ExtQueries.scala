@@ -3049,6 +3049,37 @@ object ExtQueries {
         """SELECT w, wc, CAST(len(s) AS INT) AS n_sym, array_to_string(s, ' ') AS sym_text
           |FROM (SELECT w, wc, list_filter(string_split(sym, chr(1)), x -> x <> '') AS s FROM d4)
           |ORDER BY wc DESC, w LIMIT 25""".stripMargin))
+    ),
+
+    // Market-basket association rules (Apriori 2-itemset tier): orders
+    // as baskets, parts as items; top-100 pairs by support with
+    // confidence and lift. Pairs are generated INSIDE each basket row
+    // (sorted distinct array, loud size guard) — the oracle's
+    // self-join formulation states the same pair set declaratively.
+    GraftQuery(
+      "x106_basket_pairs",
+      (s, d) =>
+        graft.operators.Itemsets.pairStats(
+            t(s, d, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)
+          .orderBy(col("pair_n").desc, col("item_a").asc, col("item_b").asc)
+          .limit(100),
+      Some("""WITH b AS (
+        |  SELECT l_orderkey AS basket, list_sort(list(DISTINCT l_partkey)) AS items
+        |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |u AS (SELECT unnest(items) AS item, basket FROM b),
+        |n AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_baskets FROM b),
+        |p AS (
+        |  SELECT x.item AS item_a, y.item AS item_b, CAST(COUNT(*) AS BIGINT) AS pair_n
+        |  FROM u x JOIN u y ON x.basket = y.basket AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT p.item_a, p.item_b, p.pair_n, na.n AS n_a, nb.n AS n_b, tot.n_baskets,
+        |  CAST(p.pair_n AS DOUBLE) / CAST(tot.n_baskets AS DOUBLE) AS support,
+        |  CAST(p.pair_n AS DOUBLE) / CAST(na.n AS DOUBLE) AS conf_a_b,
+        |  CAST(p.pair_n AS DOUBLE) / CAST(nb.n AS DOUBLE) AS conf_b_a,
+        |  CAST(p.pair_n * tot.n_baskets AS DOUBLE) / CAST(na.n * nb.n AS DOUBLE) AS lift
+        |FROM p JOIN n na ON na.item = p.item_a JOIN n nb ON nb.item = p.item_b, tot
+        |ORDER BY pair_n DESC, item_a, item_b LIMIT 100""".stripMargin)
     )
   )
 
