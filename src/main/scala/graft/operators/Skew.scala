@@ -45,4 +45,46 @@ object Skew {
     val partial = phase1(salted.groupBy(col(key), col("__salt")))
     phase2(partial.groupBy(col(key)))
   }
+
+  /** Pre-flight skew diagnostics for a prospective join/aggregation
+    * key: the `topK` heaviest keys, each annotated with its row share,
+    * its ratio to the mean key size (`skew_ratio` — the number AQE's
+    * skew threshold and [[saltedJoin]]'s saltFactor should be sized
+    * from), and the corpus-wide distribution summary (key count, max,
+    * exact p50/p99 of per-key counts).
+    *
+    * One shuffle total: the per-key count (map-side combined); the
+    * summary is a 1-row broadcast and top-k is TakeOrdered — nothing
+    * here is driver-side or corpus-sized. At 100 TB this is the cheap
+    * probe you run BEFORE committing to a join strategy.
+    *
+    * share and skew_ratio are exact integer products with ONE
+    * exactly-rounded double division each ([[Cooccur]]'s portable
+    * idiom).
+    */
+  def profile(df: DataFrame, keyCols: Seq[String], topK: Int = 20): DataFrame = {
+    require(keyCols.nonEmpty, "Skew.profile: at least one key column")
+    require(topK >= 1, s"Skew.profile: topK must be ≥1, got $topK")
+    val keyed = OpCache.swap(
+      "skew.profile.keyed",
+      df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cnt")))
+    val summary = keyed.agg(
+      sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("cnt")).as("max_cnt"),
+      expr("percentile(cnt, 0.5)").as("p50_cnt"),
+      expr("percentile(cnt, 0.99)").as("p99_cnt"))
+    keyed
+      .orderBy(col("cnt").desc +: keyCols.map(col(_).asc): _*)
+      .limit(topK)
+      .crossJoin(broadcast(summary))
+      .select(
+        keyCols.map(col) ++ Seq(
+          col("cnt"),
+          (col("cnt").cast("double") / col("n_rows").cast("double")).as("share"),
+          ((col("cnt") * col("n_keys")).cast("double") /
+            col("n_rows").cast("double")).as("skew_ratio"),
+          col("n_rows"), col("n_keys"), col("max_cnt"),
+          col("p50_cnt"), col("p99_cnt")): _*)
+  }
 }

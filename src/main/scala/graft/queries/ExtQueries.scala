@@ -3080,6 +3080,28 @@ object ExtQueries {
         |  CAST(p.pair_n * tot.n_baskets AS DOUBLE) / CAST(na.n * nb.n AS DOUBLE) AS lift
         |FROM p JOIN n na ON na.item = p.item_a JOIN n nb ON nb.item = p.item_b, tot
         |ORDER BY pair_n DESC, item_a, item_b LIMIT 100""".stripMargin)
+    ),
+
+    // Pre-flight key-skew diagnostics (the probe a 100 TB job runs
+    // BEFORE choosing join strategy / salt factor): top-20 heaviest
+    // event users with share, ratio-to-mean and the exact per-key
+    // count distribution summary. One shuffle; summary broadcast.
+    GraftQuery(
+      "x107_skew_profile",
+      (s, d) =>
+        graft.operators.Skew.profile(t(s, d, "events"), Seq("user_id"), topK = 20),
+      Some("""WITH k AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+        |s AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |         MAX(cnt) AS max_cnt, quantile_cont(cnt, 0.5) AS p50_cnt,
+        |         quantile_cont(cnt, 0.99) AS p99_cnt
+        |  FROM k)
+        |SELECT k.user_id, k.cnt,
+        |  CAST(k.cnt AS DOUBLE) / CAST(s.n_rows AS DOUBLE) AS share,
+        |  CAST(k.cnt * s.n_keys AS DOUBLE) / CAST(s.n_rows AS DOUBLE) AS skew_ratio,
+        |  s.n_rows, s.n_keys, s.max_cnt, s.p50_cnt, s.p99_cnt
+        |FROM k, s ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin)
     )
   )
 

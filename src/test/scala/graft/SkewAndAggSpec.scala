@@ -90,4 +90,32 @@ class SkewAndAggSpec extends SparkSpec {
       .map(t => Option(t.getMessage).getOrElse("")).toSeq
     assert(messages.exists(_.contains("ragged")))
   }
+
+  test("skew profile: hand-checked shares, ratios and exact percentiles") {
+    import sqlImplicits._
+    // key a: 6 rows, b: 2, c: 1, d: 1 -> N=10, K=4, counts sorted [1,1,2,6]
+    // p50 = 1.5 (interpolated), p99 = 6*... quantile_cont([1,1,2,6], .99) = 1+... compute below.
+    val rows = Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d")
+    val df = rows.zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "v")
+    val got = graft.operators.Skew.profile(df, Seq("k"), topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7), r.getDouble(8))).toSeq
+    // quantile_cont over sorted [1,1,2,6]: p50 -> idx 1.5 -> 1.5; p99 -> idx 2.97 -> 2 + .97*(6-2) = 5.88
+    // percentile formula: pos = p*(n-1); lower + (pos - floor(pos))*(upper - lower),
+    // replayed in the same double arithmetic (0.99*3 = 2.9699999999999998)
+    val pos = 0.99 * 3.0
+    val p99 = 2.0 + (pos - 2.0) * (6.0 - 2.0)
+    assert(got == Seq(
+      ("a", 6L, 0.6, 6.0 * 4.0 / 10.0, 10L, 4L, 6L, 1.5, p99),
+      ("b", 2L, 0.2, 2.0 * 4.0 / 10.0, 10L, 4L, 6L, 1.5, p99)), got.toString)
+  }
+
+  test("skew profile: partitioning invariance and topK tie-break") {
+    import sqlImplicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map(_ => ("k" + rnd.nextInt(30), rnd.nextInt()))
+    val a = graft.operators.Skew.profile(rows.toDF("k", "v"), Seq("k"), topK = 10).collect().toSeq
+    val b = graft.operators.Skew.profile(rows.toDF("k", "v").repartition(13), Seq("k"), topK = 10).collect().toSeq
+    assert(a == b)
+  }
 }
