@@ -3102,6 +3102,78 @@ object ExtQueries {
         |  CAST(k.cnt * s.n_keys AS DOUBLE) / CAST(s.n_rows AS DOUBLE) AS skew_ratio,
         |  s.n_rows, s.n_keys, s.max_cnt, s.p50_cnt, s.p99_cnt
         |FROM k, s ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin)
+    ),
+
+    // Per-group OLS time trend ("is this KPI drifting?"): slope /
+    // intercept / r² of event value over relative event-time seconds,
+    // from EXACT decimal moment sums (order-independent — a partial
+    // aggregation reorder cannot change a bit) with the closed forms
+    // evaluated in identical IEEE double trees on both engines.
+    GraftQuery(
+      "x108_ols_trend",
+      (s, d) =>
+        graft.operators.Regression.trend(
+            t(s, d, "events"), Seq("event_type"), "ts", "value")
+          .orderBy("event_type"),
+      Some("""WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 AS sec, value AS yv
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |b AS (SELECT event_type, MIN(sec) AS sec0 FROM e GROUP BY 1),
+        |r AS (
+        |  SELECT e.event_type, CAST(e.sec - b.sec0 AS DECIMAL(19,0)) AS x,
+        |         CAST(CAST(e.yv AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0))
+        |              AS DECIMAL(19,0)) AS y
+        |  FROM e JOIN b USING (event_type)),
+        |m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx, CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(y * y) AS DOUBLE) AS syy
+        |  FROM r GROUP BY 1)
+        |SELECT event_type, n,
+        |  CASE WHEN CAST(n AS DOUBLE)*sxx - sx*sx = 0 THEN NULL
+        |       ELSE (((CAST(n AS DOUBLE)*sxy - sx*sy) / (CAST(n AS DOUBLE)*sxx - sx*sx))
+        |             * 86400.0) / 10000.0
+        |  END AS slope_per_day,
+        |  CASE WHEN CAST(n AS DOUBLE)*sxx - sx*sx = 0 THEN NULL
+        |       ELSE ((sy - ((CAST(n AS DOUBLE)*sxy - sx*sy) / (CAST(n AS DOUBLE)*sxx - sx*sx)) * sx)
+        |             / CAST(n AS DOUBLE)) / 10000.0
+        |  END AS intercept,
+        |  CASE WHEN CAST(n AS DOUBLE)*sxx - sx*sx = 0 OR CAST(n AS DOUBLE)*syy - sy*sy = 0 THEN NULL
+        |       ELSE ((CAST(n AS DOUBLE)*sxy - sx*sy) * (CAST(n AS DOUBLE)*sxy - sx*sy)) /
+        |            ((CAST(n AS DOUBLE)*sxx - sx*sx) * (CAST(n AS DOUBLE)*syy - sy*sy))
+        |  END AS r2
+        |FROM m ORDER BY event_type""".stripMargin)
+    ),
+
+    // Per-group Pearson r² between two measures (do quantity and
+    // price move together, per return flag?) — same exact-moment
+    // machinery, x scaled to integer 1e-4 units.
+    GraftQuery(
+      "x109_pearson",
+      (s, d) =>
+        graft.operators.Regression.pearsonR2(
+            t(s, d, "lineitem"), Seq("l_returnflag"), "l_quantity", "l_extendedprice")
+          .orderBy("l_returnflag"),
+      Some("""WITH r AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0))
+        |         AS DECIMAL(19,0)) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0))
+        |         AS DECIMAL(19,0)) AS y
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |m AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x * x) AS DOUBLE) AS sxx, CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        |    CAST(SUM(y * y) AS DOUBLE) AS syy
+        |  FROM r GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN CAST(n AS DOUBLE)*sxx - sx*sx = 0 OR CAST(n AS DOUBLE)*syy - sy*sy = 0 THEN NULL
+        |       ELSE ((CAST(n AS DOUBLE)*sxy - sx*sy) * (CAST(n AS DOUBLE)*sxy - sx*sy)) /
+        |            ((CAST(n AS DOUBLE)*sxx - sx*sx) * (CAST(n AS DOUBLE)*syy - sy*sy))
+        |  END AS r2
+        |FROM m ORDER BY l_returnflag""".stripMargin)
     )
   )
 
