@@ -94,4 +94,48 @@ object RobustStats {
         first(col("med")).as("med"),
         percentile(abs(v - col("med")), lit(0.5)).as("mad"))
   }
+
+  /** Rows with the value winsorized (clipped) to the group's
+    * [pLo, pHi] exact percentiles: input columns plus `v_wins` and
+    * `clipped` ∈ {-1, 0, 1} (below / kept / above). The same two-pass
+    * shape as [[iqrOutliers]]: percentile bounds, broadcast join-back.
+    */
+  def winsorize(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"winsorize: bad percentile band [$pLo, $pHi]")
+    val v = col(valueCol).cast("double")
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(v, lit(pLo)).as("w_lo"), percentile(v, lit(pHi)).as("w_hi"))
+    // least/greatest SKIP nulls in both Spark and DuckDB — without the
+    // explicit null guard a null value would "clip" to the lo fence.
+    df.join(Broadcasting.maybeBroadcast(bounds), groupCols)
+      .withColumn(
+        "v_wins",
+        when(v.isNull, null).otherwise(least(greatest(v, col("w_lo")), col("w_hi"))))
+      .withColumn(
+        "clipped",
+        when(v < col("w_lo"), -1).when(v > col("w_hi"), 1)
+          .when(v.isNotNull, 0).otherwise(null))
+  }
+
+  /** Per-group winsorization report: bounds, clip counts and the
+    * decimal-exact means before/after (rounded to 4 dp — the
+    * [[graft.functions.CoreFunctions.davg]] portable contract).
+    * Output: (groupCols*, n, n_lo, n_hi, w_lo, w_hi, mean_raw,
+    * mean_wins).
+    */
+  def winsorizeSummary(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame =
+    winsorize(df, groupCols, valueCol, pLo, pHi)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(col(valueCol)).as("n"),
+        sum(when(col("clipped") === -1, 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("clipped") === 1, 1L).otherwise(0L)).as("n_hi"),
+        first(col("w_lo")).as("w_lo"),
+        first(col("w_hi")).as("w_hi"),
+        graft.functions.CoreFunctions.davg(col(valueCol)).as("mean_raw"),
+        graft.functions.CoreFunctions.davg(col("v_wins")).as("mean_wins"))
 }

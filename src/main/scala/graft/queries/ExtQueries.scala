@@ -3174,6 +3174,60 @@ object ExtQueries {
         |            ((CAST(n AS DOUBLE)*sxx - sx*sx) * (CAST(n AS DOUBLE)*syy - sy*sy))
         |  END AS r2
         |FROM m ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // Post-merge subword vocabulary usage: apply the 4 trained BPE
+    // merges to the whole dictionary and histogram the resulting
+    // subword tokens (weighted by word occurrence) — the "what did my
+    // tokenizer learn" report, certifying the merged dictionary STATE
+    // corpus-wide (not just the top-25 words of x105).
+    GraftQuery(
+      "x110_bpe_vocab",
+      (s, d) => {
+        val dict = graft.operators.OpCache.swap(
+          "ext.bpe.dict", graft.operators.Bpe.wordDict(t(s, d, "documents")))
+        graft.operators.Bpe.trainFromDict(dict, k = 4).dict
+          .select(
+            explode(filter(split(col("sym"), graft.operators.Bpe.Sep), x => x =!= ""))
+              .as("token"),
+            col("wc"))
+          .groupBy("token").agg(sum(col("wc")).as("n"))
+          .orderBy(col("n").desc, col("token").asc)
+          .limit(25)
+      },
+      Some(bpeSql(4,
+        """SELECT s AS token, CAST(SUM(wc) AS BIGINT) AS n
+          |FROM (SELECT unnest(list_filter(string_split(sym, chr(1)), x -> x <> '')) AS s, wc
+          |      FROM d4)
+          |GROUP BY 1 ORDER BY n DESC, token LIMIT 25""".stripMargin))
+    ),
+
+    // Per-group winsorization report (clip at exact p05/p95): the
+    // data-cleaning sibling of x90's outlier screen — bounds, clip
+    // counts and decimal-exact means before/after.
+    GraftQuery(
+      "x111_winsorize",
+      (s, d) =>
+        graft.operators.RobustStats.winsorizeSummary(
+            t(s, d, "events"), Seq("event_type"), "value")
+          .orderBy("event_type"),
+      Some(s"""WITH b AS (
+        |  SELECT event_type, quantile_cont(value, 0.05) AS w_lo, quantile_cont(value, 0.95) AS w_hi
+        |  FROM events GROUP BY 1),
+        |j AS (
+        |  SELECT e.event_type, e.value, b.w_lo, b.w_hi,
+        |         CASE WHEN e.value IS NULL THEN NULL
+        |              ELSE LEAST(GREATEST(e.value, b.w_lo), b.w_hi) END AS v_wins,
+        |         CASE WHEN e.value < b.w_lo THEN -1 WHEN e.value > b.w_hi THEN 1
+        |              WHEN e.value IS NOT NULL THEN 0 END AS clipped
+        |  FROM events e JOIN b USING (event_type))
+        |SELECT event_type, CAST(COUNT(value) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN clipped = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(SUM(CASE WHEN clipped = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        |  MIN(w_lo) AS w_lo, MIN(w_hi) AS w_hi,
+        |  ${graft.functions.CoreFunctions.davgSql("value")} AS mean_raw,
+        |  ${graft.functions.CoreFunctions.davgSql("v_wins")} AS mean_wins
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin)
     )
   )
 

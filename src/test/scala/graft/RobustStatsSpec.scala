@@ -50,4 +50,26 @@ class RobustStatsSpec extends SparkSpec {
       .select("g", "v", "is_outlier").collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("winsorize clips at the exact band, guards nulls, and the summary counts both tails") {
+    import sqlImplicits._
+    val vals: Seq[java.lang.Double] =
+      (1 to 99).map(i => java.lang.Double.valueOf(i.toDouble)) :+ (null: java.lang.Double)
+    val df = vals.zipWithIndex.map { case (v, i) => ("g", i, v) }.toDF("k", "id", "v")
+    val wins = graft.operators.RobustStats.winsorize(df, Seq("k"), "v", 0.10, 0.90)
+      .collect().map(r => (r.get(2), r.get(5), r.get(6)))
+    // exact p10/p90 of 1..99: pos = p*(n-1) over sorted values
+    val lo = 1.0 + 0.10 * 98.0
+    val hi = 1.0 + 0.90 * 98.0
+    assert(wins.collect { case (v: java.lang.Double, w, _) if v.doubleValue < lo => w }
+      .forall(_ == lo))
+    assert(wins.collect { case (v: java.lang.Double, w, _) if v.doubleValue > hi => w }
+      .forall(_ == hi))
+    assert(wins.exists { case (v, w, c) => v == null && w == null && c == null })
+    val sm = graft.operators.RobustStats.winsorizeSummary(df, Seq("k"), "v", 0.10, 0.90)
+      .collect().head
+    assert(sm.getLong(1) == 99L && sm.getLong(2) == 10L && sm.getLong(3) == 10L, sm.toString)
+    assert(sm.getDouble(4) == lo && sm.getDouble(5) == hi, sm.toString)
+    assert(sm.getDouble(6) == 50.0, sm.toString) // mean of 1..99
+  }
 }
