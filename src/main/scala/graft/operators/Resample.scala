@@ -83,4 +83,46 @@ object Resample {
           coalesce(col("n"), lit(0L)).as("n"),
           last(col("v"), ignoreNulls = true).over(w).as("v_ffill")): _*)
   }
+
+  /** Bounded-lookback exponential moving average (α = 1/2) over the
+    * last `k` observations per key — the exponential-smoothing
+    * feature of a metrics pipeline, made BIT-PORTABLE by construction:
+    * the value is quantized to exact integer 1e-4 units, the weights
+    * are powers of two (most-recent observation weighs 2^(k−1)), and
+    * numerator/denominator are exact integer window sums with ONE
+    * double division at the end. Truncating the tail at `k`
+    * observations is what makes exactness possible (the untruncated
+    * recurrence needs unbounded precision); with α = 1/2 the dropped
+    * tail weighs 2^−k of the total — at the default k = 8, under 0.4%.
+    *
+    * One shuffle + one per-key sort (the window); the k−1 lags share
+    * the single window frame. Output: input ordering columns plus
+    * `ewma` (null for null values; earlier-than-k rows use the
+    * available prefix, renormalized — den sums only realized weights).
+    */
+  def ewma(
+      df: DataFrame, keyCols: Seq[String], tsCol: String, idCol: String,
+      valueCol: String, k: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 62, s"ewma: lookback k=$k out of [1, 62]")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val yu = (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 4)) *
+      lit(10000).cast(org.apache.spark.sql.types.DecimalType(5, 0))).cast("long")
+    val terms = (0 until k).map { j =>
+      val weight = 1L << (k - 1 - j)
+      val lagv = if (j == 0) col("__yu") else lag(col("__yu"), j).over(w)
+      (when(lagv.isNotNull, lagv * lit(weight)).otherwise(lit(0L)),
+        when(lagv.isNotNull, lit(weight)).otherwise(lit(0L)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    df
+      .select(
+        keyCols.map(col) ++ Seq(col(tsCol), col(idCol), col(valueCol), yu.as("__yu")): _*)
+      .withColumn(
+        "ewma",
+        when(col("__yu").isNull, null)
+          .otherwise((num.cast("double") / den.cast("double")) / lit(10000.0)))
+      .drop("__yu")
+  }
 }

@@ -3228,8 +3228,61 @@ object ExtQueries {
         |  ${graft.functions.CoreFunctions.davgSql("value")} AS mean_raw,
         |  ${graft.functions.CoreFunctions.davgSql("v_wins")} AS mean_wins
         |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // Bounded-lookback EWMA (α = ½, k = 8): the current smoothed
+    // level of each event-type's value stream — integer power-of-two
+    // weights over exact 1e-4 units, one double division, so the
+    // whole smoothing chain is hash-portable. Output: the latest row
+    // per group with its EWMA.
+    GraftQuery(
+      "x112_ewma",
+      (s, d) => {
+        val e = graft.operators.Resample.ewma(
+          t(s, d, "events"), Seq("event_type"), "ts", "event_id", "value", k = 8)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(col("ts").desc, col("event_id").desc)
+        e.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select("event_type", "event_id", "value", "ewma")
+          .orderBy("event_type")
+      },
+      Some(ewmaSql(8))
     )
   )
+
+  /** DuckDB replay of [[graft.operators.Resample.ewma]] (k-lookback,
+    * α = 1/2): the same unrolled LAG terms, integer weight sums, one
+    * double division — generated from `k` so engine and oracle can
+    * never disagree on the unroll.
+    */
+  private def ewmaSql(k: Int): String = {
+    val lags = (1 until k).map(j =>
+      s"LAG(yu, $j) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS y$j").mkString(",\n    ")
+    def v(j: Int) = if (j == 0) "yu" else s"y$j"
+    val num = (0 until k).map(j =>
+      s"(CASE WHEN ${v(j)} IS NOT NULL THEN ${v(j)} * ${1L << (k - 1 - j)} ELSE 0 END)")
+      .mkString(" + ")
+    val den = (0 until k).map(j =>
+      s"(CASE WHEN ${v(j)} IS NOT NULL THEN ${1L << (k - 1 - j)} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT event_type, ts, event_id, value,
+       |         CAST(CAST(value AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS yu
+       |  FROM events),
+       |l AS (
+       |  SELECT event_type, ts, event_id, value, yu,
+       |    $lags
+       |  FROM e),
+       |x AS (
+       |  SELECT event_type, ts, event_id, value,
+       |    CASE WHEN yu IS NULL THEN NULL
+       |         ELSE (CAST($num AS DOUBLE) / CAST($den AS DOUBLE)) / 10000.0 END AS ewma
+       |  FROM l)
+       |SELECT event_type, event_id, value, ewma
+       |FROM x
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) = 1
+       |ORDER BY event_type""".stripMargin
+  }
 
   /** DuckDB replay of [[graft.operators.Bpe]] training: the word
     * dictionary, `k` unrolled merge rounds (pair counts → argmax →

@@ -69,4 +69,46 @@ class ResampleSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("ewma: hand-checked k=2 chain with renormalized prefix and null skip") {
+    import sqlImplicits._
+    val df = Seq(
+      ("a", 1L, 1L, Some(1.0)), ("a", 2L, 2L, Some(2.0)), ("a", 3L, 3L, Some(3.0)),
+      ("b", 1L, 4L, Some(5.0)), ("b", 2L, 5L, None), ("b", 3L, 6L, Some(7.0)))
+      .toDF("k", "sec", "id", "v")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("id"), col("v"))
+    val got = graft.operators.Resample.ewma(df, Seq("k"), "ts", "id", "v", k = 2)
+      .orderBy("k", "id").collect()
+      .map(r => (r.getString(0), r.getLong(2), if (r.isNullAt(4)) null else r.getDouble(4)))
+    // a: (2*1)/2, (2*2+1)/3, (2*3+2)/3 in value units
+    assert(got(0) == ("a", 1L, (2.0 * 10000.0 / 2.0) / 10000.0))
+    assert(got(1) == ("a", 2L, ((2 * 20000.0 + 10000.0) / 3.0) / 10000.0))
+    assert(got(2) == ("a", 3L, ((2 * 30000.0 + 20000.0) / 3.0) / 10000.0))
+    // b: null row yields null ewma; the row AFTER a null sees the null lag as weight 0
+    assert(got(3) == ("b", 4L, 1.0 * 5.0))
+    assert(got(4)._3 == null)
+    assert(got(5) == ("b", 6L, (2.0 * 70000.0 / 2.0) / 10000.0))
+  }
+
+  test("ewma: partitioning invariance and full-window weights after k rows") {
+    import sqlImplicits._
+    val rnd = new scala.util.Random(21)
+    val rows = for (k <- Seq("x", "y"); i <- 1 to 50)
+      yield (k, i.toLong, (k + i).hashCode.toLong, rnd.nextDouble() * 10)
+    val df = rows.toDF("k", "sec", "id", "v")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("id"), col("v"))
+    val a = graft.operators.Resample.ewma(df, Seq("k"), "ts", "id", "v", k = 8)
+      .orderBy("k", "ts").collect().map(_.toSeq)
+    val b = graft.operators.Resample.ewma(df.repartition(11), Seq("k"), "ts", "id", "v", k = 8)
+      .orderBy("k", "ts").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+    // steady state: weights 128..1 over the last 8 quantized values
+    val xs = rows.filter(_._1 == "x").sortBy(_._2).map(_._4)
+    val units = xs.map(v => BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10000)
+    val last8 = units.takeRight(8)
+    val num = last8.zipWithIndex.map { case (u, i) => u * BigDecimal(1L << i) }.sum
+    val exp = (num.toDouble / 255.0) / 10000.0
+    val gotLast = a.filter(_.head == "x").last(4).asInstanceOf[Double]
+    assert(math.abs(gotLast - exp) < 1e-12, s"$gotLast vs $exp")
+  }
 }
