@@ -3247,6 +3247,41 @@ object ExtQueries {
           .orderBy("event_type")
       },
       Some(ewmaSql(8))
+    ),
+
+    // CUSUM changepoint per event type: where did the value stream's
+    // level shift? The scaled statistic n·S_i = n·P_i − i·T stays in
+    // exact integers (decimal/HUGEINT), so the argmax position is
+    // bit-deterministic; only the reported magnitudes divide back to
+    // value units.
+    GraftQuery(
+      "x113_cusum",
+      (s, d) =>
+        graft.operators.Changepoint.cusum(
+            t(s, d, "events"), Seq("event_type"), "ts", "event_id", "value")
+          .orderBy("event_type"),
+      Some("""WITH e AS (
+        |  SELECT event_type, ts, event_id,
+        |         CAST(CAST(value AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS yu
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, ts, event_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS BIGINT) AS i,
+        |    SUM(yu) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM e),
+        |t AS (SELECT event_type, MAX(i) AS n, arg_max(p, i) AS t FROM r GROUP BY 1),
+        |j AS (SELECT r.*, t.n, t.t, t.n * r.p - r.i * t.t AS ns FROM r JOIN t USING (event_type)),
+        |pk AS (
+        |  SELECT * FROM j
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ABS(ns) DESC, i ASC) = 1)
+        |SELECT event_type, n, event_id AS cp_id, ts AS cp_ts, i AS cp_i,
+        |  CASE WHEN i = n THEN NULL
+        |       ELSE ((CAST(t - p AS DOUBLE) / CAST(n - i AS DOUBLE))
+        |             - (CAST(p AS DOUBLE) / CAST(i AS DOUBLE))) / 10000.0
+        |  END AS shift,
+        |  (CAST(ABS(ns) AS DOUBLE) / CAST(n AS DOUBLE)) / 10000.0 AS cusum
+        |FROM pk ORDER BY event_type""".stripMargin)
     )
   )
 
