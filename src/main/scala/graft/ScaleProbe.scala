@@ -209,6 +209,31 @@ object ScaleProbe {
             timestamp_micros(col("doc_id").divide(1000).cast("long") * 300000000L + 480000000L)
               .as("e")),
           Seq("key"), "s", "e"))
+      // Market-basket pairs: K× baskets of CONSTANT size (doc_id
+      // buckets of ~8 items) — pair volume and time must track basket
+      // count linearly, never corpus².
+      time(s"basket_pairs           x$k",
+        graft.operators.Itemsets.pairStats(
+          d.select((col("doc_id") / 8).cast("long").as("b"), (col("doc_id") % 157).as("it")),
+          "b", "it", minSupport = 2L))
+      // BPE training: the dictionary is vocabulary-sized (replica
+      // alphabets rotate, so vocab grows ~linearly with K) but ROUNDS
+      // are constant — the curve is one corpus scan + K_vocab-sized
+      // round aggregates.
+      time(s"bpe_train4             x$k",
+        graft.operators.Bpe.train(d, k = 4).merges)
+      // Skew profile: ONE per-key count shuffle + a broadcast 1-row
+      // summary — the scan curve.
+      time(s"skew_profile           x$k",
+        graft.operators.Skew.profile(d, Seq("lang"), topK = 20))
+      // CUSUM: one window sort per key + a struct argmax — the
+      // sort-shuffle curve (synthetic event-time from doc_id).
+      time(s"cusum_changepoint      x$k",
+        graft.operators.Changepoint.cusum(
+          d.select(col("lang"),
+            timestamp_seconds(col("doc_id") % 1000000L).as("ts"),
+            col("doc_id").as("id"), col("n_chars").cast("double").as("v")),
+          Seq("lang"), "ts", "id", "v"))
       d.unpersist(); v.unpersist()
     }
     spark.stop()

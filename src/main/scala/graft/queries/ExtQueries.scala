@@ -3282,6 +3282,39 @@ object ExtQueries {
         |  END AS shift,
         |  (CAST(ABS(ns) AS DOUBLE) / CAST(n AS DOUBLE)) / 10000.0 AS cusum
         |FROM pk ORDER BY event_type""".stripMargin)
+    ),
+
+    // OHLC candlestick bars + time-weighted average per event type at
+    // a 6 h bucket: open/close via ONE row_number total order,
+    // extrema arithmetic-free, TWAP = exact Σ(units·µs) in
+    // DECIMAL(38,0) with one double division.
+    GraftQuery(
+      "x114_ohlc_bars",
+      (s, d) =>
+        graft.operators.Bars.ohlcBars(
+            t(s, d, "events"), Seq("event_type"), "ts", "event_id", "value",
+            bucketSeconds = 21600L)
+          .orderBy("event_type", "bucket"),
+      Some("""WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 21600000000 AS bucket, ts, event_id, value,
+        |         CAST(CAST(value AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS yu
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |w AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, bucket ORDER BY ts, event_id) AS ra,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, bucket ORDER BY ts DESC, event_id DESC) AS rd,
+        |    COALESCE(LEAD(epoch_us(ts)) OVER (PARTITION BY event_type, bucket ORDER BY ts, event_id),
+        |             (bucket + 1) * 21600000000) - epoch_us(ts) AS wt
+        |  FROM e)
+        |SELECT event_type, bucket, make_timestamp(bucket * 21600000000) AS bucket_start,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  MAX(CASE WHEN ra = 1 THEN value END) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MAX(CASE WHEN rd = 1 THEN value END) AS close,
+        |  CASE WHEN SUM(wt) = 0 THEN NULL
+        |       ELSE (CAST(SUM(CAST(yu AS DECIMAL(19,0)) * CAST(wt AS DECIMAL(19,0))) AS DOUBLE)
+        |             / CAST(SUM(CAST(wt AS DECIMAL(28,0))) AS DOUBLE)) / 10000.0 END AS twap
+        |FROM w GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin)
     )
   )
 
