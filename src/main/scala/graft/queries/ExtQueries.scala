@@ -3315,6 +3315,35 @@ object ExtQueries {
         |       ELSE (CAST(SUM(CAST(yu AS DECIMAL(19,0)) * CAST(wt AS DECIMAL(19,0))) AS DOUBLE)
         |             / CAST(SUM(CAST(wt AS DECIMAL(28,0))) AS DOUBLE)) / 10000.0 END AS twap
         |FROM w GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin)
+    ),
+
+    // Long-form reshape via the native unpivot operator (the inverse
+    // of q30's pivot): four lineitem measures melted to (measure, v)
+    // rows, then decimal-exact totals per (returnflag, measure). The
+    // oracle states the same reshape as a UNION ALL.
+    GraftQuery(
+      "x115_unpivot_measures",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .unpivot(
+            Array(col("l_returnflag")),
+            Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+            "measure", "v")
+          .groupBy("l_returnflag", "measure")
+          .agg(
+            count(col("v")).as("n"),
+            graft.functions.CoreFunctions.dsum(col("v")).as("total"),
+            graft.functions.CoreFunctions.davg(col("v")).as("mean"))
+          .orderBy("l_returnflag", "measure"),
+      Some(s"""WITH u AS (
+        |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS v FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+        |SELECT l_returnflag, measure, CAST(COUNT(v) AS BIGINT) AS n,
+        |  ${graft.functions.CoreFunctions.dsumSql("v")} AS total,
+        |  ${graft.functions.CoreFunctions.davgSql("v")} AS mean
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
     )
   )
 
