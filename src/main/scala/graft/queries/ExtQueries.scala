@@ -3344,6 +3344,32 @@ object ExtQueries {
         |  ${graft.functions.CoreFunctions.dsumSql("v")} AS total,
         |  ${graft.functions.CoreFunctions.davgSql("v")} AS mean
         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // Recursive CTE (Spark 4 WITH RECURSIVE): every customer walks its
+    // synthetic 10-ary ancestor chain (parent = key div 10) to the
+    // root — the hierarchy-explosion query class (org charts, BOM
+    // walks, path rollups). Bounded depth (digit count), no cycle
+    // risk; the depth histogram + exact ancestor sums certify every
+    // level of the recursion.
+    GraftQuery(
+      "x116_recursive_hierarchy",
+      (s, d) => {
+        t(s, d, "customer").createOrReplaceTempView("graft_x116_customer")
+        s.sql("""WITH RECURSIVE up AS (
+          SELECT c_custkey AS c, c_custkey AS anc, 0 AS depth FROM graft_x116_customer
+          UNION ALL
+          SELECT c, anc DIV 10, depth + 1 FROM up WHERE anc > 0)
+          SELECT depth, COUNT(*) AS n, SUM(anc) AS sum_anc, COUNT(DISTINCT anc) AS n_anc
+          FROM up GROUP BY depth ORDER BY depth""")
+      },
+      Some("""WITH RECURSIVE up AS (
+        |  SELECT c_custkey AS c, c_custkey AS anc, 0 AS depth FROM customer
+        |  UNION ALL
+        |  SELECT c, anc // 10, depth + 1 FROM up WHERE anc > 0)
+        |SELECT depth, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(anc) AS BIGINT) AS sum_anc,
+        |       CAST(COUNT(DISTINCT anc) AS BIGINT) AS n_anc
+        |FROM up GROUP BY depth ORDER BY depth""".stripMargin)
     )
   )
 
