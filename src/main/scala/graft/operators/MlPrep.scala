@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Feature-engineering and train/serve-monitoring primitives — the
+  * ML-prep tier of the warehouse (quantile discretization, label
+  * indexing, the hashing trick, population-stability drift).
+  *
+  * Shared scale shape: every operator is one corpus scan plus
+  * vocabulary/group-sized state joined back broadcast; nothing
+  * corpus-sized is collected or cross-joined. Portability follows the
+  * repo's conventions: exact interpolated percentiles (Spark
+  * `percentile` ≡ DuckDB `quantile_cont`), exact integer counts with
+  * single double divisions, the md5-nibble bucket lanes of the
+  * portable-twin family, and micro-nat quantization around `ln` (the
+  * [[NgramLm]] insurance) where a transcendental is unavoidable.
+  */
+object MlPrep {
+
+  /** Per-group equal-frequency (quantile) binning report: rows land in
+    * `nBins` bins split at the group's exact i/nBins percentiles;
+    * output (groupCols*, bin, n, lo, hi) — per-bin count and observed
+    * value range. Bin assignment is `Σ 1[v ≥ edge_i]`, evaluated as a
+    * HOF fold over the (nBins−1)-element edge array — identical edge
+    * doubles in every engine make the boundary comparisons
+    * bit-deterministic.
+    */
+  def quantileBinReport(
+      df: DataFrame, groupCols: Seq[String], valueCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"quantileBinReport: nBins=$nBins out of [2, 1000]")
+    val v = col(valueCol).cast("double")
+    val ps = array((1 until nBins).map(i => lit(i.toDouble / nBins)): _*)
+    val edges = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(v, ps).as("__edges"))
+    val bin = aggregate(
+      col("__edges"), lit(0),
+      (acc, e) => acc + when(v >= e, 1).otherwise(0))
+    df
+      .filter(v.isNotNull)
+      .join(Broadcasting.maybeBroadcast(edges), groupCols)
+      .select(groupCols.map(col) ++ Seq(bin.as("bin"), v.as("__v")): _*)
+      .groupBy(groupCols.map(col) :+ col("bin"): _*)
+      .agg(count(lit(1)).as("n"), min(col("__v")).as("lo"), max(col("__v")).as("hi"))
+  }
+
+  /** Deterministic label indexing (the StringIndexer contract made
+    * reproducible): labels ranked by (frequency desc, label asc),
+    * 0-based. Output: (label, n, idx) — vocabulary-sized.
+    */
+  def labelIndex(df: DataFrame, labelCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("label").asc)
+    df
+      .filter(col(labelCol).isNotNull)
+      .groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("idx", row_number().over(w) - 1)
+  }
+
+  /** The hashing trick on the portable md5 lane: token → bucket in
+    * [0, 256) via the first two md5 nibbles (the x98 cell convention),
+    * reported as per-bucket load — the collision diagnostics a
+    * hashed feature space ships with. Output: (bucket, n, n_distinct).
+    */
+  def md5HashBuckets(df: DataFrame, tokenCol: String): DataFrame = {
+    def nib(h: Column, i: Int) = instr(lit("0123456789abcdef"), substring(h, i, 1)) - 1
+    val h = md5(col(tokenCol).cast("string"))
+    val bucket = (nib(h, 1) * lit(16) + nib(h, 2)).cast("int")
+    df
+      .filter(col(tokenCol).isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"), countDistinct(col(tokenCol)).as("n_distinct"))
+  }
+
+  /** Population Stability Index per group between a reference slice
+    * (`refCond` true) and the rest: decile edges from the REFERENCE,
+    * Laplace-smoothed bin shares p, q = (cnt+1)/(total+nBins), and
+    * PSI = Σ (p−q)·ln(p/q) with each term quantized to integer
+    * micro-nats before the (exact, order-free) sum — the ln-ulp
+    * insurance of the x99 convention. Output: (groupCols*, n_ref,
+    * n_cur, psi).
+    */
+  def psi(
+      df: DataFrame, groupCols: Seq[String], valueCol: String, refCond: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 100, s"psi: nBins=$nBins out of [2, 100]")
+    val v = col(valueCol).cast("double")
+    val ps = array((1 until nBins).map(i => lit(i.toDouble / nBins)): _*)
+    val edges = df.filter(refCond && v.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(percentile(v, ps).as("__edges"))
+    val bin = aggregate(
+      col("__edges"), lit(0),
+      (acc, e) => acc + when(v >= e, 1).otherwise(0))
+    val binned = df
+      .filter(v.isNotNull)
+      .join(Broadcasting.maybeBroadcast(edges), groupCols)
+      .select(
+        groupCols.map(col) ++ Seq(
+          bin.as("bin"), when(refCond, 1L).otherwise(0L).as("is_ref")): _*)
+    val perBin = binned
+      .groupBy(groupCols.map(col) :+ col("bin"): _*)
+      .agg(
+        sum(col("is_ref")).as("c_ref"),
+        sum(lit(1L) - col("is_ref")).as("c_cur"))
+    val totals = perBin
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"))
+    // Full (group × bin) grid: a bin empty on one side still carries
+    // its smoothed mass (p ≠ q whenever the totals differ), so every
+    // bin must contribute its term — never just the occupied ones.
+    val grid = totals.select(
+      groupCols.map(col) ++ Seq(
+        explode(sequence(lit(0), lit(nBins - 1))).as("bin"),
+        col("n_ref"), col("n_cur")): _*)
+    val full = grid
+      .join(perBin, groupCols :+ "bin", "left")
+      .select(
+        groupCols.map(col) ++ Seq(
+          col("n_ref"), col("n_cur"),
+          coalesce(col("c_ref"), lit(0L)).as("c_ref"),
+          coalesce(col("c_cur"), lit(0L)).as("c_cur")): _*)
+    val p = (col("c_ref") + 1).cast("double") / (col("n_ref") + nBins).cast("double")
+    val q = (col("c_cur") + 1).cast("double") / (col("n_cur") + nBins).cast("double")
+    val termMicro = round((p - q) * log(p / q) * lit(1e6)).cast("long")
+    full
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        first(col("n_ref")).as("n_ref"),
+        first(col("n_cur")).as("n_cur"),
+        (sum(termMicro).cast("double") / lit(1e6)).as("psi"))
+  }
+}

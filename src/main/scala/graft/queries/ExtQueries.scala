@@ -3370,6 +3370,149 @@ object ExtQueries {
         |SELECT depth, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(anc) AS BIGINT) AS sum_anc,
         |       CAST(COUNT(DISTINCT anc) AS BIGINT) AS n_anc
         |FROM up GROUP BY depth ORDER BY depth""".stripMargin)
+    ),
+
+    // Equal-frequency (quantile) discretization per event type: 10
+    // bins split at exact decile edges, per-bin count + observed
+    // range. Bin assignment is a HOF fold over the edge array —
+    // identical edge doubles make every boundary comparison
+    // bit-deterministic.
+    GraftQuery(
+      "x117_quantile_bins",
+      (s, d) =>
+        graft.operators.MlPrep.quantileBinReport(
+            t(s, d, "events"), Seq("event_type"), "value", nBins = 10)
+          .orderBy("event_type", "bin"),
+      Some(s"""WITH e AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+        |ed AS (
+        |  SELECT event_type, quantile_cont(v, ${(1 until 10).map(i => (i.toDouble / 10).toString).mkString("[", ",", "]")}) AS edges
+        |  FROM e GROUP BY 1),
+        |b AS (
+        |  SELECT e.event_type, CAST(len(list_filter(ed.edges, x -> e.v >= x)) AS INT) AS bin, e.v
+        |  FROM e JOIN ed USING (event_type))
+        |SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n, MIN(v) AS lo, MAX(v) AS hi
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
+    // Deterministic label indexing (reproducible StringIndexer):
+    // (frequency desc, label asc) ranks, 0-based.
+    GraftQuery(
+      "x118_label_index",
+      (s, d) =>
+        graft.operators.MlPrep.labelIndex(t(s, d, "documents"), "source")
+          .orderBy("idx"),
+      Some("""SELECT label, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, label) - 1 AS INT) AS idx
+        |FROM (SELECT source AS label, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM documents WHERE source IS NOT NULL GROUP BY 1)
+        |ORDER BY idx""".stripMargin)
+    ),
+
+    // The hashing trick's collision diagnostics on the portable md5
+    // lane: token → bucket via the first two md5 nibbles (the x98
+    // cell convention), per-bucket load + distinct-token collisions.
+    GraftQuery(
+      "x119_hash_buckets",
+      (s, d) => {
+        val toks = graft.operators.OpCache.swap(
+          "ext.x76.toks",
+          t(s, d, "documents").select(
+            col("doc_id"),
+            explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok")))
+        graft.operators.MlPrep.md5HashBuckets(toks, "tok").orderBy("bucket")
+      },
+      Some("""WITH tk AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                            x -> length(x) > 0)) AS tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT CAST((strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 16
+        |            + (strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1) AS INT) AS bucket,
+        |         tok
+        |  FROM tk)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Global Pearson r² matrix over the four lineitem measures (six
+    // unordered pairs) through the exact-moment machinery of x109.
+    GraftQuery(
+      "x120_corr_matrix",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val measures = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        measures.combinations(2).map { case Seq(a, b) =>
+          graft.operators.Regression.pearsonR2(li, Seq(), a, b)
+            .select(lit(a).as("mx"), lit(b).as("my"), col("n"), col("r2"))
+        }.reduce(_ union _).orderBy("mx", "my")
+      },
+      Some {
+        val measures = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        measures.combinations(2).map { case Seq(a, b) =>
+          s"""SELECT '$a' AS mx, '$b' AS my, n, r2 FROM (
+             |WITH r AS (
+             |  SELECT
+             |    CAST(CAST($a AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS DECIMAL(19,0)) AS x,
+             |    CAST(CAST($b AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS DECIMAL(19,0)) AS y
+             |  FROM lineitem WHERE $a IS NOT NULL AND $b IS NOT NULL),
+             |m AS (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             |    CAST(SUM(x * x) AS DOUBLE) AS sxx, CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             |    CAST(SUM(y * y) AS DOUBLE) AS syy
+             |  FROM r)
+             |SELECT n,
+             |  CASE WHEN CAST(n AS DOUBLE)*sxx - sx*sx = 0 OR CAST(n AS DOUBLE)*syy - sy*sy = 0 THEN NULL
+             |       ELSE ((CAST(n AS DOUBLE)*sxy - sx*sy) * (CAST(n AS DOUBLE)*sxy - sx*sy)) /
+             |            ((CAST(n AS DOUBLE)*sxx - sx*sx) * (CAST(n AS DOUBLE)*syy - sy*sy))
+             |  END AS r2
+             |FROM m)""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY mx, my")
+      }
+    ),
+
+    // Population Stability Index per event type: reference slice =
+    // users ≡ 0 (mod 3), deciles from the reference, Laplace-smoothed
+    // shares over the FULL bin grid, each ln-term quantized to
+    // micro-nats before the exact sum (the x99 insurance).
+    GraftQuery(
+      "x121_psi",
+      (s, d) =>
+        graft.operators.MlPrep.psi(
+            t(s, d, "events"), Seq("event_type"), "value",
+            col("user_id") % 3 === 0, nBins = 10)
+          .orderBy("event_type"),
+      Some(s"""WITH e AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS v,
+        |         CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS is_ref
+        |  FROM events WHERE value IS NOT NULL),
+        |ed AS (
+        |  SELECT event_type, quantile_cont(v, ${(1 until 10).map(i => (i.toDouble / 10).toString).mkString("[", ",", "]")}) AS edges
+        |  FROM e WHERE is_ref = 1 GROUP BY 1),
+        |b AS (
+        |  SELECT e.event_type, CAST(len(list_filter(ed.edges, x -> e.v >= x)) AS INT) AS bin, e.is_ref
+        |  FROM e JOIN ed USING (event_type)),
+        |pb AS (
+        |  SELECT event_type, bin, CAST(SUM(is_ref) AS BIGINT) AS c_ref,
+        |         CAST(SUM(1 - is_ref) AS BIGINT) AS c_cur
+        |  FROM b GROUP BY 1, 2),
+        |tt AS (
+        |  SELECT event_type, CAST(SUM(c_ref) AS BIGINT) AS n_ref, CAST(SUM(c_cur) AS BIGINT) AS n_cur
+        |  FROM pb GROUP BY 1),
+        |grid AS (
+        |  SELECT tt.event_type, CAST(g AS INT) AS bin, tt.n_ref, tt.n_cur,
+        |         COALESCE(pb.c_ref, 0) AS c_ref, COALESCE(pb.c_cur, 0) AS c_cur
+        |  FROM tt CROSS JOIN UNNEST(range(0, 10)) AS u(g)
+        |  LEFT JOIN pb ON pb.event_type = tt.event_type AND pb.bin = CAST(g AS INT)),
+        |terms AS (
+        |  SELECT event_type, n_ref, n_cur,
+        |    CAST(ROUND((((c_ref + 1) / CAST(n_ref + 10 AS DOUBLE)) - ((c_cur + 1) / CAST(n_cur + 10 AS DOUBLE)))
+        |      * LN(((c_ref + 1) / CAST(n_ref + 10 AS DOUBLE)) / ((c_cur + 1) / CAST(n_cur + 10 AS DOUBLE)))
+        |      * 1e6) AS BIGINT) AS tm
+        |  FROM grid)
+        |SELECT event_type, MIN(n_ref) AS n_ref, MIN(n_cur) AS n_cur,
+        |       CAST(SUM(tm) AS DOUBLE) / 1e6 AS psi
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 

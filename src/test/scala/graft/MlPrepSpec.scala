@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.MlPrep
+
+class MlPrepSpec extends SparkSpec {
+
+  test("quantile bins: uniform data splits into equal bins with tight ranges") {
+    import sqlImplicits._
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val got = MlPrep.quantileBinReport(df, Seq("k"), "v", nBins = 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.length == 10, got.toSeq.toString)
+    assert(got.map(_._2).forall(n => n >= 9 && n <= 11), got.toSeq.toString)
+    assert(got.map(_._2).sum == 100L)
+    // ranges are disjoint and ordered
+    assert(got.sliding(2).forall { case Array(a, b) => a._4 <= b._3; case _ => true })
+  }
+
+  test("label index: frequency-desc then label-asc tie-break, 0-based") {
+    import sqlImplicits._
+    val df = (Seq.fill(5)("b") ++ Seq.fill(5)("a") ++ Seq.fill(2)("z") ++ Seq("m"))
+      .map(Tuple1(_)).toDF("lab")
+    val got = MlPrep.labelIndex(df, "lab").orderBy("idx").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq(("a", 5L, 0), ("b", 5L, 1), ("z", 2L, 2), ("m", 1L, 3)), got.toString)
+  }
+
+  test("md5 hash buckets: loads cover [0,256), totals preserved, JVM replica agrees") {
+    import sqlImplicits._
+    val toks = (1 to 500).map(i => Tuple1("tok" + (i % 73))).toDF("t")
+    val got = MlPrep.md5HashBuckets(toks, "t").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._2).sum == 500L)
+    assert(got.forall(b => b._1 >= 0 && b._1 < 256))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucketOf(s: String): Int = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      "0123456789abcdef".indexOf(hex(0)) * 16 + "0123456789abcdef".indexOf(hex(1))
+    }
+    val exp = (1 to 500).map(i => "tok" + (i % 73)).groupBy(bucketOf)
+      .map { case (b, g) => (b, g.size.toLong, g.distinct.size.toLong) }.toSet
+    assert(got.toSet == exp, s"got=${got.toSet} exp=$exp")
+  }
+
+  test("psi: identical halves score ~0; a planted level shift scores far above 0.2") {
+    import sqlImplicits._
+    val same = (1 to 1000).map(i => ("g", i.toLong, (i % 100).toDouble)).toDF("k", "uid", "v")
+    val p0 = MlPrep.psi(same, Seq("k"), "v", col("uid") % 2 === 0).collect().head.getDouble(3)
+    assert(math.abs(p0) < 0.02, p0.toString)
+    val shifted = (1 to 1000).map { i =>
+      val ref = i % 2 == 0
+      ("g", i.toLong, if (i % 2 == 0) (i % 100).toDouble else (i % 100) + 60.0)
+    }.map(t => (t._1, t._2, t._3)).toDF("k", "uid", "v")
+    val p1 = MlPrep.psi(shifted, Seq("k"), "v", col("uid") % 2 === 0).collect().head.getDouble(3)
+    assert(p1 > 0.2, p1.toString)
+  }
+
+  test("psi: bins empty on one side still contribute (the full-grid path)") {
+    import sqlImplicits._
+    // current slice concentrated far above every reference decile:
+    // bins 0..8 are current-empty, bin 9 ref-thin — all must contribute.
+    val rows = (1 to 200).map(i => ("g", i.toLong, i.toDouble)) ++
+      (201 to 260).map(i => ("g", i.toLong, 1000.0 + i))
+    val df = rows.toDF("k", "uid", "v")
+    val got = MlPrep.psi(df, Seq("k"), "v", col("uid") <= 200).collect().head
+    assert(got.getLong(1) == 200L && got.getLong(2) == 60L, got.toString)
+    assert(got.getDouble(3) > 1.0, got.toString) // total separation → large PSI
+  }
+
+  test("partitioning invariance across the family") {
+    import sqlImplicits._
+    val rnd = new scala.util.Random(17)
+    val df = (1 to 400).map(i => ("g" + (i % 3), i.toLong, rnd.nextDouble() * 50))
+      .toDF("k", "uid", "v")
+    def all(d: org.apache.spark.sql.DataFrame) = (
+      MlPrep.quantileBinReport(d, Seq("k"), "v", 5).orderBy("k", "bin").collect().map(_.toSeq).toSeq,
+      MlPrep.psi(d, Seq("k"), "v", col("uid") % 2 === 0).orderBy("k").collect().map(_.toSeq).toSeq)
+    assert(all(df) == all(df.repartition(13)))
+  }
+}
