@@ -95,4 +95,32 @@ object Itemsets {
         ((col("pair_n") * col("n_baskets")).cast("double") /
           (col("n_a") * col("n_b")).cast("double")).as("lift"))
   }
+
+  /** Item-item collaborative-filtering neighbors: per item, the top-k
+    * co-purchased items by binary cosine `pair_n / √(n_a·n_b)` (IEEE
+    * sqrt is correctly rounded — bit-portable), tie-broken by
+    * neighbor id. Built on [[pairStats]]'s basket shape: pair volume
+    * is Σ L²/2, never corpus²; ranking is one window over the
+    * (sparse) pair set. Output: (item, neighbor, pair_n, cosine, rk).
+    */
+  def itemNeighbors(
+      df: DataFrame, basketCol: String, itemCol: String, k: Int = 5,
+      minSupport: Long = 2L, maxBasketSize: Int = 256): DataFrame = {
+    require(k >= 1, s"itemNeighbors: k must be ≥1, got $k")
+    val pairs = pairStats(df, basketCol, itemCol, minSupport, maxBasketSize)
+      .select(
+        col("item_a"), col("item_b"), col("pair_n"),
+        (col("pair_n").cast("double") /
+          sqrt((col("n_a") * col("n_b")).cast("double"))).as("cosine"))
+    val sym = pairs.select(
+      col("item_a").as("item"), col("item_b").as("neighbor"),
+      col("pair_n"), col("cosine"))
+      .unionByName(pairs.select(
+        col("item_b").as("item"), col("item_a").as("neighbor"),
+        col("pair_n"), col("cosine")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("item")
+      .orderBy(col("cosine").desc, col("neighbor").asc)
+    sym.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
 }

@@ -12,16 +12,25 @@ import org.apache.spark.sql.functions._
   */
 object Sessions {
 
-  def sessions(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+  /** Per-event session labels: the input rows (user_id, event_id, ts,
+    * + any extra columns listed in `carry`) plus `session_id` — the
+    * lag/flag/running-sum chain shared with [[sessions]].
+    */
+  def labeled(events: DataFrame, gapMinutes: Int = 30, carry: Seq[String] = Seq.empty): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
     val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
     events
       .select(
-        col("user_id"), col("event_id"), col("ts"),
-        when(lag(col("ts"), 1).over(w).isNull || gapUs > lit(gapMinutes * 60L * 1000000L), 1)
-          .otherwise(0).as("ns"))
+        Seq(col("user_id"), col("event_id"), col("ts")) ++ carry.map(col) :+
+          when(lag(col("ts"), 1).over(w).isNull || gapUs > lit(gapMinutes * 60L * 1000000L), 1)
+            .otherwise(0).as("ns"): _*)
       .withColumn("session_id", sum(col("ns")).over(frame).cast("int"))
+      .drop("ns")
+  }
+
+  def sessions(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    labeled(events, gapMinutes)
       .groupBy("user_id", "session_id")
       .agg(
         count(lit(1)).as("n_events"),
@@ -29,5 +38,4 @@ object Sessions {
         max(col("ts")).as("session_end"),
         ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).cast("double") / 1e6)
           .as("duration_s"))
-  }
 }

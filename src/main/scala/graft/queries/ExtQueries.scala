@@ -3513,6 +3513,76 @@ object ExtQueries {
         |SELECT event_type, MIN(n_ref) AS n_ref, MIN(n_cur) AS n_cur,
         |       CAST(SUM(tm) AS DOUBLE) / 1e6 AS psi
         |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Item-item collaborative filtering: top-3 co-purchase neighbors
+    // per part by binary cosine pair_n/√(n_a·n_b) (IEEE sqrt —
+    // bit-portable), the recommendation primitive on x106's basket
+    // shape.
+    GraftQuery(
+      "x122_item_neighbors",
+      (s, d) =>
+        graft.operators.Itemsets.itemNeighbors(
+            t(s, d, "lineitem"), "l_orderkey", "l_partkey", k = 3, minSupport = 2L)
+          .orderBy("item", "rk")
+          .limit(300),
+      Some("""WITH b AS (
+        |  SELECT l_orderkey AS basket, list_sort(list(DISTINCT l_partkey)) AS items
+        |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |u AS (SELECT unnest(items) AS item, basket FROM b),
+        |n AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY 1),
+        |p AS (
+        |  SELECT x.item AS item_a, y.item AS item_b, CAST(COUNT(*) AS BIGINT) AS pair_n
+        |  FROM u x JOIN u y ON x.basket = y.basket AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |c AS (
+        |  SELECT p.item_a, p.item_b, p.pair_n,
+        |         CAST(p.pair_n AS DOUBLE) / SQRT(CAST(na.n * nb.n AS DOUBLE)) AS cosine
+        |  FROM p JOIN n na ON na.item = p.item_a JOIN n nb ON nb.item = p.item_b),
+        |s AS (
+        |  SELECT item_a AS item, item_b AS neighbor, pair_n, cosine FROM c
+        |  UNION ALL SELECT item_b, item_a, pair_n, cosine FROM c),
+        |r AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY item ORDER BY cosine DESC, neighbor) AS INT) AS rk
+        |  FROM s)
+        |SELECT item, neighbor, pair_n, cosine, rk FROM r WHERE rk <= 3
+        |ORDER BY item, rk LIMIT 300""".stripMargin)
+    ),
+
+    // Session-path mining: the top-20 within-session event-type
+    // sequences (the clickstream "what do users actually do" report)
+    // over the shared gap-sessionizer; paths assembled in exact
+    // (ts, event_id) order on both engines.
+    GraftQuery(
+      "x123_session_paths",
+      (s, d) => {
+        val labeled = graft.operators.Sessions.labeled(
+          t(s, d, "events"), gapMinutes = 30, carry = Seq("event_type"))
+        labeled
+          .groupBy("user_id", "session_id")
+          .agg(array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type"))))
+            .as("evs"))
+          .select(array_join(transform(col("evs"), e => e.getField("event_type")), ">").as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path").asc)
+          .limit(20)
+      },
+      Some("""WITH g AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
+        |  FROM g),
+        |p AS (
+        |  SELECT user_id, session_id,
+        |         array_to_string(list(event_type ORDER BY ts, event_id), '>') AS path
+        |  FROM s GROUP BY 1, 2)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin)
     )
   )
 

@@ -65,4 +65,14 @@ class ItemsetsSpec extends SparkSpec {
       .orderBy("item_a", "item_b").collect().toSeq
     assert(base == reparted)
   }
+
+  test("item neighbors: hand-checked cosine and symmetric top-k") {
+    val in = df(Seq(
+      (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"), (4L, "b")))
+    val got = graft.operators.Itemsets.itemNeighbors(in, "basket", "item", k = 2)
+      .orderBy("item", "rk").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getInt(4))).toSeq
+    val c = 2.0 / math.sqrt(9.0)
+    assert(got == Seq(("a", "b", 2L, c, 1), ("b", "a", 2L, c, 1)), got.toString)
+  }
 }
