@@ -3583,6 +3583,47 @@ object ExtQueries {
         |  FROM s GROUP BY 1, 2)
         |SELECT path, CAST(COUNT(*) AS BIGINT) AS n
         |FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin)
+    ),
+
+    // Geohash spatial bucketing over the CityBike station dimension:
+    // prefix cells turn lat/lng proximity into equi-join keys (the
+    // LSH shape for space). Top-20 4-char cells by station count with
+    // the cell's coordinate envelope; the oracle replays the
+    // bit-interleave from the same generated loop.
+    GraftQuery(
+      "x124_station_geohash",
+      (s, _) => {
+        val st = graft.etl.CityBike.stationDimension(graft.etl.CityBike.readRides(s))
+        st.filter(col("latitude").isNotNull && col("longitude").isNotNull)
+          .select(
+            substring(graft.functions.Geo.geohash(col("latitude"), col("longitude"), 8), 1, 4)
+              .as("cell"),
+            col("latitude"), col("longitude"))
+          .groupBy("cell")
+          .agg(
+            count(lit(1)).as("n_stations"),
+            min(col("latitude")).as("lat_min"), max(col("latitude")).as("lat_max"),
+            min(col("longitude")).as("lng_min"), max(col("longitude")).as("lng_max"))
+          .orderBy(col("n_stations").desc, col("cell").asc)
+          .limit(20)
+      },
+      Some(s"""WITH r AS (SELECT * FROM read_csv('${graft.etl.CityBike.DefaultCsvPath}', delim=';', header=true)),
+        |st AS (
+        |  SELECT DISTINCT name, latitude, longitude FROM (
+        |    SELECT start_station_name AS name, start_lat AS latitude, start_lng AS longitude FROM r
+        |    UNION ALL
+        |    SELECT end_station_name, end_lat, end_lng FROM r)),
+        |q AS (
+        |  SELECT latitude, longitude,
+        |         ${graft.functions.Geo.latIntSql("latitude")} AS lati,
+        |         ${graft.functions.Geo.lngIntSql("longitude")} AS lngi
+        |  FROM st WHERE latitude IS NOT NULL AND longitude IS NOT NULL),
+        |c AS (SELECT *, ${graft.functions.Geo.combineSql()} AS comb FROM q),
+        |g AS (SELECT latitude, longitude, ${graft.functions.Geo.charsSql()} AS gh FROM c)
+        |SELECT substring(gh, 1, 4) AS cell, CAST(COUNT(*) AS BIGINT) AS n_stations,
+        |  MIN(latitude) AS lat_min, MAX(latitude) AS lat_max,
+        |  MIN(longitude) AS lng_min, MAX(longitude) AS lng_max
+        |FROM g GROUP BY 1 ORDER BY n_stations DESC, cell LIMIT 20""".stripMargin)
     )
   )
 
