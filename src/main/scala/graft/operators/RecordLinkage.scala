@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter
+  * 1969, public) — entity resolution for STRUCTURED records, the
+  * sibling of the text near-dup family: block, compare fields, sum
+  * log-likelihood-ratio weights, threshold.
+  *
+  * Portability by construction: the per-field weights ln(m/u) and
+  * ln((1−m)/(1−u)) are computed ONCE on the driver and quantized to
+  * integer micro-nats, so both the Spark plan and any SQL replay sum
+  * the SAME integer literals — no transcendental ever evaluates
+  * inside a query. Scale shape: candidate generation is a blocked
+  * equi-join (the LSH shape — never left×right), scoring is row-local
+  * arithmetic, classification a filter.
+  */
+object RecordLinkage {
+
+  /** A field comparison: `agree` references the prefixed columns
+    * (`l_<col>` / `r_<col>`) of the candidate frame; (m, u) are the
+    * match/unmatch agreement probabilities.
+    */
+  final case class FieldSpec(name: String, agree: Column, m: Double, u: Double) {
+    require(m > 0 && m < 1 && u > 0 && u < 1 && m > u, s"FieldSpec($name): need 0 < u < m < 1")
+    val wAgreeMicro: Long = math.round(math.log(m / u) * 1e6)
+    val wDisagreeMicro: Long = math.round(math.log((1 - m) / (1 - u)) * 1e6)
+  }
+
+  /** Candidate pairs via the block join: every non-block column is
+    * prefixed `l_` / `r_`; block columns keep their names.
+    */
+  def candidates(left: DataFrame, right: DataFrame, blockCols: Seq[String]): DataFrame = {
+    require(blockCols.nonEmpty, "RecordLinkage: at least one block column")
+    def prefixed(df: DataFrame, p: String) =
+      df.columns.foldLeft(df)((d, c) =>
+        if (blockCols.contains(c)) d else d.withColumnRenamed(c, s"$p$c"))
+    prefixed(left, "l_").join(prefixed(right, "r_"), blockCols)
+  }
+
+  /** Score candidates: adds `agree_<field>` bits, `score_micro` (the
+    * exact integer weight sum) and `is_match` at `thresholdMicro`.
+    */
+  def score(cand: DataFrame, fields: Seq[FieldSpec], thresholdMicro: Long): DataFrame = {
+    require(fields.nonEmpty, "RecordLinkage: at least one field")
+    val bits = fields.map(f => when(f.agree, 1).otherwise(0).as(s"agree_${f.name}"))
+    val scoreMicro = fields
+      .map(f => when(f.agree, lit(f.wAgreeMicro)).otherwise(lit(f.wDisagreeMicro)))
+      .reduce(_ + _)
+    cand
+      .select(cand.columns.map(col) ++ bits :+ scoreMicro.as("score_micro"): _*)
+      .withColumn("is_match", col("score_micro") >= thresholdMicro)
+  }
+
+  /** The full pipeline: block → compare → classify. */
+  def link(
+      left: DataFrame, right: DataFrame, blockCols: Seq[String],
+      fields: Seq[FieldSpec], thresholdMicro: Long): DataFrame =
+    score(candidates(left, right, blockCols), fields, thresholdMicro)
+}

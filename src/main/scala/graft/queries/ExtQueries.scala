@@ -3624,6 +3624,79 @@ object ExtQueries {
         |  MIN(latitude) AS lat_min, MAX(latitude) AS lat_max,
         |  MIN(longitude) AS lng_min, MAX(longitude) AS lng_max
         |FROM g GROUP BY 1 ORDER BY n_stations DESC, cell LIMIT 20""".stripMargin)
+    ),
+
+    // Fellegi–Sunter record linkage: customers vs a deterministically
+    // perturbed copy (every 7th name tagged + balance shifted, every
+    // 5th segment swapped), blocked on (nation, name tail). Weights
+    // are driver-quantized integer micro-nats — the oracle sums the
+    // SAME literals, so the whole scorer is hash-exact. Output: one
+    // row per agreement pattern with its (constant) score and match
+    // verdict at threshold 0.
+    GraftQuery(
+      "x125_record_linkage",
+      (s, d) => {
+        import graft.operators.RecordLinkage.FieldSpec
+        val cust = t(s, d, "customer")
+        val blk = Seq(
+          col("c_nationkey").as("blk_nation"),
+          expr("substring(c_name, length(c_name)-5, 6)").as("blk_tail"))
+        val left = cust.select(
+          blk ++ Seq(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment")): _*)
+        val right = cust.select(
+          blk ++ Seq(
+            col("c_custkey"),
+            when(col("c_custkey") % 7 === 0, concat(col("c_name"), lit("~")))
+              .otherwise(col("c_name")).as("c_name"),
+            when(col("c_custkey") % 7 === 0, col("c_acctbal") + 5.0)
+              .otherwise(col("c_acctbal")).as("c_acctbal"),
+            when(col("c_custkey") % 5 === 0, lit("PERTURBED"))
+              .otherwise(col("c_mktsegment")).as("c_mktsegment")): _*)
+        val fields = Seq(
+          FieldSpec("name", col("l_c_name") === col("r_c_name"), 0.95, 0.01),
+          FieldSpec("bal", abs(col("l_c_acctbal") - col("r_c_acctbal")) <= 0.01, 0.9, 0.05),
+          FieldSpec("seg", col("l_c_mktsegment") === col("r_c_mktsegment"), 0.95, 0.2))
+        graft.operators.RecordLinkage
+          .link(left, right, Seq("blk_nation", "blk_tail"), fields, thresholdMicro = 0L)
+          .groupBy("agree_name", "agree_bal", "agree_seg", "score_micro", "is_match")
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("l_c_custkey")).as("n_left"))
+          .orderBy(col("score_micro").desc, col("agree_name"), col("agree_bal"), col("agree_seg"))
+      },
+      Some {
+        import graft.operators.RecordLinkage.FieldSpec
+        val fName = FieldSpec("name", lit(true), 0.95, 0.01)
+        val fBal = FieldSpec("bal", lit(true), 0.9, 0.05)
+        val fSeg = FieldSpec("seg", lit(true), 0.95, 0.2)
+        s"""WITH l AS (
+           |  SELECT c_nationkey AS bn, substring(c_name, length(c_name)-5, 6) AS bt,
+           |         c_custkey, c_name, c_acctbal, c_mktsegment
+           |  FROM customer),
+           |r AS (
+           |  SELECT c_nationkey AS bn, substring(c_name, length(c_name)-5, 6) AS bt,
+           |         c_custkey,
+           |         CASE WHEN c_custkey % 7 = 0 THEN c_name || '~' ELSE c_name END AS c_name,
+           |         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 5.0 ELSE c_acctbal END AS c_acctbal,
+           |         CASE WHEN c_custkey % 5 = 0 THEN 'PERTURBED' ELSE c_mktsegment END AS c_mktsegment
+           |  FROM customer),
+           |cand AS (
+           |  SELECT l.c_custkey AS lk,
+           |    CASE WHEN l.c_name = r.c_name THEN 1 ELSE 0 END AS agree_name,
+           |    CASE WHEN ABS(l.c_acctbal - r.c_acctbal) <= 0.01 THEN 1 ELSE 0 END AS agree_bal,
+           |    CASE WHEN l.c_mktsegment = r.c_mktsegment THEN 1 ELSE 0 END AS agree_seg
+           |  FROM l JOIN r ON l.bn = r.bn AND l.bt = r.bt),
+           |sc AS (
+           |  SELECT *,
+           |    (CASE WHEN agree_name = 1 THEN ${fName.wAgreeMicro} ELSE ${fName.wDisagreeMicro} END
+           |     + CASE WHEN agree_bal = 1 THEN ${fBal.wAgreeMicro} ELSE ${fBal.wDisagreeMicro} END
+           |     + CASE WHEN agree_seg = 1 THEN ${fSeg.wAgreeMicro} ELSE ${fSeg.wDisagreeMicro} END)
+           |      AS score_micro
+           |  FROM cand)
+           |SELECT agree_name, agree_bal, agree_seg, score_micro, score_micro >= 0 AS is_match,
+           |       CAST(COUNT(*) AS BIGINT) AS n_pairs, CAST(COUNT(DISTINCT lk) AS BIGINT) AS n_left
+           |FROM sc GROUP BY 1, 2, 3, 4, 5
+           |ORDER BY score_micro DESC, agree_name, agree_bal, agree_seg""".stripMargin
+      }
     )
   )
 
