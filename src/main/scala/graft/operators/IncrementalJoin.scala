@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of an inner-join view — the Δ-algebra of
+  * materialized views (Blakeley et al. 1986, public): with
+  * A' = A ∪ ΔA and B' = B ∪ ΔB (append-only deltas),
+  *
+  *   A' ⋈ B'  =  (A ⋈ B)  ∪  (ΔA ⋈ B)  ∪  (A ⋈ ΔB)  ∪  (ΔA ⋈ ΔB)
+  *
+  * so refreshing the view costs joins SIZED BY THE DELTAS (each term
+  * touches at least one delta side; broadcast when small) instead of
+  * re-joining two full snapshots — the difference between an hourly
+  * refresh reading gigabytes and one reading terabytes at 100 TB.
+  *
+  * Contract: append-only inserts (updates/deletes route through
+  * [[SnapshotDiff]] + [[Scd2]] instead); the three delta terms carry
+  * disjoint provenance by construction, so `maintain` returns exactly
+  * the rows the full re-join would add, tagged by which term produced
+  * them.
+  */
+object IncrementalJoin {
+
+  /** The refresh delta of `A ⋈ B` under appends: ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB,
+    * tagged with `delta_src` ∈ {left, right, both}. Union with the
+    * stored view to obtain the new view.
+    */
+  def joinDelta(
+      a: DataFrame, deltaA: DataFrame, b: DataFrame, deltaB: DataFrame,
+      joinCols: Seq[String]): DataFrame = {
+    require(joinCols.nonEmpty, "IncrementalJoin: at least one join column")
+    val t1 = Broadcasting.maybeBroadcast(deltaA).join(b, joinCols)
+      .withColumn("delta_src", lit("left"))
+    val t2 = a.join(Broadcasting.maybeBroadcast(deltaB), joinCols)
+      .withColumn("delta_src", lit("right"))
+    val t3 = Broadcasting.maybeBroadcast(deltaA)
+      .join(Broadcasting.maybeBroadcast(deltaB), joinCols)
+      .withColumn("delta_src", lit("both"))
+    t1.unionByName(t2).unionByName(t3)
+  }
+
+  /** Maintained view: stored view ∪ refresh delta (tag dropped). */
+  def maintain(
+      view: DataFrame, a: DataFrame, deltaA: DataFrame, b: DataFrame, deltaB: DataFrame,
+      joinCols: Seq[String]): DataFrame =
+    view.unionByName(joinDelta(a, deltaA, b, deltaB, joinCols).drop("delta_src"))
+}

@@ -3697,6 +3697,38 @@ object ExtQueries {
            |FROM sc GROUP BY 1, 2, 3, 4, 5
            |ORDER BY score_micro DESC, agree_name, agree_bal, agree_seg""".stripMargin
       }
+    ),
+
+    // Incremental join-view maintenance (Δ-algebra): the orders⋈line
+    // view refreshed through ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB instead of a full
+    // re-join — and the ORACLE is the full re-join itself, so the
+    // algebra's exactness (no lost, no duplicated rows) is what the
+    // hash certifies.
+    GraftQuery(
+      "x126_incremental_join",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey").as("k"), col("o_custkey"))
+        val l = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("k"), col("l_returnflag"), col("l_extendedprice"))
+        val a = o.filter(col("k") % 10 =!= 0)
+        val da = o.filter(col("k") % 10 === 0)
+        val b = l.filter(col("k") % 7 =!= 0)
+        val db = l.filter(col("k") % 7 === 0)
+        val view = a.join(b, Seq("k"))
+        graft.operators.IncrementalJoin.maintain(view, a, da, b, db, Seq("k"))
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            countDistinct(col("k")).as("n_orders"),
+            graft.functions.CoreFunctions.dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        |  ${graft.functions.CoreFunctions.dsumSql("l_extendedprice")} AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
     )
   )
 
