@@ -307,4 +307,64 @@ object TextAnalysis {
       qualityVerdict(docs, minTokens, maxPunctRatio, minAvgTokenLen)
         .filter(col("verdict") === "kept").select("doc_id"),
       Seq("doc_id"), "left_semi")
+
+  /** RAKE keyword extraction (Rose et al. 2010, public): candidate
+    * phrases are maximal stopword-free token runs, each word scores
+    * degree/frequency over the candidate table, a phrase scores the
+    * sum of its words. Portability: word scores are quantized to
+    * integer micro-units BEFORE the phrase sum (sum of longs — the
+    * addition order a groupBy cannot pin goes away), one double
+    * division at the end.
+    *
+    * Scale shape: phrase extraction is one window pass per doc (the
+    * sessionizer boundary idiom on stopword flags), word stats one
+    * vocabulary-sized groupBy joined back broadcast. Output: top-`k`
+    * phrases by (score desc, phrase asc) with corpus occurrence
+    * counts.
+    */
+  def rakeKeywords(docs: DataFrame, maxPhraseLen: Int = 4, topK: Int = 20): DataFrame = {
+    val stops = graft.functions.TextFunctions.langStopwords.head._2
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("pos").asc)
+    val frame = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val toks = docs.select(
+      col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val grouped = toks
+      .withColumn("is_stop", col("tok").isin(stops: _*).cast("int"))
+      .withColumn("grp", sum(col("is_stop")).over(frame))
+      .filter(col("is_stop") === 0)
+    val phrases = OpCache.swap(
+      "text.rake.phrases",
+      grouped
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("tok")))).as("pt"))
+        .select(
+          concat_ws(" ", transform(col("pt"), x => x.getField("tok"))).as("phrase"),
+          size(col("pt")).as("plen"))
+        .filter(col("plen") <= maxPhraseLen))
+    val words = phrases
+      .select(explode(split(col("phrase"), " ")).as("word"), col("plen"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+      .withColumn(
+        "score_micro",
+        round(col("degree").cast("double") / col("freq").cast("double") * lit(1e6))
+          .cast("long"))
+    phrases
+      .groupBy("phrase").agg(count(lit(1)).as("n_occurrences"))
+      .select(
+        col("phrase"), col("n_occurrences"),
+        explode(split(col("phrase"), " ")).as("word"))
+      .join(Broadcasting.maybeBroadcast(words.select("word", "score_micro")), Seq("word"))
+      .groupBy("phrase", "n_occurrences")
+      .agg(sum(col("score_micro")).as("psm"))
+      .select(
+        col("phrase"),
+        (col("psm").cast("double") / lit(1e6)).as("score"),
+        col("n_occurrences"))
+      .orderBy(col("score").desc, col("phrase").asc)
+      .limit(topK)
+  }
 }

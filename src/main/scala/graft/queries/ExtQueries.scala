@@ -3729,6 +3729,51 @@ object ExtQueries {
         |  ${graft.functions.CoreFunctions.dsumSql("l_extendedprice")} AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // RAKE keyword extraction: stopword-free runs score degree/freq
+    // per word, phrases sum their words — word scores quantized to
+    // integer micro-units BEFORE the phrase sum so the unordered
+    // aggregation stays exact. Top-20 corpus keywords.
+    GraftQuery(
+      "x127_rake_keywords",
+      (s, d) =>
+        graft.operators.TextAnalysis.rakeKeywords(
+          t(s, d, "documents"), maxPhraseLen = 4, topK = 20),
+      Some {
+        val stopsIn = graft.functions.TextFunctions.langStopwords.head._2
+          .map(w => s"'$w'").mkString(", ")
+        s"""WITH t AS (
+           |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+           |                             x -> length(x) > 0) AS toks
+           |  FROM documents),
+           |tk AS (
+           |  SELECT doc_id, CAST(g AS INT) - 1 AS pos, toks[CAST(g AS INT)] AS tok
+           |  FROM t CROSS JOIN UNNEST(range(1, len(toks) + 1)) AS u(g)),
+           |st AS (SELECT *, CASE WHEN tok IN ($stopsIn) THEN 1 ELSE 0 END AS is_stop FROM tk),
+           |gr AS (
+           |  SELECT *, SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+           |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+           |  FROM st),
+           |ph AS (
+           |  SELECT array_to_string(list(tok ORDER BY pos), ' ') AS phrase, COUNT(*) AS plen
+           |  FROM gr WHERE is_stop = 0 GROUP BY doc_id, grp HAVING COUNT(*) <= 4),
+           |wd AS (
+           |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq, CAST(SUM(plen) AS BIGINT) AS degree
+           |  FROM (SELECT unnest(string_split(phrase, ' ')) AS w, plen FROM ph) GROUP BY 1),
+           |ws AS (
+           |  SELECT word,
+           |         CAST(ROUND(CAST(degree AS DOUBLE) / CAST(freq AS DOUBLE) * 1e6) AS BIGINT) AS sm
+           |  FROM wd),
+           |pd AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences FROM ph GROUP BY 1),
+           |px AS (SELECT pd.phrase, pd.n_occurrences, unnest(string_split(pd.phrase, ' ')) AS word
+           |       FROM pd),
+           |sc AS (
+           |  SELECT phrase, n_occurrences, CAST(SUM(ws.sm) AS BIGINT) AS psm
+           |  FROM px JOIN ws USING (word) GROUP BY 1, 2)
+           |SELECT phrase, CAST(psm AS DOUBLE) / 1e6 AS score, n_occurrences
+           |FROM sc ORDER BY score DESC, phrase LIMIT 20""".stripMargin
+      }
     )
   )
 

@@ -237,4 +237,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(all.map(x => (x.getLong(2), x.getString(3))).toSeq ==
       Seq((2L, ""), (2L, ""), (2L, "")))
   }
+
+  test("RAKE: hand-checked phrase scores with stopword splitting and micro-exact sums") {
+    import sqlImplicits._
+    // doc: "deep learning of deep models" → phrases: "deep learning", "deep models"
+    // freq(deep)=2, degree(deep)=4 → 2.0; learning 1/2 → 2.0; models 1/2 → 2.0
+    // both phrases score 4.0; tie broken by phrase text.
+    val docs = Seq((1L, "deep learning of deep models")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.rakeKeywords(docs)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got == Seq(("deep learning", 4.0, 1L), ("deep models", 4.0, 1L)), got.toString)
+  }
+
+  test("RAKE: longer runs outrank single words; maxPhraseLen caps candidates") {
+    import sqlImplicits._
+    val docs = Seq(
+      (1L, "red green blue and red green blue and red"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.rakeKeywords(docs, maxPhraseLen = 4)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    // the 7-token run of doc 2 is dropped by the cap
+    assert(!got.exists(_._1.contains("seven")), got.toSeq.toString)
+    val byPhrase = got.map(g => g._1 -> g).toMap
+    assert(byPhrase("red green blue")._3 == 2L, got.toSeq.toString)
+    // within "red green blue": red freq 3 degree 7 (3+3+1); green/blue freq 2 degree 6
+    val exp = (7.0 / 3.0 * 1e6).round / 1e6 + 3.0 + 3.0
+    assert(math.abs(byPhrase("red green blue")._2 - exp) < 1e-9, got.toSeq.toString)
+  }
 }
