@@ -367,4 +367,40 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("phrase").asc)
       .limit(topK)
   }
+
+  /** zlib compression ratio per document — the model-free
+    * redundancy/entropy signal of dataset curation (templated or
+    * repetitive text compresses far below natural prose; random noise
+    * barely compresses). `ratio = deflate(text)/len(utf8)` with the
+    * JDK Deflater at level 6, raw mode: deterministic for a fixed JVM
+    * — certified by spec (no SQL analogue exists, so the driver check
+    * is rows-only, like the multimodal JVM decodes).
+    *
+    * mapPartitions boundary (the [[Multimodal]] justification: no
+    * Catalyst expression can run zlib): ONE Deflater reused per
+    * partition, allocation-free inner loop. Output: (doc_id, n_bytes,
+    * n_compressed, ratio) — ratio null for null/empty text.
+    */
+  def compressionRatio(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6, true)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          if (text == null || text.isEmpty) (id, 0L, 0L, null.asInstanceOf[java.lang.Double])
+          else {
+            val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            deflater.reset()
+            deflater.setInput(raw)
+            deflater.finish()
+            var total = 0L
+            while (!deflater.finished()) total += deflater.deflate(buf)
+            (id, raw.length.toLong, total,
+              java.lang.Double.valueOf(total.toDouble / raw.length))
+          }
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_compressed", "ratio")
+  }
 }

@@ -3774,6 +3774,47 @@ object ExtQueries {
            |SELECT phrase, CAST(psm AS DOUBLE) / 1e6 AS score, n_occurrences
            |FROM sc ORDER BY score DESC, phrase LIMIT 20""".stripMargin
       }
+    ),
+
+    // Native session_window operator (the built-in gap-session
+    // aggregation Structured Streaming shares): must produce exactly
+    // the manual lag/flag/running-sum sessionizer's sessions — the
+    // oracle IS that independent formulation (q23's), so the built-in
+    // operator's merge semantics are what the hash certifies.
+    GraftQuery(
+      "x128_session_window",
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"))
+          .select("user_id", "session_start", "n_events")
+          .orderBy("user_id", "session_start"),
+      Some("""WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events),
+        |s AS (
+        |  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, MIN(ts) AS session_start, CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin)
+    ),
+
+    // zlib compression-ratio quality signal: the model-free
+    // redundancy probe of dataset curation (repetitive/templated text
+    // compresses hard; natural prose sits in a band). JVM Deflater at
+    // the mapPartitions boundary → rows-only at the driver;
+    // ratio ordering, determinism and the planted repetitive/random
+    // separation are spec-pinned (TextAnalysisSpec).
+    GraftQuery(
+      "x129_compression_signal",
+      (s, d) =>
+        graft.operators.TextAnalysis.compressionRatio(t(s, d, "documents"))
+          .orderBy("doc_id"),
+      None
     )
   )
 

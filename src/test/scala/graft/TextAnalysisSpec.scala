@@ -264,4 +264,24 @@ class TextAnalysisSpec extends SparkSpec {
     val exp = (7.0 / 3.0 * 1e6).round / 1e6 + 3.0 + 3.0
     assert(math.abs(byPhrase("red green blue")._2 - exp) < 1e-9, got.toSeq.toString)
   }
+
+  test("compression signal: repetitive text compresses far below random; nulls/empties are null") {
+    import sqlImplicits._
+    val rnd = new scala.util.Random(47)
+    val repetitive = "spam ham " * 200
+    val random = (1 to 400).map(_ => rnd.alphanumeric.take(4).mkString).mkString(" ")
+    val docs = Seq((1L, repetitive), (2L, random), (3L, null.asInstanceOf[String]), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.compressionRatio(docs)
+      .orderBy("doc_id").collect()
+    val rRep = got(0).getDouble(3)
+    val rRnd = got(1).getDouble(3)
+    assert(rRep < 0.05 && rRnd > 0.3 && rRep < rRnd / 5, s"$rRep vs $rRnd")
+    assert(got(2).isNullAt(3) && got(3).isNullAt(3))
+    assert(got(0).getLong(1) == repetitive.getBytes("UTF-8").length.toLong)
+    // determinism across partitioning — byte-identical counts
+    val rep = graft.operators.TextAnalysis.compressionRatio(docs.repartition(5))
+      .orderBy("doc_id").collect()
+    assert(got.map(_.toSeq).toSeq == rep.map(_.toSeq).toSeq)
+  }
 }
