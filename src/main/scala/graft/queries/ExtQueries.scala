@@ -3803,6 +3803,61 @@ object ExtQueries {
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin)
     ),
 
+    // Geohash-blocked spatial KNN: nearest 3 stations per station,
+    // candidates restricted to the SAME precision-6 cell (~1.2 km —
+    // the blocked-join contract, stated identically in the oracle:
+    // cross-cell neighbors are out of scope by design, exactly like
+    // an LSH band), verified and ranked by the fused haversine.
+    GraftQuery(
+      "x130_geo_knn",
+      (s, _) => {
+        val st = graft.etl.CityBike.stationDimension(graft.etl.CityBike.readRides(s))
+          .filter(col("latitude").isNotNull && col("longitude").isNotNull)
+          .select(
+            col("name"), col("latitude"), col("longitude"),
+            graft.functions.Geo.geohash(col("latitude"), col("longitude"), 6).as("cell"))
+        val other = st.select(
+          col("cell"), col("name").as("nb_name"),
+          col("latitude").as("nb_lat"), col("longitude").as("nb_lng"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("name").orderBy(col("dist_km").asc, col("nb_name").asc)
+        st.join(other, Seq("cell"))
+          .filter(col("name") =!= col("nb_name"))
+          .select(
+            col("name"), col("nb_name"),
+            round(graft.functions.CoreFunctions.haversineKm(
+              col("latitude"), col("longitude"), col("nb_lat"), col("nb_lng")), 6)
+              .as("dist_km"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .orderBy("name", "rk")
+          .limit(150)
+      },
+      Some(s"""WITH r AS (SELECT * FROM read_csv('${graft.etl.CityBike.DefaultCsvPath}', delim=';', header=true)),
+        |st0 AS (
+        |  SELECT DISTINCT name, latitude, longitude FROM (
+        |    SELECT start_station_name AS name, start_lat AS latitude, start_lng AS longitude FROM r
+        |    UNION ALL
+        |    SELECT end_station_name, end_lat, end_lng FROM r)
+        |  WHERE latitude IS NOT NULL AND longitude IS NOT NULL),
+        |q AS (
+        |  SELECT *, ${graft.functions.Geo.latIntSql("latitude", 6)} AS lati,
+        |            ${graft.functions.Geo.lngIntSql("longitude", 6)} AS lngi
+        |  FROM st0),
+        |c AS (SELECT *, ${graft.functions.Geo.combineSql(6)} AS comb FROM q),
+        |g AS (SELECT name, latitude, longitude, ${graft.functions.Geo.charsSql(6)} AS cell FROM c),
+        |p AS (
+        |  SELECT a.name, b.name AS nb_name,
+        |         ROUND(${graft.functions.CoreFunctions.haversineSql(
+          "a.latitude", "a.longitude", "b.latitude", "b.longitude")}, 6) AS dist_km
+        |  FROM g a JOIN g b ON a.cell = b.cell AND a.name <> b.name),
+        |k AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY name ORDER BY dist_km, nb_name) AS INT) AS rk
+        |  FROM p)
+        |SELECT name, nb_name, dist_km, rk FROM k WHERE rk <= 3
+        |ORDER BY name, rk LIMIT 150""".stripMargin)
+    ),
+
     // zlib compression-ratio quality signal: the model-free
     // redundancy probe of dataset curation (repetitive/templated text
     // compresses hard; natural prose sits in a band). JVM Deflater at
