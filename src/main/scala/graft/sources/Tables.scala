@@ -233,6 +233,51 @@ object Tables {
     fs.delete(p, true)
   }
 
+  /** Small-file compaction for a managed parquet table: rewrite into
+    * ⌈bytes / targetBytes⌉ files through the crash-safe
+    * [[stagedOverwrite]] path. The append sink accretes one file set
+    * per micro-batch/job — at 100 TB the resulting listing and
+    * open-file overhead dominates scan setup long before data volume
+    * does; periodic compaction is the warehouse's GC. Returns
+    * (files_before, files_after).
+    */
+  def compactTable(spark: SparkSession, table: String, targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(targetBytes > 0, s"compactTable: targetBytes must be positive, got $targetBytes")
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val p = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles() = fs.listStatus(p).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles()
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val data = spark.table(table).repartition(nOut)
+    stagedOverwrite(data, table)
+    (before.size, parquetFiles().size)
+  }
+
+  /** Retention enforcement for a partitioned managed table: drop
+    * whole partitions of `partCol` strictly below `cutoff` via
+    * metadata-only DDL (`ALTER TABLE … DROP PARTITION`) — no data
+    * rewrite, no scan; the 100 TB path for TTL on a date-partitioned
+    * fact table. Returns the number of partitions dropped.
+    */
+  def expirePartitions(spark: SparkSession, table: String, partCol: String, cutoff: String): Int = {
+    val parts = spark.sql(s"SHOW PARTITIONS $table").collect().map(_.getString(0))
+    val expired = parts.flatMap { spec =>
+      // spec: "col=value" (single partition column layout)
+      spec.split('=') match {
+        case Array(c, v) if c == partCol && v < cutoff => Some(v)
+        case _ => None
+      }
+    }
+    expired.foreach { v =>
+      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($partCol='$v')")
+    }
+    expired.length
+  }
+
   /** Optional JDBC sink for Postgres/Power-BI parity (S2/S3 over the
     * wire). Thin and untested here — no database server ships in this
     * environment; the call shape matches the parquet sinks.

@@ -139,6 +139,32 @@ object EventStreams {
       .drop("c_user_id")
   }
 
+  /** Stream-stream LEFT OUTER interval join — the attribution shape
+    * where unconverted purchases must still be emitted: each purchase
+    * pairs with same-user clicks of the preceding hour, and a purchase
+    * with NO qualifying click is emitted with null click columns ONCE
+    * BOTH watermarks pass its interval (the state store can only then
+    * prove no match will arrive — outer rows are inherently
+    * watermark-delayed, which is the semantics the parity spec pins).
+    * Same bounded state as the inner form.
+    */
+  def clickPurchaseOuterJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(
+      col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+      col("ts").as("click_ts"), col("value").as("click_value"))
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases.select(
+      col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    p.join(
+      c,
+      col("c_user_id") === col("user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .drop("c_user_id")
+  }
+
   /** Stream-side decontamination / blocklist filter: drop stream rows
     * whose `keyCol` appears in a STATIC reference set, pre-pruned by a
     * broadcast Bloom filter — the streaming face of

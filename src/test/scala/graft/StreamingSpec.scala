@@ -203,6 +203,36 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((10L, 1L), (10L, 2L)), s"got $pairs")
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched purchases once watermarks pass") {
+    import sqlImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStreams.clickPurchaseOuterJoin(clicks.toDF, purchases.toDF)
+      .writeStream.format("memory").queryName("ssojoin_test")
+      .outputMode("append").start()
+    clicks.addData(
+      Event(1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0))
+    purchases.addData(
+      Event(10L, ts("2024-01-01 10:45:00"), 7L, "purchase", 50.0),  // pairs with click 1
+      Event(11L, ts("2024-01-01 10:50:00"), 9L, "purchase", 60.0))  // no click → outer row
+    q.processAllAvailable()
+    // advance BOTH watermarks far past the intervals so the state
+    // store can emit the unmatched outer row
+    clicks.addData(Event(2L, ts("2024-01-01 15:00:00"), 7L, "click", 9.0))
+    purchases.addData(Event(12L, ts("2024-01-01 15:00:00"), 8L, "purchase", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssojoin_test")
+      .collect()
+      .map(r => (r.getAs[Long]("purchase_id"),
+        Option(r.getAs[java.lang.Long]("click_id")).map(_.toLong)))
+      .toSet
+    assert(rows.contains((10L, Some(1L))), rows.toString)
+    assert(rows.contains((11L, None)), s"unmatched purchase missing from $rows")
+    assert(!rows.contains((11L, Some(1L))) && !rows.contains((11L, Some(2L))), rows.toString)
+  }
+
   test("streaming bloom decontamination equals the batch anti-join, across micro-batches") {
     import sqlImplicits._
     implicit val sqlCtx = spark.sqlContext

@@ -179,4 +179,36 @@ class TablesSpec extends SparkSpec {
         "member_type_id")
     assert(joined.count() == 50611)
   }
+
+  test("compaction rewrites an append-accreted table into few files with content intact") {
+    import sqlImplicits._
+    val tbl = "graft_compact_t"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}__staging")
+    for (b <- 1 to 6)
+      Tables.appendTable((b * 100 until b * 100 + 50).toDF("v").repartition(2), tbl)
+    val before = spark.table(tbl).collect().map(_.getInt(0)).sorted
+    val (nBefore, nAfter) = Tables.compactTable(spark, tbl, targetBytes = 1L << 30)
+    assert(nBefore >= 6, s"append should accrete files, saw $nBefore")
+    assert(nAfter < nBefore && nAfter >= 1, s"$nBefore -> $nAfter")
+    val after = spark.table(tbl).collect().map(_.getInt(0)).sorted
+    assert(after.toSeq == before.toSeq)
+  }
+
+  test("partition retention drops old partitions metadata-only and keeps the rest") {
+    import sqlImplicits._
+    val tbl = "graft_retention_t"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val rows = Seq(
+      ("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-03", 3), ("2024-01-04", 4))
+      .flatMap { case (d, v) => (1 to 3).map(i => (d, v * 10 + i)) }
+    Tables.writePartitioned(rows.toDF("day", "v"), tbl, Seq("day"))
+    val dropped = Tables.expirePartitions(spark, tbl, "day", cutoff = "2024-01-03")
+    assert(dropped == 2, s"dropped $dropped")
+    val left = spark.table(tbl).select("day").distinct().collect().map(_.getString(0)).sorted
+    assert(left.toSeq == Seq("2024-01-03", "2024-01-04"), left.toSeq.toString)
+    assert(spark.table(tbl).count() == 6)
+    // idempotent: nothing else to expire at the same cutoff
+    assert(Tables.expirePartitions(spark, tbl, "day", cutoff = "2024-01-03") == 0)
+  }
 }
