@@ -3858,6 +3858,66 @@ object ExtQueries {
         |ORDER BY name, rk LIMIT 150""".stripMargin)
     ),
 
+    // Benford first-digit audit (Newcomb 1881 / Benford 1938, public)
+    // — the forensic data-quality screen for fabricated or truncated
+    // numeric columns. Expected shares log10(1+1/d) are quantized ON
+    // THE DRIVER to micro-units (the record-linkage convention), so
+    // the chi-square accumulates from exact integers and identical
+    // double trees only.
+    GraftQuery(
+      "x131_benford",
+      (s, d) => {
+        val expMicro = (1 to 9).map(dd => math.round(math.log10(1.0 + 1.0 / dd) * 1e6))
+        val price = t(s, d, "lineitem")
+          .filter(col("l_extendedprice").isNotNull && col("l_extendedprice") > 0)
+          .select(
+            // through DECIMAL: plain-notation rendering in every
+            // engine (a raw double casts to scientific notation for
+            // extreme magnitudes, and the engines disagree on when)
+            substring(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 4))
+              .cast("string"), 1, 1).cast("int").as("digit"))
+          .filter(col("digit").between(1, 9))
+        val counts = price.groupBy("digit").agg(count(lit(1)).as("n"))
+        val total = counts.agg(sum(col("n")).as("total"))
+        val expCol = element_at(
+          array(expMicro.map(lit): _*), col("digit"))
+        counts
+          .crossJoin(broadcast(total))
+          .select(
+            col("digit"), col("n"), col("total"),
+            (col("n").cast("double") / col("total").cast("double")).as("observed"),
+            (expCol.cast("double") / lit(1e6)).as("expected"),
+            // chi-square term: (O - E)² / E with O, E as counts
+            (((col("n").cast("double") -
+              (expCol.cast("double") / lit(1e6)) * col("total").cast("double")) *
+              (col("n").cast("double") -
+                (expCol.cast("double") / lit(1e6)) * col("total").cast("double"))) /
+              ((expCol.cast("double") / lit(1e6)) * col("total").cast("double")))
+              .as("chi2_term"))
+          .orderBy("digit")
+      },
+      Some {
+        val expMicro = (1 to 9).map(dd => math.round(math.log10(1.0 + 1.0 / dd) * 1e6))
+        val expCase = expMicro.zipWithIndex
+          .map { case (m, i) => s"WHEN ${i + 1} THEN $m" }.mkString(" ")
+        s"""WITH p AS (
+           |  SELECT CAST(substring(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS VARCHAR), 1, 1) AS INT) AS digit
+           |  FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+           |c AS (
+           |  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM p
+           |  WHERE digit BETWEEN 1 AND 9 GROUP BY 1),
+           |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+           |e AS (SELECT digit, n, total, CASE digit $expCase END AS em FROM c, t)
+           |SELECT digit, n, total,
+           |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS observed,
+           |  CAST(em AS DOUBLE) / 1e6 AS expected,
+           |  ((CAST(n AS DOUBLE) - (CAST(em AS DOUBLE) / 1e6) * CAST(total AS DOUBLE))
+           |   * (CAST(n AS DOUBLE) - (CAST(em AS DOUBLE) / 1e6) * CAST(total AS DOUBLE)))
+           |  / ((CAST(em AS DOUBLE) / 1e6) * CAST(total AS DOUBLE)) AS chi2_term
+           |FROM e ORDER BY digit""".stripMargin
+      }
+    ),
+
     // zlib compression-ratio quality signal: the model-free
     // redundancy probe of dataset curation (repetitive/templated text
     // compresses hard; natural prose sits in a band). JVM Deflater at

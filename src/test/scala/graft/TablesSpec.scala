@@ -211,4 +211,20 @@ class TablesSpec extends SparkSpec {
     // idempotent: nothing else to expire at the same cutoff
     assert(Tables.expirePartitions(spark, tbl, "day", cutoff = "2024-01-03") == 0)
   }
+
+  test("ANALYZE TABLE populates catalog statistics (row count + column min/max/ndv)") {
+    import sqlImplicits._
+    val tbl = "graft_stats_t"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    Tables.overwriteTable((1 to 1000).map(i => (i, s"v$i")).toDF("k", "s"), tbl)
+    spark.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS FOR ALL COLUMNS")
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(tbl))
+    val st = meta.stats.get
+    assert(st.rowCount.contains(BigInt(1000)), st.toString)
+    val kStats = st.colStats("k")
+    assert(kStats.min.contains(1) || kStats.min.map(_.toString).contains("1"), kStats.toString)
+    assert(kStats.max.map(_.toString).contains("1000"), kStats.toString)
+    assert(kStats.distinctCount.exists(_.toInt > 900), kStats.toString)
+  }
 }
