@@ -234,6 +234,47 @@ object ScaleProbe {
             timestamp_seconds(col("doc_id") % 1000000L).as("ts"),
             col("doc_id").as("id"), col("n_chars").cast("double").as("v")),
           Seq("lang"), "ts", "id", "v"))
+      // Bitmap distinct on a dense K-scaled ID space: the shuffle
+      // carries one word per occupied 64-ID block — the curve is the
+      // scan, and must beat count(distinct)'s one-row-per-distinct
+      // shuffle as density rises.
+      time(s"bitmap_distinct        x$k",
+        graft.operators.Bitmap.distinctByGroup(
+          d.select(col("lang"), (col("doc_id") % (lit(100000L) * k)).as("uid")),
+          Seq("lang"), "uid"))
+      // Attribution: conversions×touches meet only inside a user key
+      // (synthetic users of constant activity), so the join output is
+      // linear in K.
+      time(s"attribution            x$k",
+        graft.operators.Behavior.attribution(
+          d.select(
+            (col("doc_id") % (lit(5000L) * k)).as("user_id"),
+            when(col("doc_id") % 5 === 0, "buy").otherwise(
+              concat(lit("ch"), (col("doc_id") % 3).cast("string"))).as("event_type"),
+            timestamp_seconds(col("doc_id") % 86400L).as("ts"),
+            col("doc_id").as("event_id")),
+          "buy", lookbackSeconds = 86400L))
+      // DSIR scores: two token-count aggregations + a vocab-sized
+      // log-ratio join — the scan curve (vocab grows ~linearly with
+      // the rotated replica alphabets).
+      time(s"dsir_scores            x$k",
+        graft.operators.Dsir.importanceScores(d, col("doc_id") % 10 === 0))
+      // Seasonal MAD baseline: two aggregations on a BOUNDED slot key
+      // (|langs|·168) — the scan curve.
+      time(s"seasonal_mad           x$k",
+        graft.operators.Seasonal.hourOfWeekAnomalies(
+          d.select(col("lang").as("event_type"),
+            timestamp_seconds(col("doc_id") % 604800L).as("ts"),
+            col("n_chars").cast("double").as("value"))))
+      // Sliding-window HLL: per-day sketches then ≤7-row register
+      // merges per output day — time must track the daily aggregation
+      // scan, never the window span.
+      time(s"hll_sliding_7d         x$k",
+        graft.operators.Hll.slidingDistinct(
+          d.select(
+            timestamp_seconds(lit(1704067200L) + (col("doc_id") % 90) * 86400L).as("ts"),
+            (col("doc_id") % (lit(50000L) * k)).as("uid")),
+          "ts", "uid", windowDays = 7))
       d.unpersist(); v.unpersist()
     }
     spark.stop()

@@ -76,6 +76,65 @@ object Behavior {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Multi-touch conversion attribution: for every conversion event
+    * (type = `convType`), its touches are the SAME user's events of
+    * any other type in the lookback window `(conv.ts - lookback,
+    * conv.ts]`, ordered by (ts, id). Two published credit models in
+    * one pass (e.g. Shao & Li, KDD 2011 survey the family — public):
+    *
+    *  - last-touch: the latest touch gets the whole conversion;
+    *  - linear: each of a conversion's n touches gets 1/n.
+    *
+    * The linear fraction is quantized to integer micro-credits
+    * (`round(1e6 / n)` — one exactly-rounded division of integers,
+    * IEEE-identical in any engine) so the per-channel sum is exact
+    * integer arithmetic under any aggregation order — the repo's
+    * portable-score convention.
+    *
+    * Scale shape: one user-keyed equi-join (conversions × touches
+    * within a user, bounded by per-user activity, never cross-user)
+    * + one window over conversion groups + one tiny channel rollup.
+    * Output: (channel, n_last_touch, n_touches, linear_credit) with
+    * linear_credit in conversions (micro-credit sum / 1e6).
+    */
+  def attribution(
+      events: DataFrame,
+      convType: String,
+      lookbackSeconds: Long,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    require(lookbackSeconds > 0, s"attribution: lookback must be positive, got $lookbackSeconds")
+    val conv = events
+      .filter(col(typeCol) === convType)
+      .select(
+        col(userCol).as("__u"), col(idCol).as("conv_id"), col(tsCol).as("conv_ts"))
+    val touch = events
+      .filter(col(typeCol) =!= convType)
+      .select(
+        col(userCol).as("__u"), col(idCol).as("touch_id"),
+        col(tsCol).as("touch_ts"), col(typeCol).as("channel"))
+    val joined = conv.join(touch, Seq("__u"))
+      .filter(
+        col("touch_ts") <= col("conv_ts") &&
+          unix_micros(col("conv_ts")) - unix_micros(col("touch_ts")) <
+            lit(lookbackSeconds * 1000000L))
+    val w = Window.partitionBy(col("conv_id"))
+    val scored = joined
+      .withColumn(
+        "__rk",
+        row_number().over(w.orderBy(col("touch_ts").desc, col("touch_id").desc)))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__micro", round(lit(1000000L) / col("__n")).cast("long"))
+    scored
+      .groupBy(col("channel"))
+      .agg(
+        sum(when(col("__rk") === 1, 1L).otherwise(0L)).as("n_last_touch"),
+        count(lit(1)).as("n_touches"),
+        (sum(col("__micro")).cast("double") / lit(1e6)).as("linear_credit"))
+  }
+
   /** Weekly cohort retention: users grouped by the week of their
     * FIRST event; each (cohort_week, week_offset) cell counts the
     * distinct users of that cohort active in that week. Weeks are

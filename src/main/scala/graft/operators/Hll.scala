@@ -99,6 +99,41 @@ object Hll {
       .agg(sketchAgg(col(keyCol), p).as("registers"))
       .withColumn("est", estimate(col("registers"), p))
 
+  /** Trailing-window distinct counts via register merge: per day, the
+    * estimated distinct `keyCol`s over the last `windowDays` days —
+    * the rolling-MAU/WAU query. The scan aggregates each day ONCE
+    * into a 2^p-register sketch; the window then merges ≤ windowDays
+    * sketch rows per output day (`RANGE` on the day number, so date
+    * gaps stay correct). At 100 TB this is the only viable shape:
+    * the alternative — a distinct-count per (day × window) self-join
+    * — re-shuffles the raw keys windowDays times.
+    * Output: (day, est).
+    */
+  def slidingDistinct(
+      df: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      windowDays: Int,
+      p: Int = 12): DataFrame = {
+    require(windowDays > 0, s"slidingDistinct: windowDays must be positive, got $windowDays")
+    val daily = df
+      .filter(col(keyCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(sketchAgg(col(keyCol), p).as("registers"))
+      .withColumn("__d", datediff(col("day"), lit("1970-01-01")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__d"))
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    daily
+      .withColumn(
+        "__merged",
+        aggregate(
+          collect_list(col("registers")).over(w),
+          array_repeat(lit(0), 1 << p),
+          (acc, r) => zip_with(acc, r, (x, y) => greatest(x, y))))
+      .select(col("day"), estimate(col("__merged"), p).as("est"))
+  }
+
   /** Merge per-group sketch STATES (the streaming-fold / cross-table
     * form): rows with the same group keys merge registers
     * element-wise. Inputs must share the same p.

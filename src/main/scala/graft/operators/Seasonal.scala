@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Seasonal-baseline anomaly screening: model each metric's expected
+  * value by its HOUR-OF-WEEK slot (the dominant seasonality of
+  * product/ops metrics) with the median, and flag points further
+  * than `k` robust sigmas (MAD) from their slot's baseline — the
+  * classic model-free outage/fraud screen (Leys et al. 2013 on MAD
+  * cutoffs; public).
+  *
+  * Medians are exact (`percentile`, not approx) over MICRO-UNIT
+  * integers (`value` through DECIMAL(18,4) ×10⁴ — the x112/ewma
+  * convention): an exact median of integers is integer- or
+  * half-integer-valued, a MAD of those is quarter-integer-valued —
+  * all exactly representable doubles, so engine and oracle agree
+  * bit-for-bit with no rounding step.
+  *
+  * Scale shape: two aggregations on the same (type, dow, hour) key —
+  * slots are bounded (|types|·168), so the second pass joins against
+  * a broadcastable baseline table. Day-of-week is ISO (1 = Monday)
+  * in both engines (`weekday()+1` here, `isodow` there).
+  */
+object Seasonal {
+
+  /** Per-slot robust baseline + anomaly counts: `(event_type, isodow,
+    * hour, n, med, mad, n_anomalies)` with med/mad in original value
+    * units (micro-exact doubles).
+    */
+  def hourOfWeekAnomalies(
+      events: DataFrame,
+      k: Double = 4.0,
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    require(k > 0, s"hourOfWeekAnomalies: k must be positive, got $k")
+    val slotted = events
+      .filter(col(valueCol).isNotNull)
+      .select(
+        col(typeCol).as("event_type"),
+        (weekday(col(tsCol)) + lit(1)).cast("int").as("isodow"),
+        hour(col(tsCol)).cast("int").as("hour"),
+        col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 4))
+          .multiply(lit(10000)).cast("long").as("vu"))
+    val keys = Seq("event_type", "isodow", "hour")
+    val med = slotted
+      .groupBy(keys.map(col): _*)
+      .agg(expr("percentile(vu, 0.5)").as("med_u"))
+    val withMed = slotted.join(Broadcasting.maybeBroadcast(med), keys)
+    val mad = withMed
+      .groupBy(keys.map(col): _*)
+      .agg(expr("percentile(abs(vu - med_u), 0.5)").as("mad_u"))
+    withMed
+      .join(Broadcasting.maybeBroadcast(mad), keys)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        (first(col("med_u")) / lit(10000.0)).as("med"),
+        (first(col("mad_u")) / lit(10000.0)).as("mad"),
+        sum(when(
+          abs(col("vu") - col("med_u")) > lit(k) * col("mad_u") && col("mad_u") > 0,
+          1L).otherwise(0L)).as("n_anomalies"))
+  }
+}

@@ -3930,6 +3930,262 @@ object ExtQueries {
         graft.operators.TextAnalysis.compressionRatio(t(s, d, "documents"))
           .orderBy("doc_id"),
       None
+    ),
+
+    // Exact distinct via chunked bitmaps (the roaring-bitmap shape
+    // reduced to bit_or/bit_count aggregates): on the dense user-ID
+    // space the shuffle carries one 64-bit word per occupied 64-ID
+    // block instead of one row per distinct user — the 100 TB
+    // count-distinct for surrogate-keyed entities. Pure integer bit
+    // arithmetic; the oracle is plain COUNT(DISTINCT).
+    GraftQuery(
+      "x132_bitmap_distinct",
+      (s, d) =>
+        graft.operators.Bitmap.distinctByGroup(
+            t(s, d, "events"), Seq("event_type"), "user_id")
+          .orderBy("event_type"),
+      Some("""SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // Exact audience overlap without materializing either set: AND/OR
+    // the per-word bitmaps of two event types' user sets — the exact
+    // counterpart of the MinHash Jaccard estimate, feasible whenever
+    // the ID space is dense enough to bitmap. One row out; the
+    // jaccard is one exactly-rounded integer division (micro-units).
+    GraftQuery(
+      "x133_bitmap_overlap",
+      (s, d) =>
+        graft.operators.Bitmap.setOverlap(
+          t(s, d, "events"), "event_type", "click", "purchase", "user_id"),
+      Some("""WITH l AS (SELECT DISTINCT user_id FROM events
+        |          WHERE event_type = 'click' AND user_id IS NOT NULL),
+        |r AS (SELECT DISTINCT user_id FROM events
+        |      WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        |i AS (SELECT COUNT(*) AS n FROM l JOIN r USING (user_id)),
+        |u AS (SELECT COUNT(*) AS n FROM (SELECT user_id FROM l UNION SELECT user_id FROM r))
+        |SELECT CAST((SELECT COUNT(*) FROM l) AS BIGINT) AS n_left,
+        |       CAST((SELECT COUNT(*) FROM r) AS BIGINT) AS n_right,
+        |       CAST(i.n AS BIGINT) AS n_intersect,
+        |       CAST(u.n AS BIGINT) AS n_union,
+        |       CAST(round(i.n * 1000000 / CAST(u.n AS DOUBLE)) AS BIGINT) AS jaccard_micro
+        |FROM i, u""".stripMargin)
+    ),
+
+    // Multi-touch conversion attribution (last-touch + linear credit
+    // in one pass): purchases attributed to the same user's
+    // click/view/signup/error touches in a 24 h lookback. Linear
+    // credit is integer micro-credits (round(1e6/n) — one
+    // exactly-rounded division both engines make on the same
+    // integers), so the channel sums replay exactly.
+    GraftQuery(
+      "x134_attribution",
+      (s, d) =>
+        graft.operators.Behavior.attribution(
+            t(s, d, "events"), convType = "purchase", lookbackSeconds = 86400L)
+          .orderBy("channel"),
+      Some("""WITH conv AS (
+        |  SELECT user_id, event_id AS conv_id, ts AS conv_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT user_id, event_id AS touch_id, ts AS touch_ts, event_type AS channel
+        |  FROM events WHERE event_type <> 'purchase'),
+        |j AS (
+        |  SELECT c.conv_id, t.channel, t.touch_ts, t.touch_id
+        |  FROM conv c JOIN touch t USING (user_id)
+        |  WHERE t.touch_ts <= c.conv_ts
+        |    AND epoch_us(c.conv_ts) - epoch_us(t.touch_ts) < 86400000000),
+        |s AS (
+        |  SELECT channel,
+        |         ROW_NUMBER() OVER (PARTITION BY conv_id
+        |                            ORDER BY touch_ts DESC, touch_id DESC) AS rk,
+        |         COUNT(*) OVER (PARTITION BY conv_id) AS n
+        |  FROM j)
+        |SELECT channel,
+        |       CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_last_touch,
+        |       CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |       CAST(SUM(CAST(round(1000000 / CAST(n AS DOUBLE)) AS BIGINT)) AS DOUBLE) / 1e6
+        |         AS linear_credit
+        |FROM s GROUP BY channel ORDER BY channel""".stripMargin)
+    ),
+
+    // Zone-map data-skipping audit over the x54 z-order cells: per
+    // 64-cell min/max/non-null footer stats on (shipdate, price) and
+    // the skippability of each cell under a conjunctive range
+    // predicate — quantifying exactly how much scan the z-layout
+    // saves (the Moerkotte small-materialized-aggregates loop). All
+    // comparisons on exact min/max; bit-replayed interleave SQL.
+    GraftQuery(
+      "x135_zonemap_prune",
+      (s, d) => {
+        import graft.operators.{ZOrder, ZoneMap}
+        // parquet NTZ → session-tz TIMESTAMP (UTC session: same
+        // instant) so unix_micros resolves and the literal bounds
+        // compare in one type
+        val li = t(s, d, "lineitem")
+          .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+        val z = shiftright(
+          ZOrder.zValue(
+            ZOrder.bucket(unix_micros(col("l_shipdate")) / lit(86400000000.0), 8000.0, 10700.0),
+            ZOrder.bucket(col("l_extendedprice"), 900.0, 105000.0)),
+          26)
+        val stats = ZoneMap.stats(li, z, Seq("l_shipdate", "l_extendedprice"))
+        ZoneMap.pruneAudit(
+            stats,
+            Seq(
+              ("l_shipdate", lit("1996-01-01").cast("timestamp"), lit("1996-06-30").cast("timestamp")),
+              ("l_extendedprice", lit(50000.0), lit(1e9))))
+          .select(
+            col("zone").cast("long").as("zone"), col("n_rows"),
+            col("min_l_shipdate"), col("max_l_shipdate"),
+            round(col("min_l_extendedprice"), 2).as("min_price"),
+            round(col("max_l_extendedprice"), 2).as("max_price"),
+            col("skip_l_shipdate"), col("skip_l_extendedprice"), col("skippable"))
+          .orderBy("zone")
+      },
+      Some("""WITH b AS (
+        |  SELECT l_shipdate AS sd, l_extendedprice AS p,
+        |    COALESCE(CAST(LEAST(GREATEST(FLOOR((epoch_us(l_shipdate) / 86400000000.0 - 8000.0) / 2700.0 * 65536.0), 0), 65535) AS BIGINT), 0) AS ab,
+        |    COALESCE(CAST(LEAST(GREATEST(FLOOR((l_extendedprice - 900.0) / 104100.0 * 65536.0), 0), 65535) AS BIGINT), 0) AS bb
+        |  FROM lineitem),
+        |s1 AS (SELECT sd, p, (ab | (ab << 8)) & 16711935 AS ab, (bb | (bb << 8)) & 16711935 AS bb FROM b),
+        |s2 AS (SELECT sd, p, (ab | (ab << 4)) & 252645135 AS ab, (bb | (bb << 4)) & 252645135 AS bb FROM s1),
+        |s3 AS (SELECT sd, p, (ab | (ab << 2)) & 858993459 AS ab, (bb | (bb << 2)) & 858993459 AS bb FROM s2),
+        |s4 AS (SELECT sd, p, (ab | (ab << 1)) & 1431655765 AS ab, (bb | (bb << 1)) & 1431655765 AS bb FROM s3),
+        |z AS (SELECT sd, p, (ab | (bb << 1)) >> 26 AS zone FROM s4),
+        |st AS (
+        |  SELECT zone, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |         MIN(sd) AS min_l_shipdate, MAX(sd) AS max_l_shipdate,
+        |         round(MIN(p), 2) AS min_price, round(MAX(p), 2) AS max_price,
+        |         CAST(COUNT(sd) AS BIGINT) AS nn_sd, CAST(COUNT(p) AS BIGINT) AS nn_p
+        |  FROM z GROUP BY zone)
+        |SELECT zone, n_rows, min_l_shipdate, max_l_shipdate, min_price, max_price,
+        |       (nn_sd = 0 OR max_l_shipdate < TIMESTAMP '1996-01-01'
+        |          OR min_l_shipdate > TIMESTAMP '1996-06-30') AS skip_l_shipdate,
+        |       (nn_p = 0 OR max_price < 50000.0 OR min_price > 1e9) AS skip_l_extendedprice,
+        |       ((nn_sd = 0 OR max_l_shipdate < TIMESTAMP '1996-01-01'
+        |          OR min_l_shipdate > TIMESTAMP '1996-06-30')
+        |        OR (nn_p = 0 OR max_price < 50000.0 OR min_price > 1e9)) AS skippable
+        |FROM st ORDER BY zone""".stripMargin)
+    ),
+
+    // DSIR importance scores (Xie et al. 2023): rank non-English docs
+    // by how much the English-slice unigram model out-likelihoods the
+    // raw model — the published recipe for skewing a crawl toward a
+    // target corpus. Add-1 smoothed integer-ratio models; per-token
+    // micro-nat quantization (the x99 convention) makes the per-doc
+    // sums exact integers → bit-exact oracle.
+    GraftQuery(
+      "x136_dsir_weights",
+      (s, d) => {
+        val scores = graft.operators.Dsir.importanceScores(
+          t(s, d, "documents"), col("lang") === "en")
+        graft.operators.Dsir.selectTopK(scores, 20)
+          .select(
+            col("rank"), col("doc_id"),
+            round(col("logratio"), 4).as("logratio"))
+      },
+      Some("""WITH tk AS (
+        |  SELECT doc_id, lang = 'en' AS is_t,
+        |         unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                            x -> length(x) > 0)) AS tok
+        |  FROM documents),
+        |pt AS (
+        |  SELECT tok,
+        |         CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+        |         CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS c_s
+        |  FROM tk GROUP BY tok),
+        |tot AS (
+        |  SELECT CAST(SUM(c_t) AS BIGINT) AS n_t, CAST(SUM(c_s) AS BIGINT) AS n_s,
+        |         CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM pt),
+        |delta AS (
+        |  SELECT tok,
+        |         CAST(round((ln(CAST(c_t + 1 AS DOUBLE)) - ln(CAST(n_t + v AS DOUBLE))
+        |                   - ln(CAST(c_s + 1 AS DOUBLE)) + ln(CAST(n_s + v AS DOUBLE))) * 1e6)
+        |              AS BIGINT) AS dm
+        |  FROM pt, tot),
+        |sc AS (
+        |  SELECT tk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+        |         CAST(SUM(dm) AS DOUBLE) / 1e6 AS logratio
+        |  FROM tk JOIN delta USING (tok)
+        |  WHERE NOT tk.is_t
+        |  GROUP BY tk.doc_id)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY logratio DESC, doc_id) AS INT) AS rank,
+        |       doc_id, round(logratio, 4) AS logratio
+        |FROM sc ORDER BY rank LIMIT 20""".stripMargin)
+    ),
+
+    // Hour-of-week robust anomaly screen: exact median + MAD per
+    // (type, isodow, hour) slot over micro-unit integers (medians of
+    // integers are half-integer-exact — no float divergence), flag
+    // |v − med| > 4·MAD. The model-free outage screen, exactly
+    // SQL-replayable.
+    GraftQuery(
+      "x137_seasonal_mad",
+      (s, d) =>
+        graft.operators.Seasonal.hourOfWeekAnomalies(t(s, d, "events"), k = 4.0)
+          .filter(col("n_anomalies") > 0)
+          .orderBy("event_type", "isodow", "hour"),
+      Some("""WITH s AS (
+        |  SELECT event_type, CAST(isodow(ts) AS INT) AS isodow,
+        |         CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+        |         CAST(CAST(value AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS vu
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (
+        |  SELECT event_type, isodow, hour, quantile_cont(vu, 0.5) AS med_u
+        |  FROM s GROUP BY 1, 2, 3),
+        |a AS (
+        |  SELECT s.*, m.med_u FROM s JOIN m USING (event_type, isodow, hour)),
+        |d AS (
+        |  SELECT event_type, isodow, hour, quantile_cont(abs(vu - med_u), 0.5) AS mad_u
+        |  FROM a GROUP BY 1, 2, 3)
+        |SELECT a.event_type, a.isodow, a.hour,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       MIN(a.med_u) / 10000.0 AS med,
+        |       MIN(d.mad_u) / 10000.0 AS mad,
+        |       CAST(SUM(CASE WHEN abs(a.vu - a.med_u) > 4.0 * d.mad_u AND d.mad_u > 0
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+        |FROM a JOIN d USING (event_type, isodow, hour)
+        |GROUP BY 1, 2, 3
+        |HAVING SUM(CASE WHEN abs(a.vu - a.med_u) > 4.0 * d.mad_u AND d.mad_u > 0
+        |               THEN 1 ELSE 0 END) > 0
+        |ORDER BY 1, 2, 3""".stripMargin)
+    ),
+
+    // Rolling 7-day distinct users from daily HLL register merges —
+    // the rolling-WAU query in its only 100 TB-viable shape (each day
+    // aggregated once; the window merges ≤7 sketch rows per day, the
+    // raw keys never re-shuffle). Certified the x12 way: the engine
+    // emits the EXACT count (day-range self-join, feasible at gate
+    // scale) plus a 3·rsd bound check on its own estimate; the oracle
+    // recomputes the exact counts and asserts TRUE.
+    GraftQuery(
+      "x138_hll_window",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val est = graft.operators.Hll.slidingDistinct(ev, "ts", "user_id", windowDays = 7)
+        val days = ev.select(to_date(col("ts")).as("day")).distinct()
+        val exact = days.join(
+            ev.select(to_date(col("ts")).as("d2"), col("user_id")).distinct(),
+            datediff(col("day"), col("d2")).between(0, 6))
+          .groupBy("day")
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        est.join(exact, Seq("day"))
+          .select(
+            col("day"), col("exact_users"),
+            (abs(col("est") - col("exact_users")).cast("double") /
+              col("exact_users") <= 0.05).as("within_3rsd"))
+          .orderBy("day")
+      },
+      Some("""WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        |du AS (SELECT DISTINCT CAST(ts AS DATE) AS d2, user_id FROM events
+        |       WHERE user_id IS NOT NULL)
+        |SELECT days.day, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS exact_users,
+        |       TRUE AS within_3rsd
+        |FROM days JOIN du ON days.day - du.d2 BETWEEN 0 AND 6
+        |GROUP BY days.day ORDER BY days.day""".stripMargin)
     )
   )
 

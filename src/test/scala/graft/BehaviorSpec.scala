@@ -72,6 +72,37 @@ class BehaviorSpec extends SparkSpec {
       (w1, 0) -> 1L))
   }
 
+  test("attribution: last-touch goes to the latest touch, linear splits 1/n") {
+    import sqlImplicits._
+    val ev = Seq(
+      // u1: view @0, click @10, buy @20 → last = click, linear ½ each
+      (1L, "view", ts(0), 1L), (1L, "click", ts(10), 2L), (1L, "buy", ts(20), 3L),
+      // u2: click @0, buy @5 → last = click, linear 1.0
+      (2L, "click", ts(0), 4L), (2L, "buy", ts(5), 5L),
+      // u3: touch AFTER the conversion → no credit anywhere
+      (3L, "buy", ts(0), 6L), (3L, "view", ts(1), 7L),
+      // u4: touch outside the lookback (2h earlier, lookback 1h)
+      (4L, "view", ts(0), 8L), (4L, "buy", ts(120), 9L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Behavior.attribution(ev, "buy", lookbackSeconds = 3600L)
+      .orderBy("channel")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("click", 2L, 2L, 1.5),
+      ("view", 0L, 1L, 0.5)))
+  }
+
+  test("attribution tie on touch_ts breaks by highest event_id") {
+    import sqlImplicits._
+    val ev = Seq(
+      (1L, "view", ts(0), 10L), (1L, "click", ts(0), 11L), (1L, "buy", ts(1), 12L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Behavior.attribution(ev, "buy", 3600L)
+      .filter(col("n_last_touch") === 1).select("channel")
+      .head().getString(0)
+    assert(got == "click") // event_id 11 > 10 at the same ts
+  }
+
   test("results are independent of partitioning") {
     val a = Behavior.transitions(events.coalesce(1)).collect().map(_.toSeq).toSet
     val b = Behavior.transitions(events.repartition(7)).collect().map(_.toSeq).toSet

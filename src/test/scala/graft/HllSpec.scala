@@ -54,4 +54,28 @@ class HllSpec extends SparkSpec {
       assert(math.abs(est(g) - n).toDouble / n <= 3 * rsd, s"$g: exact=$n est=${est(g)}")
     }
   }
+
+  test("slidingDistinct tracks the exact trailing-window cardinality across a date gap") {
+    import sqlImplicits._
+    // 10 days of activity with a 3-day gap after day 4; each day d has
+    // users d*37 .. d*37+999 (heavy overlap between nearby days)
+    val days = (0 to 4) ++ (8 to 12)
+    val rows = for { d <- days; u <- 0 until 1000 }
+      yield (new java.sql.Timestamp(1704067200000L + d * 86400000L + u), (d * 37 + u).toLong)
+    val df = rows.toDF("ts", "user_id")
+    val est = Hll.slidingDistinct(df, "ts", "user_id", windowDays = 3)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(est.size == days.size)
+    // exact trailing-3-day distinct per day (RANGE semantics: the gap
+    // days contribute nothing, and day 8's window must NOT see day 4)
+    val byDay = days.map(d => d -> (0 until 1000).map(u => d * 37 + u).toSet).toMap
+    val rsd = 1.04 / math.sqrt(1 << 12)
+    days.foreach { d =>
+      val exact = days.filter(d2 => d2 <= d && d2 > d - 3)
+        .flatMap(byDay).toSet.size
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(d).toString
+      assert(math.abs(est(day) - exact).toDouble / exact <= 3 * rsd,
+        s"day $d: exact=$exact est=${est(day)}")
+    }
+  }
 }

@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Seasonal
+
+class SeasonalSpec extends SparkSpec {
+
+  // 2024-01-01 00:00 UTC is a Monday → isodow 1
+  private def ts(dayOffset: Int, hour: Int, min: Int = 0) =
+    new Timestamp(1704067200000L + ((dayOffset * 24L + hour) * 60L + min) * 60000L)
+
+  test("flags only points beyond k·MAD of their hour-of-week slot") {
+    import sqlImplicits._
+    // slot (m, Monday, 9h): tight cluster around 10 plus one wild point
+    val slot = Seq(9.8, 10.0, 10.0, 10.2, 10.1, 9.9, 500.0)
+      .zipWithIndex.map { case (v, i) => ("m", ts(0, 9, i), v) }
+    // slot (m, Tuesday, 9h): all identical → MAD 0, nothing flagged
+    val flat = (0 to 4).map(i => ("m", ts(1, 9, i), 7.0))
+    val df = (slot ++ flat).toDF("event_type", "ts", "value")
+    val got = Seasonal.hourOfWeekAnomalies(df, k = 4.0)
+      .orderBy("isodow")
+      .collect()
+    assert(got.length == 2)
+    val mon = got(0)
+    assert(mon.getAs[Int]("isodow") == 1 && mon.getAs[Int]("hour") == 9)
+    assert(mon.getAs[Long]("n") == 7L)
+    assert(mon.getAs[Double]("med") == 10.0)
+    assert(mon.getAs[Long]("n_anomalies") == 1L)
+    val tue = got(1)
+    assert(tue.getAs[Int]("isodow") == 2)
+    assert(tue.getAs[Double]("mad") == 0.0)
+    assert(tue.getAs[Long]("n_anomalies") == 0L) // MAD 0 guard: no flags
+  }
+
+  test("median and MAD are exact on even counts (half-integer interpolation)") {
+    import sqlImplicits._
+    val df = Seq(1.0, 2.0, 4.0, 8.0).zipWithIndex
+      .map { case (v, i) => ("m", ts(0, 12, i), v) }
+      .toDF("event_type", "ts", "value")
+    val r = Seasonal.hourOfWeekAnomalies(df).head()
+    assert(r.getAs[Double]("med") == 3.0) // (2+4)/2
+    // abs devs in units: 2, 1, 1, 5 → sorted 1,1,2,5 → median 1.5
+    assert(r.getAs[Double]("mad") == 1.5)
+  }
+
+  test("results are independent of partitioning") {
+    import sqlImplicits._
+    val df = (0 until 500).map(i =>
+      (s"t${i % 2}", ts(i % 7, i % 24, i % 60), (i % 13).toDouble))
+      .toDF("event_type", "ts", "value")
+    val a = Seasonal.hourOfWeekAnomalies(df.coalesce(1)).collect().map(_.toSeq).toSet
+    val b = Seasonal.hourOfWeekAnomalies(df.repartition(11)).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+}
