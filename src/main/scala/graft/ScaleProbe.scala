@@ -275,6 +275,17 @@ object ScaleProbe {
             timestamp_seconds(lit(1704067200L) + (col("doc_id") % 90) * 86400L).as("ts"),
             (col("doc_id") % (lit(50000L) * k)).as("uid")),
           "ts", "uid", windowDays = 7))
+      // Zipf OLS: one token-count aggregation + a ~topN-row window
+      // behind the bounded pre-prune — the scan curve.
+      time(s"zipf_slope             x$k",
+        graft.operators.CorpusStats.zipfSlope(d, topN = 200))
+      // Weighted quantile: tie-collapse then one ordered window over
+      // the distinct-value table — the percentile-class curve.
+      time(s"weighted_quantile      x$k",
+        graft.operators.RobustStats.weightedQuantile(
+          d.select(col("lang"), (col("n_chars") % 997).cast("double").as("v"),
+            ((col("doc_id") % 7) + 1).cast("double").as("w")),
+          Seq("lang"), "v", "w"))
       d.unpersist(); v.unpersist()
     }
     spark.stop()

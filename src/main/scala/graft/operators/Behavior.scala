@@ -22,7 +22,12 @@ object Behavior {
     * per stage (stages are few; each pass is a user-keyed shuffle).
     * Output: (stage, event_type, n_users), stage 1-based.
     */
-  def funnel(
+  /** Per-user earliest-completion times for an ordered stage list:
+    * `(userCol, t1 … tn)` with `tᵢ` the user's first stage-i event
+    * STRICTLY AFTER their tᵢ₋₁ (NULL once a stage is missed) — the
+    * shared core of [[funnel]] and [[conversionLags]].
+    */
+  def completionTimes(
       events: DataFrame,
       stages: Seq[String],
       userCol: String = "user_id",
@@ -47,6 +52,17 @@ object Behavior {
           col(typeCol) === stages(i - 1) && col(tsCol) > col(s"t${i - 1}") && inWindow,
           col(tsCol))).as(s"t$i"))
     }
+    cur
+  }
+
+  def funnel(
+      events: DataFrame,
+      stages: Seq[String],
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      withinSeconds: Option[Long] = None): DataFrame = {
+    val cur = completionTimes(events, stages, userCol, typeCol, tsCol, withinSeconds)
     val counts = cur.agg(
       count(col("t1")).as("n1"),
       (2 to stages.size).map(i => count(col(s"t$i")).as(s"n$i")): _*)
@@ -74,6 +90,42 @@ object Behavior {
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col(typeCol))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-transition conversion-lag distribution: for each consecutive
+    * stage pair, over the users who completed the later stage, the
+    * count plus exact median / p90 of the gap in seconds — the
+    * "where does the funnel stall" view. Gaps are integer seconds
+    * (floor of the µs gap), so the exact percentiles interpolate on
+    * integers (half/quarter-exact doubles — engine-portable).
+    * Output: (stage, from_type, to_type, n_converted, median_s, p90_s).
+    */
+  def conversionLags(
+      events: DataFrame,
+      stages: Seq[String],
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      withinSeconds: Option[Long] = None): DataFrame = {
+    require(stages.size >= 2, "conversionLags: need at least two stages")
+    val cur = completionTimes(events, stages, userCol, typeCol, tsCol, withinSeconds)
+    val perTransition = (1 until stages.size).map { i =>
+      // gaps are strictly positive (strict-after semantics), so the
+      // toward-zero `div` IS the floor — matching the oracle's `//`
+      val gap = expr(s"(unix_micros(t${i + 1}) - unix_micros(t$i)) div 1000000L")
+      cur.filter(col(s"t${i + 1}").isNotNull)
+        .select(gap.as("gap_s"))
+        .agg(
+          count(lit(1)).as("n_converted"),
+          percentile(col("gap_s"), lit(0.5)).as("median_s"),
+          percentile(col("gap_s"), lit(0.9)).as("p90_s"))
+        .select(
+          lit(i).cast("int").as("stage"),
+          lit(stages(i - 1)).as("from_type"),
+          lit(stages(i)).as("to_type"),
+          col("n_converted"), col("median_s"), col("p90_s"))
+    }
+    perTransition.reduce(_ unionByName _)
   }
 
   /** Multi-touch conversion attribution: for every conversion event

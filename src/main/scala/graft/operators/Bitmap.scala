@@ -25,26 +25,45 @@ import org.apache.spark.sql.functions._
   */
 object Bitmap {
 
-  /** Exact `n_distinct` of `idCol` per `groupCols`. NULL ids are
-    * ignored (matching COUNT(DISTINCT)); negative ids are handled by
+  /** The bitmap STATE: one row per (group, occupied 64-ID word) with
+    * the word's bit mask — the mergeable form ([[mergeWordStates]]
+    * ORs two states; [[countsFromWords]] reads the count). NULL ids
+    * are dropped (matching COUNT(DISTINCT)); negative ids get
     * floor-division words + non-negative `pmod` bits.
     */
-  def distinctByGroup(df: DataFrame, groupCols: Seq[String], idCol: String): DataFrame = {
-    val ids = df
-      .filter(col(idCol).isNotNull)
+  def wordsByGroup(df: DataFrame, groupCols: Seq[String], idCol: String): DataFrame =
+    df.filter(col(idCol).isNotNull)
       .select(groupCols.map(col) :+ col(idCol).cast("long").as("__id"): _*)
       // floor word index: subtracting the (always non-negative) pmod
       // makes the numerator an exact multiple of 64, so `div`'s
       // toward-zero truncation is exact for either sign
       .withColumn("__w", expr("(__id - pmod(__id, 64L)) div 64L"))
       .withColumn("__b", pmod(col("__id"), lit(64L)).cast("int"))
-    val words = ids
       .groupBy(groupCols.map(col) :+ col("__w"): _*)
       .agg(expr("bit_or(shiftleft(1L, __b))").as("__mask"))
+
+  /** Merge bitmap states: OR the masks per (group, word). Bit-OR is
+    * idempotent and commutative, so any batch split folds to the
+    * same state — the streaming-fold contract.
+    */
+  def mergeWordStates(states: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "mergeWordStates: no states")
+    states
+      .map(_.select((groupCols.map(col) :+ col("__w") :+ col("__mask")): _*))
+      .reduce(_ unionByName _)
+      .groupBy(groupCols.map(col) :+ col("__w"): _*)
+      .agg(expr("bit_or(__mask)").as("__mask"))
+  }
+
+  /** Exact distinct counts from a bitmap state. */
+  def countsFromWords(words: DataFrame, groupCols: Seq[String]): DataFrame =
     words
       .groupBy(groupCols.map(col): _*)
       .agg(sum(expr("bit_count(__mask)")).cast("long").as("n_distinct"))
-  }
+
+  /** Exact `n_distinct` of `idCol` per `groupCols` in one pass. */
+  def distinctByGroup(df: DataFrame, groupCols: Seq[String], idCol: String): DataFrame =
+    countsFromWords(wordsByGroup(df, groupCols, idCol), groupCols)
 
   /** Distinct-count of the INTERSECTION and UNION of two groups' ID
     * sets without materializing either set: per word, AND/OR the two

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-level statistical-law audits — the two classic sanity
+  * screens for a training corpus (a crawl that violates them is
+  * usually boilerplate-flooded or truncated):
+  *
+  *  - Zipf (1949): token frequency ≈ C·rank^(−s), s ≈ 1 for natural
+  *    language. We fit s by OLS on (ln rank, ln freq) over the top-N
+  *    tokens.
+  *  - Heaps (1978): vocabulary grows ≈ K·n^β with corpus size,
+  *    β ∈ (0.4, 0.6) for natural text. We report the vocabulary size
+  *    at corpus prefixes, computed WITHOUT rescanning per prefix.
+  *
+  * Portability: ln of integer-valued doubles (counts, ranks) is
+  * IEEE-identical across engines; each ln is quantized to integer
+  * micro-units (the x99 convention) so the OLS sums are exact
+  * integer arithmetic, and the final slope is one double division of
+  * two integer-valued doubles.
+  *
+  * Scale shape: one token-count aggregation (map-side combined);
+  * the fit runs on the tiny top-N table; the Heaps prefixes come
+  * from per-token min-doc aggregation — one more vocabulary-sized
+  * shuffle, never a per-prefix rescan.
+  */
+object CorpusStats {
+
+  /** OLS Zipf slope over the top `topN` tokens: one row
+    * (n_fit, zipf_slope). Rank ties are broken by token asc (total
+    * order → deterministic ranks).
+    */
+  def zipfSlope(
+      docs: DataFrame,
+      topN: Int = 200,
+      textCol: String = "text"): DataFrame = {
+    require(topN > 1, s"zipfSlope: need ≥2 points, got $topN")
+    val counts = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // The final ranking needs (cnt desc, tok asc) — a global window.
+    // Running it over the whole vocabulary would be one monster sort
+    // task, so pre-prune to the N-th-largest COUNT first with the
+    // mergeable bounded-top-k aggregator (the hash ids only break
+    // aggregator-internal ties; the VALUE of the N-th count is
+    // deterministic either way), leaving the window ~N rows.
+    val thr = TopK.topKPerGroup(
+        counts.withColumn("__id", xxhash64(col("tok"))), Seq.empty, "cnt", "__id", topN)
+      .agg(min(col("cnt")).cast("long").as("__thr"))
+    val top = counts
+      .crossJoin(broadcast(thr))
+      .filter(col("cnt") >= col("__thr"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("tok").asc)))
+      .filter(col("rank") <= topN)
+      .select(col("rank"), col("cnt"))
+    // x = ln rank, y = ln freq, both micro-quantized integers
+    val pts = top.select(
+      round(log(col("rank").cast("double")) * lit(1e6)).cast("long").as("x"),
+      round(log(col("cnt").cast("double")) * lit(1e6)).cast("long").as("y"))
+    pts.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(
+        col("n").as("n_fit"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("zipf_slope"))
+  }
+
+  /** Heaps'-law vocabulary growth at document-count prefixes (in
+    * `idCol` order): for each quartile boundary, the number of
+    * distinct tokens whose FIRST occurrence falls at or before it.
+    * One per-token min-id aggregation; output
+    * (prefix_pct, n_docs, vocab_size).
+    */
+  def heapsVocab(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val firstSeen = docs
+      .select(col(idCol).as("__id"), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(min(col("__id")).as("first_id"))
+    // quartile boundary ids by exact percentile over the doc ids
+    val bounds = docs.agg(
+      expr(s"percentile($idCol, array(0.25, 0.5, 0.75, 1.0))").as("bs"),
+      count(lit(1)).as("n_total"))
+    firstSeen
+      .crossJoin(broadcast(bounds))
+      .select(
+        posexplode(col("bs")).as(Seq("__i", "__b")),
+        col("first_id"), col("n_total"))
+      .groupBy(col("__i"), col("__b"), col("n_total"))
+      .agg(sum(when(col("first_id").cast("double") <= col("__b"), 1L).otherwise(0L))
+        .as("vocab_size"))
+      .select(
+        ((col("__i") + 1) * 25).cast("int").as("prefix_pct"),
+        // exact quartile of the id column — kept as the (possibly
+        // .5-interpolated) double: a long cast would truncate here
+        // but round in DuckDB
+        round(col("__b"), 1).as("boundary_id"),
+        col("vocab_size"))
+  }
+}

@@ -70,6 +70,29 @@ object Expectations {
     * (expectation, kind, n_violations, pass), in declaration order
     * recoverable by name.
     */
+  /** Referential-integrity audit across declared FK edges: for each
+    * `(edge_name, child, fkCol, parent, pkCol)`, the child row count,
+    * NULL-FK count and orphan count (non-null FK with no parent —
+    * one left-anti semi-structure per edge, each a plain key join
+    * Catalyst can broadcast when the parent is small). The standard
+    * warehouse-health sweep after any load.
+    * Output: (edge, n_rows, n_null_fk, n_orphans), one row per edge.
+    */
+  def fkAudit(edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(edges.nonEmpty, "fkAudit: no edges")
+    edges.map { case (name, child, fk, parent, pk) =>
+      val base = child.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(fk).isNull, 1L).otherwise(0L)).as("n_null_fk"))
+      val orphans = child
+        .filter(col(fk).isNotNull)
+        .join(parent.select(col(pk).as("__pk")), col(fk) === col("__pk"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      base.crossJoin(orphans)
+        .select(lit(name).as("edge"), col("n_rows"), col("n_null_fk"), col("n_orphans"))
+    }.reduce(_ unionByName _)
+  }
+
   def check(df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
     require(expectations.nonEmpty, "no expectations declared")
     val dup = expectations.groupBy(_.name).collect { case (n, es) if es.size > 1 => n }

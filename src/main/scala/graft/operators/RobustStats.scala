@@ -138,4 +138,48 @@ object RobustStats {
         first(col("w_hi")).as("w_hi"),
         graft.functions.CoreFunctions.davg(col(valueCol)).as("mean_raw"),
         graft.functions.CoreFunctions.davg(col("v_wins")).as("mean_wins"))
+
+  /** Exact LOWER weighted quantile per group: the smallest value
+    * whose cumulative weight reaches q·W (W = total weight). No
+    * interpolation — the result is always an observed value, so it
+    * is portable across engines with no float interpolation
+    * divergence. Weights are quantized to micro-units (the ewma
+    * DECIMAL convention) and the reach test is pure integer
+    * arithmetic: cumw·1e6 ≥ round(q·1e6)·W. (Integer bound: |W|·1e6
+    * must fit a long — fine up to ~9e12 micro-weight per group;
+    * beyond that, pre-aggregate per value first, which the operator
+    * already does.)
+    *
+    * Shape: one (group, value) pre-aggregation collapses ties, then
+    * ONE ordered window per group over the collapsed (distinct-value-
+    * sized) table — never a sort of the raw rows.
+    * Output: (groupCols*, total_weight, wq_value).
+    */
+  def weightedQuantile(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      weightCol: String,
+      q: Double = 0.5): DataFrame = {
+    require(q > 0 && q <= 1, s"weightedQuantile: q must be in (0,1], got $q")
+    val qm = math.round(q * 1e6)
+    val wu = col(weightCol).cast(org.apache.spark.sql.types.DecimalType(18, 4))
+      .multiply(lit(10000)).cast("long")
+    val collapsed = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull && col(weightCol) >= 0)
+      .groupBy(groupCols.map(col) :+ col(valueCol).as("__v"): _*)
+      .agg(sum(wu).as("__w"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("__v"))
+    val tot = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    collapsed
+      .withColumn("__cum", sum(col("__w")).over(win))
+      .withColumn("__tot", sum(col("__w")).over(tot))
+      .filter(col("__cum") * lit(1000000L) >= lit(qm) * col("__tot"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        (first(col("__tot")).cast("double") / lit(1e4)).as("total_weight"),
+        min(col("__v")).as("wq_value"))
+  }
 }

@@ -38,6 +38,25 @@ object ZoneMap {
     df.groupBy(zone.as("zone")).agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
 
+  /** Merge zone-map STATES (the streaming-fold / cross-batch form):
+    * rows with the same zone combine as sum/min/max/sum — every
+    * component is associative + commutative, so any batch split folds
+    * to the same state (the incremental footer-stats maintenance a
+    * lakehouse table service runs on ingest).
+    */
+  def mergeStats(states: Seq[DataFrame], cols: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "ZoneMap.mergeStats: no states")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        min(col(s"min_$c")).as(s"min_$c"),
+        max(col(s"max_$c")).as(s"max_$c"),
+        sum(col(s"nn_$c")).as(s"nn_$c"))
+    }
+    states.reduce(_ unionByName _)
+      .groupBy(col("zone"))
+      .agg(sum(col("n_rows")).as("n_rows"), aggs: _*)
+  }
+
   /** Data-skipping audit for `AND`-ed range conjuncts
     * `(col, lo, hi)` (inclusive bounds; pass the same literal twice
     * for equality). Adds `skip_<c>` per conjunct and a combined

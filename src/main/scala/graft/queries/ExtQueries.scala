@@ -4186,6 +4186,432 @@ object ExtQueries {
         |       TRUE AS within_3rsd
         |FROM days JOIN du ON days.day - du.d2 BETWEEN 0 AND 6
         |GROUP BY days.day ORDER BY days.day""".stripMargin)
+    ),
+
+    // Zipf's-law slope audit: OLS on (ln rank, ln freq) over the top
+    // 200 tokens — natural text sits near −1; a boilerplate-flooded
+    // crawl doesn't. Each ln is of an integer-valued double and
+    // micro-quantized (x99 convention) → the OLS sums are exact
+    // integers, the slope one double division.
+    GraftQuery(
+      "x139_zipf_slope",
+      (s, d) =>
+        graft.operators.CorpusStats.zipfSlope(t(s, d, "documents"), topN = 200)
+          .select(col("n_fit"), round(col("zipf_slope"), 4).as("zipf_slope")),
+      Some(s"""$toksCte,
+        |u AS (SELECT unnest(toks) AS tok FROM t),
+        |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM u GROUP BY tok),
+        |rk AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rank, cnt
+        |  FROM c QUALIFY rank <= 200),
+        |p AS (
+        |  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+        |         CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS y
+        |  FROM rk)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_fit,
+        |       round(CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE) /
+        |             CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE), 4)
+        |         AS zipf_slope
+        |FROM p""".stripMargin)
+    ),
+
+    // Heaps'-law vocabulary growth: distinct-token counts at exact
+    // id-quartile corpus prefixes, from ONE per-token first-occurrence
+    // aggregation (never a per-prefix rescan) — the companion
+    // corpus-health audit to x139.
+    GraftQuery(
+      "x140_heaps_vocab",
+      (s, d) =>
+        graft.operators.CorpusStats.heapsVocab(t(s, d, "documents"))
+          .orderBy("prefix_pct"),
+      Some(s"""$toksCte,
+        |fs AS (
+        |  SELECT tok, MIN(doc_id) AS first_id
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY tok),
+        |b AS (
+        |  SELECT unnest([1, 2, 3, 4]) AS i,
+        |         unnest(quantile_cont(doc_id, [0.25, 0.5, 0.75, 1.0])) AS q
+        |  FROM documents)
+        |SELECT CAST(b.i * 25 AS INT) AS prefix_pct,
+        |       round(b.q, 1) AS boundary_id,
+        |       CAST(SUM(CASE WHEN CAST(fs.first_id AS DOUBLE) <= b.q THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS vocab_size
+        |FROM b CROSS JOIN fs
+        |GROUP BY b.i, b.q ORDER BY prefix_pct""".stripMargin)
+    ),
+
+    // Exact lower weighted median (quantity-weighted price per return
+    // flag): ties collapsed per value first, then one window over the
+    // distinct-value table; the reach test is integer micro-weight
+    // arithmetic, and the answer is always an observed value — no
+    // interpolation to diverge on.
+    GraftQuery(
+      "x141_weighted_median",
+      (s, d) =>
+        graft.operators.RobustStats.weightedQuantile(
+            t(s, d, "lineitem"), Seq("l_returnflag"), "l_extendedprice", "l_quantity", q = 0.5)
+          .select(
+            col("l_returnflag"),
+            round(col("total_weight"), 4).as("total_weight"),
+            round(col("wq_value"), 2).as("wq_value"))
+          .orderBy("l_returnflag"),
+      Some("""WITH c AS (
+        |  SELECT l_returnflag, l_extendedprice AS v,
+        |         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,4)) *
+        |                       CAST(10000 AS DECIMAL(5,0)) AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL AND l_quantity >= 0
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT l_returnflag, v, w,
+        |         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw,
+        |         SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+        |  FROM c)
+        |SELECT l_returnflag,
+        |       round(CAST(MIN(tw) AS DOUBLE) / 1e4, 4) AS total_weight,
+        |       round(MIN(v), 2) AS wq_value
+        |FROM cum
+        |WHERE cw * 1000000 >= 500000 * tw
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // Period-over-period top-k churn: the 1996 vs 1997 top-10
+    // customers by spend, with rank movement (the "movers" dashboard
+    // primitive). Spend sums are micro-long exact; ranks total-ordered
+    // by (spend desc, custkey). FULL OUTER on the two rank tables —
+    // entries and exits keep a NULL rank on the missing side.
+    GraftQuery(
+      "x142_rank_churn",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .withColumn("__y", year(col("o_orderdate")))
+          .withColumn(
+            "__su",
+            col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4))
+              .multiply(lit(10000)).cast("long"))
+        // bounded pre-prune (the x139 pattern): the 10th-largest spend
+        // via the mergeable top-k aggregator, so the exact-rank window
+        // only ever sorts ~10 rows — never the customer table
+        def topYear(y: Int) = {
+          val spend = o.filter(col("__y") === y)
+            .groupBy("o_custkey").agg(sum(col("__su")).as("su"))
+          val thr = graft.operators.TopK.topKPerGroup(
+              spend, Seq.empty, "su", "o_custkey", 10)
+            .agg(min(col("su")).cast("long").as("__thr"))
+          spend.crossJoin(broadcast(thr))
+            .filter(col("su") >= col("__thr"))
+            .withColumn(
+              "rk",
+              row_number().over(org.apache.spark.sql.expressions.Window
+                .orderBy(col("su").desc, col("o_custkey").asc)))
+            .filter(col("rk") <= 10)
+            .select(
+              col("o_custkey"),
+              col("rk"), (col("su").cast("double") / lit(1e4)).as("spend"))
+        }
+        topYear(1996).as("a")
+          .join(topYear(1997).as("b"), Seq("o_custkey"), "full_outer")
+          .select(
+            col("o_custkey"),
+            col("a.rk").as("rank_1996"),
+            round(col("a.spend"), 4).as("spend_1996"),
+            col("b.rk").as("rank_1997"),
+            round(col("b.spend"), 4).as("spend_1997"),
+            (coalesce(col("a.rk"), lit(11)) - coalesce(col("b.rk"), lit(11)))
+              .as("rank_gain"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH s AS (
+        |  SELECT EXTRACT(year FROM o_orderdate) AS y, o_custkey,
+        |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,4)) *
+        |                       CAST(10000 AS DECIMAL(5,0)) AS BIGINT)) AS BIGINT) AS su
+        |  FROM orders WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT y, o_custkey, su,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY y ORDER BY su DESC, o_custkey)
+        |              AS INT) AS rk
+        |  FROM s QUALIFY rk <= 10),
+        |a AS (SELECT o_custkey, rk, su FROM r WHERE y = 1996),
+        |b AS (SELECT o_custkey, rk, su FROM r WHERE y = 1997)
+        |SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+        |       a.rk AS rank_1996, round(CAST(a.su AS DOUBLE) / 1e4, 4) AS spend_1996,
+        |       b.rk AS rank_1997, round(CAST(b.su AS DOUBLE) / 1e4, 4) AS spend_1997,
+        |       CAST(COALESCE(a.rk, 11) - COALESCE(b.rk, 11) AS INT) AS rank_gain
+        |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+        |ORDER BY o_custkey""".stripMargin)
+    ),
+
+    // Metric-movement decomposition ("why did revenue move"): the
+    // 1996→1997 spend delta broken down by order priority, with each
+    // dimension value's micro-exact share of the total movement — the
+    // additive drill-down every metrics warehouse serves. All integer
+    // micro-sums; the share is one exactly-rounded division.
+    GraftQuery(
+      "x143_delta_contribution",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .filter(year(col("o_orderdate")).isin(1996, 1997))
+          .withColumn(
+            "__su",
+            col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4))
+              .multiply(lit(10000)).cast("long"))
+        val per = o.groupBy("o_orderpriority")
+          .agg(
+            sum(when(year(col("o_orderdate")) === 1996, col("__su")).otherwise(0L)).as("a"),
+            sum(when(year(col("o_orderdate")) === 1997, col("__su")).otherwise(0L)).as("b"))
+          .withColumn("delta_u", col("b") - col("a"))
+        val tot = per.agg(sum(col("delta_u")).as("total_delta_u"))
+        per.crossJoin(broadcast(tot))
+          .select(
+            col("o_orderpriority"),
+            round(col("a").cast("double") / lit(1e4), 4).as("spend_1996"),
+            round(col("b").cast("double") / lit(1e4), 4).as("spend_1997"),
+            round(col("delta_u").cast("double") / lit(1e4), 4).as("delta"),
+            round(col("delta_u") * lit(1000000L) / col("total_delta_u"))
+              .cast("long").as("share_micro"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH s AS (
+        |  SELECT o_orderpriority,
+        |         CAST(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996
+        |                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,4)) *
+        |                            CAST(10000 AS DECIMAL(5,0)) AS BIGINT)
+        |                  ELSE 0 END) AS BIGINT) AS a,
+        |         CAST(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997
+        |                  THEN CAST(CAST(o_totalprice AS DECIMAL(18,4)) *
+        |                            CAST(10000 AS DECIMAL(5,0)) AS BIGINT)
+        |                  ELSE 0 END) AS BIGINT) AS b
+        |  FROM orders WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)
+        |  GROUP BY 1),
+        |t AS (SELECT SUM(b - a) AS td FROM s)
+        |SELECT o_orderpriority,
+        |       round(CAST(a AS DOUBLE) / 1e4, 4) AS spend_1996,
+        |       round(CAST(b AS DOUBLE) / 1e4, 4) AS spend_1997,
+        |       round(CAST(b - a AS DOUBLE) / 1e4, 4) AS delta,
+        |       CAST(round((b - a) * 1000000 / CAST(t.td AS DOUBLE)) AS BIGINT)
+        |         AS share_micro
+        |FROM s, t ORDER BY o_orderpriority""".stripMargin)
+    ),
+
+    // Spark 4 VARIANT ingestion: parse the semi-structured props
+    // column once into a VARIANT, extract typed paths with
+    // variant_get, aggregate — the schema-on-read path for evolving
+    // event payloads (vs q16's fixed-schema from_json). The oracle
+    // reads the same paths with DuckDB's JSON extraction.
+    GraftQuery(
+      "x144_variant_json",
+      (s, d) =>
+        t(s, d, "events")
+          .select(
+            col("event_type"),
+            try_variant_get(parse_json(col("props")), "$.k", "int").as("k"),
+            col("value"))
+          .filter(col("k").isNotNull)
+          .withColumn("k_bucket", (col("k") - pmod(col("k"), lit(10))) / lit(10))
+          .groupBy("event_type", "k_bucket")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4))
+              .multiply(lit(10000)).cast("long")).as("vu"))
+          .select(
+            col("event_type"), col("k_bucket").cast("int").as("k_bucket"), col("n"),
+            round(col("vu").cast("double") / lit(1e4), 4).as("value_sum"))
+          .orderBy("event_type", "k_bucket"),
+      Some("""WITH e AS (
+        |  SELECT event_type,
+        |         CAST(json_extract(props, '$.k') AS INT) AS k, value
+        |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL),
+        |b AS (
+        |  SELECT event_type, CAST((k - (k % 10 + 10) % 10) // 10 AS INT) AS k_bucket,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) *
+        |                       CAST(10000 AS DECIMAL(5,0)) AS BIGINT)) AS BIGINT) AS vu
+        |  FROM e GROUP BY 1, 2)
+        |SELECT event_type, k_bucket, n,
+        |       round(CAST(vu AS DOUBLE) / 1e4, 4) AS value_sum
+        |FROM b ORDER BY event_type, k_bucket""".stripMargin)
+    ),
+
+    // Streaming EXACT-distinct maintenance, certified the x66 way:
+    // the per-(group, word) bitmap state folded over three
+    // micro-batches (+ a replayed id that must no-op), then the exact
+    // count — bit-OR is idempotent/commutative, so the maintained
+    // count must EQUAL plain COUNT(DISTINCT), which is exactly the
+    // oracle. The exact sibling of the x89 HLL fold.
+    GraftQuery(
+      "x145_streaming_fold_bitmap",
+      (s, d) => {
+        import graft.streaming.EventStreams
+        val ev = t(s, d, "events").select("event_type", "user_id", "event_id")
+        val state = "graft_x145_state"
+        Seq("", "__staging").foreach(x => graft.sources.Tables.dropManaged(s, state + x))
+        val batches = (0 to 2).map(i => ev.filter(col("event_id") % 3 === i))
+        batches.zipWithIndex.foreach { case (b, i) =>
+          EventStreams.foldBitmapBatch(b, i.toLong, state, Seq("event_type"), "user_id")
+        }
+        // foreachBatch replay: batch 1 arrives again with its original
+        // id; the watermark must make this fold a no-op.
+        EventStreams.foldBitmapBatch(batches(1), 1L, state, Seq("event_type"), "user_id")
+        graft.operators.Bitmap.countsFromWords(
+            s.table(state).drop("__last_batch"), Seq("event_type"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+    ),
+
+    // Streaming zone-map maintenance, certified the x66 way: per-zone
+    // (shipdate-month) min/max/non-null footer stats folded over
+    // three micro-batches (+ a replay that must no-op) — sum/min/max
+    // are associative + commutative, so the maintained state must
+    // EQUAL the from-scratch grouped stats, which is the oracle. The
+    // incremental footer-stats collection a lakehouse runs on ingest.
+    GraftQuery(
+      "x146_streaming_fold_zonemap",
+      (s, d) => {
+        import graft.streaming.EventStreams
+        val li = t(s, d, "lineitem")
+        val state = "graft_x146_state"
+        Seq("", "__staging").foreach(x => graft.sources.Tables.dropManaged(s, state + x))
+        val zone = "year(l_shipdate) * 100 + month(l_shipdate)"
+        val batches = (0 to 2).map(i => li.filter(col("l_orderkey") % 3 === i))
+        batches.zipWithIndex.foreach { case (b, i) =>
+          EventStreams.foldZoneMapBatch(b, i.toLong, state, zone,
+            Seq("l_extendedprice", "l_quantity"))
+        }
+        EventStreams.foldZoneMapBatch(batches(1), 1L, state, zone,
+          Seq("l_extendedprice", "l_quantity"))
+        s.table(state).drop("__last_batch")
+          .select(
+            col("zone").cast("long").as("zone"), col("n_rows"),
+            round(col("min_l_extendedprice"), 2).as("min_price"),
+            round(col("max_l_extendedprice"), 2).as("max_price"),
+            col("nn_l_extendedprice").as("nn_price"),
+            round(col("min_l_quantity"), 2).as("min_qty"),
+            round(col("max_l_quantity"), 2).as("max_qty"))
+          .orderBy("zone")
+      },
+      Some("""SELECT CAST(EXTRACT(year FROM l_shipdate) * 100 +
+        |            EXTRACT(month FROM l_shipdate) AS BIGINT) AS zone,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       round(MIN(l_extendedprice), 2) AS min_price,
+        |       round(MAX(l_extendedprice), 2) AS max_price,
+        |       CAST(COUNT(l_extendedprice) AS BIGINT) AS nn_price,
+        |       round(MIN(l_quantity), 2) AS min_qty,
+        |       round(MAX(l_quantity), 2) AS max_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+    ),
+
+    // Conversion-lag distribution per funnel transition: over the
+    // users completing each stage pair (the x92 earliest-completion
+    // semantics), the exact median and p90 of the gap in whole
+    // seconds — "where does the funnel stall". Integer-second gaps →
+    // half/quarter-exact percentile doubles, engine-portable.
+    GraftQuery(
+      "x147_conversion_lags",
+      (s, d) =>
+        graft.operators.Behavior.conversionLags(
+            t(s, d, "events"), Seq("view", "click", "purchase"))
+          .orderBy("stage"),
+      Some("""WITH s1 AS (
+        |  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        |  FROM events GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, s1.t1,
+        |         MIN(CASE WHEN e.event_type = 'click' AND e.ts > s1.t1 THEN e.ts END) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id GROUP BY e.user_id, s1.t1),
+        |s3 AS (
+        |  SELECT e.user_id, s2.t1, s2.t2,
+        |         MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t2 THEN e.ts END) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id GROUP BY e.user_id, s2.t1, s2.t2),
+        |g1 AS (SELECT (epoch_us(t2) - epoch_us(t1)) // 1000000 AS gap_s FROM s3
+        |       WHERE t2 IS NOT NULL),
+        |g2 AS (SELECT (epoch_us(t3) - epoch_us(t2)) // 1000000 AS gap_s FROM s3
+        |       WHERE t3 IS NOT NULL)
+        |SELECT 1 AS stage, 'view' AS from_type, 'click' AS to_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_converted,
+        |       quantile_cont(gap_s, 0.5) AS median_s, quantile_cont(gap_s, 0.9) AS p90_s
+        |FROM g1
+        |UNION ALL
+        |SELECT 2, 'click', 'purchase', CAST(COUNT(*) AS BIGINT),
+        |       quantile_cont(gap_s, 0.5), quantile_cont(gap_s, 0.9)
+        |FROM g2
+        |ORDER BY stage""".stripMargin)
+    ),
+
+    // Referential-integrity sweep over every FK edge of the star —
+    // child rows, NULL FKs, orphans (anti-join per edge, broadcast
+    // parents). The fixture is clean, so every orphan count must be
+    // exactly zero — and any load regression flips the hash.
+    GraftQuery(
+      "x148_fk_audit",
+      (s, d) => {
+        import graft.operators.Expectations
+        val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+        val c = t(s, d, "customer"); val n = t(s, d, "nation")
+        val r = t(s, d, "region"); val su = t(s, d, "supplier")
+        val p = t(s, d, "part")
+        Expectations.fkAudit(Seq(
+          ("customer->nation", c, "c_nationkey", n, "n_nationkey"),
+          ("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+          ("lineitem->part", li, "l_partkey", p, "p_partkey"),
+          ("lineitem->supplier", li, "l_suppkey", su, "s_suppkey"),
+          ("nation->region", n, "n_regionkey", r, "r_regionkey"),
+          ("orders->customer", o, "o_custkey", c, "c_custkey"),
+          ("supplier->nation", su, "s_nationkey", n, "n_nationkey")))
+          .orderBy("edge")
+      },
+      Some("""SELECT 'customer->nation' AS edge, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk,
+        |       CAST((SELECT COUNT(*) FROM customer
+        |             WHERE c_nationkey IS NOT NULL
+        |               AND c_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS BIGINT) AS n_orphans
+        |FROM customer
+        |UNION ALL
+        |SELECT 'lineitem->orders', CAST(COUNT(*) AS BIGINT),
+        |       CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST((SELECT COUNT(*) FROM lineitem
+        |             WHERE l_orderkey IS NOT NULL
+        |               AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT),
+        |       CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST((SELECT COUNT(*) FROM lineitem
+        |             WHERE l_partkey IS NOT NULL
+        |               AND l_partkey NOT IN (SELECT p_partkey FROM part)) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem->supplier', CAST(COUNT(*) AS BIGINT),
+        |       CAST(SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST((SELECT COUNT(*) FROM lineitem
+        |             WHERE l_suppkey IS NOT NULL
+        |               AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier)) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'nation->region', CAST(COUNT(*) AS BIGINT),
+        |       CAST(SUM(CASE WHEN n_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST((SELECT COUNT(*) FROM nation
+        |             WHERE n_regionkey IS NOT NULL
+        |               AND n_regionkey NOT IN (SELECT r_regionkey FROM region)) AS BIGINT)
+        |FROM nation
+        |UNION ALL
+        |SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT),
+        |       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST((SELECT COUNT(*) FROM orders
+        |             WHERE o_custkey IS NOT NULL
+        |               AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'supplier->nation', CAST(COUNT(*) AS BIGINT),
+        |       CAST(SUM(CASE WHEN s_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST((SELECT COUNT(*) FROM supplier
+        |             WHERE s_nationkey IS NOT NULL
+        |               AND s_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS BIGINT)
+        |FROM supplier
+        |ORDER BY edge""".stripMargin)
     )
   )
 

@@ -417,6 +417,71 @@ object EventStreams {
       b => graft.operators.Hll.distinctByGroup(b, groupCols, keyCol, p).drop("est"),
       (s, d) => graft.operators.Hll.mergeStates(Seq(s, d), groupCols))
 
+  /** Streaming EXACT-distinct maintenance — the
+    * [[graft.operators.Bitmap]] face of [[maintainRollup]]: the
+    * per-(group, 64-ID-word) mask table folded per micro-batch. Masks
+    * merge by bit-OR (idempotent + commutative), so the maintained
+    * state equals the from-scratch bitmap of everything folded in and
+    * the count it yields is EXACT — the dense-ID alternative to
+    * [[maintainDistinct]]'s HLL estimate. Read counts any time with
+    * `Bitmap.countsFromWords(spark.table(state).drop("__last_batch"), …)`.
+    */
+  def maintainBitmapDistinct(
+      stream: DataFrame,
+      stateTable: String,
+      groupCols: Seq[String],
+      idCol: String,
+      checkpointLocation: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val fold: (DataFrame, Long) => Unit =
+      (batch, id) => foldBitmapBatch(batch, id, stateTable, groupCols, idCol)
+    val w = stream.writeStream.foreachBatch(fold)
+    checkpointLocation.fold(w)(p => w.option("checkpointLocation", p)).start()
+  }
+
+  /** One idempotent fold step of [[maintainBitmapDistinct]]. */
+  def foldBitmapBatch(
+      batch: DataFrame,
+      batchId: Long,
+      stateTable: String,
+      groupCols: Seq[String],
+      idCol: String): Unit =
+    foldStateBatch(batch, batchId, stateTable)(
+      b => graft.operators.Bitmap.wordsByGroup(b, groupCols, idCol),
+      (s, d) => graft.operators.Bitmap.mergeWordStates(Seq(s, d), groupCols))
+
+  /** Streaming zone-map maintenance — the [[graft.operators.ZoneMap]]
+    * face of [[maintainRollup]]: per-zone min/max/non-null footer
+    * stats folded per micro-batch (sum/min/max are all associative +
+    * commutative, so the maintained state equals the from-scratch
+    * stats of everything folded in). This is the incremental
+    * footer-stats collection a lakehouse table service runs on
+    * ingest; audit any time with
+    * `ZoneMap.pruneAudit(spark.table(state).drop("__last_batch"), …)`.
+    * `zoneExprSql` is a SQL expression over the batch columns.
+    */
+  def maintainZoneMaps(
+      stream: DataFrame,
+      stateTable: String,
+      zoneExprSql: String,
+      statCols: Seq[String],
+      checkpointLocation: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val fold: (DataFrame, Long) => Unit =
+      (batch, id) => foldZoneMapBatch(batch, id, stateTable, zoneExprSql, statCols)
+    val w = stream.writeStream.foreachBatch(fold)
+    checkpointLocation.fold(w)(p => w.option("checkpointLocation", p)).start()
+  }
+
+  /** One idempotent fold step of [[maintainZoneMaps]]. */
+  def foldZoneMapBatch(
+      batch: DataFrame,
+      batchId: Long,
+      stateTable: String,
+      zoneExprSql: String,
+      statCols: Seq[String]): Unit =
+    foldStateBatch(batch, batchId, stateTable)(
+      b => graft.operators.ZoneMap.stats(b, expr(zoneExprSql), statCols),
+      (s, d) => graft.operators.ZoneMap.mergeStats(Seq(s, d), statCols))
+
   /** Streaming point-frequency maintenance — the
     * [[graft.operators.CountMin]] face of [[maintainRollup]]: the
     * (j, idx, cnt) counter table folded per micro-batch through the

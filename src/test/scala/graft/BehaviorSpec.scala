@@ -72,6 +72,24 @@ class BehaviorSpec extends SparkSpec {
       (w1, 0) -> 1L))
   }
 
+  test("conversionLags: exact median/p90 of stage gaps over completing users") {
+    import sqlImplicits._
+    // gaps view→click: u1 600s, u2 240s, u3 never clicks → median of
+    // {240, 600} = 420 (half-exact); click→buy: only u1, 600s
+    val ev = Seq(
+      (1L, "view", ts(0), 1L), (1L, "click", ts(10), 2L), (1L, "buy", ts(20), 3L),
+      (2L, "view", ts(0), 4L), (2L, "click", ts(4), 5L),
+      (3L, "view", ts(1), 6L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Behavior.conversionLags(ev, Seq("view", "click", "buy"))
+      .orderBy("stage")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.length == 2)
+    assert(got(0) == ((1, "view", "click", 2L, 420.0, 564.0)))
+    assert(got(1) == ((2, "click", "buy", 1L, 600.0, 600.0)))
+  }
+
   test("attribution: last-touch goes to the latest touch, linear splits 1/n") {
     import sqlImplicits._
     val ev = Seq(

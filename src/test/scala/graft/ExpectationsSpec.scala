@@ -125,4 +125,20 @@ class ExpectationsSpec extends SparkSpec {
     assert(filters.isEmpty, s"row-local checks should fold into aggregates, found ${filters.size} filters")
     assert(aggs.nonEmpty)
   }
+
+  test("fkAudit counts orphans and null FKs per edge") {
+    import sqlImplicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(
+      (10L, Some(1L)), (11L, Some(2L)), (12L, Some(99L)), // 99 is an orphan
+      (13L, None), (14L, Some(3L)), (15L, Some(98L)))     // 98 too
+      .toDF("id", "fk")
+    val got = graft.operators.Expectations.fkAudit(
+        Seq(("child->parent", child, "fk", parent, "pk")))
+      .head()
+    assert(got.getString(0) == "child->parent")
+    assert(got.getLong(1) == 6L)  // rows
+    assert(got.getLong(2) == 1L)  // null fk
+    assert(got.getLong(3) == 2L)  // orphans
+  }
 }

@@ -72,4 +72,37 @@ class RobustStatsSpec extends SparkSpec {
     assert(sm.getDouble(4) == lo && sm.getDouble(5) == hi, sm.toString)
     assert(sm.getDouble(6) == 50.0, sm.toString) // mean of 1..99
   }
+
+  test("weightedQuantile: lower weighted median respects weights, ties and null guards") {
+    import sqlImplicits._
+    val df = Seq(
+      // group a: value 1 carries weight 9, value 100 weight 1 →
+      // median = 1 (cum 9/10 ≥ 5); an unweighted median would be 50.5
+      ("a", 1.0, 9.0), ("a", 100.0, 1.0),
+      // group b: equal weights over 1..4 → lower median = 2 (cum 2/4 ≥ 2)
+      ("b", 1.0, 1.0), ("b", 2.0, 1.0), ("b", 3.0, 1.0), ("b", 4.0, 1.0),
+      // group c: fractional weights + a null value + a negative weight
+      // (both must be ignored)
+      ("c", 5.0, 0.25), ("c", 6.0, 0.75), ("c", 7.0, -3.0),
+      ("c", Double.NaN, 1.0))
+      .map { case (g, v, w) => (g, if (v.isNaN) None else Some(v), w) }
+      .toDF("g", "v", "w")
+    val got = graft.operators.RobustStats.weightedQuantile(df, Seq("g"), "v", "w")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got("a") == ((10.0, 1.0)))
+    assert(got("b") == ((4.0, 2.0)))
+    // c: weights 0.25 @5, 0.75 @6 → total 1.0; cum(5)=0.25 < 0.5 → 6
+    assert(got("c") == ((1.0, 6.0)))
+  }
+
+  test("weightedQuantile q=1 returns the max observed value; partitioning-independent") {
+    import sqlImplicits._
+    val df = (1 to 500).map(i => ("g", i.toDouble, (i % 7 + 1).toDouble))
+      .toDF("g", "v", "w")
+    val m1 = graft.operators.RobustStats.weightedQuantile(df.coalesce(1), Seq("g"), "v", "w", 1.0)
+      .head().getDouble(2)
+    val m2 = graft.operators.RobustStats.weightedQuantile(df.repartition(9), Seq("g"), "v", "w", 1.0)
+      .head().getDouble(2)
+    assert(m1 == 500.0 && m2 == 500.0)
+  }
 }

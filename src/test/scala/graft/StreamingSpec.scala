@@ -503,6 +503,74 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS stream_hll_state")
   }
 
+  test("streaming bitmap-distinct maintenance is EXACT and exactly-once under replay") {
+    import sqlImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Bitmap
+    // dense ids incl. negatives and word-boundary values
+    val rows = (1 to 900).map(i => (s"g${i % 2}", ((i * 7) % 500 - 120).toLong))
+    val stream = MemoryStream[(String, Long)]
+    spark.sql("DROP TABLE IF EXISTS stream_bm_state")
+    val q = EventStreams.maintainBitmapDistinct(
+      stream.toDF().toDF("g", "id"), "stream_bm_state", Seq("g"), "id")
+    stream.addData(rows.take(400): _*); q.processAllAvailable()
+    stream.addData(rows.slice(400, 401): _*); q.processAllAvailable()
+    stream.addData(rows.drop(401): _*); q.processAllAvailable()
+    q.stop()
+
+    // Word-level equality with the from-scratch bitmap: OR-merging
+    // must make batching invisible.
+    def words(df: org.apache.spark.sql.DataFrame) =
+      df.select("g", "__w", "__mask").orderBy("g", "__w")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val streamed = words(spark.table("stream_bm_state").drop("__last_batch"))
+    val scratch = words(Bitmap.wordsByGroup(rows.toDF("g", "id"), Seq("g"), "id"))
+    assert(streamed == scratch)
+
+    // Replay: the batch-id watermark must no-op the fold.
+    EventStreams.foldBitmapBatch(
+      rows.take(400).toDF("g", "id"), batchId = 0L, "stream_bm_state", Seq("g"), "id")
+    assert(words(spark.table("stream_bm_state").drop("__last_batch")) == streamed)
+
+    // The maintained count is EXACT — not an estimate.
+    val got = Bitmap.countsFromWords(
+        spark.table("stream_bm_state").drop("__last_batch"), Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    assert(got == exact)
+    spark.sql("DROP TABLE IF EXISTS stream_bm_state")
+  }
+
+  test("streaming zone-map maintenance equals from-scratch stats, exactly-once under replay") {
+    import sqlImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.ZoneMap
+    val rows = (1 to 500).map(i =>
+      (i.toLong, (i % 7).toLong, if (i % 11 == 0) None else Some(i * 1.5)))
+    val stream = MemoryStream[(Long, Long, Option[Double])]
+    spark.sql("DROP TABLE IF EXISTS stream_zm_state")
+    val q = EventStreams.maintainZoneMaps(
+      stream.toDF().toDF("id", "z", "v"), "stream_zm_state", "z", Seq("v"))
+    stream.addData(rows.take(200): _*); q.processAllAvailable()
+    stream.addData(rows.slice(200, 201): _*); q.processAllAvailable()
+    stream.addData(rows.drop(201): _*); q.processAllAvailable()
+    q.stop()
+
+    def st(df: org.apache.spark.sql.DataFrame) =
+      df.select("zone", "n_rows", "min_v", "max_v", "nn_v").orderBy("zone")
+        .collect().map(_.toSeq).toSeq
+    val streamed = st(spark.table("stream_zm_state").drop("__last_batch"))
+    val scratch = st(ZoneMap.stats(
+      rows.toDF("id", "z", "v"), org.apache.spark.sql.functions.col("z"), Seq("v")))
+    assert(streamed == scratch)
+
+    // Replay: the batch-id watermark must no-op the fold.
+    EventStreams.foldZoneMapBatch(
+      rows.take(200).toDF("id", "z", "v"), batchId = 0L, "stream_zm_state", "z", Seq("v"))
+    assert(st(spark.table("stream_zm_state").drop("__last_batch")) == streamed)
+    spark.sql("DROP TABLE IF EXISTS stream_zm_state")
+  }
+
   test("mapGroupsWithState sessionizer accumulates per user across batches") {
     import sqlImplicits._
     implicit val sqlCtx = spark.sqlContext
