@@ -97,6 +97,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       { exprs: Seq[Expression] => DotProduct(exprs.head, exprs(1)) }))
     ext.injectFunction(WhitespaceTokens.functionDescription)
+    ext.injectFunction(JaroWinkler.functionDescription)
     ext.injectOptimizerRule(_ => HaversineBoundingBox)
   }
 }

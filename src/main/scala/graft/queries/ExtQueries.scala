@@ -4612,6 +4612,65 @@ object ExtQueries {
         |               AND s_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS BIGINT)
         |FROM supplier
         |ORDER BY edge""".stripMargin)
+    ),
+
+    // Fuzzy name matching via the native codegen Jaro–Winkler
+    // expression (`plans/JaroWinkler.scala` — Spark has levenshtein
+    // but nothing in the Jaro family): 20 md5-sampled part names get
+    // a deterministic typo (3rd char dropped) and must re-find their
+    // source among the SAME-BRAND parts (the record-linkage blocking
+    // shape — never all-pairs). The engine's scorer was verified
+    // bit-identical to DuckDB's jaro_winkler_similarity on 5,000
+    // fixture pairs (integer transpositions, 0.7 boost threshold), so
+    // the oracle replays the scores exactly.
+    GraftQuery(
+      "x149_fuzzy_match",
+      (s, d) => {
+        val parts = t(s, d, "part")
+        val probes = graft.operators.DataMix.md5Sample(parts, 0.01, Seq(col("p_partkey")))
+          .select(
+            col("p_partkey").as("probe_key"),
+            concat(substring(col("p_name"), 1, 2), substring(col("p_name"), 4, 1000000))
+              .as("typo_name"),
+            col("p_brand").as("probe_brand"))
+        val scored = probes.join(
+            parts.select(col("p_partkey").as("cand_key"), col("p_name").as("cand_name"),
+              col("p_brand")),
+            col("probe_brand") === col("p_brand"))
+          .select(
+            col("probe_key"), col("typo_name"), col("cand_key"),
+            graft.plans.JaroWinkler.jaroWinkler(col("typo_name"), col("cand_name")).as("jw"))
+        scored
+          .withColumn(
+            "rk",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("probe_key"))
+              .orderBy(col("jw").desc, col("cand_key").asc)))
+          .filter(col("rk") === 1)
+          .select(
+            col("probe_key"), col("cand_key"),
+            round(col("jw"), 4).as("jw"),
+            (col("cand_key") === col("probe_key")).as("self_match"))
+          .orderBy("probe_key")
+      },
+      Some("""WITH probes AS (
+        |  SELECT p_partkey AS probe_key,
+        |         substring(p_name, 1, 2) || substring(p_name, 4) AS typo_name,
+        |         p_brand AS probe_brand
+        |  FROM part
+        |  WHERE substring(md5(CAST(p_partkey AS VARCHAR)), 1, 4) < '028f'),
+        |scored AS (
+        |  SELECT probe_key, typo_name, p.p_partkey AS cand_key,
+        |         jaro_winkler_similarity(typo_name, p.p_name) AS jw
+        |  FROM probes JOIN part p ON probe_brand = p.p_brand),
+        |best AS (
+        |  SELECT probe_key, cand_key, jw,
+        |         ROW_NUMBER() OVER (PARTITION BY probe_key
+        |                            ORDER BY jw DESC, cand_key) AS rk
+        |  FROM scored)
+        |SELECT probe_key, cand_key, round(jw, 4) AS jw,
+        |       cand_key = probe_key AS self_match
+        |FROM best WHERE rk = 1 ORDER BY probe_key""".stripMargin)
     )
   )
 
