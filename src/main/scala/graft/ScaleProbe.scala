@@ -43,7 +43,17 @@ object ScaleProbe {
         col("label"))
     }.reduce(_ unionByName _)
 
+  /** Optional probe filter: SPARK_GRAFT_PROBE_ONLY=attribution,zipf
+    * runs only probes whose label starts with one of the prefixes —
+    * the bench's SPARK_GRAFT_ONLY convention, for isolated
+    * adjudication re-runs.
+    */
+  private val probeOnly: Option[Seq[String]] =
+    sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+
   private def time(label: String, df: => DataFrame): Unit = {
+    if (probeOnly.exists(ps => !ps.exists(label.trim.startsWith))) return
     val t0 = System.nanoTime()
     val n = df.count()
     println(f"[probe] $label%-34s rows=$n%-9d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
@@ -248,7 +258,9 @@ object ScaleProbe {
       time(s"attribution            x$k",
         graft.operators.Behavior.attribution(
           d.select(
-            (col("doc_id") % (lit(5000L) * k)).as("user_id"),
+            // ~20 events per user at every K: per-user activity is the
+            // bounded quantity; users scale with the corpus
+            (col("doc_id") % (lit(250L) * k)).as("user_id"),
             when(col("doc_id") % 5 === 0, "buy").otherwise(
               concat(lit("ch"), (col("doc_id") % 3).cast("string"))).as("event_type"),
             timestamp_seconds(col("doc_id") % 86400L).as("ts"),

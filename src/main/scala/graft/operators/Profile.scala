@@ -57,6 +57,42 @@ object Profile {
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = run(df, cols, exact = true)
 
+  /** Column-level drift report between two snapshots (the data-
+    * contract check a pipeline runs on every refresh): per column,
+    * both sides' null-rate and distinct-rate in exactly-rounded
+    * micro-units, min/max change flags, and a drift verdict when the
+    * null-rate moved more than `nullRateMicroTol`. Everything is
+    * integer arithmetic over the two exact profiles — bit-portable.
+    * Output: (col_name, n_a, n_b, null_micro_a, null_micro_b,
+    * distinct_micro_a, distinct_micro_b, minmax_changed, drift).
+    */
+  def drift(
+      a: DataFrame,
+      b: DataFrame,
+      cols: Seq[String],
+      nullRateMicroTol: Long = 10000L): DataFrame = {
+    require(nullRateMicroTol >= 0, s"drift: tolerance must be ≥ 0, got $nullRateMicroTol")
+    def side(df: DataFrame, tag: String) =
+      profile(df, cols).select(
+        col("col_name"),
+        col("n_rows").as(s"n_$tag"),
+        round(col("n_null") * lit(1000000L) / col("n_rows")).cast("long")
+          .as(s"null_micro_$tag"),
+        round(col("n_distinct") * lit(1000000L) / col("n_rows")).cast("long")
+          .as(s"distinct_micro_$tag"),
+        col("min_value").as(s"min_$tag"),
+        col("max_value").as(s"max_$tag"))
+    side(a, "a").join(side(b, "b"), Seq("col_name"))
+      .select(
+        col("col_name"), col("n_a"), col("n_b"),
+        col("null_micro_a"), col("null_micro_b"),
+        col("distinct_micro_a"), col("distinct_micro_b"),
+        (!(col("min_a") <=> col("min_b")) || !(col("max_a") <=> col("max_b")))
+          .as("minmax_changed"),
+        (abs(col("null_micro_a") - col("null_micro_b")) > lit(nullRateMicroTol))
+          .as("drift"))
+  }
+
   /** Same shape with HLL distincts: one non-expanded pass — the
     * at-scale default (±~2% on n_distinct, everything else exact).
     */

@@ -4671,6 +4671,122 @@ object ExtQueries {
         |SELECT probe_key, cand_key, round(jw, 4) AS jw,
         |       cand_key = probe_key AS self_match
         |FROM best WHERE rk = 1 ORDER BY probe_key""".stripMargin)
+    ),
+
+    // 2-D skyline / Pareto frontier (Börzsönyi et al. 2001): the
+    // parts no other part beats on BOTH size and retail price — the
+    // multi-objective shortlist operator. Two-phase bucketed
+    // sort-filter in the engine (per-bucket frontiers in parallel,
+    // global pass over survivors only); the oracle states dominance
+    // directly with NOT EXISTS. Exact-duplicate points keep the
+    // lowest key on both sides.
+    GraftQuery(
+      "x150_skyline",
+      (s, d) =>
+        graft.operators.Skyline.skyline2D(
+            t(s, d, "part"), "p_size", "p_retailprice", "p_partkey")
+          .select(
+            col("p_partkey"), col("p_size").cast("int").as("p_size"),
+            round(col("p_retailprice"), 2).as("p_retailprice"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p.p_partkey, CAST(p.p_size AS INT) AS p_size,
+        |       round(p.p_retailprice, 2) AS p_retailprice
+        |FROM part p
+        |WHERE p.p_size IS NOT NULL AND p.p_retailprice IS NOT NULL
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM part q
+        |    WHERE q.p_size IS NOT NULL AND q.p_retailprice IS NOT NULL
+        |      AND q.p_size >= p.p_size AND q.p_retailprice >= p.p_retailprice
+        |      AND (q.p_size > p.p_size OR q.p_retailprice > p.p_retailprice
+        |           OR (q.p_size = p.p_size AND q.p_retailprice = p.p_retailprice
+        |               AND q.p_partkey < p.p_partkey)))
+        |ORDER BY p.p_partkey""".stripMargin)
+    ),
+
+    // Column-level drift report between two snapshot halves — the
+    // data-contract check every refresh runs: null-rate /
+    // distinct-rate in exactly-rounded micro-units, min/max change
+    // flags, threshold verdicts. Integer arithmetic over two exact
+    // single-scan profiles.
+    GraftQuery(
+      "x151_profile_drift",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.Profile.drift(
+            docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 === 1),
+            Seq("lang", "source", "n_chars"))
+          .orderBy("col_name")
+      },
+      Some("""WITH a AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+        |b AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+        |pa AS (
+        |  SELECT 'lang' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_a,
+        |         CAST(round((COUNT(*) - COUNT(lang)) * 1000000 / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS null_micro_a,
+        |         CAST(round(COUNT(DISTINCT lang) * 1000000 / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS distinct_micro_a,
+        |         CAST(MIN(lang) AS VARCHAR) AS min_a, CAST(MAX(lang) AS VARCHAR) AS max_a FROM a
+        |  UNION ALL
+        |  SELECT 'source', CAST(COUNT(*) AS BIGINT),
+        |         CAST(round((COUNT(*) - COUNT(source)) * 1000000 / CAST(COUNT(*) AS DOUBLE)) AS BIGINT),
+        |         CAST(round(COUNT(DISTINCT source) * 1000000 / CAST(COUNT(*) AS DOUBLE)) AS BIGINT),
+        |         CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR) FROM a
+        |  UNION ALL
+        |  SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+        |         CAST(round((COUNT(*) - COUNT(n_chars)) * 1000000 / CAST(COUNT(*) AS DOUBLE)) AS BIGINT),
+        |         CAST(round(COUNT(DISTINCT n_chars) * 1000000 / CAST(COUNT(*) AS DOUBLE)) AS BIGINT),
+        |         CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM a),
+        |pb AS (
+        |  SELECT 'lang' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_b,
+        |         CAST(round((COUNT(*) - COUNT(lang)) * 1000000 / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS null_micro_b,
+        |         CAST(round(COUNT(DISTINCT lang) * 1000000 / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS distinct_micro_b,
+        |         CAST(MIN(lang) AS VARCHAR) AS min_b, CAST(MAX(lang) AS VARCHAR) AS max_b FROM b
+        |  UNION ALL
+        |  SELECT 'source', CAST(COUNT(*) AS BIGINT),
+        |         CAST(round((COUNT(*) - COUNT(source)) * 1000000 / CAST(COUNT(*) AS DOUBLE)) AS BIGINT),
+        |         CAST(round(COUNT(DISTINCT source) * 1000000 / CAST(COUNT(*) AS DOUBLE)) AS BIGINT),
+        |         CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR) FROM b
+        |  UNION ALL
+        |  SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+        |         CAST(round((COUNT(*) - COUNT(n_chars)) * 1000000 / CAST(COUNT(*) AS DOUBLE)) AS BIGINT),
+        |         CAST(round(COUNT(DISTINCT n_chars) * 1000000 / CAST(COUNT(*) AS DOUBLE)) AS BIGINT),
+        |         CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM b)
+        |SELECT pa.col_name, n_a, n_b, null_micro_a, null_micro_b,
+        |       distinct_micro_a, distinct_micro_b,
+        |       (pa.min_a IS DISTINCT FROM pb.min_b OR pa.max_a IS DISTINCT FROM pb.max_b)
+        |         AS minmax_changed,
+        |       abs(null_micro_a - null_micro_b) > 10000 AS drift
+        |FROM pa JOIN pb USING (col_name) ORDER BY col_name""".stripMargin)
+    ),
+
+    // Token frequency-of-frequencies + Good–Turing discounts (Good
+    // 1953): n_r = #types occurring r times, smoothed count
+    // r* = (r+1)·n_{r+1}/n_r — the vocabulary-statistics table
+    // LM smoothing and corpus-health checks read. All integer counts;
+    // one exactly-rounded division.
+    GraftQuery(
+      "x152_freq_of_freqs",
+      (s, d) => {
+        val counts = t(s, d, "documents")
+          .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+        val nr = counts.groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
+        nr.as("a")
+          .join(nr.select((col("r") - 1).as("r"), col("n_r").as("n_r1")).as("b"),
+            Seq("r"), "left")
+          .select(
+            col("r"), col("n_r"),
+            round((col("r") + 1) * col("n_r1") / col("n_r"), 4).as("gt_smoothed"))
+          .orderBy("r")
+          .limit(30)
+      },
+      Some(s"""$toksCte,
+        |u AS (SELECT unnest(toks) AS tok FROM t),
+        |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY tok),
+        |nr AS (SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_r FROM c GROUP BY c)
+        |SELECT a.r, a.n_r,
+        |       round((a.r + 1) * b.n_r / CAST(a.n_r AS DOUBLE), 4) AS gt_smoothed
+        |FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+        |ORDER BY a.r LIMIT 30""".stripMargin)
     )
   )
 

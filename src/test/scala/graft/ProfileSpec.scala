@@ -54,4 +54,22 @@ class ProfileSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("drift flags a null-rate shift beyond tolerance and min/max changes") {
+    import sqlImplicits._
+    val a = (1 to 100).map(i => (i.toLong, Some(s"v$i"))).toDF("id", "v")
+    // b: 20% nulls and a new max value
+    val b = (1 to 100).map(i =>
+      (i.toLong, if (i % 5 == 0) None else Some(s"w$i"))).toDF("id", "v")
+    val rows = graft.operators.Profile.drift(a, b, Seq("id", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val v = rows("v")
+    assert(v.getAs[Long]("null_micro_a") == 0L)
+    assert(v.getAs[Long]("null_micro_b") == 200000L)
+    assert(v.getAs[Boolean]("minmax_changed"))
+    assert(v.getAs[Boolean]("drift"))
+    val id = rows("id")
+    assert(!id.getAs[Boolean]("drift") && !id.getAs[Boolean]("minmax_changed"))
+    assert(id.getAs[Long]("distinct_micro_a") == 1000000L)
+  }
 }
