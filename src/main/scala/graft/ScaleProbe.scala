@@ -259,8 +259,12 @@ object ScaleProbe {
         graft.operators.Behavior.attribution(
           d.select(
             // ~20 events per user at every K: per-user activity is the
-            // bounded quantity; users scale with the corpus
-            (col("doc_id") % (lit(250L) * k)).as("user_id"),
+            // bounded quantity; users scale with the corpus. The
+            // modulus must NOT share a factor with the conversion
+            // stride 5 (a multiple of 5 makes each user all-conversion
+            // or all-touch and the probe vacuous) — 250·k+1 ≡ 1 mod 5
+            // for every k, so residues always mix.
+            (col("doc_id") % (lit(250L) * k + 1)).as("user_id"),
             when(col("doc_id") % 5 === 0, "buy").otherwise(
               concat(lit("ch"), (col("doc_id") % 3).cast("string"))).as("event_type"),
             timestamp_seconds(col("doc_id") % 86400L).as("ts"),
