@@ -91,4 +91,50 @@ object AsOfJoin {
         col("__match").getField("__rts").as(rightTs + suffix)
     matched.select(outCols: _*)
   }
+
+  /** Nearest-event join: attach the right row with the same key whose
+    * timestamp is CLOSEST to the left row's, in either direction —
+    * sensor alignment, nearest-quote enrichment. Composed from two
+    * as-of passes (backward, then forward over negated microsecond
+    * timestamps — the same merge-join machinery, still two key-sorted
+    * shuffles, no range explosion); equal distances break BACKWARD.
+    * Output: left columns + `<payload>_near`, `<rightTs>_near`, and
+    * `near_dir` ∈ {"bwd", "fwd", null}.
+    */
+  def joinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      payloadCols: Seq[String]): DataFrame = {
+    require(!left.columns.contains("__lneg") && !right.columns.contains("__rneg"),
+      "joinNearest: '__lneg'/'__rneg' are reserved")
+    val bwd = joinAsOf(left, right, key, leftTs, rightTs, payloadCols, "_bwd")
+    // forward pass: last right with -rts <= -lts ⇔ first right with
+    // rts >= lts; joinAsOf orders by the column generically, so
+    // negated longs work unchanged
+    val fwd = joinAsOf(
+      bwd.withColumn("__lneg", -unix_micros(col(leftTs))),
+      right.filter(col(rightTs).isNotNull)
+        .withColumn("__rneg", -unix_micros(col(rightTs)))
+        .drop(rightTs),
+      key, "__lneg", "__rneg", payloadCols, "_fwd")
+    val gapB = unix_micros(col(leftTs)) - unix_micros(col(rightTs + "_bwd"))
+    val gapF = (-col("__rneg_fwd")) - unix_micros(col(leftTs))
+    // ties and single-sided matches: backward wins when present and
+    // no strictly closer forward match exists
+    val useBwd = col(rightTs + "_bwd").isNotNull &&
+      (col("__rneg_fwd").isNull || gapB <= gapF)
+    val outCols =
+      left.columns.toSeq.map(col) ++
+        payloadCols.map(p =>
+          when(useBwd, col(p + "_bwd")).otherwise(col(p + "_fwd")).as(p + "_near")) ++ Seq(
+          when(useBwd, col(rightTs + "_bwd"))
+            .otherwise(timestamp_micros(-col("__rneg_fwd"))).as(rightTs + "_near"),
+          when(useBwd, lit("bwd"))
+            .when(col("__rneg_fwd").isNotNull, lit("fwd"))
+            .otherwise(lit(null).cast("string")).as("near_dir"))
+    fwd.select(outCols: _*)
+  }
 }

@@ -140,6 +140,38 @@ object DataMix {
   def md5SplitLabel(testFrac: Double, keyCols: Seq[Column]): Column =
     when(md5Prefix(keyCols) < lit(hexThreshold(testFrac)), "test").otherwise("train")
 
+  /** EXACT-quota stratified split: within every stratum, exactly
+    * ⌊frac·n⌋ rows get the "val" label (the rest "train"), chosen by
+    * the deterministic md5 order [[md5Quota]] ranks with. Where
+    * [[md5SplitLabel]] gives each row an independent draw (split
+    * sizes binomial around frac·n), this gives the exact count —
+    * the contract an eval-set budget needs. One window per stratum
+    * (stratum-sized sort tasks — the total order per stratum is the
+    * contract, same as md5Quota).
+    * Adds `split` ∈ {"val", "train"}.
+    */
+  def quotaSplit(
+      df: DataFrame,
+      strataCols: Seq[Column],
+      valFrac: Double,
+      keyCols: Seq[Column]): DataFrame = {
+    require(valFrac >= 0 && valFrac <= 1, s"quotaSplit: frac $valFrac out of range")
+    val h = md5Hash(keyCols)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols: _*)
+      .orderBy(h.asc, keyCols.head.asc)
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(strataCols: _*)
+    // quota = floor(frac·n): floor (not round) — half-up vs half-even
+    // rounding differs across engines at exact .5 products
+    df.withColumn("__srank", row_number().over(w))
+      .withColumn("__sn", count(lit(1)).over(wn))
+      .withColumn(
+        "split",
+        when(col("__srank") <= floor(lit(valFrac) * col("__sn")), "val")
+          .otherwise("train"))
+      .drop("__srank", "__sn")
+  }
+
   /** Split-leakage audit — the check that decides whether a split is
     * GROUP-safe: a group (author, url domain, conversation, near-dup
     * cluster) whose members land on BOTH sides of a train/test split

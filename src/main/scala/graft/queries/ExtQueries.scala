@@ -4787,6 +4787,155 @@ object ExtQueries {
         |       round((a.r + 1) * b.n_r / CAST(a.n_r AS DOUBLE), 4) AS gt_smoothed
         |FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
         |ORDER BY a.r LIMIT 30""".stripMargin)
+    ),
+
+    // Pearson chi-square independence test (lang × source): the
+    // inference step above the descriptive drift screens — is the
+    // language mix actually associated with the source? Each cell's
+    // (n−e)²/e is micro-quantized before the unordered sum, so the
+    // statistic replays bit-for-bit.
+    GraftQuery(
+      "x153_chi2_independence",
+      (s, d) =>
+        graft.operators.Stats.chi2Independence(t(s, d, "documents"), "lang", "source")
+          .select(
+            col("n"), col("n_rows_cat"), col("n_cols_cat"), col("dof"),
+            round(col("chi2"), 4).as("chi2")),
+      Some("""WITH cells AS (
+        |  SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(SUM(n) AS BIGINT) AS r FROM cells GROUP BY a),
+        |ct AS (SELECT b, CAST(SUM(n) AS BIGINT) AS c FROM cells GROUP BY b),
+        |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
+        |              CAST(COUNT(DISTINCT a) AS BIGINT) AS ka,
+        |              CAST(COUNT(DISTINCT b) AS BIGINT) AS kb FROM cells),
+        |terms AS (
+        |  SELECT t, ka, kb,
+        |         CAST(round(
+        |           (CAST(n AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+        |           * (CAST(n AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+        |           / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1e6)
+        |           AS BIGINT) AS tm
+        |  FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tt)
+        |SELECT MIN(t) AS n, CAST(MIN(ka) AS INT) AS n_rows_cat,
+        |       CAST(MIN(kb) AS INT) AS n_cols_cat,
+        |       CAST((MIN(ka) - 1) * (MIN(kb) - 1) AS INT) AS dof,
+        |       round(CAST(SUM(tm) AS DOUBLE) / 1e6, 4) AS chi2
+        |FROM terms""".stripMargin)
+    ),
+
+    // Two-sample Kolmogorov–Smirnov test between the click and view
+    // value distributions: D computed EXACTLY in integers
+    // (D·n_a·n_b = max |cum_a·n_b − cum_b·n_a| over the collapsed
+    // distinct micro-values), with the α=0.05 large-sample verdict —
+    // the distribution-shift test PSI (x121) approximates.
+    GraftQuery(
+      "x154_ks_test",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        graft.operators.Stats.ksTest(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "view"),
+          "value")
+      },
+      Some("""WITH qa AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS v,
+        |         CAST(COUNT(*) AS BIGINT) AS ca
+        |  FROM events WHERE event_type = 'click' AND value IS NOT NULL GROUP BY 1),
+        |qb AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS v,
+        |         CAST(COUNT(*) AS BIGINT) AS cb
+        |  FROM events WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1),
+        |m AS (
+        |  SELECT COALESCE(qa.v, qb.v) AS v, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        |  FROM qa FULL OUTER JOIN qb ON qa.v = qb.v),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM m),
+        |c AS (
+        |  SELECT SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+        |         SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb
+        |  FROM m),
+        |dn AS (SELECT MAX(abs(c.cuma * t.nb - c.cumb * t.na)) AS dnum FROM c, t)
+        |SELECT t.na AS n_a, t.nb AS n_b,
+        |       round(CAST(dnum AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS d,
+        |       (CAST(dnum AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+        |         * (CAST(dnum AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+        |         > 1.844164 * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+        |           / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS reject_05
+        |FROM dn, t""".stripMargin)
+    ),
+
+    // Nearest-event join (either direction, ties backward): each
+    // purchase gets the user's CLOSEST click by |Δt| — the sensor-
+    // alignment variant of q24's backward-only as-of. Composed from
+    // two merge-join as-of passes (the forward one over negated
+    // micros); the oracle replays with DuckDB's two ASOF directions
+    // and the same tie rule.
+    GraftQuery(
+      "x155_nearest_join",
+      (s, d) => {
+        val events = t(s, d, "events")
+        val dedupW = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "ts").orderBy(col("event_id").desc)
+        val clicks = events.filter(col("event_type") === "click")
+          .withColumn("rn", row_number().over(dedupW)).filter(col("rn") === 1)
+          .select(col("user_id"), col("ts"), col("value"))
+        val purchases = events.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        graft.operators.AsOfJoin
+          .joinNearest(purchases, clicks, "user_id", "ts", "ts", Seq("value"))
+          .select(
+            col("event_id"), col("user_id"), col("ts"),
+            round(col("value_near"), 4).as("value_near"),
+            col("ts_near"), col("near_dir"))
+          .orderBy("event_id")
+      },
+      Some("""WITH c AS (
+        |  SELECT user_id, ts, value FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'click') WHERE rn = 1),
+        |p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |b AS (
+        |  SELECT p.event_id, p.user_id, p.ts, c.value AS vb, c.ts AS tb
+        |  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
+        |f AS (
+        |  SELECT p.event_id, c.value AS vf, c.ts AS tf
+        |  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts)
+        |SELECT b.event_id, b.user_id, b.ts,
+        |  round(CASE WHEN tb IS NOT NULL AND (tf IS NULL OR
+        |                  epoch_us(b.ts) - epoch_us(tb) <= epoch_us(tf) - epoch_us(b.ts))
+        |             THEN vb ELSE vf END, 4) AS value_near,
+        |  CASE WHEN tb IS NOT NULL AND (tf IS NULL OR
+        |            epoch_us(b.ts) - epoch_us(tb) <= epoch_us(tf) - epoch_us(b.ts))
+        |       THEN tb ELSE tf END AS ts_near,
+        |  CASE WHEN tb IS NOT NULL AND (tf IS NULL OR
+        |            epoch_us(b.ts) - epoch_us(tb) <= epoch_us(tf) - epoch_us(b.ts))
+        |       THEN 'bwd' WHEN tf IS NOT NULL THEN 'fwd' END AS near_dir
+        |FROM b JOIN f USING (event_id)
+        |ORDER BY event_id""".stripMargin)
+    ),
+
+    // Exact-quota stratified split: within every lang, exactly
+    // ⌊0.2·n⌋ documents get the val label, chosen by the
+    // deterministic md5 order — the eval-budget contract the
+    // binomial per-row draw (x27) can't give. Doc-level assignment
+    // is the hash.
+    GraftQuery(
+      "x156_quota_split",
+      (s, d) =>
+        graft.operators.DataMix.quotaSplit(
+            t(s, d, "documents"), Seq(col("lang")), 0.2, Seq(col("doc_id")))
+          .select(col("doc_id"), col("lang"), col("split"))
+          .orderBy("doc_id"),
+      Some("""WITH r AS (
+        |  SELECT doc_id, lang,
+        |         ROW_NUMBER() OVER (PARTITION BY lang
+        |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |       CASE WHEN rn <= floor(0.2 * n) THEN 'val' ELSE 'train' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin)
     )
   )
 

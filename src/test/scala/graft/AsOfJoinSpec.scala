@@ -101,4 +101,33 @@ class AsOfJoinSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("__side"))
   }
+
+  test("joinNearest picks the closer side, breaks ties backward, handles one-sided and no match") {
+    import sqlImplicits._
+    val left = Seq(
+      (1L, 100L, ts("2024-01-01 12:00:00")), // bwd at 11:59 (60s), fwd at 12:10 (600s) → bwd
+      (1L, 101L, ts("2024-01-01 12:08:00")), // bwd 11:59 (540s), fwd 12:10 (120s) → fwd
+      (2L, 102L, ts("2024-01-01 12:00:00")), // only fwd exists (12:30)
+      (3L, 103L, ts("2024-01-01 12:00:00")), // no right rows at all
+      (4L, 104L, ts("2024-01-01 12:01:00"))) // equidistant (12:00 / 12:02) → bwd
+      .toDF("k", "id", "lts")
+    val right = Seq(
+      (1L, ts("2024-01-01 11:59:00"), 1.0),
+      (1L, ts("2024-01-01 12:10:00"), 2.0),
+      (2L, ts("2024-01-01 12:30:00"), 3.0),
+      (4L, ts("2024-01-01 12:00:00"), 4.0),
+      (4L, ts("2024-01-01 12:02:00"), 5.0))
+      .toDF("k", "rts", "v")
+    val got = AsOfJoin.joinNearest(left, right, "k", "lts", "rts", Seq("v"))
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getAs[Long]("id"), Option(r.getAs[java.lang.Double]("v_near")),
+        Option(r.getAs[String]("near_dir"))))
+    assert(got.toSeq == Seq(
+      (100L, Some(1.0: java.lang.Double), Some("bwd")),
+      (101L, Some(2.0: java.lang.Double), Some("fwd")),
+      (102L, Some(3.0: java.lang.Double), Some("fwd")),
+      (103L, None, None),
+      (104L, Some(4.0: java.lang.Double), Some("bwd"))))
+  }
 }

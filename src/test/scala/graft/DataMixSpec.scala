@@ -265,4 +265,30 @@ class DataMixSpec extends SparkSpec {
     assert(!got.contains(201L) && !got.contains(202L))
     assert(got.count(_ <= 100L) >= 17, s"heavy items under-sampled: ${got.toSeq.sorted}")
   }
+
+  test("quotaSplit gives exactly floor(frac*n) val rows per stratum, deterministically") {
+    import sqlImplicits._
+    val df = (1 to 500).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "g")
+    val split = graft.operators.DataMix.quotaSplit(df, Seq(col("g")), 0.2, Seq(col("id")))
+    val counts = split.groupBy("g", "split").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // strata sizes: s0 166, s1 167, s2 167 → quotas 33, 33, 33
+    assert(counts(("s0", "val")) == 33L && counts(("s0", "train")) == 133L)
+    assert(counts(("s1", "val")) == 33L && counts(("s2", "val")) == 33L)
+    // deterministic under repartitioning
+    val a = split.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val b = graft.operators.DataMix.quotaSplit(
+        df.repartition(11), Seq(col("g")), 0.2, Seq(col("id")))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a == b)
+  }
+
+  test("quotaSplit edge fractions: 0 puts nothing in val, 1 puts everything") {
+    import sqlImplicits._
+    val df = (1 to 50).map(i => (i.toLong, "g")).toDF("id", "g")
+    val z = graft.operators.DataMix.quotaSplit(df, Seq(col("g")), 0.0, Seq(col("id")))
+    assert(z.filter(col("split") === "val").count() == 0L)
+    val o = graft.operators.DataMix.quotaSplit(df, Seq(col("g")), 1.0, Seq(col("id")))
+    assert(o.filter(col("split") === "train").count() == 0L)
+  }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Stats
+
+class StatsSpec extends SparkSpec {
+
+  test("chi2Independence reproduces the hand-computed 2x2 statistic") {
+    import sqlImplicits._
+    // classic 2×2: rows (T, F) × cols (X, Y) with counts 10/20/20/10
+    val df = (Seq.fill(10)(("T", "X")) ++ Seq.fill(20)(("T", "Y")) ++
+      Seq.fill(20)(("F", "X")) ++ Seq.fill(10)(("F", "Y"))).toDF("a", "b")
+    val r = Stats.chi2Independence(df, "a", "b").head()
+    assert(r.getAs[Long]("n") == 60L)
+    assert(r.getAs[Int]("dof") == 1)
+    // e = 15 each cell; chi2 = 4·(5²/15) = 20/3
+    assert(math.abs(r.getAs[Double]("chi2") - 20.0 / 3.0) < 1e-4)
+  }
+
+  test("chi2Independence is ~0 for perfectly independent margins") {
+    import sqlImplicits._
+    val df = (for { a <- Seq("p", "q"); b <- Seq("x", "y", "z"); _ <- 1 to 7 }
+      yield (a, b)).toDF("a", "b")
+    val r = Stats.chi2Independence(df, "a", "b").head()
+    assert(r.getAs[Double]("chi2") == 0.0)
+    assert(r.getAs[Int]("dof") == 2)
+  }
+
+  test("ksTest: identical samples give D = 0, disjoint samples give D = 1") {
+    import sqlImplicits._
+    val s1 = (1 to 100).map(_.toDouble).toDF("value")
+    val same = Stats.ksTest(s1, s1, "value").head()
+    assert(same.getAs[Double]("d") == 0.0 && !same.getAs[Boolean]("reject_05"))
+    val s2 = (101 to 200).map(_.toDouble).toDF("value")
+    val disj = Stats.ksTest(s1, s2, "value").head()
+    assert(disj.getAs[Double]("d") == 1.0 && disj.getAs[Boolean]("reject_05"))
+  }
+
+  test("ksTest matches a hand-computed small case with ties") {
+    import sqlImplicits._
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("value")
+    val b = Seq(3.0, 4.0, 5.0, 6.0).toDF("value")
+    // F_a: 1→.25 2→.5 3→.75 4→1 5→1 6→1 ; F_b: 3→.25 4→.5 5→.75 6→1
+    // max gap at v=2: |.5 − 0| = .5
+    val r = Stats.ksTest(a, b, "value").head()
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 4L)
+    assert(r.getAs[Double]("d") == 0.5)
+    assert(!r.getAs[Boolean]("reject_05")) // threshold at n=4: 1.358·√(8/16) = 0.96
+  }
+
+  test("results are independent of partitioning") {
+    import sqlImplicits._
+    val df = (1 to 600).map(i => (s"a${i % 3}", s"b${(i * 7) % 5}")).toDF("a", "b")
+    val x = Stats.chi2Independence(df.coalesce(1), "a", "b").head().getAs[Double]("chi2")
+    val y = Stats.chi2Independence(df.repartition(11), "a", "b").head().getAs[Double]("chi2")
+    assert(x == y)
+    val v1 = (1 to 300).map(i => (i % 37).toDouble).toDF("value")
+    val v2 = (1 to 300).map(i => ((i * 13) % 41).toDouble).toDF("value")
+    val d1 = Stats.ksTest(v1.coalesce(1), v2.coalesce(1), "value").head().getAs[Double]("d")
+    val d2 = Stats.ksTest(v1.repartition(7), v2.repartition(5), "value").head().getAs[Double]("d")
+    assert(d1 == d2)
+  }
+}
