@@ -52,7 +52,11 @@ object Behavior {
           col(typeCol) === stages(i - 1) && col(tsCol) > col(s"t${i - 1}") && inWindow,
           col(tsCol))).as(s"t$i"))
     }
-    cur
+    // user-cardinality-sized and shared by funnel/conversionLags on
+    // plan-equal inputs — cache one per (stages, window) shape
+    OpCache.swap(
+      s"behavior.completion.${stages.mkString(",")}.${withinSeconds.getOrElse(0L)}",
+      cur)
   }
 
   def funnel(

@@ -30,6 +30,33 @@ import graft.functions.TextFunctions
   */
 object CorpusStats {
 
+  /** Corpus token-count table `(tok, cnt)` — vocabulary-sized,
+    * OpCache-shared across every consumer (Zipf fit, frequency-of-
+    * frequencies, …): plan-equal inputs build it once per session.
+    */
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    OpCache.swap(
+      s"corpus.tokcounts.$textCol",
+      docs
+        .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt")))
+
+  /** Frequency-of-frequencies table with Good–Turing discounts
+    * (Good 1953): `(r, n_r, gt_smoothed)` where n_r = #types seen r
+    * times and r* = (r+1)·n_{r+1}/n_r. Integer counts; one exactly-
+    * rounded division.
+    */
+  def freqOfFreqs(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val nr = tokenCounts(docs, textCol)
+      .groupBy(col("cnt").as("r")).agg(count(lit(1)).as("n_r"))
+    nr.as("a")
+      .join(nr.select((col("r") - 1).as("r"), col("n_r").as("n_r1")).as("b"),
+        Seq("r"), "left")
+      .select(
+        col("r"), col("n_r"),
+        round((col("r") + 1) * col("n_r1") / col("n_r"), 4).as("gt_smoothed"))
+  }
+
   /** OLS Zipf slope over the top `topN` tokens: one row
     * (n_fit, zipf_slope). Rank ties are broken by token asc (total
     * order → deterministic ranks).
@@ -39,9 +66,7 @@ object CorpusStats {
       topN: Int = 200,
       textCol: String = "text"): DataFrame = {
     require(topN > 1, s"zipfSlope: need ≥2 points, got $topN")
-    val counts = docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val counts = tokenCounts(docs, textCol)
     // The final ranking needs (cnt desc, tok asc) — a global window.
     // Running it over the whole vocabulary would be one monster sort
     // task, so pre-prune to the N-th-largest COUNT first with the

@@ -16,6 +16,42 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** BANDED two-phase INCLUSIVE prefix sums over rows ordered by
+    * `__v`: per-band cumulative windows run in parallel and a
+    * band-count-sized broadcast offset table lifts them to global
+    * cumulative sums — the distributed ordered-scan primitive (no
+    * global sort task ever sees the full domain). `sums` maps input
+    * count column → output cumulative column name.
+    */
+  private def bandedCum(
+      df: DataFrame,
+      sums: Seq[(String, String)],
+      bands: Int): DataFrame = {
+    val bounds = df.agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    val banded = df.crossJoin(broadcast(bounds))
+      .withColumn(
+        "__bkt",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(
+            lit(bands - 1),
+            floor((col("__v") - col("__lo")).cast("double") /
+              ((col("__hi") - col("__lo")).cast("double") / lit(bands))).cast("int"))))
+      .drop("__lo", "__hi")
+    val offW = Window.orderBy(col("__bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    val sumAggs = sums.map { case (c, _) => sum(col(c)).as(s"__s$c") }
+    val offs = banded.groupBy("__bkt")
+      .agg(sumAggs.head, sumAggs.tail: _*)
+    val withOffs = sums.foldLeft(offs) { case (acc, (c, _)) =>
+      acc.withColumn(s"__off$c", coalesce(sum(col(s"__s$c")).over(offW), lit(0L)))
+    }.select(col("__bkt") +: sums.map { case (c, _) => col(s"__off$c") }: _*)
+    val wb = Window.partitionBy(col("__bkt")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sums.foldLeft(banded.join(broadcast(withOffs), Seq("__bkt"))) {
+      case (acc, (c, out)) =>
+        acc.withColumn(out, col(s"__off$c") + sum(col(c)).over(wb))
+    }
+  }
+
   /** Pearson chi-square test of independence between two categorical
     * columns. Expected counts e_ij = r_i·c_j/N from the margins; each
     * cell's (n−e)²/e is micro-quantized, so the statistic is an exact
@@ -74,47 +110,16 @@ object Stats {
       .select(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 4))
         .multiply(lit(10000)).cast("long").as("__v"))
       .groupBy("__v").agg(count(lit(1)).as(s"__c$tag"))
-    val merged0 = q(a, "a").join(q(b, "b"), Seq("__v"), "full_outer")
+    val merged = q(a, "a").join(q(b, "b"), Seq("__v"), "full_outer")
       .select(
         col("__v"),
         coalesce(col("__ca"), lit(0L)).as("__ca"),
         coalesce(col("__cb"), lit(0L)).as("__cb"))
-    // band assignment by value range (min/max broadcast)
-    val bounds = merged0.agg(
-      min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
-    val merged = merged0.crossJoin(broadcast(bounds))
-      .withColumn(
-        "__bkt",
-        when(col("__hi") === col("__lo"), lit(0))
-          .otherwise(least(
-            lit(bands - 1),
-            floor((col("__v") - col("__lo")).cast("double") /
-              ((col("__hi") - col("__lo")).cast("double") / lit(bands))).cast("int"))))
-      .drop("__lo", "__hi")
-    // phase 1: per-band totals → exclusive running offsets (≤ bands
-    // rows; the window is tiny)
-    val offs = merged.groupBy("__bkt")
-      .agg(sum(col("__ca")).as("__sa"), sum(col("__cb")).as("__sb"))
-      .withColumn(
-        "__offa",
-        coalesce(sum(col("__sa")).over(Window.orderBy(col("__bkt"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn(
-        "__offb",
-        coalesce(sum(col("__sb")).over(Window.orderBy(col("__bkt"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__bkt"), col("__offa"), col("__offb"))
-    // phase 2: per-band cumulative windows (parallel) + offsets
-    val wb = Window.partitionBy(col("__bkt")).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = merged.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
     val na = col("__na").cast("double")
     val nb = col("__nb").cast("double")
     val dnum = col("__dnum").cast("double")
-    merged
-      .join(broadcast(offs), Seq("__bkt"))
-      .withColumn("__cuma", col("__offa") + sum(col("__ca")).over(wb))
-      .withColumn("__cumb", col("__offb") + sum(col("__cb")).over(wb))
+    bandedCum(merged, Seq("__ca" -> "__cuma", "__cb" -> "__cumb"), bands)
       .crossJoin(broadcast(tot))
       .agg(
         first(col("__na")).as("__na"),
@@ -128,5 +133,55 @@ object Stats {
         // literal 1.844164)
         ((dnum / (na * nb)) * (dnum / (na * nb)) >
           lit(1.844164) * (na + nb) / (na * nb)).as("reject_05"))
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) test — the median-shift
+    * companion of [[ksTest]], robust where KS reacts to any shape
+    * difference. Exact integer core over the collapsed micro-values:
+    * with cumBefore(v) = #observations below v, each tied group's
+    * doubled average rank is 2·cumBefore + cnt + 1, so
+    * 2·R_a = Σ ca·(2·cumBefore + cnt + 1) and
+    * 2·U_a = 2·R_a − n_a(n_a+1) are exact integers. The normal-
+    * approximation verdict uses the tie-corrected variance
+    * σ² = n_a·n_b/12·((N+1) − Σ(t³−t)/(N(N−1))) and compares
+    * (2U − n_a·n_b)² > 4·z²·σ² — all doubles derived from the same
+    * integers on both engines, no sqrt anywhere.
+    * Output: (n_a, n_b, u_a, reject_05). Same banded prefix-sum
+    * machinery as KS — no global sort task.
+    */
+  def mannWhitneyU(a: DataFrame, b: DataFrame, valueCol: String, bands: Int = 64): DataFrame = {
+    require(bands > 0, s"mannWhitneyU: bands must be positive, got $bands")
+    def q(df: DataFrame, tag: String) = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 4))
+        .multiply(lit(10000)).cast("long").as("__v"))
+      .groupBy("__v").agg(count(lit(1)).as(s"__c$tag"))
+    val merged = q(a, "a").join(q(b, "b"), Seq("__v"), "full_outer")
+      .select(
+        col("__v"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+      .withColumn("__cnt", col("__ca") + col("__cb"))
+    val cum = bandedCum(merged, Seq("__cnt" -> "__cumn"), bands)
+      .withColumn("__before", col("__cumn") - col("__cnt"))
+    val agg = cum.agg(
+      sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"),
+      sum(col("__ca") * (lit(2L) * col("__before") + col("__cnt") + lit(1L))).as("__r2a"),
+      // tie term Σ(t³−t) for the variance correction
+      sum(col("__cnt") * col("__cnt") * col("__cnt") - col("__cnt")).as("__ties"))
+    val na = col("__na").cast("double")
+    val nb = col("__nb").cast("double")
+    val nn = na + nb
+    // 2·U_a exact integer
+    val u2 = col("__r2a") - col("__na") * (col("__na") + lit(1L))
+    val sigma2 = na * nb / lit(12.0) *
+      ((nn + lit(1.0)) - col("__ties").cast("double") / (nn * (nn - lit(1.0))))
+    // |U − μ| > z·σ ⟺ (2U − n_a·n_b)² > 4·z²·σ²; z² = 3.8416 literal
+    agg.select(
+      col("__na").as("n_a"), col("__nb").as("n_b"),
+      (u2.cast("double") / lit(2.0)).as("u_a"),
+      ((u2.cast("double") - na * nb) * (u2.cast("double") - na * nb) >
+        lit(4.0) * lit(3.8416) * sigma2).as("reject_05"))
   }
 }

@@ -4765,20 +4765,10 @@ object ExtQueries {
     // one exactly-rounded division.
     GraftQuery(
       "x152_freq_of_freqs",
-      (s, d) => {
-        val counts = t(s, d, "documents")
-          .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
-          .groupBy("tok").agg(count(lit(1)).as("c"))
-        val nr = counts.groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
-        nr.as("a")
-          .join(nr.select((col("r") - 1).as("r"), col("n_r").as("n_r1")).as("b"),
-            Seq("r"), "left")
-          .select(
-            col("r"), col("n_r"),
-            round((col("r") + 1) * col("n_r1") / col("n_r"), 4).as("gt_smoothed"))
+      (s, d) =>
+        graft.operators.CorpusStats.freqOfFreqs(t(s, d, "documents"))
           .orderBy("r")
-          .limit(30)
-      },
+          .limit(30),
       Some(s"""$toksCte,
         |u AS (SELECT unnest(toks) AS tok FROM t),
         |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY tok),
@@ -4936,6 +4926,100 @@ object ExtQueries {
         |SELECT doc_id, lang,
         |       CASE WHEN rn <= floor(0.2 * n) THEN 'val' ELSE 'train' END AS split
         |FROM r ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Poisson event-rate anomaly screen, INTEGER-EXACT: per event
+    // type, hours whose count leaves the ±4σ Poisson band around the
+    // type's mean hourly rate μ = N/H. The test |n−μ| > 4√μ is
+    // cross-multiplied to (n·H − N)² > 16·N·H — pure integer
+    // arithmetic, no float boundary anywhere. The rate-monitoring
+    // sibling of x137's value screen.
+    GraftQuery(
+      "x157_poisson_rate",
+      (s, d) => {
+        val hourly = t(s, d, "events")
+          .groupBy(
+            col("event_type"),
+            date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n"))
+        val tot = hourly.groupBy("event_type")
+          .agg(sum(col("n")).as("total"), count(lit(1)).as("n_hours"))
+        hourly.join(tot, Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(
+            first(col("n_hours")).as("n_hours"),
+            first(col("total")).as("total"),
+            sum(when(
+              (col("n") * col("n_hours") - col("total")) *
+                (col("n") * col("n_hours") - col("total")) >
+                lit(16L) * col("total") * col("n_hours"),
+              1L).otherwise(0L)).as("n_anomalous_hours"))
+          .orderBy("event_type")
+      },
+      Some("""WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS total,
+        |         CAST(COUNT(*) AS BIGINT) AS n_hours
+        |  FROM h GROUP BY 1)
+        |SELECT h.event_type, MIN(t.n_hours) AS n_hours, MIN(t.total) AS total,
+        |       CAST(SUM(CASE WHEN (h.n * t.n_hours - t.total) * (h.n * t.n_hours - t.total)
+        |                          > 16 * t.total * t.n_hours
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous_hours
+        |FROM h JOIN t USING (event_type)
+        |GROUP BY h.event_type ORDER BY h.event_type""".stripMargin)
+    ),
+
+    // Mann–Whitney U (rank-sum) between the click and view value
+    // distributions — the median-shift companion of the x154 KS test,
+    // completing the nonparametric trio (chi², KS, MW). 2U and the
+    // tie term are EXACT integers via the banded prefix sums; the
+    // tie-corrected normal verdict compares squared doubles derived
+    // from the same integers — no sqrt anywhere.
+    GraftQuery(
+      "x158_mann_whitney",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        graft.operators.Stats.mannWhitneyU(
+            ev.filter(col("event_type") === "click"),
+            ev.filter(col("event_type") === "view"),
+            "value")
+          .select(
+            col("n_a"), col("n_b"),
+            round(col("u_a"), 1).as("u_a"), col("reject_05"))
+      },
+      Some("""WITH qa AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS v,
+        |         CAST(COUNT(*) AS BIGINT) AS ca
+        |  FROM events WHERE event_type = 'click' AND value IS NOT NULL GROUP BY 1),
+        |qb AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS v,
+        |         CAST(COUNT(*) AS BIGINT) AS cb
+        |  FROM events WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1),
+        |m AS (
+        |  SELECT COALESCE(qa.v, qb.v) AS v, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb,
+        |         COALESCE(ca, 0) + COALESCE(cb, 0) AS cnt
+        |  FROM qa FULL OUTER JOIN qb ON qa.v = qb.v),
+        |c AS (
+        |  SELECT *, SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - cnt AS bef
+        |  FROM m),
+        |g AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+        |         CAST(SUM(ca * (2 * bef + cnt + 1)) AS BIGINT) AS r2a,
+        |         CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+        |  FROM c)
+        |SELECT na AS n_a, nb AS n_b,
+        |  round(CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0, 1) AS u_a,
+        |  (CAST(r2a - na * (na + 1) AS DOUBLE) - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+        |    * (CAST(r2a - na * (na + 1) AS DOUBLE) - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+        |    > 4.0 * 3.8416 * (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+        |      * (((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) + 1.0)
+        |         - CAST(ties AS DOUBLE)
+        |           / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+        |              * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) - 1.0))))
+        |    AS reject_05
+        |FROM g""".stripMargin)
     )
   )
 

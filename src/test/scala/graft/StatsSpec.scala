@@ -49,6 +49,28 @@ class StatsSpec extends SparkSpec {
     assert(!r.getAs[Boolean]("reject_05")) // threshold at n=4: 1.358·√(8/16) = 0.96
   }
 
+  test("mannWhitneyU matches the hand-computed rank-sum with ties") {
+    import sqlImplicits._
+    // a = {1, 2, 2}, b = {2, 3}: ranks 1, (2+3+4)/3=3, 5
+    // R_a = 1 + 3 + 3 = 7 → U_a = 7 − 3·4/2 = 1
+    val a = Seq(1.0, 2.0, 2.0).toDF("value")
+    val b = Seq(2.0, 3.0).toDF("value")
+    val r = Stats.mannWhitneyU(a, b, "value").head()
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("u_a") == 1.0)
+    assert(!r.getAs[Boolean]("reject_05"))
+  }
+
+  test("mannWhitneyU rejects for clearly shifted samples, not identical ones") {
+    import sqlImplicits._
+    val lo = (1 to 200).map(_.toDouble % 50).toDF("value")
+    val hi = (1 to 200).map(i => 100.0 + i % 50).toDF("value")
+    assert(Stats.mannWhitneyU(lo, hi, "value").head().getAs[Boolean]("reject_05"))
+    assert(!Stats.mannWhitneyU(lo, lo, "value").head().getAs[Boolean]("reject_05"))
+    // U_a for identical samples = n_a·n_b/2 (symmetry)
+    assert(Stats.mannWhitneyU(lo, lo, "value").head().getAs[Double]("u_a") == 20000.0)
+  }
+
   test("results are independent of partitioning") {
     import sqlImplicits._
     val df = (1 to 600).map(i => (s"a${i % 3}", s"b${(i * 7) % 5}")).toDF("a", "b")
