@@ -140,6 +140,47 @@ object DataMix {
   def md5SplitLabel(testFrac: Double, keyCols: Seq[Column]): Column =
     when(md5Prefix(keyCols) < lit(hexThreshold(testFrac)), "test").otherwise("train")
 
+  /** Largest-remainder budget allocation (Hamilton's method —
+    * public): split an integer `budget` across rows proportionally
+    * to `weightCol` so the parts SUM TO THE BUDGET EXACTLY — the
+    * sampling-budget / shard-count allocator a mix manifest needs
+    * (plain rounding drifts by ±rows/2). Integer-exact: base =
+    * ⌊B·w/W⌋ with the leftover going to the largest remainders
+    * (B·w mod W, ties by `idCol` asc). Input rows must be an
+    * allocation TABLE (sources, shards — group-cardinality-sized):
+    * the remainder ranking is a total order over the rows.
+    * Weights quantize to micro-units; B·W_micro must fit a long.
+    * Adds `alloc`.
+    */
+  def allocateLargestRemainder(
+      df: DataFrame,
+      budget: Long,
+      weightCol: String,
+      idCol: String): DataFrame = {
+    require(budget >= 0, s"allocateLargestRemainder: budget $budget must be ≥ 0")
+    val wu = col(weightCol).cast(org.apache.spark.sql.types.DecimalType(18, 4))
+      .multiply(lit(10000)).cast("long")
+    val rows = df
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0 && col(idCol).isNotNull)
+      .withColumn("__wu", wu)
+    val tot = rows.agg(sum(col("__wu")).as("__tw"))
+    val based = rows.crossJoin(broadcast(tot))
+      .withColumn("__num", lit(budget) * col("__wu"))
+      .withColumn("__base", expr("(__num - pmod(__num, __tw)) div __tw"))
+      .withColumn("__rem", pmod(col("__num"), col("__tw")))
+    val leftover = based.agg((lit(budget) - sum(col("__base"))).as("__left"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn(
+        "__rrank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__rem").desc, col(idCol).asc)))
+      .withColumn(
+        "alloc",
+        (col("__base") + when(col("__rrank") <= col("__left"), 1L).otherwise(0L))
+          .cast("long"))
+      .drop("__wu", "__num", "__tw", "__base", "__rem", "__left", "__rrank")
+  }
+
   /** EXACT-quota stratified split: within every stratum, exactly
     * ⌊frac·n⌋ rows get the "val" label (the rest "train"), chosen by
     * the deterministic md5 order [[md5Quota]] ranks with. Where

@@ -84,6 +84,83 @@ object Resample {
           last(col("v"), ignoreNulls = true).over(w).as("v_ffill")): _*)
   }
 
+  /** Per-key dense grid with LINEAR interpolation for the gaps —
+    * the other classic resample mode (ffill holds the last reading;
+    * interpolation assumes the metric moved smoothly between
+    * readings). Exactly portable: observed values quantize to micro
+    * units, and each gap bucket gets
+    * v_prev + trunc((v_next − v_prev)·(b − b_prev) / (b_next − b_prev))
+    * — toward-zero integer division, matching DuckDB's integer `//`
+    * (which truncates, unlike its float `//`); the residue choice is
+    * sub-micro-unit. All integers. Buckets
+    * before the first / after the last observation stay NULL (no
+    * extrapolation). Output: (keyCols*, bucket, n, v_interp) with
+    * v_interp back in value units.
+    *
+    * Same shape and `maxGridPerKey` guard as [[ffillGrid]]: one
+    * shuffle, per-key sequence explode, two window passes (carry
+    * previous / next observation).
+    */
+  def interpolateGrid(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      stepSeconds: Long,
+      maxGridPerKey: Long = 2000000L): DataFrame = {
+    require(stepSeconds > 0, s"interpolateGrid: step must be positive, got $stepSeconds")
+    require(maxGridPerKey > 0, s"interpolateGrid: maxGridPerKey must be positive, got $maxGridPerKey")
+    val stepUs = stepSeconds * 1000000L
+    val bucketExpr = expr(
+      s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), ${stepUs}L)) div ${stepUs}L")
+    val vu = col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 4))
+      .multiply(lit(10000)).cast("long")
+    val buckets = df
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy((keyCols.map(col) :+ bucketExpr.as("bucket")): _*)
+      .agg(max(vu).as("vu"), count(lit(1)).as("n"))
+    val guardedB1 = coalesce(
+      assert_true(
+        col("b1") - col("b0") < lit(maxGridPerKey),
+        concat(
+          lit(s"interpolateGrid: per-key grid exceeds $maxGridPerKey buckets ("),
+          col("b1") - col("b0") + 1,
+          lit(s" needed at step=${stepSeconds}s) — raise stepSeconds or maxGridPerKey"))
+      ).cast("long"),
+      col("b1"))
+    val grid = buckets
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+      .select((keyCols.map(col) :+ explode(sequence(col("b0"), guardedB1)).as("bucket")): _*)
+    val wPrev = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("bucket").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val joined = grid
+      .join(buckets, keyCols :+ "bucket", "left")
+      .withColumn("__obs", when(col("vu").isNotNull, struct(col("bucket").as("b"), col("vu"))))
+      .withColumn("__p", last(col("__obs"), ignoreNulls = true).over(wPrev))
+      .withColumn("__q", first(col("__obs"), ignoreNulls = true).over(wNext))
+    // exact toward-zero integer interpolation (den > 0 always: next
+    // observation is strictly after previous when the bucket is a gap)
+    val num = (col("__q.vu") - col("__p.vu")) * (col("bucket") - col("__p.b"))
+    val den = col("__q.b") - col("__p.b")
+    val interpU = when(col("vu").isNotNull, col("vu"))
+      .when(
+        col("__p").isNotNull && col("__q").isNotNull,
+        col("__p.vu") + expr("__num div __den"))
+    joined
+      .withColumn("__num", num)
+      .withColumn("__den", den)
+      .select(
+        keyCols.map(col) ++ Seq(
+          col("bucket"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          (interpU.cast("double") / lit(1e4)).as("v_interp")): _*)
+  }
+
   /** Bounded-lookback exponential moving average (α = 1/2) over the
     * last `k` observations per key — the exponential-smoothing
     * feature of a metrics pipeline, made BIT-PORTABLE by construction:

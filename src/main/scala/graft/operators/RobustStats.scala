@@ -139,6 +139,28 @@ object RobustStats {
         graft.functions.CoreFunctions.davg(col(valueCol)).as("mean_raw"),
         graft.functions.CoreFunctions.davg(col("v_wins")).as("mean_wins"))
 
+  /** Median imputation — the robust gap-filler of a feature pipeline:
+    * null values take their GROUP's exact median (order statistics,
+    * so one wild value cannot poison the fill the way a mean-fill
+    * would). Input columns plus `<valueCol>_filled` and
+    * `was_imputed`; groups that are entirely null stay null with
+    * `was_imputed = false` (nothing defensible to fill with).
+    * Two passes: group medians (group-cardinality-sized, broadcast),
+    * join-back.
+    */
+  def imputeMedian(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    val med = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(col(valueCol).cast("double"), lit(0.5)).as("__med"))
+    df.join(Broadcasting.maybeBroadcast(med), groupCols)
+      .withColumn(
+        s"${valueCol}_filled",
+        coalesce(col(valueCol).cast("double"), col("__med")))
+      .withColumn(
+        "was_imputed",
+        col(valueCol).isNull && col("__med").isNotNull)
+      .drop("__med")
+  }
+
   /** Exact LOWER weighted quantile per group: the smallest value
     * whose cumulative weight reaches q·W (W = total weight). No
     * interpolation — the result is always an observed value, so it

@@ -5020,6 +5020,116 @@ object ExtQueries {
         |              * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) - 1.0))))
         |    AS reject_05
         |FROM g""".stripMargin)
+    ),
+
+    // Linear-interpolation resample — the smooth-metric twin of the
+    // x95 forward fill: gap buckets get the exact integer
+    // floor-division interpolation between the neighboring
+    // observations (no extrapolation past the ends). Same per-key
+    // grid and guard as x95.
+    GraftQuery(
+      "x159_resample_interp",
+      (s, d) =>
+        graft.operators.Resample.interpolateGrid(
+            t(s, d, "events"), Seq("user_id"), "ts", "value", 21600L)
+          .select(
+            col("user_id"), col("bucket"), col("n"),
+            round(col("v_interp"), 4).as("v_interp"))
+          .orderBy("user_id", "bucket"),
+      Some("""WITH b AS (
+        |  SELECT user_id, epoch_us(ts) // 21600000000 AS bucket,
+        |         MAX(CAST(CAST(value AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT)) AS vu,
+        |         COUNT(*) AS n
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY user_id, bucket),
+        |r AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM b GROUP BY user_id),
+        |g AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket FROM r),
+        |j AS (
+        |  SELECT g.user_id, CAST(g.bucket AS BIGINT) AS bucket, b.vu,
+        |         coalesce(b.n, 0) AS n,
+        |         last_value(CASE WHEN b.vu IS NOT NULL THEN struct_pack(b := g.bucket, vu := b.vu) END IGNORE NULLS)
+        |           OVER (PARTITION BY g.user_id ORDER BY g.bucket
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+        |         first_value(CASE WHEN b.vu IS NOT NULL THEN struct_pack(b := g.bucket, vu := b.vu) END IGNORE NULLS)
+        |           OVER (PARTITION BY g.user_id ORDER BY g.bucket
+        |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS q
+        |  FROM g LEFT JOIN b ON b.user_id = g.user_id AND b.bucket = g.bucket)
+        |SELECT user_id, bucket, CAST(n AS BIGINT) AS n,
+        |       round(CAST(CASE
+        |         WHEN vu IS NOT NULL THEN vu
+        |         WHEN p IS NOT NULL AND q IS NOT NULL
+        |           THEN p.vu + ((q.vu - p.vu) * (bucket - p.b)) // (q.b - p.b)
+        |       END AS DOUBLE) / 1e4, 4) AS v_interp
+        |FROM j ORDER BY user_id, bucket""".stripMargin)
+    ),
+
+    // Robust median imputation over PLANTED nulls (every 7th event's
+    // value nulled identically in both engines): nulls take their
+    // event type's exact median; the audit columns make the fill
+    // count part of the hash.
+    GraftQuery(
+      "x160_impute_median",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .withColumn(
+            "value",
+            when(col("event_id") % 7 === 0, lit(null).cast("double"))
+              .otherwise(col("value")))
+        graft.operators.RobustStats.imputeMedian(ev, Seq("event_type"), "value")
+          .select(
+            col("event_id"), col("event_type"),
+            round(col("value_filled"), 4).as("value_filled"),
+            col("was_imputed"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (
+        |  SELECT event_id, event_type,
+        |         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM e GROUP BY event_type)
+        |SELECT e.event_id, e.event_type,
+        |       round(coalesce(e.value, m.med), 4) AS value_filled,
+        |       (e.value IS NULL AND m.med IS NOT NULL) AS was_imputed
+        |FROM e JOIN m USING (event_type)
+        |ORDER BY e.event_id""".stripMargin)
+    ),
+
+    // Largest-remainder (Hamilton) budget allocation: a 100,000-doc
+    // sampling budget split across sources exactly proportionally to
+    // their total characters — the parts MUST sum to the budget (the
+    // property plain rounding loses). Pure integer arithmetic.
+    GraftQuery(
+      "x161_budget_allocation",
+      (s, d) => {
+        val perSource = t(s, d, "documents")
+          .groupBy("source")
+          .agg(sum(col("n_chars")).cast("double").as("w"))
+        graft.operators.DataMix.allocateLargestRemainder(perSource, 100000L, "w", "source")
+          .select(col("source"), round(col("w"), 1).as("w"), col("alloc"))
+          .orderBy("source")
+      },
+      Some("""WITH s AS (
+        |  SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS w FROM documents GROUP BY source),
+        |q AS (
+        |  SELECT source, w,
+        |         CAST(CAST(w AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS wu
+        |  FROM s WHERE w IS NOT NULL AND w > 0),
+        |t AS (SELECT CAST(SUM(wu) AS BIGINT) AS tw FROM q),
+        |b AS (
+        |  SELECT source, w, 100000 * wu AS num, tw,
+        |         (100000 * wu - (100000 * wu % tw + tw) % tw) // tw AS base,
+        |         (100000 * wu % tw + tw) % tw AS rem
+        |  FROM q, t),
+        |l AS (SELECT 100000 - CAST(SUM(base) AS BIGINT) AS leftover FROM b),
+        |r AS (
+        |  SELECT source, w, base, rem,
+        |         ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM b)
+        |SELECT r.source, round(r.w, 1) AS w,
+        |       CAST(r.base + CASE WHEN r.rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r, l ORDER BY r.source""".stripMargin)
     )
   )
 

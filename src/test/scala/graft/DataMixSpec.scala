@@ -283,6 +283,25 @@ class DataMixSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("allocateLargestRemainder sums exactly to the budget with proportional parts") {
+    import sqlImplicits._
+    // weights 1/1/1 with budget 100: 33/33/33 base + 1 leftover to the
+    // largest remainder (tie → lowest id)
+    val even = Seq(("s1", 1.0), ("s2", 1.0), ("s3", 1.0)).toDF("id", "w")
+    val g1 = graft.operators.DataMix.allocateLargestRemainder(even, 100L, "w", "id")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    assert(g1.values.sum == 100L)
+    assert(g1 == Map("s1" -> 34L, "s2" -> 33L, "s3" -> 33L))
+    // skewed weights: parts proportional, still exactly the budget;
+    // zero/null weights excluded
+    val skew = Seq(("a", 5.0), ("b", 3.0), ("c", 2.0), ("d", 0.0)).toDF("id", "w")
+    val g2 = graft.operators.DataMix.allocateLargestRemainder(skew, 1001L, "w", "id")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    assert(g2.values.sum == 1001L)
+    assert(!g2.contains("d"))
+    assert(g2("a") == 501L && g2("b") == 300L && g2("c") == 200L)
+  }
+
   test("quotaSplit edge fractions: 0 puts nothing in val, 1 puts everything") {
     import sqlImplicits._
     val df = (1 to 50).map(i => (i.toLong, "g")).toDF("id", "g")

@@ -111,4 +111,35 @@ class ResampleSpec extends SparkSpec {
     val gotLast = a.filter(_.head == "x").last(4).asInstanceOf[Double]
     assert(math.abs(gotLast - exp) < 1e-12, s"$gotLast vs $exp")
   }
+
+  test("interpolateGrid fills gaps linearly, keeps observed values, no extrapolation") {
+    import sqlImplicits._
+    val base = 1704067200000000L / 3600000000L
+    // k1: 4 @hour0, 10 @hour3 → gaps at 1, 2 get 6, 8 (exact thirds)
+    val df = Seq(
+      ("k1", ts(0), 4.0), ("k1", ts(3), 10.0),
+      // k2: single observation → one bucket, no gaps
+      ("k2", ts(5), 1.5))
+      .toDF("k", "ts", "v")
+    val got = Resample.interpolateGrid(df, Seq("k"), "ts", "v", 3600L)
+      .orderBy("k", "bucket")
+      .collect().map(r => (r.getString(0), r.getLong(1) - base, r.getLong(2),
+        Option(r.getAs[java.lang.Double]("v_interp"))))
+    assert(got.toSeq == Seq(
+      ("k1", 0L, 1L, Some(4.0: java.lang.Double)),
+      ("k1", 1L, 0L, Some(6.0: java.lang.Double)),
+      ("k1", 2L, 0L, Some(8.0: java.lang.Double)),
+      ("k1", 3L, 1L, Some(10.0: java.lang.Double)),
+      ("k2", 5L, 1L, Some(1.5: java.lang.Double))))
+  }
+
+  test("interpolateGrid truncates toward zero on non-exact negative slopes") {
+    import sqlImplicits._
+    // 10 @h0 → 9.9999 @h3: slope -1/3 of 0.0001·10000=1 micro per 3
+    // buckets; gap at h1: 100000 + trunc(-1·1/3) = 100000 → 10.0
+    val df = Seq(("k", ts(0), 10.0), ("k", ts(3), 9.9999)).toDF("k", "ts", "v")
+    val got = Resample.interpolateGrid(df, Seq("k"), "ts", "v", 3600L)
+      .orderBy("bucket").collect().map(_.getAs[Double]("v_interp"))
+    assert(got.toSeq == Seq(10.0, 10.0, 10.0, 9.9999))
+  }
 }

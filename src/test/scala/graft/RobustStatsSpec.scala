@@ -95,6 +95,21 @@ class RobustStatsSpec extends SparkSpec {
     assert(got("c") == ((1.0, 6.0)))
   }
 
+  test("imputeMedian fills nulls with the group median; all-null groups stay null") {
+    import sqlImplicits._
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(3.0)), ("a", Some(100.0)), ("a", None),
+      ("b", None), ("b", None))
+      .toDF("g", "v")
+    val got = graft.operators.RobustStats.imputeMedian(df, Seq("g"), "v")
+      .collect().map(r => (r.getString(0), Option(r.getAs[java.lang.Double]("v_filled")),
+        r.getAs[Boolean]("was_imputed")))
+    // group a median = 3.0 (robust: the 100 outlier doesn't drag it)
+    assert(got.count { case (g, v, imp) => g == "a" && imp && v.contains(3.0: java.lang.Double) } == 1)
+    assert(got.count { case (g, _, imp) => g == "a" && !imp } == 3)
+    assert(got.filter(_._1 == "b").forall { case (_, v, imp) => v.isEmpty && !imp })
+  }
+
   test("weightedQuantile q=1 returns the max observed value; partitioning-independent") {
     import sqlImplicits._
     val df = (1 to 500).map(i => ("g", i.toDouble, (i % 7 + 1).toDouble))
