@@ -2,12 +2,13 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CityBikeQueries, CoreQueries, ExtQueries}
+import graft.queries.{CityBikeQueries, CoreQueries, ExtQueries, ExtQueries2}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  private def allQueries = CoreQueries.all ++ ExtQueries.all ++ CityBikeQueries.all
+  private def allQueries =
+    CoreQueries.all ++ ExtQueries.all ++ ExtQueries2.all ++ CityBikeQueries.all
 
   /** Flagship query (SURVEY §7.2): average trip duration, distance and
     * speed per member type per month, through the full star-schema

@@ -99,6 +99,45 @@ object CorpusStats {
           .as("zipf_slope"))
   }
 
+  /** Unigram-distribution divergence between two corpus slices — the
+    * vocabulary-level companion of the value-binned PSI (x121): how
+    * far apart are two sources' token distributions? Add-1 smoothing
+    * over the UNION vocabulary (so a token absent on one side still
+    * contributes — that asymmetry is most of the signal), KL in both
+    * directions plus the symmetric Jeffreys sum. Each p·ln(p/q) term
+    * is quantized to integer micro-nats before the unordered sum (the
+    * x99/x121 ln-ulp insurance). Output one row:
+    * (n_tokens_a, n_tokens_b, vocab, kl_ab, kl_ba, jeffreys).
+    *
+    * Scale shape: two token-count aggregations (map-side combined) +
+    * one vocabulary-sized full-outer join; the totals cross in as a
+    * broadcast 1-row frame. Nothing corpus-sized past the first
+    * shuffle.
+    */
+  def klDivergence(a: DataFrame, b: DataFrame, textCol: String = "text"): DataFrame = {
+    def cnt(df: DataFrame, tag: String) = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as(s"__c$tag"))
+    val merged = cnt(a, "a").join(cnt(b, "b"), Seq("tok"), "full_outer")
+      .select(
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val tot = merged.agg(
+      sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"), count(lit(1)).as("__v"))
+    val p = (col("__ca") + 1).cast("double") / (col("__na") + col("__v")).cast("double")
+    val q = (col("__cb") + 1).cast("double") / (col("__nb") + col("__v")).cast("double")
+    val abMicro = round(p * log(p / q) * lit(1e6)).cast("long")
+    val baMicro = round(q * log(q / p) * lit(1e6)).cast("long")
+    merged.crossJoin(broadcast(tot))
+      .agg(
+        first(col("__na")).as("n_tokens_a"),
+        first(col("__nb")).as("n_tokens_b"),
+        first(col("__v")).as("vocab"),
+        (sum(abMicro).cast("double") / lit(1e6)).as("kl_ab"),
+        (sum(baMicro).cast("double") / lit(1e6)).as("kl_ba"),
+        ((sum(abMicro) + sum(baMicro)).cast("double") / lit(1e6)).as("jeffreys"))
+  }
+
   /** Heaps'-law vocabulary growth at document-count prefixes (in
     * `idCol` order): for each quartile boundary, the number of
     * distinct tokens whose FIRST occurrence falls at or before it.

@@ -93,6 +93,47 @@ object Expectations {
     }.reduce(_ unionByName _)
   }
 
+  /** Approximate functional-dependency audit: for each candidate
+    * dependency lhs → rhs, does one lhs value always determine one
+    * rhs value — and if not, how far off is the table? Reports, per
+    * dependency: distinct lhs keys, keys carrying >1 rhs value, rows
+    * living under a violating key, the worst per-key rhs fan-out, and
+    * the g3 repair size (minimum rows to DELETE to make the FD hold —
+    * each key keeps its modal rhs; Kivinen & Mannila's g3 measure).
+    * NULLs on either side are excluded (SQL FD semantics — NULL
+    * determines nothing).
+    *
+    * Scale shape: one (lhs, rhs) count aggregation per dependency
+    * (map-side combined), re-aggregated by lhs, reduced to ONE report
+    * row — never a self-join, never a distinct over raw rows.
+    * Output: (lhs, rhs, n_keys, n_violating_keys, n_rows_in_violation,
+    * max_rhs_per_key, g3_rows).
+    */
+  def fdAudit(df: DataFrame, deps: Seq[(String, String)]): DataFrame = {
+    require(deps.nonEmpty, "fdAudit: no dependencies declared")
+    deps.map { case (lhs, rhs) =>
+      val kb = df
+        .filter(col(lhs).isNotNull && col(rhs).isNotNull)
+        .groupBy(col(lhs).as("__k"), col(rhs).as("__v"))
+        .agg(count(lit(1)).as("__c"))
+      val perKey = kb.groupBy(col("__k"))
+        .agg(
+          sum(col("__c")).as("__n"),
+          count(lit(1)).as("__d"),
+          max(col("__c")).as("__cmax"))
+      perKey.agg(
+        count(lit(1)).as("n_keys"),
+        sum(when(col("__d") > 1, 1L).otherwise(0L)).as("n_violating_keys"),
+        sum(when(col("__d") > 1, col("__n")).otherwise(0L)).as("n_rows_in_violation"),
+        max(col("__d")).cast("long").as("max_rhs_per_key"),
+        sum(col("__n") - col("__cmax")).as("g3_rows"))
+        .select(
+          lit(lhs).as("lhs"), lit(rhs).as("rhs"),
+          col("n_keys"), col("n_violating_keys"), col("n_rows_in_violation"),
+          col("max_rhs_per_key"), col("g3_rows"))
+    }.reduce(_ unionByName _)
+  }
+
   def check(df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
     require(expectations.nonEmpty, "no expectations declared")
     val dup = expectations.groupBy(_.name).collect { case (n, es) if es.size > 1 => n }

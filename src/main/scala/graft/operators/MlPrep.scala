@@ -131,4 +131,37 @@ object MlPrep {
         first(col("n_cur")).as("n_cur"),
         (sum(termMicro).cast("double") / lit(1e6)).as("psi"))
   }
+
+  /** Smoothed target (mean) encoding — the leakage-aware categorical
+    * encoder: key k maps to (Σ_k y + m·ȳ)/(n_k + m), the per-key mean
+    * shrunk toward the global mean with pseudo-count `m` (empirical-
+    * Bayes smoothing; rare keys land near ȳ instead of memorizing
+    * their few labels). Output: (key, n, enc) — vocabulary-sized, the
+    * artifact a serving layer broadcasts.
+    *
+    * Exactness: per-key and global sums are exact integer 1e-4 units
+    * (DECIMAL(38,0) through every partial), ȳ and the final encoding
+    * are the only double divisions, in identical trees on both
+    * engines. One aggregation; the global row is a broadcast cross of
+    * the key table's own re-aggregation — the input is never
+    * rescanned.
+    */
+  def targetEncode(
+      df: DataFrame, keyCol: String, targetCol: String, m: Double = 20.0): DataFrame = {
+    require(m > 0, s"targetEncode: pseudo-count m must be positive, got $m")
+    import org.apache.spark.sql.types.DecimalType
+    val u = graft.operators.Regression.toUnits(col(targetCol))
+    val perKey = df
+      .filter(col(keyCol).isNotNull && col(targetCol).isNotNull)
+      .groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"), sum(u).cast(DecimalType(38, 0)).as("__s"))
+    val glob = perKey.agg(
+      sum(col("n")).as("__nt"), sum(col("__s")).cast(DecimalType(38, 0)).as("__st"))
+    val gmean = col("__st").cast("double") / col("__nt").cast("double")
+    perKey.crossJoin(broadcast(glob))
+      .select(
+        col("key"), col("n"),
+        ((col("__s").cast("double") + lit(m) * gmean) /
+          (col("n").cast("double") + lit(m)) / lit(1e4)).as("enc"))
+  }
 }

@@ -109,6 +109,71 @@ object Regression {
           col("r2")): _*)
   }
 
+  /** Per-group autocorrelation function r_l for lags 1..`maxLag` over
+    * the series of `valueCol` ordered by (tsCol, idCol) — the "is
+    * this metric self-similar / periodic?" probe (flat ACF ⇒ noise;
+    * slow decay ⇒ trend; spikes at lag k ⇒ period k). The standard
+    * estimator r_l = Σ_{t≤n−l}(x_t−x̄)(x_{t+l}−x̄) / Σ(x_t−x̄)², with
+    * x̄ the full-series mean.
+    *
+    * Exactness: one window pass materializes lead(u, l) for every lag
+    * (u = exact 1e-4 units); ONE aggregation then collects n, Σu, Σu²
+    * and the per-lag pair sums (m_l, Σu_t·u_{t+l}, Σu_t, Σu_{t+l}) —
+    * all exact integers (DECIMAL(38,0) partials). The closed form
+    * num_l = C_l − x̄(A_l+B_l) + m_l·x̄² over den = Q − S²/n runs in
+    * identical double trees on both engines. Lags unpack from one
+    * struct array — the aggregate subtree is never duplicated.
+    *
+    * Scale note: the window sorts each GROUP's series in one task —
+    * the same per-key contract as [[Resample]] (bounded series per
+    * key); shard long series by a coarser group first.
+    * Output: (groupCols*, lag, n, m_pairs, acf).
+    */
+  def acf(
+      df: DataFrame, groupCols: Seq[String], tsCol: String, idCol: String,
+      valueCol: String, maxLag: Int = 5): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, s"acf: maxLag=$maxLag out of [1, 64]")
+    val D38 = DecimalType(38, 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(tsCol), col(idCol))
+    val base = df
+      .filter(col(valueCol).isNotNull)
+      .select(
+        groupCols.map(col) ++ Seq(col(tsCol), col(idCol), toUnits(col(valueCol)).as("__u")): _*)
+    val withLeads = base.select(
+      groupCols.map(col) ++ Seq(col("__u")) ++
+        (1 to maxLag).map(l => lead(col("__u"), l).over(w).as(s"__l$l")): _*)
+    val lagAggs = (1 to maxLag).flatMap { l =>
+      val ld = col(s"__l$l")
+      Seq(
+        count(ld).as(s"__m$l"),
+        sum((col("__u") * ld).cast(D38)).cast("double").as(s"__c$l"),
+        sum(when(ld.isNotNull, col("__u"))).cast("double").as(s"__a$l"),
+        sum(ld).cast("double").as(s"__b$l"))
+    }
+    val aggs = Seq(
+      count(lit(1)).as("__n"),
+      sum(col("__u")).cast("double").as("__s"),
+      sum((col("__u") * col("__u")).cast(D38)).cast("double").as("__q")) ++ lagAggs
+    val agg = withLeads.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val lagRows = array((1 to maxLag).map(l => struct(
+      lit(l).as("lag"), col(s"__m$l").as("m"),
+      col(s"__c$l").as("c"), col(s"__a$l").as("a"), col(s"__b$l").as("b"))): _*)
+    val xbar = col("__s") / col("__n").cast("double")
+    val den = col("__q") - col("__s") * col("__s") / col("__n").cast("double")
+    val num = col("__L.c") - xbar * (col("__L.a") + col("__L.b")) +
+      col("__L.m").cast("double") * xbar * xbar
+    agg
+      .select(
+        groupCols.map(col) ++ Seq(
+          col("__n"), col("__s"), col("__q"), explode(lagRows).as("__L")): _*)
+      .select(
+        groupCols.map(col) ++ Seq(
+          col("__L.lag").as("lag"), col("__n").as("n"), col("__L.m").as("m_pairs"),
+          when(den === 0.0 || col("__L.m") === 0, null).otherwise(num / den).as("acf")): _*)
+  }
+
   /** Per-group Pearson r² between two measures, both quantized to
     * exact integer 1e-4 units (r² is scale invariant, so no
     * unscaling). Output: groupCols*, n, r2.

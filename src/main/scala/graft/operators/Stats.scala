@@ -184,4 +184,123 @@ object Stats {
       ((u2.cast("double") - na * nb) * (u2.cast("double") - na * nb) >
         lit(4.0) * lit(3.8416) * sigma2).as("reject_05"))
   }
+
+  /** Welch's unequal-variance t-test — the parametric mean-shift
+    * companion of [[mannWhitneyU]] (which tests rank shift) and
+    * [[ksTest]] (any shape difference). Each side reduces to the
+    * exact integer moments (n, Σu, Σu²) over 1e-4-unit quantized
+    * values in ONE map-side-combined aggregation — no window, no
+    * sort, nothing but two scans and a 1×1 cross of 1-row frames.
+    * Sample means/variances, t² and the Welch–Satterthwaite df are
+    * then doubles derived from the same integers by the same
+    * expression trees on both engines. The α=0.05 verdict is the
+    * large-sample normal one (t² > z²_{.975} = 3.8416 — the regime
+    * this engine runs in; at the df this corpus produces the
+    * t-critical value agrees to 3 decimals). Output one row:
+    * (n_a, n_b, mean_a, mean_b, t2, df_welch, reject_05).
+    */
+  def welchTTest(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def m(df: DataFrame, tag: String) = {
+      val u = Regression.toUnits(col(valueCol))
+      df.filter(col(valueCol).isNotNull)
+        .select(u.as("__u"))
+        .agg(
+          count(lit(1)).as(s"__n$tag"),
+          sum(col("__u")).cast("double").as(s"__s$tag"),
+          sum((col("__u") * col("__u")).cast(DecimalType(38, 0)))
+            .cast("double").as(s"__q$tag"))
+    }
+    val na = col("__na").cast("double")
+    val nb = col("__nb").cast("double")
+    val ma = col("__sa") / na
+    val mb = col("__sb") / nb
+    // unbiased sample variance from exact sums: (n·Q − S²)/(n·(n−1))
+    val va = (na * col("__qa") - col("__sa") * col("__sa")) / (na * (na - lit(1.0)))
+    val vb = (nb * col("__qb") - col("__sb") * col("__sb")) / (nb * (nb - lit(1.0)))
+    val sea = va / na
+    val seb = vb / nb
+    val se2 = sea + seb
+    val t2 = (ma - mb) * (ma - mb) / se2
+    val dfw = se2 * se2 / (sea * sea / (na - lit(1.0)) + seb * seb / (nb - lit(1.0)))
+    m(a, "a").crossJoin(m(b, "b"))
+      .select(
+        col("__na").as("n_a"), col("__nb").as("n_b"),
+        (ma / lit(1e4)).as("mean_a"), (mb / lit(1e4)).as("mean_b"),
+        t2.as("t2"), dfw.as("df_welch"),
+        (t2 > lit(3.8416)).as("reject_05"))
+  }
+
+  /** Cumulative Poisson(1) CDF P(X ≤ k), k = 0..7 — double literals
+    * shared verbatim with the generated oracle SQL so both engines
+    * compare against bit-identical thresholds.
+    */
+  private[graft] val poissonCdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253)
+
+  /** Per-(row, replica) deterministic Poisson(1) bootstrap weight:
+    * u = first 6 md5 nibbles of (id ∥ ':' ∥ rep) as a 24-bit uniform,
+    * w = #{k : u ≥ cdf_k} — distributed Poisson(1) capped at 8, the
+    * standard Poisson bootstrap approximation of multinomial
+    * resampling (exchangeable at corpus scale, and embarrassingly
+    * parallel: no draw ever needs to know n).
+    */
+  private def poissonWeight(id: Column, rep: Column): Column = {
+    def nib(h: Column, i: Int) = instr(lit("0123456789abcdef"), substring(h, i, 1)) - 1
+    val h = md5(concat(id.cast("string"), lit(":"), rep.cast("string")))
+    val v = (0 until 6).map(i => nib(h, i + 1) * lit(1 << (4 * (5 - i)))).reduce(_ + _)
+    val u = v.cast("double") / lit((1 << 24).toDouble)
+    poissonCdf.map(c => when(u >= lit(c), 1L).otherwise(0L)).reduce(_ + _)
+  }
+
+  /** Deterministic Poisson-bootstrap confidence interval for the mean
+    * of `valueCol`: `b` replicas, each row entering replica r with
+    * weight [[poissonWeight]](id, r); replica means are exact-integer
+    * weighted sums (1e-4 units) with one double division, and the CI
+    * is the EXACT (loRank-th, hiRank-th) order statistic of the `b`
+    * replica means — no interpolation, no normality assumption. With
+    * the defaults (b=32, ranks 2/31) that is a ~93.75% interval.
+    * Output one row: (b, n, mean_point, ci_lo, ci_hi).
+    *
+    * Scale shape: the replica explode multiplies the scan by `b`, but
+    * everything reduces in ONE map-side-combined aggregation to `b`
+    * rows; the order statistic runs on a b-row frame. No per-row
+    * state, no window over the corpus, no collect.
+    */
+  def bootstrapMeanCI(
+      df: DataFrame, idCol: String, valueCol: String,
+      b: Int = 32, loRank: Int = 2, hiRank: Int = 31): DataFrame = {
+    require(b >= 4 && b <= 1024, s"bootstrapMeanCI: b=$b out of [4, 1024]")
+    require(1 <= loRank && loRank < hiRank && hiRank <= b,
+      s"bootstrapMeanCI: ranks ($loRank, $hiRank) invalid for b=$b")
+    val u = Regression.toUnits(col(valueCol))
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(idCol).as("__id"), u.as("__u"))
+    val exact = base.agg(
+      count(lit(1)).as("__n"), sum(col("__u")).cast("double").as("__s"))
+    val w = poissonWeight(col("__id"), col("__rep"))
+    val reps = base
+      .select(col("__id"), col("__u"), explode(sequence(lit(0), lit(b - 1))).as("__rep"))
+      .select(col("__rep"), col("__u"), w.as("__w"))
+      .groupBy("__rep")
+      .agg(
+        sum(col("__w")).as("__wn"),
+        sum((col("__w") * col("__u")).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double").as("__ws"))
+      .select((col("__ws") / col("__wn").cast("double")).as("__m"))
+    val ranked = reps.withColumn(
+      "__rk", row_number().over(Window.orderBy(col("__m"))))
+    ranked
+      .agg(
+        max(when(col("__rk") === loRank, col("__m"))).as("__lo"),
+        max(when(col("__rk") === hiRank, col("__m"))).as("__hi"))
+      .crossJoin(broadcast(exact))
+      .select(
+        lit(b).as("b"), col("__n").as("n"),
+        (col("__s") / col("__n").cast("double") / lit(1e4)).as("mean_point"),
+        (col("__lo") / lit(1e4)).as("ci_lo"),
+        (col("__hi") / lit(1e4)).as("ci_hi"))
+  }
 }

@@ -12,6 +12,39 @@ import graft.functions.TextFunctions._
   */
 object TextAnalysis {
 
+  /** Flesch reading-ease scoring — the classic readability axis of
+    * quality filtering (alongside length/punctuation/stopword ratios):
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    * deterministic proxies both engines replay exactly — sentences =
+    * runs of [.!?] (min 1), syllables = vowel-group runs
+    * ([aeiouyAEIOUY]+) per token, min 1 per word. Counts are exact
+    * integers; the score is one double tree over them (identical
+    * literals, identical divisions), rounded at the query layer.
+    * Docs with zero tokens score null.
+    *
+    * Scale shape: pure per-row column work inside whole-stage codegen
+    * — no shuffle, no explode (the syllable sum is a HOF fold over
+    * the token array).
+    * Output: (doc_id, n_words, n_sentences, n_syllables, flesch).
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val words = size(toks).cast("long")
+    val sentences = greatest(lit(1L), regexp_count(col("text"), lit("[.!?]+")).cast("long"))
+    val syllables = aggregate(
+      toks, lit(0L),
+      (acc, t) => acc + greatest(lit(1L), regexp_count(t, lit("[aeiouyAEIOUY]+")).cast("long")))
+    docs.select(
+      col("doc_id"),
+      words.as("n_words"),
+      sentences.as("n_sentences"),
+      coalesce(syllables, lit(0L)).as("n_syllables"),
+      when(words === 0L, null).otherwise(
+        lit(206.835) -
+          lit(1.015) * (words.cast("double") / sentences.cast("double")) -
+          lit(84.6) * (syllables.cast("double") / words.cast("double"))).as("flesch"))
+  }
+
   /** Corpus-frequency token rarity — a perplexity proxy that needs no
     * model: per document, the mean document-frequency of its DISTINCT
     * tokens and the fraction that are corpus-unique (df = 1). Low

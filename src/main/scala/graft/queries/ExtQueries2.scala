@@ -1,0 +1,359 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.CoreQueries.t
+
+/** Round-6 third-sitting extension surface (x162+): inference-tier
+  * statistics (Welch, bootstrap), ML-prep encodings, corpus
+  * divergence, FD discovery, spatial density clustering, readability.
+  * Same conventions as [[ExtQueries]]: exact integer cores, micro
+  * quantization around transcendentals, identical double trees in
+  * engine and oracle, rounding only at the query layer.
+  */
+object ExtQueries2 {
+
+  /** Micro-unit (1e-4) quantization as DuckDB SQL — the toUnits
+    * convention stated once for this file's oracles.
+    */
+  private def uSql(c: String) =
+    s"CAST(CAST($c AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT)"
+
+  /** DuckDB replay of [[graft.operators.Stats]]' Poisson(1) bootstrap
+    * weight, GENERATED from the same CDF literal table and the same
+    * 6-nibble md5 uniform — the Scala constants and the SQL constants
+    * cannot drift.
+    */
+  private lazy val poissonWeightSql: String = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substring(h, $i, 1)) - 1)"
+    val v = (0 until 6).map(i => s"${1L << (4 * (5 - i))} * ${nib(i + 1)}").mkString(" + ")
+    val cases = graft.operators.Stats.poissonCdf
+      .map(c => s"CASE WHEN u >= $c THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""h2 AS (SELECT rep, u AS uv, CAST($v AS DOUBLE) / ${(1 << 24).toDouble} AS u
+       |       FROM (SELECT rep, u, md5(CAST(id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)) AS h
+       |             FROM reps)),
+       |w AS (SELECT rep, uv, CAST($cases AS BIGINT) AS w FROM h2)""".stripMargin
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // Welch's unequal-variance t-test between the purchase and view
+    // value distributions — the parametric mean-shift member of the
+    // inference trio (x153 chi², x154 KS, x158 MW). Each side is the
+    // exact integer (n, Σu, Σu²) in one aggregation; t², the Welch df
+    // and the verdict replay through identical double trees.
+    GraftQuery(
+      "x162_welch_ttest",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        graft.operators.Stats.welchTTest(
+            ev.filter(col("event_type") === "purchase"),
+            ev.filter(col("event_type") === "view"),
+            "value")
+          .select(
+            col("n_a"), col("n_b"),
+            round(col("mean_a"), 4).as("mean_a"), round(col("mean_b"), 4).as("mean_b"),
+            round(col("t2"), 4).as("t2"), round(col("df_welch"), 2).as("df_welch"),
+            col("reject_05"))
+      },
+      Some(s"""WITH qa AS (
+        |  SELECT ${uSql("value")} AS u
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |qb AS (
+        |  SELECT ${uSql("value")} AS u
+        |  FROM events WHERE event_type = 'view' AND value IS NOT NULL),
+        |ma AS (SELECT CAST(COUNT(*) AS BIGINT) AS na, CAST(SUM(u) AS DOUBLE) AS sa,
+        |              CAST(SUM(u * u) AS DOUBLE) AS qqa FROM qa),
+        |mb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb, CAST(SUM(u) AS DOUBLE) AS sb,
+        |              CAST(SUM(u * u) AS DOUBLE) AS qqb FROM qb),
+        |f AS (
+        |  SELECT na, nb, sa, sb,
+        |    (CAST(na AS DOUBLE) * qqa - sa * sa)
+        |      / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0)) / CAST(na AS DOUBLE) AS sea,
+        |    (CAST(nb AS DOUBLE) * qqb - sb * sb)
+        |      / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)) / CAST(nb AS DOUBLE) AS seb
+        |  FROM ma, mb)
+        |SELECT na AS n_a, nb AS n_b,
+        |  round(sa / CAST(na AS DOUBLE) / 1e4, 4) AS mean_a,
+        |  round(sb / CAST(nb AS DOUBLE) / 1e4, 4) AS mean_b,
+        |  round((sa / CAST(na AS DOUBLE) - sb / CAST(nb AS DOUBLE))
+        |        * (sa / CAST(na AS DOUBLE) - sb / CAST(nb AS DOUBLE)) / (sea + seb), 4) AS t2,
+        |  round((sea + seb) * (sea + seb)
+        |        / (sea * sea / (CAST(na AS DOUBLE) - 1.0)
+        |           + seb * seb / (CAST(nb AS DOUBLE) - 1.0)), 2) AS df_welch,
+        |  (sa / CAST(na AS DOUBLE) - sb / CAST(nb AS DOUBLE))
+        |    * (sa / CAST(na AS DOUBLE) - sb / CAST(nb AS DOUBLE)) / (sea + seb)
+        |    > 3.8416 AS reject_05
+        |FROM f""".stripMargin)
+    ),
+
+    // Smoothed target encoding of p_brand against retail price
+    // (pseudo-count 20): the vocabulary-sized empirical-Bayes
+    // artifact a serving layer broadcasts. Exact integer sums; the
+    // global mean and the shrunk encoding are the only divisions.
+    GraftQuery(
+      "x163_target_encode",
+      (s, d) =>
+        graft.operators.MlPrep.targetEncode(t(s, d, "part"), "p_brand", "p_retailprice", 20.0)
+          .select(col("key").as("p_brand"), col("n"), round(col("enc"), 4).as("enc"))
+          .orderBy("p_brand"),
+      Some(s"""WITH u AS (
+        |  SELECT p_brand AS key, ${uSql("p_retailprice")} AS u
+        |  FROM part WHERE p_brand IS NOT NULL AND p_retailprice IS NOT NULL),
+        |k AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(u) AS BIGINT) AS s
+        |      FROM u GROUP BY 1),
+        |g AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(s) AS BIGINT) AS st FROM k)
+        |SELECT k.key AS p_brand, k.n,
+        |  round((CAST(k.s AS DOUBLE) + 20.0 * (CAST(g.st AS DOUBLE) / CAST(g.nt AS DOUBLE)))
+        |        / (CAST(k.n AS DOUBLE) + 20.0) / 1e4, 4) AS enc
+        |FROM k, g ORDER BY p_brand""".stripMargin)
+    ),
+
+    // Approximate functional-dependency audit (schema discovery /
+    // data-contract tier): does l_orderkey determine l_returnflag,
+    // does l_partkey determine l_linestatus — and if not, how many keys
+    // / rows violate and how many deletions repair (g3). One
+    // (lhs, rhs) count aggregation per dependency, never a self-join.
+    GraftQuery(
+      "x164_fd_audit",
+      (s, d) =>
+        graft.operators.Expectations.fdAudit(
+            t(s, d, "lineitem"),
+            Seq("l_orderkey" -> "l_returnflag", "l_partkey" -> "l_linestatus"))
+          .orderBy("lhs"),
+      Some("""WITH kb1 AS (
+        |  SELECT l_orderkey AS k, l_returnflag AS v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_returnflag IS NOT NULL
+        |  GROUP BY 1, 2),
+        |pk1 AS (SELECT k, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS d,
+        |               CAST(MAX(c) AS BIGINT) AS cmax FROM kb1 GROUP BY 1),
+        |r1 AS (
+        |  SELECT 'l_orderkey' AS lhs, 'l_returnflag' AS rhs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
+        |    CAST(SUM(CASE WHEN d > 1 THEN n ELSE 0 END) AS BIGINT) AS n_rows_in_violation,
+        |    CAST(MAX(d) AS BIGINT) AS max_rhs_per_key,
+        |    CAST(SUM(n - cmax) AS BIGINT) AS g3_rows
+        |  FROM pk1),
+        |kb2 AS (
+        |  SELECT l_partkey AS k, l_linestatus AS v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_partkey IS NOT NULL AND l_linestatus IS NOT NULL
+        |  GROUP BY 1, 2),
+        |pk2 AS (SELECT k, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS d,
+        |               CAST(MAX(c) AS BIGINT) AS cmax FROM kb2 GROUP BY 1),
+        |r2 AS (
+        |  SELECT 'l_partkey' AS lhs, 'l_linestatus' AS rhs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
+        |    CAST(SUM(CASE WHEN d > 1 THEN n ELSE 0 END) AS BIGINT) AS n_rows_in_violation,
+        |    CAST(MAX(d) AS BIGINT) AS max_rhs_per_key,
+        |    CAST(SUM(n - cmax) AS BIGINT) AS g3_rows
+        |  FROM pk2)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY lhs""".stripMargin)
+    ),
+
+    // Unigram KL divergence between the English slice and the rest of
+    // the corpus — the vocabulary-level divergence screen (PSI bins
+    // values; this bins the token distribution itself). Add-1 over
+    // the union vocabulary, micro-nat quantized terms, both
+    // directions plus the Jeffreys sum.
+    GraftQuery(
+      "x165_kl_divergence",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.CorpusStats.klDivergence(
+            docs.filter(col("lang") === "en"),
+            docs.filter(col("lang") =!= "en"))
+          .select(
+            col("n_tokens_a"), col("n_tokens_b"), col("vocab"),
+            round(col("kl_ab"), 4).as("kl_ab"), round(col("kl_ba"), 4).as("kl_ba"),
+            round(col("jeffreys"), 4).as("jeffreys"))
+      },
+      Some("""WITH ta AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                x -> length(x) > 0)) AS tok
+        |  FROM documents WHERE lang = 'en'),
+        |tb AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                x -> length(x) > 0)) AS tok
+        |  FROM documents WHERE lang <> 'en'),
+        |ca AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS ca FROM ta GROUP BY 1),
+        |cb AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cb FROM tb GROUP BY 1),
+        |m AS (
+        |  SELECT COALESCE(ca.ca, 0) AS ca, COALESCE(cb.cb, 0) AS cb
+        |  FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+        |             CAST(COUNT(*) AS BIGINT) AS v FROM m),
+        |terms AS (
+        |  SELECT na, nb, v,
+        |    CAST(round((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+        |      * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+        |           / (CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))) * 1e6) AS BIGINT) AS ab,
+        |    CAST(round((CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))
+        |      * ln((CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))
+        |           / (CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))) * 1e6) AS BIGINT) AS ba
+        |  FROM m, t)
+        |SELECT MIN(na) AS n_tokens_a, MIN(nb) AS n_tokens_b, MIN(v) AS vocab,
+        |  round(CAST(SUM(ab) AS DOUBLE) / 1e6, 4) AS kl_ab,
+        |  round(CAST(SUM(ba) AS DOUBLE) / 1e6, 4) AS kl_ba,
+        |  round(CAST(SUM(ab) + SUM(ba) AS DOUBLE) / 1e6, 4) AS jeffreys
+        |FROM terms""".stripMargin)
+    ),
+
+    // Deterministic Poisson(1) bootstrap CI for the mean purchase
+    // value: 32 replicas, per-(row, replica) md5-derived weights,
+    // exact integer weighted sums, CI = exact 2nd/31st order statistic
+    // of the replica means (~93.75%). The weight lane is generated
+    // into the oracle from the same CDF literals.
+    GraftQuery(
+      "x166_bootstrap_ci",
+      (s, d) =>
+        graft.operators.Stats.bootstrapMeanCI(
+            t(s, d, "events").filter(col("event_type") === "purchase"),
+            "event_id", "value")
+          .select(
+            col("b"), col("n"), round(col("mean_point"), 4).as("mean_point"),
+            round(col("ci_lo"), 4).as("ci_lo"), round(col("ci_hi"), 4).as("ci_hi")),
+      Some(s"""WITH base AS (
+        |  SELECT event_id AS id, ${uSql("value")} AS u
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(u) AS DOUBLE) AS s FROM base),
+        |reps AS (SELECT id, u, r.range AS rep FROM base, range(32) AS r),
+        |$poissonWeightSql,
+        |rm AS (
+        |  SELECT rep, CAST(SUM(w) AS BIGINT) AS wn, CAST(SUM(w * uv) AS BIGINT) AS ws
+        |  FROM w GROUP BY 1),
+        |mm AS (SELECT CAST(ws AS DOUBLE) / CAST(wn AS DOUBLE) AS m FROM rm),
+        |rk AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rk FROM mm),
+        |ci AS (SELECT MAX(CASE WHEN rk = 2 THEN m END) AS lo,
+        |              MAX(CASE WHEN rk = 31 THEN m END) AS hi FROM rk)
+        |SELECT 32 AS b, ex.n,
+        |  round(ex.s / CAST(ex.n AS DOUBLE) / 1e4, 4) AS mean_point,
+        |  round(ci.lo / 1e4, 4) AS ci_lo,
+        |  round(ci.hi / 1e4, 4) AS ci_hi
+        |FROM ex, ci""".stripMargin)
+    ),
+
+    // Per-event-type autocorrelation at lags 1..3 over the
+    // (ts, event_id)-ordered value series — the periodicity/trend
+    // probe. Exact integer moment and pair sums from one window pass;
+    // the estimator replays in an identical double tree.
+    GraftQuery(
+      "x167_acf",
+      (s, d) =>
+        graft.operators.Regression.acf(
+            t(s, d, "events"), Seq("event_type"), "ts", "event_id", "value", 3)
+          .select(
+            col("event_type"), col("lag"), col("n"), col("m_pairs"),
+            round(col("acf"), 6).as("acf"))
+          .orderBy("event_type", "lag"),
+      Some(s"""WITH u AS (
+        |  SELECT event_type, ts, event_id, ${uSql("value")} AS u
+        |  FROM events WHERE value IS NOT NULL),
+        |l AS (
+        |  SELECT event_type, u,
+        |         LEAD(u, 1) OVER w AS l1, LEAD(u, 2) OVER w AS l2, LEAD(u, 3) OVER w AS l3
+        |  FROM u WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+        |a AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(u) AS DOUBLE) AS s, CAST(SUM(u * u) AS DOUBLE) AS q,
+        |    CAST(COUNT(l1) AS BIGINT) AS m1, CAST(SUM(u * l1) AS DOUBLE) AS c1,
+        |    CAST(SUM(CASE WHEN l1 IS NOT NULL THEN u END) AS DOUBLE) AS a1,
+        |    CAST(SUM(l1) AS DOUBLE) AS b1,
+        |    CAST(COUNT(l2) AS BIGINT) AS m2, CAST(SUM(u * l2) AS DOUBLE) AS c2,
+        |    CAST(SUM(CASE WHEN l2 IS NOT NULL THEN u END) AS DOUBLE) AS a2,
+        |    CAST(SUM(l2) AS DOUBLE) AS b2,
+        |    CAST(COUNT(l3) AS BIGINT) AS m3, CAST(SUM(u * l3) AS DOUBLE) AS c3,
+        |    CAST(SUM(CASE WHEN l3 IS NOT NULL THEN u END) AS DOUBLE) AS a3,
+        |    CAST(SUM(l3) AS DOUBLE) AS b3
+        |  FROM l GROUP BY 1),
+        |x AS (
+        |  SELECT event_type, 1 AS lag, n, s, q, m1 AS m, c1 AS c, a1 AS aa, b1 AS bb FROM a
+        |  UNION ALL
+        |  SELECT event_type, 2, n, s, q, m2, c2, a2, b2 FROM a
+        |  UNION ALL
+        |  SELECT event_type, 3, n, s, q, m3, c3, a3, b3 FROM a)
+        |SELECT event_type, lag, n, m AS m_pairs,
+        |  round(CASE WHEN (q - s * s / CAST(n AS DOUBLE)) = 0 OR m = 0 THEN NULL ELSE
+        |    (c - (s / CAST(n AS DOUBLE)) * (aa + bb)
+        |       + CAST(m AS DOUBLE) * (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)))
+        |    / (q - s * s / CAST(n AS DOUBLE)) END, 6) AS acf
+        |FROM x ORDER BY event_type, lag""".stripMargin)
+    ),
+
+    // Grid-density spatial clustering (the scalable DBSCAN shape)
+    // over Citi Bike ride start points: 0.002° cells, ≥100 rides =
+    // core, 8-neighbor core cells merge via the alternating-star
+    // resolver. The oracle replays density and adjacency exactly and
+    // walks the components with a recursive min-label CTE — the
+    // component labels themselves are part of the hash.
+    GraftQuery(
+      "x168_grid_cluster",
+      (s, _) =>
+        graft.operators.GridCluster.clusterReport(
+            graft.etl.CityBike.readRides(s), "start_lat", "start_lng", 2000L, 100L)
+          .orderBy("cluster_id"),
+      Some(s"""WITH RECURSIVE r AS (
+        |  SELECT * FROM read_csv('${graft.etl.CityBike.DefaultCsvPath}', delim=';', header=true)),
+        |pts AS (
+        |  SELECT CAST(CAST(start_lat AS DECIMAL(18,6)) * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT) AS la,
+        |         CAST(CAST(start_lng AS DECIMAL(18,6)) * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT) AS lo
+        |  FROM r WHERE start_lat IS NOT NULL AND start_lng IS NOT NULL),
+        |cell AS (
+        |  SELECT (la - ((la % 2000 + 2000) % 2000)) // 2000 AS cx,
+        |         (lo - ((lo % 2000 + 2000) % 2000)) // 2000 AS cy,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM pts GROUP BY 1, 2),
+        |core AS (SELECT cx * 4000000 + cy AS id, cx, cy, n FROM cell WHERE n >= 100),
+        |e AS (
+        |  SELECT a.id AS a, b.id AS b FROM core a JOIN core b
+        |  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1 AND a.id <> b.id),
+        |reach AS (
+        |  SELECT id AS cell, id AS lbl FROM core
+        |  UNION
+        |  SELECT e.b AS cell, reach.lbl FROM reach JOIN e ON e.a = reach.cell),
+        |lab AS (SELECT cell, MIN(lbl) AS cluster_id FROM reach GROUP BY 1)
+        |SELECT lab.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |  CAST(SUM(core.n) AS BIGINT) AS n_points,
+        |  MIN(core.cx) AS cx_min, MAX(core.cx) AS cx_max,
+        |  MIN(core.cy) AS cy_min, MAX(core.cy) AS cy_max
+        |FROM core JOIN lab ON core.id = lab.cell
+        |GROUP BY 1 ORDER BY cluster_id""".stripMargin)
+    ),
+
+    // Flesch reading-ease per document — the readability axis of
+    // quality filtering, from deterministic proxies (sentence = [.!?]
+    // run, syllable = vowel-group run, min 1 per word) so the whole
+    // score replays exactly. Pure codegen column work, no shuffle.
+    GraftQuery(
+      "x169_readability",
+      (s, d) =>
+        graft.operators.TextAnalysis.readability(t(s, d, "documents"))
+          .select(
+            col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+            round(col("flesch"), 4).as("flesch"))
+          .orderBy("doc_id"),
+      Some("""WITH t AS (
+        |  SELECT doc_id, text,
+        |         list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                     x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    greatest(CAST(1 AS BIGINT),
+        |             CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+        |    COALESCE(CAST(list_sum(list_transform(toks,
+        |      x -> greatest(1, len(regexp_extract_all(x, '[aeiouyAEIOUY]+'))))) AS BIGINT),
+        |      0) AS n_syllables
+        |  FROM t)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  round(CASE WHEN n_words = 0 THEN NULL ELSE
+        |    206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |            - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) END,
+        |    4) AS flesch
+        |FROM m ORDER BY doc_id""".stripMargin)
+    )
+  )
+}

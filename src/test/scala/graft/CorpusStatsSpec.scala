@@ -41,4 +41,17 @@ class CorpusStatsSpec extends SparkSpec {
     // vocab with first_id ≤ 1.75 → {a,b}; ≤2.5 → {a,b}; ≤3.25 → +c; ≤4 → all 5
     assert(got.map(_._3).toSeq == Seq(2L, 2L, 3L, 5L))
   }
+
+  test("klDivergence: identical corpora give exactly 0, disjoint give positive both ways") {
+    import sqlImplicits._
+    val a = Seq((1L, "a b c a"), (2L, "b c d")).toDF("doc_id", "text")
+    val same = CorpusStats.klDivergence(a, a).head()
+    assert(same.getAs[Double]("kl_ab") == 0.0 && same.getAs[Double]("kl_ba") == 0.0)
+    val b = Seq((3L, "x y z x"), (4L, "y z w")).toDF("doc_id", "text")
+    val diff = CorpusStats.klDivergence(a, b).head()
+    assert(diff.getAs[Long]("vocab") == 8L)
+    assert(diff.getAs[Double]("kl_ab") > 0.1 && diff.getAs[Double]("kl_ba") > 0.1)
+    assert(math.abs(diff.getAs[Double]("jeffreys") -
+      (diff.getAs[Double]("kl_ab") + diff.getAs[Double]("kl_ba"))) < 1e-9)
+  }
 }

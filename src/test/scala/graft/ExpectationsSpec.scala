@@ -141,4 +141,23 @@ class ExpectationsSpec extends SparkSpec {
     assert(got.getLong(2) == 1L)  // null fk
     assert(got.getLong(3) == 2L)  // orphans
   }
+
+  test("fdAudit separates a holding dependency from a violated one, with exact g3") {
+    import sqlImplicits._
+    val df = Seq(
+      ("a1", "x", "c1", "p"), ("a1", "x", "c1", "p"), ("a1", "x", "c1", "q"),
+      ("a2", "y", "c2", "p"))
+      .toDF("a", "b", "c", "d")
+    val got = graft.operators.Expectations.fdAudit(df, Seq("a" -> "b", "c" -> "d"))
+      .orderBy("lhs").collect()
+    val ab = got(0)
+    assert(ab.getString(0) == "a" && ab.getLong(2) == 2L)
+    assert(ab.getLong(3) == 0L && ab.getLong(4) == 0L && ab.getLong(6) == 0L)
+    val cd = got(1)
+    assert(cd.getLong(2) == 2L) // keys c1, c2
+    assert(cd.getLong(3) == 1L) // c1 violates
+    assert(cd.getLong(4) == 3L) // its 3 rows
+    assert(cd.getLong(5) == 2L) // two rhs values under c1
+    assert(cd.getLong(6) == 1L) // delete the lone q row
+  }
 }

@@ -80,4 +80,17 @@ class MlPrepSpec extends SparkSpec {
       MlPrep.psi(d, Seq("k"), "v", col("uid") % 2 === 0).orderBy("k").collect().map(_.toSeq).toSeq)
     assert(all(df) == all(df.repartition(13)))
   }
+
+  test("targetEncode shrinks rare keys toward the exact global mean") {
+    import sqlImplicits._
+    val df = Seq(("k1", 10.0), ("k1", 10.0), ("k2", 30.0)).toDF("k", "y")
+    val got = MlPrep.targetEncode(df, "k", "y", 1.0).orderBy("key").collect()
+    // global mean 50/3; enc_k1 = (20 + 50/3)/3 = 110/9; enc_k2 = (30 + 50/3)/2 = 70/3
+    assert(got(0).getString(0) == "k1" && got(0).getLong(1) == 2L)
+    assert(math.abs(got(0).getDouble(2) - 110.0 / 9.0) < 1e-9)
+    assert(math.abs(got(1).getDouble(2) - 70.0 / 3.0) < 1e-9)
+    // m huge: every key collapses onto the global mean
+    val big = MlPrep.targetEncode(df, "k", "y", 1e9).collect()
+    big.foreach(r => assert(math.abs(r.getDouble(2) - 50.0 / 3.0) < 1e-6))
+  }
 }

@@ -69,4 +69,26 @@ class RegressionSpec extends SparkSpec {
     val b = Regression.pearsonR2(df.repartition(17), Seq("k"), "x", "y").orderBy("k").collect()
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
+
+  test("acf recovers the alternating-series signature and nulls degenerate groups") {
+    import sqlImplicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows =
+      (0 until 10).map(i => ("g", new java.sql.Timestamp(t0 + i * 1000L), i.toLong,
+        if (i % 2 == 0) 1.0 else -1.0)) ++
+      (0 until 6).map(i => ("c", new java.sql.Timestamp(t0 + i * 1000L), i.toLong, 7.0))
+    val df = rows.toDF("k", "ts", "id", "v")
+    val got = Regression.acf(df, Seq("k"), "ts", "id", "v", 3)
+      .orderBy("k", "lag").collect()
+    // constant series: zero variance -> null acf at every lag
+    assert(got.take(3).forall(_.isNullAt(4)))
+    // alternating +-1, mean 0: r_l = (-1)^l * (n-l)/n with n=10
+    val g = got.drop(3)
+    assert(math.abs(g(0).getDouble(4) - (-0.9)) < 1e-9)
+    assert(math.abs(g(1).getDouble(4) - 0.8) < 1e-9)
+    assert(math.abs(g(2).getDouble(4) - (-0.7)) < 1e-9)
+    val rep = Regression.acf(df.repartition(7), Seq("k"), "ts", "id", "v", 3)
+      .orderBy("k", "lag").collect()
+    assert(got.map(_.toSeq).toSeq == rep.map(_.toSeq).toSeq)
+  }
 }

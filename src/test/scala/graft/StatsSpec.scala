@@ -83,4 +83,46 @@ class StatsSpec extends SparkSpec {
     val d2 = Stats.ksTest(v1.repartition(7), v2.repartition(5), "value").head().getAs[Double]("d")
     assert(d1 == d2)
   }
+
+  test("welchTTest matches the hand-computed unequal-variance case") {
+    import sqlImplicits._
+    val a = Seq(1.0, 2.0, 3.0).toDF("value")
+    val b = Seq(4.0, 5.0, 7.0).toDF("value")
+    val r = Stats.welchTTest(a, b, "value").head()
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(math.abs(r.getAs[Double]("mean_a") - 2.0) < 1e-9)
+    // ma=2 va=1; mb=16/3 vb=7/3; se2=10/9; t2=(10/3)^2/(10/9)=10; df=100/29
+    assert(math.abs(r.getAs[Double]("t2") - 10.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("df_welch") - 100.0 / 29.0) < 1e-6)
+    assert(r.getAs[Boolean]("reject_05"))
+  }
+
+  test("welchTTest on identical samples: t2 = 0, no rejection") {
+    import sqlImplicits._
+    val s1 = (1 to 50).map(i => (i % 7).toDouble).toDF("value")
+    val r = Stats.welchTTest(s1, s1, "value").head()
+    assert(r.getAs[Double]("t2") == 0.0 && !r.getAs[Boolean]("reject_05"))
+  }
+
+  test("bootstrapMeanCI: constant data collapses the interval onto the exact mean") {
+    import sqlImplicits._
+    val df = (1 to 200).map(i => (i.toLong, 5.0)).toDF("id", "value")
+    val r = Stats.bootstrapMeanCI(df, "id", "value").head()
+    assert(r.getAs[Long]("n") == 200L)
+    assert(r.getAs[Double]("mean_point") == 5.0)
+    assert(r.getAs[Double]("ci_lo") == 5.0 && r.getAs[Double]("ci_hi") == 5.0)
+  }
+
+  test("bootstrapMeanCI brackets the mean and is bit-deterministic under repartitioning") {
+    import sqlImplicits._
+    val df = (1 to 500).map(i => (i.toLong, ((i * 2654435761L) % 101).toDouble))
+      .toDF("id", "value")
+    val r1 = Stats.bootstrapMeanCI(df.coalesce(1), "id", "value").head()
+    val r2 = Stats.bootstrapMeanCI(df.repartition(13), "id", "value").head()
+    assert(r1.toSeq == r2.toSeq)
+    assert(r1.getAs[Double]("ci_lo") <= r1.getAs[Double]("mean_point"))
+    assert(r1.getAs[Double]("ci_hi") >= r1.getAs[Double]("mean_point"))
+    // sd ~ 29, n = 500 -> se ~ 1.3; the ~94% interval must be a few se wide
+    assert(r1.getAs[Double]("ci_hi") - r1.getAs[Double]("ci_lo") < 20.0)
+  }
 }

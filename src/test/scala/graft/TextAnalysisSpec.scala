@@ -284,4 +284,20 @@ class TextAnalysisSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(got.map(_.toSeq).toSeq == rep.map(_.toSeq).toSeq)
   }
+
+  test("readability matches the hand-computed Flesch score") {
+    import sqlImplicits._
+    val docs = Seq(
+      (1L, "Hello world."),
+      (2L, ""),
+      (3L, "Go. Stop! Why?")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.readability(docs).orderBy("doc_id").collect()
+    // doc 1: 2 words, 1 sentence, syllables 2 (Hello) + 1 (world.) = 3
+    assert(got(0).getLong(1) == 2L && got(0).getLong(2) == 1L && got(0).getLong(3) == 3L)
+    assert(math.abs(got(0).getDouble(4) - (206.835 - 1.015 * 2.0 - 84.6 * 1.5)) < 1e-9)
+    // empty text: zero words -> null score, sentence floor stays 1
+    assert(got(1).getLong(1) == 0L && got(1).isNullAt(4))
+    // doc 3: 3 words, 3 sentence runs, 1 vowel group per word
+    assert(got(2).getLong(1) == 3L && got(2).getLong(2) == 3L && got(2).getLong(3) == 3L)
+  }
 }
