@@ -302,6 +302,48 @@ object ScaleProbe {
           d.select(col("lang"), (col("n_chars") % 997).cast("double").as("v"),
             ((col("doc_id") % 7) + 1).cast("double").as("w")),
           Seq("lang"), "v", "w"))
+      // Grid-density clustering: points collapse to inhabited cells in
+      // ONE aggregation; the star rounds run on the cell table only
+      // (bounded by the inhabited area, not by K) — the scan curve.
+      time(s"grid_cluster           x$k",
+        graft.operators.GridCluster.clusterReport(
+          d.select(
+            ((col("doc_id") % 2000).cast("double") / 1e4).as("lat"),
+            ((col("doc_id") % 3001).cast("double") / 1e4).as("lng")),
+          "lat", "lng", 2000L, 50L))
+      // Kaplan–Meier: observations collapse to the distinct-duration
+      // table (bounded domain here); both cumulative passes are banded
+      // prefix sums — the scan curve, no global sort task.
+      time(s"kaplan_meier           x$k",
+        graft.operators.Stats.kaplanMeier(
+          d.select((col("doc_id") % 10000).cast("double").as("dur"),
+            (col("doc_id") % 3 === 0).cast("int").as("e")),
+          "dur", "e"))
+      // Poisson bootstrap: the ×32 replica explode IS the cost — the
+      // curve is 32× the scan, reduced map-side to 32 rows.
+      time(s"bootstrap_ci           x$k",
+        graft.operators.Stats.bootstrapMeanCI(
+          d.select(col("doc_id").as("id"), col("n_chars").cast("double").as("value")),
+          "id", "value"))
+      // Gini: collapsed distinct values + banded prefix — the
+      // percentile-class curve.
+      time(s"gini                   x$k",
+        graft.operators.Stats.gini(
+          d.select((col("n_chars") % 997).cast("double").as("v")), "v"))
+      // Unigram KL: two token-count aggregations + one vocab-sized
+      // outer join (vocab grows ~linearly with rotated replicas).
+      time(s"kl_divergence          x$k",
+        graft.operators.CorpusStats.klDivergence(
+          d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 =!= 0)))
+      // ACF: one window pass per bounded group + ONE aggregation.
+      time(s"acf_lag5               x$k",
+        graft.operators.Regression.acf(
+          d.select(col("lang"), timestamp_seconds(col("doc_id") % 1000000L).as("ts"),
+            col("doc_id").as("id"), col("n_chars").cast("double").as("v")),
+          Seq("lang"), "ts", "id", "v", 5))
+      // Readability: pure codegen scan with per-token regex counts.
+      time(s"readability            x$k",
+        graft.operators.TextAnalysis.readability(d))
       d.unpersist(); v.unpersist()
     }
     spark.stop()

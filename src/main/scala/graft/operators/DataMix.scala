@@ -213,6 +213,27 @@ object DataMix {
       .drop("__srank", "__sn")
   }
 
+  /** Stratified k-fold assignment — the cross-validation contract
+    * [[quotaSplit]] gives a single holdout: within every stratum,
+    * rows rank by the deterministic md5 order and fold =
+    * (rank − 1) mod k, so fold sizes within a stratum differ by at
+    * most ONE row (exact balance, not expected balance) and the
+    * assignment replays bit-for-bit anywhere. Output: input columns
+    * plus `fold` in [0, k).
+    */
+  def kfold(
+      df: DataFrame,
+      strataCols: Seq[Column],
+      k: Int,
+      keyCols: Seq[Column]): DataFrame = {
+    require(k >= 2 && k <= 1000, s"kfold: k=$k out of [2, 1000]")
+    val h = md5Hash(keyCols)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols: _*)
+      .orderBy(h.asc, keyCols.head.asc)
+    df.withColumn("fold", ((row_number().over(w) - 1) % k).cast("int"))
+  }
+
   /** Split-leakage audit — the check that decides whether a split is
     * GROUP-safe: a group (author, url domain, conversation, near-dup
     * cluster) whose members land on BOTH sides of a train/test split

@@ -132,6 +132,43 @@ object MlPrep {
         (sum(termMicro).cast("double") / lit(1e6)).as("psi"))
   }
 
+  /** Feature-scaling parameter report — the fit artifact of a
+    * standardizer: per measure column, (n, min, max, mean, std) so a
+    * serving layer can replay z-score or min-max scaling exactly.
+    * mean and the unbiased std derive from exact integer 1e-4-unit
+    * moments (n, Σu, Σu² — DECIMAL(38,0) partials) through identical
+    * double trees; sqrt is IEEE-correctly-rounded in both engines, so
+    * even std is bit-portable. One aggregation per column over one
+    * scan each, unioned vocabulary-sized reports.
+    * Output: (col_name, n, min, max, mean, std).
+    */
+  def scalingReport(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "scalingReport: no columns requested")
+    import org.apache.spark.sql.types.DecimalType
+    cols.map { c =>
+      val u = graft.operators.Regression.toUnits(col(c))
+      val n = col("__n").cast("double")
+      df
+        .filter(col(c).isNotNull)
+        .select(u.as("__u"))
+        .agg(
+          count(lit(1)).as("__n"),
+          min(col("__u")).cast("long").as("__min"),
+          max(col("__u")).cast("long").as("__max"),
+          sum(col("__u")).cast("double").as("__s"),
+          sum((col("__u") * col("__u")).cast(DecimalType(38, 0))).cast("double").as("__q"))
+        .select(
+          lit(c).as("col_name"),
+          col("__n").as("n"),
+          (col("__min").cast("double") / lit(1e4)).as("min"),
+          (col("__max").cast("double") / lit(1e4)).as("max"),
+          (col("__s") / n / lit(1e4)).as("mean"),
+          when(col("__n") < 2, null).otherwise(
+            sqrt((n * col("__q") - col("__s") * col("__s")) / (n * (n - lit(1.0)))) /
+              lit(1e4)).as("std"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Smoothed target (mean) encoding — the leakage-aware categorical
     * encoder: key k maps to (Σ_k y + m·ȳ)/(n_k + m), the per-key mean
     * shrunk toward the global mean with pseudo-count `m` (empirical-

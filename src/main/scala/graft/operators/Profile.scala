@@ -97,4 +97,40 @@ object Profile {
     * at-scale default (±~2% on n_distinct, everything else exact).
     */
   def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame = run(df, cols, exact = false)
+
+  /** Shannon entropy (nats) of each column's value distribution —
+    * the information-content axis the count profile misses: near-zero
+    * entropy marks a constant/degenerate column, ln(n_distinct) marks
+    * a uniform key. Computed as H = ln n − (Σ c·ln c)/n from one
+    * value-count aggregation per column, with each c·ln c quantized
+    * to integer micro-nats before the unordered sum (the x121 ln-ulp
+    * insurance; ln of an integer-valued double is IEEE-identical
+    * across engines). NULLs are excluded. Output per column:
+    * (col_name, n, n_distinct, entropy_nats).
+    *
+    * Scale shape: one map-side-combined (column, value) count per
+    * requested column, re-aggregated to one row — vocabulary-sized
+    * shuffles, unioned reports.
+    */
+  def categoricalEntropy(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "categoricalEntropy: no columns requested")
+    cols.map { c =>
+      df
+        .filter(col(c).isNotNull)
+        .groupBy(col(c).cast("string").as("__v"))
+        .agg(count(lit(1)).as("__c"))
+        .agg(
+          sum(col("__c")).as("__n"),
+          count(lit(1)).as("n_distinct"),
+          sum(round(col("__c").cast("double") * log(col("__c").cast("double")) * lit(1e6))
+            .cast("long")).as("__clnc"))
+        .select(
+          lit(c).as("col_name"),
+          col("__n").as("n"),
+          col("n_distinct"),
+          (log(col("__n").cast("double")) -
+            (col("__clnc").cast("double") / lit(1e6)) / col("__n").cast("double"))
+            .as("entropy_nats"))
+    }.reduce(_ unionByName _)
+  }
 }

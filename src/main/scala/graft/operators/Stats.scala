@@ -231,6 +231,98 @@ object Stats {
         (t2 > lit(3.8416)).as("reject_05"))
   }
 
+  /** Kaplan–Meier survival over (duration, event) observations — the
+    * time-to-event curve (activation lag, churn timing, failure life)
+    * with right-censoring done correctly: a user who never converted
+    * still holds the at-risk set open until their censoring time.
+    * At each distinct duration t_i (1e-4-unit quantized):
+    * n_i = #(duration ≥ t_i) at risk, d_i events, c_i censored, and
+    * the log-survival ln S(t_i) = Σ_{t_j ≤ t_i} ln((n_j − d_j)/n_j),
+    * each term micro-nat quantized BEFORE its prefix sum, so the
+    * reported `ln_surv_micro` is an exact integer under any
+    * aggregation order (hash-exact; S = exp(ln_surv_micro/1e6) when a
+    * probability is wanted — deliberately left to the caller, since
+    * exp's final ulp is not portable across engines).
+    *
+    * Scale shape: observations collapse to the distinct-duration
+    * table first; both cumulative passes (at-risk countdown, ln-term
+    * prefix) run as BANDED two-phase prefix sums — no global sort
+    * task ever sees the full duration domain.
+    * Output: (t, n_risk, d, c, ln_surv_micro) ascending in t.
+    */
+  def kaplanMeier(
+      df: DataFrame, durationCol: String, eventCol: String, bands: Int = 64): DataFrame = {
+    require(bands > 0, s"kaplanMeier: bands must be positive, got $bands")
+    val collapsed = df
+      .filter(col(durationCol).isNotNull && col(eventCol).isNotNull)
+      .select(
+        Regression.toUnits(col(durationCol)).cast("long").as("__v"),
+        when(col(eventCol).cast("boolean"), 1L).otherwise(0L).as("__e"))
+      .groupBy("__v")
+      .agg(sum(col("__e")).as("__d"), sum(lit(1L) - col("__e")).as("__c"))
+      .withColumn("__dc", col("__d") + col("__c"))
+    val tot = collapsed.agg(sum(col("__dc")).as("__tot"))
+    val atRisk = bandedCum(collapsed, Seq("__dc" -> "__cumdc"), bands)
+      .crossJoin(broadcast(tot))
+      .withColumn("__n", col("__tot") - (col("__cumdc") - col("__dc")))
+    // ln((n−d)/n) in micro-nats; d = 0 ⇒ ln 1 = 0 exactly, so every
+    // row carries a term and ONE prefix sum covers the whole domain.
+    // n = d (S hits 0, ln = −∞) can ONLY be the final duration (it
+    // forces c = 0 and empties the at-risk set), so zeroing ITS term
+    // and nulling its own output loses nothing downstream.
+    val terms = atRisk.withColumn(
+      "__t",
+      when(col("__n") > col("__d"),
+        round(log((col("__n") - col("__d")).cast("double") / col("__n").cast("double")) *
+          lit(1e6)).cast("long"))
+        .otherwise(lit(0L)))
+    bandedCum(
+      terms.select(col("__v"), col("__n"), col("__d"), col("__c"), col("__t")),
+      Seq("__t" -> "__lnsurv"), bands)
+      .select(
+        (col("__v").cast("double") / lit(1e4)).as("t"),
+        col("__n").as("n_risk"), col("__d").as("d"), col("__c").as("c"),
+        when(col("__n") === col("__d"), null).otherwise(col("__lnsurv"))
+          .as("ln_surv_micro"))
+  }
+
+  /** Gini concentration coefficient of a non-negative measure — the
+    * inequality audit ("what share of spend sits on the top keys?")
+    * complementing the count-based [[Skew]] profile. Exact integer
+    * core over the collapsed distinct micro-values: with c_v copies
+    * of value u_v and B_v values strictly below (banded prefix sum —
+    * no global sort task), Σ_i(2i−n−1)·x_(i) telescopes per tie group
+    * to Σ_v u_v·c_v·(2B_v + c_v − n), and G = that over n·Σu — one
+    * double division of two exact integers. Negative inputs break the
+    * [0,1) range, so their count is reported rather than silently
+    * folded in. Output one row: (n, n_negative, mean, gini).
+    */
+  def gini(df: DataFrame, valueCol: String, bands: Int = 64): DataFrame = {
+    require(bands > 0, s"gini: bands must be positive, got $bands")
+    import org.apache.spark.sql.types.DecimalType
+    val u = Regression.toUnits(col(valueCol)).cast("long")
+    val collapsed = df
+      .filter(col(valueCol).isNotNull)
+      .select(u.as("__v"))
+      .groupBy("__v").agg(count(lit(1)).as("__c"))
+    val cum = bandedCum(collapsed, Seq("__c" -> "__cumc"), bands)
+      .withColumn("__b", col("__cumc") - col("__c"))
+    cum
+      .agg(
+        sum(col("__c")).as("__n"),
+        sum(when(col("__v") < 0, col("__c")).otherwise(0L)).as("n_negative"),
+        sum((col("__v") * col("__c")).cast(DecimalType(38, 0))).as("__s"),
+        sum((col("__v") * col("__c")).cast(DecimalType(38, 0)) *
+          (lit(2L) * col("__b") + col("__c")).cast(DecimalType(38, 0)))
+          .as("__num_part"))
+      .select(
+        col("__n").as("n"), col("n_negative"),
+        (col("__s").cast("double") / col("__n").cast("double") / lit(1e4)).as("mean"),
+        ((col("__num_part").cast("double") -
+          col("__n").cast("double") * col("__s").cast("double")) /
+          (col("__n").cast("double") * col("__s").cast("double"))).as("gini"))
+  }
+
   /** Cumulative Poisson(1) CDF P(X ≤ k), k = 0..7 — double literals
     * shared verbatim with the generated oracle SQL so both engines
     * compare against bit-identical thresholds.

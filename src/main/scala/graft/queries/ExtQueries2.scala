@@ -354,6 +354,183 @@ object ExtQueries2 {
         |            - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) END,
         |    4) AS flesch
         |FROM m ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Kaplan–Meier signup→purchase survival with right-censoring at
+    // the corpus horizon: per user, duration = whole seconds from
+    // first signup to first purchase (censored at max ts when none).
+    // n_risk/d/c are exact integers; ln S is an exact integer
+    // micro-nat prefix sum — the whole curve is hash-exact, no exp
+    // anywhere.
+    GraftQuery(
+      "x170_kaplan_meier",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val signup = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts")).as("t0"))
+        val purchase = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        val horizon = ev.agg(max(col("ts")).as("tmax"))
+        val end = when(col("t1").isNotNull, col("t1")).otherwise(col("tmax"))
+        val dmicros = unix_micros(end) - unix_micros(col("t0"))
+        val obs = signup.join(purchase, Seq("user_id"), "left")
+          .crossJoin(broadcast(horizon))
+          // purchases BEFORE signup are data errors, not survival
+          // observations — excluded identically in the oracle
+          .filter(col("t1").isNull || unix_micros(col("t1")) >= unix_micros(col("t0")))
+          .select(
+            ((dmicros - pmod(dmicros, lit(1000000L))) / lit(1000000L)).cast("long").as("dur"),
+            when(col("t1").isNotNull, 1L).otherwise(0L).as("e"))
+        graft.operators.Stats.kaplanMeier(obs, "dur", "e").orderBy("t")
+      },
+      Some(s"""WITH s0 AS (
+        |  SELECT user_id, MIN(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |h AS (SELECT MAX(ts) AS tmax FROM events),
+        |obs AS (
+        |  SELECT (epoch_us(CASE WHEN p.t1 IS NOT NULL THEN p.t1 ELSE h.tmax END)
+        |          - epoch_us(s0.t0)) // 1000000 AS dur,
+        |         CASE WHEN p.t1 IS NOT NULL THEN 1 ELSE 0 END AS e
+        |  FROM s0 LEFT JOIN p USING (user_id), h
+        |  WHERE p.t1 IS NULL OR epoch_us(p.t1) >= epoch_us(s0.t0)),
+        |col AS (
+        |  SELECT ${uSql("dur")} AS v, CAST(SUM(e) AS BIGINT) AS d,
+        |         CAST(SUM(1 - e) AS BIGINT) AS c
+        |  FROM obs GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n FROM col),
+        |cum AS (SELECT *, SUM(d + c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumdc
+        |        FROM col),
+        |ar AS (SELECT v, d, c, tot.n - (cumdc - d - c) AS nr FROM cum, tot),
+        |tm AS (
+        |  SELECT *, CASE WHEN nr > d
+        |    THEN CAST(round(ln(CAST(nr - d AS DOUBLE) / CAST(nr AS DOUBLE)) * 1e6) AS BIGINT)
+        |    ELSE 0 END AS t
+        |  FROM ar),
+        |fin AS (SELECT v, nr, d, c,
+        |               SUM(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS lnsurv
+        |        FROM tm)
+        |SELECT CAST(v AS DOUBLE) / 1e4 AS t, nr AS n_risk, d, c,
+        |  CASE WHEN nr = d THEN NULL ELSE CAST(lnsurv AS BIGINT) END AS ln_surv_micro
+        |FROM fin ORDER BY t""".stripMargin)
+    ),
+
+    // Gini concentration of customer spend — the inequality audit
+    // ("how concentrated is revenue?") from exact integer order
+    // statistics over the collapsed spend values; per-customer spend
+    // itself is an exact micro-unit sum first.
+    GraftQuery(
+      "x171_gini_spend",
+      (s, d) => {
+        // exact micro-unit spend per customer, rendered back to price
+        // units (integer/1e4 round-trips exactly through the gini
+        // quantization below 2^52 — asserted by the oracle hash)
+        val spend = t(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg((sum(graft.operators.Regression.toUnits(col("o_totalprice")))
+            .cast("long").cast("double") / lit(1e4)).as("spend"))
+        graft.operators.Stats.gini(spend, "spend")
+          .select(
+            col("n"), col("n_negative"),
+            round(col("mean"), 4).as("mean"), round(col("gini"), 6).as("gini"))
+      },
+      Some(s"""WITH sp AS (
+        |  SELECT o_custkey, CAST(SUM(${uSql("o_totalprice")}) AS BIGINT) AS su
+        |  FROM orders GROUP BY 1),
+        |q AS (SELECT ${uSql("(CAST(su AS DOUBLE) / 1e4)")} AS v FROM sp),
+        |col AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM q GROUP BY 1),
+        |cum AS (SELECT *, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c AS b
+        |        FROM col),
+        |g AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |             CAST(SUM(CASE WHEN v < 0 THEN c ELSE 0 END) AS BIGINT) AS n_negative,
+        |             SUM(CAST(v AS HUGEINT) * CAST(c AS HUGEINT)) AS s,
+        |             SUM(CAST(v AS HUGEINT) * CAST(c AS HUGEINT)
+        |                 * CAST(2 * b + c AS HUGEINT)) AS np
+        |      FROM cum)
+        |SELECT n, n_negative,
+        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e4, 4) AS mean,
+        |  round((CAST(np AS DOUBLE) - CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 6) AS gini
+        |FROM g""".stripMargin)
+    ),
+
+    // Stratified 5-fold cross-validation assignment: within every
+    // lang, folds differ by at most one row (exact balance), assigned
+    // by the deterministic md5 order — doc-level hash.
+    GraftQuery(
+      "x172_kfold",
+      (s, d) =>
+        graft.operators.DataMix.kfold(
+            t(s, d, "documents"), Seq(col("lang")), 5, Seq(col("doc_id")))
+          .select(col("doc_id"), col("lang"), col("fold"))
+          .orderBy("doc_id"),
+      Some("""WITH r AS (
+        |  SELECT doc_id, lang,
+        |         ROW_NUMBER() OVER (PARTITION BY lang
+        |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST((rn - 1) % 5 AS INT) AS fold
+        |FROM r ORDER BY doc_id""".stripMargin)
+    ),
+
+    // Feature-scaling parameter report over the four lineitem
+    // measures: the standardizer fit artifact (min/max/mean/std from
+    // exact integer moments; IEEE sqrt is bit-portable).
+    GraftQuery(
+      "x173_scaling_report",
+      (s, d) =>
+        graft.operators.MlPrep.scalingReport(
+            t(s, d, "lineitem"),
+            Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+          .select(
+            col("col_name"), col("n"),
+            round(col("min"), 4).as("min"), round(col("max"), 4).as("max"),
+            round(col("mean"), 6).as("mean"), round(col("std"), 6).as("std"))
+          .orderBy("col_name"),
+      Some {
+        val pieces = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+          s"""SELECT '$c' AS col_name, n,
+             |  round(CAST(mn AS DOUBLE) / 1e4, 4) AS min,
+             |  round(CAST(mx AS DOUBLE) / 1e4, 4) AS max,
+             |  round(s / CAST(n AS DOUBLE) / 1e4, 6) AS mean,
+             |  round(CASE WHEN n < 2 THEN NULL ELSE
+             |    sqrt((CAST(n AS DOUBLE) * q - s * s)
+             |         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 1e4 END, 6) AS std
+             |FROM (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(u) AS mn, MAX(u) AS mx,
+             |         CAST(SUM(u) AS DOUBLE) AS s, CAST(SUM(u * u) AS DOUBLE) AS q
+             |  FROM (SELECT ${uSql(c)} AS u FROM lineitem WHERE $c IS NOT NULL))""".stripMargin
+        }
+        pieces.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      }
+    ),
+
+    // Shannon entropy of the lang and source distributions — the
+    // information-content profile axis (0 = degenerate column,
+    // ln n_distinct = uniform key); micro-nat quantized c·ln c terms.
+    GraftQuery(
+      "x174_column_entropy",
+      (s, d) =>
+        graft.operators.Profile.categoricalEntropy(
+            t(s, d, "documents"), Seq("lang", "source"))
+          .select(
+            col("col_name"), col("n"), col("n_distinct"),
+            round(col("entropy_nats"), 6).as("entropy_nats"))
+          .orderBy("col_name"),
+      Some {
+        val pieces = Seq("lang", "source").map { c =>
+          s"""SELECT '$c' AS col_name, CAST(SUM(cc) AS BIGINT) AS n,
+             |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             |  round(ln(CAST(SUM(cc) AS DOUBLE))
+             |    - (CAST(SUM(tt) AS DOUBLE) / 1e6) / CAST(SUM(cc) AS DOUBLE), 6) AS entropy_nats
+             |FROM (
+             |  SELECT CAST(COUNT(*) AS BIGINT) AS cc,
+             |         CAST(round(CAST(COUNT(*) AS DOUBLE)
+             |              * ln(CAST(COUNT(*) AS DOUBLE)) * 1e6) AS BIGINT) AS tt
+             |  FROM documents WHERE $c IS NOT NULL GROUP BY CAST($c AS VARCHAR))""".stripMargin
+        }
+        pieces.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      }
     )
   )
 }

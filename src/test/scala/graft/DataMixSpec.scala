@@ -310,4 +310,20 @@ class DataMixSpec extends SparkSpec {
     val o = graft.operators.DataMix.quotaSplit(df, Seq(col("g")), 1.0, Seq(col("id")))
     assert(o.filter(col("split") === "train").count() == 0L)
   }
+
+  test("kfold balances folds within one row per stratum and is deterministic") {
+    import sqlImplicits._
+    val df = (1 to 10).map(i => (i.toLong, "s")).toDF("id", "g") unionByName
+      (1 to 7).map(i => (100L + i, "t")).toDF("id", "g")
+    val got = graft.operators.DataMix.kfold(df, Seq(col("g")), 3, Seq(col("id")))
+    val sizes = got.groupBy("g", "fold").count().collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    // 10 rows over 3 folds -> {4,3,3}; 7 rows -> {3,2,2}
+    assert(Seq(0, 1, 2).map(f => sizes(("s", f))).sorted.reverse == Seq(4L, 3L, 3L))
+    assert(Seq(0, 1, 2).map(f => sizes(("t", f))).sorted.reverse == Seq(3L, 2L, 2L))
+    val a = got.orderBy("id").collect().map(_.toSeq).toSeq
+    val b = graft.operators.DataMix.kfold(df.repartition(7), Seq(col("g")), 3, Seq(col("id")))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }

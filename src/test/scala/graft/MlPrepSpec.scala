@@ -93,4 +93,15 @@ class MlPrepSpec extends SparkSpec {
     val big = MlPrep.targetEncode(df, "k", "y", 1e9).collect()
     big.foreach(r => assert(math.abs(r.getDouble(2) - 50.0 / 3.0) < 1e-6))
   }
+
+  test("scalingReport emits the exact standardizer parameters") {
+    import sqlImplicits._
+    val df = Seq((1.0, 10.0), (2.0, 10.0), (3.0, 10.0), (4.0, 10.0)).toDF("x", "k")
+    val got = MlPrep.scalingReport(df, Seq("x", "k")).orderBy("col_name").collect()
+    val k = got(0)
+    assert(k.getString(0) == "k" && k.getLong(1) == 4L && k.getDouble(5) == 0.0)
+    val x = got(1)
+    assert(x.getDouble(2) == 1.0 && x.getDouble(3) == 4.0 && x.getDouble(4) == 2.5)
+    assert(math.abs(x.getDouble(5) - math.sqrt(5.0 / 3.0)) < 1e-9)
+  }
 }

@@ -72,4 +72,17 @@ class ProfileSpec extends SparkSpec {
     assert(!id.getAs[Boolean]("drift") && !id.getAs[Boolean]("minmax_changed"))
     assert(id.getAs[Long]("distinct_micro_a") == 1000000L)
   }
+
+  test("categoricalEntropy: uniform pair gives ln 2, constant column gives 0") {
+    import sqlImplicits._
+    val df = Seq(("a", "z"), ("a", "z"), ("b", "z"), ("b", "z")).toDF("u", "k")
+    val got = graft.operators.Profile.categoricalEntropy(df, Seq("u", "k"))
+      .orderBy("col_name").collect()
+    val k = got(0)
+    // micro-nat quantization leaves ~1e-7 residue on the c·ln c term
+    assert(k.getString(0) == "k" && k.getLong(2) == 1L && math.abs(k.getDouble(3)) < 1e-5)
+    val u = got(1)
+    assert(u.getLong(1) == 4L && u.getLong(2) == 2L)
+    assert(math.abs(u.getDouble(3) - math.log(2.0)) < 1e-5)
+  }
 }

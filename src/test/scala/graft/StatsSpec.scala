@@ -125,4 +125,49 @@ class StatsSpec extends SparkSpec {
     // sd ~ 29, n = 500 -> se ~ 1.3; the ~94% interval must be a few se wide
     assert(r1.getAs[Double]("ci_hi") - r1.getAs[Double]("ci_lo") < 20.0)
   }
+
+  test("kaplanMeier matches the hand-computed censored curve") {
+    import sqlImplicits._
+    // durations/events: (1,e) (2,c) (3,e) (3,e) (4,c)
+    val df = Seq((1.0, 1), (2.0, 0), (3.0, 1), (3.0, 1), (4.0, 0)).toDF("dur", "e")
+    val got = Stats.kaplanMeier(df, "dur", "e").orderBy("t").collect()
+    assert(got.map(_.getDouble(0)).toSeq == Seq(1.0, 2.0, 3.0, 4.0))
+    assert(got.map(_.getLong(1)).toSeq == Seq(5L, 4L, 3L, 1L)) // at risk
+    assert(got.map(_.getLong(2)).toSeq == Seq(1L, 0L, 2L, 0L)) // events
+    assert(got.map(_.getLong(3)).toSeq == Seq(0L, 1L, 0L, 1L)) // censored
+    val t1 = math.round(math.log(4.0 / 5.0) * 1e6)
+    val t3 = math.round(math.log(1.0 / 3.0) * 1e6)
+    assert(math.abs(got(0).getLong(4) - t1) <= 1)
+    assert(got(1).getLong(4) == got(0).getLong(4)) // censoring leaves S unchanged
+    assert(math.abs(got(2).getLong(4) - (t1 + t3)) <= 2)
+    assert(got(3).getLong(4) == got(2).getLong(4))
+  }
+
+  test("kaplanMeier nulls the terminal S = 0 row instead of overflowing") {
+    import sqlImplicits._
+    val df = Seq((1.0, 1), (2.0, 1)).toDF("dur", "e")
+    val got = Stats.kaplanMeier(df, "dur", "e").orderBy("t").collect()
+    assert(got(0).getLong(1) == 2L && !got(0).isNullAt(4))
+    assert(got(1).getLong(1) == 1L && got(1).getLong(2) == 1L && got(1).isNullAt(4))
+  }
+
+  test("gini: equality gives 0, full concentration gives (n-1)/n, negatives are counted") {
+    import sqlImplicits._
+    val eq = Seq(5.0, 5.0, 5.0, 5.0).toDF("v")
+    assert(Stats.gini(eq, "v").head().getAs[Double]("gini") == 0.0)
+    val conc = Seq(0.0, 0.0, 0.0, 10.0).toDF("v")
+    val r = Stats.gini(conc, "v").head()
+    assert(math.abs(r.getAs[Double]("gini") - 0.75) < 1e-12)
+    assert(math.abs(r.getAs[Double]("mean") - 2.5) < 1e-12)
+    val neg = Seq(-1.0, 1.0, 2.0).toDF("v")
+    assert(Stats.gini(neg, "v").head().getAs[Long]("n_negative") == 1L)
+  }
+
+  test("gini is bit-deterministic under repartitioning") {
+    import sqlImplicits._
+    val df = (1 to 400).map(i => ((i * 2654435761L) % 997).toDouble).toDF("v")
+    val a = Stats.gini(df.coalesce(1), "v").head().toSeq
+    val b = Stats.gini(df.repartition(13), "v").head().toSeq
+    assert(a == b)
+  }
 }
