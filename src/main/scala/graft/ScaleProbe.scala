@@ -305,12 +305,15 @@ object ScaleProbe {
       // Grid-density clustering: points collapse to inhabited cells in
       // ONE aggregation; the star rounds run on the cell table only
       // (bounded by the inhabited area, not by K) — the scan curve.
+      // 20×13 cell residues keep ~19 points/cell at ×1 (above minPts —
+      // the probe must cluster REAL core cells at every K, not return
+      // an empty frame) with density, not area, growing with K.
       time(s"grid_cluster           x$k",
         graft.operators.GridCluster.clusterReport(
           d.select(
-            ((col("doc_id") % 2000).cast("double") / 1e4).as("lat"),
-            ((col("doc_id") % 3001).cast("double") / 1e4).as("lng")),
-          "lat", "lng", 2000L, 50L))
+            ((col("doc_id") % 20).cast("double") * 0.002).as("lat"),
+            ((col("doc_id") % 13).cast("double") * 0.002).as("lng")),
+          "lat", "lng", 2000L, 10L))
       // Kaplan–Meier: observations collapse to the distinct-duration
       // table (bounded domain here); both cumulative passes are banded
       // prefix sums — the scan curve, no global sort task.

@@ -87,4 +87,39 @@ object Skew {
           col("n_rows"), col("n_keys"), col("max_cnt"),
           col("p50_cnt"), col("p99_cnt")): _*)
   }
+
+  /** Pre-flight join-cardinality audit: the EXACT output row count a
+    * key equi-join would produce (Σ_k c_a(k)·c_b(k)) plus its fan-out
+    * profile and the top contributing keys — the probe that catches a
+    * join explosion BEFORE the 100 TB shuffle runs it. Two per-key
+    * count aggregations and one vocabulary-sized count join; nothing
+    * corpus-sized past the first shuffle.
+    * Output one summary row per call:
+    * (n_left, n_right, n_keys_both, join_rows, max_key_rows,
+    * amplification) — amplification = join_rows / max(n_left, n_right)
+    * (how many times the bigger input is multiplied).
+    */
+  def joinCardinality(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "Skew.joinCardinality: at least one key column")
+    import org.apache.spark.sql.types.DecimalType
+    def cnt(df: DataFrame, tag: String) = df
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as(s"__c$tag"))
+    val joined = cnt(left, "a").join(cnt(right, "b"), keyCols, "full_outer")
+      .select(
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    joined.agg(
+      sum(col("__ca")).as("n_left"),
+      sum(col("__cb")).as("n_right"),
+      sum(when(col("__ca") > 0 && col("__cb") > 0, 1L).otherwise(0L)).as("n_keys_both"),
+      sum((col("__ca") * col("__cb")).cast(DecimalType(38, 0))).cast("long").as("join_rows"),
+      max(col("__ca") * col("__cb")).as("max_key_rows"))
+      .select(
+        col("n_left"), col("n_right"), col("n_keys_both"),
+        col("join_rows"), col("max_key_rows"),
+        (col("join_rows").cast("double") /
+          greatest(col("n_left"), col("n_right")).cast("double")).as("amplification"))
+  }
 }

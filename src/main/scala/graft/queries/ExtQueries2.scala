@@ -531,6 +531,156 @@ object ExtQueries2 {
         }
         pieces.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
       }
+    ),
+
+    // Distribution window functions — ntile/percent_rank/cume_dist
+    // over a deterministic total order, summarized per (segment,
+    // quartile tile). Completes the W1 window-function surface with
+    // the three relative-position analytics.
+    GraftQuery(
+      "x175_window_distribution",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        t(s, d, "customer")
+          .select(
+            col("c_mktsegment"),
+            ntile(4).over(w).as("tile"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .groupBy("c_mktsegment", "tile")
+          .agg(
+            count(lit(1)).as("n"),
+            round(min(col("pr")), 6).as("pr_min"), round(max(col("pr")), 6).as("pr_max"),
+            round(min(col("cd")), 6).as("cd_min"), round(max(col("cd")), 6).as("cd_max"))
+          .orderBy("c_mktsegment", "tile")
+      },
+      Some("""WITH r AS (
+        |  SELECT c_mktsegment, NTILE(4) OVER w AS tile,
+        |         PERCENT_RANK() OVER w AS pr, CUME_DIST() OVER w AS cd
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey))
+        |SELECT c_mktsegment, tile, CAST(COUNT(*) AS BIGINT) AS n,
+        |  round(MIN(pr), 6) AS pr_min, round(MAX(pr), 6) AS pr_max,
+        |  round(MIN(cd), 6) AS cd_min, round(MAX(cd), 6) AS cd_max
+        |FROM r GROUP BY 1, 2 ORDER BY c_mktsegment, tile""".stripMargin)
+    ),
+
+    // A/B experiment readout: users md5-assigned ~50/50, conversion =
+    // any purchase. SRM check (chi² goodness-of-fit vs the declared
+    // split, 1 dof) and the two-proportion z² — all integers until
+    // single double trees, the standard experiment gate made exact.
+    GraftQuery(
+      "x176_ab_experiment",
+      (s, d) => {
+        val users = t(s, d, "events")
+          .groupBy("user_id")
+          .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+          .withColumn(
+            "va",
+            when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", 1L).otherwise(0L))
+        val agg = users.agg(
+          sum(col("va")).as("na"),
+          sum(lit(1L) - col("va")).as("nb"),
+          sum(col("va") * col("conv")).as("ca"),
+          sum((lit(1L) - col("va")) * col("conv")).as("cb"))
+        val na = col("na").cast("double")
+        val nb = col("nb").cast("double")
+        val pa = col("ca").cast("double") / na
+        val pb = col("cb").cast("double") / nb
+        val pp = (col("ca") + col("cb")).cast("double") / (na + nb)
+        val srm = (na - nb) * (na - nb) / (na + nb)
+        val z2 = (pa - pb) * (pa - pb) /
+          (pp * (lit(1.0) - pp) * (lit(1.0) / na + lit(1.0) / nb))
+        agg.select(
+          col("na"), col("nb"), col("ca"), col("cb"),
+          round(srm, 4).as("srm_chi2"),
+          (srm > lit(3.8416)).as("srm_flag"),
+          round(pa - pb, 6).as("rate_diff"),
+          round(z2, 4).as("z2"),
+          (z2 > lit(3.8416)).as("reject_05"))
+      },
+      Some("""WITH u AS (
+        |  SELECT user_id,
+        |         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+        |         CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |              THEN 1 ELSE 0 END AS va
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT CAST(SUM(va) AS BIGINT) AS na, CAST(SUM(1 - va) AS BIGINT) AS nb,
+        |             CAST(SUM(va * conv) AS BIGINT) AS ca,
+        |             CAST(SUM((1 - va) * conv) AS BIGINT) AS cb FROM u)
+        |SELECT na, nb, ca, cb,
+        |  round((CAST(na AS DOUBLE) - CAST(nb AS DOUBLE)) * (CAST(na AS DOUBLE) - CAST(nb AS DOUBLE))
+        |        / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)), 4) AS srm_chi2,
+        |  (CAST(na AS DOUBLE) - CAST(nb AS DOUBLE)) * (CAST(na AS DOUBLE) - CAST(nb AS DOUBLE))
+        |    / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) > 3.8416 AS srm_flag,
+        |  round(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+        |        - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS rate_diff,
+        |  round((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |        * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |        / ((CAST(ca + cb AS DOUBLE) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+        |           * (1.0 - CAST(ca + cb AS DOUBLE) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+        |           * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))), 4) AS z2,
+        |  (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |    * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |    / ((CAST(ca + cb AS DOUBLE) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+        |       * (1.0 - CAST(ca + cb AS DOUBLE) / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+        |       * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))) > 3.8416 AS reject_05
+        |FROM g""".stripMargin)
+    ),
+
+    // Pre-flight join-cardinality audit: the exact output size and
+    // fan-out two equi-joins WOULD produce — the FK edge (≡ child row
+    // count, amplification 1) next to the supplier self-join
+    // explosion (Σ c², amplification ≫ 1). At 100 TB this probe runs
+    // BEFORE the shuffle that would discover it the hard way.
+    GraftQuery(
+      "x177_join_cardinality",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val fk = graft.operators.Skew.joinCardinality(
+            li.select(col("l_partkey").as("k")),
+            t(s, d, "part").select(col("p_partkey").as("k")), Seq("k"))
+          .select(lit("lineitem_part_fk").as("join_name"), col("*"))
+        val self = graft.operators.Skew.joinCardinality(
+            li.select(col("l_suppkey").as("k")),
+            li.select(col("l_suppkey").as("k")), Seq("k"))
+          .select(lit("lineitem_self_supp").as("join_name"), col("*"))
+        fk.unionByName(self)
+          .select(
+            col("join_name"), col("n_left"), col("n_right"), col("n_keys_both"),
+            col("join_rows"), col("max_key_rows"),
+            round(col("amplification"), 6).as("amplification"))
+          .orderBy("join_name")
+      },
+      Some("""WITH la AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |pa AS (SELECT p_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM part WHERE p_partkey IS NOT NULL GROUP BY 1),
+        |j1 AS (
+        |  SELECT COALESCE(la.c, 0) AS ca, COALESCE(pa.c, 0) AS cb
+        |  FROM la FULL OUTER JOIN pa ON la.k = pa.k),
+        |r1 AS (
+        |  SELECT 'lineitem_part_fk' AS join_name,
+        |    CAST(SUM(ca) AS BIGINT) AS n_left, CAST(SUM(cb) AS BIGINT) AS n_right,
+        |    CAST(SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_both,
+        |    CAST(SUM(ca * cb) AS BIGINT) AS join_rows,
+        |    CAST(MAX(ca * cb) AS BIGINT) AS max_key_rows,
+        |    round(CAST(SUM(ca * cb) AS DOUBLE)
+        |          / CAST(greatest(SUM(ca), SUM(cb)) AS DOUBLE), 6) AS amplification
+        |  FROM j1),
+        |sa AS (SELECT l_suppkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),
+        |r2 AS (
+        |  SELECT 'lineitem_self_supp' AS join_name,
+        |    CAST(SUM(c) AS BIGINT) AS n_left, CAST(SUM(c) AS BIGINT) AS n_right,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys_both,
+        |    CAST(SUM(c * c) AS BIGINT) AS join_rows,
+        |    CAST(MAX(c * c) AS BIGINT) AS max_key_rows,
+        |    round(CAST(SUM(c * c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS amplification
+        |  FROM sa)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY join_name""".stripMargin)
     )
   )
 }

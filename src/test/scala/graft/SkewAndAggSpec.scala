@@ -118,4 +118,18 @@ class SkewAndAggSpec extends SparkSpec {
     val b = graft.operators.Skew.profile(rows.toDF("k", "v").repartition(13), Seq("k"), topK = 10).collect().toSeq
     assert(a == b)
   }
+
+  test("joinCardinality predicts the exact join output and flags the explosion") {
+    import sqlImplicits._
+    val left = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")   // counts: 1->3, 2->1, 3->1
+    val right = Seq(1L, 1L, 2L, 9L).toDF("k")      // counts: 1->2, 2->1, 9->1
+    val r = graft.operators.Skew.joinCardinality(left, right, Seq("k")).head()
+    assert(r.getAs[Long]("n_left") == 5L && r.getAs[Long]("n_right") == 4L)
+    assert(r.getAs[Long]("n_keys_both") == 2L)
+    assert(r.getAs[Long]("join_rows") == 7L)       // 3*2 + 1*1
+    assert(r.getAs[Long]("max_key_rows") == 6L)
+    assert(math.abs(r.getAs[Double]("amplification") - 7.0 / 5.0) < 1e-12)
+    // the audit must equal the join it predicts
+    assert(left.join(right, Seq("k")).count() == 7L)
+  }
 }
