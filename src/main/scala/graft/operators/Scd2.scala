@@ -115,4 +115,33 @@ object Scd2 {
     */
   def asOf(dim: DataFrame, at: Column): DataFrame =
     dim.filter(col("valid_from") <= at && (col("valid_to").isNull || at < col("valid_to")))
+
+  /** Point-in-time JOIN: each fact row picks up the dimension version
+    * that was valid AT ITS OWN event time — the temporally-correct
+    * star join ([[asOf]] freezes one instant; this honors every
+    * fact's). The SCD2 interval invariant (disjoint, contiguous
+    * validity per key — enforced by [[merge]]) guarantees at most one
+    * matching version per fact, so the join cannot fan out.
+    *
+    * Scale shape: a plain KEY equi-join (broadcast while the
+    * dimension fits, sort-merge beyond) with the interval predicate
+    * as a residual filter — versions per key are few by construction,
+    * so this beats any range-join gymnastics at 100 TB. Left join:
+    * facts predating the first version keep null attributes rather
+    * than vanishing.
+    */
+  def pitJoin(
+      facts: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
+      tsCol: String, attrCols: Seq[String]): DataFrame = {
+    val d = Broadcasting.maybeBroadcast(
+      dim.select((Seq(dimKey) ++ attrCols ++ Seq("valid_from", "valid_to")).map(col): _*))
+    facts
+      .join(
+        d,
+        col(factKey) === col(dimKey) &&
+          col(tsCol) >= col("valid_from").cast("timestamp") &&
+          (col("valid_to").isNull || col(tsCol) < col("valid_to").cast("timestamp")),
+        "left")
+      .drop(dimKey, "valid_from", "valid_to")
+  }
 }

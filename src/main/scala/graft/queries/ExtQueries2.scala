@@ -681,6 +681,97 @@ object ExtQueries2 {
         |    round(CAST(SUM(c * c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS amplification
         |  FROM sa)
         |SELECT * FROM r1 UNION ALL SELECT * FROM r2 ORDER BY join_name""".stripMargin)
+    ),
+
+    // SCD2 point-in-time join: every order picks up the customer-
+    // segment version valid AT ITS OWN order date (a deterministic
+    // mid-history segment move at 1998-01-01 via the real Scd2.merge).
+    // The temporally-correct star join — a key equi-join with the
+    // interval residual, never a range-join explosion.
+    GraftQuery(
+      "x178_scd2_pit_join",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+        val cur = cust.select(
+          col("c_custkey"), col("c_mktsegment"),
+          lit(java.sql.Date.valueOf("1995-01-01")).as("valid_from"),
+          lit(null).cast("date").as("valid_to"),
+          lit(true).as("is_current"))
+        val upd = cust.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), lit("MOVED").as("c_mktsegment"))
+        val dim = graft.operators.Scd2.merge(
+          cur, upd, Seq("c_custkey"), Seq("c_mktsegment"),
+          lit(java.sql.Date.valueOf("1998-01-01")))
+        graft.operators.Scd2.pitJoin(
+            t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+            dim, "o_custkey", "c_custkey", "o_orderdate", Seq("c_mktsegment"))
+          .groupBy(col("c_mktsegment"), year(col("o_orderdate")).as("y"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            countDistinct(col("o_custkey")).as("n_customers"))
+          .orderBy("c_mktsegment", "y")
+      },
+      Some("""WITH dim AS (
+        |  SELECT c_custkey, c_mktsegment, DATE '1995-01-01' AS vf,
+        |         CASE WHEN c_custkey % 3 = 0 THEN DATE '1998-01-01' END AS vt
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'MOVED', DATE '1998-01-01', NULL
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |j AS (
+        |  SELECT o.o_custkey, o.o_orderdate, d.c_mktsegment
+        |  FROM orders o LEFT JOIN dim d
+        |    ON o.o_custkey = d.c_custkey
+        |   AND o.o_orderdate >= CAST(vf AS TIMESTAMP)
+        |   AND (vt IS NULL OR o.o_orderdate < CAST(vt AS TIMESTAMP)))
+        |SELECT c_mktsegment, CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        |FROM j GROUP BY 1, 2 ORDER BY c_mktsegment, y""".stripMargin)
+    ),
+
+    // Seasonal-naive forecast backtest: predict each hour's total by
+    // the value 168 h earlier, score sMAPE per event type — the
+    // forecast-evaluation loop every metrics warehouse runs. Hourly
+    // totals are exact integers; each sMAPE term |a−f|/(a+f) is
+    // micro-quantized before the unordered sum.
+    GraftQuery(
+      "x179_forecast_backtest",
+      (s, d) => {
+        val hourly = t(s, d, "events")
+          .filter(col("value").isNotNull)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(sum(graft.operators.Regression.toUnits(col("value"))).cast("long").as("su"))
+        val f = hourly.select(
+          col("event_type"), (col("h") + expr("INTERVAL 168 HOURS")).as("h"),
+          col("su").as("fu"))
+        val term = round(
+          abs(col("su") - col("fu")).cast("double") /
+            (abs(col("su")) + abs(col("fu"))).cast("double") * lit(1e6)).cast("long")
+        hourly.join(f, Seq("event_type", "h"))
+          .filter(abs(col("su")) + abs(col("fu")) > 0)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_scored"), sum(term).as("__t"))
+          .select(
+            col("event_type"), col("n_scored"),
+            round((col("__t").cast("double") / col("n_scored").cast("double")) / lit(1e6), 6)
+              .as("smape"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |         CAST(SUM(${uSql("value")}) AS BIGINT) AS su
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.event_type, a.su, b.su AS fu
+        |  FROM hourly a JOIN hourly b
+        |    ON a.event_type = b.event_type AND a.h = b.h + INTERVAL 168 HOUR
+        |  WHERE abs(a.su) + abs(b.su) > 0)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_scored,
+        |  round((CAST(SUM(CAST(round(CAST(abs(su - fu) AS DOUBLE)
+        |           / CAST(abs(su) + abs(fu) AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE)) / 1e6, 6) AS smape
+        |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin)
     )
   )
 }

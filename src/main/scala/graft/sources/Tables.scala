@@ -285,6 +285,41 @@ object Tables {
   def writeJdbc(df: DataFrame, url: String, table: String, props: java.util.Properties, mode: SaveMode): Unit =
     df.write.mode(mode).jdbc(url, table, props)
 
+  /** Schema-compatibility diff between a producer's new schema and
+    * the consumer's expected one — the data-contract check a publish
+    * gate runs BEFORE a write breaks downstream readers. Pure
+    * metadata (no scan): one row per difference, kind ∈ added /
+    * removed / type_changed / nullability_relaxed (contract requires non-null,
+    * producer delivers nullable — the breaking direction; tightening is
+    * compatible).
+    * Output: (col_name, kind, expected, actual) — empty ⇒ compatible.
+    */
+  def schemaDiff(expected: StructType, actual: StructType): Seq[(String, String, String, String)] = {
+    val e = expected.fields.map(f => f.name -> f).toMap
+    val a = actual.fields.map(f => f.name -> f).toMap
+    val added = actual.fields.collect {
+      case f if !e.contains(f.name) => (f.name, "added", "", f.dataType.simpleString)
+    }
+    val removed = expected.fields.collect {
+      case f if !a.contains(f.name) => (f.name, "removed", f.dataType.simpleString, "")
+    }
+    val changed = expected.fields.flatMap { f =>
+      a.get(f.name).toSeq.flatMap { g =>
+        val ty =
+          if (f.dataType != g.dataType)
+            Seq((f.name, "type_changed", f.dataType.simpleString, g.dataType.simpleString))
+          else Seq.empty
+        val nl =
+          if (f.nullable && !g.nullable) Seq.empty // producer tightened: compatible
+          else if (!f.nullable && g.nullable)
+            Seq((f.name, "nullability_relaxed", "required", "nullable"))
+          else Seq.empty
+        ty ++ nl
+      }
+    }
+    (added ++ removed ++ changed).sortBy(r => (r._1, r._2)).toSeq
+  }
+
   /** Bootstrap the CityBike warehouse into the session catalog as
     * managed parquet tables (D2+D3+S3) — the engine-native equivalent
     * of check_and_create_db_v4.py's psycopg2 DDL + to_sql dance.

@@ -517,6 +517,60 @@ object EventStreams {
       b => graft.operators.CountMin.sketch(b, keyCol, d, w),
       (s, delta) => graft.operators.CountMin.merge(Seq(s, delta)))
 
+  final case class UserRunning(user_id: Long, n_events: Long, sum_micro: Long, n_types: Long)
+
+  /** Per-user running profile on Spark 4's `transformWithState` — the
+    * arbitrary-state API that supersedes the mapGroupsWithState /
+    * flatMapGroupsWithState faces above: typed composite state (a
+    * ValueState for the (count, exact 1e-4-unit sum) pair, a MapState
+    * for the distinct event-type set, so the distinct count is
+    * incremental — history is never rescanned), explicit TTL hooks,
+    * and the RocksDB state store (required by the API; configured by
+    * the caller/query). Emits the updated profile for each key
+    * touched by a micro-batch.
+    */
+  class UserRunningProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserRunning] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var totals: ValueState[(Long, Long)] = _
+    @transient private var types: MapState[String, Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      totals = getHandle.getValueState[(Long, Long)](
+        "totals", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+      types = getHandle.getMapState[String, Boolean](
+        "types", Encoders.STRING, Encoders.scalaBoolean, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserRunning] = {
+      var (n, s) = if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { e =>
+        n += 1
+        s += math.round(e.value * 1e4) // exact micro units, replay-stable
+        if (!types.containsKey(e.event_type)) types.updateValue(e.event_type, true)
+      }
+      totals.update((n, s))
+      Iterator.single(UserRunning(key, n, s, types.keys().size.toLong))
+    }
+  }
+
+  /** [[UserRunningProcessor]] wired through `transformWithState`
+    * (update mode, no time semantics). The session must run the
+    * RocksDB state store provider — the transformWithState contract.
+    */
+  def userRunningProfile(events: Dataset[Event])(implicit spark: SparkSession): Dataset[UserRunning] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new UserRunningProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Convenience: run a streaming DataFrame to completion against a
     * memory sink and return the result table (test/demo harness).
     */

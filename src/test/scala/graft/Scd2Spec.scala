@@ -103,4 +103,26 @@ class Scd2Spec extends SparkSpec {
     // A key absent at the slice date (9 before its insert) is absent.
     assert(Scd2.asOf(dim, lit(Date.valueOf("2023-09-01"))).filter(col("k") === 9L).count() == 0)
   }
+
+  test("pitJoin picks the version valid at each fact's own time, never fans out") {
+    import sqlImplicits._
+    val dim = Seq(
+      (1L, "old", java.sql.Date.valueOf("2020-01-01"), java.sql.Date.valueOf("2021-01-01"), false),
+      (1L, "new", java.sql.Date.valueOf("2021-01-01"), null.asInstanceOf[java.sql.Date], true),
+      (2L, "only", java.sql.Date.valueOf("2020-06-01"), null.asInstanceOf[java.sql.Date], true))
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val facts = Seq(
+      (10L, 1L, java.sql.Timestamp.valueOf("2020-06-15 12:00:00")), // -> old
+      (11L, 1L, java.sql.Timestamp.valueOf("2021-01-01 00:00:00")), // boundary -> new
+      (12L, 1L, java.sql.Timestamp.valueOf("2022-03-01 00:00:00")), // -> new (open)
+      (13L, 2L, java.sql.Timestamp.valueOf("2020-01-15 00:00:00")), // predates -> null
+      (14L, 3L, java.sql.Timestamp.valueOf("2021-01-01 00:00:00"))) // unknown key -> null
+      .toDF("fid", "fk", "ts")
+    val got = graft.operators.Scd2
+      .pitJoin(facts, dim, "fk", "k", "ts", Seq("attr"))
+      .orderBy("fid").collect()
+    assert(got.length == 5) // one row per fact: the interval invariant held
+    assert(got.map(r => Option(r.getAs[String]("attr")).orNull).toSeq ==
+      Seq("old", "new", "new", null, null))
+  }
 }

@@ -627,4 +627,41 @@ class StreamingSpec extends SparkSpec {
     val after = snap(spark.table("stream_topk_state"))
     assert(after.exists(r => r(2) == 999L && r(1) == 1))
   }
+
+  test("transformWithState running profile accumulates exact composite state across batches") {
+    import sqlImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Event]
+      val q = EventStreams.userRunningProfile(stream.toDS)
+        .writeStream.format("memory").queryName("tws_test")
+        .outputMode("update").start()
+      stream.addData(events.take(2): _*) // user 7: clicks 1.0 + 2.0
+      q.processAllAvailable()
+      stream.addData(events.drop(2): _*) // user 7: +8.0; user 8: views 4.0 + 16.0
+      q.processAllAvailable()
+      q.stop()
+      // memory sink in update mode keeps every emission; the per-user
+      // final state is the row with the highest (monotone) n_events
+      val last = spark.table("tws_test")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("sum_micro"), col("n_types"))).as("s"))
+        .select(col("user_id"), col("s.*")).orderBy("user_id").collect()
+      assert(last.length == 2)
+      assert(last(0).getLong(0) == 7L && last(0).getLong(1) == 3L &&
+        last(0).getLong(2) == 110000L && last(0).getLong(3) == 1L)
+      assert(last(1).getLong(0) == 8L && last(1).getLong(1) == 2L &&
+        last(1).getLong(2) == 200000L && last(1).getLong(3) == 1L)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }

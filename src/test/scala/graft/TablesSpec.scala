@@ -227,4 +227,25 @@ class TablesSpec extends SparkSpec {
     assert(kStats.max.map(_.toString).contains("1000"), kStats.toString)
     assert(kStats.distinctCount.exists(_.toInt > 900), kStats.toString)
   }
+
+  test("schemaDiff classifies added/removed/type/nullability changes, empty when compatible") {
+    import org.apache.spark.sql.types._
+    val expected = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("v", DoubleType, nullable = true),
+      StructField("gone", IntegerType, nullable = true)))
+    val actual = StructType(Seq(
+      StructField("id", LongType, nullable = true),        // relaxed: breaking
+      StructField("name", StringType, nullable = false),   // tightened: fine
+      StructField("v", StringType, nullable = true),       // type change
+      StructField("extra", DateType, nullable = true)))    // added
+    val got = graft.sources.Tables.schemaDiff(expected, actual)
+    assert(got == Seq(
+      ("extra", "added", "", "date"),
+      ("gone", "removed", "int", ""),
+      ("id", "nullability_relaxed", "required", "nullable"),
+      ("v", "type_changed", "double", "string")))
+    assert(graft.sources.Tables.schemaDiff(expected, expected).isEmpty)
+  }
 }
