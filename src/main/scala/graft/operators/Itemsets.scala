@@ -54,14 +54,20 @@ object Itemsets {
       minSupport: Long = 2L, maxBasketSize: Int = 256): DataFrame =
     pairsFromBaskets(baskets(df, basketCol, itemCol, maxBasketSize), minSupport)
 
+  // The Σ L² explode + pair aggregation dominates every consumer, and
+  // pairCounts/pairStats/itemNeighbors all want the SAME table for a
+  // given input — OpCache it (plan-keyed) so the basket-pair shuffle
+  // runs once per session, not once per query.
   private def pairsFromBaskets(b: DataFrame, minSupport: Long): DataFrame =
-    b
-      .select(col("items"), posexplode(col("items")).as(Seq("pa", "item_a")))
-      .select(col("item_a"), col("pa"), posexplode(col("items")).as(Seq("pb", "item_b")))
-      .filter(col("pa") < col("pb"))
-      .groupBy("item_a", "item_b")
-      .agg(count(lit(1)).as("pair_n"))
-      .filter(col("pair_n") >= minSupport)
+    OpCache.swap(
+      s"itemsets.pairs.$minSupport",
+      b
+        .select(col("items"), posexplode(col("items")).as(Seq("pa", "item_a")))
+        .select(col("item_a"), col("pa"), posexplode(col("items")).as(Seq("pb", "item_b")))
+        .filter(col("pa") < col("pb"))
+        .groupBy("item_a", "item_b")
+        .agg(count(lit(1)).as("pair_n"))
+        .filter(col("pair_n") >= minSupport))
 
   /** Association-rule statistics per qualifying pair.
     * Output: (item_a, item_b, pair_n, n_a, n_b, n_baskets, support,
