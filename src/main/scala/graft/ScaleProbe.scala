@@ -345,8 +345,12 @@ object ScaleProbe {
             col("doc_id").as("id"), col("n_chars").cast("double").as("v")),
           Seq("lang"), "ts", "id", "v", 5))
       // Readability: pure codegen scan with per-token regex counts.
+      // Aggregate the scores — a bare projection would be pruned away
+      // by count() and time nothing.
       time(s"readability            x$k",
-        graft.operators.TextAnalysis.readability(d))
+        graft.operators.TextAnalysis.readability(d)
+          .agg(sum(col("n_syllables")).as("syl"),
+            sum(when(col("flesch") > 60.0, 1L).otherwise(0L)).as("easy")))
       d.unpersist(); v.unpersist()
     }
     spark.stop()
