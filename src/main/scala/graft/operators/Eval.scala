@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation metrics over scored rows — the readout a
+  * training-data pipeline runs after every model iteration (does the
+  * quality score separate good from bad documents? does the ranker
+  * put the positives on top?). Everything is exact: AUC through the
+  * integer U statistic (ties at ½ via the doubled numerator), lift
+  * and gains through integer counts — one double division each at
+  * the very end.
+  *
+  * Scale shape: both metrics aggregate to the DISTINCT-SCORE grain
+  * first (one map-side-combined shuffle on (group, score)), and run
+  * their windows over that bounded frame — never a global per-row
+  * sort. At 100 TB the distinct-score table is value-domain-sized
+  * (micro-quantized scores), orders of magnitude under the row count.
+  */
+object Eval {
+
+  /** Exact floor division for non-negative longs: strip the remainder
+    * first so the exact division's truncation is a no-op.
+    */
+  private def floorDiv(num: Column, den: Column): Column =
+    ((num - pmod(num, den)) / den).cast("long")
+
+  /** Exact ROC-AUC per group via the Mann-Whitney U statistic on the
+    * distinct-score grain: with per-score positive/negative counts
+    * (p_s, n_s) and N_s = negatives strictly below s,
+    * `u2 = Σ_s p_s · (2·N_s + n_s)` (each tie contributes ½, so u2 is
+    * the doubled — integer — numerator) and
+    * `auc = u2 / (2 · n_pos · n_neg)`.
+    * Output: (groupCols*, n_pos, n_neg, u2, auc) — auc null when a
+    * group lacks one of the classes (AUC is undefined there).
+    */
+  def aucRank(
+      df: DataFrame,
+      groupCols: Seq[String],
+      labelCol: String,
+      scoreCol: String): DataFrame = {
+    val byScore = df
+      .filter(col(scoreCol).isNotNull)
+      .groupBy(groupCols.map(col) :+ col(scoreCol).as("__s"): _*)
+      .agg(
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("__pos"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("__neg"))
+    // one row per distinct score per group → the cumulative frame is
+    // tie-free and the rows-window is exact
+    val w = Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__s").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("__neg_lt", coalesce(sum(col("__neg")).over(w), lit(0L)))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(col("__pos")).as("n_pos"),
+        sum(col("__neg")).as("n_neg"),
+        sum(col("__pos") * (col("__neg_lt") * 2 + col("__neg"))).as("u2"))
+      .withColumn(
+        "auc",
+        when(
+          col("n_pos") > 0 && col("n_neg") > 0,
+          round(
+            col("u2").cast("double") /
+              (col("n_pos") * col("n_neg") * 2).cast("double"),
+            6)))
+  }
+
+  /** Lift-and-gains table: rows ranked by score DESCENDING and cut
+    * into `nBuckets` tie-coherent buckets — a tied score never
+    * straddles a boundary (its whole run lands in the bucket of its
+    * FIRST rank: `bucket = floor(rank_start · nBuckets / N) + 1`),
+    * because splitting equal scores would make the table depend on an
+    * arbitrary within-tie order. Buckets are therefore near-equal
+    * sized, exactly equal when scores are distinct.
+    * Output per bucket: (bucket, n, n_pos, cum_pos,
+    * lift = (n_pos/n)/(P/N), capture = cum_pos/P), integers exact,
+    * the two ratios rounded to 6.
+    */
+  def liftTable(
+      df: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 1000, s"liftTable: nBuckets=$nBuckets out of [2, 1000]")
+    val byScore = df
+      .filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("__pos"))
+    // distinct-score frame: the partition-less window is domain-sized,
+    // not row-sized (the labelIndex/vocab class, not a global row sort)
+    val w = Window.orderBy(col("__s").desc).rowsBetween(Window.unboundedPreceding, -1)
+    // totals via an unbounded frame on the same (domain-sized) window
+    // pass — no self-join, no second scan
+    val wAll = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bucketed = byScore
+      .withColumn("__start", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .withColumn("__tot_n", sum(col("__n")).over(wAll))
+      .withColumn("__tot_p", sum(col("__pos")).over(wAll))
+      .withColumn("bucket", (floorDiv(col("__start") * nBuckets, col("__tot_n")) + 1).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(col("__n")).as("n"),
+        sum(col("__pos")).as("n_pos"),
+        max(col("__tot_n")).as("__tot_n"),
+        max(col("__tot_p")).as("__tot_p"))
+    val wc = Window.orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .withColumn("cum_pos", sum(col("n_pos")).over(wc))
+      .select(
+        col("bucket"), col("n"), col("n_pos"), col("cum_pos"),
+        round(
+          (col("n_pos") * col("__tot_n")).cast("double") /
+            (col("n") * col("__tot_p")).cast("double"),
+          6).as("lift"),
+        round(col("cum_pos").cast("double") / col("__tot_p").cast("double"), 6).as("capture"))
+  }
+}

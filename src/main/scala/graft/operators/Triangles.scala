@@ -71,4 +71,30 @@ object Triangles {
   /** Global triangle count (one row). */
   def total(edges: DataFrame): DataFrame =
     perNode(edges).agg((sum(col("n_triangles")) / 3).cast("long").as("n_triangles"))
+
+  /** Per-node local clustering coefficient `2·tri / (deg·(deg−1))`
+    * for every node of degree ≥ 2 — how close each node's
+    * neighborhood is to a clique. Degrees come from the same
+    * canonical (deduplicated, undirected) edge set the triangle count
+    * uses; nodes in no triangle report coefficient 0. The ratio is
+    * exact integers until one rounded division.
+    * Output: (v, deg, n_triangles, coeff).
+    */
+  def clusteringCoeff(edges: DataFrame): DataFrame = {
+    val und = OpCache.swap("triangles.und", canonical(edges))
+    val sym = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
+    deg
+      .filter(col("deg") >= 2)
+      .join(perNode(edges), Seq("v"), "left")
+      .select(
+        col("v"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn(
+        "coeff",
+        round(
+          (col("n_triangles") * 2).cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double"),
+          6))
+  }
 }

@@ -19,6 +19,18 @@ object ExtQueries2 {
   private def uSql(c: String) =
     s"CAST(CAST($c AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT)"
 
+  /** The 48-bit md5-prefix hash ([[graft.operators.Kmv.hash48]]) as
+    * DuckDB per-nibble arithmetic — generated from the same layout
+    * (first 12 nibbles, big-endian) so the two lanes cannot drift.
+    */
+  private def hash48Sql(expr: String): String =
+    (0 until 12)
+      .map { i =>
+        s"(strpos('0123456789abcdef', substring(md5($expr), ${i + 1}, 1)) - 1)" +
+          s" * ${1L << (4 * (11 - i))}"
+      }
+      .mkString(" + ")
+
   /** DuckDB replay of [[graft.operators.Stats]]' Poisson(1) bootstrap
     * weight, GENERATED from the same CDF literal table and the same
     * 6-nibble md5 uniform — the Scala constants and the SQL constants
@@ -772,6 +784,230 @@ object ExtQueries2 {
         |           / CAST(abs(su) + abs(fu) AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE)
         |         / CAST(COUNT(*) AS DOUBLE)) / 1e6, 6) AS smape
         |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin)
+    ),
+
+    // Exact ROC-AUC per language: does document length (n_chars)
+    // separate the two source families (srcN vs srcNN, a 50/50 split
+    // on name length)? The doubled-U integer numerator makes ties
+    // exact (½ credit) and the single final division the only double —
+    // the model-eval readout every quality-score iteration needs.
+    GraftQuery(
+      "x180_auc_rank",
+      (s, d) => {
+        graft.operators.Eval.aucRank(
+            t(s, d, "documents")
+              .select(col("lang"), (length(col("source")) > 4).as("is_new"), col("n_chars")),
+            Seq("lang"), "is_new", "n_chars")
+          .orderBy("lang")
+      },
+      Some("""WITH s AS (
+        |  SELECT lang, n_chars AS sc,
+        |    CAST(SUM(CASE WHEN length(source) > 4 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |    CAST(SUM(CASE WHEN length(source) > 4 THEN 0 ELSE 1 END) AS BIGINT) AS neg
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |c AS (
+        |  SELECT lang, pos, neg,
+        |    COALESCE(SUM(neg) OVER (PARTITION BY lang ORDER BY sc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_lt
+        |  FROM s),
+        |g AS (
+        |  SELECT lang, CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(neg) AS BIGINT) AS n_neg,
+        |         CAST(SUM(pos * (neg_lt * 2 + neg)) AS BIGINT) AS u2
+        |  FROM c GROUP BY 1)
+        |SELECT lang, n_pos, n_neg, u2,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0
+        |       THEN round(CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE), 6)
+        |  END AS auc
+        |FROM g ORDER BY lang""".stripMargin)
+    ),
+
+    // Decile lift-and-gains on the purchase ranker proxy (micro-unit
+    // event value as the score): tie-coherent buckets on the
+    // distinct-score grain — a tied score never straddles a boundary,
+    // so the table is independent of any within-tie order. Counts
+    // exact; lift and capture are one rounded division each.
+    GraftQuery(
+      "x181_lift_gains",
+      (s, d) => {
+        graft.operators.Eval.liftTable(
+            t(s, d, "events")
+              .filter(col("value").isNotNull)
+              .select(
+                (col("event_type") === "purchase").as("is_buy"),
+                graft.operators.Regression.toUnits(col("value")).cast("long").as("score_u")),
+            "is_buy", "score_u", nBuckets = 10)
+          .orderBy("bucket")
+      },
+      Some(s"""WITH s AS (
+        |  SELECT ${uSql("value")} AS sc, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |r AS (
+        |  SELECT sc, n, pos,
+        |    COALESCE(SUM(n) OVER (ORDER BY sc DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+        |  FROM s),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(pos) AS BIGINT) AS pp FROM s),
+        |g AS (
+        |  SELECT CAST(st * 10 // nn AS INT) + 1 AS bucket,
+        |         CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |         MAX(nn) AS nn, MAX(pp) AS pp
+        |  FROM r, t GROUP BY 1)
+        |SELECT bucket, n, n_pos,
+        |  CAST(SUM(n_pos) OVER (ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+        |  round(CAST(n_pos * nn AS DOUBLE) / CAST(n * pp AS DOUBLE), 6) AS lift,
+        |  round(CAST(SUM(n_pos) OVER (ORDER BY bucket
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |        / CAST(pp AS DOUBLE), 6) AS capture
+        |FROM g ORDER BY bucket""".stripMargin)
+    ),
+
+    // Gaps-and-islands on user activity days: per user, maximal runs
+    // of consecutive active days via the value−row_number grouping —
+    // streak length, island count and the exact missing-day count
+    // inside each user's span. Fully keyed: no global window anywhere.
+    GraftQuery(
+      "x182_gaps_islands",
+      (s, d) => {
+        graft.operators.Gaps.islandSummary(
+            t(s, d, "events")
+              .filter(col("ts").isNotNull)
+              .select(
+                col("user_id"),
+                datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("day")),
+            Seq("user_id"), "day")
+          .orderBy("user_id")
+      },
+      Some("""WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS v
+        |  FROM events WHERE ts IS NOT NULL),
+        |g AS (
+        |  SELECT user_id, v,
+        |         v - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY v) AS grp
+        |  FROM d),
+        |i AS (
+        |  SELECT user_id, MIN(v) AS s, MAX(v) AS e, CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM g GROUP BY user_id, grp)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_values,
+        |  CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |  CAST(MAX(len) AS BIGINT) AS longest_island,
+        |  MIN(s) AS span_start, MAX(e) AS span_end,
+        |  CAST(MAX(e) - MIN(s) + 1 - SUM(len) AS BIGINT) AS gap_values
+        |FROM i GROUP BY 1 ORDER BY user_id""".stripMargin)
+    ),
+
+    // KMV distinct-count sketch per language: the k smallest 48-bit
+    // md5 hashes of the token stream, estimate (k−1)·2^48/h_k — the
+    // third cardinality face next to exact countDistinct (x21-class)
+    // and HLL registers (x88). Every column is integer-exact (the
+    // sketch contents, not just a bound, are the certified output);
+    // rel_err is one rounded division against the exact hash-grain
+    // count.
+    GraftQuery(
+      "x183_kmv_distinct",
+      (s, d) => {
+        import graft.functions.TextFunctions.tokens
+        val toks = graft.operators.OpCache.swap(
+          "ext.x88.toks",
+          t(s, d, "documents")
+            .select(col("lang"), explode(tokens(col("text"))).as("tok")))
+        val sk = graft.operators.Kmv.distinctSketch(toks, Seq("lang"), "tok", k = 256)
+        val ex = toks
+          .select(col("lang"), graft.operators.Kmv.hash48(col("tok")).as("__h"))
+          .distinct()
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_exact_hashes"))
+        sk.join(ex, Seq("lang"))
+          .select(
+            col("lang"), col("n_kept"), col("kth_hash"), col("est_distinct"),
+            col("n_exact_hashes"),
+            round(
+              (col("est_distinct") - col("n_exact_hashes")).cast("double") /
+                col("n_exact_hashes").cast("double"),
+              4).as("rel_err"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH tk AS (
+        |  SELECT lang, unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+        |                                  x -> length(x) > 0)) AS tok
+        |  FROM documents),
+        |h AS (SELECT DISTINCT lang, CAST(${hash48Sql("tok")} AS BIGINT) AS hv FROM tk),
+        |r AS (SELECT lang, hv,
+        |             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv) AS rn FROM h),
+        |g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(hv) AS kth_hash
+        |      FROM r WHERE rn <= 256 GROUP BY 1),
+        |e2 AS (
+        |  SELECT lang, n_kept, kth_hash,
+        |         CASE WHEN n_kept < 256 THEN n_kept
+        |              ELSE ${255L * (1L << 48)} // kth_hash END AS est_distinct
+        |  FROM g),
+        |ex AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_exact_hashes FROM h GROUP BY 1)
+        |SELECT e2.lang, n_kept, kth_hash, est_distinct, n_exact_hashes,
+        |  round(CAST(est_distinct - n_exact_hashes AS DOUBLE)
+        |        / CAST(n_exact_hashes AS DOUBLE), 4) AS rel_err
+        |FROM e2 JOIN ex USING (lang) ORDER BY lang""".stripMargin)
+    ),
+
+    // Per-node local clustering coefficient on the x86/x87 trade
+    // graph (same md5-gated edge set — the cached canonical edges and
+    // triangle counts are shared): 2·tri/(deg·(deg−1)) for every
+    // degree-≥2 node, integers until one rounded division. The
+    // neighborhood-density readout next to x87's raw counts.
+    GraftQuery(
+      "x184_clustering_coeff",
+      (s, d) => {
+        // identical construction to x87 → plan-equal → OpCache reuse
+        val sc = t(s, d, "lineitem")
+          .join(
+            graft.operators.DataMix.md5Sample(
+              t(s, d, "orders"), 0.3, Seq(col("o_orderkey"))),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(
+            concat(lit("s"), col("l_suppkey")).as("src"),
+            concat(lit("c"), col("o_custkey")).as("dst"))
+        val cn = t(s, d, "customer").select(
+          concat(lit("c"), col("c_custkey")).as("src"),
+          concat(lit("n"), col("c_nationkey")).as("dst"))
+        val sn = t(s, d, "supplier").select(
+          concat(lit("s"), col("s_suppkey")).as("src"),
+          concat(lit("n"), col("s_nationkey")).as("dst"))
+        graft.operators.Triangles.clusteringCoeff(sc.unionByName(cn).unionByName(sn))
+          .filter(col("n_triangles") > 0)
+          .orderBy("v")
+      },
+      Some("""WITH raw AS (
+        |  SELECT concat('s', l_suppkey) AS x, concat('c', o_custkey) AS y
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '4ccc'
+        |  UNION ALL
+        |  SELECT concat('c', c_custkey), concat('n', c_nationkey) FROM customer
+        |  UNION ALL
+        |  SELECT concat('s', s_suppkey), concat('n', s_nationkey) FROM supplier),
+        |und AS (
+        |  SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+        |  FROM raw WHERE x <> y),
+        |deg AS (
+        |  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM und e1
+        |  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |pn AS (
+        |  SELECT v, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        |    SELECT x AS v FROM tri
+        |    UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri)
+        |  GROUP BY v)
+        |SELECT pn.v, deg, n_triangles,
+        |  round(CAST(n_triangles * 2 AS DOUBLE)
+        |        / CAST(deg * (deg - 1) AS DOUBLE), 6) AS coeff
+        |FROM pn JOIN deg ON deg.v = pn.v
+        |WHERE n_triangles > 0 ORDER BY pn.v""".stripMargin)
     )
   )
 }

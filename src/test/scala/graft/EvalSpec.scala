@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Eval
+
+class EvalSpec extends SparkSpec {
+
+  // hand-checkable: g1 scores separate perfectly, g2 has a tie across
+  // classes, g3 is all-positive (AUC undefined)
+  private def scored = {
+    import sqlImplicits._
+    Seq(
+      ("g1", true, 10L), ("g1", true, 9L), ("g1", false, 2L), ("g1", false, 1L),
+      ("g2", true, 5L), ("g2", false, 5L), ("g2", true, 7L), ("g2", false, 3L),
+      ("g3", true, 1L), ("g3", true, 2L))
+      .toDF("g", "label", "score")
+  }
+
+  test("aucRank: perfect separation gives 1, cross-class tie gives half credit") {
+    val out = Eval.aucRank(scored, Seq("g"), "label", "score")
+      .orderBy("g")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+    // g1: every positive above every negative → u2 = 2·(2·2) = 8, auc 1
+    assert(out(0) == ("g1", 2L, 2L, 8L, 1.0))
+    // g2: pos {7,5} vs neg {5,3}: 7 beats both (2), 5 beats 3 and ties 5
+    //     (1.5) → U = 3.5, u2 = 7, auc = 7/8 = 0.875
+    assert(out(1) == ("g2", 2L, 2L, 7L, 0.875))
+    // g3: no negatives → auc null
+    assert(out(2)._1 == "g3" && out(2)._5.isNaN)
+  }
+
+  test("aucRank matches a brute-force pair count") {
+    import sqlImplicits._
+    // deterministic pseudo-random scores with deliberate tie collisions
+    val rows = (1 to 200).map { i =>
+      val score = (i * 2654435761L) % 37
+      val label = (i * 97) % 5 != 0
+      ("g", label, score)
+    }
+    val df = rows.toDF("g", "label", "score")
+    val got = Eval.aucRank(df, Seq("g"), "label", "score").collect()(0)
+    val pos = rows.filter(_._2).map(_._3)
+    val neg = rows.filterNot(_._2).map(_._3)
+    val u2 = (for { p <- pos; n <- neg } yield {
+      if (p > n) 2L else if (p == n) 1L else 0L
+    }).sum
+    assert(got.getLong(1) == pos.size && got.getLong(2) == neg.size)
+    assert(got.getLong(3) == u2)
+  }
+
+  test("liftTable: tie-coherent buckets, exact counts, capture reaches 1") {
+    import sqlImplicits._
+    // 20 rows, scores 20..1 distinct, positives = top 5 scores
+    val df = (1 to 20).map(i => (i > 15, i.toLong)).toDF("label", "score")
+    val out = Eval.liftTable(df, "label", "score", nBuckets = 4)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.map(_._2).toSeq == Seq(5L, 5L, 5L, 5L))
+    // top bucket holds all 5 positives: lift = (5/5)/(5/20) = 4
+    assert(out(0) == (1, 5L, 5L, 5L, 4.0, 1.0))
+    assert(out(3) == (4, 5L, 0L, 5L, 0.0, 1.0))
+  }
+
+  test("liftTable: a tied run never straddles a bucket boundary") {
+    import sqlImplicits._
+    // 12 rows of one score + 8 distinct lower → with 4 buckets the
+    // 12-run starts at rank 1 and must land whole in bucket 1
+    val df = ((1 to 12).map(_ => (true, 100L)) ++ (1 to 8).map(i => (false, i.toLong)))
+      .toDF("label", "score")
+    val out = Eval.liftTable(df, "label", "score", nBuckets = 4)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out(0) == (1, 12L, 12L))
+    assert(out.map(_._2).sum == 20L)
+  }
+}

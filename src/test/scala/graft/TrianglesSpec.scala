@@ -58,4 +58,16 @@ class TrianglesSpec extends SparkSpec {
     val plan = Triangles.perNode(df(edges)).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
   }
+
+  test("clusteringCoeff: K4 is all-1, a path node with open wedge is 0") {
+    // K4 plus a pendant path d—e—f: e has deg 2, no triangle → 0
+    val k4 = for { a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a < b } yield (a, b)
+    val g = k4 ++ Seq(("d", "e"), ("e", "f"))
+    val got = Triangles.clusteringCoeff(df(g))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("a") == ((3L, 3L, 1.0))) // deg 3, C(3,2)=3 wedges, 3 closed
+    assert(got("d") == ((4L, 3L, 0.5))) // deg 4 → 6 wedges, 3 closed
+    assert(got("e") == ((2L, 0L, 0.0)))
+    assert(!got.contains("f")) // degree 1 — coefficient undefined
+  }
 }
