@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture application — the lakehouse MERGE: fold an
+  * ordered change log (inserts / updates / delete tombstones) into a
+  * base snapshot and emit the next snapshot. The latest-wins member
+  * of the CDC family next to [[Scd2]] (which keeps history) and
+  * [[SnapshotDiff]] (which derives the log from two snapshots).
+  *
+  * Scale shape: one keyed window over the LOG ONLY (per-key, ordered
+  * by the version columns — the log is deltas, orders of magnitude
+  * under the snapshot), then one anti-join and a union. The base
+  * snapshot is never sorted and never shuffled beyond the key join —
+  * exactly the MERGE plan a 100 TB table wants.
+  */
+object Cdc {
+
+  /** Apply `log` to `base`. Both share `keyCols` and the payload
+    * columns; `log` adds `opCol` (values 'I' / 'U' / 'D') and
+    * `ordCols` (the version order — later wins; ties broken by the
+    * LAST ordCol being unique is the caller's contract). Per key only
+    * the latest log row acts: 'D' removes the key, 'I'/'U' upsert the
+    * payload. Keys untouched by the log pass through.
+    */
+  def applyLog(
+      base: DataFrame,
+      log: DataFrame,
+      keyCols: Seq[String],
+      opCol: String,
+      ordCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && ordCols.nonEmpty, "Cdc.applyLog: keys and order required")
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(ordCols.map(col(_).desc): _*)
+    val latest = log
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .drop("__r")
+    val touched = latest.select(keyCols.map(col): _*)
+    base
+      .join(touched, keyCols, "left_anti")
+      .unionByName(
+        latest
+          .filter(col(opCol) =!= "D")
+          .drop(opCol +: ordCols: _*))
+  }
+}

@@ -58,4 +58,44 @@ object RecordLinkage {
       left: DataFrame, right: DataFrame, blockCols: Seq[String],
       fields: Seq[FieldSpec], thresholdMicro: Long): DataFrame =
     score(candidates(left, right, blockCols), fields, thresholdMicro)
+
+  /** Sorted-neighborhood candidate generation (Hernández & Stolfo
+    * 1995): records sorted by `sortKey`; each record pairs with its
+    * `w` successors in that order. This is the BLOCKED variant — the
+    * sort runs within `blockCol` partitions, so the window is keyed
+    * (one hash shuffle, no single global sort task) and cross-block
+    * neighbors are by contract not candidates; run further passes
+    * with different (block, key) choices to recover them (standard
+    * multi-pass SN). Ties in `sortKey` are totalized by `idCol` asc,
+    * making the neighbor sets deterministic under any partitioning.
+    * Output: (block, id_a, id_b, key_a, key_b, offset) with
+    * offset ∈ [1, w] the rank distance a→b.
+    */
+  def sortedNeighborhood(
+      df: DataFrame,
+      idCol: String,
+      sortKey: Column,
+      blockCol: Column,
+      w: Int): DataFrame = {
+    require(w >= 1 && w <= 100, s"sortedNeighborhood: w=$w out of [1, 100]")
+    val base = df.select(blockCol.as("block"), sortKey.as("key_a"), col(idCol).as("id_a"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("block"))
+      .orderBy(col("key_a").asc, col("id_a").asc)
+    // windows first (a generator cannot host window expressions),
+    // explode second
+    val withLeads = base.select(
+      col("block"), col("id_a"), col("key_a"),
+      array((1 to w).map(i =>
+        struct(
+          lead(col("id_a"), i).over(win).as("id_b"),
+          lead(col("key_a"), i).over(win).as("key_b"))): _*).as("__next"))
+    withLeads
+      .select(col("block"), col("id_a"), col("key_a"), posexplode(col("__next")))
+      .select(
+        col("block"), col("id_a"), col("col.id_b").as("id_b"),
+        col("key_a"), col("col.key_b").as("key_b"),
+        (col("pos") + 1).cast("int").as("offset"))
+      .filter(col("id_b").isNotNull)
+  }
 }

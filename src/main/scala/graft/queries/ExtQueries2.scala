@@ -1008,6 +1008,106 @@ object ExtQueries2 {
         |        / CAST(deg * (deg - 1) AS DOUBLE), 6) AS coeff
         |FROM pn JOIN deg ON deg.v = pn.v
         |WHERE n_triangles > 0 ORDER BY pn.v""".stripMargin)
+    ),
+
+    // Sorted-neighborhood blocking (multi-pass SN, one pass shown):
+    // parts sorted by name within brand, each record paired
+    // with its 2 successors, pairs verified with the native
+    // Jaro-Winkler kernel — the classic record-linkage candidate
+    // generator next to x125's Fellegi-Sunter block join. Each pair's
+    // similarity is micro-quantized before the (order-free) integer
+    // sum, so the per-block aggregate is exact.
+    GraftQuery(
+      "x185_sorted_neighborhood",
+      (s, d) => {
+        val cand = graft.operators.RecordLinkage.sortedNeighborhood(
+          t(s, d, "part"), "p_partkey", col("p_name"), col("p_brand"), w = 2)
+        val jwU = round(
+          graft.plans.JaroWinkler.jaroWinkler(col("key_a"), col("key_b")) * 1e6)
+          .cast("long")
+        cand
+          .select(col("block").as("brand"), jwU.as("__jw_u"))
+          .groupBy("brand")
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            sum(when(col("__jw_u") >= 900000L, 1L).otherwise(0L)).as("n_close"),
+            sum(col("__jw_u")).as("__sum_u"))
+          .select(
+            col("brand"), col("n_pairs"), col("n_close"),
+            round(col("__sum_u").cast("double") / col("n_pairs").cast("double") / 1e6, 6)
+              .as("avg_jw"))
+          .orderBy("brand")
+      },
+      Some("""WITH b AS (SELECT p_brand AS blk, p_partkey AS id, p_name AS k FROM part),
+        |l AS (
+        |  SELECT blk, k AS key_a,
+        |         lead(k, 1) OVER w AS k1, lead(k, 2) OVER w AS k2
+        |  FROM b WINDOW w AS (PARTITION BY blk ORDER BY k, id)),
+        |p AS (
+        |  SELECT blk, key_a, key_b FROM (
+        |    SELECT blk, key_a, k1 AS key_b FROM l
+        |    UNION ALL SELECT blk, key_a, k2 FROM l)
+        |  WHERE key_b IS NOT NULL),
+        |j AS (SELECT blk,
+        |        CAST(round(jaro_winkler_similarity(key_a, key_b) * 1e6) AS BIGINT) AS jw_u
+        |      FROM p)
+        |SELECT blk AS brand, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN jw_u >= 900000 THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
+        |  round(CAST(SUM(jw_u) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6, 6) AS avg_jw
+        |FROM j GROUP BY 1 ORDER BY brand""".stripMargin)
+    ),
+
+    // CDC apply (the lakehouse MERGE): a deterministic I/U/D change
+    // log folded into the customer snapshot — latest entry per key
+    // wins, tombstones delete, and a key that gets U-then-D dies
+    // while D-then-U survives. Output is the next snapshot's
+    // per-segment rollup in exact micro-units.
+    GraftQuery(
+      "x186_cdc_apply",
+      (s, d) => {
+        val base = t(s, d, "customer").select(
+          col("c_custkey").as("k"),
+          col("c_mktsegment").as("seg"),
+          graft.operators.Regression.toUnits(col("c_acctbal")).cast("long").as("bal"))
+        val log = base.filter(col("k") % 10 === 7)
+          .select(col("k"), lit("PRE").as("seg"), lit(0L).as("bal"),
+            lit("U").as("op"), lit(1L).as("ord"))
+          .unionByName(base.filter(col("k") % 10 === 7)
+            .select(col("k"), col("seg"), col("bal"), lit("D").as("op"), lit(2L).as("ord")))
+          .unionByName(base.filter(col("k") % 10 === 3)
+            .select(col("k"), lit("UPDATED").as("seg"), (col("bal") * 2).as("bal"),
+              lit("U").as("op"), lit(2L).as("ord")))
+          .unionByName(base.filter(col("k") % 10 === 0)
+            .select((col("k") + 1000000L).as("k"), lit("NEW").as("seg"), col("bal"),
+              lit("I").as("op"), lit(1L).as("ord")))
+        graft.operators.Cdc.applyLog(base, log, Seq("k"), "op", Seq("ord"))
+          .groupBy(col("seg").as("segment"))
+          .agg(count(lit(1)).as("n"), sum(col("bal")).as("sum_bal_u"))
+          .orderBy("segment")
+      },
+      Some(s"""WITH base AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS seg, ${uSql("c_acctbal")} AS bal
+        |  FROM customer),
+        |log AS (
+        |  SELECT k, 'PRE' AS seg, CAST(0 AS BIGINT) AS bal, 'U' AS op, 1 AS ord
+        |  FROM base WHERE k % 10 = 7
+        |  UNION ALL SELECT k, seg, bal, 'D', 2 FROM base WHERE k % 10 = 7
+        |  UNION ALL SELECT k, 'UPDATED', bal * 2, 'U', 2 FROM base WHERE k % 10 = 3
+        |  UNION ALL SELECT k + 1000000, 'NEW', bal, 'I', 1 FROM base WHERE k % 10 = 0),
+        |latest AS (
+        |  SELECT k, seg, bal, op FROM (
+        |    SELECT k, seg, bal, op,
+        |           ROW_NUMBER() OVER (PARTITION BY k ORDER BY ord DESC) AS rn
+        |    FROM log)
+        |  WHERE rn = 1),
+        |applied AS (
+        |  SELECT b.k, b.seg, b.bal FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM latest x WHERE x.k = b.k)
+        |  UNION ALL
+        |  SELECT k, seg, bal FROM latest WHERE op <> 'D')
+        |SELECT seg AS segment, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(bal) AS BIGINT) AS sum_bal_u
+        |FROM applied GROUP BY 1 ORDER BY segment""".stripMargin)
     )
   )
 }
