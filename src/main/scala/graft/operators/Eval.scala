@@ -122,4 +122,43 @@ object Eval {
           6).as("lift"),
         round(col("cum_pos").cast("double") / col("__tot_p").cast("double"), 6).as("capture"))
   }
+
+  /** Calibration-bin report: rows cut into `nBins` tie-coherent
+    * buckets by score ASCENDING (same boundary rule as [[liftTable]],
+    * reversed order — bin 1 holds the lowest scores). Per bin the
+    * exact integers (n, n_pos, sum_score) let the caller compare
+    * predicted confidence (sum_score/n in the caller's score units)
+    * against the observed positive rate — the reliability-diagram
+    * table behind ECE. `pos_rate` is the one rounded division.
+    * Output: (bin, n, n_pos, sum_score, pos_rate).
+    */
+  def calibrationBins(
+      df: DataFrame,
+      labelCol: String,
+      scoreCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"calibrationBins: nBins=$nBins out of [2, 1000]")
+    val byScore = df
+      .filter(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("__pos"),
+        sum(col(scoreCol)).as("__sum_s"))
+    val w = Window.orderBy(col("__s").asc).rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy(col("__s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byScore
+      .withColumn("__start", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .withColumn("__tot_n", sum(col("__n")).over(wAll))
+      .withColumn("bin", (floorDiv(col("__start") * nBins, col("__tot_n")) + 1).cast("int"))
+      .groupBy(col("bin"))
+      .agg(
+        sum(col("__n")).as("n"),
+        sum(col("__pos")).as("n_pos"),
+        sum(col("__sum_s")).as("sum_score"))
+      .withColumn(
+        "pos_rate",
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6))
+  }
 }

@@ -201,4 +201,41 @@ object MlPrep {
         ((col("__s").cast("double") + lit(m) * gmean) /
           (col("n").cast("double") + lit(m)) / lit(1e4)).as("enc"))
   }
+
+  /** Mutual information between two categorical columns — the
+    * feature-screening readout (how much does knowing x say about
+    * y?): `MI = Σ_xy (n_xy/N) · ln(N·n_xy / (n_x·n_y))` over the
+    * contingency table. Counts are exact integers; each cell's single
+    * ln rides one double tree and is quantized to micro-nats before
+    * the order-free integer sum (the x99 convention). Zero cells
+    * contribute nothing (the sum runs over observed cells only).
+    * Scale shape: one (x, y) aggregation, two margin aggregations of
+    * the CELL table (vocab-sized), broadcast joins back — the raw
+    * frame is never joined or sorted.
+    * Output one row: (n, n_cells, mi_micro_nats, mi_nats).
+    */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__nxy"))
+    val mx = cells.groupBy("__x").agg(sum(col("__nxy")).as("__nx"))
+    val my = cells.groupBy("__y").agg(sum(col("__nxy")).as("__ny"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val joined = cells
+      .join(Broadcasting.maybeBroadcast(mx), Seq("__x"))
+      .join(Broadcasting.maybeBroadcast(my), Seq("__y"))
+      .withColumn("__nn", sum(col("__nxy")).over(wAll))
+    val nd = col("__nn").cast("double")
+    val ratio = (nd * col("__nxy").cast("double")) /
+      (col("__nx").cast("double") * col("__ny").cast("double"))
+    val termU = round(col("__nxy").cast("double") / nd * log(ratio) * 1e6).cast("long")
+    joined
+      .agg(
+        max(col("__nn")).as("n"),
+        count(lit(1)).as("n_cells"),
+        sum(termU).as("mi_micro_nats"))
+      .withColumn("mi_nats", round(col("mi_micro_nats").cast("double") / 1e6, 6))
+  }
 }

@@ -31,6 +31,27 @@ object ExtQueries2 {
       }
       .mkString(" + ")
 
+  /** DuckDB replay of [[graft.operators.MlPrep.mutualInfo]] for one
+    * (x, y) source: identical double trees per cell, micro-nat
+    * quantization before the integer sum.
+    */
+  private def miSql(name: String, src: String): String =
+    s"""SELECT '$name' AS pair, CAST(MAX(nn) AS BIGINT) AS n,
+       |  CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |  CAST(SUM(tu) AS BIGINT) AS mi_micro_nats,
+       |  round(CAST(SUM(tu) AS DOUBLE) / 1e6, 6) AS mi_nats
+       |FROM (
+       |  SELECT nn,
+       |    CAST(round(CAST(nxy AS DOUBLE) / CAST(nn AS DOUBLE)
+       |         * ln(CAST(nn AS DOUBLE) * CAST(nxy AS DOUBLE)
+       |              / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))) * 1e6) AS BIGINT) AS tu
+       |  FROM (
+       |    SELECT nxy,
+       |      SUM(nxy) OVER (PARTITION BY x) AS nx,
+       |      SUM(nxy) OVER (PARTITION BY y) AS ny,
+       |      SUM(nxy) OVER () AS nn
+       |    FROM (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS nxy FROM ($src) GROUP BY 1, 2)))""".stripMargin
+
   /** DuckDB replay of [[graft.operators.Stats]]' Poisson(1) bootstrap
     * weight, GENERATED from the same CDF literal table and the same
     * 6-nibble md5 uniform — the Scala constants and the SQL constants
@@ -1108,6 +1129,78 @@ object ExtQueries2 {
         |SELECT seg AS segment, CAST(COUNT(*) AS BIGINT) AS n,
         |       CAST(SUM(bal) AS BIGINT) AS sum_bal_u
         |FROM applied GROUP BY 1 ORDER BY segment""".stripMargin)
+    ),
+
+    // Calibration-bin (reliability-diagram) table on the purchase
+    // score: deciles ascending by micro-unit value, per bin the exact
+    // (n, n_pos, sum_score) integers plus the observed positive rate
+    // and mean score — x180/x181's third eval face. Same tie-coherent
+    // boundary rule as the lift table, reversed order.
+    GraftQuery(
+      "x187_calibration_bins",
+      (s, d) => {
+        graft.operators.Eval.calibrationBins(
+            t(s, d, "events")
+              .filter(col("value").isNotNull)
+              .select(
+                (col("event_type") === "purchase").as("is_buy"),
+                graft.operators.Regression.toUnits(col("value")).cast("long").as("score_u")),
+            "is_buy", "score_u", nBins = 10)
+          .withColumn(
+            "avg_score",
+            round(col("sum_score").cast("double") / col("n").cast("double") / 1e4, 4))
+          .orderBy("bin")
+      },
+      Some(s"""WITH s AS (
+        |  SELECT ${uSql("value")} AS sc, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |    CAST(SUM(${uSql("value")}) AS BIGINT) AS ss
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |r AS (
+        |  SELECT sc, n, pos, ss,
+        |    COALESCE(SUM(n) OVER (ORDER BY sc ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st,
+        |    SUM(n) OVER () AS nn
+        |  FROM s),
+        |g AS (
+        |  SELECT CAST(st * 10 // nn AS INT) + 1 AS bin,
+        |         CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |         CAST(SUM(ss) AS BIGINT) AS sum_score
+        |  FROM r GROUP BY 1)
+        |SELECT bin, n, n_pos, sum_score,
+        |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
+        |  round(CAST(sum_score AS DOUBLE) / CAST(n AS DOUBLE) / 1e4, 4) AS avg_score
+        |FROM g ORDER BY bin""".stripMargin)
+    ),
+
+    // Mutual information feature screen: how much do (hour, weekday)
+    // say about the event type, and the source about the language —
+    // the Σ p·ln(p/(p_x·p_y)) contingency readout with every count
+    // exact and each cell's single ln micro-nat-quantized before the
+    // order-free integer sum (the x99 convention, as in x121 PSI and
+    // x165 KL).
+    GraftQuery(
+      "x188_mutual_info",
+      (s, d) => {
+        val ev = t(s, d, "events").filter(col("ts").isNotNull)
+        val a = graft.operators.MlPrep.mutualInfo(
+            ev.select(col("event_type"), hour(col("ts")).as("h")), "event_type", "h")
+          .select(lit("event_hour").as("pair"), col("*"))
+        val b = graft.operators.MlPrep.mutualInfo(
+            ev.select(col("event_type"), dayofweek(col("ts")).as("dw")), "event_type", "dw")
+          .select(lit("event_weekday").as("pair"), col("*"))
+        val c = graft.operators.MlPrep.mutualInfo(
+            t(s, d, "documents").select(col("lang"), col("source")), "lang", "source")
+          .select(lit("lang_source").as("pair"), col("*"))
+        a.unionByName(b).unionByName(c).orderBy("pair")
+      },
+      Some(Seq(
+        miSql("event_hour",
+          "SELECT event_type AS x, hour(ts) AS y FROM events WHERE ts IS NOT NULL"),
+        miSql("event_weekday",
+          "SELECT event_type AS x, dayofweek(ts) + 1 AS y FROM events WHERE ts IS NOT NULL"),
+        miSql("lang_source", "SELECT lang AS x, source AS y FROM documents"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY pair"))
     )
   )
 }

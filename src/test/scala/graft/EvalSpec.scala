@@ -76,4 +76,17 @@ class EvalSpec extends SparkSpec {
     assert(out(0) == (1, 12L, 12L))
     assert(out.map(_._2).sum == 20L)
   }
+
+  test("calibrationBins: ascending bins, exact score sums, rates") {
+    import sqlImplicits._
+    // scores 1..20, positives are the top 5 scores
+    val df = (1 to 20).map(i => (i > 15, i.toLong)).toDF("label", "score")
+    val out = Eval.calibrationBins(df, "label", "score", nBins = 4)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // bin 1 = scores 1..5, bin 4 = scores 16..20 (all positive)
+    assert(out(0) == (1, 5L, 0L, 15L, 0.0))
+    assert(out(3) == (4, 5L, 5L, 90L, 1.0))
+    assert(out.map(_._2).sum == 20L)
+  }
 }

@@ -104,4 +104,17 @@ class MlPrepSpec extends SparkSpec {
     assert(x.getDouble(2) == 1.0 && x.getDouble(3) == 4.0 && x.getDouble(4) == 2.5)
     assert(math.abs(x.getDouble(5) - math.sqrt(5.0 / 3.0)) < 1e-9)
   }
+
+  test("mutualInfo: perfect dependence gives ln 2, independence gives 0") {
+    import sqlImplicits._
+    val dep = ((1 to 5).map(_ => ("a", "a")) ++ (1 to 5).map(_ => ("b", "b"))).toDF("x", "y")
+    val d = MlPrep.mutualInfo(dep, "x", "y").collect()(0)
+    assert(d.getLong(0) == 10L && d.getLong(1) == 2L)
+    // each cell: round(0.5·ln2·1e6) = 346574 → 693148 micro-nats
+    assert(d.getLong(2) == 693148L)
+    val ind = (for { x <- Seq("a", "b"); y <- Seq("c", "d"); _ <- 1 to 2 } yield (x, y))
+      .toDF("x", "y")
+    val i = MlPrep.mutualInfo(ind, "x", "y").collect()(0)
+    assert(i.getLong(2) == 0L, s"independent MI should be 0, got ${i.getLong(2)}")
+  }
 }
