@@ -351,6 +351,62 @@ object ScaleProbe {
         graft.operators.TextAnalysis.readability(d)
           .agg(sum(col("n_syllables")).as("syl"),
             sum(when(col("flesch") > 60.0, 1L).otherwise(0L)).as("easy")))
+      // Rank-AUC / lift: both aggregate to the distinct-score grain
+      // (bounded value domain here) before any window — flat scan
+      // curves, never a per-row global sort.
+      time(s"auc_rank               x$k",
+        graft.operators.Eval.aucRank(
+          d.select(col("lang"), (col("doc_id") % 2 === 0).as("y"),
+            (col("n_chars") % 997).as("s")),
+          Seq("lang"), "y", "s"))
+      time(s"lift_gains             x$k",
+        graft.operators.Eval.liftTable(
+          d.select((col("doc_id") % 5 === 0).as("y"), (col("n_chars") % 997).as("s")),
+          "y", "s"))
+      // Gaps-and-islands: keyed window over per-key DISTINCT values
+      // (bounded domain per key) — the keyed-shuffle scan curve.
+      time(s"gaps_islands           x$k",
+        graft.operators.Gaps.islandSummary(
+          d.select((col("doc_id") % 4096).as("key"),
+            ((col("doc_id") / 4096) % 1000).cast("long").as("v")),
+          Seq("key"), "v"))
+      // KMV: distinct-hash dedup then the bounded mergeable heap —
+      // the shuffle carries ≤k rows per (group, map partition).
+      time(s"kmv_distinct           x$k",
+        graft.operators.Kmv.distinctSketch(d, Seq("lang"), "text", k = 256))
+      // Clustering coefficient on the chain+chord graph class: one
+      // degree aggregation on top of the triangle machinery — must
+      // stay on the triangles curve.
+      locally {
+        val n = lit(5000L) * k
+        val edges = d.select(col("doc_id").as("src"), ((col("doc_id") + 1) % n).as("dst"))
+          .unionByName(d.select(col("doc_id").as("src"), ((col("doc_id") + 2) % n).as("dst")))
+        time(s"clustering_coeff       x$k", graft.operators.Triangles.clusteringCoeff(edges))
+      }
+      // Sorted neighborhood: keyed sort within ~250 blocks; candidate
+      // volume is exactly w·rows — linear by construction.
+      time(s"sorted_neighborhood    x$k",
+        graft.operators.RecordLinkage.sortedNeighborhood(
+          d.withColumn("blk", concat(col("lang"), (col("n_chars") % 50).cast("string"))),
+          "doc_id", substring(col("text"), 1, 24), col("blk"), w = 2))
+      // CDC apply: the keyed window runs over the LOG ONLY (~16%
+      // delta); the snapshot sees one anti-join + union — near-flat
+      // in the base beyond the scan.
+      time(s"cdc_apply              x$k", {
+        val base = d.select(col("doc_id").as("k2"), col("lang"), col("n_chars"))
+        val log = base.filter(col("k2") % 10 === 0)
+          .select(col("k2"), col("lang"), (col("n_chars") + 1).as("n_chars"),
+            lit("U").as("op"), lit(1L).as("ord"))
+          .unionByName(base.filter(col("k2") % 17 === 0)
+            .select(col("k2"), col("lang"), col("n_chars"),
+              lit("D").as("op"), lit(2L).as("ord")))
+        graft.operators.Cdc.applyLog(base, log, Seq("k2"), "op", Seq("ord"))
+      })
+      // Mutual information: one contingency aggregation (cell table
+      // is vocab²-bounded) + broadcast margins — the scan curve.
+      time(s"mutual_info            x$k",
+        graft.operators.MlPrep.mutualInfo(
+          d.select(col("lang"), (col("n_chars") % 20).as("b")), "lang", "b"))
       d.unpersist(); v.unpersist()
     }
     spark.stop()

@@ -1201,6 +1201,76 @@ object ExtQueries2 {
           "SELECT event_type AS x, dayofweek(ts) + 1 AS y FROM events WHERE ts IS NOT NULL"),
         miSql("lang_source", "SELECT lang AS x, source AS y FROM documents"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY pair"))
+    ),
+
+    // Streaming CDC certification: the x186 change log folded through
+    // the maintainSnapshot foreachBatch face — base snapshot as batch
+    // 0, the log key-sliced into three micro-batches, one batch id
+    // replayed (must be a watermark no-op) — then the same per-segment
+    // rollup. Streamed application must equal the one-shot batch
+    // apply bit-for-bit, so the oracle is x186's.
+    GraftQuery(
+      "x189_streaming_cdc_apply",
+      (s, d) => {
+        import graft.streaming.EventStreams
+        val state = "graft_x189_state"
+        Seq("", "__staging").foreach(x => graft.sources.Tables.dropManaged(s, state + x))
+        val base = t(s, d, "customer").select(
+          col("c_custkey").as("k"),
+          col("c_mktsegment").as("seg"),
+          graft.operators.Regression.toUnits(col("c_acctbal")).cast("long").as("bal"))
+        EventStreams.foldSnapshotBatch(
+          base.withColumn("op", lit("I")).withColumn("ord", lit(0L)),
+          0L, state, Seq("k"), "op", Seq("ord"))
+        val log = base.filter(col("k") % 10 === 7)
+          .select(col("k"), lit("PRE").as("seg"), lit(0L).as("bal"),
+            lit("U").as("op"), lit(1L).as("ord"))
+          .unionByName(base.filter(col("k") % 10 === 7)
+            .select(col("k"), col("seg"), col("bal"), lit("D").as("op"), lit(2L).as("ord")))
+          .unionByName(base.filter(col("k") % 10 === 3)
+            .select(col("k"), lit("UPDATED").as("seg"), (col("bal") * 2).as("bal"),
+              lit("U").as("op"), lit(2L).as("ord")))
+          .unionByName(base.filter(col("k") % 10 === 0)
+            .select((col("k") + 1000000L).as("k"), lit("NEW").as("seg"), col("bal"),
+              lit("I").as("op"), lit(1L).as("ord")))
+        // key-sliced batches: each key's log entries arrive together
+        (0 to 2).foreach { i =>
+          EventStreams.foldSnapshotBatch(
+            log.filter(pmod(col("k"), lit(3L)) === i), (i + 1).toLong,
+            state, Seq("k"), "op", Seq("ord"))
+        }
+        // foreachBatch restart: batch 2 replays with its original id
+        EventStreams.foldSnapshotBatch(
+          log.filter(pmod(col("k"), lit(3L)) === 1), 2L,
+          state, Seq("k"), "op", Seq("ord"))
+        s.table(state).drop("__last_batch")
+          .groupBy(col("seg").as("segment"))
+          .agg(count(lit(1)).as("n"), sum(col("bal")).as("sum_bal_u"))
+          .orderBy("segment")
+      },
+      Some(s"""WITH base AS (
+        |  SELECT c_custkey AS k, c_mktsegment AS seg, ${uSql("c_acctbal")} AS bal
+        |  FROM customer),
+        |log AS (
+        |  SELECT k, 'PRE' AS seg, CAST(0 AS BIGINT) AS bal, 'U' AS op, 1 AS ord
+        |  FROM base WHERE k % 10 = 7
+        |  UNION ALL SELECT k, seg, bal, 'D', 2 FROM base WHERE k % 10 = 7
+        |  UNION ALL SELECT k, 'UPDATED', bal * 2, 'U', 2 FROM base WHERE k % 10 = 3
+        |  UNION ALL SELECT k + 1000000, 'NEW', bal, 'I', 1 FROM base WHERE k % 10 = 0),
+        |latest AS (
+        |  SELECT k, seg, bal, op FROM (
+        |    SELECT k, seg, bal, op,
+        |           ROW_NUMBER() OVER (PARTITION BY k ORDER BY ord DESC) AS rn
+        |    FROM log)
+        |  WHERE rn = 1),
+        |applied AS (
+        |  SELECT b.k, b.seg, b.bal FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM latest x WHERE x.k = b.k)
+        |  UNION ALL
+        |  SELECT k, seg, bal FROM latest WHERE op <> 'D')
+        |SELECT seg AS segment, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(bal) AS BIGINT) AS sum_bal_u
+        |FROM applied GROUP BY 1 ORDER BY segment""".stripMargin)
     )
   )
 }

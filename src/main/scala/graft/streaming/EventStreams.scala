@@ -517,6 +517,59 @@ object EventStreams {
       b => graft.operators.CountMin.sketch(b, keyCol, d, w),
       (s, delta) => graft.operators.CountMin.merge(Seq(s, delta)))
 
+  /** Streaming CDC apply — the upsert/tombstone face of the
+    * maintained-state family: each micro-batch is a change-log slice
+    * (payload + `opCol` I/U/D + `ordCols`) folded into the snapshot
+    * table with [[graft.operators.Cdc.applyLog]]. Within a batch the
+    * latest entry per key wins by `ordCols`; across batches,
+    * application order is arrival order (the CDC source's contract).
+    * Idempotent under checkpointed replay via the `__last_batch`
+    * watermark and staged-overwrite crash recovery, like every fold
+    * face here.
+    */
+  def maintainSnapshot(
+      stream: DataFrame,
+      stateTable: String,
+      keys: Seq[String],
+      opCol: String,
+      ordCols: Seq[String],
+      checkpointLocation: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val fold: (DataFrame, Long) => Unit =
+      (batch, id) => foldSnapshotBatch(batch, id, stateTable, keys, opCol, ordCols)
+    val w = stream.writeStream.foreachBatch(fold)
+    checkpointLocation.fold(w)(p => w.option("checkpointLocation", p)).start()
+  }
+
+  /** One idempotent fold step of [[maintainSnapshot]]. Not routed
+    * through the mergeable-state skeleton: a CDC batch is not a
+    * mergeable delta (deletes don't commute with inserts), so the
+    * step applies the raw log slice to the current snapshot instead
+    * of merging two states — same recovery + watermark envelope.
+    */
+  def foldSnapshotBatch(
+      batch: DataFrame,
+      batchId: Long,
+      stateTable: String,
+      keys: Seq[String],
+      opCol: String,
+      ordCols: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    graft.sources.Tables.recoverStaged(spark, stateTable)
+    val exists = spark.catalog.tableExists(stateTable)
+    val applied = exists && {
+      val m = spark.table(stateTable).agg(max(col("__last_batch"))).head().get(0)
+      m != null && m.asInstanceOf[Long] >= batchId
+    }
+    if (applied) return // replayed batch: already in the snapshot
+    val payload = batch.columns.filterNot(c => c == opCol || ordCols.contains(c))
+    val base =
+      if (exists) spark.table(stateTable).drop("__last_batch")
+      else batch.select(payload.map(col): _*).limit(0)
+    val next = graft.operators.Cdc.applyLog(base, batch, keys, opCol, ordCols)
+    graft.sources.Tables.stagedOverwrite(
+      next.withColumn("__last_batch", lit(batchId)), stateTable)
+  }
+
   final case class UserRunning(user_id: Long, n_events: Long, sum_micro: Long, n_types: Long)
 
   /** Per-user running profile on Spark 4's `transformWithState` — the

@@ -664,4 +664,37 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming CDC snapshot maintenance: upserts, tombstones, exactly-once under replay") {
+    import sqlImplicits._
+    implicit val sqlCtx = spark.sqlContext
+    val state = "stream_cdc_state"
+    Seq("", "__staging").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
+    val stream = MemoryStream[(Long, String, String, Long)]
+    val q = EventStreams.maintainSnapshot(
+      stream.toDF().toDF("k", "v", "op", "ord"), state, Seq("k"), "op", Seq("ord"))
+    // batch 0: insert k1, k2; in-batch latest-wins on k1 (ord 2 beats 1)
+    stream.addData((1L, "a0", "I", 1L), (1L, "a1", "U", 2L), (2L, "b", "I", 1L))
+    q.processAllAvailable()
+    // batch 1: delete k1, insert k3
+    stream.addData((1L, "a1", "D", 1L), (3L, "c", "I", 1L))
+    q.processAllAvailable()
+    // batch 2: re-insert k1 after its tombstone — sequential batches
+    stream.addData((1L, "a2", "I", 1L))
+    q.processAllAvailable()
+    q.stop()
+    def snap() = spark.table(state).drop("__last_batch")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(snap() == Seq((1L, "a2"), (2L, "b"), (3L, "c")))
+
+    // replayed batch id: a no-op
+    EventStreams.foldSnapshotBatch(
+      Seq((9L, "x", "I", 1L)).toDF("k", "v", "op", "ord"), 2L, state, Seq("k"), "op", Seq("ord"))
+    assert(snap() == Seq((1L, "a2"), (2L, "b"), (3L, "c")), "replayed batch must not apply")
+    // a new batch id folds in
+    EventStreams.foldSnapshotBatch(
+      Seq((2L, "b", "D", 1L)).toDF("k", "v", "op", "ord"), 7L, state, Seq("k"), "op", Seq("ord"))
+    assert(snap() == Seq((1L, "a2"), (3L, "c")))
+    Seq("", "__staging").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
+  }
 }
