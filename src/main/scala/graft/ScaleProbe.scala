@@ -407,6 +407,19 @@ object ScaleProbe {
       time(s"mutual_info            x$k",
         graft.operators.MlPrep.mutualInfo(
           d.select(col("lang"), (col("n_chars") % 20).as("b")), "lang", "b"))
+      // Rank normalization: distinct-value grain per group — the
+      // window never sees raw rows; flat beyond the scan.
+      time(s"rank_normalize         x$k",
+        graft.operators.MlPrep.rankNormalize(
+          d.select(col("lang"), (col("n_chars") % 997).as("v")), Seq("lang"), "v"))
+      // Rolling correlation: the series is DOMAIN-sized (50k ticks at
+      // every K) by contract — aggregation tracks the scan, the frame
+      // pass is constant.
+      time(s"rolling_corr           x$k",
+        graft.operators.Regression.rollingCorr(
+          d.groupBy((col("doc_id") % 50000).as("t"))
+            .agg(sum(col("n_chars") % 100).as("x"), sum(col("n_chars") % 97).as("y")),
+          Seq.empty, "t", "x", "y", 24))
       d.unpersist(); v.unpersist()
     }
     spark.stop()

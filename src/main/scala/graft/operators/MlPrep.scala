@@ -214,6 +214,45 @@ object MlPrep {
     * frame is never joined or sorted.
     * Output one row: (n, n_cells, mi_micro_nats, mi_nats).
     */
+  /** Rank-average normalization to [0, 1] — the distribution-free
+    * feature transform (and the per-domain score aligner: normalized
+    * ranks are comparable across sources whose raw scales are not).
+    * Works on the DISTINCT-VALUE grain: per group each value gets its
+    * doubled average rank `avg_rank2 = 2·below + ties + 1` (an exact
+    * integer — ties share the midpoint) and
+    * `norm = (avg_rank2 − 2) / (2·(n − 1))`, so min → 0, max → 1. A
+    * one-value group reports the 0.5 midpoint. The output is the
+    * value→norm map (broadcast-join it to transform rows); the window
+    * runs over the distinct-value table, never the raw frame.
+    * Output: (groupCols*, value, n_ties, avg_rank2, norm).
+    */
+  def rankNormalize(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    val byVal = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col) :+ col(valueCol).as("value"): _*)
+      .agg(count(lit(1)).as("n_ties"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("value").asc)
+      .rowsBetween(Long.MinValue, -1)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    byVal
+      .withColumn("__below", coalesce(sum(col("n_ties")).over(w), lit(0L)))
+      .withColumn("__ntot", sum(col("n_ties")).over(wAll))
+      .withColumn("avg_rank2", col("__below") * 2 + col("n_ties") + 1)
+      .withColumn(
+        "norm",
+        when(col("__ntot") > 1,
+          round(
+            (col("avg_rank2") - 2).cast("double") /
+              ((col("__ntot") - 1) * 2).cast("double"),
+            6))
+          .otherwise(lit(0.5)))
+      .drop("__below", "__ntot")
+  }
+
   def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val cells = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)

@@ -182,4 +182,55 @@ object Regression {
       df: DataFrame, groupCols: Seq[String], xCol: String, yCol: String): DataFrame =
     fits(moments(df, groupCols, toUnits(col(xCol)), toUnits(col(yCol))))
       .select(groupCols.map(col) ++ Seq(col("n"), col("r2")): _*)
+
+  /** Rolling Pearson correlation between two ALIGNED series (one row
+    * per `ordCol` tick, both values integer-quantized by the caller):
+    * over the trailing `window` rows, exact integer moment sums
+    * (Σx, Σy, Σx², Σy², Σxy) in one frame pass, then the textbook
+    * r = (nΣxy−ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) on a single double
+    * tree. Rows earlier than `window−1` ticks report null (incomplete
+    * frame); a zero-variance frame reports null (r undefined).
+    * The window partitions by `groupCols` — pass a bounded-domain
+    * series (e.g. hourly buckets) per group; the frame is
+    * domain-sized, never raw-row-sized.
+    * Output: (groupCols*, ordCol, n, r).
+    */
+  def rollingCorr(
+      df: DataFrame,
+      groupCols: Seq[String],
+      ordCol: String,
+      xCol: String,
+      yCol: String,
+      window: Int): DataFrame = {
+    require(window >= 2 && window <= 100000, s"rollingCorr: window=$window out of [2, 1e5]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(ordCol).asc)
+      .rowsBetween(-(window - 1), 0)
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val n = count(lit(1)).over(w)
+    val sx = sum(x).over(w)
+    val sy = sum(y).over(w)
+    val sxx = sum(x * x).over(w)
+    val syy = sum(y * y).over(w)
+    val sxy = sum(x * y).over(w)
+    val nd = col("__n").cast("double")
+    val num = nd * col("__sxy").cast("double") -
+      col("__sx").cast("double") * col("__sy").cast("double")
+    val vx = nd * col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double")
+    val vy = nd * col("__syy").cast("double") -
+      col("__sy").cast("double") * col("__sy").cast("double")
+    df
+      .select(groupCols.map(col) ++ Seq(
+        col(ordCol),
+        n.as("__n"), sx.as("__sx"), sy.as("__sy"),
+        sxx.as("__sxx"), syy.as("__syy"), sxy.as("__sxy")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col(ordCol),
+        col("__n").as("n"),
+        when(col("__n") === window && vx > 0 && vy > 0,
+          round(num / sqrt(vx * vy), 6)).as("r")): _*)
+  }
 }

@@ -1271,6 +1271,83 @@ object ExtQueries2 {
         |SELECT seg AS segment, CAST(COUNT(*) AS BIGINT) AS n,
         |       CAST(SUM(bal) AS BIGINT) AS sum_bal_u
         |FROM applied GROUP BY 1 ORDER BY segment""".stripMargin)
+    ),
+
+    // Rank-average normalization per language: every document length
+    // mapped to its [0,1] rank position within the language — the
+    // cross-source score aligner (and distribution-free feature
+    // transform) on the distinct-value grain, doubled ranks keeping
+    // ties integer-exact until one rounded division.
+    GraftQuery(
+      "x190_rank_normalize",
+      (s, d) => {
+        graft.operators.MlPrep.rankNormalize(
+            t(s, d, "documents").select(col("lang"), col("n_chars")),
+            Seq("lang"), "n_chars")
+          .orderBy("lang", "value")
+      },
+      Some("""WITH bv AS (
+        |  SELECT lang, n_chars AS value, CAST(COUNT(*) AS BIGINT) AS n_ties
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, value, n_ties,
+        |    COALESCE(SUM(n_ties) OVER (PARTITION BY lang ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+        |    SUM(n_ties) OVER (PARTITION BY lang) AS ntot
+        |  FROM bv)
+        |SELECT lang, value, n_ties,
+        |  CAST(below * 2 + n_ties + 1 AS BIGINT) AS avg_rank2,
+        |  CASE WHEN ntot > 1
+        |       THEN round(CAST(below * 2 + n_ties - 1 AS DOUBLE)
+        |                  / CAST((ntot - 1) * 2 AS DOUBLE), 6)
+        |       ELSE 0.5 END AS norm
+        |FROM r ORDER BY lang, value""".stripMargin)
+    ),
+
+    // Rolling 24-hour Pearson correlation between the hourly view and
+    // purchase volumes: exact integer moment sums in one trailing
+    // frame pass over the hour-bucketed series (domain-sized, never
+    // the raw rows), the textbook r on a single double tree. Only
+    // full, non-degenerate frames report.
+    GraftQuery(
+      "x191_rolling_corr",
+      (s, d) => {
+        val hourly = t(s, d, "events")
+          .filter(col("ts").isNotNull)
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("x"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+        graft.operators.Regression.rollingCorr(hourly, Seq.empty, "h", "x", "y", 24)
+          .filter(col("r").isNotNull)
+          .orderBy("h")
+      },
+      Some("""WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h,
+        |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |w AS (
+        |  SELECT h,
+        |    COUNT(*) OVER fr AS n, SUM(x) OVER fr AS sx, SUM(y) OVER fr AS sy,
+        |    SUM(x * x) OVER fr AS sxx, SUM(y * y) OVER fr AS syy,
+        |    SUM(x * y) OVER fr AS sxy
+        |  FROM hourly
+        |  WINDOW fr AS (ORDER BY h ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT h, CAST(n AS BIGINT) AS n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r
+        |FROM w
+        |WHERE n = 24
+        |  AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |  AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+        |ORDER BY h""".stripMargin)
     )
   )
 }

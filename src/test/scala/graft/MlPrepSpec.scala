@@ -117,4 +117,17 @@ class MlPrepSpec extends SparkSpec {
     val i = MlPrep.mutualInfo(ind, "x", "y").collect()(0)
     assert(i.getLong(2) == 0L, s"independent MI should be 0, got ${i.getLong(2)}")
   }
+
+  test("rankNormalize: ties share the midpoint, extremes hit 0 and 1") {
+    import sqlImplicits._
+    val df = Seq(("g", 10L), ("g", 20L), ("g", 20L), ("g", 30L), ("s", 5L)).toDF("k", "v")
+    val out = MlPrep.rankNormalize(df, Seq("k"), "v")
+      .orderBy("k", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("g", 10L, 1L, 2L, 0.0),
+      ("g", 20L, 2L, 5L, 0.5), // doubled avg rank 2.5
+      ("g", 30L, 1L, 8L, 1.0),
+      ("s", 5L, 1L, 2L, 0.5))) // one-value group: midpoint
+  }
 }

@@ -91,4 +91,21 @@ class RegressionSpec extends SparkSpec {
       .orderBy("k", "lag").collect()
     assert(got.map(_.toSeq).toSeq == rep.map(_.toSeq).toSeq)
   }
+
+  test("rollingCorr: perfect linear frames give plus/minus 1, degenerate frames null") {
+    import sqlImplicits._
+    val rows = (1 to 6).map(t => ("g", t.toLong, t.toLong, 2L * t + 3)) ++
+      (1 to 6).map(t => ("h", t.toLong, t.toLong, -t.toLong)) ++
+      (1 to 6).map(t => ("z", t.toLong, t.toLong, 7L))
+    val out = Regression.rollingCorr(rows.toDF("k", "t", "x", "y"), Seq("k"), "t", "x", "y", 3)
+      .orderBy("k", "t").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    // first window-1 ticks per key: incomplete frame -> null
+    assert(out.filter(_._2 <= 2).forall(_._3.isNaN))
+    assert(out.filter(o => o._1 == "g" && o._2 >= 3).forall(_._3 == 1.0))
+    assert(out.filter(o => o._1 == "h" && o._2 >= 3).forall(_._3 == -1.0))
+    // zero-variance y: r undefined
+    assert(out.filter(_._1 == "z").forall(_._3.isNaN))
+  }
 }
