@@ -33,11 +33,39 @@ object Bench {
     val coldTotal =
       if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
         val t0 = System.nanoTime()
-        val coldTimes = queries.map { case (name, fn) =>
-          val q0 = System.nanoTime()
-          try fn(spark, sfDir).count() catch { case _: Throwable => () }
-          name -> (System.nanoTime() - q0) / 1e9
-        }
+        // Cold first-touch runs CONCURRENTLY (default 6 threads): the
+        // dominant cold cost is driver-side per-query work — Catalyst
+        // analysis, janino codegen, operator-cache builds — which
+        // parallelizes across queries while local[32] has executor
+        // threads to spare. Shared operator state is lock-protected
+        // (OpCache.swap and the memo tables are synchronized; the CDC
+        // publish avoids session-conf mutation), and every stateful
+        // query owns its table names, so concurrent first-touch is
+        // safe. The timed pass below stays strictly sequential.
+        val nThreads = sys.env.getOrElse("SPARK_GRAFT_COLD_THREADS", "6").toInt
+        val coldTimes =
+          if (nThreads <= 1) {
+            queries.map { case (name, fn) =>
+              val q0 = System.nanoTime()
+              try fn(spark, sfDir).count() catch { case _: Throwable => () }
+              name -> (System.nanoTime() - q0) / 1e9
+            }
+          } else {
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+            implicit val ec: scala.concurrent.ExecutionContext =
+              scala.concurrent.ExecutionContext.fromExecutor(pool)
+            val fs = queries.toSeq.map { case (name, fn) =>
+              scala.concurrent.Future {
+                val q0 = System.nanoTime()
+                try fn(spark, sfDir).count() catch { case _: Throwable => () }
+                name -> (System.nanoTime() - q0) / 1e9
+              }
+            }
+            val done = fs.map(f =>
+              scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+            pool.shutdown()
+            done.toMap
+          }
         // Cold profile (SPARK_GRAFT_COLD_DETAIL=1): per-query FIRST-RUN
         // seconds, slowest first — codegen + operator-cache build land
         // on whichever query touches them first, so this is the map of
@@ -54,13 +82,41 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      // Contention adjudication IN the artifact (not after the fact):
+      // a full gauntlet pass lands GC/compilation/machine noise on
+      // whichever query it happens to hit, inflating that query 3-10×
+      // with an unchanged plan. Any query whose full-pass time
+      // exceeds max(3× the pass median, 1.5 s) is re-timed right
+      // here, isolated (2 runs, min = converged steady state), and
+      // BOTH numbers ship in the JSON: `queries` holds the full-pass
+      // time, `isolated` the re-timed outliers, `isolated_total` the
+      // pass total with flagged queries at their isolated time — the
+      // number that reflects per-plan cost rather than pass noise.
+      val sorted = results.values.toSeq.sorted
+      val median = if (sorted.isEmpty) 0.0 else sorted(sorted.length / 2)
+      val cutoff = math.max(3.0 * median, 1.5)
+      val flagged = results.filter { case (_, v) => v > cutoff }
+        .toSeq.sortBy(-_._2).take(24)
+      val isolated = flagged.map { case (name, _) =>
+        val fn = queries(name)
+        val runs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> runs.min
+      }.toMap
+      val isolatedTotal = results.map { case (k, v) => math.min(isolated.getOrElse(k, v), v) }.sum
+      val isoJson = isolated.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"" + k + "\":" + math.round(v * 1000) / 1000.0 }
+        .mkString("{", ",", "}")
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      val total = if (results.nonEmpty) results.values.sum else 0.0
       // warm = anything ran before this pass (warmup, or an earlier repeat)
       val warm = coldTotal >= 0 || pass > 1
       val suffix =
-        s""","sf":"$sfDir","warm":$warm,"cold_total":${math.round(coldTotal * 1000) / 1000.0},"metric":"total","unit":"sec","value":$total}"""
+        s""","sf":"$sfDir","warm":$warm,"cold_total":${math.round(coldTotal * 1000) / 1000.0},"isolated":$isoJson,"isolated_total":${math.round(isolatedTotal * 1000) / 1000.0},"metric":"total","unit":"sec","value":$total}"""
       // Full-precision line for logs/humans (may exceed harness windows):
       println(s"""{"queries":$qs$suffix""")
       // The harness that grades this keeps only the LAST ~2000 chars of

@@ -412,6 +412,32 @@ object ScaleProbe {
       time(s"rank_normalize         x$k",
         graft.operators.MlPrep.rankNormalize(
           d.select(col("lang"), (col("n_chars") % 997).as("v")), Seq("lang"), "v"))
+      // Streaming CDC bucketed fold: the snapshot grows K× while the
+      // delta stays CONSTANT (1000 keys) — the timed fold must track
+      // the touched buckets (delta-sized partition-pruned read +
+      // per-bucket publish), not the snapshot; the r6 full-rewrite
+      // finding would show here as a linear-in-K curve. Timed block
+      // excludes the batch-0 bootstrap (that one IS snapshot-sized by
+      // contract).
+      locally {
+        val state = "probe_cdc_state"
+        Seq("", "__staging", "__wm", "__touched")
+          .foreach(x => graft.sources.Tables.dropManaged(spark, state + x))
+        val base = d.select(col("doc_id").as("k2"), col("lang"), col("n_chars"))
+        graft.streaming.EventStreams.foldSnapshotBatch(
+          base.withColumn("op", lit("I")).withColumn("ord", lit(0L)),
+          0L, state, Seq("k2"), "op", Seq("ord"))
+        val delta = base.filter(col("k2") < 1000)
+          .select(col("k2"), col("lang"), (col("n_chars") + 1).as("n_chars"),
+            lit("U").as("op"), lit(1L).as("ord"))
+        time(s"cdc_fold_bucketed      x$k", {
+          graft.streaming.EventStreams.foldSnapshotBatch(
+            delta, 1L, state, Seq("k2"), "op", Seq("ord"))
+          spark.table(state + "__wm")
+        })
+        Seq("", "__staging", "__wm", "__touched")
+          .foreach(x => graft.sources.Tables.dropManaged(spark, state + x))
+      }
       // Rolling correlation: the series is DOMAIN-sized (50k ticks at
       // every K) by contract — aggregation tracks the scan, the frame
       // pass is constant.

@@ -23,7 +23,10 @@ object Cdc {
     * `ordCols` (the version order — later wins; ties broken by the
     * LAST ordCol being unique is the caller's contract). Per key only
     * the latest log row acts: 'D' removes the key, 'I'/'U' upsert the
-    * payload. Keys untouched by the log pass through.
+    * payload. Keys untouched by the log pass through. Any other op
+    * value (including null) fails the job loudly — under the old
+    * `=!= "D"` filter a null op evaluated to null and silently
+    * DELETED the key, turning malformed log rows into data loss.
     */
   def applyLog(
       base: DataFrame,
@@ -39,6 +42,19 @@ object Cdc {
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") === 1)
       .drop("__r")
+      // op validation fused into the plan (the Resample grid-guard
+      // pattern): assert_true returns null for every valid row, so
+      // the isNull filter keeps everything while making the check
+      // unprunable — a null/unknown op throws instead of silently
+      // acting as a delete
+      .withColumn(
+        "__opchk",
+        assert_true(
+          col(opCol).isin("I", "U", "D"),
+          concat(lit(s"Cdc.applyLog: op '$opCol' must be I/U/D, got "),
+            coalesce(col(opCol).cast("string"), lit("null")))))
+      .filter(col("__opchk").isNull)
+      .drop("__opchk")
     val touched = latest.select(keyCols.map(col): _*)
     base
       .join(touched, keyCols, "left_anti")

@@ -58,15 +58,24 @@ object Eval {
       .agg(
         sum(col("__pos")).as("n_pos"),
         sum(col("__neg")).as("n_neg"),
-        sum(col("__pos") * (col("__neg_lt") * 2 + col("__neg"))).as("u2"))
-      .withColumn(
-        "auc",
-        when(
-          col("n_pos") > 0 && col("n_neg") > 0,
-          round(
-            col("u2").cast("double") /
-              (col("n_pos") * col("n_neg") * 2).cast("double"),
-            6)))
+        // accumulated in DECIMAL(38,0): with > ~2.1e9 positives AND
+        // negatives in one group (the 100 TB regime) both the u2 sum
+        // and the 2·n_pos·n_neg denominator overflow Long and wrap
+        // silently under non-ANSI — decimal keeps both exact
+        sum((col("__pos") * (col("__neg_lt") * 2 + col("__neg")))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("__u2d"))
+      .select(
+        groupCols.map(col) ++ Seq(
+          col("n_pos"),
+          col("n_neg"),
+          col("__u2d").cast("long").as("u2"),
+          when(
+            col("n_pos") > 0 && col("n_neg") > 0,
+            round(
+              col("__u2d").cast("double") /
+                (col("n_pos").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+                  col("n_neg") * 2).cast("double"),
+              6)).as("auc")): _*)
   }
 
   /** Lift-and-gains table: rows ranked by score DESCENDING and cut

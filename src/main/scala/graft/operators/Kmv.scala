@@ -41,9 +41,12 @@ object Kmv {
       groupCols: Seq[String],
       keyCol: String,
       k: Int = 256): DataFrame = {
-    require(k >= 2 && k <= 65536, s"distinctSketch: k=$k out of [2, 65536]")
+    // k ≤ 32768 keeps (k−1)·2^48 ≤ 2^63 − 2^48 < Long.MaxValue — at
+    // k = 32769 the product crosses 2^63 and wraps negative, turning
+    // every estimate into garbage, so the bound is a hard require.
+    require(k >= 2 && k <= 32768, s"distinctSketch: k=$k out of [2, 32768]")
     val space = 1L << 48
-    val km1TimesSpace = (k - 1L) * space // < 2^63 for k ≤ 65536
+    val km1TimesSpace = (k - 1L) * space // exact: ≤ 2^63 − 2^48 for k ≤ 32768
     val hashes = df
       .filter(col(keyCol).isNotNull)
       .select(groupCols.map(col) :+ hash48(col(keyCol)).as("__h"): _*)

@@ -202,18 +202,6 @@ object MlPrep {
           (col("n").cast("double") + lit(m)) / lit(1e4)).as("enc"))
   }
 
-  /** Mutual information between two categorical columns — the
-    * feature-screening readout (how much does knowing x say about
-    * y?): `MI = Σ_xy (n_xy/N) · ln(N·n_xy / (n_x·n_y))` over the
-    * contingency table. Counts are exact integers; each cell's single
-    * ln rides one double tree and is quantized to micro-nats before
-    * the order-free integer sum (the x99 convention). Zero cells
-    * contribute nothing (the sum runs over observed cells only).
-    * Scale shape: one (x, y) aggregation, two margin aggregations of
-    * the CELL table (vocab-sized), broadcast joins back — the raw
-    * frame is never joined or sorted.
-    * Output one row: (n, n_cells, mi_micro_nats, mi_nats).
-    */
   /** Rank-average normalization to [0, 1] — the distribution-free
     * feature transform (and the per-domain score aligner: normalized
     * ranks are comparable across sources whose raw scales are not).
@@ -253,6 +241,18 @@ object MlPrep {
       .drop("__below", "__ntot")
   }
 
+  /** Mutual information between two categorical columns — the
+    * feature-screening readout (how much does knowing x say about
+    * y?): `MI = Σ_xy (n_xy/N) · ln(N·n_xy / (n_x·n_y))` over the
+    * contingency table. Counts are exact integers; each cell's single
+    * ln rides one double tree and is quantized to micro-nats before
+    * the order-free integer sum (the x99 convention). Zero cells
+    * contribute nothing (the sum runs over observed cells only).
+    * Scale shape: one (x, y) aggregation, two margin aggregations of
+    * the CELL table (vocab-sized), broadcast joins back — the raw
+    * frame is never joined or sorted.
+    * Output one row: (n, n_cells, mi_micro_nats, mi_nats).
+    */
   def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val cells = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)

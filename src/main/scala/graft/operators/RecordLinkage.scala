@@ -98,4 +98,37 @@ object RecordLinkage {
         (col("pos") + 1).cast("int").as("offset"))
       .filter(col("id_b").isNotNull)
   }
+
+  /** Multi-pass sorted neighborhood (the published contract of
+    * Hernández & Stolfo 1995 §4.2: several independent passes with
+    * DIFFERENT (block, key) choices, candidate sets union-deduped) —
+    * one pass misses every true pair its blocking key splits apart;
+    * a second pass with a rotated key recovers them. Pairs are
+    * normalized to id_a < id_b before the dedup so the same pair
+    * found a→b in one pass and b→a in another collapses.
+    * Scale shape: each pass is one keyed-window shuffle (see
+    * [[sortedNeighborhood]]); the dedup groupBy runs over the pair
+    * sets (w·n rows per pass), never the records.
+    * Output: (id_a, id_b, n_passes, first_pass).
+    */
+  def sortedNeighborhoodMultiPass(
+      df: DataFrame,
+      idCol: String,
+      passes: Seq[(Column, Column)], // (sortKey, blockCol) per pass
+      w: Int): DataFrame = {
+    require(passes.nonEmpty, "sortedNeighborhoodMultiPass: at least one pass")
+    passes.zipWithIndex
+      .map { case ((key, blk), i) =>
+        sortedNeighborhood(df, idCol, key, blk, w)
+          .select(
+            least(col("id_a"), col("id_b")).as("id_a"),
+            greatest(col("id_a"), col("id_b")).as("id_b"),
+            lit(i).as("pass"))
+      }
+      .reduce(_ unionByName _)
+      .groupBy("id_a", "id_b")
+      .agg(
+        countDistinct(col("pass")).as("n_passes"),
+        min(col("pass")).as("first_pass"))
+  }
 }

@@ -392,9 +392,17 @@ object ExtQueries2 {
     // Kaplan–Meier signup→purchase survival with right-censoring at
     // the corpus horizon: per user, duration = whole seconds from
     // first signup to first purchase (censored at max ts when none).
-    // n_risk/d/c are exact integers; ln S is an exact integer
-    // micro-nat prefix sum — the whole curve is hash-exact, no exp
-    // anywhere.
+    // The HASHED surface is the exact-integer curve (t, n_risk, d, c)
+    // — those four columns fully determine ln S(t) and the whole
+    // survival function, and every one replays bit-for-bit in any
+    // engine. The ln_surv_micro column the operator also emits is
+    // libm-dependent (round(ln(·)·1e6) can flip by 1 micro-nat
+    // between the JVM's Math.log and DuckDB's ln when the product
+    // lands on a .5 boundary — it did, the only red row of r6), so it
+    // is deliberately DROPPED here and certified spec-side instead:
+    // StatsSpec pins it to hand-computed values with |Δ| ≤ 1, and
+    // InvariantsSpec enforces repo-wide that no oracled output column
+    // is fed by a raw transcendental (see `transcendental hygiene`).
     GraftQuery(
       "x170_kaplan_meier",
       (s, d) => {
@@ -414,7 +422,9 @@ object ExtQueries2 {
           .select(
             ((dmicros - pmod(dmicros, lit(1000000L))) / lit(1000000L)).cast("long").as("dur"),
             when(col("t1").isNotNull, 1L).otherwise(0L).as("e"))
-        graft.operators.Stats.kaplanMeier(obs, "dur", "e").orderBy("t")
+        graft.operators.Stats.kaplanMeier(obs, "dur", "e")
+          .select(col("t"), col("n_risk"), col("d"), col("c"))
+          .orderBy("t")
       },
       Some(s"""WITH s0 AS (
         |  SELECT user_id, MIN(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY 1),
@@ -434,18 +444,9 @@ object ExtQueries2 {
         |tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n FROM col),
         |cum AS (SELECT *, SUM(d + c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumdc
         |        FROM col),
-        |ar AS (SELECT v, d, c, tot.n - (cumdc - d - c) AS nr FROM cum, tot),
-        |tm AS (
-        |  SELECT *, CASE WHEN nr > d
-        |    THEN CAST(round(ln(CAST(nr - d AS DOUBLE) / CAST(nr AS DOUBLE)) * 1e6) AS BIGINT)
-        |    ELSE 0 END AS t
-        |  FROM ar),
-        |fin AS (SELECT v, nr, d, c,
-        |               SUM(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS lnsurv
-        |        FROM tm)
-        |SELECT CAST(v AS DOUBLE) / 1e4 AS t, nr AS n_risk, d, c,
-        |  CASE WHEN nr = d THEN NULL ELSE CAST(lnsurv AS BIGINT) END AS ln_surv_micro
-        |FROM fin ORDER BY t""".stripMargin)
+        |ar AS (SELECT v, d, c, tot.n - (cumdc - d - c) AS nr FROM cum, tot)
+        |SELECT CAST(v AS DOUBLE) / 1e4 AS t, nr AS n_risk, d, c
+        |FROM ar ORDER BY t""".stripMargin)
     ),
 
     // Gini concentration of customer spend — the inequality audit
@@ -1214,7 +1215,7 @@ object ExtQueries2 {
       (s, d) => {
         import graft.streaming.EventStreams
         val state = "graft_x189_state"
-        Seq("", "__staging").foreach(x => graft.sources.Tables.dropManaged(s, state + x))
+        Seq("", "__staging", "__wm", "__touched").foreach(x => graft.sources.Tables.dropManaged(s, state + x))
         val base = t(s, d, "customer").select(
           col("c_custkey").as("k"),
           col("c_mktsegment").as("seg"),
@@ -1243,7 +1244,7 @@ object ExtQueries2 {
         EventStreams.foldSnapshotBatch(
           log.filter(pmod(col("k"), lit(3L)) === 1), 2L,
           state, Seq("k"), "op", Seq("ord"))
-        s.table(state).drop("__last_batch")
+        EventStreams.snapshot(s, state)
           .groupBy(col("seg").as("segment"))
           .agg(count(lit(1)).as("n"), sum(col("bal")).as("sum_bal_u"))
           .orderBy("segment")
@@ -1348,6 +1349,238 @@ object ExtQueries2 {
         |  AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
         |ORDER BY h""".stripMargin)
+    ),
+
+    // Portable twin of the PERCEPTUAL near-dup pairing layer (x102's
+    // dHash path): the JVM pixel decode is honestly unportable, but
+    // everything downstream of the 64-bit signature is not — this twin
+    // feeds deterministic md5-derived 60-bit signatures (top 4 bits
+    // zero keeps every engine's integer arithmetic exact) with planted
+    // 2-bit-flipped twins on every 97th doc through the PRODUCTION
+    // banding operator `Dedup.hammingPairs64` (the exact code x102
+    // runs), and DuckDB replays the 4×16-bit pigeonhole bands, the
+    // band join, the dedup and the hamming cut bit-for-bit — the x40
+    // SimHash pattern extended to the image/audio pair layer.
+    GraftQuery(
+      "x192_dhash_pairs_portable",
+      (s, d) => {
+        val sigs = perceptualTwinSigs(t(s, d, "documents"), "img", flips = 2)
+        graft.operators.Dedup.hammingPairs64(sigs, "doc_id", "sig", maxHamming = 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some(perceptualTwinSql("img", flips = 2, dropMod = 0))
+    ),
+
+    // Audio sibling (x103's afp64 path): different seed lane, a
+    // deterministic dropout rule standing in for the silent-clip
+    // signature refusal (afp64 returns None on flat energy — here
+    // every 13th doc drops before signing, in both engines), and
+    // 3-bit planted twins — the pigeonhole completeness boundary
+    // (hamming ≤ 3 over 4 bands is the guarantee; a banding bug that
+    // still finds 2-bit twins but loses 3-bit ones fails THIS row).
+    GraftQuery(
+      "x193_afp_pairs_portable",
+      (s, d) => {
+        val sigs = perceptualTwinSigs(
+          t(s, d, "documents").filter(col("doc_id") % 13 =!= 0), "aud", flips = 3)
+        graft.operators.Dedup.hammingPairs64(sigs, "doc_id", "sig", maxHamming = 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some(perceptualTwinSql("aud", flips = 3, dropMod = 13))
+    ),
+
+    // Driver-visible recall gate for the multimodal ANN path (x24) —
+    // the x65 pattern on the multimodal FEATURE space: the stub
+    // encoder's unit-norm vectors (deterministic splitmix64 from the
+    // decode checksum — JVM-only, so the vectors themselves are
+    // rows-only) feed both the exact cosine baseline and the two
+    // label-free ANN variants; each variant emits a recall ≥ threshold
+    // boolean against the exact top-3. The oracle can't see the
+    // vectors but CAN pin the one portable invariant that makes the
+    // booleans a real gate: n_exact = 3 · |{doc_id % 100 = 0}| (every
+    // query has exactly k=3 neighbors in a corpus larger than 4), so
+    // a feature-space collapse (NaN vectors, degenerate norms, a
+    // plane-table regression) that drops queries or flips a boolean
+    // fails the hash. Thresholds sit well under the observed minimum
+    // across sf0.001/sf0.01 — they catch collapse, not fixture noise.
+    GraftQuery(
+      "x194_multimodal_ann_recall_gate",
+      (s, d) => {
+        implicit val sp: org.apache.spark.sql.SparkSession = s
+        val feats = graft.operators.OpCache.swap(
+          "ext.x194.feats",
+          graft.operators.Multimodal.extractFeaturesStub(
+            graft.operators.Multimodal.extractMeta(
+              graft.operators.Multimodal.synthesizeMedia(t(s, d, "documents")))).toDF()
+            .select(col("doc_id").as("vec_id"), col("feature").as("embedding")))
+        val exact = graft.operators.OpCache.swap(
+          "ext.x194.exact",
+          graft.operators.Similarity.cosineTopK(feats, site = "sim.mm.prep")
+            .select("query_id", "neighbor_id"))
+        def gate(method: String, approx: org.apache.spark.sql.DataFrame, minRecall: Double) =
+          exact
+            .join(
+              approx.select(col("query_id"), col("neighbor_id"), lit(1).as("__hit")),
+              Seq("query_id", "neighbor_id"), "left")
+            .agg(count(lit(1)).as("n_exact"), sum(coalesce(col("__hit"), lit(0))).as("n_hit"))
+            .select(
+              lit(method).as("method"),
+              col("n_exact"),
+              (col("n_hit").cast("double") >= col("n_exact").cast("double") * lit(minRecall))
+                .as("recall_ok"))
+        gate("mm_ann_lsh",
+          graft.operators.Similarity.annSignLshTopK(feats, dim = 16), 0.20)
+          .unionByName(gate("mm_ivf_kmeans",
+            graft.operators.Similarity.ivfTopKKmeans(feats), 0.20))
+          .orderBy("method")
+      },
+      Some("""WITH e AS (
+        |  SELECT 3 * COUNT(*) AS n_exact FROM documents WHERE doc_id % 100 = 0)
+        |SELECT m.method, e.n_exact, true AS recall_ok
+        |FROM e CROSS JOIN (VALUES ('mm_ann_lsh'), ('mm_ivf_kmeans')) m(method)
+        |ORDER BY method""".stripMargin)
+    ),
+
+    // MULTI-pass sorted neighborhood (completing x185's single pass to
+    // the published Hernández-Stolfo contract): every 50th part gets a
+    // planted duplicate under a DIFFERENT brand — invisible to pass 0
+    // (brand-blocked), recovered by pass 1 (name-prefix-blocked, where
+    // the identical name makes the twin adjacent) — candidate sets
+    // union-deduped on normalized (id_a < id_b) pairs. The oracle
+    // replays both window passes, the dedup, and the recovery audit;
+    // `all_planted_recovered` is COMPUTED in both engines, not pinned.
+    GraftQuery(
+      "x195_sn_multipass",
+      (s, d) => {
+        val parts = t(s, d, "part").select(
+          col("p_partkey").as("id"), col("p_name").as("nm"), col("p_brand").as("br"))
+        val planted = parts.filter(col("id") % 50 === 0)
+          .select((col("id") + 1000000L).as("id"), col("nm"), lit("Brand#XX").as("br"))
+        val rec = parts.unionByName(planted)
+        // pass 1's rotated key is (name, canonical id): the fixture's
+        // names repeat heavily (runs of 6+ identical names), so a
+        // name-only key can seat 4 strangers between a record and its
+        // planted twin — the canonical-id component (id mod the twin
+        // offset) makes record/twin EXACT key ties, hence adjacent,
+        // the way a real multi-pass key composes content + a
+        // canonicalized record attribute
+        val pairs = graft.operators.RecordLinkage.sortedNeighborhoodMultiPass(
+          rec, "id",
+          Seq(
+            (col("nm").cast("string"), col("br")), // pass 0: the x185 blocking
+            (struct(col("nm"), pmod(col("id"), lit(1000000L))),
+              substring(col("nm"), 1, 8))), // pass 1: rotated key
+          w = 2)
+        pairs
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            sum(when(col("n_passes") > 1, 1L).otherwise(0L)).as("n_both"),
+            sum(when(col("first_pass") === 0, 1L).otherwise(0L)).as("n_first0"),
+            sum(when(col("id_b") - col("id_a") === 1000000L, 1L).otherwise(0L))
+              .as("n_planted_found"))
+          .crossJoin(broadcast(planted.agg(count(lit(1)).as("n_planted"))))
+          .select(
+            col("n_pairs"), col("n_both"), col("n_first0"),
+            col("n_planted_found"), col("n_planted"),
+            (col("n_planted_found") >= col("n_planted")).as("all_planted_recovered"))
+      },
+      Some("""WITH rec AS (
+        |  SELECT p_partkey AS id, p_name AS nm, p_brand AS br FROM part
+        |  UNION ALL
+        |  SELECT p_partkey + 1000000, p_name, 'Brand#XX' FROM part
+        |  WHERE p_partkey % 50 = 0),
+        |p0 AS (
+        |  SELECT id AS id_a, lead(id, 1) OVER w AS b1, lead(id, 2) OVER w AS b2
+        |  FROM rec WINDOW w AS (PARTITION BY br ORDER BY nm, id)),
+        |p1 AS (
+        |  SELECT id AS id_a, lead(id, 1) OVER w AS b1, lead(id, 2) OVER w AS b2
+        |  FROM rec
+        |  WINDOW w AS (PARTITION BY substring(nm, 1, 8)
+        |               ORDER BY nm, id % 1000000, id)),
+        |pairs AS (
+        |  SELECT least(id_a, b) AS id_a, greatest(id_a, b) AS id_b, 0 AS pass FROM (
+        |    SELECT id_a, b1 AS b FROM p0 UNION ALL SELECT id_a, b2 FROM p0)
+        |  WHERE b IS NOT NULL
+        |  UNION ALL
+        |  SELECT least(id_a, b), greatest(id_a, b), 1 FROM (
+        |    SELECT id_a, b1 AS b FROM p1 UNION ALL SELECT id_a, b2 FROM p1)
+        |  WHERE b IS NOT NULL),
+        |g AS (
+        |  SELECT id_a, id_b, COUNT(DISTINCT pass) AS n_passes, MIN(pass) AS first_pass
+        |  FROM pairs GROUP BY 1, 2),
+        |pl AS (SELECT COUNT(*) AS np FROM part WHERE p_partkey % 50 = 0)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN n_passes > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |  CAST(SUM(CASE WHEN first_pass = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_first0,
+        |  CAST(SUM(CASE WHEN id_b - id_a = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_planted_found,
+        |  CAST(MAX(pl.np) AS BIGINT) AS n_planted,
+        |  CAST(SUM(CASE WHEN id_b - id_a = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    >= MAX(pl.np) AS all_planted_recovered
+        |FROM g, pl""".stripMargin)
     )
   )
+
+  /** Deterministic 60-bit signature table with planted near-dup twins
+    * — the shared fixture of the perceptual-pair portable twins
+    * (x192/x193). Signature = 15 md5 nibbles of `seed‖doc_id` in
+    * big-endian nibble arithmetic (the x40 hex→int convention; 60
+    * bits keeps every partial sum well under 2^63 in both engines);
+    * every 97th doc plants a twin at id+10,000,000 whose signature
+    * differs in exactly `flips` bit positions (rotating with doc_id,
+    * pairwise distinct by construction).
+    */
+  private def perceptualTwinSigs(
+      docs: org.apache.spark.sql.DataFrame, seed: String, flips: Int): org.apache.spark.sql.DataFrame = {
+    def nib(h: org.apache.spark.sql.Column, i: Int) =
+      (instr(lit("0123456789abcdef"), substring(h, i, 1)) - 1).cast("long")
+    val h = md5(concat(lit(seed), col("doc_id").cast("string")))
+    val sig = (0 until 15).map(i => nib(h, i + 1) * lit(1L << (4 * (14 - i)))).reduce(_ + _)
+    val base = docs.select(col("doc_id"), sig.as("sig"))
+    val flipped = flipOffsets(flips).map(o =>
+      expr(s"shiftleft(CAST(1 AS BIGINT), CAST((doc_id % 60 + $o) % 60 AS INT))"))
+      .foldLeft(col("sig"))((s, b) => s.bitwiseXOR(b))
+    base.unionByName(
+      base.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), flipped.as("sig")))
+  }
+
+  /** Bit-flip offsets per twin: pairwise distinct mod 60, so `flips`
+    * is the exact planted hamming distance.
+    */
+  private def flipOffsets(flips: Int): Seq[Int] = Seq(0, 11, 23).take(flips)
+
+  /** DuckDB replay of [[perceptualTwinSigs]] + the
+    * [[graft.operators.Dedup.hammingPairs64]] pigeonhole banding —
+    * generated from the same offsets so Scala and SQL cannot drift.
+    */
+  private def perceptualTwinSql(seed: String, flips: Int, dropMod: Int): String = {
+    val sigSql = (0 until 15)
+      .map { i =>
+        s"(strpos('0123456789abcdef', substring(md5('$seed' || CAST(doc_id AS VARCHAR)), ${i + 1}, 1)) - 1)" +
+          s" * ${1L << (4 * (14 - i))}"
+      }
+      .mkString(" + ")
+    // the xor chain textually: xor(xor(s, b0), b1)...
+    val twinSig = flipOffsets(flips).foldLeft("s") { (acc, o) =>
+      s"xor($acc, CAST(1 AS BIGINT) << CAST((doc_id % 60 + $o) % 60 AS INT))"
+    }
+    val drop = if (dropMod > 0) s"WHERE doc_id % $dropMod <> 0" else ""
+    s"""WITH base AS (
+       |  SELECT doc_id, CAST($sigSql AS BIGINT) AS s FROM documents $drop),
+       |sigs AS (
+       |  SELECT doc_id, s FROM base
+       |  UNION ALL
+       |  SELECT doc_id + 10000000, $twinSig FROM base WHERE doc_id % 97 = 0),
+       |banded AS (
+       |  SELECT doc_id, s, b.range AS band_id,
+       |         (s >> CAST(b.range * 16 AS INT)) & 65535 AS band_key
+       |  FROM sigs, range(4) AS b)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+       |FROM banded a JOIN banded b
+       |  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.s, b.s)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 }

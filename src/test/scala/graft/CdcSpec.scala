@@ -27,4 +27,26 @@ class CdcSpec extends SparkSpec {
     assert(Cdc.applyLog(base, empty, Seq("k"), "op", Seq("ord")).collect().toSeq ==
       base.collect().toSeq)
   }
+
+  test("applyLog fails loudly on a null or unknown op instead of silently deleting") {
+    import sqlImplicits._
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    // null op: under the old `=!= \"D\"` filter this row evaluated to
+    // null and key 1 vanished from the snapshot — silent data loss
+    val nullOp = Seq((1L, "a2", Option.empty[String], 1L)).toDF("k", "v", "op", "ord")
+    val eNull = intercept[Exception] {
+      Cdc.applyLog(base, nullOp, Seq("k"), "op", Seq("ord")).collect()
+    }
+    assert(eNull.getMessage != null)
+    // unknown op value: same loud failure
+    val badOp = Seq((2L, "b2", "X", 1L)).toDF("k", "v", "op", "ord")
+    intercept[Exception] {
+      Cdc.applyLog(base, badOp, Seq("k"), "op", Seq("ord")).collect()
+    }
+    // valid ops still flow
+    val ok = Seq((2L, "b2", "U", 1L)).toDF("k", "v", "op", "ord")
+    assert(Cdc.applyLog(base, ok, Seq("k"), "op", Seq("ord"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b2")))
+  }
 }

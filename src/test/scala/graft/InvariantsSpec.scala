@@ -110,6 +110,68 @@ class InvariantsSpec extends SparkSpec {
       s"serialize these columns (array_join/to_json) before declaring:\n${offenders.mkString("\n")}")
   }
 
+  test("transcendental hygiene: oracled queries using log/exp/pow declare a tolerance convention") {
+    // round(f(x)·10^k) of a libm-dependent transcendental is NOT
+    // portable: a 1-ulp disagreement between the JVM's Math.log and
+    // DuckDB's ln flips the rounded integer whenever the product
+    // lands on a .5 boundary — the exact failure that made
+    // x170_kaplan_meier r6's only red row. Any oracled query whose
+    // plan contains a transcendental must either keep it OUT of the
+    // hashed surface or sit in this allowlist with its convention
+    // stated. sqrt/cbrt are exempt: IEEE 754 requires them correctly
+    // rounded, so every engine agrees to the last ulp.
+    val transcendental = Set(
+      "Log", "Log2", "Log10", "Log1p", "Logarithm", "Exp", "Expm1", "Pow", "Power")
+    // name -> why its transcendental is safe despite being in the plan
+    val conventions = Map(
+      "x17_tfidf" ->
+        "idf ln rounded at 4dp on bounded magnitudes; green since r2",
+      "x82_cooccur_lift" ->
+        "lift ln rounded at 4dp on bounded magnitudes; green since r5",
+      "x84_weighted_sample" ->
+        "ln is the A-ExpJ selection KEY only — hashed output is ids/lengths, never the key",
+      "x88_hll_distinct" ->
+        "HLL 2^-M harmonic estimate certified via 3x-rsd threshold booleans (the x12 convention)",
+      "x89_streaming_fold_hll" ->
+        "same surface as x88 through the streaming fold",
+      "x138_hll_window" ->
+        "same HLL rsd-bound convention per window",
+      "x121_psi" ->
+        "per-bin ln micro-quantized before the order-free integer sum",
+      "x99_bigram_nll" ->
+        "per-cell ln micro-nat quantized before the order-free integer sum",
+      "x136_dsir_weights" ->
+        "log-ratio micro-quantized, identical double tree replayed in the oracle",
+      "x139_zipf_slope" ->
+        "ln-ln OLS on micro-quantized per-point terms",
+      "x188_mutual_info" ->
+        "per-cell ln micro-nat quantized before the integer sum",
+      "x165_kl_divergence" ->
+        "per-cell ln micro-nat quantized before the integer sum (the x99 convention)",
+      "x174_column_entropy" ->
+        "per-value ln micro-nat quantized before the integer sum",
+      "x170_kaplan_meier" ->
+        ("ln computed in-plan but EXCLUDED from the hashed surface (r7 fix: only exact " +
+          "integers t/n_risk/d/c are oracled; ln_surv_micro is spec-pinned in StatsSpec)"))
+    val oracled = SparkEntry.oracleSql.keySet
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => oracled(name) && !conventions.contains(name) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, "/root/testdata/sf0.001").queryExecution.analyzed
+        val hits = plan.collect {
+          case p =>
+            p.expressions.flatMap(_.collect {
+              case e if transcendental(e.getClass.getSimpleName) => e.getClass.getSimpleName
+            })
+        }.flatten.distinct
+        if (hits.isEmpty) Nil else Seq(s"$name: ${hits.mkString(",")}")
+      }
+    assert(
+      offenders.isEmpty,
+      "oracled queries with an undeclared transcendental — keep it out of the hashed " +
+        s"surface (the x170 fix) or add a convention entry:\n${offenders.mkString("\n")}")
+  }
+
   test("packSequences: conserves rows and tokens per stratum; bin ids start at 0 and are dense") {
     import sqlImplicits._
     val d = (1L to 500L)

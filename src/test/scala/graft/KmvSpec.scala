@@ -46,4 +46,17 @@ class KmvSpec extends SparkSpec {
     val kth = r.getLong(2)
     assert(r.getLong(3) == (63L * (1L << 48)) / kth)
   }
+
+  test("k bound: 32768 accepted ((k-1)*2^48 stays under 2^63), 32769 rejected") {
+    import sqlImplicits._
+    val df = Seq(("g", "a")).toDF("grp", "k")
+    // k = 32768 is the largest wrap-free k: (k-1)*2^48 = 2^63 - 2^48
+    assert((32768L - 1L) * (1L << 48) > 0L)
+    Kmv.distinctSketch(df, Seq("grp"), "k", k = 32768).collect()
+    // k = 32769 would compute (k-1)*2^48 = 2^63 → negative Long —
+    // the old bound (65536) silently produced garbage estimates here
+    assertThrows[IllegalArgumentException] {
+      Kmv.distinctSketch(df, Seq("grp"), "k", k = 32769)
+    }
+  }
 }

@@ -669,7 +669,7 @@ class StreamingSpec extends SparkSpec {
     import sqlImplicits._
     implicit val sqlCtx = spark.sqlContext
     val state = "stream_cdc_state"
-    Seq("", "__staging").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
+    Seq("", "__staging", "__wm", "__touched").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
     val stream = MemoryStream[(Long, String, String, Long)]
     val q = EventStreams.maintainSnapshot(
       stream.toDF().toDF("k", "v", "op", "ord"), state, Seq("k"), "op", Seq("ord"))
@@ -683,7 +683,7 @@ class StreamingSpec extends SparkSpec {
     stream.addData((1L, "a2", "I", 1L))
     q.processAllAvailable()
     q.stop()
-    def snap() = spark.table(state).drop("__last_batch")
+    def snap() = EventStreams.snapshot(spark, state)
       .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(snap() == Seq((1L, "a2"), (2L, "b"), (3L, "c")))
 
@@ -695,6 +695,63 @@ class StreamingSpec extends SparkSpec {
     EventStreams.foldSnapshotBatch(
       Seq((2L, "b", "D", 1L)).toDF("k", "v", "op", "ord"), 7L, state, Seq("k"), "op", Seq("ord"))
     assert(snap() == Seq((1L, "a2"), (3L, "c")))
-    Seq("", "__staging").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
+    Seq("", "__staging", "__wm", "__touched").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
+  }
+
+  test("bucketed CDC fold: delta touches only its buckets; crash windows replay per bucket") {
+    import sqlImplicits._
+    val state = "stream_cdcb_state"
+    Seq("", "__staging", "__wm", "__touched").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
+    def fold(rows: Seq[(Long, String, String, Long)], id: Long): Unit =
+      EventStreams.foldSnapshotBatch(
+        rows.toDF("k", "v", "op", "ord"), id, state, Seq("k"), "op", Seq("ord"), nBuckets = 8)
+    def snap() = EventStreams.snapshot(spark, state)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // batch 0 bootstraps the bucket-partitioned table over 100 keys
+    fold((1L to 100L).map(i => (i, s"v$i", "I", 1L)), 0L)
+    assert(snap().size == 100)
+    assert(spark.table(state).columns.contains("__bucket"), "state must be bucket-partitioned")
+    // a 2-key delta must rewrite ONLY the buckets those keys hash to:
+    // every parquet file in an untouched bucket survives byte-for-byte
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $state")
+      .filter(col("col_name") === "Location").head().getString(1).stripPrefix("file:")
+    def bucketFiles(): Map[String, Set[String]] = {
+      val root = new java.io.File(loc)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("__bucket=")).map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName + ":" + f.lastModified()).toSet
+      }.toMap
+    }
+    val before = bucketFiles()
+    fold(Seq((5L, "v5x", "U", 2L), (42L, "v42", "D", 2L)), 1L)
+    val after = bucketFiles()
+    val touched = Seq(5L, 42L).map(k =>
+      "__bucket=" + spark.sql(s"SELECT CAST(pmod(xxhash64(CAST($k AS BIGINT)), 8) AS INT)")
+        .head().getInt(0)).toSet
+    before.keySet.filterNot(touched).foreach { b =>
+      assert(after(b) == before(b), s"untouched bucket $b was rewritten")
+    }
+    assert(snap().size == 99)
+    assert(snap().find(_._1 == 5L).get._2 == "v5x")
+    // crash window: staging published but watermark + drop never ran —
+    // the next fold must replay the idempotent bucket copy, then the
+    // replayed batch id must still be a no-op
+    val stagingContent = Seq((7L, "v7crash", "U", 3L)).toDF("k", "v", "op", "ord")
+    EventStreams.foldSnapshotBatch(stagingContent, 2L, state, Seq("k"), "op", Seq("ord"), 8)
+    val s2 = snap()
+    assert(s2.find(_._1 == 7L).get._2 == "v7crash")
+    // simulate the partial state: rebuild staging as the crash left it
+    // — the COMPLETE content of the touched bucket (the fold's
+    // contract), not just the delta row
+    val b7 = spark.sql("SELECT CAST(pmod(xxhash64(CAST(7 AS BIGINT)), 8) AS INT)").head().getInt(0)
+    spark.table(state).filter(col("__bucket") === b7)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").partitionBy("__bucket").saveAsTable(state + "__staging")
+    EventStreams.foldSnapshotBatch(
+      Seq((9999L, "never", "I", 1L)).toDF("k", "v", "op", "ord"),
+      2L, state, Seq("k"), "op", Seq("ord"), 8)
+    assert(snap() == s2, "orphaned staging must replay idempotently; replayed id must not apply")
+    assert(!spark.catalog.tableExists(state + "__staging"), "recovery must drop staging")
+    Seq("", "__staging", "__wm", "__touched").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
   }
 }
