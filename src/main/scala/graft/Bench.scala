@@ -39,9 +39,12 @@ object Bench {
         // parallelizes across queries while local[32] has executor
         // threads to spare. Shared operator state is lock-protected
         // (OpCache.swap and the memo tables are synchronized; the CDC
-        // publish avoids session-conf mutation), and every stateful
-        // query owns its table names, so concurrent first-touch is
-        // safe. The timed pass below stays strictly sequential.
+        // publish runs on a cloned session with dynamic
+        // partitionOverwriteMode set in the CLONE's conf only, so no
+        // concurrently-running query can observe a mutated shared
+        // conf), and every stateful query owns its table names, so
+        // concurrent first-touch is safe. The timed pass below stays
+        // strictly sequential.
         val nThreads = sys.env.getOrElse("SPARK_GRAFT_COLD_THREADS", "6").toInt
         val coldTimes =
           if (nThreads <= 1) {

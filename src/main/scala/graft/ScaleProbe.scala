@@ -413,12 +413,18 @@ object ScaleProbe {
         graft.operators.MlPrep.rankNormalize(
           d.select(col("lang"), (col("n_chars") % 997).as("v")), Seq("lang"), "v"))
       // Streaming CDC bucketed fold: the snapshot grows K× while the
-      // delta stays CONSTANT (1000 keys) — the timed fold must track
-      // the touched buckets (delta-sized partition-pruned read +
-      // per-bucket publish), not the snapshot; the r6 full-rewrite
+      // delta stays CONSTANT and SMALL (10 keys — at 64 buckets ~54
+      // buckets stay untouched, so the probe exercises partition
+      // pruning rather than a full rewrite; a 1000-key delta would
+      // touch every bucket with overwhelming probability and the
+      // curve would only reflect fixed overhead). The timed fold must
+      // track the touched buckets (delta-sized partition-pruned read
+      // + per-bucket publish), not the snapshot; the r6 full-rewrite
       // finding would show here as a linear-in-K curve. Timed block
       // excludes the batch-0 bootstrap (that one IS snapshot-sized by
-      // contract).
+      // contract). Untouched-bucket byte-identity is ASSERTED (the
+      // StreamingSpec check, repeated at probe scale): a pruning
+      // regression fails the probe, not just bends the curve.
       locally {
         val state = "probe_cdc_state"
         Seq("", "__staging", "__wm", "__touched")
@@ -427,7 +433,18 @@ object ScaleProbe {
         graft.streaming.EventStreams.foldSnapshotBatch(
           base.withColumn("op", lit("I")).withColumn("ord", lit(0L)),
           0L, state, Seq("k2"), "op", Seq("ord"))
-        val delta = base.filter(col("k2") < 1000)
+        val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $state")
+          .filter(col("col_name") === "Location").head().getString(1).stripPrefix("file:")
+        def bucketFiles(): Map[String, Set[String]] = {
+          val root = new java.io.File(loc)
+          root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+            .map { dir =>
+              dir.getName -> dir.listFiles().filter(_.getName.endsWith(".parquet"))
+                .map(f => f.getName + ":" + f.lastModified()).toSet
+            }.toMap
+        }
+        val before = bucketFiles()
+        val delta = base.filter(col("k2") < 10)
           .select(col("k2"), col("lang"), (col("n_chars") + 1).as("n_chars"),
             lit("U").as("op"), lit(1L).as("ord"))
         time(s"cdc_fold_bucketed      x$k", {
@@ -435,6 +452,13 @@ object ScaleProbe {
             delta, 1L, state, Seq("k2"), "op", Seq("ord"))
           spark.table(state + "__wm")
         })
+        val after = bucketFiles()
+        val touched = delta
+          .select(pmod(xxhash64(col("k2")), lit(64L)).cast("int").as("b"))
+          .distinct().collect().map(r => "__bucket=" + r.getInt(0)).toSet
+        val rewritten = before.keySet.filterNot(touched).filter(b => after(b) != before(b))
+        require(rewritten.isEmpty,
+          s"cdc_fold_bucketed: untouched buckets rewritten (pruning regression): $rewritten")
         Seq("", "__staging", "__wm", "__touched")
           .foreach(x => graft.sources.Tables.dropManaged(spark, state + x))
       }

@@ -24,7 +24,8 @@ object Cdc {
     * LAST ordCol being unique is the caller's contract). Per key only
     * the latest log row acts: 'D' removes the key, 'I'/'U' upsert the
     * payload. Keys untouched by the log pass through. Any other op
-    * value (including null) fails the job loudly — under the old
+    * value (including null) ANYWHERE in the log slice — superseded
+    * rows included — fails the job loudly — under the old
     * `=!= "D"` filter a null op evaluated to null and silently
     * DELETED the key, turning malformed log rows into data loss.
     */
@@ -39,14 +40,15 @@ object Cdc {
       .partitionBy(keyCols.map(col): _*)
       .orderBy(ordCols.map(col(_).desc): _*)
     val latest = log
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1)
-      .drop("__r")
       // op validation fused into the plan (the Resample grid-guard
       // pattern): assert_true returns null for every valid row, so
       // the isNull filter keeps everything while making the check
       // unprunable — a null/unknown op throws instead of silently
-      // acting as a delete
+      // acting as a delete. Applied BEFORE the latest-wins window so
+      // the WHOLE log slice is validated: a malformed row superseded
+      // by a newer valid row for the same key still fails loudly
+      // (it sits in the same pre-shuffle projection, so the check is
+      // free — no extra scan).
       .withColumn(
         "__opchk",
         assert_true(
@@ -55,6 +57,9 @@ object Cdc {
             coalesce(col(opCol).cast("string"), lit("null")))))
       .filter(col("__opchk").isNull)
       .drop("__opchk")
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .drop("__r")
     val touched = latest.select(keyCols.map(col): _*)
     base
       .join(touched, keyCols, "left_anti")

@@ -172,6 +172,141 @@ class InvariantsSpec extends SparkSpec {
         s"surface (the x170 fix) or add a convention entry:\n${offenders.mkString("\n")}")
   }
 
+  test("oracle dtype hygiene: no HUGEINT-tainted column reaches a final select list uncast") {
+    // The dtype sibling of the transcendental-hygiene test, built from
+    // the r6/r7 x170 failure: DuckDB types SUM(integer) — plain or
+    // windowed — as HUGEINT (int128), which surfaces as float64/object
+    // where Spark's BIGINT surfaces as int64, so a value-equal result
+    // still hash-mismatches in the driver's dtype-sensitive compare.
+    // Static taint walk over every oracle's SQL: a SUM( not enclosed
+    // by CAST/ROUND taints its select-item alias; taint propagates
+    // through alias references; a FINAL select-list item carrying an
+    // unsanitized taint fails. Sanitizers: CAST(...)/ROUND(...)
+    // enclosure, adjacency to a comparison operator (boolean output),
+    // and adjacency to `/` (DuckDB and Spark both type integer
+    // division with `/` as DOUBLE).
+    val san = Set("CAST", "ROUND", "TRY_CAST")
+    def callStack(text: String, pos: Int): List[String] = {
+      var st = List.empty[String]
+      var i = 0
+      while (i < pos) {
+        text(i) match {
+          case '(' =>
+            val m = "([A-Za-z_][A-Za-z_0-9]*)\\s*$".r.findFirstMatchIn(text.take(i))
+            st = m.map(_.group(1).toUpperCase).getOrElse("") :: st
+          case ')' => if (st.nonEmpty) st = st.tail
+          case _ =>
+        }
+        i += 1
+      }
+      st
+    }
+    def matchParen(text: String, open: Int): Int = {
+      var d = 0
+      var i = open
+      while (i < text.length) {
+        if (text(i) == '(') d += 1
+        else if (text(i) == ')') { d -= 1; if (d == 0) return i }
+        i += 1
+      }
+      text.length - 1
+    }
+    // one Seq[(item, Option(alias))] per SELECT clause, in text order
+    def selectClauses(sql: String): Seq[Seq[(String, Option[String])]] =
+      "(?i)\\bSELECT\\b(\\s+DISTINCT\\b)?".r.findAllMatchIn(sql).toSeq.map { m =>
+        var i = m.end
+        var d = 0
+        var end = sql.length
+        var done = false
+        while (i < sql.length && !done) {
+          sql(i) match {
+            case '(' => d += 1
+            case ')' => if (d == 0) { end = i; done = true } else d -= 1
+            case 'F' | 'f' if d == 0 && i > 0 && !sql(i - 1).isLetterOrDigit &&
+              sql.regionMatches(true, i, "FROM", 0, 4) => end = i; done = true
+            case _ =>
+          }
+          i += 1
+        }
+        val seg = sql.substring(m.end, end)
+        val items = scala.collection.mutable.ArrayBuffer.empty[String]
+        val cur = new StringBuilder
+        var dd = 0
+        seg.foreach { ch =>
+          if (ch == '(') dd += 1
+          if (ch == ')') dd -= 1
+          if (ch == ',' && dd == 0) { items += cur.toString; cur.clear() }
+          else cur += ch
+        }
+        if (cur.toString.trim.nonEmpty) items += cur.toString
+        items.toSeq.map { raw =>
+          val it = raw.trim
+          val al = "(?i)\\bAS\\s+([A-Za-z_][A-Za-z_0-9]*)\\s*$".r
+            .findFirstMatchIn(it).map(_.group(1).toLowerCase)
+          (it, al)
+        }
+      }
+    val cmpAfter = "^\\s*(=|<>|!=|<=|>=|<|>|(?i)IN\\b|(?i)BETWEEN\\b)".r
+    val cmpBefore = "(=|<>|!=|<=|>=|<|>)\\s*$".r
+    def occSanitized(item: String, pos: Int, end: Int): Boolean =
+      callStack(item, pos).exists(san) ||
+        cmpAfter.findFirstIn(item.drop(end + 1)).isDefined ||
+        item.drop(end + 1).matches("(?s)\\s*/.*") ||
+        cmpBefore.findFirstIn(item.take(pos)).isDefined ||
+        item.take(pos).matches("(?s).*/\\s*$")
+    def itemTaints(item: String, tainted: Set[String]): Seq[String] = {
+      val body = "(?i)\\bAS\\s+[A-Za-z_][A-Za-z_0-9]*\\s*$".r.replaceAllIn(item.trim, "")
+      val sums = "(?i)\\bSUM\\s*\\(".r.findAllMatchIn(body).toSeq.flatMap { m =>
+        val op = body.indexOf('(', m.start)
+        var cp = matchParen(body, op)
+        val over = "(?i)^\\s*OVER\\s*\\(".r.findFirstMatchIn(body.drop(cp + 1))
+        over.foreach(_ => cp = matchParen(body, cp + 1 + body.drop(cp + 1).indexOf('(')))
+        if (occSanitized(body, m.start, cp)) None else Some("SUM")
+      }
+      val refs = tainted.toSeq.flatMap { t =>
+        ("(?i)\\b" + java.util.regex.Pattern.quote(t) + "\\b").r
+          .findAllMatchIn(body).toSeq
+          .collectFirst { case m if !occSanitized(body, m.start, m.end - 1) => t }
+      }
+      sums ++ refs
+    }
+    val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
+      val items = selectClauses(sql).flatten
+      var tainted = Set.empty[String]
+      var changed = true
+      while (changed) {
+        changed = false
+        items.foreach { case (it, al) =>
+          al.foreach { a =>
+            if (!tainted(a) && itemTaints(it, tainted).nonEmpty) {
+              tainted += a; changed = true
+            }
+          }
+        }
+      }
+      // final statement = last SELECT at paren depth 0; lint only ITS
+      // own select list (the hashed surface) — the first clause of the
+      // text from that point on
+      val finals = "(?i)\\bSELECT\\b".r.findAllMatchIn(sql).toSeq.filter { m =>
+        val pre = sql.take(m.start)
+        pre.count(_ == '(') == pre.count(_ == ')')
+      }
+      finals.lastOption.toSeq.flatMap { f =>
+        selectClauses(sql.drop(f.start)).headOption.getOrElse(Seq.empty)
+          .flatMap { case (it, _) =>
+            val hits = itemTaints(it, tainted)
+            if (hits.nonEmpty) Some(s"$name: '${it.take(60)}' via ${hits.mkString(",")}")
+            else None
+          }
+      }
+    }
+    assert(
+      offenders.isEmpty,
+      "oracle select-list columns carrying DuckDB HUGEINT taint (window/plain SUM " +
+        "uncast) — wrap in CAST(... AS BIGINT) like the x170 fix:\n" +
+        offenders.mkString("\n"))
+  }
+
   test("packSequences: conserves rows and tokens per stratum; bin ids start at 0 and are dense") {
     import sqlImplicits._
     val d = (1L to 500L)

@@ -754,4 +754,85 @@ class StreamingSpec extends SparkSpec {
     assert(!spark.catalog.tableExists(state + "__staging"), "recovery must drop staging")
     Seq("", "__staging", "__wm", "__touched").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
   }
+
+  test("bucketed CDC fold: full-bucket delete drops the partition; crash window replays the drop; empty batch is watermark-only") {
+    import sqlImplicits._
+    val state = "stream_cdcdel_state"
+    Seq("", "__staging", "__wm", "__touched").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
+    def fold(rows: Seq[(Long, String, String, Long)], id: Long): Unit =
+      EventStreams.foldSnapshotBatch(
+        rows.toDF("k", "v", "op", "ord"), id, state, Seq("k"), "op", Seq("ord"), nBuckets = 4)
+    def parts() = spark.sql(s"SHOW PARTITIONS $state").collect().map(_.getString(0)).toSet
+    def snap() = EventStreams.snapshot(spark, state)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    fold((1L to 40L).map(i => (i, s"v$i", "I", 1L)), 0L)
+    assert(parts().size == 4, "40 xxhash64-spread keys must populate all 4 buckets")
+    // delete EVERY key in key-1's bucket: the publish must drop the
+    // now-empty partition, not silently leave its old rows in place
+    val b1 = spark.sql("SELECT CAST(pmod(xxhash64(CAST(1 AS BIGINT)), 4) AS INT)").head().getInt(0)
+    val victims = spark.table(state).filter(col("__bucket") === b1)
+      .select("k").collect().map(_.getLong(0)).toSeq
+    fold(victims.map(k => (k, "x", "D", 2L)), 1L)
+    assert(!parts().contains(s"__bucket=$b1"), "emptied bucket's partition must be dropped")
+    assert(snap().map(_._1).toSet == (1L to 40L).toSet -- victims)
+    // crash window for the SAME shape: bucket re-filled, then a crash
+    // after staging+touched were written (staging has NO partition for
+    // the re-emptied bucket) but before the publish — recovery must
+    // replay the drop from the persisted touched list
+    fold(victims.map(k => (k, s"back$k", "I", 3L)), 2L)
+    assert(parts().contains(s"__bucket=$b1"))
+    Seq(b1).toDF("bucket").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(state + "__touched")
+    spark.table(state).filter(lit(false))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").partitionBy("__bucket").saveAsTable(state + "__staging")
+    // a replayed batch id: recovery replays the orphaned publish
+    // (dropping the bucket), the fold itself is a watermark no-op
+    fold(Seq((9999L, "never", "I", 1L)), 2L)
+    assert(!parts().contains(s"__bucket=$b1"),
+      "recovery must replay the emptied-bucket drop from the touched list")
+    assert(snap().map(_._1).toSet == (1L to 40L).toSet -- victims)
+    // empty micro-batch (restart replay / availableNow tick): advances
+    // the watermark, touches nothing else — the old UNION ALL
+    // construction threw a ParseException here and killed the query
+    val before = snap()
+    fold(Seq.empty, 5L)
+    assert(snap() == before)
+    assert(spark.table(state + "__wm").head().getLong(0) == 5L,
+      "empty batch must still advance the watermark")
+    assert(!spark.catalog.tableExists(state + "__staging"))
+    assert(!spark.catalog.tableExists(state + "__touched"))
+    Seq("", "__staging", "__wm", "__touched").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
+  }
+
+  test("compactSnapshot: per-bucket file count returns to 1, content and partition layout unchanged") {
+    import sqlImplicits._
+    val state = "stream_cdccomp_state"
+    Seq("", "__staging", "__wm", "__touched", "__fragsrc")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
+    EventStreams.foldSnapshotBatch(
+      (1L to 60L).map(i => (i, s"v$i", "I", 1L)).toDF("k", "v", "op", "ord"),
+      0L, state, Seq("k"), "op", Seq("ord"), nBuckets = 4)
+    def content() = EventStreams.snapshot(spark, state)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val expected = content()
+    // fragment: rewrite the state through a round-robin repartition so
+    // every task sprays files into every bucket directory (the layout
+    // an old un-repartitioned writer or append-heavy history leaves)
+    spark.table(state).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(state + "__fragsrc")
+    spark.table(state + "__fragsrc").repartition(6)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").partitionBy("__bucket").saveAsTable(state)
+    val nBuckets = spark.sql(s"SHOW PARTITIONS $state").count().toInt
+    val (before, after) = EventStreams.compactSnapshot(spark, state)
+    assert(before > nBuckets, s"fixture must be fragmented (got $before files over $nBuckets buckets)")
+    assert(after == nBuckets, s"compaction must leave exactly one file per bucket (got $after)")
+    assert(content() == expected, "compaction must preserve the snapshot bit-for-bit")
+    assert(spark.sql(s"SHOW PARTITIONS $state").count().toInt == nBuckets)
+    assert(!spark.catalog.tableExists(state + "__staging"))
+    Seq("", "__staging", "__wm", "__touched", "__fragsrc")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
+  }
 }

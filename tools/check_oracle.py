@@ -39,6 +39,19 @@ def main(sf_dir, out_dir):
         a, b = spark_df[sc], oracle_df[oc]
         if len(a) != len(b):
             print(f"FAIL {name}: rows {len(a)} vs oracle {len(b)}"); n_fail += 1; continue
+        # dtype-KIND parity: the driver's hash is value-repr-sensitive —
+        # int32(5) and int64(5) both hash as 5, but a float64/object
+        # column hashes 69.0 where an integer column hashes 69 (the
+        # x170 r6/r7 failure mode: DuckDB HUGEINT surfacing where Spark
+        # wrote BIGINT). Fail on numpy KIND mismatches (i/u vs f vs O
+        # vs b), ignore width-only differences.
+        def kind(s):
+            k = getattr(s.dtype, "kind", "O")
+            return "i" if k in ("i", "u") else k
+        dt = [(c, str(a[c].dtype), str(b[c].dtype)) for c in sc
+              if kind(a[c]) != kind(b[c])]
+        if dt:
+            print(f"FAIL {name}: dtype-kind mismatch {dt}"); n_fail += 1; continue
         def norm(v):
             if hasattr(v, "tolist"): v = v.tolist()
             if isinstance(v, list): return tuple(norm(x) for x in v)
