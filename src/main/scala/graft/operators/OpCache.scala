@@ -38,6 +38,31 @@ object OpCache {
     }
   }
 
+  // Keyed variant for TYPED pipelines: a Dataset built through
+  // mapPartitions/map embeds fresh closure objects in its plan on
+  // every construction, so two logically identical invocations never
+  // compare sameResult and `swap` would re-run the pipeline each time.
+  // Here the CALLER pins the inputs with a fingerprint string (e.g.
+  // the sf directory); while it matches, the cached table is returned
+  // without even building the new plan (the by-name `df` is not
+  // forced). Sound only when the pipeline is deterministic in the
+  // fingerprint — the same contract a shuffle-file reuse assumes.
+  private val keyed = scala.collection.mutable.Map
+    .empty[(org.apache.spark.sql.SparkSession, String), (String, DataFrame)]
+
+  def swapKeyed(key: String, fingerprint: String, df: => DataFrame)(
+      implicit spark: org.apache.spark.sql.SparkSession): DataFrame = synchronized {
+    val k = (spark, key)
+    keyed.get(k) match {
+      case Some((fp, old)) if fp == fingerprint => old
+      case other =>
+        other.foreach(_._2.unpersist(blocking = false))
+        val fresh = df
+        keyed.put(k, (fingerprint, fresh))
+        fresh.persist(StorageLevel.MEMORY_AND_DISK)
+    }
+  }
+
   // Operator-local caches that don't route through swap (e.g. the
   // k-means centroid memo, which caches EAGER localCheckpoint'd
   // results) register an eviction hook so clear() empties them too —
@@ -52,6 +77,8 @@ object OpCache {
   def clear(): Unit = synchronized {
     live.values.foreach(_.unpersist(blocking = false))
     live.clear()
+    keyed.values.foreach(_._2.unpersist(blocking = false))
+    keyed.clear()
     clearHooks.foreach(_.apply())
   }
 }

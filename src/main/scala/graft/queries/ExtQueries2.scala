@@ -1419,12 +1419,10 @@ object ExtQueries2 {
       "x194_multimodal_ann_recall_gate",
       (s, d) => {
         implicit val sp: org.apache.spark.sql.SparkSession = s
-        val feats = graft.operators.OpCache.swap(
-          "ext.x194.feats",
-          graft.operators.Multimodal.extractFeaturesStub(
-            graft.operators.Multimodal.extractMeta(
-              graft.operators.Multimodal.synthesizeMedia(t(s, d, "documents")))).toDF()
-            .select(col("doc_id").as("vec_id"), col("feature").as("embedding")))
+        // the memoized feature table (fingerprint-keyed: the typed
+        // pipeline's closures defeat plan-equality memoization) —
+        // shared with x24, so gate and ANN query encode exactly once
+        val feats = graft.operators.Multimodal.featureTable(t(s, d, "documents"), d)
         val exact = graft.operators.OpCache.swap(
           "ext.x194.exact",
           graft.operators.Similarity.cosineTopK(feats, site = "sim.mm.prep")
@@ -1445,9 +1443,11 @@ object ExtQueries2 {
         // band join or the k-means probe — the memo hands back the
         // persisted top-k result on a plan-equal re-invocation
         val lsh = graft.operators.OpCache.swap(
-          "ext.x194.lsh", graft.operators.Similarity.annSignLshTopK(feats, dim = 16))
+          "ext.x194.lsh",
+          graft.operators.Similarity.annSignLshTopK(feats, dim = 16, site = "sim.mm.prep"))
         val ivf = graft.operators.OpCache.swap(
-          "ext.x194.ivf", graft.operators.Similarity.ivfTopKKmeans(feats))
+          "ext.x194.ivf",
+          graft.operators.Similarity.ivfTopKKmeans(feats, site = "sim.mm.prep"))
         gate("mm_ann_lsh", lsh, 0.20)
           .unionByName(gate("mm_ivf_kmeans", ivf, 0.20))
           .orderBy("method")

@@ -124,19 +124,28 @@ object Tables {
   }
 
   /** Overwrite `table` with a plan that (possibly) READS `table`:
-    * materialize to a staging table first, then copy back — a direct
-    * overwrite would drop the table out from under its own scan. The
-    * staging table is the crash-recovery artifact: the final copy is
-    * drop-then-write (parquet has no atomic swap), so a crash there
-    * loses `table` while `<table>__staging` still holds the complete
-    * result — [[recoverStaged]] restores it on the next run.
+    * materialize to a staging table first, then publish by RENAME — a
+    * direct overwrite would drop the table out from under its own
+    * scan. The staging table is the crash-recovery artifact: the
+    * publish is drop-then-rename (parquet has no atomic swap), so a
+    * crash there loses `table` while `<table>__staging` still holds
+    * the complete result — [[recoverStaged]] restores it on the next
+    * run.
     */
   def stagedOverwrite(df: DataFrame, table: String): Unit = {
     val spark = df.sparkSession
     val staging = table + "__staging"
     overwriteTable(df, staging)
-    overwriteTable(spark.table(staging), table)
-    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    // Metadata-only publish (the publishChecked pattern): RENAME the
+    // staged table onto the target instead of re-writing its data — a
+    // staged overwrite otherwise writes every byte TWICE, which at
+    // warehouse scale doubles the I/O of every fold/upsert/compaction.
+    // Crash window unchanged: between the DROP and the RENAME the
+    // target is missing while `__staging` holds the complete result —
+    // exactly the state [[recoverStaged]] heals.
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    spark.catalog.refreshTable(table)
   }
 
   /** Crash recovery for [[stagedOverwrite]]: if `table` is missing but
@@ -148,8 +157,10 @@ object Tables {
     val staging = table + "__staging"
     val needed = !spark.catalog.tableExists(table) && spark.catalog.tableExists(staging)
     if (needed) {
-      overwriteTable(spark.table(staging), table)
-      spark.sql(s"DROP TABLE IF EXISTS $staging")
+      // the staged table IS the complete result — publish by rename
+      // (metadata-only), same as the stagedOverwrite happy path
+      spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+      spark.catalog.refreshTable(table)
     }
     needed
   }

@@ -258,10 +258,19 @@ object EventStreams {
     val spark = batch.sparkSession
     graft.sources.Tables.recoverStaged(spark, stateTable)
     val exists = spark.catalog.tableExists(stateTable)
+    val mk = (spark, stateTable)
+    if (!exists) wmMemo.remove(mk)
     val applied = exists && {
-      // max over an empty state is null → nothing folded yet
-      val m = spark.table(stateTable).agg(max(col("__last_batch"))).head().get(0)
-      m != null && m.asInstanceOf[Long] >= batchId
+      // watermark memo (single-writer contract, cleared on drop above)
+      // saves the max(__last_batch) job per micro-batch; max over an
+      // empty state is null → nothing folded yet
+      val m = Option(wmMemo.get(mk)).map(_.longValue).getOrElse {
+        val v = spark.table(stateTable).agg(max(col("__last_batch"))).head().get(0)
+        val lv = if (v == null) Long.MinValue else v.asInstanceOf[Long]
+        wmMemo.put(mk, lv)
+        lv
+      }
+      m >= batchId
     }
     if (applied) return // replayed batch: already in the state
     val delta = mkDelta(batch)
@@ -270,6 +279,7 @@ object EventStreams {
       else delta
     graft.sources.Tables.stagedOverwrite(
       merged.withColumn("__last_batch", lit(batchId)), stateTable)
+    wmMemo.put(mk, batchId)
   }
 
   /** Streaming histogram-quantile maintenance — the

@@ -130,11 +130,11 @@ class SimilaritySpec extends SparkSpec {
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(rows(Similarity.cosineTopK(real, slice, 3, "sim.cosine.prep")) ==
       rows(Similarity.cosineTopK(real, k = 3, queryMod = 100)))
-    assert(rows(Similarity.annSignLshTopK(real, slice, 3, 16, 4, 64)) ==
+    assert(rows(Similarity.annSignLshTopK(real, slice, 3, 16, 4, 64, "sim.prep")) ==
       rows(Similarity.annSignLshTopK(real, k = 3, queryMod = 100)))
     assert(rows(Similarity.ivfTopK(real, slice, 3, 4, "label")) ==
       rows(Similarity.ivfTopK(real, k = 3, queryMod = 100, nProbes = 4)))
-    assert(rows(Similarity.ivfTopKKmeans(real, slice, 3, 4, 10, 3)) ==
+    assert(rows(Similarity.ivfTopKKmeans(real, slice, 3, 4, 10, 3, "sim.prep")) ==
       rows(Similarity.ivfTopKKmeans(real, k = 3, queryMod = 100, nProbes = 4, cells = 10)))
     assert(rows(Similarity.pqTopK(real, slice, 3, 8, 32, 64, 3, 64)) ==
       rows(Similarity.pqTopK(real, k = 3, queryMod = 100)))
