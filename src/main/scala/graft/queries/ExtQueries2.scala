@@ -1087,49 +1087,13 @@ object ExtQueries2 {
     GraftQuery(
       "x186_cdc_apply",
       (s, d) => {
-        val base = t(s, d, "customer").select(
-          col("c_custkey").as("k"),
-          col("c_mktsegment").as("seg"),
-          graft.operators.Regression.toUnits(col("c_acctbal")).cast("long").as("bal"))
-        val log = base.filter(col("k") % 10 === 7)
-          .select(col("k"), lit("PRE").as("seg"), lit(0L).as("bal"),
-            lit("U").as("op"), lit(1L).as("ord"))
-          .unionByName(base.filter(col("k") % 10 === 7)
-            .select(col("k"), col("seg"), col("bal"), lit("D").as("op"), lit(2L).as("ord")))
-          .unionByName(base.filter(col("k") % 10 === 3)
-            .select(col("k"), lit("UPDATED").as("seg"), (col("bal") * 2).as("bal"),
-              lit("U").as("op"), lit(2L).as("ord")))
-          .unionByName(base.filter(col("k") % 10 === 0)
-            .select((col("k") + 1000000L).as("k"), lit("NEW").as("seg"), col("bal"),
-              lit("I").as("op"), lit(1L).as("ord")))
+        val (base, log) = cdcBaseLog(s, d)
         graft.operators.Cdc.applyLog(base, log, Seq("k"), "op", Seq("ord"))
           .groupBy(col("seg").as("segment"))
           .agg(count(lit(1)).as("n"), sum(col("bal")).as("sum_bal_u"))
           .orderBy("segment")
       },
-      Some(s"""WITH base AS (
-        |  SELECT c_custkey AS k, c_mktsegment AS seg, ${uSql("c_acctbal")} AS bal
-        |  FROM customer),
-        |log AS (
-        |  SELECT k, 'PRE' AS seg, CAST(0 AS BIGINT) AS bal, 'U' AS op, 1 AS ord
-        |  FROM base WHERE k % 10 = 7
-        |  UNION ALL SELECT k, seg, bal, 'D', 2 FROM base WHERE k % 10 = 7
-        |  UNION ALL SELECT k, 'UPDATED', bal * 2, 'U', 2 FROM base WHERE k % 10 = 3
-        |  UNION ALL SELECT k + 1000000, 'NEW', bal, 'I', 1 FROM base WHERE k % 10 = 0),
-        |latest AS (
-        |  SELECT k, seg, bal, op FROM (
-        |    SELECT k, seg, bal, op,
-        |           ROW_NUMBER() OVER (PARTITION BY k ORDER BY ord DESC) AS rn
-        |    FROM log)
-        |  WHERE rn = 1),
-        |applied AS (
-        |  SELECT b.k, b.seg, b.bal FROM base b
-        |  WHERE NOT EXISTS (SELECT 1 FROM latest x WHERE x.k = b.k)
-        |  UNION ALL
-        |  SELECT k, seg, bal FROM latest WHERE op <> 'D')
-        |SELECT seg AS segment, CAST(COUNT(*) AS BIGINT) AS n,
-        |       CAST(SUM(bal) AS BIGINT) AS sum_bal_u
-        |FROM applied GROUP BY 1 ORDER BY segment""".stripMargin)
+      Some(cdcApplySql(""))
     ),
 
     // Calibration-bin (reliability-diagram) table on the purchase
@@ -1220,29 +1184,13 @@ object ExtQueries2 {
         val state = "graft_x189_state"
         Seq("", "__staging", "__wm", "__touched").foreach(x => graft.sources.Tables.dropManaged(s, state + x))
         // base and log are scanned by every fold below (bootstrap +
-        // three slices + the replay) — memoize so each fold reads the
-        // cached 3-column projection, not the customer parquet again
-        val base = graft.operators.OpCache.swap(
-          "ext.x189.base",
-          t(s, d, "customer").select(
-            col("c_custkey").as("k"),
-            col("c_mktsegment").as("seg"),
-            graft.operators.Regression.toUnits(col("c_acctbal")).cast("long").as("bal")))
+        // two slices + the replay) — memoized so each fold reads the
+        // cached 3-column projection, not the customer parquet again;
+        // shared with the x196 compaction certification
+        val (base, log) = cdcBaseLog(s, d)
         EventStreams.foldSnapshotBatch(
           base.withColumn("op", lit("I")).withColumn("ord", lit(0L)),
           0L, state, Seq("k"), "op", Seq("ord"), nBuckets = 8)
-        val log0 = base.filter(col("k") % 10 === 7)
-          .select(col("k"), lit("PRE").as("seg"), lit(0L).as("bal"),
-            lit("U").as("op"), lit(1L).as("ord"))
-          .unionByName(base.filter(col("k") % 10 === 7)
-            .select(col("k"), col("seg"), col("bal"), lit("D").as("op"), lit(2L).as("ord")))
-          .unionByName(base.filter(col("k") % 10 === 3)
-            .select(col("k"), lit("UPDATED").as("seg"), (col("bal") * 2).as("bal"),
-              lit("U").as("op"), lit(2L).as("ord")))
-          .unionByName(base.filter(col("k") % 10 === 0)
-            .select((col("k") + 1000000L).as("k"), lit("NEW").as("seg"), col("bal"),
-              lit("I").as("op"), lit(1L).as("ord")))
-        val log = graft.operators.OpCache.swap("ext.x189.log", log0)
         // key-sliced batches: each key's log entries arrive together.
         // Two slices — the contract (bootstrap, cross-batch apply,
         // replay no-op) is slice-count-independent, like the bucket
@@ -1261,29 +1209,7 @@ object ExtQueries2 {
           .agg(count(lit(1)).as("n"), sum(col("bal")).as("sum_bal_u"))
           .orderBy("segment")
       },
-      Some(s"""WITH base AS (
-        |  SELECT c_custkey AS k, c_mktsegment AS seg, ${uSql("c_acctbal")} AS bal
-        |  FROM customer),
-        |log AS (
-        |  SELECT k, 'PRE' AS seg, CAST(0 AS BIGINT) AS bal, 'U' AS op, 1 AS ord
-        |  FROM base WHERE k % 10 = 7
-        |  UNION ALL SELECT k, seg, bal, 'D', 2 FROM base WHERE k % 10 = 7
-        |  UNION ALL SELECT k, 'UPDATED', bal * 2, 'U', 2 FROM base WHERE k % 10 = 3
-        |  UNION ALL SELECT k + 1000000, 'NEW', bal, 'I', 1 FROM base WHERE k % 10 = 0),
-        |latest AS (
-        |  SELECT k, seg, bal, op FROM (
-        |    SELECT k, seg, bal, op,
-        |           ROW_NUMBER() OVER (PARTITION BY k ORDER BY ord DESC) AS rn
-        |    FROM log)
-        |  WHERE rn = 1),
-        |applied AS (
-        |  SELECT b.k, b.seg, b.bal FROM base b
-        |  WHERE NOT EXISTS (SELECT 1 FROM latest x WHERE x.k = b.k)
-        |  UNION ALL
-        |  SELECT k, seg, bal FROM latest WHERE op <> 'D')
-        |SELECT seg AS segment, CAST(COUNT(*) AS BIGINT) AS n,
-        |       CAST(SUM(bal) AS BIGINT) AS sum_bal_u
-        |FROM applied GROUP BY 1 ORDER BY segment""".stripMargin)
+      Some(cdcApplySql(""))
     ),
 
     // Rank-average normalization per language: every document length
@@ -1536,8 +1462,109 @@ object ExtQueries2 {
         |  CAST(SUM(CASE WHEN id_b - id_a = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
         |    >= MAX(pl.np) AS all_planted_recovered
         |FROM g, pl""".stripMargin)
+    ),
+
+    // Fold-state compaction certification (driver-visible face of the
+    // StreamingSpec compaction test): bootstrap the bucketed CDC
+    // state, apply the full x186 change log in one batch, FRAGMENT the
+    // bucket layout the way an old non-repartitioning writer would (a
+    // flat round-robin rewrite sprays every task's rows into every
+    // bucket directory), compact, and roll the snapshot up. The
+    // rollup oracle is x186's — compaction must preserve the snapshot
+    // bit-for-bit — and the booleans pin the maintenance contract
+    // itself: strictly more than one file per bucket going in, exactly
+    // one file per non-empty bucket coming out.
+    GraftQuery(
+      "x196_fold_compaction",
+      (s, d) => {
+        import graft.streaming.EventStreams
+        val state = "graft_x196_state"
+        Seq("", "__staging", "__wm", "__touched", "__fragsrc")
+          .foreach(x => graft.sources.Tables.dropManaged(s, state + x))
+        val (base, log) = cdcBaseLog(s, d)
+        EventStreams.foldSnapshotBatch(
+          base.withColumn("op", lit("I")).withColumn("ord", lit(0L)),
+          0L, state, Seq("k"), "op", Seq("ord"), nBuckets = 8)
+        EventStreams.foldSnapshotBatch(
+          log, 1L, state, Seq("k"), "op", Seq("ord"), nBuckets = 8)
+        s.table(state).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").saveAsTable(state + "__fragsrc")
+        s.table(state + "__fragsrc").repartition(6)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .format("parquet").partitionBy("__bucket").saveAsTable(state)
+        val nBuckets = s.sql(s"SHOW PARTITIONS $state").count().toInt
+        val (before, after) = EventStreams.compactSnapshot(s, state)
+        EventStreams.snapshot(s, state)
+          .groupBy(col("seg").as("segment"))
+          .agg(count(lit(1)).as("n"), sum(col("bal")).as("sum_bal_u"))
+          .withColumn("fragmented_in", lit(before > nBuckets))
+          .withColumn("compact_ok", lit(after == nBuckets))
+          .orderBy("segment")
+      },
+      Some(cdcApplySql(",\n       |  true AS fragmented_in, true AS compact_ok"))
     )
   )
+
+  /** The latest-wins CDC apply of [[cdcBaseLog]]'s fixture as DuckDB
+    * SQL, rolled up per segment — the shared oracle of x186 (one-shot
+    * batch apply), x189 (streamed bucketed fold) and x196 (fold +
+    * compaction): all three must land on the identical snapshot.
+    * `extraCols` appends pinned certification columns to the select
+    * list (x196's threshold booleans).
+    */
+  private def cdcApplySql(extraCols: String): String =
+    s"""WITH base AS (
+       |  SELECT c_custkey AS k, c_mktsegment AS seg, ${uSql("c_acctbal")} AS bal
+       |  FROM customer),
+       |log AS (
+       |  SELECT k, 'PRE' AS seg, CAST(0 AS BIGINT) AS bal, 'U' AS op, 1 AS ord
+       |  FROM base WHERE k % 10 = 7
+       |  UNION ALL SELECT k, seg, bal, 'D', 2 FROM base WHERE k % 10 = 7
+       |  UNION ALL SELECT k, 'UPDATED', bal * 2, 'U', 2 FROM base WHERE k % 10 = 3
+       |  UNION ALL SELECT k + 1000000, 'NEW', bal, 'I', 1 FROM base WHERE k % 10 = 0),
+       |latest AS (
+       |  SELECT k, seg, bal, op FROM (
+       |    SELECT k, seg, bal, op,
+       |           ROW_NUMBER() OVER (PARTITION BY k ORDER BY ord DESC) AS rn
+       |    FROM log)
+       |  WHERE rn = 1),
+       |applied AS (
+       |  SELECT b.k, b.seg, b.bal FROM base b
+       |  WHERE NOT EXISTS (SELECT 1 FROM latest x WHERE x.k = b.k)
+       |  UNION ALL
+       |  SELECT k, seg, bal FROM latest WHERE op <> 'D')
+       |SELECT seg AS segment, CAST(COUNT(*) AS BIGINT) AS n,
+       |       CAST(SUM(bal) AS BIGINT) AS sum_bal_u$extraCols
+       |FROM applied GROUP BY 1 ORDER BY segment""".stripMargin
+
+  /** The CDC certification fixture shared by x189 and x196: the
+    * customer table as a (k, seg, bal) base snapshot, plus a change
+    * log exercising every op class (update-then-delete on k%10=7,
+    * update on k%10=3, insert of new keys from k%10=0). Both sides
+    * OpCache'd — every fold reads the cached projection, not the
+    * parquet.
+    */
+  private def cdcBaseLog(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val base = graft.operators.OpCache.swap(
+      "ext.x189.base",
+      t(s, d, "customer").select(
+        col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"),
+        graft.operators.Regression.toUnits(col("c_acctbal")).cast("long").as("bal")))
+    val log0 = base.filter(col("k") % 10 === 7)
+      .select(col("k"), lit("PRE").as("seg"), lit(0L).as("bal"),
+        lit("U").as("op"), lit(1L).as("ord"))
+      .unionByName(base.filter(col("k") % 10 === 7)
+        .select(col("k"), col("seg"), col("bal"), lit("D").as("op"), lit(2L).as("ord")))
+      .unionByName(base.filter(col("k") % 10 === 3)
+        .select(col("k"), lit("UPDATED").as("seg"), (col("bal") * 2).as("bal"),
+          lit("U").as("op"), lit(2L).as("ord")))
+      .unionByName(base.filter(col("k") % 10 === 0)
+        .select((col("k") + 1000000L).as("k"), lit("NEW").as("seg"), col("bal"),
+          lit("I").as("op"), lit(1L).as("ord")))
+    (base, graft.operators.OpCache.swap("ext.x189.log", log0))
+  }
 
   /** Deterministic 60-bit signature table with planted near-dup twins
     * — the shared fixture of the perceptual-pair portable twins
