@@ -180,6 +180,28 @@ class TablesSpec extends SparkSpec {
     assert(joined.count() == 50611)
   }
 
+  test("stagedOverwrite publishes by rename; the drop-to-rename crash window heals") {
+    import sqlImplicits._
+    val tbl = "graft_staged_t"
+    Seq(tbl, tbl + "__staging").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Tables.overwriteTable((1 to 10).toDF("v"), tbl)
+    // overwrite with a plan that READS the table — the self-read case
+    // the staging table exists for; the publish must be the rename
+    // path (no staging left behind, content exact)
+    Tables.stagedOverwrite(spark.table(tbl).withColumn("v", org.apache.spark.sql.functions.col("v") * 2), tbl)
+    assert(spark.table(tbl).collect().map(_.getInt(0)).sorted.toSeq == (1 to 10).map(_ * 2))
+    assert(!spark.catalog.tableExists(tbl + "__staging"), "staging must be renamed away")
+    // crash window: target dropped, staging holds the complete result —
+    // recoverStaged must republish it (also by rename) exactly once
+    Tables.overwriteTable((1 to 5).toDF("v"), tbl + "__staging")
+    spark.sql(s"DROP TABLE $tbl")
+    assert(Tables.recoverStaged(spark, tbl), "orphaned staging must be healed")
+    assert(spark.table(tbl).collect().map(_.getInt(0)).sorted.toSeq == (1 to 5))
+    assert(!spark.catalog.tableExists(tbl + "__staging"))
+    assert(!Tables.recoverStaged(spark, tbl), "nothing left to heal")
+    Seq(tbl, tbl + "__staging").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("compaction rewrites an append-accreted table into few files with content intact") {
     import sqlImplicits._
     val tbl = "graft_compact_t"
