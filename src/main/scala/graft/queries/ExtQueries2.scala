@@ -1479,7 +1479,7 @@ object ExtQueries2 {
       (s, d) => {
         import graft.streaming.EventStreams
         val state = "graft_x196_state"
-        Seq("", "__staging", "__wm", "__touched", "__fragsrc")
+        Seq("", "__staging", "__wm", "__touched")
           .foreach(x => graft.sources.Tables.dropManaged(s, state + x))
         val (base, log) = cdcBaseLog(s, d)
         EventStreams.foldSnapshotBatch(
@@ -1487,10 +1487,10 @@ object ExtQueries2 {
           0L, state, Seq("k"), "op", Seq("ord"), nBuckets = 8)
         EventStreams.foldSnapshotBatch(
           log, 1L, state, Seq("k"), "op", Seq("ord"), nBuckets = 8)
-        s.table(state).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .format("parquet").saveAsTable(state + "__fragsrc")
-        s.table(state + "__fragsrc").repartition(6)
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        // localCheckpoint materializes the fragmented layout off-table,
+        // so the overwrite below never reads the table it is dropping
+        val frag = s.table(state).repartition(2).localCheckpoint(true)
+        frag.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .format("parquet").partitionBy("__bucket").saveAsTable(state)
         val nBuckets = s.sql(s"SHOW PARTITIONS $state").count().toInt
         val (before, after) = EventStreams.compactSnapshot(s, state)

@@ -585,12 +585,26 @@ object EventStreams {
     }
     val before = bucketFileCount()
     val nBuckets = spark.sql(s"SHOW PARTITIONS $stateTable").count().toInt
+    val props = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(stateTable))
+      .properties.get("graft.nbuckets")
     spark.table(stateTable)
       .repartition(math.max(1, nBuckets), col("__bucket"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").partitionBy("__bucket").saveAsTable(staging)
-    copyBuckets(spark, staging, stateTable, Array.empty[Int])
-    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    // compaction rewrites EVERY bucket, so the publish is a whole-table
+    // swap by RENAME (data written once, not twice): drop-then-rename,
+    // with the crash window (state missing, staging complete) healed by
+    // the fold recovery's rename branch
+    spark.sql(s"DROP TABLE $stateTable")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $stateTable")
+    // the rename moves the data directory but the PARTITION metadata
+    // still points at the staging paths — recover it from the moved
+    // directory layout (metadata-only listing of nBuckets dirs)
+    spark.sql(s"MSCK REPAIR TABLE $stateTable")
+    spark.catalog.refreshTable(stateTable)
+    props.foreach(n => spark.sql(
+      s"ALTER TABLE $stateTable SET TBLPROPERTIES ('graft.nbuckets' = '$n')"))
     (before, bucketFileCount())
   }
 
@@ -677,8 +691,17 @@ object EventStreams {
             spark.table(touchedTbl).collect().map(_.getInt(0))
           else Array.empty[Int]
         copyBuckets(spark, staging, stateTable, touched)
+        spark.sql(s"DROP TABLE IF EXISTS $staging")
+      } else {
+        // state missing + staging complete = a compactSnapshot swap
+        // died between its DROP and RENAME — staging IS the whole
+        // table; restore it by the same rename (the incremental fold
+        // never reaches this shape: it stages only while the state
+        // table exists)
+        spark.sql(s"ALTER TABLE $staging RENAME TO $stateTable")
+        spark.sql(s"MSCK REPAIR TABLE $stateTable") // re-point partition metadata
+        spark.catalog.refreshTable(stateTable)
       }
-      spark.sql(s"DROP TABLE IF EXISTS $staging")
       spark.sql(s"DROP TABLE IF EXISTS $touchedTbl")
     }
     // Replay check. The wm-table read is skipped when this JVM already
@@ -712,7 +735,26 @@ object EventStreams {
         .repartition(nBuckets, col("__bucket")) // one file per bucket
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .format("parquet").partitionBy("__bucket").saveAsTable(stateTable)
+      // pin the bucket count in the table metadata: a later fold with a
+      // DIFFERENT nBuckets would compute touched buckets under the new
+      // modulus, partition-prune against the old layout, MISS the
+      // existing rows for its keys and silently duplicate them — the
+      // guard below turns that operator error into a loud failure
+      spark.sql(
+        s"ALTER TABLE $stateTable SET TBLPROPERTIES ('graft.nbuckets' = '$nBuckets')")
     } else {
+      // bucket-count guard (see the bootstrap TBLPROPERTIES write): a
+      // mismatched nBuckets silently corrupts the snapshot, so fail
+      // loudly before touching anything. Tables from before the
+      // property existed pass (no property → no check).
+      val declared = spark.sessionState.catalog
+        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(stateTable))
+        .properties.get("graft.nbuckets")
+      declared.foreach { n =>
+        require(n.toInt == nBuckets,
+          s"foldSnapshotBatch: state table $stateTable was bucketed with nBuckets=$n, " +
+            s"fold called with nBuckets=$nBuckets — rebucket via a fresh bootstrap instead")
+      }
       // touched buckets + may-this-batch-empty-one in ONE delta scan:
       // ≤ nBuckets result rows — partition metadata, not data
       val perBucket = prof("perbucket")(batch

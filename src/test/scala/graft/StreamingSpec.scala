@@ -806,6 +806,30 @@ class StreamingSpec extends SparkSpec {
     Seq("", "__staging", "__wm", "__touched").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
   }
 
+  test("bucketed CDC fold: an nBuckets mismatch fails loudly instead of corrupting the snapshot") {
+    import sqlImplicits._
+    val state = "stream_cdcnb_state"
+    Seq("", "__staging", "__wm", "__touched").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
+    EventStreams.foldSnapshotBatch(
+      (1L to 20L).map(i => (i, s"v$i", "I", 1L)).toDF("k", "v", "op", "ord"),
+      0L, state, Seq("k"), "op", Seq("ord"), nBuckets = 4)
+    // folding with a different modulus would prune against the wrong
+    // layout, miss the keys' existing rows and silently duplicate them
+    val e = intercept[IllegalArgumentException] {
+      EventStreams.foldSnapshotBatch(
+        Seq((5L, "x", "U", 2L)).toDF("k", "v", "op", "ord"),
+        1L, state, Seq("k"), "op", Seq("ord"), nBuckets = 8)
+    }
+    assert(e.getMessage.contains("nBuckets"))
+    // the matching modulus still folds
+    EventStreams.foldSnapshotBatch(
+      Seq((5L, "x", "U", 2L)).toDF("k", "v", "op", "ord"),
+      1L, state, Seq("k"), "op", Seq("ord"), nBuckets = 4)
+    assert(EventStreams.snapshot(spark, state).filter(col("k") === 5L)
+      .head().getString(1) == "x")
+    Seq("", "__staging", "__wm", "__touched").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
+  }
+
   test("compactSnapshot: per-bucket file count returns to 1, content and partition layout unchanged") {
     import sqlImplicits._
     val state = "stream_cdccomp_state"
@@ -831,6 +855,18 @@ class StreamingSpec extends SparkSpec {
     assert(after == nBuckets, s"compaction must leave exactly one file per bucket (got $after)")
     assert(content() == expected, "compaction must preserve the snapshot bit-for-bit")
     assert(spark.sql(s"SHOW PARTITIONS $state").count().toInt == nBuckets)
+    assert(!spark.catalog.tableExists(state + "__staging"))
+    // crash window of the compaction swap: state dropped, staging holds
+    // the COMPLETE compacted table — the next fold must restore it by
+    // rename before folding its own batch
+    spark.table(state).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").partitionBy("__bucket").saveAsTable(state + "__staging")
+    spark.sql(s"DROP TABLE $state")
+    EventStreams.foldSnapshotBatch(
+      Seq((999L, "after", "I", 1L)).toDF("k", "v", "op", "ord"),
+      1L, state, Seq("k"), "op", Seq("ord"), nBuckets = 4)
+    assert(content() == (expected :+ (999L, "after")).sortBy(_._1),
+      "compaction crash window must heal to the complete table, then fold")
     assert(!spark.catalog.tableExists(state + "__staging"))
     Seq("", "__staging", "__wm", "__touched", "__fragsrc")
       .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
