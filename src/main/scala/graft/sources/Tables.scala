@@ -111,8 +111,9 @@ object Tables {
     * kept — completing the append/replace pair with the third write
     * mode warehouses need. Implemented as anti-join + union + staged
     * overwrite (parquet has no transactional MERGE; at warehouse scale
-    * this becomes a partition-scoped rewrite of only touched
-    * partitions). The union is checkpointed to a staging table first —
+    * prefer [[graft.streaming.EventStreams.foldSnapshotBatch]]'s
+    * bucket-partitioned layout, which rewrites only touched buckets
+    * instead of the whole table). The union is staged first —
     * overwriting a table that feeds its own plan would read-after-drop.
     */
   def upsertTable(updates: DataFrame, table: String, key: String): Unit = {

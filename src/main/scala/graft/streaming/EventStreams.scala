@@ -569,7 +569,9 @@ object EventStreams {
     * file count at 1. Crash-safe by construction: it stages through
     * the fold's own `__staging` table, so a crash mid-publish is
     * indistinguishable from a crashed fold — the next fold's recovery
-    * replays the (idempotent, content-identical) bucket copy. Returns
+    * restores it. Single-writer like the fold itself: run it from the
+    * maintenance slot of the same writer (e.g. between micro-batches),
+    * never concurrently with a fold on the same table. Returns
     * (files_before, files_after).
     */
   def compactSnapshot(spark: SparkSession, stateTable: String): (Int, Int) = {
@@ -672,6 +674,8 @@ object EventStreams {
     val staging = stateTable + "__staging"
     val wm = stateTable + "__wm"
     val touchedTbl = stateTable + "__touched"
+    // ops diagnostics: SPARK_GRAFT_FOLD_PROF=1 prints per-step fold
+    // timings (the knob the verify recipe documents); free when unset
     def prof[A](l: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       if (sys.env.contains("SPARK_GRAFT_FOLD_PROF"))
