@@ -1170,7 +1170,7 @@ object ExtQueries2 {
 
     // Streaming CDC certification: the x186 change log folded through
     // the maintainSnapshot foreachBatch face — base snapshot as batch
-    // 0, the log key-sliced into three micro-batches, one batch id
+    // 0, the log key-sliced into two micro-batches, one batch id
     // replayed (must be a watermark no-op) — then the same per-segment
     // rollup. Streamed application must equal the one-shot batch
     // apply bit-for-bit, so the oracle is x186's. Certified at
