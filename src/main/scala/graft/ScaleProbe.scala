@@ -351,17 +351,25 @@ object ScaleProbe {
         graft.operators.TextAnalysis.readability(d)
           .agg(sum(col("n_syllables")).as("syl"),
             sum(when(col("flesch") > 60.0, 1L).otherwise(0L)).as("easy")))
-      // Rank-AUC / lift: both aggregate to the distinct-score grain
-      // (bounded value domain here) before any window — flat scan
-      // curves, never a per-row global sort.
+      // Rank-AUC / lift / calibration: the score is ROW-UNIQUE (a
+      // continuous-score stand-in), so the distinct-score domain is
+      // row-sized — exactly the shape the banded bandedCum rewrite
+      // exists for. The curves must track the scan (every window
+      // (group, band)-partitioned), never a one-task global sort.
       time(s"auc_rank               x$k",
         graft.operators.Eval.aucRank(
           d.select(col("lang"), (col("doc_id") % 2 === 0).as("y"),
-            (col("n_chars") % 997).as("s")),
+            (col("doc_id") * 1000 + col("n_chars")).as("s")),
           Seq("lang"), "y", "s"))
       time(s"lift_gains             x$k",
         graft.operators.Eval.liftTable(
-          d.select((col("doc_id") % 5 === 0).as("y"), (col("n_chars") % 997).as("s")),
+          d.select((col("doc_id") % 5 === 0).as("y"),
+            (col("doc_id") * 1000 + col("n_chars")).as("s")),
+          "y", "s"))
+      time(s"calibration_bins       x$k",
+        graft.operators.Eval.calibrationBins(
+          d.select((col("doc_id") % 5 === 0).as("y"),
+            (col("doc_id") * 1000 + col("n_chars")).as("s")),
           "y", "s"))
       // Gaps-and-islands: keyed window over per-key DISTINCT values
       // (bounded domain per key) — the keyed-shuffle scan curve.

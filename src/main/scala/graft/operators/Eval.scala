@@ -39,21 +39,23 @@ object Eval {
       df: DataFrame,
       groupCols: Seq[String],
       labelCol: String,
-      scoreCol: String): DataFrame = {
+      scoreCol: String,
+      bands: Int = 64): DataFrame = {
+    require(bands > 0, s"aucRank: bands must be positive, got $bands")
     val byScore = df
       .filter(col(scoreCol).isNotNull)
-      .groupBy(groupCols.map(col) :+ col(scoreCol).as("__s"): _*)
+      .groupBy(groupCols.map(col) :+ col(scoreCol).as("__v"): _*)
       .agg(
         sum(when(col(labelCol), 1L).otherwise(0L)).as("__pos"),
         sum(when(col(labelCol), 0L).otherwise(1L)).as("__neg"))
-    // one row per distinct score per group → the cumulative frame is
-    // tie-free and the rows-window is exact
-    val w = Window
-      .partitionBy(groupCols.map(col): _*)
-      .orderBy(col("__s").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
+    // one row per distinct score per group, so the banded INCLUSIVE
+    // prefix minus the row's own count is exactly "negatives strictly
+    // below" — and every window stays (group, band)-partitioned: a
+    // plain PARTITION BY group would sort each group's whole score
+    // domain in one task, which for a continuous score is row-sized
     byScore
-      .withColumn("__neg_lt", coalesce(sum(col("__neg")).over(w), lit(0L)))
+      .transform(Stats.bandedCum(_, Seq("__neg" -> "__cumneg"), bands, groupCols))
+      .withColumn("__neg_lt", col("__cumneg") - col("__neg"))
       .groupBy(groupCols.map(col): _*)
       .agg(
         sum(col("__pos")).as("n_pos"),
@@ -93,25 +95,27 @@ object Eval {
       df: DataFrame,
       labelCol: String,
       scoreCol: String,
-      nBuckets: Int = 10): DataFrame = {
+      nBuckets: Int = 10,
+      bands: Int = 64): DataFrame = {
     require(nBuckets >= 2 && nBuckets <= 1000, s"liftTable: nBuckets=$nBuckets out of [2, 1000]")
+    require(bands > 0, s"liftTable: bands must be positive, got $bands")
     val byScore = df
       .filter(col(scoreCol).isNotNull)
       .groupBy(col(scoreCol).as("__s"))
       .agg(
         count(lit(1)).as("__n"),
         sum(when(col(labelCol), 1L).otherwise(0L)).as("__pos"))
-    // distinct-score frame: the partition-less window is domain-sized,
-    // not row-sized (the labelIndex/vocab class, not a global row sort)
-    val w = Window.orderBy(col("__s").desc).rowsBetween(Window.unboundedPreceding, -1)
-    // totals via an unbounded frame on the same (domain-sized) window
-    // pass — no self-join, no second scan
-    val wAll = Window.orderBy(col("__s").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // rank-start in score-DESC order = banded inclusive ASC prefix on
+    // the NEGATED score minus the row's own count. The distinct-score
+    // domain is row-sized for a continuous score, so the prefix runs
+    // banded (every window (band)-partitioned), never one global sort.
+    // totals ride the banding's own bounds broadcast (carryTotals) —
+    // no second aggregate lineage over the input
     val bucketed = byScore
-      .withColumn("__start", coalesce(sum(col("__n")).over(w), lit(0L)))
-      .withColumn("__tot_n", sum(col("__n")).over(wAll))
-      .withColumn("__tot_p", sum(col("__pos")).over(wAll))
+      .withColumn("__v", -col("__s"))
+      .transform(Stats.bandedCum(_, Seq("__n" -> "__cumn"), bands,
+        carryTotals = Seq("__n" -> "__tot_n", "__pos" -> "__tot_p")))
+      .withColumn("__start", col("__cumn") - col("__n"))
       .withColumn("bucket", (floorDiv(col("__start") * nBuckets, col("__tot_n")) + 1).cast("int"))
       .groupBy(col("bucket"))
       .agg(
@@ -119,6 +123,7 @@ object Eval {
         sum(col("__pos")).as("n_pos"),
         max(col("__tot_n")).as("__tot_n"),
         max(col("__tot_p")).as("__tot_p"))
+    // partition-less but bounded: ≤ nBuckets (≤ 1000) rows reach it
     val wc = Window.orderBy(col("bucket").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bucketed
@@ -145,8 +150,10 @@ object Eval {
       df: DataFrame,
       labelCol: String,
       scoreCol: String,
-      nBins: Int = 10): DataFrame = {
+      nBins: Int = 10,
+      bands: Int = 64): DataFrame = {
     require(nBins >= 2 && nBins <= 1000, s"calibrationBins: nBins=$nBins out of [2, 1000]")
+    require(bands > 0, s"calibrationBins: bands must be positive, got $bands")
     val byScore = df
       .filter(col(scoreCol).isNotNull)
       .groupBy(col(scoreCol).as("__s"))
@@ -154,12 +161,13 @@ object Eval {
         count(lit(1)).as("__n"),
         sum(when(col(labelCol), 1L).otherwise(0L)).as("__pos"),
         sum(col(scoreCol)).as("__sum_s"))
-    val w = Window.orderBy(col("__s").asc).rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.orderBy(col("__s").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // same banded rank-start as [[liftTable]], ascending this time
+    // (see there for why the distinct-score window must not be global)
     byScore
-      .withColumn("__start", coalesce(sum(col("__n")).over(w), lit(0L)))
-      .withColumn("__tot_n", sum(col("__n")).over(wAll))
+      .withColumn("__v", col("__s"))
+      .transform(Stats.bandedCum(_, Seq("__n" -> "__cumn"), bands,
+        carryTotals = Seq("__n" -> "__tot_n")))
+      .withColumn("__start", col("__cumn") - col("__n"))
       .withColumn("bin", (floorDiv(col("__start") * nBins, col("__tot_n")) + 1).cast("int"))
       .groupBy(col("bin"))
       .agg(

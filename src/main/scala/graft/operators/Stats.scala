@@ -17,18 +17,44 @@ import org.apache.spark.sql.functions._
 object Stats {
 
   /** BANDED two-phase INCLUSIVE prefix sums over rows ordered by
-    * `__v`: per-band cumulative windows run in parallel and a
-    * band-count-sized broadcast offset table lifts them to global
-    * cumulative sums — the distributed ordered-scan primitive (no
-    * global sort task ever sees the full domain). `sums` maps input
-    * count column → output cumulative column name.
+    * `__v`, optionally per `groupCols` group: per-(group, band)
+    * cumulative windows run in parallel and a (groups × bands)-sized
+    * offset table lifts them to per-group cumulative sums — the
+    * distributed ordered-scan primitive (no sort task ever sees a
+    * whole group's value domain). `sums` maps input count column →
+    * output cumulative column name. Group keys join null-safely, so a
+    * null group behaves exactly like a window PARTITION BY would.
+    * `carryTotals` (input column → total column) rides per-(group-)
+    * total sums on the SAME bounds pass, sparing callers that also
+    * need totals a second aggregate lineage over `df`.
     */
-  private def bandedCum(
+  private[graft] def bandedCum(
       df: DataFrame,
       sums: Seq[(String, String)],
-      bands: Int): DataFrame = {
-    val bounds = df.agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
-    val banded = df.crossJoin(broadcast(bounds))
+      bands: Int,
+      groupCols: Seq[String] = Seq.empty,
+      carryTotals: Seq[(String, String)] = Seq.empty): DataFrame = {
+    val gc = groupCols.map(col)
+    val boundAggs = Seq(min(col("__v")).as("__lo"), max(col("__v")).as("__hi")) ++
+      carryTotals.map { case (c, out) => sum(col(c)).as(out) }
+    val withBounds =
+      if (groupCols.isEmpty)
+        df.crossJoin(broadcast(df.agg(boundAggs.head, boundAggs.tail: _*)))
+      else {
+        // per-group bounds via map-side-combined agg + null-safe join —
+        // NOT a per-group window, which would re-create the one-task-
+        // per-whole-group sort this primitive exists to avoid
+        val bounds = df.groupBy(gc: _*)
+          .agg(boundAggs.head, boundAggs.tail: _*)
+          .select(groupCols.map(c => col(c).as(s"__bg_$c")) ++
+            (Seq(col("__lo"), col("__hi")) ++
+              carryTotals.map { case (_, out) => col(out) }): _*)
+        df.join(
+            Broadcasting.maybeBroadcast(bounds),
+            groupCols.map(c => col(c) <=> col(s"__bg_$c")).reduce(_ && _))
+          .drop(groupCols.map(c => s"__bg_$c"): _*)
+      }
+    val banded = withBounds
       .withColumn(
         "__bkt",
         when(col("__hi") === col("__lo"), lit(0))
@@ -37,18 +63,37 @@ object Stats {
             floor((col("__v") - col("__lo")).cast("double") /
               ((col("__hi") - col("__lo")).cast("double") / lit(bands))).cast("int"))))
       .drop("__lo", "__hi")
-    val offW = Window.orderBy(col("__bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    // offset window: ≤ bands rows per group, partitioned by group
+    val offW = Window.partitionBy(gc: _*).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     val sumAggs = sums.map { case (c, _) => sum(col(c)).as(s"__s$c") }
-    val offs = banded.groupBy("__bkt")
+    val offs = banded.groupBy(gc :+ col("__bkt"): _*)
       .agg(sumAggs.head, sumAggs.tail: _*)
-    val withOffs = sums.foldLeft(offs) { case (acc, (c, _)) =>
-      acc.withColumn(s"__off$c", coalesce(sum(col(s"__s$c")).over(offW), lit(0L)))
-    }.select(col("__bkt") +: sums.map { case (c, _) => col(s"__off$c") }: _*)
-    val wb = Window.partitionBy(col("__bkt")).orderBy(col("__v"))
+    val wb = Window.partitionBy(gc :+ col("__bkt"): _*).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sums.foldLeft(banded.join(broadcast(withOffs), Seq("__bkt"))) {
-      case (acc, (c, out)) =>
+    if (groupCols.isEmpty) {
+      val withOffs = sums.foldLeft(offs) { case (acc, (c, _)) =>
+        acc.withColumn(s"__off$c", coalesce(sum(col(s"__s$c")).over(offW), lit(0L)))
+      }.select(col("__bkt") +: sums.map { case (c, _) => col(s"__off$c") }: _*)
+      sums.foldLeft(banded.join(broadcast(withOffs), Seq("__bkt"))) {
+        case (acc, (c, out)) =>
+          acc.withColumn(out, col(s"__off$c") + sum(col(c)).over(wb))
+      }
+    } else {
+      val withOffs = sums.foldLeft(offs) { case (acc, (c, _)) =>
+        acc.withColumn(s"__off$c", coalesce(sum(col(s"__s$c")).over(offW), lit(0L)))
+      }.select(
+        groupCols.map(c => col(c).as(s"__og_$c")) ++
+          (col("__bkt").as("__obkt") +:
+            sums.map { case (c, _) => col(s"__off$c") }): _*)
+      val joined = banded.join(
+          Broadcasting.maybeBroadcast(withOffs),
+          (groupCols.map(c => col(c) <=> col(s"__og_$c")) :+
+            (col("__bkt") === col("__obkt"))).reduce(_ && _))
+        .drop(groupCols.map(c => s"__og_$c") :+ "__obkt": _*)
+      sums.foldLeft(joined) { case (acc, (c, out)) =>
         acc.withColumn(out, col(s"__off$c") + sum(col(c)).over(wb))
+      }
     }
   }
 

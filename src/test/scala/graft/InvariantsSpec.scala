@@ -172,6 +172,70 @@ class InvariantsSpec extends SparkSpec {
         s"surface (the x170 fix) or add a convention entry:\n${offenders.mkString("\n")}")
   }
 
+  test("window scale hygiene: partition-less windows only over bounded domains") {
+    // The scale sibling of the transcendental/dtype lints: a Window
+    // with an EMPTY partition spec moves its whole input through one
+    // task — fine over a bounded domain (≤ k buckets, a sketch's
+    // candidates), a 100 TB scale-killer over anything row- or
+    // domain-proportional (the class the banded bandedCum rewrite of
+    // aucRank/liftTable/calibrationBins removed). Every query whose
+    // OPTIMIZED plan still contains one must sit in this allowlist
+    // with its bound stated. A partition-less Window whose child is a
+    // WindowGroupLimit is exempt: the optimizer caps each map-side
+    // partition at k rows before the shuffle, so the single task sees
+    // ≤ parallelism·k rows, not the input.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, WindowGroupLimit}
+    // name -> why its global window's input is bounded
+    val bounds = Map(
+      "x118_label_index" ->
+        "distinct-label vocabulary (a category domain, not row count) — MlPrep.scala:52",
+      "x138_hll_window" ->
+        "one row per DAY after the daily sketch pre-aggregation (date domain) — Hll.scala:124",
+      "x139_zipf_slope" ->
+        "~topN(=200) rows after the TopK threshold pre-prune — CorpusStats.scala:83",
+      "x142_rank_churn" ->
+        "~10 rows/year after the TopK threshold pre-prune (the x139 pattern)",
+      "x150_skyline" ->
+        "phase-2 input is per-bucket frontier survivors (skyline-sized, ~sqrt(n) typical) — Skyline.scala:45",
+      "x154_ks_test" ->
+        "bandedCum offset table: <= bands(=64) rows — Stats.bandedCum",
+      "x158_mann_whitney" ->
+        "bandedCum offset table: <= bands(=64) rows — Stats.bandedCum",
+      "x161_budget_allocation" ->
+        "one row per allocation target (source domain) — DataMix.allocateLargestRemainder",
+      "x166_bootstrap_ci" ->
+        "<= b(=32..1024) bootstrap replicate means — Stats.scala:431",
+      "x170_kaplan_meier" ->
+        "bandedCum offset table: <= bands(=64) rows — Stats.bandedCum",
+      "x171_gini_spend" ->
+        "bandedCum offset table: <= bands(=64) rows — Stats.bandedCum",
+      "x181_lift_gains" ->
+        "bandedCum offsets (<= bands) + final bucket window (<= nBuckets <= 1000) — Eval.scala:127",
+      "x187_calibration_bins" ->
+        "bandedCum offsets (<= bands) + final bin window (<= nBins <= 1000)",
+      "x188_mutual_info" ->
+        "contingency cells (|X|*|Y| category domain) — MlPrep.scala:263",
+      "x191_rolling_corr" ->
+        "one row per HOUR bucket after pre-aggregation (time domain) — Regression.scala:206")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => !bounds.contains(name) }
+      .flatMap { case (name, fn) =>
+        try {
+          val plan = fn(spark, "/root/testdata/sf0.001").queryExecution.optimizedPlan
+          val hits = plan.collect {
+            case w: LWindow if w.partitionSpec.isEmpty &&
+                !w.child.isInstanceOf[WindowGroupLimit] => w
+          }
+          if (hits.isEmpty) Nil else Seq(name)
+        } catch { case _: Throwable => Nil } // crashes are VerifySpec's business
+      }
+    assert(
+      offenders.isEmpty,
+      "queries with a partition-less Window over an unstated domain — band it " +
+        "(Stats.bandedCum), partition it, or add a bound entry:\n" +
+        offenders.mkString("\n"))
+  }
+
   test("oracle dtype hygiene: no HUGEINT-tainted column reaches a final select list uncast") {
     // The dtype sibling of the transcendental-hygiene test, built from
     // the r6/r7 x170 failure: DuckDB types SUM(integer) — plain or
