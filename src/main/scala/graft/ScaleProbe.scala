@@ -415,11 +415,13 @@ object ScaleProbe {
       time(s"mutual_info            x$k",
         graft.operators.MlPrep.mutualInfo(
           d.select(col("lang"), (col("n_chars") % 20).as("b")), "lang", "b"))
-      // Rank normalization: distinct-value grain per group — the
-      // window never sees raw rows; flat beyond the scan.
+      // Rank normalization: ROW-UNIQUE numeric value (continuous
+      // case) — the distinct-value grain is row-sized, so the curve
+      // certifies the banded per-group prefixes, not a bounded domain.
       time(s"rank_normalize         x$k",
         graft.operators.MlPrep.rankNormalize(
-          d.select(col("lang"), (col("n_chars") % 997).as("v")), Seq("lang"), "v"))
+          d.select(col("lang"),
+            (col("doc_id") * 1000 + col("n_chars")).as("v")), Seq("lang"), "v"))
       // Streaming CDC bucketed fold: the snapshot grows K× while the
       // delta stays CONSTANT and SMALL (10 keys — at 64 buckets ~54
       // buckets stay untouched, so the probe exercises partition

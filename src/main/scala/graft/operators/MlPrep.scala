@@ -210,25 +210,49 @@ object MlPrep {
     * integer — ties share the midpoint) and
     * `norm = (avg_rank2 − 2) / (2·(n − 1))`, so min → 0, max → 1. A
     * one-value group reports the 0.5 midpoint. The output is the
-    * value→norm map (broadcast-join it to transform rows); the window
-    * runs over the distinct-value table, never the raw frame.
+    * value→norm map (broadcast-join it to transform rows); the rank
+    * prefixes run over the distinct-value table, never the raw frame
+    * — and banded per group for numeric values (see the body).
     * Output: (groupCols*, value, n_ties, avg_rank2, norm).
     */
-  def rankNormalize(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+  def rankNormalize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      bands: Int = 64): DataFrame = {
+    require(bands > 0, s"rankNormalize: bands must be positive, got $bands")
     val byVal = df
       .filter(col(valueCol).isNotNull)
       .groupBy(groupCols.map(col) :+ col(valueCol).as("value"): _*)
       .agg(count(lit(1)).as("n_ties"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCols.map(col): _*)
-      .orderBy(col("value").asc)
-      .rowsBetween(Long.MinValue, -1)
-    val wAll = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCols.map(col): _*)
-      .rowsBetween(Long.MinValue, Long.MaxValue)
-    byVal
-      .withColumn("__below", coalesce(sum(col("n_ties")).over(w), lit(0L)))
-      .withColumn("__ntot", sum(col("n_ties")).over(wAll))
+    // A NUMERIC value is the continuous case: its distinct-value grain
+    // is row-sized, so the below/total prefixes run banded per group
+    // (Stats.bandedCum — every window (group, band)-partitioned; a
+    // plain per-group window would sort a whole group's domain in one
+    // task). A non-numeric value is a category vocabulary — bounded —
+    // and keeps the direct per-group window (banding needs arithmetic
+    // on the order key).
+    val ranked =
+      if (df.schema(valueCol).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType]) {
+        byVal
+          .withColumn("__v", col("value"))
+          .transform(Stats.bandedCum(_, Seq("n_ties" -> "__cum"), bands,
+            groupCols, carryTotals = Seq("n_ties" -> "__ntot")))
+          .withColumn("__below", col("__cum") - col("n_ties"))
+      } else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*)
+          .orderBy(col("value").asc)
+          .rowsBetween(Long.MinValue, -1)
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*)
+          .rowsBetween(Long.MinValue, Long.MaxValue)
+        byVal
+          .withColumn("__below", coalesce(sum(col("n_ties")).over(w), lit(0L)))
+          .withColumn("__ntot", sum(col("n_ties")).over(wAll))
+      }
+    ranked
       .withColumn("avg_rank2", col("__below") * 2 + col("n_ties") + 1)
       .withColumn(
         "norm",
@@ -238,7 +262,8 @@ object MlPrep {
               ((col("__ntot") - 1) * 2).cast("double"),
             6))
           .otherwise(lit(0.5)))
-      .drop("__below", "__ntot")
+      .select(groupCols.map(col) ++
+        Seq(col("value"), col("n_ties"), col("avg_rank2"), col("norm")): _*)
   }
 
   /** Mutual information between two categorical columns — the
