@@ -371,6 +371,21 @@ object ScaleProbe {
           d.select((col("doc_id") % 5 === 0).as("y"),
             (col("doc_id") * 1000 + col("n_chars")).as("s")),
           "y", "s"))
+      // Stratified k-fold / sequence packing: 5 strata over the WHOLE
+      // corpus — the shape where a per-stratum ORDER BY md5 window
+      // would sort ~rows/5 in one task. The bandedMd5Prefix rank/
+      // prefix-sum machinery must keep both on the scan curve.
+      time(s"kfold                  x$k",
+        graft.operators.DataMix.kfold(
+            d.select(col("lang"), col("doc_id")), Seq(col("lang")), 5,
+            Seq(col("doc_id")))
+          .groupBy("lang", "fold").count())
+      time(s"seq_packing            x$k",
+        graft.operators.DataMix.packSequences(
+            d.select(col("lang"), col("doc_id"),
+              (col("n_chars") / 4 + 1).cast("long").as("n_tokens")),
+            col("n_tokens"), 2048, col("lang"), Seq(col("doc_id")))
+          .groupBy("lang").agg(countDistinct(col("bin_id")).as("n_bins")))
       // Gaps-and-islands: keyed window over per-key DISTINCT values
       // (bounded domain per key) — the keyed-shuffle scan curve.
       time(s"gaps_islands           x$k",

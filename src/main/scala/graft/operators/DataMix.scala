@@ -181,14 +181,89 @@ object DataMix {
       .drop("__wu", "__num", "__tw", "__base", "__rem", "__left", "__rrank")
   }
 
+  /** BANDED per-stratum prefix machinery over the deterministic
+    * (md5, tie) order — the distributed replacement for the
+    * whole-stratum sort window [[quotaSplit]]/[[kfold]]/
+    * [[packSequences]]/[[md5TokenQuota]] used to share: with a
+    * handful of strata (lang, source) a `PARTITION BY stratum ORDER
+    * BY md5` window moves a whole stratum through ONE sort task —
+    * the 100 TB scale-killer class the Stats.bandedCum rewrites
+    * removed from the eval operators. md5 is uniform, so 64 STATIC
+    * bands (the top 6 bits of the first 52 hash bits) are balanced
+    * with no bounds scan; a hash tie shares a band by construction
+    * and the in-band order is (full hash, key tiebreak), so
+    * band-offset + in-band rank/prefix replays the global per-stratum
+    * order BIT-FOR-BIT. Per-(stratum, band) count/sum offsets ride a
+    * ≤64-row-per-stratum table, joined back via [[Broadcasting]].
+    *
+    * `sums` maps a value expression to its INCLUSIVE-prefix output
+    * column; `rankOut`/`totalCountOut` add the global per-stratum
+    * row_number and row count. Caller drops the outputs it consumes.
+    */
+  private def bandedMd5Prefix(
+      df: DataFrame,
+      strataCols: Seq[Column],
+      keyCols: Seq[Column],
+      sums: Seq[(Column, String)],
+      rankOut: Option[String],
+      totalCountOut: Option[String]): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val stNames = strataCols.indices.map(i => s"__st$i")
+    val tagged = strataCols.zip(stNames)
+      .foldLeft(df.withColumn("__h", md5Hash(keyCols))) {
+        case (acc, (c, n)) => acc.withColumn(n, c)
+      }
+      .withColumn("__bkt",
+        shiftright(conv(substring(col("__h"), 1, 13), 16, 10).cast("long"), 46))
+    val withVals = sums.zipWithIndex.foldLeft(tagged) {
+      case (acc, ((v, _), i)) => acc.withColumn(s"__sv$i", v)
+    }
+    val bandAggs = count(lit(1)).as("__bn") +:
+      sums.indices.map(i => sum(col(s"__sv$i")).as(s"__bs$i"))
+    val byBand = withVals
+      .groupBy(stNames.map(col) :+ col("__bkt"): _*)
+      .agg(bandAggs.head, bandAggs.tail: _*)
+    // ≤64 rows per stratum reach these windows — bounded by design
+    val offW = W.partitionBy(stNames.map(col): _*).orderBy(col("__bkt"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val totW = W.partitionBy(stNames.map(col): _*)
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val withTot = totalCountOut.foldLeft(
+        byBand.withColumn("__offn", coalesce(sum(col("__bn")).over(offW), lit(0L)))) {
+      (acc, o) => acc.withColumn(o, sum(col("__bn")).over(totW))
+    }
+    val offs = sums.indices.foldLeft(withTot) { (acc, i) =>
+      acc.withColumn(s"__off$i", coalesce(sum(col(s"__bs$i")).over(offW), lit(0L)))
+    }.select(stNames.map(c => col(c).as(s"__og_$c")) ++
+      (col("__bkt").as("__obkt") +: col("__offn") +:
+        (sums.indices.map(i => col(s"__off$i")) ++ totalCountOut.map(col))): _*)
+    val joined = withVals.join(
+        Broadcasting.maybeBroadcast(offs),
+        (stNames.map(c => col(c) <=> col(s"__og_$c")) :+
+          (col("__bkt") === col("__obkt"))).reduce(_ && _))
+    val wb = W.partitionBy(stNames.map(col) :+ col("__bkt"): _*)
+      .orderBy(col("__h").asc, keyCols.head.asc)
+    val ranked = rankOut.foldLeft(joined) { (acc, o) =>
+      acc.withColumn(o, col("__offn") + row_number().over(wb))
+    }
+    val summed = sums.zipWithIndex.foldLeft(ranked) { case (acc, ((_, out), i)) =>
+      acc.withColumn(out,
+        col(s"__off$i") + sum(col(s"__sv$i"))
+          .over(wb.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    }
+    summed.drop(
+      (Seq("__h", "__bkt", "__offn", "__obkt") ++ stNames ++
+        stNames.map(c => s"__og_$c") ++
+        sums.indices.flatMap(i => Seq(s"__sv$i", s"__off$i"))): _*)
+  }
+
   /** EXACT-quota stratified split: within every stratum, exactly
     * ⌊frac·n⌋ rows get the "val" label (the rest "train"), chosen by
     * the deterministic md5 order [[md5Quota]] ranks with. Where
     * [[md5SplitLabel]] gives each row an independent draw (split
     * sizes binomial around frac·n), this gives the exact count —
-    * the contract an eval-set budget needs. One window per stratum
-    * (stratum-sized sort tasks — the total order per stratum is the
-    * contract, same as md5Quota).
+    * the contract an eval-set budget needs. Ranks and stratum sizes
+    * come from [[bandedMd5Prefix]] — no whole-stratum sort task.
     * Adds `split` ∈ {"val", "train"}.
     */
   def quotaSplit(
@@ -197,15 +272,9 @@ object DataMix {
       valFrac: Double,
       keyCols: Seq[Column]): DataFrame = {
     require(valFrac >= 0 && valFrac <= 1, s"quotaSplit: frac $valFrac out of range")
-    val h = md5Hash(keyCols)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(strataCols: _*)
-      .orderBy(h.asc, keyCols.head.asc)
-    val wn = org.apache.spark.sql.expressions.Window.partitionBy(strataCols: _*)
     // quota = floor(frac·n): floor (not round) — half-up vs half-even
     // rounding differs across engines at exact .5 products
-    df.withColumn("__srank", row_number().over(w))
-      .withColumn("__sn", count(lit(1)).over(wn))
+    bandedMd5Prefix(df, strataCols, keyCols, Nil, Some("__srank"), Some("__sn"))
       .withColumn(
         "split",
         when(col("__srank") <= floor(lit(valFrac) * col("__sn")), "val")
@@ -227,11 +296,9 @@ object DataMix {
       k: Int,
       keyCols: Seq[Column]): DataFrame = {
     require(k >= 2 && k <= 1000, s"kfold: k=$k out of [2, 1000]")
-    val h = md5Hash(keyCols)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(strataCols: _*)
-      .orderBy(h.asc, keyCols.head.asc)
-    df.withColumn("fold", ((row_number().over(w) - 1) % k).cast("int"))
+    bandedMd5Prefix(df, strataCols, keyCols, Nil, Some("__srank"), None)
+      .withColumn("fold", ((col("__srank") - 1) % k).cast("int"))
+      .drop("__srank")
   }
 
   /** Split-leakage audit — the check that decides whether a split is
@@ -256,10 +323,10 @@ object DataMix {
     * windows. Rows are ordered by the deterministic md5 shuffle within
     * each stratum, a running token count accumulates, and a row's bin
     * is how many full budgets precede it (rows may straddle bins —
-    * split-on-pack semantics). One window shuffle per stratum; at
-    * 100 TB the stratum (e.g. lang × source shard) bounds each
-    * partition's sort. Engine-portable: ordering, cumsum, and floor
-    * all replay exactly in SQL.
+    * split-on-pack semantics). The running count is a
+    * [[bandedMd5Prefix]] prefix sum — no whole-stratum sort task.
+    * Engine-portable: ordering, cumsum, and floor all replay exactly
+    * in SQL.
     */
   def packSequences(
       df: DataFrame,
@@ -268,12 +335,8 @@ object DataMix {
       stratumCol: Column,
       keyCols: Seq[Column]): DataFrame = {
     require(budget > 0, s"budget $budget must be positive")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(stratumCol)
-      .orderBy(md5Hash(keyCols).asc, keyCols.head.asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    df.withColumn("__cum", sum(nTokens).over(w))
+    bandedMd5Prefix(df, Seq(stratumCol), keyCols,
+        Seq(nTokens -> "__cum"), None, None)
       .withColumn("bin_id",
         floor((col("__cum") - nTokens).cast("double") / budget).cast("long"))
       .drop("__cum")
@@ -286,7 +349,8 @@ object DataMix {
     * Prefix semantics: the first row that would overflow the budget
     * stops the group — later, smaller rows are NOT back-filled, so
     * membership is a pure prefix of the md5 order and replays exactly
-    * in SQL. One window shuffle on the group key.
+    * in SQL. The running total is a [[bandedMd5Prefix]] prefix sum —
+    * no whole-group sort task.
     */
   def md5TokenQuota(
       df: DataFrame,
@@ -295,12 +359,8 @@ object DataMix {
       budget: Long,
       keyCols: Seq[Column]): DataFrame = {
     require(budget > 0, s"budget $budget must be positive")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCol)
-      .orderBy(md5Hash(keyCols).asc, keyCols.head.asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    df.withColumn("__cumtok", sum(tokenCol).over(w))
+    bandedMd5Prefix(df, Seq(groupCol), keyCols,
+        Seq(tokenCol -> "__cumtok"), None, None)
       .filter(col("__cumtok") <= budget)
       .drop("__cumtok")
   }
