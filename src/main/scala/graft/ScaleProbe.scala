@@ -295,11 +295,13 @@ object ScaleProbe {
       // behind the bounded pre-prune — the scan curve.
       time(s"zipf_slope             x$k",
         graft.operators.CorpusStats.zipfSlope(d, topN = 200))
-      // Weighted quantile: tie-collapse then one ordered window over
-      // the distinct-value table — the percentile-class curve.
+      // Weighted quantile: ROW-UNIQUE value (continuous case — the
+      // tie-collapsed table is row-sized), so the curve certifies the
+      // banded per-group cumulative weights, not a bounded domain.
       time(s"weighted_quantile      x$k",
         graft.operators.RobustStats.weightedQuantile(
-          d.select(col("lang"), (col("n_chars") % 997).cast("double").as("v"),
+          d.select(col("lang"),
+            (col("doc_id") * 1000 + col("n_chars")).cast("double").as("v"),
             ((col("doc_id") % 7) + 1).cast("double").as("w")),
           Seq("lang"), "v", "w"))
       // Grid-density clustering: points collapse to inhabited cells in

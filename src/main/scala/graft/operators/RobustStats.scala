@@ -173,8 +173,11 @@ object RobustStats {
     * already does.)
     *
     * Shape: one (group, value) pre-aggregation collapses ties, then
-    * ONE ordered window per group over the collapsed (distinct-value-
-    * sized) table — never a sort of the raw rows.
+    * the cumulative/total weights over the collapsed table — banded
+    * per group (`Stats.bandedCum`) for NUMERIC values, whose
+    * distinct-value grain is row-sized in the continuous case; a
+    * non-numeric (category) domain is bounded and keeps the direct
+    * per-group window. Never a sort of the raw rows.
     * Output: (groupCols*, total_weight, wq_value).
     */
   def weightedQuantile(
@@ -182,8 +185,10 @@ object RobustStats {
       groupCols: Seq[String],
       valueCol: String,
       weightCol: String,
-      q: Double = 0.5): DataFrame = {
+      q: Double = 0.5,
+      bands: Int = 64): DataFrame = {
     require(q > 0 && q <= 1, s"weightedQuantile: q must be in (0,1], got $q")
+    require(bands > 0, s"weightedQuantile: bands must be positive, got $bands")
     val qm = math.round(q * 1e6)
     val wu = col(weightCol).cast(org.apache.spark.sql.types.DecimalType(18, 4))
       .multiply(lit(10000)).cast("long")
@@ -191,13 +196,21 @@ object RobustStats {
       .filter(col(valueCol).isNotNull && col(weightCol).isNotNull && col(weightCol) >= 0)
       .groupBy(groupCols.map(col) :+ col(valueCol).as("__v"): _*)
       .agg(sum(wu).as("__w"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCols.map(col): _*).orderBy(col("__v"))
-    val tot = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCols.map(col): _*)
-    collapsed
-      .withColumn("__cum", sum(col("__w")).over(win))
-      .withColumn("__tot", sum(col("__w")).over(tot))
+    val cumulated =
+      if (df.schema(valueCol).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType])
+        collapsed.transform(Stats.bandedCum(_, Seq("__w" -> "__cum"), bands,
+          groupCols, carryTotals = Seq("__w" -> "__tot")))
+      else {
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*).orderBy(col("__v"))
+        val tot = org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*)
+        collapsed
+          .withColumn("__cum", sum(col("__w")).over(win))
+          .withColumn("__tot", sum(col("__w")).over(tot))
+      }
+    cumulated
       .filter(col("__cum") * lit(1000000L) >= lit(qm) * col("__tot"))
       .groupBy(groupCols.map(col): _*)
       .agg(
