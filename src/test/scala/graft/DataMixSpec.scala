@@ -326,4 +326,22 @@ class DataMixSpec extends SparkSpec {
       .orderBy("id").collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("kfold: NULL strata included, banded ranks bit-identical to the window form") {
+    import sqlImplicits._
+    // parity oracle: the direct whole-stratum window over the SAME
+    // md5 draw — what bandedMd5Prefix's band-offset + in-band rank
+    // must replay exactly, null strata ranking as their own group
+    val df = (1 to 60)
+      .map(i => (i.toLong, if (i % 3 == 0) None else Some(s"s${i % 2}")))
+      .toDF("id", "g")
+    val got = graft.operators.DataMix.kfold(df, Seq(col("g")), 4, Seq(col("id")))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val h = md5(concat_ws("", coalesce(col("id").cast("string"), lit(""))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(h.asc, col("id").asc)
+    val want = df.withColumn("fold", ((row_number().over(w) - 1) % 4).cast("int"))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
 }

@@ -51,6 +51,36 @@ class EvalSpec extends SparkSpec {
     assert(got.getLong(3) == u2)
   }
 
+  test("aucRank: a NULL group key behaves exactly like a window partition") {
+    import sqlImplicits._
+    // the banded prefix joins its per-group bounds/offsets null-safely,
+    // so a null group must keep its own rows together, not drop them
+    val df = Seq(
+      (Option("g"), true, 9L), (Option("g"), false, 1L),
+      (Option.empty[String], true, 5L), (Option.empty[String], true, 7L),
+      (Option.empty[String], false, 6L), (Option.empty[String], false, 2L))
+      .toDF("g", "label", "score")
+    val out = Eval.aucRank(df, Seq("g"), "label", "score")
+      .orderBy(col("g").asc_nulls_first).collect()
+    assert(out.length == 2)
+    // null group: pos {5,7} vs neg {6,2}: 5>2, 7>6, 7>2 → U=3, u2=6
+    assert(out(0).isNullAt(0) && out(0).getLong(3) == 6L &&
+      out(0).getDouble(4) == 0.75)
+    assert(out(1).getString(0) == "g" && out(1).getDouble(4) == 1.0)
+  }
+
+  test("aucRank: a single-score group exercises the hi==lo band guard") {
+    import sqlImplicits._
+    val df = Seq(("g", true, 5L), ("g", false, 5L), ("g", false, 5L),
+      ("h", true, 3L), ("h", false, 1L))
+      .toDF("g", "label", "score")
+    val out = Eval.aucRank(df, Seq("g"), "label", "score")
+      .orderBy("g").collect()
+    // g: the lone positive ties both negatives → U = 1, u2 = 2, auc 0.5
+    assert(out(0).getLong(3) == 2L && out(0).getDouble(4) == 0.5)
+    assert(out(1).getDouble(4) == 1.0)
+  }
+
   test("liftTable: tie-coherent buckets, exact counts, capture reaches 1") {
     import sqlImplicits._
     // 20 rows, scores 20..1 distinct, positives = top 5 scores
