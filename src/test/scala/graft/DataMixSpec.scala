@@ -120,6 +120,31 @@ class DataMixSpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("packSequences/md5TokenQuota: banded prefix sums bit-identical to the window form") {
+    import sqlImplicits._
+    val df = (1 to 80)
+      .map(i => (i.toLong, s"s${i % 2}", (i * 7 % 40 + 1).toLong))
+      .toDF("id", "g", "tok")
+    val h = md5(concat_ws("", coalesce(col("id").cast("string"), lit(""))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(h.asc, col("id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val gotPack = DataMix.packSequences(df, col("tok"), 100, col("g"), Seq(col("id")))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val wantPack = df.withColumn("__cum", sum(col("tok")).over(w))
+      .withColumn("bin_id",
+        floor((col("__cum") - col("tok")).cast("double") / 100).cast("long"))
+      .drop("__cum").orderBy("id").collect().map(_.toSeq).toSeq
+    assert(gotPack == wantPack)
+    val gotQuota = DataMix.md5TokenQuota(df, col("g"), col("tok"), 300L, Seq(col("id")))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val wantQuota = df.withColumn("__cum", sum(col("tok")).over(w))
+      .filter(col("__cum") <= 300L).drop("__cum")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(gotQuota == wantQuota && gotQuota.nonEmpty && gotQuota.size < 80)
+  }
+
   test("md5 quota caps every group and picks a stable subset") {
     val kept = DataMix.md5Quota(docs, col("source"), 5, Seq(col("doc_id")))
     val perSource = kept.groupBy("source").agg(count(lit(1)).as("n"))
