@@ -14,15 +14,28 @@ private[graft] object Broadcasting {
     * driver OOM waiting for the assumption to break. Past the
     * threshold the unhinted plan degrades to a shuffled join.
     */
-  def maybeBroadcast(df: DataFrame): DataFrame = {
+  def maybeBroadcast(df: DataFrame): DataFrame =
+    if (fitsBroadcast(df)) broadcast(df) else df
+
+  /** The session's broadcast threshold in bytes (−1 = disabled). */
+  def threshold(df: DataFrame): Long = {
     val confStr = df.sparkSession.conf
       .get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
-    val threshold =
-      if (confStr.startsWith("-")) -1L
-      else scala.util.Try(
-        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(confStr)).getOrElse(-1L)
-    if (threshold > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold)
-      broadcast(df)
-    else df
+    if (confStr.startsWith("-")) -1L
+    else scala.util.Try(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(confStr)).getOrElse(-1L)
+  }
+
+  /** Does `df` fit the broadcast threshold by the optimizer's own size
+    * estimate, scaled by `factor`? The factor lets a caller decide for
+    * a frame whose OWN stats are useless (aggregates over joins over
+    * windows estimate as if nothing reduced) from a PROXY frame with a
+    * provable row-count relationship — e.g. bandedCum's offset table
+    * is ≤ bands rows per bounds row, so `fitsBroadcast(bounds, bands)`
+    * is a sound (conservative: offset rows are narrower) bound on it.
+    */
+  def fitsBroadcast(df: DataFrame, factor: Int = 1): Boolean = {
+    val thr = threshold(df)
+    thr > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes * factor <= thr
   }
 }

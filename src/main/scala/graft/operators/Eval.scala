@@ -52,9 +52,24 @@ object Eval {
     // prefix minus the row's own count is exactly "negatives strictly
     // below" — and every window stays (group, band)-partitioned: a
     // plain PARTITION BY group would sort each group's whole score
-    // domain in one task, which for a continuous score is row-sized
-    byScore
-      .transform(Stats.bandedCum(_, Seq("__neg" -> "__cumneg"), bands, groupCols))
+    // domain in one task, which for a continuous score is row-sized.
+    // NUMERIC scores only (the rankNormalize/weightedQuantile gate):
+    // banding does arithmetic on the score, which on a string would
+    // band numerically while ordering in-band lexicographically — an
+    // inconsistent total order and a silently wrong N_s. A non-numeric
+    // score is a bounded category domain; the direct per-group window
+    // keeps its lexicographic order and its one-task-per-group cost is
+    // vocabulary-sized.
+    val cumulated =
+      if (df.schema(scoreCol).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType])
+        byScore.transform(Stats.bandedCum(_, Seq("__neg" -> "__cumneg"), bands, groupCols))
+      else {
+        val win = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byScore.withColumn("__cumneg", sum(col("__neg")).over(win))
+      }
+    cumulated
       .withColumn("__neg_lt", col("__cumneg") - col("__neg"))
       .groupBy(groupCols.map(col): _*)
       .agg(
@@ -110,11 +125,28 @@ object Eval {
     // domain is row-sized for a continuous score, so the prefix runs
     // banded (every window (band)-partitioned), never one global sort.
     // totals ride the banding's own bounds broadcast (carryTotals) —
-    // no second aggregate lineage over the input
-    val bucketed = byScore
-      .withColumn("__v", -col("__s"))
-      .transform(Stats.bandedCum(_, Seq("__n" -> "__cumn"), bands,
-        carryTotals = Seq("__n" -> "__tot_n", "__pos" -> "__tot_p")))
+    // no second aggregate lineage over the input. Non-numeric scores
+    // (a bounded category domain — banding can't negate or subtract
+    // them, and would order inconsistently) keep the direct window,
+    // the aucRank gate.
+    val cumulated =
+      if (df.schema(scoreCol).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType])
+        byScore
+          .withColumn("__v", -col("__s"))
+          .transform(Stats.bandedCum(_, Seq("__n" -> "__cumn"), bands,
+            carryTotals = Seq("__n" -> "__tot_n", "__pos" -> "__tot_p")))
+      else {
+        val win = Window.orderBy(col("__s").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        byScore
+          .withColumn("__cumn", sum(col("__n")).over(win))
+          .withColumn("__tot_n", sum(col("__n")).over(wAll))
+          .withColumn("__tot_p", sum(col("__pos")).over(wAll))
+      }
+    val bucketed = cumulated
       .withColumn("__start", col("__cumn") - col("__n"))
       .withColumn("bucket", (floorDiv(col("__start") * nBuckets, col("__tot_n")) + 1).cast("int"))
       .groupBy(col("bucket"))
@@ -162,11 +194,25 @@ object Eval {
         sum(when(col(labelCol), 1L).otherwise(0L)).as("__pos"),
         sum(col(scoreCol)).as("__sum_s"))
     // same banded rank-start as [[liftTable]], ascending this time
-    // (see there for why the distinct-score window must not be global)
-    byScore
-      .withColumn("__v", col("__s"))
-      .transform(Stats.bandedCum(_, Seq("__n" -> "__cumn"), bands,
-        carryTotals = Seq("__n" -> "__tot_n")))
+    // (see there for why the distinct-score window must not be global,
+    // and for the non-numeric direct-window gate)
+    val cumulated =
+      if (df.schema(scoreCol).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType])
+        byScore
+          .withColumn("__v", col("__s"))
+          .transform(Stats.bandedCum(_, Seq("__n" -> "__cumn"), bands,
+            carryTotals = Seq("__n" -> "__tot_n")))
+      else {
+        val win = Window.orderBy(col("__s").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        byScore
+          .withColumn("__cumn", sum(col("__n")).over(win))
+          .withColumn("__tot_n", sum(col("__n")).over(wAll))
+      }
+    cumulated
       .withColumn("__start", col("__cumn") - col("__n"))
       .withColumn("bin", (floorDiv(col("__start") * nBins, col("__tot_n")) + 1).cast("int"))
       .groupBy(col("bin"))

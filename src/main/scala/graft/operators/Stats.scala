@@ -37,10 +37,24 @@ object Stats {
     val gc = groupCols.map(col)
     val boundAggs = Seq(min(col("__v")).as("__lo"), max(col("__v")).as("__hi")) ++
       carryTotals.map { case (c, out) => sum(col(c)).as(out) }
+    // The offset table's own stats are useless (agg over join over
+    // window estimates as if nothing reduced — the planner would pick
+    // a sort-merge join and shuffle+SORT the whole row-sized frame on
+    // the join key, re-buying a good chunk of the global sort this
+    // primitive exists to avoid). Its row count IS provably bounded:
+    // ≤ min(bands·|groups|, |df|) — and Catalyst's size estimate for
+    // the BOUNDS aggregate is already ≥ |df|'s width-scaled size
+    // (default estimation never shrinks row counts through an
+    // aggregate), so "bounds fits the broadcast threshold" is a sound,
+    // conservative bound for the offset table too. Past the threshold
+    // (huge group counts) fall back to a shuffled HASH join: correct
+    // distribution, no big-side sort.
+    var offsFit = false
     val withBounds =
-      if (groupCols.isEmpty)
+      if (groupCols.isEmpty) {
+        offsFit = true // ≤ bands rows, unconditionally
         df.crossJoin(broadcast(df.agg(boundAggs.head, boundAggs.tail: _*)))
-      else {
+      } else {
         // per-group bounds via map-side-combined agg + null-safe join —
         // NOT a per-group window, which would re-create the one-task-
         // per-whole-group sort this primitive exists to avoid
@@ -49,11 +63,14 @@ object Stats {
           .select(groupCols.map(c => col(c).as(s"__bg_$c")) ++
             (Seq(col("__lo"), col("__hi")) ++
               carryTotals.map { case (_, out) => col(out) }): _*)
+        offsFit = Broadcasting.fitsBroadcast(bounds)
         df.join(
-            Broadcasting.maybeBroadcast(bounds),
+            if (offsFit) broadcast(bounds) else bounds,
             groupCols.map(c => col(c) <=> col(s"__bg_$c")).reduce(_ && _))
           .drop(groupCols.map(c => s"__bg_$c"): _*)
       }
+    def offsSide(offs: DataFrame): DataFrame =
+      if (offsFit) broadcast(offs) else offs.hint("shuffle_hash")
     val banded = withBounds
       .withColumn(
         "__bkt",
@@ -87,7 +104,7 @@ object Stats {
           (col("__bkt").as("__obkt") +:
             sums.map { case (c, _) => col(s"__off$c") }): _*)
       val joined = banded.join(
-          Broadcasting.maybeBroadcast(withOffs),
+          offsSide(withOffs),
           (groupCols.map(c => col(c) <=> col(s"__og_$c")) :+
             (col("__bkt") === col("__obkt"))).reduce(_ && _))
         .drop(groupCols.map(c => s"__og_$c") :+ "__obkt": _*)

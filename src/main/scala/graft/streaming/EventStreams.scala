@@ -256,9 +256,15 @@ object EventStreams {
       mkDelta: DataFrame => DataFrame,
       mergeStates: (DataFrame, DataFrame) => DataFrame): Unit = {
     val spark = batch.sparkSession
-    graft.sources.Tables.recoverStaged(spark, stateTable)
-    val exists = spark.catalog.tableExists(stateTable)
     val mk = (spark, stateTable)
+    // A recovery firing means the previous publish died mid-swap: the
+    // restored table may carry a NEWER __last_batch than this JVM's
+    // memo (publish completed, crash before the memo advance) — drop
+    // the memo so the watermark is re-read from the table. Without
+    // this, a same-JVM retry of that batch reads the stale memo, skips
+    // the applied guard, and re-merges the non-idempotent delta.
+    if (graft.sources.Tables.recoverStaged(spark, stateTable)) wmMemo.remove(mk)
+    val exists = spark.catalog.tableExists(stateTable)
     if (!exists) wmMemo.remove(mk)
     val applied = exists && {
       // watermark memo (single-writer contract, cleared on drop above)
@@ -277,9 +283,19 @@ object EventStreams {
     val merged =
       if (exists) mergeStates(spark.table(stateTable).drop("__last_batch"), delta)
       else delta
-    graft.sources.Tables.stagedOverwrite(
-      merged.withColumn("__last_batch", lit(batchId)), stateTable)
-    wmMemo.put(mk, batchId)
+    // Memo advance is fused to the publish: a publish that THROWS may
+    // still have landed (fail between its DROP and RENAME — recovery
+    // completes it later), so the memo can no longer be trusted either
+    // way — remove it and let the next call re-read the table. The
+    // snapshot fold's folds are idempotent so it tolerates a stale
+    // memo; this decimal merge is NOT, hence the strict pairing.
+    try {
+      graft.sources.Tables.stagedOverwrite(
+        merged.withColumn("__last_batch", lit(batchId)), stateTable)
+      wmMemo.put(mk, batchId)
+    } catch {
+      case t: Throwable => wmMemo.remove(mk); throw t
+    }
   }
 
   /** Streaming histogram-quantile maintenance — the
@@ -576,6 +592,11 @@ object EventStreams {
     */
   def compactSnapshot(spark: SparkSession, stateTable: String): (Int, Int) = {
     val staging = stateTable + "__staging"
+    val marker = stateTable + "__compacting"
+    // self-heal first: a previous compaction that died between its
+    // RENAME and the MSCK left the marker behind (see below) — repair
+    // before reading the table through its stale partition metadata
+    healCompaction(spark, stateTable)
     def bucketFileCount(): Int = {
       val ident = spark.sessionState.sqlParser.parseTableIdentifier(stateTable)
       val root = new org.apache.hadoop.fs.Path(
@@ -594,6 +615,16 @@ object EventStreams {
       .repartition(math.max(1, nBuckets), col("__bucket"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").partitionBy("__bucket").saveAsTable(staging)
+    // recovery token BEFORE the swap: a crash anywhere between the
+    // DROP below and the marker drop at the end is healed on the next
+    // fold/compaction entry — the rename branch restores a missing
+    // table from staging, and healCompaction re-points a renamed
+    // table's partition metadata (the RENAME→MSCK window where staging
+    // is gone, so nothing else would fire) + re-pins graft.nbuckets.
+    // The marker carries the nbuckets pin the rename loses.
+    import spark.implicits._
+    graft.sources.Tables.overwriteTable(
+      Seq(props.orNull).toDF("nbuckets").coalesce(1), marker)
     // compaction rewrites EVERY bucket, so the publish is a whole-table
     // swap by RENAME (data written once, not twice): drop-then-rename,
     // with the crash window (state missing, staging complete) healed by
@@ -607,7 +638,37 @@ object EventStreams {
     spark.catalog.refreshTable(stateTable)
     props.foreach(n => spark.sql(
       s"ALTER TABLE $stateTable SET TBLPROPERTIES ('graft.nbuckets' = '$n')"))
+    spark.sql(s"DROP TABLE IF EXISTS $marker")
     (before, bucketFileCount())
+  }
+
+  /** Heal a compaction swap that died after its RENAME but before its
+    * MSCK/property restore (marker present, staging gone): the state
+    * table EXISTS, so neither staged-recovery path fires, yet its
+    * partition metadata still points at the moved-away staging paths —
+    * a pruned read would hit missing files (or worse, silently scan
+    * nothing). MSCK is metadata-only and idempotent, so the heal is
+    * safe to run on ANY marker leftover, including crashes BEFORE the
+    * swap where nothing is actually wrong. No-op without a marker.
+    */
+  private def healCompaction(spark: SparkSession, stateTable: String): Unit = {
+    val marker = stateTable + "__compacting"
+    if (spark.catalog.tableExists(marker)) {
+      if (spark.catalog.tableExists(stateTable)) {
+        spark.sql(s"MSCK REPAIR TABLE $stateTable")
+        spark.catalog.refreshTable(stateTable)
+        // re-pin the bucket count the RENAME dropped (the staging table
+        // was written fresh, without the property)
+        spark.table(marker).collect().headOption
+          .flatMap(r => Option(r.getString(0)))
+          .foreach(n => spark.sql(
+            s"ALTER TABLE $stateTable SET TBLPROPERTIES ('graft.nbuckets' = '$n')"))
+        spark.sql(s"DROP TABLE IF EXISTS $marker")
+      }
+      // state table missing: the swap died between its DROP and RENAME —
+      // the staged-recovery rename branch restores the table first; the
+      // marker stays so the NEXT entry repairs and re-pins it.
+    }
   }
 
   private def bucketOf(keys: Seq[String], nBuckets: Int) =
@@ -634,6 +695,20 @@ object EventStreams {
   // fold's single-writer contract; cleared when the table is absent.
   private val wmMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+
+  // Both memos key on live SparkSession objects: a long-lived driver
+  // that churns sessions (notebooks, repeated newSession()) would
+  // otherwise retain every root session and its publish clone forever.
+  // Registering with the operator-wide teardown bounds that: clearing
+  // is always safe — the watermark re-reads from its table, the
+  // publish clone is rebuilt on demand.
+  graft.operators.OpCache.registerClearHook(() => {
+    publishSessions.clear()
+    wmMemo.clear()
+  })
+
+  /** Test probe: live fold-memo entry counts (publish clones, watermarks). */
+  private[graft] def memoSizes: (Int, Int) = (publishSessions.size, wmMemo.size)
 
   /** One idempotent fold step of [[maintainSnapshot]]. Not routed
     * through the mergeable-state skeleton: a CDC batch is not a
@@ -708,6 +783,10 @@ object EventStreams {
       }
       spark.sql(s"DROP TABLE IF EXISTS $touchedTbl")
     }
+    // a compaction swap that died after its RENAME leaves the table
+    // EXISTING with stale partition metadata and no staging — only its
+    // marker betrays it; repair + re-pin before reading anything
+    prof("compact-heal")(healCompaction(spark, stateTable))
     // Replay check. The wm-table read is skipped when this JVM already
     // knows the watermark (wmMemo, updated on every read and write):
     // the fold contract is single-writer per state table — the

@@ -119,4 +119,38 @@ class EvalSpec extends SparkSpec {
     assert(out(3) == (4, 5L, 5L, 90L, 1.0))
     assert(out.map(_._2).sum == 20L)
   }
+
+  test("string scores take the direct-window path with one consistent lexicographic order") {
+    import sqlImplicits._
+    // the banding arithmetic is NUMERIC-only: pre-gate, a string score
+    // was banded by its parsed value but ordered in-band
+    // lexicographically — an inconsistent total order (and unparseable
+    // strings all collapsed into the top band). Post-gate, strings rank
+    // purely lexicographically, so a letter mapping that mirrors the
+    // numeric order must reproduce the numeric metrics exactly.
+    val letters = "abcdefghijklmnopqrst"
+    val numeric = (1 to 20).map(i => (s"g${i % 2}", i > 15, i.toLong))
+    val strs = numeric.map { case (g, l, s) => (g, l, letters(s.toInt - 1).toString) }
+    val aucNum = Eval.aucRank(numeric.toDF("g", "label", "score"), Seq("g"), "label", "score")
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(3), r.getDouble(4))).toSeq
+    val aucStr = Eval.aucRank(strs.toDF("g", "label", "score"), Seq("g"), "label", "score")
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(3), r.getDouble(4))).toSeq
+    assert(aucStr == aucNum, "lexicographic AUC must equal its order-isomorphic numeric twin")
+    val liftNum = Eval.liftTable(numeric.map(t => (t._2, t._3)).toDF("label", "score"),
+        "label", "score", nBuckets = 4)
+      .orderBy("bucket").collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val liftStr = Eval.liftTable(strs.map(t => (t._2, t._3)).toDF("label", "score"),
+        "label", "score", nBuckets = 4)
+      .orderBy("bucket").collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(liftStr == liftNum, "lexicographic lift buckets must equal the numeric twin")
+    // calibrationBins: same bins/counts (sum_score is null for strings —
+    // a string corpus has no score sum; the integer columns must agree)
+    val calNum = Eval.calibrationBins(numeric.map(t => (t._2, t._3)).toDF("label", "score"),
+        "label", "score", nBins = 4)
+      .orderBy("bin").collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val calStr = Eval.calibrationBins(strs.map(t => (t._2, t._3)).toDF("label", "score"),
+        "label", "score", nBins = 4)
+      .orderBy("bin").collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(calStr == calNum, "lexicographic calibration bins must equal the numeric twin")
+  }
 }

@@ -871,4 +871,126 @@ class StreamingSpec extends SparkSpec {
     Seq("", "__staging", "__wm", "__touched", "__fragsrc")
       .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
   }
+
+  test("compaction swap crash between RENAME and MSCK heals at the next fold") {
+    import sqlImplicits._
+    val state = "stream_cdcmsck_state"
+    Seq("", "__staging", "__wm", "__touched", "__compacting")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
+    EventStreams.foldSnapshotBatch(
+      (1L to 60L).map(i => (i, s"v$i", "I", 1L)).toDF("k", "v", "op", "ord"),
+      0L, state, Seq("k"), "op", Seq("ord"), nBuckets = 4)
+    def content() = EventStreams.snapshot(spark, state)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val expected = content()
+    // simulate compactSnapshot dying between its RENAME and its MSCK:
+    // staging written, marker written, state dropped, staging renamed —
+    // and NOTHING after (no repair, no refresh, no property re-pin).
+    // The table EXISTS, staging is GONE: neither staged-recovery path
+    // can fire — only the marker betrays the unfinished swap.
+    spark.table(state).repartition(4, col("__bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").partitionBy("__bucket").saveAsTable(state + "__staging")
+    graft.sources.Tables.overwriteTable(
+      Seq("4").toDF("nbuckets").coalesce(1), state + "__compacting")
+    spark.sql(s"DROP TABLE $state")
+    spark.sql(s"ALTER TABLE ${state}__staging RENAME TO $state")
+    // the simulated crash is the real thing: partition metadata still
+    // points at the moved-away staging paths
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(state)
+    val staleLocs = spark.sessionState.catalog.listPartitions(ident)
+      .flatMap(_.storage.locationUri).map(_.toString)
+    assert(staleLocs.exists(_.contains("__staging")),
+      s"fixture must reproduce the stale-metadata window (got $staleLocs)")
+    // next fold heals: repairs metadata, re-pins nbuckets, folds its batch
+    EventStreams.foldSnapshotBatch(
+      Seq((999L, "after", "I", 2L)).toDF("k", "v", "op", "ord"),
+      1L, state, Seq("k"), "op", Seq("ord"), nBuckets = 4)
+    assert(content() == (expected :+ (999L, "after")).sortBy(_._1),
+      "fold after the RENAME->MSCK crash window must heal and apply its delta")
+    val healedLocs = spark.sessionState.catalog.listPartitions(ident)
+      .flatMap(_.storage.locationUri).map(_.toString)
+    assert(!healedLocs.exists(_.contains("__staging")),
+      "heal must re-point partition metadata at the renamed table")
+    assert(!spark.catalog.tableExists(state + "__compacting"), "heal must clear the marker")
+    assert(spark.sessionState.catalog.getTableMetadata(ident)
+      .properties.get("graft.nbuckets").contains("4"),
+      "heal must re-pin the nbuckets property the RENAME lost")
+    // ... which keeps the mismatch guard loud
+    intercept[IllegalArgumentException] {
+      EventStreams.foldSnapshotBatch(
+        Seq((5L, "x", "U", 3L)).toDF("k", "v", "op", "ord"),
+        2L, state, Seq("k"), "op", Seq("ord"), nBuckets = 8)
+    }
+    // the full compaction still runs clean on the healed table
+    val (_, after) = EventStreams.compactSnapshot(spark, state)
+    assert(after == 4 && content() == (expected :+ (999L, "after")).sortBy(_._1))
+    Seq("", "__staging", "__wm", "__touched", "__compacting")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
+  }
+
+  test("fold memos: recovery invalidates a stale watermark memo instead of double-merging") {
+    import sqlImplicits._
+    val state = "stream_memoinv_state"
+    Seq("", "__staging").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
+    def fin() = graft.operators.IncrementalAgg
+      .finalizeState(spark.table(state).drop("__last_batch"), Seq("k"), Seq("v"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    EventStreams.foldRollupBatch(
+      Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v"), 1L, state, Seq("k"), Seq("v"))
+    // the JVM memo now holds 1. Simulate batch 2's publish dying
+    // between its DROP and RENAME *after* the merge was staged: the
+    // staging table holds the POST-batch-2 state stamped 2, the state
+    // table is gone, and this JVM's memo still says 1.
+    val merged = graft.operators.IncrementalAgg.merge(
+      Seq(
+        spark.table(state).drop("__last_batch"),
+        graft.operators.IncrementalAgg.rollup(
+          Seq(("a", 10.0)).toDF("k", "v"), Seq("k"), Seq("v"))),
+      Seq("k")).withColumn("__last_batch", lit(2L))
+    val expected2 = Seq(("a", 2L, 11.0), ("b", 1L, 2.0))
+    graft.sources.Tables.overwriteTable(merged, state + "__staging")
+    spark.sql(s"DROP TABLE $state")
+    // the foreachBatch retry of batch 2: recovery restores the staged
+    // table (already containing batch 2) — the stale memo must NOT let
+    // the non-idempotent merge re-apply the delta
+    EventStreams.foldRollupBatch(
+      Seq(("a", 10.0)).toDF("k", "v"), 2L, state, Seq("k"), Seq("v"))
+    assert(fin() == expected2,
+      "a recovery-restored state newer than the memo must not be re-merged")
+    // and a genuinely new batch still folds
+    EventStreams.foldRollupBatch(
+      Seq(("c", 5.0)).toDF("k", "v"), 3L, state, Seq("k"), Seq("v"))
+    assert(fin() == (expected2 :+ (("c", 1L, 5.0))))
+    Seq("", "__staging").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
+  }
+
+  test("fold memos are evicted by OpCache.clear and rebuild from their tables") {
+    import sqlImplicits._
+    val state = "stream_memoclear_state"
+    Seq("", "__staging", "__wm", "__touched").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
+    EventStreams.foldSnapshotBatch(
+      Seq((1L, "v1", "I", 1L)).toDF("k", "v", "op", "ord"),
+      0L, state, Seq("k"), "op", Seq("ord"), nBuckets = 2)
+    EventStreams.foldSnapshotBatch(
+      Seq((2L, "v2", "I", 2L)).toDF("k", "v", "op", "ord"),
+      1L, state, Seq("k"), "op", Seq("ord"), nBuckets = 2)
+    val (clones, wms) = EventStreams.memoSizes
+    assert(clones >= 1 && wms >= 1, s"folds must populate the memos (got $clones, $wms)")
+    graft.operators.OpCache.clear()
+    assert(EventStreams.memoSizes == ((0, 0)),
+      "OpCache.clear must evict the session-keyed fold memos")
+    // correctness after eviction: the watermark re-reads from its
+    // table — a replayed id is still a no-op, a new id still folds
+    EventStreams.foldSnapshotBatch(
+      Seq((999L, "never", "I", 9L)).toDF("k", "v", "op", "ord"),
+      1L, state, Seq("k"), "op", Seq("ord"), nBuckets = 2)
+    assert(EventStreams.snapshot(spark, state).count() == 2L)
+    EventStreams.foldSnapshotBatch(
+      Seq((3L, "v3", "I", 3L)).toDF("k", "v", "op", "ord"),
+      2L, state, Seq("k"), "op", Seq("ord"), nBuckets = 2)
+    assert(EventStreams.snapshot(spark, state).count() == 3L)
+    Seq("", "__staging", "__wm", "__touched").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
+  }
 }
