@@ -101,12 +101,20 @@ object Bench {
       val cutoff = math.max(3.0 * median, 1.5)
       val flagged = results.filter { case (_, v) => v > cutoff }
         .toSeq.sortBy(-_._2).take(24)
-      val isolated = flagged.map { case (name, _) =>
+      val isolated = flagged.map { case (name, fullPass) =>
         val fn = queries(name)
-        val runs = (1 to 2).map { _ =>
+        // Min of 2 runs, extended up to 4 while the min still exceeds
+        // 3× the full-pass time: a flagged query re-timed right after
+        // the pass can pay a one-off cache-eviction/GC artifact on
+        // BOTH early runs (the r8 x91 case re-timed 4× its pass time
+        // twice), polluting the adjudication column. A real regression
+        // persists across four runs; an artifact does not.
+        val runs = scala.collection.mutable.ArrayBuffer.empty[Double]
+        while (runs.length < 2 ||
+            (runs.length < 4 && runs.min > 3.0 * fullPass)) {
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
+          runs += (System.nanoTime() - t0) / 1e9
         }
         name -> runs.min
       }.toMap

@@ -237,8 +237,19 @@ object DataMix {
     }.select(stNames.map(c => col(c).as(s"__og_$c")) ++
       (col("__bkt").as("__obkt") +: col("__offn") +:
         (sums.indices.map(i => col(s"__off$i")) ++ totalCountOut.map(col))): _*)
+    // offs is ≤64 rows per stratum STRUCTURALLY (static md5 bands),
+    // but its optimizer estimate is an unreduced window-over-aggregate
+    // — when that misses the broadcast threshold the planner would
+    // sort-merge-join, i.e. shuffle AND SORT the whole raw frame on
+    // (stratum, band). The fallback is pinned to a shuffled HASH join
+    // instead: same distribution, no big-side sort (the bandedCum
+    // offsets rule).
+    val offsSide = {
+      val b = Broadcasting.maybeBroadcast(offs)
+      if (b eq offs) offs.hint("shuffle_hash") else b
+    }
     val joined = withVals.join(
-        Broadcasting.maybeBroadcast(offs),
+        offsSide,
         (stNames.map(c => col(c) <=> col(s"__og_$c")) :+
           (col("__bkt") === col("__obkt"))).reduce(_ && _))
     val wb = W.partitionBy(stNames.map(col) :+ col("__bkt"): _*)

@@ -236,6 +236,70 @@ class InvariantsSpec extends SparkSpec {
         offenders.mkString("\n"))
   }
 
+  test("window scale hygiene: whole-stratum windows only over bounded domains") {
+    // The sibling of the partition-less lint for the subtler class the
+    // r8 hand audit caught in the split family: a Window PARTITIONED BY
+    // nothing but low-cardinality stratum columns (lang, source,
+    // event_type, a returnflag) moves each whole stratum — a constant
+    // fraction of the corpus — through ONE sort task. Fine when the
+    // window's INPUT is already bounded (a pre-aggregated by-hour
+    // table, a banded offset table); a 100 TB scale-killer over
+    // anything row-proportional. Detection is by attribute name over
+    // the OPTIMIZED plan: a window whose partition expressions
+    // reference ONLY the fixture's stratum vocabulary must sit in the
+    // allowlist with its input bound stated. (Derived strata hidden
+    // behind fresh aliases — e.g. bandedMd5Prefix's __st/__bkt pairs —
+    // are out of the static lint's reach and stay on the hand audit,
+    // but every such site also partitions by a band/bucket column,
+    // which already takes it out of this class.)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, WindowGroupLimit}
+    val strata = Set(
+      "lang", "source", "event_type", "l_returnflag", "l_linestatus",
+      "o_orderstatus", "o_orderpriority")
+    // name -> why the window's input is bounded (or the sequential
+    // contract that makes per-stratum order irreducible)
+    val bounds = Map(
+      "x141_weighted_median" ->
+        "bandedCum per-group OFFSET window: <= bands(=64) rows per group — Stats.bandedCum",
+      "x180_auc_rank" ->
+        "bandedCum per-group OFFSET window: <= bands(=64) rows per group — Eval.aucRank",
+      "x190_rank_normalize" ->
+        "bandedCum per-group OFFSET window: <= bands(=64) rows per group — MlPrep.rankNormalize",
+      "x57_quantile_sketch" ->
+        "QuantileSketch bucket-state windows: <= nb(=128) rows per key — QuantileSketch.scala:106",
+      "x67_streaming_fold_histogram" ->
+        "same QuantileSketch bucket-state windows over the maintained fold state",
+      "x112_ewma" ->
+        ("per-series sequential recurrence (bounded k=8 lookback) — the operator contract " +
+          "(Resample.scala:184); series length, not corpus size, bounds the task; the " +
+          "fixture's series key is event_type"),
+      "x113_cusum" ->
+        ("per-series sequential scan is the changepoint contract (Changepoint.scala:32); " +
+          "series length bounds the task"),
+      "x167_acf" ->
+        ("per-series lag windows are the autocorrelation contract (Regression.scala:132); " +
+          "series length bounds the task"))
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => !bounds.contains(name) }
+      .flatMap { case (name, fn) =>
+        try {
+          val plan = fn(spark, "/root/testdata/sf0.001").queryExecution.optimizedPlan
+          val hits = plan.collect {
+            case w: LWindow if w.partitionSpec.nonEmpty &&
+                !w.child.isInstanceOf[WindowGroupLimit] &&
+                w.partitionSpec.forall(_.references.forall(a => strata.contains(a.name))) =>
+              w.partitionSpec.flatMap(_.references.map(_.name)).distinct.mkString(",")
+          }
+          if (hits.isEmpty) Nil else Seq(s"$name [${hits.mkString("; ")}]")
+        } catch { case _: Throwable => Nil } // crashes are VerifySpec's business
+      }
+    assert(
+      offenders.isEmpty,
+      "queries with a whole-stratum window over an unstated domain — band it " +
+        "(Stats.bandedCum / DataMix.bandedMd5Prefix), widen the partition key, " +
+        "or add a bound entry:\n" + offenders.mkString("\n"))
+  }
+
   test("oracle dtype hygiene: no HUGEINT-tainted column reaches a final select list uncast") {
     // The dtype sibling of the transcendental-hygiene test, built from
     // the r6/r7 x170 failure: DuckDB types SUM(integer) — plain or

@@ -120,4 +120,23 @@ class RobustStatsSpec extends SparkSpec {
       .head().getDouble(2)
     assert(m1 == 500.0 && m2 == 500.0)
   }
+
+  test("banded plan joins its small sides without a big-side sort (no SortMergeJoin)") {
+    import sqlImplicits._
+    // The r9 regression class: the banded offset table's optimizer
+    // estimate is an unreduced aggregate, so without the bounds-proxy
+    // broadcast decision the planner sort-merge-joined it — shuffling
+    // AND sorting the row-sized banded frame on the join key,
+    // re-buying a chunk of the global sort banding exists to avoid.
+    // Pin the plan shape: broadcast (or at worst shuffled-hash), never
+    // a sort-merge join, anywhere in the banded lineage.
+    val df = (1 to 2000).map(i => (s"g${i % 3}", i * 1.0, (i % 7 + 1).toDouble))
+      .toDF("g", "v", "w")
+    val plan = graft.operators.RobustStats.weightedQuantile(df, Seq("g"), "v", "w")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      "banded weightedQuantile must not sort-merge-join its bounds/offset tables")
+    assert(plan.contains("BroadcastHashJoin"),
+      "small-group banded plan should broadcast its bounds/offset tables")
+  }
 }
