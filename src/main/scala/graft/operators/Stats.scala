@@ -65,7 +65,8 @@ object Stats {
               carryTotals.map { case (_, out) => col(out) }): _*)
         offsFit = Broadcasting.fitsBroadcast(bounds)
         df.join(
-            if (offsFit) broadcast(bounds) else bounds,
+            // same no-big-side-sort rule as the offsets join below
+            if (offsFit) broadcast(bounds) else bounds.hint("shuffle_hash"),
             groupCols.map(c => col(c) <=> col(s"__bg_$c")).reduce(_ && _))
           .drop(groupCols.map(c => s"__bg_$c"): _*)
       }

@@ -593,9 +593,17 @@ object EventStreams {
   def compactSnapshot(spark: SparkSession, stateTable: String): (Int, Int) = {
     val staging = stateTable + "__staging"
     val marker = stateTable + "__compacting"
-    // self-heal first: a previous compaction that died between its
-    // RENAME and the MSCK left the marker behind (see below) — repair
-    // before reading the table through its stale partition metadata
+    // self-heal first, so a maintenance-only schedule recovers without
+    // waiting for a fold: a previous compaction that died between its
+    // DROP and RENAME left the complete table on staging (restore by
+    // the same rename); one that died between its RENAME and MSCK left
+    // the marker behind — repair before reading the table through its
+    // stale partition metadata.
+    if (!spark.catalog.tableExists(stateTable) && spark.catalog.tableExists(staging)) {
+      spark.sql(s"ALTER TABLE $staging RENAME TO $stateTable")
+      spark.sql(s"MSCK REPAIR TABLE $stateTable")
+      spark.catalog.refreshTable(stateTable)
+    }
     healCompaction(spark, stateTable)
     def bucketFileCount(): Int = {
       val ident = spark.sessionState.sqlParser.parseTableIdentifier(stateTable)

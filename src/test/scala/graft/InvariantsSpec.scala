@@ -244,14 +244,15 @@ class InvariantsSpec extends SparkSpec {
     // fraction of the corpus — through ONE sort task. Fine when the
     // window's INPUT is already bounded (a pre-aggregated by-hour
     // table, a banded offset table); a 100 TB scale-killer over
-    // anything row-proportional. Detection is by attribute name over
-    // the OPTIMIZED plan: a window whose partition expressions
-    // reference ONLY the fixture's stratum vocabulary must sit in the
-    // allowlist with its input bound stated. (Derived strata hidden
-    // behind fresh aliases — e.g. bandedMd5Prefix's __st/__bkt pairs —
-    // are out of the static lint's reach and stay on the hand audit,
-    // but every such site also partitions by a band/bucket column,
-    // which already takes it out of this class.)
+    // anything row-proportional. Detection is over the OPTIMIZED plan
+    // with TRANSITIVE alias resolution: each partition expression's
+    // attributes are chased through the plan's Alias map down to base
+    // columns, so `col("lang").as("__st0")` still reads as lang. A
+    // window whose partition expressions all resolve to nothing but
+    // the fixture's stratum vocabulary must sit in the allowlist with
+    // its input bound stated. (bandedMd5Prefix's (stratum, band) pairs
+    // pass structurally: the band column resolves to the md5 key
+    // columns, never to strata alone.)
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, WindowGroupLimit}
     val strata = Set(
       "lang", "source", "event_type", "l_returnflag", "l_linestatus",
@@ -278,17 +279,49 @@ class InvariantsSpec extends SparkSpec {
           "series length bounds the task"),
       "x167_acf" ->
         ("per-series lag windows are the autocorrelation contract (Regression.scala:132); " +
-          "series length bounds the task"))
+          "series length bounds the task"),
+      // the alias-resolution upgrade surfaced the md5-split family's
+      // per-stratum OFFSET windows (partitionBy resolved stratum,
+      // orderBy band): each runs over the byBand table — <= 64 static
+      // md5 bands per stratum — DataMix.bandedMd5Prefix
+      "x156_quota_split" ->
+        "bandedMd5Prefix per-stratum OFFSET windows: <= 64 static md5 bands per stratum",
+      "x172_kfold" ->
+        "bandedMd5Prefix per-stratum OFFSET windows: <= 64 static md5 bands per stratum",
+      "x30_seq_packing" ->
+        "bandedMd5Prefix per-stratum OFFSET windows: <= 64 static md5 bands per stratum",
+      "x41_pack_concat" ->
+        "bandedMd5Prefix per-stratum OFFSET windows: <= 64 static md5 bands per stratum",
+      "x42_token_quota" ->
+        "bandedMd5Prefix per-stratum OFFSET windows: <= 64 static md5 bands per stratum")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => !bounds.contains(name) }
       .flatMap { case (name, fn) =>
         try {
           val plan = fn(spark, "/root/testdata/sf0.001").queryExecution.optimizedPlan
+          // exprId -> aliased child, from every node's named expressions
+          val aliasMap = plan.collect { case p =>
+            p.expressions.flatMap(_.collect {
+              case a: org.apache.spark.sql.catalyst.expressions.Alias => a.exprId -> a.child
+            })
+          }.flatten.toMap
+          def baseNames(
+              e: org.apache.spark.sql.catalyst.expressions.Expression,
+              seen: Set[org.apache.spark.sql.catalyst.expressions.ExprId]): Set[String] =
+            e.references.toSeq.flatMap { a =>
+              aliasMap.get(a.exprId) match {
+                case Some(child) if !seen(a.exprId) => baseNames(child, seen + a.exprId)
+                case _ => Set(a.name)
+              }
+            }.toSet
           val hits = plan.collect {
             case w: LWindow if w.partitionSpec.nonEmpty &&
-                !w.child.isInstanceOf[WindowGroupLimit] &&
-                w.partitionSpec.forall(_.references.forall(a => strata.contains(a.name))) =>
-              w.partitionSpec.flatMap(_.references.map(_.name)).distinct.mkString(",")
+                !w.child.isInstanceOf[WindowGroupLimit] => w
+          }.flatMap { w =>
+            val resolved = w.partitionSpec.flatMap(baseNames(_, Set.empty)).toSet
+            if (resolved.nonEmpty && resolved.subsetOf(strata))
+              Some(resolved.toSeq.sorted.mkString(","))
+            else None
           }
           if (hits.isEmpty) Nil else Seq(s"$name [${hits.mkString("; ")}]")
         } catch { case _: Throwable => Nil } // crashes are VerifySpec's business

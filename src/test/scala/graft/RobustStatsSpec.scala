@@ -138,5 +138,23 @@ class RobustStatsSpec extends SparkSpec {
       "banded weightedQuantile must not sort-merge-join its bounds/offset tables")
     assert(plan.contains("BroadcastHashJoin"),
       "small-group banded plan should broadcast its bounds/offset tables")
+    // past the broadcast threshold (here: disabled outright — the
+    // huge-group-count regime) the fallback must be a shuffled HASH
+    // join, still never a big-side sort, with identical results
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val q = graft.operators.RobustStats.weightedQuantile(df, Seq("g"), "v", "w")
+      val fb = q.queryExecution.executedPlan.toString
+      assert(!fb.contains("SortMergeJoin"),
+        "past-threshold banded plan must fall back to shuffled hash, not sort-merge")
+      assert(fb.contains("ShuffledHashJoin"))
+      val got = q.orderBy("g").collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+      spark.conf.set(key, saved)
+      val ref = graft.operators.RobustStats.weightedQuantile(df, Seq("g"), "v", "w")
+        .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+      assert(got == ref, "join strategy must not change the quantiles")
+    } finally spark.conf.set(key, saved)
   }
 }

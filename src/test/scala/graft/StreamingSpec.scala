@@ -925,6 +925,20 @@ class StreamingSpec extends SparkSpec {
     // the full compaction still runs clean on the healed table
     val (_, after) = EventStreams.compactSnapshot(spark, state)
     assert(after == 4 && content() == (expected :+ (999L, "after")).sortBy(_._1))
+    // a maintenance-only schedule (no fold between compactions): crash
+    // between DROP and RENAME, then call compactSnapshot DIRECTLY — it
+    // must restore from staging, finish the marker heal, and compact
+    val healed = content()
+    spark.table(state).repartition(4, col("__bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").partitionBy("__bucket").saveAsTable(state + "__staging")
+    graft.sources.Tables.overwriteTable(
+      Seq("4").toDF("nbuckets").coalesce(1), state + "__compacting")
+    spark.sql(s"DROP TABLE $state")
+    val (_, after2) = EventStreams.compactSnapshot(spark, state)
+    assert(after2 == 4 && content() == healed,
+      "compactSnapshot entry must restore a DROP->RENAME crash before compacting")
+    assert(!spark.catalog.tableExists(state + "__compacting"))
     Seq("", "__staging", "__wm", "__touched", "__compacting")
       .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
   }
