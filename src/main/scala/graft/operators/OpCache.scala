@@ -30,6 +30,13 @@ object OpCache {
       // plans come from the same operator code): hand back the live
       // cached table instead of re-registering it.
       case Some(old) if old.queryExecution.analyzed.sameResult(df.queryExecution.analyzed) =>
+        // An external `spark.catalog.clearCache()` (or an unpersist of
+        // a plan-equal frame — uncacheQuery matches by plan, not by
+        // object) can strip the persistence out from under a live
+        // entry; handing it back unrepaired makes EVERY subsequent hit
+        // recompute the full lineage while looking cached. Re-pin it.
+        if (old.storageLevel == StorageLevel.NONE)
+          old.persist(StorageLevel.MEMORY_AND_DISK)
         old
       case other =>
         other.foreach(_.unpersist(blocking = false))
@@ -54,7 +61,11 @@ object OpCache {
       implicit spark: org.apache.spark.sql.SparkSession): DataFrame = synchronized {
     val k = (spark, key)
     keyed.get(k) match {
-      case Some((fp, old)) if fp == fingerprint => old
+      case Some((fp, old)) if fp == fingerprint =>
+        // same external-unpersist repair as swap
+        if (old.storageLevel == StorageLevel.NONE)
+          old.persist(StorageLevel.MEMORY_AND_DISK)
+        old
       case other =>
         other.foreach(_._2.unpersist(blocking = false))
         val fresh = df

@@ -153,4 +153,22 @@ class EvalSpec extends SparkSpec {
       .orderBy("bin").collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
     assert(calStr == calNum, "lexicographic calibration bins must equal the numeric twin")
   }
+
+  test("date scores rank temporally through the direct-window gate (banding can't subtract dates)") {
+    import sqlImplicits._
+    // a recency ranker scores by date — DateType is not NumericType, so
+    // the gate must route it to the window path (the banded arithmetic
+    // (__v - __lo) / span is not defined on dates); temporal order is
+    // the natural total order, so an epoch-day twin must agree exactly
+    val days = (1 to 20).map(i => (s"g${i % 2}", i > 15, i))
+    val dated = days.map { case (g, l, d) =>
+      (g, l, java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(19000L + d))) }
+    val aucDate = Eval.aucRank(dated.toDF("g", "label", "score"), Seq("g"), "label", "score")
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(3), r.getDouble(4))).toSeq
+    val aucDay = Eval.aucRank(
+        days.map(t => (t._1, t._2, t._3.toLong)).toDF("g", "label", "score"),
+        Seq("g"), "label", "score")
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(3), r.getDouble(4))).toSeq
+    assert(aucDate == aucDay, "date-scored AUC must equal its epoch-day numeric twin")
+  }
 }
