@@ -27,15 +27,15 @@ private[graft] object Broadcasting {
   }
 
   /** Does `df` fit the broadcast threshold by the optimizer's own size
-    * estimate, scaled by `factor`? The factor lets a caller decide for
-    * a frame whose OWN stats are useless (aggregates over joins over
-    * windows estimate as if nothing reduced) from a PROXY frame with a
-    * provable row-count relationship — e.g. bandedCum's offset table
-    * is ≤ bands rows per bounds row, so `fitsBroadcast(bounds, bands)`
-    * is a sound (conservative: offset rows are narrower) bound on it.
+    * estimate? Callers use this to decide for a frame whose OWN stats
+    * are useless (aggregates over joins over windows estimate as if
+    * nothing reduced) from a PROXY frame with a provable size
+    * relationship — e.g. bandedCum's offset table has at most as many
+    * rows as its bounds frame's (never-shrinking) estimate, so
+    * `fitsBroadcast(bounds)` soundly bounds it.
     */
-  def fitsBroadcast(df: DataFrame, factor: Int = 1): Boolean = {
+  def fitsBroadcast(df: DataFrame): Boolean = {
     val thr = threshold(df)
-    thr > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes * factor <= thr
+    thr > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= thr
   }
 }
