@@ -290,9 +290,13 @@ object Tables {
     expired.length
   }
 
-  /** Optional JDBC sink for Postgres/Power-BI parity (S2/S3 over the
-    * wire). Thin and untested here — no database server ships in this
-    * environment; the call shape matches the parquet sinks.
+  /** JDBC sink for Postgres/Power-BI parity (S2/S3 over the wire —
+    * the reference's actual sink, check_and_create_db_v4.py:151,295).
+    * No Postgres server ships in this environment, but the full call
+    * path — Spark's JDBC relation, dialect type mapping, append AND
+    * replace SaveModes — is round-trip tested against an embedded
+    * Derby database (TablesSpec); only the Postgres dialect itself is
+    * unexercised here.
     */
   def writeJdbc(df: DataFrame, url: String, table: String, props: java.util.Properties, mode: SaveMode): Unit =
     df.write.mode(mode).jdbc(url, table, props)
