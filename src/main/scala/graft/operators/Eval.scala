@@ -26,6 +26,43 @@ object Eval {
   private def floorDiv(num: Column, den: Column): Column =
     ((num - pmod(num, den)) / den).cast("long")
 
+  /** The non-numeric score paths run DIRECT windows over the distinct
+    * scores (banding needs arithmetic on the order key), which is a
+    * one-task sort over the score domain — sound only when that
+    * domain is a bounded category vocabulary. This cap makes the
+    * contract LOUD instead of conventional: a row-unique string score
+    * (UUIDs, free text) fails with a named error rather than silently
+    * becoming the single-task global sort the repo's window-scale
+    * lints exist to prevent. Numeric scores have no cap — they take
+    * the banded path at any cardinality.
+    */
+  val MaxNonNumericScores = 65536
+
+  private def isNumeric(df: DataFrame, scoreCol: String): Boolean =
+    df.schema(scoreCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+
+  /** Fused domain-cardinality guard (the Resample/Itemsets assert_true
+    * idiom): NULL→0 when the bound holds — the window sum is
+    * unchanged — and a named in-plan raise otherwise. Fusing the guard
+    * into the cumulative column keeps the optimizer from pruning it.
+    * `cardWin` must be an UNBOUNDED frame over the same partitioning
+    * as the guarded window, so the count it checks is the exact row
+    * count that window would sort in one task.
+    */
+  private def cardGuard(
+      op: String, cardWin: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    val card = count(lit(1)).over(cardWin)
+    coalesce(
+      assert_true(
+        card <= lit(MaxNonNumericScores.toLong),
+        concat(
+          lit(s"$op: non-numeric score domain holds "), card,
+          lit(s" distinct values (cap $MaxNonNumericScores) — the direct-window path is a " +
+            "bounded-vocabulary contract; use a numeric score for high-cardinality domains"))
+      ).cast("long"),
+      lit(0L))
+  }
+
   /** Exact ROC-AUC per group via the Mann-Whitney U statistic on the
     * distinct-score grain: with per-score positive/negative counts
     * (p_s, n_s) and N_s = negatives strictly below s,
@@ -34,6 +71,10 @@ object Eval {
     * `auc = u2 / (2 · n_pos · n_neg)`.
     * Output: (groupCols*, n_pos, n_neg, u2, auc) — auc null when a
     * group lacks one of the classes (AUC is undefined there).
+    *
+    * Non-numeric scores are a bounded-vocabulary contract: they rank
+    * lexicographically through a direct per-group window, guarded
+    * in-plan at [[MaxNonNumericScores]] distinct values per group.
     */
   def aucRank(
       df: DataFrame,
@@ -61,13 +102,15 @@ object Eval {
     // keeps its lexicographic order and its one-task-per-group cost is
     // vocabulary-sized.
     val cumulated =
-      if (df.schema(scoreCol).dataType
-          .isInstanceOf[org.apache.spark.sql.types.NumericType])
+      if (isNumeric(df, scoreCol))
         byScore.transform(Stats.bandedCum(_, Seq("__neg" -> "__cumneg"), bands, groupCols))
       else {
         val win = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__v"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        byScore.withColumn("__cumneg", sum(col("__neg")).over(win))
+        val cardWin = Window.partitionBy(groupCols.map(col): _*)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        byScore.withColumn(
+          "__cumneg", sum(col("__neg")).over(win) + cardGuard("aucRank", cardWin))
       }
     cumulated
       .withColumn("__neg_lt", col("__cumneg") - col("__neg"))
@@ -105,6 +148,10 @@ object Eval {
     * Output per bucket: (bucket, n, n_pos, cum_pos,
     * lift = (n_pos/n)/(P/N), capture = cum_pos/P), integers exact,
     * the two ratios rounded to 6.
+    *
+    * Non-numeric scores are a bounded-vocabulary contract (direct
+    * global window, guarded in-plan at [[MaxNonNumericScores]]
+    * distinct values).
     */
   def liftTable(
       df: DataFrame,
@@ -130,8 +177,7 @@ object Eval {
     // them, and would order inconsistently) keep the direct window,
     // the aucRank gate.
     val cumulated =
-      if (df.schema(scoreCol).dataType
-          .isInstanceOf[org.apache.spark.sql.types.NumericType])
+      if (isNumeric(df, scoreCol))
         byScore
           .withColumn("__v", -col("__s"))
           .transform(Stats.bandedCum(_, Seq("__n" -> "__cumn"), bands,
@@ -142,7 +188,7 @@ object Eval {
         val wAll = Window.partitionBy()
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         byScore
-          .withColumn("__cumn", sum(col("__n")).over(win))
+          .withColumn("__cumn", sum(col("__n")).over(win) + cardGuard("liftTable", wAll))
           .withColumn("__tot_n", sum(col("__n")).over(wAll))
           .withColumn("__tot_p", sum(col("__pos")).over(wAll))
       }
@@ -176,7 +222,11 @@ object Eval {
     * predicted confidence (sum_score/n in the caller's score units)
     * against the observed positive rate — the reliability-diagram
     * table behind ECE. `pos_rate` is the one rounded division.
-    * Output: (bin, n, n_pos, sum_score, pos_rate).
+    * Output: (bin, n, n_pos, sum_score, pos_rate) — sum_score NULL
+    * for non-numeric scores (no meaningful sum; Spark's Sum rejects
+    * dates outright), which are otherwise a bounded-vocabulary
+    * contract (direct global window, guarded in-plan at
+    * [[MaxNonNumericScores]] distinct values).
     */
   def calibrationBins(
       df: DataFrame,
@@ -186,19 +236,25 @@ object Eval {
       bands: Int = 64): DataFrame = {
     require(nBins >= 2 && nBins <= 1000, s"calibrationBins: nBins=$nBins out of [2, 1000]")
     require(bands > 0, s"calibrationBins: bands must be positive, got $bands")
+    val numeric = isNumeric(df, scoreCol)
+    // `sum_score` only exists for numeric scores: Spark's Sum rejects
+    // DateType outright (AnalysisException before the window gate is
+    // even reached) and a string sum is meaningless — a non-numeric
+    // score gets a NULL sum_score while the count/rate columns stay
+    // exact (per-bin confidence has no numeric meaning there anyway).
+    val sumS = if (numeric) sum(col(scoreCol)) else first(lit(null).cast("double"))
     val byScore = df
       .filter(col(scoreCol).isNotNull)
       .groupBy(col(scoreCol).as("__s"))
       .agg(
         count(lit(1)).as("__n"),
         sum(when(col(labelCol), 1L).otherwise(0L)).as("__pos"),
-        sum(col(scoreCol)).as("__sum_s"))
+        sumS.as("__sum_s"))
     // same banded rank-start as [[liftTable]], ascending this time
     // (see there for why the distinct-score window must not be global,
     // and for the non-numeric direct-window gate)
     val cumulated =
-      if (df.schema(scoreCol).dataType
-          .isInstanceOf[org.apache.spark.sql.types.NumericType])
+      if (numeric)
         byScore
           .withColumn("__v", col("__s"))
           .transform(Stats.bandedCum(_, Seq("__n" -> "__cumn"), bands,
@@ -209,7 +265,7 @@ object Eval {
         val wAll = Window.partitionBy()
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         byScore
-          .withColumn("__cumn", sum(col("__n")).over(win))
+          .withColumn("__cumn", sum(col("__n")).over(win) + cardGuard("calibrationBins", wAll))
           .withColumn("__tot_n", sum(col("__n")).over(wAll))
       }
     cumulated

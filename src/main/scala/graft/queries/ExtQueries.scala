@@ -3815,11 +3815,19 @@ object ExtQueries {
     GraftQuery(
       "x130_geo_knn",
       (s, _) => {
-        val st = graft.etl.CityBike.stationDimension(graft.etl.CityBike.readRides(s))
-          .filter(col("latitude").isNotNull && col("longitude").isNotNull)
-          .select(
-            col("name"), col("latitude"), col("longitude"),
-            graft.functions.Geo.geohash(col("latitude"), col("longitude"), 6).as("cell"))
+        // Both sides of the self-join derive from the station dim —
+        // uncached, the plan scans AND dedups the ride CSV twice (the
+        // r10-adjudicated cost of the whole query: solo 1.6 s vs
+        // x124's 0.7 s single scan). Cache the tiny geohashed frame
+        // once (the x65 shared-baseline pattern); both branches then
+        // read ~2k cached rows.
+        val st = graft.operators.OpCache.swap(
+          "ext.x130.stations",
+          graft.etl.CityBike.stationDimension(graft.etl.CityBike.readRides(s))
+            .filter(col("latitude").isNotNull && col("longitude").isNotNull)
+            .select(
+              col("name"), col("latitude"), col("longitude"),
+              graft.functions.Geo.geohash(col("latitude"), col("longitude"), 6).as("cell")))
         val other = st.select(
           col("cell"), col("name").as("nb_name"),
           col("latitude").as("nb_lat"), col("longitude").as("nb_lng"))

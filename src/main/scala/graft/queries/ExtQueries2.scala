@@ -1502,6 +1502,25 @@ object ExtQueries2 {
           .orderBy("segment")
       },
       Some(cdcApplySql(",\n       |  true AS fragmented_in, true AS compact_ok"))
+    ),
+
+    // Persisted-ANN-index lifecycle, certified cross-engine (the x100
+    // hot path's portable twin — the r9 verdict's last twin-less
+    // gap): the x64 integer IVF-PQ chain trains, its cells /
+    // cell-map / codebooks / encodings round-trip through REAL
+    // warehouse tables, and the probe plan reads ONLY the stored
+    // tables (+ the source embeddings for query prep and the exact
+    // re-rank — the index stores codes, not vectors). The oracle
+    // replays the whole chain from the source parquet (x64's SQL
+    // verbatim), so a green hash certifies the store→read lifecycle
+    // is bit-stable: a perturbed stored value, a dropped row, or
+    // stale table metadata after the rebuild would shift a ranking
+    // and fail the hash. With this row, x129 (zlib) stands alone as
+    // the surface's only rows-only query.
+    GraftQuery(
+      "x197_ann_index_portable",
+      (s, d) => PortableAnn.ivfPqPersisted(t(s, d, "embeddings")),
+      Some(PortableAnn.ivfPqSql)
     )
   )
 

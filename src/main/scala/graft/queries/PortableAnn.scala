@@ -382,6 +382,71 @@ object PortableAnn {
     topK(pqRerank(short, base), 3)
   }
 
+  /** Persisted-index lifecycle variant of [[ivfPq]] — the portable
+    * twin of the x100 hot path ([[graft.operators.Similarity
+    * .buildIvfPqIndex]]/[[graft.operators.Similarity
+    * .searchIvfPqIndex]]), closing the r9 verdict's last twin-less
+    * certification gap: the SAME integer IVF-PQ chain, but its four
+    * trained artifacts — coarse cells, corpus cell map, PQ codebooks,
+    * encoded corpus — are ROUND-TRIPPED through real warehouse tables
+    * (build once / probe forever, the 100 TB deployment shape), and
+    * the probe plan reads ONLY `spark.table(...)` scans of the stored
+    * artifacts plus the source embedding table (query prep + exact
+    * re-rank — the index stores codes, not vectors). Every stored
+    * value is an exact integer-valued double, int, or string, so the
+    * parquet round-trip is bit-stable and the output is bit-identical
+    * to [[ivfPq]]'s: [[ivfPqSql]] oracles this query too, and a green
+    * hash certifies the storage lifecycle end to end (a perturbed
+    * array element, a lost row, or stale table metadata would shift a
+    * ranking and fail the hash).
+    */
+  def ivfPqPersisted(embeddings: DataFrame, prefix: String = "graft_pann"): DataFrame = {
+    val spark = embeddings.sparkSession
+    val baseL = sharedBase(embeddings)
+    val base = baseL.select("vec_id", "qv", "nm")
+    // ---- build: train the x64 chain, persist the artifacts ----
+    val cent = sumCentroids(baseL.select(col("label").as("cell"), col("qv")))
+    val corpCells = assign(base, cent, 1).select(col("vec_id"), col("cell"))
+    val sr = pqSubRows(base)
+    val books = pqTrainedBooks(sr)
+    val enc = pqEncoded(sr, books)
+    // dropManaged first (the buildIvfPqIndex pattern): an ephemeral
+    // catalog forgets tables whose warehouse dirs survive — a rebuild
+    // in a fresh session must not die on LOCATION_ALREADY_EXISTS
+    val arts = Seq(
+      "cells" -> cent, "cellmap" -> corpCells, "books" -> books, "enc" -> enc)
+    arts.foreach { case (s, df) =>
+      graft.sources.Tables.dropManaged(spark, s"${prefix}_$s")
+      graft.sources.Tables.overwriteTable(df, s"${prefix}_$s")
+    }
+    // ---- probe: STORED artifacts only (+ source for query prep and
+    // the exact re-rank — the index holds m codes per row, not the
+    // vectors). The in-session training frames above are deliberately
+    // not referenced below; the plan itself is the proof the probe
+    // runs off storage.
+    val sCells = spark.table(s"${prefix}_cells")
+    val sMap = spark.table(s"${prefix}_cellmap")
+    val sBooks = spark.table(s"${prefix}_books")
+    val sEnc = spark.table(s"${prefix}_enc")
+    val qBase = base.filter(col("vec_id") % QueryMod === 0)
+    val qryCells = assign(qBase, sCells, 2)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val lut = pqSubRows(qBase)
+      .select(col("vec_id").as("query_id"), col("sub_j"), col("sv"))
+      .join(sBooks, Seq("sub_j"))
+      .select(col("query_id"), col("sub_j"), col("code"), dot(col("sv"), col("cv")).as("qd"))
+    val shortW = Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id").asc)
+    val short = sEnc.join(sMap, Seq("vec_id"))
+      .join(lut.join(qryCells, Seq("query_id")), Seq("cell", "sub_j", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("qd")).as("approx"))
+      .withColumn("rk", row_number().over(shortW))
+      .filter(col("rk") <= PqRerank)
+      .select("query_id", "vec_id")
+    topK(pqRerank(short, base), 3)
+  }
+
   /** (vec_id, sub_j, sv): quantized corpus split into PqM subspaces. */
   private def pqSubRows(base: DataFrame): DataFrame =
     base.select(

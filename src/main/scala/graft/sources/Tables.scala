@@ -72,12 +72,31 @@ object Tables {
   def appendTable(df: DataFrame, table: String): Unit =
     df.write.mode(SaveMode.Append).format("parquet").saveAsTable(table)
 
+  // Observers notified after an overwrite lands — the hook JVM-level
+  // caches over catalog state need to stay sound: a memoized "table X
+  // does not exist" (e.g. the fold path's compaction-marker negative
+  // cache) must be invalidated when THIS JVM writes X through the
+  // generic sink. Registration is idempotent by construction (object
+  // initializers run once); listeners must be cheap and non-throwing.
+  private val writeListeners =
+    new java.util.concurrent.CopyOnWriteArrayList[(SparkSession, String) => Unit]()
+
+  def registerWriteListener(f: (SparkSession, String) => Unit): Unit =
+    writeListeners.add(f)
+
+  private def notifyWrite(df: DataFrame, table: String): Unit = {
+    val it = writeListeners.iterator()
+    while (it.hasNext) it.next()(df.sparkSession, table)
+  }
+
   /** S3: overwrite sink — `to_sql(..., if_exists='replace')`
     * (check_and_create_db_v4.py:295). Spark's overwrite drops and
     * recreates the table — same DDL-loss caveat, here harmless.
     */
-  def overwriteTable(df: DataFrame, table: String): Unit =
+  def overwriteTable(df: DataFrame, table: String): Unit = {
     df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+    notifyWrite(df, table)
+  }
 
   /** S4: typed sink — the SQLAlchemy dtype-map override
     * (check_and_create_db_v4.py:217-234) becomes explicit casts

@@ -593,6 +593,10 @@ object EventStreams {
   def compactSnapshot(spark: SparkSession, stateTable: String): (Int, Int) = {
     val staging = stateTable + "__staging"
     val marker = stateTable + "__compacting"
+    // this call WILL create a marker below — drop the marker-absent
+    // memo now so a crash anywhere in this method leaves the next
+    // fold probing (and healing), not trusting a stale negative cache
+    healMemo.remove((spark, stateTable))
     // self-heal first, so a maintenance-only schedule recovers without
     // waiting for a fold: a previous compaction that died between its
     // DROP and RENAME left the complete table on staging (restore by
@@ -660,6 +664,8 @@ object EventStreams {
     * swap where nothing is actually wrong. No-op without a marker.
     */
   private def healCompaction(spark: SparkSession, stateTable: String): Unit = {
+    val mk = (spark, stateTable)
+    if (healMemo.containsKey(mk)) return // marker known absent — no catalog RPC
     val marker = stateTable + "__compacting"
     if (spark.catalog.tableExists(marker)) {
       if (spark.catalog.tableExists(stateTable)) {
@@ -672,11 +678,13 @@ object EventStreams {
           .foreach(n => spark.sql(
             s"ALTER TABLE $stateTable SET TBLPROPERTIES ('graft.nbuckets' = '$n')"))
         spark.sql(s"DROP TABLE IF EXISTS $marker")
+        healMemo.put(mk, java.lang.Boolean.TRUE) // healed ⇒ absent again
       }
       // state table missing: the swap died between its DROP and RENAME —
       // the staged-recovery rename branch restores the table first; the
-      // marker stays so the NEXT entry repairs and re-pins it.
-    }
+      // marker stays (and the memo stays unset) so the NEXT entry
+      // repairs and re-pins it.
+    } else healMemo.put(mk, java.lang.Boolean.TRUE)
   }
 
   private def bucketOf(keys: Seq[String], nBuckets: Int) =
@@ -704,6 +712,23 @@ object EventStreams {
   private val wmMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
 
+  // Negative cache for the compaction-marker probe: a marker exists
+  // ONLY during a crashed compaction, yet healCompaction's
+  // tableExists check was one catalog RPC per fold micro-batch (the
+  // r9 watch item). An entry records "marker known absent" per
+  // (session, state table); the steady-state fold then skips the
+  // probe entirely. Sound under the fold's single-writer contract —
+  // in-JVM marker creators invalidate (compactSnapshot at entry, and
+  // the Tables write-listener below for any direct marker write, the
+  // crash-simulation path); a marker left by a CRASHED process is
+  // seen because a fresh JVM starts with an empty memo. Cleared with
+  // the other fold memos by the OpCache teardown hook.
+  private val healMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]()
+
+  graft.sources.Tables.registerWriteListener((s, t) =>
+    if (t.endsWith("__compacting")) healMemo.remove((s, t.stripSuffix("__compacting"))))
+
   // Both memos key on live SparkSession objects: a long-lived driver
   // that churns sessions (notebooks, repeated newSession()) would
   // otherwise retain every root session and its publish clone forever.
@@ -713,10 +738,14 @@ object EventStreams {
   graft.operators.OpCache.registerClearHook(() => {
     publishSessions.clear()
     wmMemo.clear()
+    healMemo.clear()
   })
 
   /** Test probe: live fold-memo entry counts (publish clones, watermarks). */
   private[graft] def memoSizes: (Int, Int) = (publishSessions.size, wmMemo.size)
+
+  /** Test probe: is the marker-absent negative cache populated? */
+  private[graft] def healMemoSize: Int = healMemo.size
 
   /** One idempotent fold step of [[maintainSnapshot]]. Not routed
     * through the mergeable-state skeleton: a CDC batch is not a

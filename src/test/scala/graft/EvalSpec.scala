@@ -170,5 +170,49 @@ class EvalSpec extends SparkSpec {
         Seq("g"), "label", "score")
       .orderBy("g").collect().map(r => (r.getString(0), r.getLong(3), r.getDouble(4))).toSeq
     assert(aucDate == aucDay, "date-scored AUC must equal its epoch-day numeric twin")
+    // liftTable and calibrationBins accept the date score through the
+    // same gate — calibrationBins previously died in ANALYSIS
+    // (Spark's Sum rejects DateType) before its window branch was
+    // even reached; sum_score is NULL for a date, the integer columns
+    // must equal the epoch-day twin's
+    val dDf = dated.map(t => (t._2, t._3)).toDF("label", "score")
+    val nDf = days.map(t => (t._2, t._3.toLong)).toDF("label", "score")
+    def ints(df: org.apache.spark.sql.DataFrame, ord: String) =
+      df.orderBy(ord).collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ints(Eval.liftTable(dDf, "label", "score", nBuckets = 4), "bucket")
+      == ints(Eval.liftTable(nDf, "label", "score", nBuckets = 4), "bucket"),
+      "date-scored lift buckets must equal the epoch-day twin")
+    val calDate = Eval.calibrationBins(dDf, "label", "score", nBins = 4)
+    assert(ints(calDate, "bin")
+      == ints(Eval.calibrationBins(nDf, "label", "score", nBins = 4), "bin"),
+      "date-scored calibration bins must equal the epoch-day twin")
+    assert(calDate.collect().forall(_.isNullAt(calDate.columns.indexOf("sum_score"))),
+      "a date score has no meaningful sum — sum_score must be NULL, not an analysis error")
+  }
+
+  test("row-unique non-numeric scores fail the loud domain-cardinality guard, not a silent global sort") {
+    // The non-numeric path's direct window is a one-task sort over the
+    // distinct scores — sound ONLY for bounded vocabularies. A UUID-ish
+    // row-unique string score must raise the named in-plan guard
+    // instead of silently degrading into the single-task global sort
+    // the window-scale lints exist to prevent.
+    val n = graft.operators.Eval.MaxNonNumericScores + 8
+    val wide = spark.range(0, n).selectExpr(
+      "'g' AS g", "id % 2 = 0 AS label", "concat('u', id) AS score")
+    def mustRaise(op: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
+      val e = intercept[Exception](f.collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(m => m.contains("bounded-vocabulary") && m.contains(op)),
+        s"$op must fail with its named cardinality guard, got: $e")
+    }
+    mustRaise("aucRank")(Eval.aucRank(wide, Seq("g"), "label", "score"))
+    mustRaise("liftTable")(Eval.liftTable(wide, "label", "score"))
+    mustRaise("calibrationBins")(Eval.calibrationBins(wide, "label", "score"))
+    // the same cardinality on a NUMERIC score takes the banded path —
+    // no guard, no global sort, exact results at any domain size
+    val numWide = spark.range(0, n).selectExpr("id % 2 = 0 AS label", "id AS score")
+    assert(Eval.liftTable(numWide, "label", "score")
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0) == n.toLong)
   }
 }

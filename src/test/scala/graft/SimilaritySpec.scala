@@ -229,6 +229,32 @@ class SimilaritySpec extends SparkSpec {
       .foreach(s => spark.sql(s"DROP TABLE IF EXISTS ann_idx_test_$s"))
   }
 
+  test("portable persisted-index lifecycle is bit-identical to the in-session twin, rebuilds included") {
+    import sqlImplicits._
+    val rnd = new scala.util.Random(78)
+    val rows = (0L until 400L).map { i =>
+      (i, s"l${i % 4}",
+        Seq.tabulate(64)(d => (math.sin((i % 5) + d * 0.29) + rnd.nextDouble() * 0.1).toFloat))
+    }
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val expected = graft.queries.PortableAnn.ivfPq(df).collect().map(_.toSeq).toSeq
+    assert(expected.nonEmpty)
+    // The round-tripped probe must reproduce the in-session chain
+    // bit-for-bit (cosines included — stored doubles are exact).
+    val stored = graft.queries.PortableAnn.ivfPqPersisted(df, "pann_test")
+      .collect().map(_.toSeq).toSeq
+    assert(stored == expected, "stored-artifact probe must equal the in-session twin")
+    // Rebuild over EXISTING artifact tables (the re-run case dropManaged
+    // exists for), with every in-session cache wiped first: the probe
+    // may rely on nothing but the freshly stored tables + source.
+    graft.operators.OpCache.clear()
+    val rebuilt = graft.queries.PortableAnn.ivfPqPersisted(df, "pann_test")
+      .collect().map(_.toSeq).toSeq
+    assert(rebuilt == expected, "a cold rebuild must reproduce the same index and ranking")
+    Seq("cells", "cellmap", "books", "enc")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS pann_test_$s"))
+  }
+
   test("semantic dedup finds planted dup groups and keeps the farthest-from-centroid member") {
     import sqlImplicits._
     // Two tight families far apart + singletons; each family has one

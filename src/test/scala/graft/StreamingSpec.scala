@@ -1007,4 +1007,45 @@ class StreamingSpec extends SparkSpec {
     assert(EventStreams.snapshot(spark, state).count() == 3L)
     Seq("", "__staging", "__wm", "__touched").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
   }
+
+  test("compaction-marker probe is negative-cached on the steady fold path and invalidated by marker writes") {
+    import sqlImplicits._
+    val state = "stream_healmemo_state"
+    Seq("", "__staging", "__wm", "__touched", "__compacting")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
+    graft.operators.OpCache.clear()
+    assert(EventStreams.healMemoSize == 0)
+    EventStreams.foldSnapshotBatch(
+      Seq((1L, "v1", "I", 1L)).toDF("k", "v", "op", "ord"),
+      0L, state, Seq("k"), "op", Seq("ord"), nBuckets = 2)
+    // the first fold probed once and memoized "marker absent" — the
+    // steady-state fold path now skips the per-batch catalog RPC
+    assert(EventStreams.healMemoSize >= 1,
+      "a clean fold must negative-cache the marker probe")
+    EventStreams.foldSnapshotBatch(
+      Seq((2L, "v2", "I", 2L)).toDF("k", "v", "op", "ord"),
+      1L, state, Seq("k"), "op", Seq("ord"), nBuckets = 2)
+    assert(EventStreams.snapshot(spark, state).count() == 2L)
+    // an in-JVM marker write (the crash-simulation path writes markers
+    // through the generic sink) must drop the negative cache, or the
+    // next fold would trust it and skip the heal
+    val before = EventStreams.healMemoSize
+    graft.sources.Tables.overwriteTable(
+      Seq("2").toDF("nbuckets").coalesce(1), state + "__compacting")
+    assert(EventStreams.healMemoSize < before || before == 0,
+      "a marker write must invalidate the marker-absent memo")
+    // ... and the next fold probes again, heals (drops the marker),
+    // and re-memoizes absent
+    EventStreams.foldSnapshotBatch(
+      Seq((3L, "v3", "I", 3L)).toDF("k", "v", "op", "ord"),
+      2L, state, Seq("k"), "op", Seq("ord"), nBuckets = 2)
+    assert(!spark.catalog.tableExists(state + "__compacting"),
+      "the post-invalidation fold must probe and heal the marker")
+    assert(EventStreams.snapshot(spark, state).count() == 3L)
+    // the OpCache teardown clears this memo with its siblings
+    graft.operators.OpCache.clear()
+    assert(EventStreams.healMemoSize == 0, "OpCache.clear must evict the heal memo")
+    Seq("", "__staging", "__wm", "__touched", "__compacting")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
+  }
 }
