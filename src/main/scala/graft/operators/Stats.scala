@@ -48,7 +48,16 @@ object Stats {
     // aggregate), so "bounds fits the broadcast threshold" is a sound,
     // conservative bound for the offset table too. Past the threshold
     // (huge group counts) fall back to a shuffled HASH join: correct
-    // distribution, no big-side sort.
+    // distribution, no big-side sort. DESIGN NOTE: the explicit
+    // broadcast() hint trusts that never-shrinking Catalyst estimate
+    // and removes the planner's option to back out at runtime — a
+    // source with absent/shrinking stats could in principle estimate
+    // under the threshold while the true bounds frame is larger, and
+    // the driver would still have to collect it. Accepted: the bounds
+    // frame is an aggregate of THIS primitive's own input (never an
+    // exotic source directly), and the estimate is conservative by
+    // construction for aggregates; callers feeding a pre-aggregated
+    // frame with hand-tuned stats own that contract.
     var offsFit = false
     val withBounds =
       if (groupCols.isEmpty) {

@@ -1507,8 +1507,8 @@ object ExtQueries2 {
     // Persisted-ANN-index lifecycle, certified cross-engine (the x100
     // hot path's portable twin — the r9 verdict's last twin-less
     // gap): the x64 integer IVF-PQ chain trains, its cells /
-    // cell-map / codebooks / encodings round-trip through REAL
-    // warehouse tables, and the probe plan reads ONLY the stored
+    // codebooks / encoded corpus round-trip through REAL warehouse
+    // tables, and the probe plan reads ONLY the stored
     // tables (+ the source embeddings for query prep and the exact
     // re-rank — the index stores codes, not vectors). The oracle
     // replays the whole chain from the source parquet (x64's SQL

@@ -386,9 +386,11 @@ object PortableAnn {
     * twin of the x100 hot path ([[graft.operators.Similarity
     * .buildIvfPqIndex]]/[[graft.operators.Similarity
     * .searchIvfPqIndex]]), closing the r9 verdict's last twin-less
-    * certification gap: the SAME integer IVF-PQ chain, but its four
-    * trained artifacts — coarse cells, corpus cell map, PQ codebooks,
-    * encoded corpus — are ROUND-TRIPPED through real warehouse tables
+    * certification gap: the SAME integer IVF-PQ chain, but its
+    * trained artifacts — coarse cells, PQ codebooks, and the encoded
+    * corpus (cell + codes per vector, the hot path's
+    * `{prefix}_corpus` layout) — are ROUND-TRIPPED through real
+    * warehouse tables
     * (build once / probe forever, the 100 TB deployment shape), and
     * the probe plan reads ONLY `spark.table(...)` scans of the stored
     * artifacts plus the source embedding table (query prep + exact
@@ -404,19 +406,26 @@ object PortableAnn {
     val spark = embeddings.sparkSession
     val baseL = sharedBase(embeddings)
     val base = baseL.select("vec_id", "qv", "nm")
-    // ---- build: train the x64 chain, persist the artifacts ----
+    // ---- build: train the x64 chain, persist the artifacts. Same
+    // layout as the hot path's buildIvfPqIndex: the coarse quantizer
+    // and codebooks are BOUNDED BY CONSTRUCTION (≤ label-vocabulary
+    // cells; PqM·PqCodes book rows) so they publish as single files;
+    // the corpus table carries each row's cell AND its codes together
+    // (m code rows per vector — the index stores codes, not vectors)
+    // and keeps its natural partitioning, the corpus-sized artifact.
     val cent = sumCentroids(baseL.select(col("label").as("cell"), col("qv")))
-    val corpCells = assign(base, cent, 1).select(col("vec_id"), col("cell"))
     val sr = pqSubRows(base)
     val books = pqTrainedBooks(sr)
-    val enc = pqEncoded(sr, books)
-    // dropManaged first (the buildIvfPqIndex pattern): an ephemeral
-    // catalog forgets tables whose warehouse dirs survive — a rebuild
-    // in a fresh session must not die on LOCATION_ALREADY_EXISTS
+    val corpus = pqEncoded(sr, books)
+      .join(assign(base, cent, 1).select(col("vec_id"), col("cell")), Seq("vec_id"))
     val arts = Seq(
-      "cells" -> cent, "cellmap" -> corpCells, "books" -> books, "enc" -> enc)
+      "cells" -> cent.coalesce(1), "books" -> books.coalesce(1), "corpus" -> corpus)
     arts.foreach { case (s, df) =>
-      graft.sources.Tables.dropManaged(spark, s"${prefix}_$s")
+      // an ephemeral catalog forgets tables whose warehouse dirs
+      // survive — reset ONLY when the catalog has no entry (the
+      // LOCATION_ALREADY_EXISTS case); a known table overwrites clean
+      if (!spark.catalog.tableExists(s"${prefix}_$s"))
+        graft.sources.Tables.dropManaged(spark, s"${prefix}_$s")
       graft.sources.Tables.overwriteTable(df, s"${prefix}_$s")
     }
     // ---- probe: STORED artifacts only (+ source for query prep and
@@ -425,9 +434,8 @@ object PortableAnn {
     // not referenced below; the plan itself is the proof the probe
     // runs off storage.
     val sCells = spark.table(s"${prefix}_cells")
-    val sMap = spark.table(s"${prefix}_cellmap")
     val sBooks = spark.table(s"${prefix}_books")
-    val sEnc = spark.table(s"${prefix}_enc")
+    val sCorpus = spark.table(s"${prefix}_corpus")
     val qBase = base.filter(col("vec_id") % QueryMod === 0)
     val qryCells = assign(qBase, sCells, 2)
       .select(col("vec_id").as("query_id"), col("cell"))
@@ -436,7 +444,7 @@ object PortableAnn {
       .join(sBooks, Seq("sub_j"))
       .select(col("query_id"), col("sub_j"), col("code"), dot(col("sv"), col("cv")).as("qd"))
     val shortW = Window.partitionBy("query_id").orderBy(col("approx").desc, col("vec_id").asc)
-    val short = sEnc.join(sMap, Seq("vec_id"))
+    val short = sCorpus
       .join(lut.join(qryCells, Seq("query_id")), Seq("cell", "sub_j", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")

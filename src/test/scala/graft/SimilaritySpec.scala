@@ -251,7 +251,7 @@ class SimilaritySpec extends SparkSpec {
     val rebuilt = graft.queries.PortableAnn.ivfPqPersisted(df, "pann_test")
       .collect().map(_.toSeq).toSeq
     assert(rebuilt == expected, "a cold rebuild must reproduce the same index and ranking")
-    Seq("cells", "cellmap", "books", "enc")
+    Seq("cells", "books", "corpus")
       .foreach(s => spark.sql(s"DROP TABLE IF EXISTS pann_test_$s"))
   }
 
