@@ -110,6 +110,17 @@ object ScaleProbe {
       // this curve should flatten relative to ann_pq as K grows, since
       // each query scores nProbes/cells of the corpus.
       time(s"ann_ivf_pq             x$k", Similarity.ivfPqTopK(v))
+      // Persisted-index lifecycle (x100/x197): the build cost is the
+      // training + encode pass (linear in corpus), the probe reads the
+      // stored cells/books/codes and scores only probed cells — the
+      // curve must track the in-session ann_ivf_pq row plus a constant
+      // write/read tax, never a second training.
+      time(s"ann_index_lifecycle    x$k", {
+        Similarity.buildIvfPqIndex(v, "probe_ann_idx", cells = 8, m = 8, codes = 16, maxIter = 2)
+        Similarity.searchIvfPqIndex(
+          v, v.filter(col("vec_id") % 100 === 0), "probe_ann_idx",
+          k = 3, nProbes = 2, rerank = 32)
+      })
       time(s"dedup_report_e2e       x$k", Dedup.dedupReport(d, minEstJaccard = 0.5))
       // Snapshot diff: value columns are digested before the join, so
       // the shuffle volume is keys+32B digests — the curve must track
