@@ -62,10 +62,18 @@ object Triangles {
     val tris = wedges
       .join(oriented.select(col("u").as("v"), col("w")), Seq("v", "w"), "left_semi")
       .select(col("u"), col("v"), col("w"))
-    tris
-      .select(explode(array(col("u"), col("v"), col("w"))).as("v"))
-      .groupBy("v")
-      .agg(count(lit(1)).as("n_triangles"))
+    // The wedge join is the operator's cost center (O(|E|^1.5) worst
+    // case) and its result is node-count-sized — cache the FINISHED
+    // per-node counts, not just the edge prep, so every consumer of
+    // the same graph (per-node readout, global total, clustering
+    // coefficients) pays the wedge join once per input (the
+    // ext.x47.pairs lifecycle: shared finished intermediates).
+    OpCache.swap(
+      "triangles.pernode",
+      tris
+        .select(explode(array(col("u"), col("v"), col("w"))).as("v"))
+        .groupBy("v")
+        .agg(count(lit(1)).as("n_triangles")))
   }
 
   /** Global triangle count (one row). */
