@@ -84,22 +84,29 @@ object Itemsets {
       .groupBy("item").agg(count(lit(1)).as("n"))
     val total = b.agg(count(lit(1)).as("n_baskets"))
     val pairs = pairsFromBaskets(b, minSupport)
-    pairs
-      .join(
-        Broadcasting.maybeBroadcast(
-          itemN.select(col("item").as("item_a"), col("n").as("n_a"))), Seq("item_a"))
-      .join(
-        Broadcasting.maybeBroadcast(
-          itemN.select(col("item").as("item_b"), col("n").as("n_b"))), Seq("item_b"))
-      .crossJoin(broadcast(total))
-      .select(
-        col("item_a"), col("item_b"), col("pair_n"), col("n_a"), col("n_b"),
-        col("n_baskets"),
-        (col("pair_n").cast("double") / col("n_baskets").cast("double")).as("support"),
-        (col("pair_n").cast("double") / col("n_a").cast("double")).as("conf_a_b"),
-        (col("pair_n").cast("double") / col("n_b").cast("double")).as("conf_b_a"),
-        ((col("pair_n") * col("n_baskets")).cast("double") /
-          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+    // Cache the FINISHED stats frame, not just the raw pair table:
+    // the rule-mining readout (pairStats consumers) and the CF
+    // neighbor ranking (itemNeighbors) both join supports back onto
+    // the pair set — sharing the joined result runs those joins once
+    // per input (the triangles.pernode lifecycle).
+    OpCache.swap(
+      s"itemsets.pairstats.$minSupport",
+      pairs
+        .join(
+          Broadcasting.maybeBroadcast(
+            itemN.select(col("item").as("item_a"), col("n").as("n_a"))), Seq("item_a"))
+        .join(
+          Broadcasting.maybeBroadcast(
+            itemN.select(col("item").as("item_b"), col("n").as("n_b"))), Seq("item_b"))
+        .crossJoin(broadcast(total))
+        .select(
+          col("item_a"), col("item_b"), col("pair_n"), col("n_a"), col("n_b"),
+          col("n_baskets"),
+          (col("pair_n").cast("double") / col("n_baskets").cast("double")).as("support"),
+          (col("pair_n").cast("double") / col("n_a").cast("double")).as("conf_a_b"),
+          (col("pair_n").cast("double") / col("n_b").cast("double")).as("conf_b_a"),
+          ((col("pair_n") * col("n_baskets")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double")).as("lift")))
   }
 
   /** Item-item collaborative-filtering neighbors: per item, the top-k

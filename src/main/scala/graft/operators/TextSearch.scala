@@ -57,7 +57,14 @@ object TextSearch {
     val matched = base
       .select(col("doc_id"), explode(col("__toks")).as("term"))
       .join(Broadcasting.maybeBroadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
-    val tf = matched.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // The tokenize+explode pass over the corpus dominates the query —
+    // its (doc, query-term, tf) reduction is tiny (matched terms
+    // only). Cache the reduction, not the stream: a repeat search
+    // with the same corpus and term set (plan-equal) pays only the
+    // scoring joins; a new term set or corpus replaces the entry.
+    val tf = OpCache.swap(
+      "search.tf",
+      matched.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf
       .join(Broadcasting.maybeBroadcast(df), Seq("term"))

@@ -3029,11 +3029,7 @@ object ExtQueries {
     // divergence in ANY round cascades into every later round's hash.
     GraftQuery(
       "x104_bpe_merges",
-      (s, d) => {
-        val dict = graft.operators.OpCache.swap(
-          "ext.bpe.dict", graft.operators.Bpe.wordDict(t(s, d, "documents")))
-        graft.operators.Bpe.trainFromDict(dict, k = 4).merges.orderBy("rank")
-      },
+      (s, d) => bpeTrained(s, d).merges.orderBy("rank"),
       Some(bpeSql(4, "SELECT * FROM merges ORDER BY rank"))
     ),
 
@@ -3043,12 +3039,7 @@ object ExtQueries {
     // merge scanner identically in both engines.
     GraftQuery(
       "x105_bpe_segmentation",
-      (s, d) => {
-        val dict = graft.operators.OpCache.swap(
-          "ext.bpe.dict", graft.operators.Bpe.wordDict(t(s, d, "documents")))
-        graft.operators.Bpe.segmentation(
-          graft.operators.Bpe.trainFromDict(dict, k = 4), topN = 25)
-      },
+      (s, d) => graft.operators.Bpe.segmentation(bpeTrained(s, d), topN = 25),
       Some(bpeSql(4,
         """SELECT w, wc, CAST(len(s) AS INT) AS n_sym, array_to_string(s, ' ') AS sym_text
           |FROM (SELECT w, wc, list_filter(string_split(sym, chr(1)), x -> x <> '') AS s FROM d4)
@@ -3188,9 +3179,7 @@ object ExtQueries {
     GraftQuery(
       "x110_bpe_vocab",
       (s, d) => {
-        val dict = graft.operators.OpCache.swap(
-          "ext.bpe.dict", graft.operators.Bpe.wordDict(t(s, d, "documents")))
-        graft.operators.Bpe.trainFromDict(dict, k = 4).dict
+        bpeTrained(s, d).dict
           .select(
             explode(filter(split(col("sym"), graft.operators.Bpe.Sep), x => x =!= ""))
               .as("token"),
@@ -5388,6 +5377,26 @@ object ExtQueries {
        |  SELECT doc_id, s, b.range AS band_id,
        |         md5(s[b.range * 2 + 1] || s[b.range * 2 + 2]) AS band_key
        |  FROM ${p}sig, range(4) AS b)""".stripMargin
+
+  /** One BPE training per (session, sf dir), shared by x104 (merges),
+    * x105 (segmentation) and x110 (vocabulary): the k lazy merge
+    * rounds embed localCheckpoint leaves, so two invocations are
+    * never plan-equal and `OpCache.swap` could not share them —
+    * `swapKeyed` (fingerprint = the sf dir, the typed-pipeline
+    * lifecycle) caches BOTH outputs of a single training run; the
+    * lazy `trained` guarantees at most one training even when both
+    * entries miss.
+    */
+  private def bpeTrained(
+      s: org.apache.spark.sql.SparkSession, d: String): graft.operators.Bpe.Trained = {
+    implicit val sp: org.apache.spark.sql.SparkSession = s
+    import graft.operators.{Bpe, OpCache}
+    val dict0 = OpCache.swap("ext.bpe.dict", Bpe.wordDict(t(s, d, "documents")))
+    lazy val trained = Bpe.trainFromDict(dict0, k = 4)
+    Bpe.Trained(
+      OpCache.swapKeyed("ext.bpe.trained.dict", d, trained.dict),
+      OpCache.swapKeyed("ext.bpe.trained.merges", d, trained.merges))
+  }
 
   /** Shared Spark side of the x47/x48 portable char-LSH pair set:
     * 8-char shingles on the 0.3 md5-gated corpus, 8 minhash lanes from
