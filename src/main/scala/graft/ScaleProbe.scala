@@ -121,6 +121,11 @@ object ScaleProbe {
           v, v.filter(col("vec_id") % 100 === 0), "probe_ann_idx",
           k = 3, nProbes = 2, rerank = 32)
       })
+      // drop the stored index artifacts after the timed block (the
+      // spec suites' cleanup discipline) — a probe run must not leave
+      // probe_ann_idx_* tables accreting in the warehouse
+      Seq("cells", "books", "corpus", "meta").foreach(s =>
+        graft.sources.Tables.dropManaged(v.sparkSession, s"probe_ann_idx_$s"))
       time(s"dedup_report_e2e       x$k", Dedup.dedupReport(d, minEstJaccard = 0.5))
       // Snapshot diff: value columns are digested before the join, so
       // the shuffle volume is keys+32B digests — the curve must track

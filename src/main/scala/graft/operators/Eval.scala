@@ -35,8 +35,24 @@ object Eval {
     * becoming the single-task global sort the repo's window-scale
     * lints exist to prevent. Numeric scores have no cap — they take
     * the banded path at any cardinality.
+    *
+    * BEHAVIOR CHANGE vs pre-guard releases: a non-numeric score whose
+    * domain exceeds the cap used to run (as a silent single-task
+    * sort) and now raises by name. A caller that knowingly accepts
+    * the one-task sort can raise the cap per session via
+    * `spark.graft.eval.maxNonNumericScores` (this constant is the
+    * default, not a hard limit).
     */
   val MaxNonNumericScores = 65536
+
+  /** Session override for [[MaxNonNumericScores]] — read at plan time
+    * from the frame's own session so a raised cap applies exactly
+    * where the caller set it.
+    */
+  private def nonNumericCap(df: DataFrame): Long =
+    df.sparkSession.conf
+      .getOption("spark.graft.eval.maxNonNumericScores")
+      .map(_.toLong).getOrElse(MaxNonNumericScores.toLong)
 
   private def isNumeric(df: DataFrame, scoreCol: String): Boolean =
     df.schema(scoreCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
@@ -50,15 +66,18 @@ object Eval {
     * count that window would sort in one task.
     */
   private def cardGuard(
-      op: String, cardWin: org.apache.spark.sql.expressions.WindowSpec): Column = {
+      op: String, cardWin: org.apache.spark.sql.expressions.WindowSpec,
+      cap: Long = MaxNonNumericScores.toLong): Column = {
     val card = count(lit(1)).over(cardWin)
     coalesce(
       assert_true(
-        card <= lit(MaxNonNumericScores.toLong),
+        card <= lit(cap),
         concat(
           lit(s"$op: non-numeric score domain holds "), card,
-          lit(s" distinct values (cap $MaxNonNumericScores) — the direct-window path is a " +
-            "bounded-vocabulary contract; use a numeric score for high-cardinality domains"))
+          lit(s" distinct values (cap $cap) — the direct-window path is a " +
+            "bounded-vocabulary contract; use a numeric score for high-cardinality " +
+            "domains, or raise spark.graft.eval.maxNonNumericScores to accept the " +
+            "single-task sort"))
       ).cast("long"),
       lit(0L))
   }
@@ -110,7 +129,8 @@ object Eval {
         val cardWin = Window.partitionBy(groupCols.map(col): _*)
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         byScore.withColumn(
-          "__cumneg", sum(col("__neg")).over(win) + cardGuard("aucRank", cardWin))
+          "__cumneg",
+          sum(col("__neg")).over(win) + cardGuard("aucRank", cardWin, nonNumericCap(df)))
       }
     cumulated
       .withColumn("__neg_lt", col("__cumneg") - col("__neg"))
@@ -188,7 +208,9 @@ object Eval {
         val wAll = Window.partitionBy()
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         byScore
-          .withColumn("__cumn", sum(col("__n")).over(win) + cardGuard("liftTable", wAll))
+          .withColumn(
+            "__cumn",
+            sum(col("__n")).over(win) + cardGuard("liftTable", wAll, nonNumericCap(df)))
           .withColumn("__tot_n", sum(col("__n")).over(wAll))
           .withColumn("__tot_p", sum(col("__pos")).over(wAll))
       }
@@ -265,7 +287,9 @@ object Eval {
         val wAll = Window.partitionBy()
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         byScore
-          .withColumn("__cumn", sum(col("__n")).over(win) + cardGuard("calibrationBins", wAll))
+          .withColumn(
+            "__cumn",
+            sum(col("__n")).over(win) + cardGuard("calibrationBins", wAll, nonNumericCap(df)))
           .withColumn("__tot_n", sum(col("__n")).over(wAll))
       }
     cumulated

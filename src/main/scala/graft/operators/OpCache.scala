@@ -15,6 +15,20 @@ import org.apache.spark.storage.StorageLevel
   * NEW input unpersists the previous round's table; re-invoking on the
   * SAME input (plan-equal — the bench warm/timed case) keeps the shared
   * cache entry hot.
+  *
+  * SINGLE-SLOT CONTRACT: `swap`/`swapKeyed` keep exactly ONE live
+  * entry per (session, key). A workload that ALTERNATES two inputs on
+  * the same key (corpus A, corpus B, corpus A, …) therefore
+  * unpersists and recomputes on every call while looking cached —
+  * a throughput hazard, never a correctness one: `swap` serves a
+  * cached frame only when its analyzed plan `sameResult`s the
+  * requested one, and `swapKeyed` only when the caller's input
+  * fingerprint matches, so a stale entry can never be handed to a
+  * different input. The declared query surface never alternates
+  * (each key's consumers share one input per session — verified per
+  * round); a future consumer that genuinely alternates inputs should
+  * use per-input keys (e.g. suffix the key with the fingerprint)
+  * rather than widening this cache to multi-slot.
   */
 object OpCache {
 

@@ -394,10 +394,13 @@ object PortableAnn {
     * (build once / probe forever, the 100 TB deployment shape), and
     * the probe plan reads ONLY `spark.table(...)` scans of the stored
     * artifacts plus the source embedding table (query prep + exact
-    * re-rank — the index stores codes, not vectors). Every stored
-    * value is an exact integer-valued double, int, or string, so the
-    * parquet round-trip is bit-stable and the output is bit-identical
-    * to [[ivfPq]]'s: [[ivfPqSql]] oracles this query too, and a green
+    * re-rank — the index stores codes, not vectors). Bit-stability
+    * rests on parquet round-tripping doubles EXACTLY (it stores the
+    * raw IEEE-754 bits) — that covers the non-integer values too,
+    * like the cells table's sqrt norm `cn`; that most stored values
+    * are additionally exact integer-valued doubles, ints, or strings
+    * is a bonus, not the load-bearing property. The output is
+    * bit-identical to [[ivfPq]]'s: [[ivfPqSql]] oracles this query too, and a green
     * hash certifies the storage lifecycle end to end (a perturbed
     * array element, a lost row, or stale table metadata would shift a
     * ranking and fail the hash).

@@ -69,15 +69,22 @@ object Tables {
   /** S2: append sink — the engine-native analogue of
     * `to_sql(..., if_exists='append')` (create_db_from_csv.py:14).
     */
-  def appendTable(df: DataFrame, table: String): Unit =
+  def appendTable(df: DataFrame, table: String): Unit = {
     df.write.mode(SaveMode.Append).format("parquet").saveAsTable(table)
+    notifyWrite(df, table)
+  }
 
-  // Observers notified after an overwrite lands — the hook JVM-level
-  // caches over catalog state need to stay sound: a memoized "table X
-  // does not exist" (e.g. the fold path's compaction-marker negative
-  // cache) must be invalidated when THIS JVM writes X through the
-  // generic sink. Registration is idempotent by construction (object
-  // initializers run once); listeners must be cheap and non-throwing.
+  // Observers notified after ANY catalog-table sink in this object
+  // lands (append, overwrite, typed, bucketed, partitioned, staged/
+  // upsert publishes, gated publish) — the hook JVM-level caches over
+  // catalog state need to stay sound: a memoized "table X does not
+  // exist" (e.g. the fold path's compaction-marker negative cache)
+  // must be invalidated when THIS JVM writes X through the generic
+  // sinks, STRUCTURALLY, not by convention on whichever sink today's
+  // marker writers happen to use. Path sinks (json/orc/jdbc) create
+  // no catalog entry and are deliberately outside the contract.
+  // Registration is idempotent by construction (object initializers
+  // run once); listeners must be cheap and non-throwing.
   private val writeListeners =
     new java.util.concurrent.CopyOnWriteArrayList[(SparkSession, String) => Unit]()
 
@@ -107,6 +114,7 @@ object Tables {
       types.get(c).map(t => acc.withColumn(c, col(c).cast(t))).getOrElse(acc)
     }
     cast.write.mode(mode).format("parquet").saveAsTable(table)
+    notifyWrite(df, table)
   }
 
   /** Bucketed managed table: pre-shuffled on the join/agg key so
@@ -116,14 +124,17 @@ object Tables {
   def writeBucketed(df: DataFrame, table: String, nBuckets: Int, bucketCol: String, sortCol: Option[String] = None): Unit = {
     val w = df.write.mode(SaveMode.Overwrite).format("parquet").bucketBy(nBuckets, bucketCol)
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+    notifyWrite(df, table)
   }
 
   /** Hive-style partitioned table: partition pruning turns predicates
     * on the partition column into directory pruning at planning time.
     */
-  def writePartitioned(df: DataFrame, table: String, partitionCols: Seq[String]): Unit =
+  def writePartitioned(df: DataFrame, table: String, partitionCols: Seq[String]): Unit = {
     df.write.mode(SaveMode.Overwrite).format("parquet")
       .partitionBy(partitionCols: _*).saveAsTable(table)
+    notifyWrite(df, table)
+  }
 
   /** Upsert (merge-by-key) into a managed parquet table: existing rows
     * with a matching key are replaced by the update rows, others are
@@ -166,6 +177,11 @@ object Tables {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
     spark.catalog.refreshTable(table)
+    // the overwriteTable above notified for `__staging`; the content
+    // LANDS under `table` via the rename — notify for that name too,
+    // so listener invariants ("any in-JVM write of X invalidates
+    // caches over X") hold structurally for the published name
+    notifyWrite(df, table)
   }
 
   /** Crash recovery for [[stagedOverwrite]]: if `table` is missing but
@@ -236,6 +252,7 @@ object Tables {
       spark.sql(s"ALTER TABLE $staging RENAME TO $ready")
       spark.sql(s"DROP TABLE IF EXISTS $table")
       spark.sql(s"ALTER TABLE $ready RENAME TO $table")
+      notifyWrite(df, table)
     }
     report
   }

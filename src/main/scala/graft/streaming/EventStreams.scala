@@ -596,7 +596,7 @@ object EventStreams {
     // this call WILL create a marker below — drop the marker-absent
     // memo now so a crash anywhere in this method leaves the next
     // fold probing (and healing), not trusting a stale negative cache
-    healMemo.remove((spark, stateTable))
+    healMemo.remove(healKey(spark, stateTable))
     // self-heal first, so a maintenance-only schedule recovers without
     // waiting for a fold: a previous compaction that died between its
     // DROP and RENAME left the complete table on staging (restore by
@@ -664,7 +664,7 @@ object EventStreams {
     * swap where nothing is actually wrong. No-op without a marker.
     */
   private def healCompaction(spark: SparkSession, stateTable: String): Unit = {
-    val mk = (spark, stateTable)
+    val mk = healKey(spark, stateTable)
     if (healMemo.containsKey(mk)) return // marker known absent — no catalog RPC
     val marker = stateTable + "__compacting"
     if (spark.catalog.tableExists(marker)) {
@@ -716,22 +716,35 @@ object EventStreams {
   // ONLY during a crashed compaction, yet healCompaction's
   // tableExists check was one catalog RPC per fold micro-batch (the
   // r9 watch item). An entry records "marker known absent" per
-  // (session, state table); the steady-state fold then skips the
-  // probe entirely. Sound under the fold's single-writer contract —
-  // in-JVM marker creators invalidate (compactSnapshot at entry, and
-  // the Tables write-listener below for any direct marker write, the
-  // crash-simulation path); a marker left by a CRASHED process is
-  // seen because a fresh JVM starts with an empty memo. Cleared with
-  // the other fold memos by the OpCache teardown hook.
+  // (SparkContext, state table) — NOT per session: the catalog is
+  // shared across `newSession()` clones of one context, so marker
+  // existence is a context-wide fact, and a per-session key would let
+  // a fold on session A trust a stale "absent" memo after a
+  // compaction on clone B crashed mid-swap (invalidation on B's key
+  // only). Keying on the context makes every clone share one memo
+  // entry and one invalidation, while a sequentially restarted
+  // context (new catalog) starts clean. The steady-state fold then
+  // skips the probe entirely. Sound under the fold's single-writer
+  // contract — in-JVM marker creators invalidate (compactSnapshot at
+  // entry, and the Tables write-listener below for any direct marker
+  // write, the crash-simulation path); a marker left by a CRASHED
+  // process is seen because a fresh JVM starts with an empty memo.
+  // Cleared with the other fold memos by the OpCache teardown hook.
   private val healMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.SparkContext, String), java.lang.Boolean]()
+
+  private def healKey(spark: SparkSession, stateTable: String) =
+    (spark.sparkContext, stateTable)
 
   graft.sources.Tables.registerWriteListener((s, t) =>
-    if (t.endsWith("__compacting")) healMemo.remove((s, t.stripSuffix("__compacting"))))
+    if (t.endsWith("__compacting"))
+      healMemo.remove(healKey(s, t.stripSuffix("__compacting"))))
 
-  // Both memos key on live SparkSession objects: a long-lived driver
-  // that churns sessions (notebooks, repeated newSession()) would
-  // otherwise retain every root session and its publish clone forever.
+  // The session/context memos key on live runtime objects: a
+  // long-lived driver that churns sessions (notebooks, repeated
+  // newSession()) would otherwise retain every root session and its
+  // publish clone forever.
   // Registering with the operator-wide teardown bounds that: clearing
   // is always safe — the watermark re-reads from its table, the
   // publish clone is rebuilt on demand.

@@ -214,5 +214,15 @@ class EvalSpec extends SparkSpec {
     val numWide = spark.range(0, n).selectExpr("id % 2 = 0 AS label", "id AS score")
     assert(Eval.liftTable(numWide, "label", "score")
       .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0) == n.toLong)
+    // a caller that knowingly accepts the one-task sort can raise the
+    // cap per session — the guard is a default contract, not a wall
+    spark.conf.set("spark.graft.eval.maxNonNumericScores", n.toString)
+    try {
+      assert(Eval.liftTable(wide, "label", "score")
+        .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0) == n.toLong,
+        "a raised spark.graft.eval.maxNonNumericScores must admit the same domain")
+    } finally spark.conf.unset("spark.graft.eval.maxNonNumericScores")
+    // ... and once unset, the default cap raises again
+    mustRaise("liftTable")(Eval.liftTable(wide, "label", "score"))
   }
 }

@@ -1048,4 +1048,39 @@ class StreamingSpec extends SparkSpec {
     Seq("", "__staging", "__wm", "__touched", "__compacting")
       .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
   }
+
+  test("marker-absent memo is context-wide: a marker appended from a newSession clone invalidates the root session's memo") {
+    import sqlImplicits._
+    val state = "stream_healxs_state"
+    Seq("", "__staging", "__wm", "__touched", "__compacting")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
+    graft.operators.OpCache.clear()
+    // populate the memo with a clean fold on the ROOT session
+    EventStreams.foldSnapshotBatch(
+      Seq((1L, "v1", "I", 1L)).toDF("k", "v", "op", "ord"),
+      0L, state, Seq("k"), "op", Seq("ord"), nBuckets = 2)
+    assert(EventStreams.healMemoSize >= 1)
+    val before = EventStreams.healMemoSize
+    // write the marker from a DIFFERENT session object sharing the
+    // same context/catalog — and through appendTable, exercising the
+    // structural listener coverage of the non-overwrite sinks: a
+    // per-session memo key would miss this invalidation and the root
+    // session's next fold would skip the heal
+    val clone = spark.newSession()
+    graft.sources.Tables.appendTable(
+      clone.sql("SELECT '2' AS nbuckets"), state + "__compacting")
+    assert(clone ne spark)
+    assert(EventStreams.healMemoSize < before,
+      "a clone-session append of the marker must drop the root session's marker-absent memo")
+    // the root session's next fold must probe again, heal the marker,
+    // and apply the batch through repaired partition metadata
+    EventStreams.foldSnapshotBatch(
+      Seq((2L, "v2", "I", 2L)).toDF("k", "v", "op", "ord"),
+      1L, state, Seq("k"), "op", Seq("ord"), nBuckets = 2)
+    assert(!spark.catalog.tableExists(state + "__compacting"),
+      "the post-invalidation fold on the root session must heal the clone-written marker")
+    assert(EventStreams.snapshot(spark, state).count() == 2L)
+    Seq("", "__staging", "__wm", "__touched", "__compacting")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
+  }
 }
