@@ -172,12 +172,21 @@ object RobustStats {
     * beyond that, pre-aggregate per value first, which the operator
     * already does.)
     *
-    * Shape: one (group, value) pre-aggregation collapses ties, then
-    * the cumulative/total weights over the collapsed table — banded
-    * per group (`Stats.bandedCum`) for NUMERIC values, whose
-    * distinct-value grain is row-sized in the continuous case; a
-    * non-numeric (category) domain is bounded and keeps the direct
-    * per-group window. Never a sort of the raw rows.
+    * Shape: one (group, value) pre-aggregation collapses ties, then —
+    * for NUMERIC values, whose distinct-value grain is row-sized in
+    * the continuous case — a banded REACH plan rather than the full
+    * `Stats.bandedCum` curve: a quantile needs one row per group (the
+    * first to reach q·W), so after banding on the per-group bounds,
+    * the per-BAND weight totals (≤ bands rows per group) locate the
+    * single target band that contains the reach row, and only THAT
+    * band's rows are shuffled and cum-summed — 1/bands of the
+    * collapsed frame through the value-ordered exchange instead of
+    * all of it (the r11 x141 fix: the full-curve window was the
+    * surface's most expensive exchange two rounds running, computing
+    * bands−1 bands' worth of cumulative sums the final reach filter
+    * immediately discarded). Identical integer arithmetic, identical
+    * result. A non-numeric (category) domain is bounded and keeps
+    * the direct per-group window. Never a sort of the raw rows.
     * Output: (groupCols*, total_weight, wq_value).
     */
   def weightedQuantile(
@@ -192,16 +201,89 @@ object RobustStats {
     val qm = math.round(q * 1e6)
     val wu = col(weightCol).cast(org.apache.spark.sql.types.DecimalType(18, 4))
       .multiply(lit(10000)).cast("long")
-    val collapsed = df
+    val gc = groupCols.map(col)
+    val raw = df
       .filter(col(valueCol).isNotNull && col(weightCol).isNotNull && col(weightCol) >= 0)
-      .groupBy(groupCols.map(col) :+ col(valueCol).as("__v"): _*)
-      .agg(sum(wu).as("__w"))
-    val cumulated =
+      .select(gc ++ Seq(col(valueCol).as("__v"), wu.as("__wu")): _*)
+    val reached =
       if (df.schema(valueCol).dataType
-          .isInstanceOf[org.apache.spark.sql.types.NumericType])
-        collapsed.transform(Stats.bandedCum(_, Seq("__w" -> "__cum"), bands,
-          groupCols, carryTotals = Seq("__w" -> "__tot")))
-      else {
+          .isInstanceOf[org.apache.spark.sql.types.NumericType]) {
+        // --- banded reach (see scaladoc), straight off the RAW rows:
+        // bounds and per-band weights are map-side-combinable
+        // aggregates (≤ |groups| resp. ≤ bands·|groups| partials per
+        // task), and a tie (same (group, value)) lands in one band by
+        // construction, so the exactness-bearing tie collapse only
+        // needs to run INSIDE the target band. No exchange in this
+        // plan carries more than rows/bands rows — the (group, value)
+        // pre-collapse exchange that used to feed the curve was the
+        // whole frame wide (and near-useless on continuous values:
+        // 594k distinct of 600k at sf0.1). Bounds/target joins follow
+        // bandedCum's no-big-side-sort rule: broadcast while the
+        // group-cardinality-sized small side fits, shuffled HASH join
+        // past that.
+        val W = org.apache.spark.sql.expressions.Window
+        val boundAggs = Seq(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"),
+          sum(col("__wu")).as("__tot"))
+        var smallFits = false
+        val withBounds =
+          if (groupCols.isEmpty) {
+            smallFits = true // 1 row, unconditionally
+            raw.crossJoin(broadcast(raw.agg(boundAggs.head, boundAggs.tail: _*)))
+          } else {
+            val bounds = raw.groupBy(gc: _*)
+              .agg(boundAggs.head, boundAggs.tail: _*)
+              .select(groupCols.map(c => col(c).as(s"__bg_$c")) ++
+                Seq(col("__lo"), col("__hi"), col("__tot")): _*)
+            smallFits = Broadcasting.fitsBroadcast(bounds)
+            raw.join(
+                if (smallFits) broadcast(bounds) else bounds.hint("shuffle_hash"),
+                groupCols.map(c => col(c) <=> col(s"__bg_$c")).reduce(_ && _))
+              .drop(groupCols.map(c => s"__bg_$c"): _*)
+          }
+        val banded = withBounds
+          .withColumn(
+            "__bkt",
+            when(col("__hi") === col("__lo"), lit(0))
+              .otherwise(least(
+                lit(bands - 1),
+                floor((col("__v") - col("__lo")).cast("double") /
+                  ((col("__hi") - col("__lo")).cast("double") / lit(bands))).cast("int"))))
+          .drop("__lo", "__hi")
+        // per-band weight totals: ≤ bands rows per group
+        val bandW = banded.groupBy(gc :+ col("__bkt"): _*)
+          .agg(sum(col("__wu")).as("__bw"), max(col("__tot")).as("__bt"))
+        // the first band whose INCLUSIVE cumulative reaches q·W holds
+        // the reach row; its EXCLUSIVE cumulative seeds the in-band
+        // cumsum. min(struct) picks that band without a second window.
+        val cumW = W.partitionBy(gc: _*).orderBy(col("__bkt"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+        val tgt = bandW
+          .withColumn("__cumb", sum(col("__bw")).over(cumW))
+          .filter(col("__cumb") * lit(1000000L) >= lit(qm) * col("__bt"))
+          .groupBy(gc: _*)
+          .agg(min(struct(
+            col("__bkt").as("b"), (col("__cumb") - col("__bw")).as("off"))).as("__m"))
+          .select(groupCols.map(c => col(c).as(s"__tg_$c")) ++
+            Seq(col("__m").getField("b").as("__tb"),
+              col("__m").getField("off").as("__toff")): _*)
+        // only the target band's rows reach the tie collapse + the
+        // value-ordered exchange: rows/bands of the input
+        val inBand = banded.join(
+            if (smallFits) broadcast(tgt) else tgt.hint("shuffle_hash"),
+            (groupCols.map(c => col(c) <=> col(s"__tg_$c")) :+
+              (col("__bkt") === col("__tb"))).reduce(_ && _))
+          .drop(groupCols.map(c => s"__tg_$c"): _*)
+        val collapsedIn = inBand
+          .groupBy(gc ++ Seq(col("__v"), col("__bkt")): _*)
+          .agg(sum(col("__wu")).as("__w"),
+            max(col("__toff")).as("__toff"), max(col("__tot")).as("__tot"))
+        val wb = W.partitionBy(gc :+ col("__bkt"): _*).orderBy(col("__v"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+        collapsedIn.withColumn("__cum", col("__toff") + sum(col("__w")).over(wb))
+      } else {
+        val collapsed = raw
+          .groupBy(gc :+ col("__v"): _*)
+          .agg(sum(col("__wu")).as("__w"))
         val win = org.apache.spark.sql.expressions.Window
           .partitionBy(groupCols.map(col): _*).orderBy(col("__v"))
         val tot = org.apache.spark.sql.expressions.Window
@@ -210,7 +292,7 @@ object RobustStats {
           .withColumn("__cum", sum(col("__w")).over(win))
           .withColumn("__tot", sum(col("__w")).over(tot))
       }
-    cumulated
+    reached
       .filter(col("__cum") * lit(1000000L) >= lit(qm) * col("__tot"))
       .groupBy(groupCols.map(col): _*)
       .agg(

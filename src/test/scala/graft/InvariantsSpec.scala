@@ -261,7 +261,7 @@ class InvariantsSpec extends SparkSpec {
     // contract that makes per-stratum order irreducible)
     val bounds = Map(
       "x141_weighted_median" ->
-        "bandedCum per-group OFFSET window: <= bands(=64) rows per group — Stats.bandedCum",
+        "banded-reach per-group band-cum window: <= bands(=64) rows per group — RobustStats.weightedQuantile",
       "x180_auc_rank" ->
         "bandedCum per-group OFFSET window: <= bands(=64) rows per group — Eval.aucRank",
       "x190_rank_normalize" ->
