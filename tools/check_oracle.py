@@ -22,23 +22,28 @@ def main(sf_dir, out_dir):
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_pass = n_fail = 0
+    oracled_ok = {}  # name -> bool, for the TWINS.json certification pass
     for name in sorted(oracles):
         sql = oracles[name]
         files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
-            print(f"FAIL {name}: no spark result written"); n_fail += 1; continue
+            print(f"FAIL {name}: no spark result written")
+            n_fail += 1; oracled_ok[name] = False; continue
         try:
             spark_df = con.execute(
                 f"SELECT * FROM read_parquet({files!r})").fetchdf()
             oracle_df = con.execute(sql).fetchdf()
         except Exception as e:
-            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: {e}")
+            n_fail += 1; oracled_ok[name] = False; continue
         sc = sorted(spark_df.columns); oc = sorted(oracle_df.columns)
         if sc != oc:
-            print(f"FAIL {name}: columns {sc} vs oracle {oc}"); n_fail += 1; continue
+            print(f"FAIL {name}: columns {sc} vs oracle {oc}")
+            n_fail += 1; oracled_ok[name] = False; continue
         a, b = spark_df[sc], oracle_df[oc]
         if len(a) != len(b):
-            print(f"FAIL {name}: rows {len(a)} vs oracle {len(b)}"); n_fail += 1; continue
+            print(f"FAIL {name}: rows {len(a)} vs oracle {len(b)}")
+            n_fail += 1; oracled_ok[name] = False; continue
         # dtype-KIND parity: the driver's hash is value-repr-sensitive —
         # int32(5) and int64(5) both hash as 5, but a float64/object
         # column hashes 69.0 where an integer column hashes 69 (the
@@ -51,7 +56,8 @@ def main(sf_dir, out_dir):
         dt = [(c, str(a[c].dtype), str(b[c].dtype)) for c in sc
               if kind(a[c]) != kind(b[c])]
         if dt:
-            print(f"FAIL {name}: dtype-kind mismatch {dt}"); n_fail += 1; continue
+            print(f"FAIL {name}: dtype-kind mismatch {dt}")
+            n_fail += 1; oracled_ok[name] = False; continue
         def norm(v):
             if hasattr(v, "tolist"): v = v.tolist()
             if isinstance(v, list): return tuple(norm(x) for x in v)
@@ -67,10 +73,19 @@ def main(sf_dir, out_dir):
         if bad:
             c, i, x, y = bad
             print(f"FAIL {name}: col={c} row={i} spark={x!r} oracle={y!r}")
-            n_fail += 1
+            n_fail += 1; oracled_ok[name] = False
         else:
             print(f"PASS {name} ({len(a)} rows)"); n_pass += 1
-    # queries with no oracle: rows-only check
+            oracled_ok[name] = True
+    # queries with no oracle: rows-only check + TWINS.json certification
+    # (every rows-only row must map to oracled certifiers that PASSed
+    # this run, or be explicitly declared none_by_nature with a reason)
+    twins_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "TWINS.json")
+    twins = {}
+    if os.path.exists(twins_path):
+        with open(twins_path) as f:
+            twins = json.load(f).get("rows_only", {})
     for p in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(p.rstrip("/"))
         if name in oracles: continue
@@ -78,10 +93,28 @@ def main(sf_dir, out_dir):
         if not files:
             print(f"FAIL {name}: (rows-only) no parquet"); n_fail += 1; continue
         n = con.execute(f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0]
-        status = "PASS" if n > 0 else "FAIL"
-        print(f"{status} {name}: (rows-only) {n} rows")
-        if n > 0: n_pass += 1
-        else: n_fail += 1
+        if n <= 0:
+            print(f"FAIL {name}: (rows-only) 0 rows"); n_fail += 1; continue
+        ent = twins.get(name)
+        if ent is None:
+            print(f"FAIL {name}: (rows-only) {n} rows but NOT in TWINS.json — "
+                  "declare its oracled certifier(s) or none_by_nature")
+            n_fail += 1; continue
+        certs = ent.get("certifiers", [])
+        if not certs and ent.get("kind") != "none_by_nature":
+            print(f"FAIL {name}: (rows-only) empty certifiers without none_by_nature")
+            n_fail += 1; continue
+        bad_cert = [c for c in certs if not oracled_ok.get(c, False)]
+        if bad_cert:
+            print(f"FAIL {name}: (rows-only) certifier(s) not green this run: {bad_cert}")
+            n_fail += 1; continue
+        tag = ("certified by " + "+".join(certs)) if certs else "none_by_nature"
+        print(f"PASS {name}: (rows-only) {n} rows, {tag}")
+        n_pass += 1
+    stale = [t for t in twins if not os.path.isdir(os.path.join(out_dir, t))]
+    if stale:
+        print(f"FAIL twins-map: entries with no matching query result: {stale}")
+        n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
