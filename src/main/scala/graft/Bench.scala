@@ -45,7 +45,7 @@ object Bench {
     * index can under-read only if a FUTURE machine is faster, which a
     * re-recorded ref (or SPARK_GRAFT_YARDSTICK_REF) corrects.
     */
-  val YardstickRefSec = 0.82 // min across calibration JVMs AND bench-embedded samples, r11; see BASELINE.md
+  val YardstickRefSec = 0.77 // min across calibration JVMs AND bench-embedded samples, r11; see BASELINE.md
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
