@@ -18,7 +18,7 @@ python3 tools/check_oracle.py /root/testdata/sf0.001 /tmp/gauntlet_0001 | tail -
 echo "== bench @ sf0.1 (32 threads) =="
 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" 2>&1 \
   | grep -E '"metric"' | tail -1 | sed 's/^\[info\] //' \
-  | python3 -c "import json,sys; d=json.load(sys.stdin); print(f'total {d[\"value\"]:.1f}s  queries {len(d[\"queries\"])}  max {max(d[\"queries\"].values()):.2f}s')"
+  | python3 -c "import json,sys; d=json.load(sys.stdin); print(f'total {d[\"value\"]:.1f}s  isolated {d[\"isolated_total\"]:.1f}s  interval_index {d[\"interval_index\"]}  queries {len(d[\"queries\"])}  max {max(d[\"queries\"].values()):.2f}s')"
 
 echo "== plan audit (cartesian check) =="
 sbt -batch "runMain graft.Explain all /root/testdata/sf0.01" 2>&1 \
