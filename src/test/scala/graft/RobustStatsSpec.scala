@@ -157,4 +157,64 @@ class RobustStatsSpec extends SparkSpec {
       assert(got == ref, "join strategy must not change the quantiles")
     } finally spark.conf.set(key, saved)
   }
+
+  test("weightedQuantile banded reach matches an independent reference across q, seeds and band-boundary ties") {
+    import sqlImplicits._
+    // Differential certificate for the r11 reach rewrite: the target
+    // band is picked by the FIRST inclusive band-cumulative to reach
+    // q·W, and the in-band cumsum is seeded with that band's exclusive
+    // offset — an off-by-one at either step lands one value early or
+    // late. The reference replays the operator's own contract (lower
+    // weighted quantile on micro-quantized integer weights) in plain
+    // Scala. Duplicate values (ties that must cumulate together),
+    // skewed weights, and a uniform-weight block (reach lands exactly
+    // ON cumulative boundaries) are all in the mix; bands=4 forces
+    // many band-edge hits.
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 400).map { i =>
+      val g = s"g${i % 3}"
+      // values from a small domain → plenty of exact ties
+      val v = (rnd.nextInt(40) + 1).toDouble
+      val w = if (i % 3 == 2) 1.0 else (rnd.nextInt(9) + 1) * 0.25
+      (g, v, w)
+    }
+    val df = rows.toDF("g", "v", "w")
+    def ref(q: Double): Map[String, (Double, Double)] =
+      rows.groupBy(_._1).map { case (g, rs) =>
+        val byV = rs.groupBy(_._2).map { case (v, vs) =>
+          v -> vs.map(r =>
+            (BigDecimal(r._3).setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10000).toLong).sum
+        }.toSeq.sortBy(_._1)
+        val tot = byV.map(_._2).sum
+        val qm = math.round(q * 1e6)
+        var cum = 0L
+        val hit = byV.find { case (_, w) => cum += w; cum * 1000000L >= qm * tot }.get._1
+        g -> (tot.toDouble / 1e4, hit)
+      }
+    for (q <- Seq(0.1, 0.25, 0.5, 0.75, 0.9, 1.0)) {
+      val got = graft.operators.RobustStats.weightedQuantile(df, Seq("g"), "v", "w", q)
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val expect = ref(q)
+      assert(got == expect, s"q=$q: banded reach diverged from the reference\n got=$got\n exp=$expect")
+      // small band count → band edges everywhere; must still agree
+      val coarse = graft.operators.RobustStats.weightedQuantile(df, Seq("g"), "v", "w", q, bands = 4)
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      assert(coarse == expect, s"q=$q bands=4: band-edge handling diverged")
+    }
+    // global (no group columns) exercises the crossJoin-broadcast path
+    val global = graft.operators.RobustStats.weightedQuantile(df, Seq.empty, "v", "w", 0.5)
+      .head()
+    val gRef = {
+      val byV = rows.groupBy(_._2).map { case (v, vs) =>
+        v -> vs.map(r =>
+          (BigDecimal(r._3).setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10000).toLong).sum
+      }.toSeq.sortBy(_._1)
+      val tot = byV.map(_._2).sum
+      var cum = 0L
+      val hit = byV.find { case (_, w) => cum += w; cum * 2 >= tot }.get._1
+      (tot.toDouble / 1e4, hit)
+    }
+    assert((global.getDouble(0), global.getDouble(1)) == gRef,
+      "global (ungrouped) reach path diverged from the reference")
+  }
 }
