@@ -91,9 +91,12 @@ object Tables {
   def registerWriteListener(f: (SparkSession, String) => Unit): Unit =
     writeListeners.add(f)
 
-  private def notifyWrite(df: DataFrame, table: String): Unit = {
+  private def notifyWrite(df: DataFrame, table: String): Unit =
+    notifyWrite(df.sparkSession, table)
+
+  private def notifyWrite(spark: SparkSession, table: String): Unit = {
     val it = writeListeners.iterator()
-    while (it.hasNext) it.next()(df.sparkSession, table)
+    while (it.hasNext) it.next()(spark, table)
   }
 
   /** S3: overwrite sink — `to_sql(..., if_exists='replace')`
@@ -197,6 +200,9 @@ object Tables {
       // (metadata-only), same as the stagedOverwrite happy path
       spark.sql(s"ALTER TABLE $staging RENAME TO $table")
       spark.catalog.refreshTable(table)
+      // a recovery MATERIALIZES `table` — notify like any other sink
+      // so the listener invariant covers the crash path too
+      notifyWrite(spark, table)
     }
     needed
   }

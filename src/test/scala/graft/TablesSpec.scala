@@ -305,4 +305,43 @@ class TablesSpec extends SparkSpec {
       catch { case _: java.sql.SQLException => () }
     }
   }
+
+  test("every catalog sink notifies write listeners — the invariant is structural, not per-sink convention") {
+    import sqlImplicits._
+    // JVM-level caches over catalog state (the fold path's
+    // compaction-marker negative cache) rely on "any in-JVM catalog
+    // write of X notifies for X" holding for EVERY sink in this
+    // object, including the crash-recovery rename. Registration is
+    // permanent by design; the listener filters on this test's table
+    // prefix so it stays inert for the rest of the session.
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    Tables.registerWriteListener((_, t) => if (t.startsWith("tl_notify_")) seen.add(t))
+    def fired(t: String): Boolean = seen.contains(t)
+    val df = Seq((1L, "a")).toDF("k", "v")
+    def cleanup(): Unit = Seq("app", "ow", "typed", "bkt", "part", "ups", "st", "rec", "pub")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS tl_notify_$s"))
+    cleanup()
+    try {
+      Tables.appendTable(df, "tl_notify_app")
+      Tables.overwriteTable(df, "tl_notify_ow")
+      Tables.writeTyped(df, "tl_notify_typed",
+        Map("k" -> org.apache.spark.sql.types.IntegerType))
+      Tables.writeBucketed(df, "tl_notify_bkt", 2, "k")
+      Tables.writePartitioned(df, "tl_notify_part", Seq("v"))
+      Tables.stagedOverwrite(df, "tl_notify_st")
+      Tables.overwriteTable(df, "tl_notify_ups")
+      Tables.upsertTable(Seq((1L, "b")).toDF("k", "v"), "tl_notify_ups", "k")
+      Tables.publishChecked(df, "tl_notify_pub",
+        Seq(graft.operators.Expectations.NotNull("k_not_null", Seq("k"))))
+      // crash-recovery rename materializes the table — must notify too
+      Tables.overwriteTable(df, "tl_notify_rec__staging")
+      spark.sql("DROP TABLE IF EXISTS tl_notify_rec")
+      seen.remove("tl_notify_rec") // ignore any earlier notification
+      assert(Tables.recoverStaged(spark, "tl_notify_rec"))
+      val expected = Seq("app", "ow", "typed", "bkt", "part", "st", "ups", "pub", "rec")
+        .map(s => s"tl_notify_$s")
+      val missing = expected.filterNot(fired)
+      assert(missing.isEmpty, s"sinks that bypassed the write listener: $missing")
+    } finally cleanup()
+  }
 }
