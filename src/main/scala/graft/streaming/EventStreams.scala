@@ -256,7 +256,7 @@ object EventStreams {
       mkDelta: DataFrame => DataFrame,
       mergeStates: (DataFrame, DataFrame) => DataFrame): Unit = {
     val spark = batch.sparkSession
-    val mk = (spark, stateTable)
+    val mk = ctxKey(spark, stateTable)
     // A recovery firing means the previous publish died mid-swap: the
     // restored table may carry a NEWER __last_batch than this JVM's
     // memo (publish completed, crash before the memo advance) — drop
@@ -596,7 +596,7 @@ object EventStreams {
     // this call WILL create a marker below — drop the marker-absent
     // memo now so a crash anywhere in this method leaves the next
     // fold probing (and healing), not trusting a stale negative cache
-    healMemo.remove(healKey(spark, stateTable))
+    healMemo.remove(ctxKey(spark, stateTable))
     // self-heal first, so a maintenance-only schedule recovers without
     // waiting for a fold: a previous compaction that died between its
     // DROP and RENAME left the complete table on staging (restore by
@@ -664,7 +664,7 @@ object EventStreams {
     * swap where nothing is actually wrong. No-op without a marker.
     */
   private def healCompaction(spark: SparkSession, stateTable: String): Unit = {
-    val mk = healKey(spark, stateTable)
+    val mk = ctxKey(spark, stateTable)
     if (healMemo.containsKey(mk)) return // marker known absent — no catalog RPC
     val marker = stateTable + "__compacting"
     if (spark.catalog.tableExists(marker)) {
@@ -696,21 +696,34 @@ object EventStreams {
   // shared-conf window, no global lock. newSession() shares the
   // SparkContext and the catalog (managed tables are visible across
   // sessions) but owns its SQL conf.
+  // Keyed per CONTEXT, not per session: a stream restart hands the
+  // fold a fresh session clone, and per-session keys would mint a new
+  // publish clone per run (bounded only by teardown) — one clone per
+  // context serves every run, since the catalog and context are
+  // shared.
   private val publishSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, SparkSession]()
 
   private def publishSession(spark: SparkSession): SparkSession =
-    publishSessions.computeIfAbsent(spark, s => {
-      val p = s.newSession()
+    publishSessions.computeIfAbsent(spark.sparkContext, _ => {
+      val p = spark.newSession()
       p.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       p
     })
 
-  // Last watermark this JVM read or wrote, per (session, wm table):
-  // saves one 1-row table-read JOB per micro-batch. Sound under the
-  // fold's single-writer contract; cleared when the table is absent.
+  // Last watermark this JVM read or wrote, per (SparkContext, wm
+  // table): saves one 1-row table-read JOB per micro-batch. Keyed by
+  // context for the same reason as healMemo — the table is
+  // catalog-wide, so the single logical writer may span session
+  // clones (a stream restart's fresh clone): with per-session keys a
+  // replay consulted on an OLDER clone after a newer clone advanced
+  // the table would read its own stale watermark and re-merge a
+  // non-idempotent delta; context keys make every clone read and
+  // advance the same entry. Sound under the fold's single-writer
+  // contract; cleared when the table is absent.
   private val wmMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.SparkContext, String), java.lang.Long]()
 
   // Negative cache for the compaction-marker probe: a marker exists
   // ONLY during a crashed compaction, yet healCompaction's
@@ -734,12 +747,12 @@ object EventStreams {
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.SparkContext, String), java.lang.Boolean]()
 
-  private def healKey(spark: SparkSession, stateTable: String) =
+  private def ctxKey(spark: SparkSession, stateTable: String) =
     (spark.sparkContext, stateTable)
 
   graft.sources.Tables.registerWriteListener((s, t) =>
     if (t.endsWith("__compacting"))
-      healMemo.remove(healKey(s, t.stripSuffix("__compacting"))))
+      healMemo.remove(ctxKey(s, t.stripSuffix("__compacting"))))
 
   // The session/context memos key on live runtime objects: a
   // long-lived driver that churns sessions (notebooks, repeated
@@ -844,7 +857,7 @@ object EventStreams {
     // the table exists; an external drop (test teardown, rebuild)
     // clears it via the tableExists probe below.
     val applied = prof("wm-check") {
-      val mk = (spark, wm)
+      val mk = ctxKey(spark, wm)
       if (!spark.catalog.tableExists(wm)) { wmMemo.remove(mk); false }
       else {
         val m = Option(wmMemo.get(mk)).map(_.longValue).getOrElse {
@@ -938,7 +951,7 @@ object EventStreams {
       if (spark.catalog.tableExists(wm))
         wmRow.write.mode(org.apache.spark.sql.SaveMode.Overwrite).insertInto(wm)
       else graft.sources.Tables.overwriteTable(wmRow, wm)
-      wmMemo.put((spark, wm), batchId)
+      wmMemo.put(ctxKey(spark, wm), batchId)
     }
     prof("drops") {
       spark.sql(s"DROP TABLE IF EXISTS $staging")

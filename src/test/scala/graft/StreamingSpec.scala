@@ -1049,6 +1049,35 @@ class StreamingSpec extends SparkSpec {
       .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
   }
 
+  test("watermark memo is context-wide: a replay arriving on a different session clone is recognized as applied") {
+    import sqlImplicits._
+    val state = "stream_wmxs_state"
+    Seq("", "__staging", "__wm", "__touched", "__compacting")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
+    graft.operators.OpCache.clear()
+    // batches 0 and 1 applied on the ROOT session
+    EventStreams.foldSnapshotBatch(
+      Seq((1L, "v1", "I", 1L)).toDF("k", "v", "op", "ord"),
+      0L, state, Seq("k"), "op", Seq("ord"), nBuckets = 2)
+    EventStreams.foldSnapshotBatch(
+      Seq((1L, "v2", "U", 2L)).toDF("k", "v", "op", "ord"),
+      1L, state, Seq("k"), "op", Seq("ord"), nBuckets = 2)
+    // the stream-restart shape: batch 1 REPLAYED on a fresh clone.
+    // A per-session watermark memo would miss here; worse, a stale
+    // OLDER memo on another live clone could re-apply the delta.
+    // Context-wide keying makes every clone share one watermark.
+    val clone = spark.newSession()
+    EventStreams.foldSnapshotBatch(
+      clone.sql("SELECT 1 AS k, 'v3-must-not-apply' AS v, 'U' AS op, 2 AS ord")
+        .selectExpr("CAST(k AS LONG) k", "v", "op", "CAST(ord AS LONG) ord"),
+      1L, state, Seq("k"), "op", Seq("ord"), nBuckets = 2)
+    val row = EventStreams.snapshot(spark, state).filter(col("k") === 1L).head()
+    assert(row.getString(1) == "v2",
+      "a replayed batch id on a clone session must be a no-op, not a re-merge")
+    Seq("", "__staging", "__wm", "__touched", "__compacting")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
+  }
+
   test("marker-absent memo is context-wide: a marker appended from a newSession clone invalidates the root session's memo") {
     import sqlImplicits._
     val state = "stream_healxs_state"
