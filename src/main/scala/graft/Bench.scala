@@ -20,7 +20,7 @@ object Bench {
     * timed runs never pay janino compilation, and min-of-2 drops
     * one-off GC hits while preserving uniform slowness.
     */
-  private def yardstick(spark: SparkSession): Double = {
+  private[graft] def yardstick(spark: SparkSession): Double = {
     // A FRESH DataFrame per run, never a reused one: re-collecting
     // the same object reuses its materialized partial-agg shuffle
     // (exchange reuse is keyed on the plan instance), so only the

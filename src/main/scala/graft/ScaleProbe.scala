@@ -77,6 +77,13 @@ object ScaleProbe {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
+    // Probe sittings drift like bench sittings (the r10/r11 series):
+    // label this one with the same absolute anchor the bench carries,
+    // so a slow probe row can be adjudicated against the interval
+    // instead of re-run blind.
+    val ysPre = Bench.yardstick(spark)
+    println(f"[probe] yardstick pre=$ysPre%.3f s (ref=${Bench.YardstickRefSec}, index=${ysPre / Bench.YardstickRefSec}%.2f)")
+
     for (k <- mults) {
       val d = replicateDocs(docs, k).repartition(cpus.toInt).persist()
       val v = replicateVecs(vecs, k).repartition(cpus.toInt).persist()
@@ -515,6 +522,8 @@ object ScaleProbe {
           Seq.empty, "t", "x", "y", 24))
       d.unpersist(); v.unpersist()
     }
+    val ysPost = Bench.yardstick(spark)
+    println(f"[probe] yardstick post=$ysPost%.3f s (ref=${Bench.YardstickRefSec}, index=${ysPost / Bench.YardstickRefSec}%.2f)")
     spark.stop()
   }
 }
