@@ -170,4 +170,52 @@ class StatsSpec extends SparkSpec {
     val b = Stats.gini(df.repartition(13), "v").head().toSeq
     assert(a == b)
   }
+
+  test("bandedCum matches a direct ordered window: grouped/global, multi-sum, carried totals, degenerate bands") {
+    import sqlImplicits._
+    import org.apache.spark.sql.expressions.Window
+    // Direct differential certificate for the shared primitive every
+    // banded consumer (KM, Gini, KS, MW, AUC, rank-normalize, lift,
+    // calibration) rides: the banded prefix sums must equal the plain
+    // ordered-window prefix sums for ANY band count, including the
+    // degenerate bands=1 (everything in one band — pure in-band
+    // window) and a hi==lo group (single distinct value). Ties are
+    // pre-collapsed by contract (every consumer aggregates to the
+    // (group, value) grain first), so __v is made unique per group.
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map { i =>
+      (s"g${i % 4}", (i / 4) * 1.0 + (i % 4) * 0.13, rnd.nextInt(100).toLong, rnd.nextInt(50).toLong)
+    } ++ Seq(("gone", 42.0, 7L, 3L)) // single-row group: hi == lo
+    val df = rows.toDF("g", "__v", "a", "b").repartition(7)
+    val win = Window.partitionBy(col("g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expect = df
+      .withColumn("ca", sum(col("a")).over(win))
+      .withColumn("cb", sum(col("b")).over(win))
+      .orderBy("g", "__v")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(4), r.getLong(5))).toSeq
+    for (bands <- Seq(1, 3, 64)) {
+      val got = Stats.bandedCum(df, Seq("a" -> "ca", "b" -> "cb"), bands, Seq("g"),
+          carryTotals = Seq("a" -> "ta"))
+        .orderBy("g", "__v")
+        .collect().map(r =>
+          (r.getAs[String]("g"), r.getAs[Double]("__v"), r.getAs[Long]("ca"), r.getAs[Long]("cb"))).toSeq
+      assert(got == expect, s"bands=$bands: banded prefix sums diverged from the direct window")
+    }
+    // carried totals equal the per-group grand total on every row
+    val tots = Stats.bandedCum(df, Seq("a" -> "ca"), 8, Seq("g"), carryTotals = Seq("a" -> "ta"))
+      .groupBy("g").agg(countDistinct(col("ta")).as("nd"), max(col("ta")).as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val refTots = rows.groupBy(_._1).map { case (g, rs) => g -> rs.map(_._3).sum }
+    assert(tots.forall { case (g, (nd, t)) => nd == 1L && t == refTots(g) },
+      s"carried totals diverged: $tots vs $refTots")
+    // global (no group columns) path
+    val gGot = Stats.bandedCum(df.select(col("__v") + when(col("g") === "g1", 1000.0)
+        .when(col("g") === "g2", 2000.0).when(col("g") === "g3", 3000.0)
+        .when(col("g") === "gone", 4000.0).otherwise(0.0) as "__v", col("a")),
+        Seq("a" -> "ca"), 16)
+      .orderBy("__v").collect().map(r => r.getAs[Long]("ca")).toSeq
+    assert(gGot == gGot.sorted && gGot.last == rows.map(_._3).sum,
+      "global banded prefix must be monotone and end at the grand total")
+  }
 }
