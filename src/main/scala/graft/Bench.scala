@@ -42,10 +42,34 @@ object Bench {
     * round 11. The minimum IS the clean-interval definition — any
     * contention only inflates samples — so `interval_index ≈ 1.0`
     * means "as fast as the machine has ever run the probe" and the
-    * index can under-read only if a FUTURE machine is faster, which a
-    * re-recorded ref (or SPARK_GRAFT_YARDSTICK_REF) corrects.
+    * index can under-read only if a FUTURE machine is faster, which
+    * the JSON now FLAGS (`ref_stale`: any sample >3 % under the ref)
+    * and `tools/record_yardstick.sh` re-records (the r11 verdict's
+    * governance finding — a tool, not a prose procedure). Override
+    * per-run with SPARK_GRAFT_YARDSTICK_REF.
     */
   val YardstickRefSec = 0.77 // min across calibration JVMs AND bench-embedded samples, r11; see BASELINE.md
+
+  /** Thread count the ref was recorded at. The probe is FIXED work
+    * (2^33 rows, 32 partitions), so its wall-clock scales with the
+    * session's parallelism: a default local[4] dev run takes ~6-8× the
+    * local[32] ref and would unconditionally read as level-drifted
+    * (the r11 ADVICE finding). Level adjudication therefore only
+    * engages when the session's thread count matches the calibration —
+    * otherwise the ref resolves to -1 (adjudication off, index -1 in
+    * the JSON) unless SPARK_GRAFT_YARDSTICK_REF supplies a ref
+    * recorded at the actual thread count.
+    */
+  val YardstickCalibCpus = 32
+
+  /** The ref to adjudicate against at `cpus` threads: the env override
+    * verbatim if set, the calibrated constant iff the thread count
+    * matches, else -1 (disabled). Shared by Bench and ScaleProbe so
+    * both label (or decline to label) sittings by one rule.
+    */
+  def yardstickRefFor(cpus: Int): Double =
+    sys.env.get("SPARK_GRAFT_YARDSTICK_REF").map(_.toDouble).getOrElse(
+      if (cpus == YardstickCalibCpus) YardstickRefSec else -1.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -165,13 +189,21 @@ object Bench {
       // are minima across passes — it answers "how slow was the best
       // interval these numbers reflect".
       val levelDrift = sys.env.getOrElse("SPARK_GRAFT_LEVEL_DRIFT", "1.25").toDouble
-      val ystickRef = sys.env.getOrElse("SPARK_GRAFT_YARDSTICK_REF", YardstickRefSec.toString).toDouble
+      val ystickRef = yardstickRefFor(scala.util.Try(cpus.toInt).getOrElse(-1))
       val ysticks = scala.collection.mutable.ArrayBuffer(yardstick(spark))
       var results = runPass()
       ysticks += yardstick(spark)
       var passes = 1
       def intervalIndex: Double =
         if (ystickRef > 0) math.round(ysticks.min / ystickRef * 1000) / 1000.0 else -1.0
+      // The margin between a clean sitting's index (~1.15 observed in
+      // BENCH_r11) and the 1.25 trigger is ~10 %, and two probe call
+      // sites is a thin base for a decision that costs a full extra
+      // pass — take a THIRD sample before adjudicating level drift
+      // (~2 s of insurance vs ~130 s of re-run; the r11 ADVICE
+      // finding). The spike trigger is untouched: it rests on 200+
+      // per-query times, not on the probe.
+      if (ystickRef > 0 && intervalIndex > levelDrift) ysticks += yardstick(spark)
       while (passes < maxPasses &&
           (flaggedOf(results).length >= driftN ||
             (ystickRef > 0 && intervalIndex > levelDrift))) {
@@ -220,8 +252,16 @@ object Bench {
       // this pass's numbers — the r10 ADVICE labeling fix)
       val warm = coldTotal >= 0 || pass > 1 || passes > 1
       val ysJson = ysticks.map(v => math.round(v * 1000) / 1000.0).mkString("[", ",", "]")
+      // Ref governance flag (the r11 verdict's finding #2): a sample
+      // meaningfully UNDER the recorded floor means the machine's true
+      // floor dropped (JIT, kernel, hardware) and every index read
+      // against the stale ref silently inflates — flag it in the
+      // artifact and re-record with tools/record_yardstick.sh. 3 % is
+      // under observed same-sitting probe jitter, so a true flag means
+      // a real floor shift, not noise.
+      val refStale = ystickRef > 0 && ysticks.min < ystickRef * 0.97
       val suffix =
-        s""","sf":"$sfDir","warm":$warm,"passes":$passes,"cold_total":${math.round(coldTotal * 1000) / 1000.0},"yardstick":$ysJson,"yardstick_ref":$ystickRef,"interval_index":$intervalIndex,"isolated":$isoJson,"isolated_total":${math.round(isolatedTotal * 1000) / 1000.0},"metric":"total","unit":"sec","value":$total}"""
+        s""","sf":"$sfDir","warm":$warm,"passes":$passes,"cold_total":${math.round(coldTotal * 1000) / 1000.0},"yardstick":$ysJson,"yardstick_ref":$ystickRef,"ref_stale":$refStale,"interval_index":$intervalIndex,"isolated":$isoJson,"isolated_total":${math.round(isolatedTotal * 1000) / 1000.0},"metric":"total","unit":"sec","value":$total}"""
       // Full-precision line for logs/humans (may exceed harness windows):
       println(s"""{"queries":$qs$suffix""")
       // The harness that grades this keeps only the LAST ~2000 chars of

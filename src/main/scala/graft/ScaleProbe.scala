@@ -80,9 +80,17 @@ object ScaleProbe {
     // Probe sittings drift like bench sittings (the r10/r11 series):
     // label this one with the same absolute anchor the bench carries,
     // so a slow probe row can be adjudicated against the interval
-    // instead of re-run blind.
+    // instead of re-run blind. The ref is parallelism-gated exactly
+    // like Bench's (the probe is fixed work, so its wall-clock scales
+    // with thread count): on a non-calibration thread count only the
+    // raw seconds print — an index against the local[32] ref would be
+    // misleading (the r11 ADVICE finding).
+    val ysRef = Bench.yardstickRefFor(scala.util.Try(cpus.toInt).getOrElse(-1))
+    def ysLabel(ys: Double): String =
+      if (ysRef > 0) f"(ref=$ysRef, index=${ys / ysRef}%.2f)"
+      else s"(no index: thread count $cpus != calibration ${Bench.YardstickCalibCpus})"
     val ysPre = Bench.yardstick(spark)
-    println(f"[probe] yardstick pre=$ysPre%.3f s (ref=${Bench.YardstickRefSec}, index=${ysPre / Bench.YardstickRefSec}%.2f)")
+    println(f"[probe] yardstick pre=$ysPre%.3f s ${ysLabel(ysPre)}")
 
     for (k <- mults) {
       val d = replicateDocs(docs, k).repartition(cpus.toInt).persist()
@@ -523,7 +531,7 @@ object ScaleProbe {
       d.unpersist(); v.unpersist()
     }
     val ysPost = Bench.yardstick(spark)
-    println(f"[probe] yardstick post=$ysPost%.3f s (ref=${Bench.YardstickRefSec}, index=${ysPost / Bench.YardstickRefSec}%.2f)")
+    println(f"[probe] yardstick post=$ysPost%.3f s ${ysLabel(ysPost)}")
     spark.stop()
   }
 }

@@ -307,10 +307,21 @@ object Dedup {
     // is pathological but possible at 100 TB). Edges keep the (u > v)
     // orientation as an invariant; every step is a groupBy/join on
     // node ids — two longs per row, no payloads.
-    val nodes = OpCache.swap("dedup.nodes",
-      pairs.select(col("doc_a").as("id"))
-        .unionByName(pairs.select(col("doc_b").as("id")))
-        .distinct())
+    // localCheckpoint like `edges`, NOT a shared OpCache slot: this
+    // ran under a single "dedup.nodes" key until the r12 single-slot
+    // audit flagged it as the surface's one real alternation — each
+    // distinct `pairs` input (x16, the x48 twin, the dedup reports)
+    // swapped the slot and unpersisted the previous resolution's nodes
+    // table, which the previous MEMOIZED result still references in
+    // its final label union below, so its consumers silently recomputed
+    // the full pair lineage on every use. The table is used exactly
+    // once per resolution (the root-labeling anti-join), so the right
+    // lifecycle is the memo's own: materialize eagerly, truncate
+    // lineage, live and die with the memoized result.
+    val nodes = pairs.select(col("doc_a").as("id"))
+      .unionByName(pairs.select(col("doc_b").as("id")))
+      .distinct()
+      .localCheckpoint(true)
 
     // localCheckpoint (not persist): each round must TRUNCATE lineage,
     // or the logical plan doubles per iteration and analysis cost goes
