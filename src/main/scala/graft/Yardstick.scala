@@ -20,6 +20,9 @@ object Yardstick {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the probe's 64-bit mix deliberately wraps — Spark 4's ANSI
+      // default would throw ARITHMETIC_OVERFLOW (Bench sets the same)
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -285,6 +285,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.map(_.toSeq).toSeq == rep.map(_.toSeq).toSeq)
   }
 
+  test("compression signal: exact Deflater goldens for planted strings (the x129 behavior pin)") {
+    // x129 is the surface's one none_by_nature rows-only row (DuckDB
+    // has no zlib), so nothing outside this JVM ever checks its VALUES
+    // — without goldens, a silent Deflater behavior change would flip
+    // nothing (the r11 verdict's prescription #5). The exact byte
+    // counts below are deterministic for a fixed JDK zlib (recorded on
+    // temurin 17.0.20, Deflater level 6, raw mode — the operator's
+    // exact configuration); a JDK upgrade that ships a different zlib
+    // may legitimately shift them, in which case re-record the
+    // constants here and note the JDK in the commit message. That
+    // trade is the point: a golden that flips on an environment change
+    // beats a value surface nothing watches.
+    import sqlImplicits._
+    val rep = "spam ham " * 200 // templated: collapses to a back-reference chain
+    val fox = "The quick brown fox jumps over the lazy dog. " * 10
+    val pi = "3.14159265358979323846264338327950288419716939937510" // near-incompressible
+    val got = graft.operators.TextAnalysis.compressionRatio(
+        Seq((1L, rep), (2L, fox), (3L, pi)).toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got(0) == ((1800L, 24L, 24.0 / 1800)), s"rep: ${got(0)}")
+    assert(got(1) == ((450L, 51L, 51.0 / 450)), s"fox: ${got(1)}")
+    assert(got(2) == ((52L, 40L, 40.0 / 52)), s"pi: ${got(2)}")
+  }
+
   test("readability matches the hand-computed Flesch score") {
     import sqlImplicits._
     val docs = Seq(

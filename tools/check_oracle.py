@@ -115,6 +115,15 @@ def main(sf_dir, out_dir):
     if stale:
         print(f"FAIL twins-map: entries with no matching query result: {stale}")
         n_fail += 1
+    # A rows-only map entry for a query that later GAINED an oracle is
+    # also stale (the r11 ADVICE finding): the rows-only loop skips
+    # oracled names, so without this check the certification map rots
+    # silently — delete the mapping once the query is oracled.
+    now_oracled = [t for t in twins if t in oracles]
+    if now_oracled:
+        print("FAIL twins-map: entries for queries that now HAVE an oracle "
+              f"(delete the mapping): {now_oracled}")
+        n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
