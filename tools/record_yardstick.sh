@@ -22,7 +22,7 @@ mins = []
 for line in sys.stdin:
     d = json.loads(line)
     mins.append(d["min"])
-    print(f"jvm {len(mins)}: samples={d[\"samples\"]} min={d[\"min\"]}")
+    print("jvm %d: samples=%s min=%s" % (len(mins), d["samples"], d["min"]))
 if not mins:
     sys.exit("no samples captured — check the sbt output")
 print(f"global min across {len(mins)} JVMs: {min(mins):.3f} s"
