@@ -468,6 +468,26 @@ class InvariantsSpec extends SparkSpec {
         offenders.mkString("\n"))
   }
 
+  test("plan scale hygiene: no CartesianProduct in any declared query's physical plan") {
+    // The Explain-gauntlet's cartesian grep as a spec (so the claim is
+    // a test failure, not a tool run someone must remember): a
+    // CartesianProduct is the planner's last resort for a
+    // condition-less join of two non-broadcastable sides — at 100 TB
+    // it is |L|·|R| work, never acceptable on this surface. The
+    // deliberate bounded crossJoins (1-row bounds/summary broadcasts,
+    // bandedCum's ≤bands offset tables) plan as
+    // BroadcastNestedLoopJoin instead, which the per-operator specs
+    // assert individually where the bound lives.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val plan = fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+      } catch { case _: Throwable => None } // crashes are the oracle gate's business
+    }
+    assert(offenders.isEmpty,
+      s"queries planning a CartesianProduct (give the join a key or a bound):\n${offenders.mkString("\n")}")
+  }
+
   test("OpCache single-slot: no key observes a second distinct input fingerprint across the declared surface") {
     // The contract's "the declared query surface never alternates"
     // sentence, mechanized (r11 verdict finding #3 — previously a
