@@ -20,6 +20,11 @@ SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" 2>&1 \
   | grep -E '"metric"' | tail -1 | sed 's/^\[info\] //' \
   | python3 -c "import json,sys; d=json.load(sys.stdin); print(f'total {d[\"value\"]:.1f}s  isolated {d[\"isolated_total\"]:.1f}s  interval_index {d[\"interval_index\"]}  queries {len(d[\"queries\"])}  max {max(d[\"queries\"].values()):.2f}s')"
 
-echo "== plan audit (cartesian check) =="
-sbt -batch "runMain graft.Explain all /root/testdata/sf0.01" 2>&1 \
-  | grep "\[audit\]" | { ! grep -E "cart=|FAILED"; } && echo "no cartesians, no failures"
+echo "== plan audit (executed: runtime joins + codegen coverage; cartesian check) =="
+sbt -batch "runMain graft.Explain all /root/testdata/sf0.01 exec" 2>&1 \
+  | grep "\[audit\]" > /tmp/gauntlet_audit.txt
+! grep -E "cart=|FAILED" /tmp/gauntlet_audit.txt && echo "no cartesians, no failures"
+# informational (not a gate — empty-at-this-SF results collapse to
+# EmptyRelation with nothing to codegen): queries with no codegen span
+grep -v "wscg=" /tmp/gauntlet_audit.txt \
+  | sed 's/^.*\[audit\] /[no-codegen] /' || true
