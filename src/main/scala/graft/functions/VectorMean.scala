@@ -49,10 +49,15 @@ object VectorMean {
     override def finish(b: Buf): Seq[Double] =
       if (b.n == 0) Seq.empty else b.sums.map(_ / b.n).toSeq
 
-    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
-    override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+    // vals + the memoized udaf below: stable encoder instances keep
+    // re-constructed plans sameResult-equal (the HeavyHitters r12
+    // finding)
+    override val bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    override val outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
   }
 
+  private lazy val vectorMeanUdaf = udaf(aggregator)
+
   /** Column form: `vectorMean(vecCol)` inside any groupBy().agg(...). */
-  def vectorMean(vec: Column): Column = udaf(aggregator).apply(vec)
+  def vectorMean(vec: Column): Column = vectorMeanUdaf(vec)
 }

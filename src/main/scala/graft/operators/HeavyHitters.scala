@@ -61,20 +61,34 @@ object HeavyHitters {
 
     override def finish(b: Map[String, Long]): Map[String, Long] = trim(b, k)
 
-    override def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
-    override def outputEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+    // VALs, not defs: ScalaAggregator re-fetches bufferEncoder on
+    // every Column construction, and a fresh ExpressionEncoder never
+    // equals another (its serializer tree carries fresh ExprIds that
+    // plan canonicalization does NOT normalize — encoders are
+    // constructor args, not children). A def here made every
+    // re-construction of the same aggregation compare sameResult=false
+    // — so the OpCache'd sketch pass re-ran on every warm invocation
+    // while looking cached (caught by the r12 two-pass single-slot
+    // audit as the hh.summary alternation).
+    override val bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+    override val outputEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
   }
 
-  // One instance per k: ScalaAggregator equality (hence plan
-  // `sameResult`, hence OpCache warm reuse) is by aggregator instance.
-  private val instances = scala.collection.concurrent.TrieMap.empty[Int, MisraGries]
+  // One MEMOIZED udaf per k: plan `sameResult` (hence OpCache warm
+  // reuse) needs the whole ScalaAggregator expression stable across
+  // constructions — the aggregator instance AND the input encoder
+  // that functions.udaf derives at its call site. Memoizing only the
+  // aggregator (the pre-r12 state) left a fresh input encoder per
+  // call, which defeated equality exactly like the def encoders above.
+  private val udafs = scala.collection.concurrent.TrieMap
+    .empty[Int, org.apache.spark.sql.expressions.UserDefinedFunction]
 
   /** Column form: a ≤k-entry map of candidate heavy hitters with
     * their (under-)estimated counts, usable inside any `agg(...)`.
     * Estimates obey `true − N/(k+1) ≤ est ≤ true`.
     */
   def misraGries(key: Column, k: Int): Column =
-    udaf(instances.getOrElseUpdate(k, new MisraGries(k))).apply(key)
+    udafs.getOrElseUpdate(k, udaf(new MisraGries(k))).apply(key)
 
   /** Exact heavy hitters of `keys.col(keyCol)`: all keys with
     * `cnt·(k+1) > N` (frequency > N/(k+1)), with exact counts.
@@ -86,8 +100,12 @@ object HeavyHitters {
     // Pass 1: candidates + N in ONE 1-row aggregation. The summary
     // feeds two subtrees (candidate list, total) — cache the 1-row
     // result so the sketch pass runs once, not once per subtree.
-    val summary = OpCache.swap(
-      "hh.summary",
+    // swapByInput, NOT swap: the Misra-Gries udaf makes this plan
+    // non-self-comparable (analysis installs fresh resolved encoders
+    // every construction — the r12 audit finding), so the slot is
+    // keyed on the UNTYPED ks plan; a hit skips building the typed
+    // plan entirely.
+    val summary = OpCache.swapByInput(s"hh.summary.$k", ks)(
       ks.agg(
         misraGries(col("__hh_key"), k).as("cand"),
         count(lit(1)).as("total")))

@@ -46,11 +46,15 @@ object Hll {
     }
 
     override def finish(b: Array[Int]): Seq[Int] = b.toSeq
-    override def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder()
-    override def outputEncoder: Encoder[Seq[Int]] = ExpressionEncoder()
+    // vals + the memoized udaf below: stable encoder instances keep
+    // re-constructed plans sameResult-equal (the HeavyHitters r12
+    // finding)
+    override val bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder()
+    override val outputEncoder: Encoder[Seq[Int]] = ExpressionEncoder()
   }
 
-  private val instances = scala.collection.concurrent.TrieMap.empty[Int, SketchAgg]
+  private val udafs = scala.collection.concurrent.TrieMap
+    .empty[Int, org.apache.spark.sql.expressions.UserDefinedFunction]
 
   /** Column form: HLL registers of `xxhash64(key)` inside any
     * `agg(...)`. Null keys must be filtered by the caller (a null
@@ -58,7 +62,7 @@ object Hll {
     */
   def sketchAgg(key: Column, p: Int = 12): Column = {
     require(p >= 4 && p <= 18, s"sketchAgg: p must be in [4,18], got $p")
-    udaf(instances.getOrElseUpdate(p, new SketchAgg(p))).apply(xxhash64(key))
+    udafs.getOrElseUpdate(p, udaf(new SketchAgg(p))).apply(xxhash64(key))
   }
 
   /** Cardinality estimate from a registers column — raw harmonic-mean

@@ -135,6 +135,41 @@ object OpCache {
     }
   }
 
+  // Input-keyed variant for plans EMBEDDING TYPED AGGREGATORS: a
+  // udaf-bearing plan can never compare sameResult to its own
+  // re-construction — analysis (ResolveEncodersInScalaAgg) installs
+  // freshly RESOLVED encoder copies into the ScalaAggregator on every
+  // pass, and encoders are constructor args canonicalization never
+  // normalizes (found by the r12 two-pass single-slot audit: the
+  // hh.summary sketch re-registered, i.e. fully re-ran, on every warm
+  // invocation while looking cached). So key the slot on the UNTYPED
+  // INPUT plan instead: exact `sameResult` confirmation against the
+  // stored input — no hash trust, no typed expressions in the
+  // comparison — and `build` is by-name, so a hit never constructs
+  // the typed plan at all.
+  private val byInput = scala.collection.mutable.Map
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]
+
+  def swapByInput(key: String, input: DataFrame)(build: => DataFrame): DataFrame =
+    synchronized {
+      val spark = input.sparkSession
+      val plan = input.queryExecution.analyzed
+      record(spark, key, plan.semanticHash().toString)
+      byInput.get((spark, key)) match {
+        case Some((stored, df)) if stored.sameResult(plan) =>
+          // same external-unpersist repair as swap
+          if (df.storageLevel == StorageLevel.NONE)
+            df.persist(StorageLevel.MEMORY_AND_DISK)
+          df
+        case other =>
+          other.foreach(_._2.unpersist(blocking = false))
+          val fresh = build
+          byInput.put((spark, key), (plan, fresh))
+          fresh.persist(StorageLevel.MEMORY_AND_DISK)
+      }
+    }
+
   // Operator-local caches that don't route through swap (e.g. the
   // k-means centroid memo, which caches EAGER localCheckpoint'd
   // results) register an eviction hook so clear() empties them too —
@@ -151,6 +186,8 @@ object OpCache {
     live.clear()
     keyed.values.foreach(_._2.unpersist(blocking = false))
     keyed.clear()
+    byInput.values.foreach(_._2.unpersist(blocking = false))
+    byInput.clear()
     clearHooks.foreach(_.apply())
   }
 }

@@ -53,13 +53,19 @@ object TopK {
 
     override def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(b, k)
 
-    override def bufferEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
-    override def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
+    // vals + the memoized udaf below: stable encoder/input-encoder
+    // instances are what make re-constructed plans compare sameResult
+    // (the HeavyHitters r12 finding — fresh ExpressionEncoders carry
+    // fresh ExprIds that canonicalization never normalizes)
+    override val bufferEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
+    override val outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
   }
 
-  // One instance per k: ScalaAggregator equality (plan `sameResult`,
-  // OpCache warm reuse) is by aggregator instance.
-  private val instances = scala.collection.concurrent.TrieMap.empty[Int, BoundedTopK]
+  // One MEMOIZED udaf per k (aggregator instance + input encoder):
+  // plan `sameResult`, hence OpCache warm reuse, needs the whole
+  // ScalaAggregator expression stable across constructions.
+  private val udafs = scala.collection.concurrent.TrieMap
+    .empty[Int, org.apache.spark.sql.expressions.UserDefinedFunction]
 
   /** Column form, usable inside any `agg(...)`: the k best
     * (score, id) pairs as an array of structs, best first. Null
@@ -68,7 +74,7 @@ object TopK {
     */
   def topK(score: Column, id: Column, k: Int): Column = {
     require(k > 0, s"topK: k must be positive, got $k")
-    udaf(instances.getOrElseUpdate(k, new BoundedTopK(k))).apply(score, id)
+    udafs.getOrElseUpdate(k, udaf(new BoundedTopK(k))).apply(score, id)
   }
 
   /** The k best rows per group by `scoreCol` (desc, ties by `idCol`

@@ -503,10 +503,17 @@ class InvariantsSpec extends SparkSpec {
     // writes, the ANN index builds) against context-wide catalog
     // tables, and only intra-suite sequencing keeps those from racing
     // the window-lint constructions above.
+    // TWO construction passes, not one: pass 1 catches two consumers
+    // feeding one key different inputs; pass 2 catches NONDETERMINISTIC
+    // construction — an operator whose plan fingerprints differently on
+    // each build never hits its own cache entry (every call is a
+    // miss+swap that LOOKS cached), which one pass cannot see.
     val s = spark.newSession()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(s, "/root/testdata/sf0.001")
-      catch { case _: Throwable => () } // crashes are the oracle gate's business
+    (1 to 2).foreach { _ =>
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(s, "/root/testdata/sf0.001")
+        catch { case _: Throwable => () } // crashes are the oracle gate's business
+      }
     }
     val keys = graft.operators.OpCache.observedKeys(s)
     assert(keys.nonEmpty,
