@@ -55,7 +55,10 @@ class SourceHygieneSpec extends AnyFunSuite {
         "1-row watermark marker; touched-bucket list and SHOW PARTITIONS (<= nBuckets rows)"),
       "sources/Tables.scala" -> (1, "SHOW PARTITIONS (partition-count rows)"),
       "Bench.scala" -> (2, "the yardstick probe's 1-row aggregates"),
-      "ScaleProbe.scala" -> (1, "probe touched-bucket distinct (<= nBuckets rows)"))
+      "ScaleProbe.scala" -> (1, "probe touched-bucket distinct (<= nBuckets rows)"),
+      "Explain.scala" -> (2,
+        "exec-mode audit collects: execute-to-read-the-final-AQE-plan, an audit " +
+          "tool run at small SF by its own contract — never a query path"))
     val counts = sources
       .map { case (f, text) => f -> "\\.collect\\(\\)".r.findAllIn(text).size }
       .filter(_._2 > 0).toMap
