@@ -39,7 +39,12 @@ def bench_json(path):
     """Last {"metric":...} JSON object in the driver-captured tail."""
     tail = json.load(open(path)).get("tail") or ""
     objs = []
-    for line in tail.split("\\n"):
+    # real newlines — the tails are verbatim stdout captures; splitting
+    # on the literal two-char "\n" (the original bug) processed the
+    # whole tail as one line, so re.search took the FIRST brace match
+    # (possibly a truncated fragment) instead of the documented last
+    # metric line
+    for line in tail.splitlines():
         if '"metric"' not in line:
             continue
         m = re.search(r"\{.*\}", line)
