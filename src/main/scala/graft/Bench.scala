@@ -71,6 +71,14 @@ object Bench {
     sys.env.get("SPARK_GRAFT_YARDSTICK_REF").map(_.toDouble).getOrElse(
       if (cpus == YardstickCalibCpus) YardstickRefSec else -1.0)
 
+  /** String overload owning the env-value parse: an unparseable
+    * SPARK_GRAFT_CPUS disables adjudication (ref -1) instead of
+    * throwing — the rule every caller needs, so it lives here rather
+    * than as a Try(...).getOrElse copied at each call site.
+    */
+  def yardstickRefFor(cpus: String): Double =
+    yardstickRefFor(scala.util.Try(cpus.toInt).getOrElse(-1))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -189,7 +197,7 @@ object Bench {
       // are minima across passes — it answers "how slow was the best
       // interval these numbers reflect".
       val levelDrift = sys.env.getOrElse("SPARK_GRAFT_LEVEL_DRIFT", "1.25").toDouble
-      val ystickRef = yardstickRefFor(scala.util.Try(cpus.toInt).getOrElse(-1))
+      val ystickRef = yardstickRefFor(cpus)
       val ysticks = scala.collection.mutable.ArrayBuffer(yardstick(spark))
       var results = runPass()
       ysticks += yardstick(spark)

@@ -85,7 +85,7 @@ object ScaleProbe {
     // with thread count): on a non-calibration thread count only the
     // raw seconds print — an index against the local[32] ref would be
     // misleading (the r11 ADVICE finding).
-    val ysRef = Bench.yardstickRefFor(scala.util.Try(cpus.toInt).getOrElse(-1))
+    val ysRef = Bench.yardstickRefFor(cpus)
     def ysLabel(ys: Double): String =
       if (ysRef > 0) f"(ref=$ysRef, index=${ys / ysRef}%.2f)"
       else s"(no index: thread count $cpus != calibration ${Bench.YardstickCalibCpus})"

@@ -27,7 +27,7 @@ object Yardstick {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val samples = (1 to n).map(_ => Bench.yardstick(spark))
-    val ref = Bench.yardstickRefFor(scala.util.Try(cpus.toInt).getOrElse(-1))
+    val ref = Bench.yardstickRefFor(cpus)
     val idx = if (ref > 0) math.round(samples.min / ref * 1000) / 1000.0 else -1.0
     val sJson = samples.map(v => math.round(v * 1000) / 1000.0).mkString("[", ",", "]")
     println(

@@ -51,26 +51,39 @@ object OpCache {
   // (every later call thrashes the slot); `alternations` surfaces
   // exactly those keys, and the InvariantsSpec single-slot test
   // asserts the set is empty over the full declared surface on a
-  // fresh session. Deliberately NOT cleared by `clear()`: the record
-  // is audit metadata (a few ints per (session, key)), and wiping it
-  // on the teardown path would let the audit pass vacuously.
-  private val observed = scala.collection.mutable.Map
-    .empty[(org.apache.spark.sql.SparkSession, String),
-      scala.collection.mutable.LinkedHashSet[String]]
+  // fresh session. Deliberately NOT cleared by `clear()` (wiping it on
+  // the teardown path would let the audit pass vacuously) — but WEAKLY
+  // keyed by session: a strong (session, key) map would pin every
+  // session that ever routed through the cache (SessionState, analyzer
+  // caches and all) for the JVM's lifetime, so a per-job
+  // `spark.newSession()` driver would leak one session per job. Dead
+  // sessions take their audit rows with them; the audit only ever
+  // queries live ones. All access is under OpCache.synchronized, so
+  // the non-thread-safe WeakHashMap is fine here.
+  private val observed = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    scala.collection.mutable.Map[
+      String, scala.collection.mutable.LinkedHashSet[String]]]()
 
   private def record(
-      session: org.apache.spark.sql.SparkSession, key: String, fp: String): Unit =
-    observed.getOrElseUpdate(
-      (session, key), scala.collection.mutable.LinkedHashSet.empty) += fp
+      session: org.apache.spark.sql.SparkSession, key: String, fp: String): Unit = {
+    var perSession = observed.get(session)
+    if (perSession == null) {
+      perSession = scala.collection.mutable.Map.empty
+      observed.put(session, perSession)
+    }
+    perSession.getOrElseUpdate(
+      key, scala.collection.mutable.LinkedHashSet.empty) += fp
+  }
 
   /** Keys of `spark`'s cache that observed ≥2 distinct input
     * fingerprints, with the fingerprints in first-seen order.
     */
   def alternations(
       spark: org.apache.spark.sql.SparkSession): Map[String, Seq[String]] = synchronized {
-    observed.collect {
-      case ((s, k), fps) if (s eq spark) && fps.size > 1 => k -> fps.toSeq
-    }.toMap
+    Option(observed.get(spark)).fold(Map.empty[String, Seq[String]])(_.collect {
+      case (k, fps) if fps.size > 1 => k -> fps.toSeq
+    }.toMap)
   }
 
   /** Keys `spark`'s cache has observed at all (audit completeness:
@@ -79,7 +92,7 @@ object OpCache {
     * make the no-alternation assertion vacuous).
     */
   def observedKeys(spark: org.apache.spark.sql.SparkSession): Set[String] = synchronized {
-    observed.collect { case ((s, k), _) if s eq spark => k }.toSet
+    Option(observed.get(spark)).fold(Set.empty[String])(_.keySet.toSet)
   }
 
   def swap(key: String, df: DataFrame): DataFrame = synchronized {
