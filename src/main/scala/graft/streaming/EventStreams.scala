@@ -36,8 +36,12 @@ object EventStreams {
 
   /** Per-user running session aggregate via mapGroupsWithState —
     * the custom-state escape hatch (W2) for semantics windows can't
-    * express. ProcessingTimeTimeout keeps the example driver-clock
-    * independent in tests (no timeout fires under manual triggers).
+    * express. NoTimeout: state lives for the query's lifetime (this
+    * example needs no expiry, and no timeout keeps it driver-clock
+    * independent in tests); a variant that expires idle users must
+    * switch to ProcessingTimeTimeout/EventTimeTimeout BEFORE calling
+    * state.setTimeoutDuration — setting a timeout under NoTimeout
+    * throws at runtime.
     */
   def sessionize(events: Dataset[Event])(implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
@@ -166,35 +170,28 @@ object EventStreams {
   }
 
   /** Stream-side decontamination / blocklist filter: drop stream rows
-    * whose `keyCol` appears in a STATIC reference set, pre-pruned by a
-    * broadcast Bloom filter — the streaming face of
-    * [[graft.operators.Dedup.bloomSemiJoin]]. The bloom probe runs at
-    * scan speed on every micro-batch with no state store and no
-    * stream-static join for the overwhelmingly-clean rows; only bloom
-    * survivors (matches + fpp false positives) reach the exact
-    * left_anti join against the static set, which removes the false
-    * positives. Output ≡ a plain stream-static left_anti on the key.
+    * whose `keyCol` appears in a STATIC reference set — one broadcast
+    * left_anti join per micro-batch, a SINGLE scan of the batch.
+    *
+    * Deliberately NOT the bloom prune-then-verify shape of the batch
+    * [[graft.operators.Dedup.bloomSemiJoin]]: an anti join KEEPS the
+    * bloom-negative rows, so a bloom pre-prune here needs clean rows
+    * and suspects as two branches of a self-union — which reads every
+    * micro-batch twice from the source — while the per-row bloom probe
+    * costs the same hashing as the broadcast hash-relation lookup it
+    * avoids. The second scan buys nothing at any scale; at ingestion
+    * scale it doubles source reads. (The bloom split pays off for the
+    * batch SEMI join because prune-then-verify is ONE branch that
+    * shrinks a downstream join — structurally unavailable to anti.)
+    * Output ≡ the two-branch bloom shape ≡ this plain anti join.
     * State: none (the static side broadcasts); safe on unbounded
     * streams.
     */
   def decontaminateStream(
       stream: DataFrame,
       blocklist: DataFrame,
-      keyCol: String,
-      expectedItems: Long,
-      fpp: Double = 0.01): DataFrame = {
-    val bf = blocklist.stat.bloomFilter(keyCol, expectedItems, fpp)
-    val bc = stream.sparkSession.sparkContext.broadcast(bf)
-    // Shared lifecycle with bloomSemiJoin: OpCache.clear() releases the
-    // sketch; otherwise every call pins one broadcast per session life.
-    graft.operators.Dedup.trackBloomBroadcast(bc)
-    // Type-dispatched probe (string vs integral) — see bloomMightContain.
-    val might = graft.operators.Dedup.bloomMightContain(stream, blocklist, keyCol, bc)
-    val clean = stream.filter(!might)
-    val suspect = stream.filter(might)
-      .join(broadcast(blocklist.select(col(keyCol))), Seq(keyCol), "left_anti")
-    clean.unionByName(suspect)
-  }
+      keyCol: String): DataFrame =
+    stream.join(broadcast(blocklist.select(col(keyCol))), Seq(keyCol), "left_anti")
 
   /** Streaming incremental-rollup maintenance — the streaming face of
     * [[graft.operators.IncrementalAgg]] (x53): each micro-batch is
@@ -266,18 +263,10 @@ object EventStreams {
     if (graft.sources.Tables.recoverStaged(spark, stateTable)) wmMemo.remove(mk)
     val exists = spark.catalog.tableExists(stateTable)
     if (!exists) wmMemo.remove(mk)
-    val applied = exists && {
-      // watermark memo (single-writer contract, cleared on drop above)
-      // saves the max(__last_batch) job per micro-batch; max over an
-      // empty state is null → nothing folded yet
-      val m = Option(wmMemo.get(mk)).map(_.longValue).getOrElse {
-        val v = spark.table(stateTable).agg(max(col("__last_batch"))).head().get(0)
-        val lv = if (v == null) Long.MinValue else v.asInstanceOf[Long]
-        wmMemo.put(mk, lv)
-        lv
-      }
-      m >= batchId
-    }
+    // watermark memo (single-writer contract, cleared on drop above)
+    // saves the max(__last_batch) job per micro-batch; max over an
+    // empty state is null → nothing folded yet
+    val applied = exists && memoizedLastBatch(spark, stateTable, "__last_batch") >= batchId
     if (applied) return // replayed batch: already in the state
     val delta = mkDelta(batch)
     val merged =
@@ -648,8 +637,10 @@ object EventStreams {
     // directory layout (metadata-only listing of nBuckets dirs)
     spark.sql(s"MSCK REPAIR TABLE $stateTable")
     spark.catalog.refreshTable(stateTable)
-    props.foreach(n => spark.sql(
-      s"ALTER TABLE $stateTable SET TBLPROPERTIES ('graft.nbuckets' = '$n')"))
+    props.foreach { n =>
+      spark.sql(s"ALTER TABLE $stateTable SET TBLPROPERTIES ('graft.nbuckets' = '$n')")
+      nbucketsMemo.put(ctxKey(spark, stateTable), n.toInt)
+    }
     spark.sql(s"DROP TABLE IF EXISTS $marker")
     (before, bucketFileCount())
   }
@@ -675,8 +666,11 @@ object EventStreams {
         // was written fresh, without the property)
         spark.table(marker).collect().headOption
           .flatMap(r => Option(r.getString(0)))
-          .foreach(n => spark.sql(
-            s"ALTER TABLE $stateTable SET TBLPROPERTIES ('graft.nbuckets' = '$n')"))
+          .foreach { n =>
+            spark.sql(
+              s"ALTER TABLE $stateTable SET TBLPROPERTIES ('graft.nbuckets' = '$n')")
+            nbucketsMemo.put(mk, n.toInt)
+          }
         spark.sql(s"DROP TABLE IF EXISTS $marker")
         healMemo.put(mk, java.lang.Boolean.TRUE) // healed ⇒ absent again
       }
@@ -725,6 +719,22 @@ object EventStreams {
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.SparkContext, String), java.lang.Long]()
 
+  // The declared graft.nbuckets of a fold state table, per
+  // (SparkContext, qualified table): the property is immutable for the
+  // table's lifetime, yet the mismatch guard re-read it with a
+  // getTableMetadata catalog RPC on EVERY micro-batch — the same
+  // steady-state cost class the marker probe's negative cache removed
+  // (the r9 watch item). Repopulated whenever the property is (re)
+  // pinned (bootstrap, absent-property re-pin, compaction re-pin) and
+  // overwritten by any re-bootstrap, so a drop-and-recreate through
+  // the fold itself can never serve a stale value; a table REPLACED
+  // outside the fold entirely is outside the single-writer contract,
+  // exactly as for wmMemo. Cleared with the other memos by the
+  // OpCache teardown hook.
+  private val nbucketsMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.SparkContext, String), java.lang.Integer]()
+
   // Negative cache for the compaction-marker probe: a marker exists
   // ONLY during a crashed compaction, yet healCompaction's
   // tableExists check was one catalog RPC per fold micro-batch (the
@@ -747,12 +757,46 @@ object EventStreams {
     new java.util.concurrent.ConcurrentHashMap[
       (org.apache.spark.SparkContext, String), java.lang.Boolean]()
 
-  private def ctxKey(spark: SparkSession, stateTable: String) =
-    (spark.sparkContext, stateTable)
+  // Memo keys must be CATALOG identities, not the raw strings callers
+  // pass: two streams on session clones of one context can maintain
+  // db1.state and db2.state while both passing the unqualified name
+  // "state" under different current databases — a raw-string key would
+  // collide them, so stream B's watermark check could read stream A's
+  // memo and silently skip B's genuinely-new batches. Qualify with the
+  // calling session's current database (the same resolution
+  // spark.table applies to the name).
+  /** Memoized highest-applied-batch read — the single shared home for
+    * the fold families' exactly-once watermark arithmetic (previously
+    * duplicated between the state fold and the snapshot fold, where a
+    * fix to one could silently miss the other): consult the memo,
+    * else run the 1-row max() over `table`'s `colName` with null (no
+    * rows folded yet) mapping to Long.MinValue, and memoize. Callers
+    * own existence probes and memo invalidation — this only answers
+    * "what is the last applied batch id".
+    */
+  private def memoizedLastBatch(spark: SparkSession, table: String, colName: String): Long = {
+    val mk = ctxKey(spark, table)
+    Option(wmMemo.get(mk)).map(_.longValue).getOrElse {
+      val v = spark.table(table).agg(max(col(colName))).head().get(0)
+      val lv = if (v == null) Long.MinValue else v.asInstanceOf[Long]
+      wmMemo.put(mk, lv)
+      lv
+    }
+  }
 
-  graft.sources.Tables.registerWriteListener((s, t) =>
+  private def ctxKey(spark: SparkSession, stateTable: String) = {
+    val id = spark.sessionState.sqlParser.parseTableIdentifier(stateTable)
+    val db = id.database.getOrElse(spark.sessionState.catalog.getCurrentDatabase)
+    (spark.sparkContext, s"$db.${id.table}")
+  }
+
+  graft.sources.Tables.registerWriteListener { (s, t) =>
     if (t.endsWith("__compacting"))
-      healMemo.remove(ctxKey(s, t.stripSuffix("__compacting"))))
+      healMemo.remove(ctxKey(s, t.stripSuffix("__compacting")))
+    // the lone-touched probe's negative cache keys on the touched
+    // table name itself — any write to one re-arms the probe
+    if (t.endsWith("__touched")) healMemo.remove(ctxKey(s, t))
+  }
 
   // The session/context memos key on live runtime objects: a
   // long-lived driver that churns sessions (notebooks, repeated
@@ -765,6 +809,7 @@ object EventStreams {
     publishSessions.clear()
     wmMemo.clear()
     healMemo.clear()
+    nbucketsMemo.clear()
   })
 
   /** Test probe: live fold-memo entry counts (publish clones, watermarks). */
@@ -833,6 +878,16 @@ object EventStreams {
             spark.table(touchedTbl).collect().map(_.getInt(0))
           else Array.empty[Int]
         copyBuckets(spark, staging, stateTable, touched)
+        // touched dropped BEFORE staging — here and in the per-batch
+        // drops below. A crash between the two then orphans only a
+        // LONE staging, whose replay with an empty touched list is the
+        // safe overwrite-only direction; the reverse order could
+        // orphan a STALE touched list that a later delete-free batch
+        // (which skips the touched-write) pairs with ITS staging —
+        // recovery would then read stale "touched" buckets as emptied
+        // and DROP partitions the later batch never touched (silent
+        // data loss).
+        spark.sql(s"DROP TABLE IF EXISTS $touchedTbl")
         spark.sql(s"DROP TABLE IF EXISTS $staging")
       } else {
         // state missing + staging complete = a compactSnapshot swap
@@ -843,8 +898,23 @@ object EventStreams {
         spark.sql(s"ALTER TABLE $staging RENAME TO $stateTable")
         spark.sql(s"MSCK REPAIR TABLE $stateTable") // re-point partition metadata
         spark.catalog.refreshTable(stateTable)
+        spark.sql(s"DROP TABLE IF EXISTS $touchedTbl")
       }
-      spark.sql(s"DROP TABLE IF EXISTS $touchedTbl")
+    } else prof("touched-probe") {
+      // no staging: a touched table here is residue of a crash after
+      // its publish was fully consumed (or before its staging was
+      // written — rewritten on replay either way); it describes no
+      // pending publish, so drop it before a later delete-free batch
+      // can pair it with its own staging. Memoized like the
+      // compaction-marker probe (same negative cache, same
+      // write-listener invalidation, same fresh-JVM soundness): the
+      // steady-state fold pays no extra catalog RPC.
+      val tk = ctxKey(spark, touchedTbl)
+      if (!healMemo.containsKey(tk)) {
+        if (spark.catalog.tableExists(touchedTbl))
+          spark.sql(s"DROP TABLE $touchedTbl")
+        healMemo.put(tk, java.lang.Boolean.TRUE)
+      }
     }
     // a compaction swap that died after its RENAME leaves the table
     // EXISTING with stale partition metadata and no staging — only its
@@ -857,17 +927,8 @@ object EventStreams {
     // the table exists; an external drop (test teardown, rebuild)
     // clears it via the tableExists probe below.
     val applied = prof("wm-check") {
-      val mk = ctxKey(spark, wm)
-      if (!spark.catalog.tableExists(wm)) { wmMemo.remove(mk); false }
-      else {
-        val m = Option(wmMemo.get(mk)).map(_.longValue).getOrElse {
-          val v = spark.table(wm).agg(max(col("last_batch"))).head().get(0)
-          val lv = if (v == null) Long.MinValue else v.asInstanceOf[Long]
-          wmMemo.put(mk, lv)
-          lv
-        }
-        m >= batchId
-      }
+      if (!spark.catalog.tableExists(wm)) { wmMemo.remove(ctxKey(spark, wm)); false }
+      else memoizedLastBatch(spark, wm, "last_batch") >= batchId
     }
     if (applied) return // replayed batch: already in the snapshot
     val payload = batch.columns.filterNot(c => c == opCol || ordCols.contains(c))
@@ -888,18 +949,43 @@ object EventStreams {
       // guard below turns that operator error into a loud failure
       spark.sql(
         s"ALTER TABLE $stateTable SET TBLPROPERTIES ('graft.nbuckets' = '$nBuckets')")
+      nbucketsMemo.put(ctxKey(spark, stateTable), nBuckets)
     } else {
       // bucket-count guard (see the bootstrap TBLPROPERTIES write): a
       // mismatched nBuckets silently corrupts the snapshot, so fail
-      // loudly before touching anything. Tables from before the
-      // property existed pass (no property → no check).
-      val declared = spark.sessionState.catalog
-        .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(stateTable))
-        .properties.get("graft.nbuckets")
-      declared.foreach { n =>
-        require(n.toInt == nBuckets,
-          s"foldSnapshotBatch: state table $stateTable was bucketed with nBuckets=$n, " +
-            s"fold called with nBuckets=$nBuckets — rebucket via a fresh bootstrap instead")
+      // loudly before touching anything. Memoized — the property is
+      // immutable, so the steady-state fold pays no catalog RPC here.
+      val nk = ctxKey(spark, stateTable)
+      val declared = Option(nbucketsMemo.get(nk)).map(_.intValue).orElse {
+        val fromMeta = spark.sessionState.catalog
+          .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(stateTable))
+          .properties.get("graft.nbuckets").map(_.toInt)
+        fromMeta.foreach(n => nbucketsMemo.put(nk, n))
+        fromMeta
+      }
+      declared match {
+        case Some(n) =>
+          require(n == nBuckets,
+            s"foldSnapshotBatch: state table $stateTable was bucketed with nBuckets=$n, " +
+              s"fold called with nBuckets=$nBuckets — rebucket via a fresh bootstrap instead")
+        case None =>
+          // a bootstrap that crashed between its saveAsTable and the
+          // property pin leaves the table unpinned — previously the
+          // guard was then PERMANENTLY disabled for that table (no
+          // property, no check, for its whole remaining life). Re-pin
+          // on first contact instead, after the one layout check the
+          // directory itself supports: an existing partition id at or
+          // above nBuckets proves a different modulus.
+          val maxBucket = spark.sql(s"SHOW PARTITIONS $stateTable").collect()
+            .map(_.getString(0).stripPrefix("__bucket=").toInt)
+            .maxOption.getOrElse(-1)
+          require(maxBucket < nBuckets,
+            s"foldSnapshotBatch: state table $stateTable has partition __bucket=$maxBucket " +
+              s"but the fold was called with nBuckets=$nBuckets — the table was bucketed " +
+              "with a different modulus; rebucket via a fresh bootstrap instead")
+          spark.sql(
+            s"ALTER TABLE $stateTable SET TBLPROPERTIES ('graft.nbuckets' = '$nBuckets')")
+          nbucketsMemo.put(nk, nBuckets)
       }
       // touched buckets + may-this-batch-empty-one in ONE delta scan:
       // ≤ nBuckets result rows — partition metadata, not data
@@ -954,8 +1040,9 @@ object EventStreams {
       wmMemo.put(ctxKey(spark, wm), batchId)
     }
     prof("drops") {
-      spark.sql(s"DROP TABLE IF EXISTS $staging")
+      // touched first — see the recovery block's ordering comment
       spark.sql(s"DROP TABLE IF EXISTS $touchedTbl")
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
     }
   }
 
@@ -1063,8 +1150,13 @@ object EventStreams {
     */
   def runToMemory(df: DataFrame, queryName: String, mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val q = df.writeStream.format("memory").queryName(queryName).outputMode(mode).start()
-    q.processAllAvailable()
-    q.stop()
+    // stop in finally: a batch that fails (the rethrow from
+    // processAllAvailable) must not leave the query registered under
+    // `queryName`, or every later run reusing the name fails with
+    // "query with that name is already active" — cascading harness
+    // failures unrelated to the original error
+    try q.processAllAvailable()
+    finally q.stop()
     df.sparkSession.table(queryName)
   }
 }

@@ -51,8 +51,9 @@ class SourceHygieneSpec extends AnyFunSuite {
   test(".collect() sites in src/main are exactly the audited bounded-metadata reads") {
     // file -> (site count, the stated bound that makes each driver-safe)
     val audited = Map(
-      "streaming/EventStreams.scala" -> (4,
-        "1-row watermark marker; touched-bucket list and SHOW PARTITIONS (<= nBuckets rows)"),
+      "streaming/EventStreams.scala" -> (5,
+        "1-row watermark marker; touched-bucket list, SHOW PARTITIONS, and the " +
+          "once-per-unpinned-table re-pin layout check (all <= nBuckets rows)"),
       "sources/Tables.scala" -> (1, "SHOW PARTITIONS (partition-count rows)"),
       "Bench.scala" -> (2, "the yardstick probe's 1-row aggregates"),
       "ScaleProbe.scala" -> (1, "probe touched-bucket distinct (<= nBuckets rows)"),

@@ -233,20 +233,19 @@ class StreamingSpec extends SparkSpec {
     assert(!rows.contains((11L, Some(1L))) && !rows.contains((11L, Some(2L))), rows.toString)
   }
 
-  test("streaming bloom decontamination equals the batch anti-join, across micro-batches") {
+  test("streaming decontamination equals the batch anti-join, across micro-batches") {
     import sqlImplicits._
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String)]
     val batch1 = (1L to 300L).map(i => (i, s"doc-$i"))
     val batch2 = (301L to 600L).map(i => (i, s"doc-$i"))
+    // includes a key absent from the stream: anti-join semantics must
+    // ignore blocklist rows with no match
     val blocklist = Seq("doc-42", "doc-333", "doc-600", "doc-nope")
       .map(Tuple1(_)).toDF("k")
 
     val filtered = EventStreams.decontaminateStream(
-      stream.toDF.toDF("id", "k"), blocklist, "k",
-      // tiny filter + low fpp head-room: false positives MUST occur
-      // only probabilistically, the anti-join removes them either way
-      expectedItems = 4L, fpp = 0.2)
+      stream.toDF.toDF("id", "k"), blocklist, "k")
 
     stream.addData(batch1: _*)
     stream.addData(batch2: _*)
@@ -258,17 +257,16 @@ class StreamingSpec extends SparkSpec {
     assert(out == expected)
   }
 
-  test("streaming decontamination dispatches long-key bloom probes") {
+  test("streaming decontamination on numeric keys, blocklist keys beyond the stream") {
     import sqlImplicits._
     implicit val sqlCtx = spark.sqlContext
-    // A string-cast probe against a long-populated sketch would test
-    // false everywhere: no pruning, but worse, it must STILL equal the
-    // anti-join — this pins that the typed dispatch keeps the
-    // prune-then-verify contract on numeric keys.
+    // numeric-key variant (the string test above covers text keys):
+    // the anti join must match on value equality, with a blocklist
+    // entry (9999) no stream row reaches
     val stream = MemoryStream[(Long, Long)]
     val blocklist = Seq(14L, 77L, 9999L).map(Tuple1(_)).toDF("k")
     val filtered = EventStreams.decontaminateStream(
-      stream.toDF.toDF("id", "k"), blocklist, "k", expectedItems = 3L)
+      stream.toDF.toDF("id", "k"), blocklist, "k")
     stream.addData((1L to 100L).map(i => (i, i * 7L)): _*)
     val out = EventStreams.runToMemory(filtered, "bloom_decon_long_test",
       org.apache.spark.sql.streaming.OutputMode.Append())
@@ -828,6 +826,106 @@ class StreamingSpec extends SparkSpec {
     assert(EventStreams.snapshot(spark, state).filter(col("k") === 5L)
       .head().getString(1) == "x")
     Seq("", "__staging", "__wm", "__touched").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
+  }
+
+  test("bucketed CDC fold: a stale touched list is dropped at entry, before any staging can pair with it") {
+    import sqlImplicits._
+    val state = "stream_cdcstale_state"
+    Seq("", "__staging", "__wm", "__touched").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
+    def fold(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      EventStreams.foldSnapshotBatch(df, id, state, Seq("k"), "op", Seq("ord"), nBuckets = 4)
+    fold((1L to 40L).map(i => (i, s"v$i", "I", 1L)).toDF("k", "v", "op", "ord"), 0L)
+    // Residue of a crash that left ONLY the touched list behind (the
+    // shape the old staging-first drop ordering could produce). If it
+    // survived to sit next to a LATER delete-free batch's staging —
+    // such a batch skips the touched-write — recovery would read these
+    // buckets as "touched but absent from staging", i.e. emptied, and
+    // DROP them: silent loss of untouched data. Planted through the
+    // production writer so the probe's negative cache re-arms, exactly
+    // as the fold's own touched-write does.
+    graft.sources.Tables.overwriteTable(
+      Seq(0, 1, 2, 3).toDF("bucket").coalesce(1), state + "__touched")
+    // A delete-free batch whose STAGING WRITE fails (the payload
+    // column raises on evaluation — first forced during the staging
+    // write; the touched-bucket aggregation never reads it): the fold
+    // dies before its end-of-batch drops, so only the ENTRY cleanup
+    // can have removed the stale list.
+    val poison = Seq((41L, "I", 1L)).toDF("k", "op", "ord")
+      .withColumn("v", raise_error(lit("staging-write crash simulation")))
+      .select("k", "v", "op", "ord")
+    intercept[Exception] { fold(poison, 1L) }
+    assert(!spark.catalog.tableExists(state + "__touched"),
+      "a lone stale touched list must be dropped at fold entry, not at the end of " +
+        "a batch that may never get there")
+    assert(!spark.catalog.tableExists(state + "__staging"))
+    // the stream then proceeds: a real delete-free batch folds cleanly
+    // and every bootstrap bucket survives
+    fold(Seq((41L, "v41", "I", 2L)).toDF("k", "v", "op", "ord"), 2L)
+    assert(EventStreams.snapshot(spark, state).count() == 41L)
+    Seq("", "__staging", "__wm", "__touched").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
+  }
+
+  test("bucketed CDC fold: an unpinned table is re-pinned on first contact; a wrong modulus still fails loudly") {
+    import sqlImplicits._
+    val state = "stream_cdcrepin_state"
+    Seq("", "__staging", "__wm", "__touched").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
+    def fold(df: org.apache.spark.sql.DataFrame, id: Long, n: Int): Unit =
+      EventStreams.foldSnapshotBatch(df, id, state, Seq("k"), "op", Seq("ord"), nBuckets = n)
+    def declared(): Option[String] = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(state))
+      .properties.get("graft.nbuckets")
+    fold((1L to 40L).map(i => (i, s"v$i", "I", 1L)).toDF("k", "v", "op", "ord"), 0L, 4)
+    assert(declared().contains("4"))
+    // simulate a bootstrap that crashed between its saveAsTable and
+    // the property pin: data present, property missing. Previously the
+    // guard was then disabled for the table's whole remaining life —
+    // a redeploy with a different modulus would prune against the
+    // wrong layout and silently duplicate rows.
+    spark.sql(s"ALTER TABLE $state UNSET TBLPROPERTIES ('graft.nbuckets')")
+    graft.operators.OpCache.clear() // memos too — a fresh process sees the bare table
+    assert(declared().isEmpty)
+    // wrong modulus against the unpinned table: the partition layout
+    // itself betrays it (an existing __bucket id >= nBuckets)
+    val e = intercept[IllegalArgumentException] {
+      fold(Seq((5L, "x", "U", 2L)).toDF("k", "v", "op", "ord"), 1L, 2)
+    }
+    assert(e.getMessage.contains("different modulus"))
+    // matching modulus: folds AND re-pins
+    fold(Seq((5L, "x", "U", 2L)).toDF("k", "v", "op", "ord"), 1L, 4)
+    assert(declared().contains("4"), "first contact with an unpinned table must re-pin it")
+    assert(EventStreams.snapshot(spark, state).filter(col("k") === 5L).head().getString(1) == "x")
+    Seq("", "__staging", "__wm", "__touched").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
+  }
+
+  test("fold memos are catalog-qualified: one unqualified state name in two databases cannot collide") {
+    import sqlImplicits._
+    graft.sources.Tables.createDatabase(spark, "graft_cross_a")
+    graft.sources.Tables.createDatabase(spark, "graft_cross_b")
+    Seq("a", "b").foreach(d => Seq("", "__staging").foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cross_$d.cross_state$x")))
+    val sa = spark.newSession(); sa.catalog.setCurrentDatabase("graft_cross_a")
+    val sb = spark.newSession(); sb.catalog.setCurrentDatabase("graft_cross_b")
+    def batch(ss: org.apache.spark.sql.SparkSession, v: Double) = {
+      import ss.implicits._
+      Seq(("g", v)).toDF("g", "v")
+    }
+    // stream A runs far ahead on ITS state table
+    EventStreams.foldRollupBatch(batch(sa, 1.0), 0L, "cross_state", Seq("g"), Seq("v"))
+    EventStreams.foldRollupBatch(batch(sa, 2.0), 40L, "cross_state", Seq("g"), Seq("v"))
+    // stream B maintains a DIFFERENT table under the same unqualified
+    // name: with raw-string memo keys, A's watermark (40) would be
+    // consulted for B's batch 2 and the genuinely-new batch silently
+    // skipped — the non-idempotent rollup then permanently misses it
+    EventStreams.foldRollupBatch(batch(sb, 10.0), 0L, "cross_state", Seq("g"), Seq("v"))
+    EventStreams.foldRollupBatch(batch(sb, 20.0), 2L, "cross_state", Seq("g"), Seq("v"))
+    def sumOf(t: String): Double =
+      spark.table(t).agg(sum(col("sum_v"))).head().getDecimal(0).doubleValue
+    assert(sumOf("graft_cross_a.cross_state") == 3.0)
+    assert(sumOf("graft_cross_b.cross_state") == 30.0,
+      "stream B's batch must fold into B's table — a raw-string memo key would have " +
+        "read stream A's watermark and skipped it")
+    Seq("a", "b").foreach(d => Seq("", "__staging").foreach(x =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cross_$d.cross_state$x")))
   }
 
   test("compactSnapshot: per-bucket file count returns to 1, content and partition layout unchanged") {
