@@ -25,6 +25,11 @@ object Dedup {
     */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs
+      // null text is ABSENT content, not shared content: md5(null) is
+      // null, so without this filter every null-text document lands in
+      // one "duplicate" group and all but one would be deleted by a
+      // pipeline applying the report
+      .filter(col(textCol).isNotNull)
       .groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies", "content_hash")
@@ -51,6 +56,13 @@ object Dedup {
       // shingle lambda must index an attribute, not re-run the tokenizer
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), explode(wordShingles(col("__toks"), shingleN)).as("shingle"))
+    sigsFromShingles(exploded, numHashes, idCol)
+  }
+
+  /** Signature assembly shared by the word- and char-shingle variants:
+    * k per-seed mins with map-side partial combine, one row per doc.
+    */
+  private def sigsFromShingles(exploded: DataFrame, numHashes: Int, idCol: String): DataFrame = {
     val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
     exploded
       .groupBy(col(idCol))
@@ -98,14 +110,7 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val exploded = docs.select(col(idCol), explode(charShingles(col(textCol), charN)).as("shingle"))
-    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    exploded
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_shingles"), mins: _*)
-      .select(
-        col(idCol),
-        col("n_shingles"),
-        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    sigsFromShingles(exploded, numHashes, idCol)
   }
 
   /** MinHash+LSH near-dup pairs over character shingles — covers the
@@ -130,6 +135,15 @@ object Dedup {
     */
   private def bandedSigs(
       sigs: DataFrame, numHashes: Int, bands: Int, idCol: String): DataFrame = {
+    // bands > numHashes gives rowsPerBand = 0: every band hash is the
+    // hash of an EMPTY slice, all documents share one bucket, and the
+    // bucket self-join silently degenerates to the all-pairs cross
+    // join this module exists to avoid. A non-dividing bands silently
+    // drops the trailing signature hashes from banding (recall loss).
+    // Both are caller errors — fail loudly.
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bandedSigs: bands=$bands must divide numHashes=$numHashes " +
+        "(rows per band = numHashes / bands, every hash banded)")
     val rowsPerBand = numHashes / bands
     sigs.select(
       col(idCol),
@@ -205,10 +219,16 @@ object Dedup {
     * GraftExtensions — required in the session) so the token stream is
     * byte-identical to every other text operator's.
     */
-  def simhashes(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+  def simhashes(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // simhash64 takes a SQL fragment (dynamic shifts are only
+    // expressible as a lambda expression), so the column name must be
+    // backtick-quoted — every sibling operator resolves textCol via
+    // col(), where names with dots or spaces already work
+    val quoted = s"`${textCol.replace("`", "``")}`"
     docs.select(
       col(idCol),
-      simhash64(s"graft_tokens($textCol)").as("simhash"))
+      simhash64(s"graft_tokens($quoted)").as("simhash"))
+  }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3
     * guaranteed complete by the 4×16-bit pigeonhole bands; higher
@@ -216,20 +236,13 @@ object Dedup {
     * Output: (doc_a, doc_b, hamming).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // delegate to the generic 64-bit banding below — the two bodies
+    // were verbatim copies modulo output names, so a banding fix had
+    // to be applied twice
     val sh = OpCache.swap("dedup.simhash", simhashes(docs, idCol, textCol))
-    val banded = sh.select(
-      col(idCol),
-      col("simhash"),
-      posexplode(array((0 until 4).map { q =>
-        shiftright(col("simhash"), q * 16).bitwiseAND(lit(0xFFFFL))
-      }: _*)).as(Seq("band_id", "band_key")))
-    val a = banded.select(col("band_id"), col("band_key"), col(idCol).as("doc_a"), col("simhash").as("sh_a"))
-    val b = banded.select(col("band_id"), col("band_key"), col(idCol).as("doc_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("band_id", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), hamming64(col("sh_a"), col("sh_b")).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    hammingPairs64(sh, idCol, "simhash", maxHamming)
+      .withColumnRenamed("id_a", "doc_a")
+      .withColumnRenamed("id_b", "doc_b")
   }
 
   /** Generic 64-bit-signature hamming pairs — the [[simhashPairs]]
@@ -421,10 +434,18 @@ object Dedup {
     * removed_ids sorted asc).
     */
   def dedupReportBest(pairs: DataFrame, scores: DataFrame): DataFrame = {
+    // LEFT join: a cluster member missing from the scores table (a
+    // quality signal computed on a slightly different snapshot) must
+    // stay IN the report — an inner join silently dropped it, shrinking
+    // cluster_size (a 2-cluster with one unscored member vanished
+    // entirely) and leaving the unscored doc neither kept nor listed
+    // as removed. Policy: unscored members order LAST (nulls-last
+    // desc), so they are never chosen canonical while a scored
+    // alternative exists.
     val labeled = resolveClusters(pairs)
-      .join(scores.select(col("doc_id").as("id"), col("score")), Seq("id"))
+      .join(scores.select(col("doc_id").as("id"), col("score")), Seq("id"), "left")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("cluster_id").orderBy(col("score").desc, col("id").asc)
+      .partitionBy("cluster_id").orderBy(col("score").desc_nulls_last, col("id").asc)
     labeled
       .withColumn("__r", row_number().over(w))
       .groupBy(col("cluster_id"))
@@ -563,7 +584,7 @@ object Dedup {
           .agg(count(lit(1)).as("df"))
           .filter(col("df") > cap)
           .select("gh")
-        cached.join(Broadcasting.maybeBroadcast(hot), Seq("gh"), "left_anti")
+        hotCapAntiJoin(cached, hot, Seq("gh"))
     }
     universe
       .withColumn("df", count(lit(1)).over(w))
@@ -575,6 +596,27 @@ object Dedup {
         col("doc_id"), col("n_grams"), col("n_dup_grams"),
         floor(lit(10000.0) * col("n_dup_grams").cast("double") / col("n_grams"))
           .cast("long").as("dup_bp"))
+  }
+
+  /** df-cap skew guard shared by the gram operators: anti-join `rows`
+    * against the over-cap hot-key list, broadcasting the list when its
+    * MEASURED size fits the session threshold. The optimizer estimate
+    * is useless for this decision — a Filter over an Aggregate
+    * inherits its child's size-only estimate (the full gram table), so
+    * `Broadcasting.fitsBroadcast` read multi-TB for a few-KB list and
+    * the documented broadcast fast path never fired in production;
+    * every capped call silently paid a shuffled anti-join. The hot
+    * list is eagerly pinned (localCheckpoint) so the measuring count
+    * and the join read ONE materialization of the (OpCache-parented,
+    * normally tiny) aggregation; past the threshold the join degrades
+    * to shuffled exactly as before.
+    */
+  private def hotCapAntiJoin(rows: DataFrame, hot: DataFrame, keys: Seq[String]): DataFrame = {
+    val mat = hot.localCheckpoint(true)
+    val n = mat.count()
+    val width = mat.schema.map(_.dataType.defaultSize.toLong).sum + 16L
+    val thr = Broadcasting.threshold(mat)
+    rows.join(if (thr > 0 && n * width <= thr) broadcast(mat) else mat, keys, "left_anti")
   }
 
   /** Shared inverted gram index for the pairwise n-gram measures:
@@ -606,7 +648,7 @@ object Dedup {
           .filter(col("df") > cap)
           .select("lang", "h")
         OpCache.swap("dedup.ngram.ex.capped",
-          exAll.join(Broadcasting.maybeBroadcast(hot), Seq("lang", "h"), "left_anti"))
+          hotCapAntiJoin(exAll, hot, Seq("lang", "h")))
       case None => exAll
     }
   }
@@ -711,6 +753,13 @@ object Dedup {
               i => concat_ws(" ", (0 until k).map(j =>
                 element_at(col("__toks"), (i + lit(j)).cast("int"))): _*))))
           .as(Seq("pos", "g")))
+      // hash the gram BEFORE anything shuffles: the candidate
+      // self-join and the hot-list groupBy otherwise ship the k-token
+      // gram TEXT on both sides — many times the volume of the long
+      // key, against the module's shuffle-carries-digests design.
+      // Collision odds ~n²/2⁶⁴, the same class ngramJaccardPairs
+      // accepts for the identical reason.
+      .select(col("doc_id"), col("pos"), xxhash64(col("g")).as("h"))
     // Materialize the PRE-cap gram table: the dominant tokenize→gram
     // pipeline runs once, shared by the capped and uncapped calls
     // (plan-equal site) and by the hot-list build + both join sides.
@@ -727,14 +776,14 @@ object Dedup {
         // formulation — semi-joining against the KEPT-gram df table —
         // is a big-big join on ≈ distinct-gram cardinality, measured
         // 4–6× slower at probe ×20.
-        val hot = cached.groupBy("g").agg(count(lit(1)).as("gdf"))
+        val hot = cached.groupBy("h").agg(count(lit(1)).as("gdf"))
           .filter(col("gdf") > cap)
-          .select("g")
-        cached.join(Broadcasting.maybeBroadcast(hot), Seq("g"), "left_anti")
+          .select("h")
+        hotCapAntiJoin(cached, hot, Seq("h"))
       case None => cached
     }
-    val j = ex.select(col("g"), col("doc_id").as("doc_a"), col("pos").as("pa"))
-      .join(ex.select(col("g"), col("doc_id").as("doc_b"), col("pos").as("pb")), Seq("g"))
+    val j = ex.select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+      .join(ex.select(col("h"), col("doc_id").as("doc_b"), col("pos").as("pb")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("pa"), (col("pa") - col("pb")).as("diag"))
     val w = org.apache.spark.sql.expressions.Window
@@ -757,6 +806,13 @@ object Dedup {
     * `1 − lev/max(len_a, len_b)` reaches `minSimilarity`. Codegen'd
     * `levenshtein`; candidate tables from any generator
     * ([[minhashLshPairs]], [[charMinhashLshPairs]], [[simhashPairs]]).
+    *
+    * CONTRACT: candidates whose ids are absent from `docs`, or whose
+    * text is null, are not verifiable and are EXCLUDED — in the output
+    * that is indistinguishable from "verified and rejected". When a
+    * removal pipeline needs that distinction (a null-text near-dup it
+    * would otherwise keep), audit candidate-to-docs referential
+    * integrity upstream (the FK-audit operator) before verifying.
     */
   def editVerifiedPairs(
       candidates: DataFrame,

@@ -38,7 +38,8 @@ object ExtQueries {
       "x01_dedup_exact",
       (s, d) => Dedup.exact(t(s, d, "documents")).orderBy("keep_id"),
       Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, md5(text) AS content_hash
-        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY md5(text) ORDER BY keep_id""".stripMargin)
     ),
 
     // Blocked word-3-gram Jaccard near-dup pairs (same lang, length

@@ -151,8 +151,21 @@ object Tables {
     */
   def upsertTable(updates: DataFrame, table: String, key: String): Unit = {
     val spark = updates.sparkSession
-    val merged = spark.table(table)
-      .join(updates.select(key).distinct(), Seq(key), "left_anti")
+    // heal a previous staged publish that died in its DROP→RENAME
+    // window FIRST — without this the spark.table read below throws
+    // on the missing target even though the complete content sits one
+    // rename away on `__staging` (the publishChecked hardening,
+    // applied to every staged caller)
+    recoverStaged(spark, table)
+    val base = spark.table(table)
+    val keys = updates.select(col(key).as("__upsert_key")).distinct()
+    // null-SAFE key match (<=>): with a plain equality the anti join
+    // would treat an existing null-key row as unmatched (null = null
+    // is null) and KEEP it while the union appends the update's
+    // null-key row — every upsert of a null key would then duplicate
+    // instead of replace, violating the replace contract
+    val merged = base
+      .join(keys, base(key) <=> keys("__upsert_key"), "left_anti")
       .unionByName(updates)
     stagedOverwrite(merged, table)
   }
@@ -166,10 +179,18 @@ object Tables {
     * the complete result — [[recoverStaged]] restores it on the next
     * run.
     */
-  def stagedOverwrite(df: DataFrame, table: String): Unit = {
+  def stagedOverwrite(df: DataFrame, table: String, partitionCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val staging = table + "__staging"
-    overwriteTable(df, staging)
+    if (partitionCols.isEmpty) overwriteTable(df, staging)
+    else {
+      // partition-preserving staging (the compactTable path for
+      // partitioned tables): a flat staging write would silently
+      // erase the layout partition pruning depends on
+      df.write.mode(SaveMode.Overwrite).format("parquet")
+        .partitionBy(partitionCols: _*).saveAsTable(staging)
+      notifyWrite(df, staging)
+    }
     // Metadata-only publish (the publishChecked pattern): RENAME the
     // staged table onto the target instead of re-writing its data — a
     // staged overwrite otherwise writes every byte TWICE, which at
@@ -179,6 +200,10 @@ object Tables {
     // exactly the state [[recoverStaged]] heals.
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    // the RENAME moves the data directory but a PARTITIONED table's
+    // partition metadata still points at the staging paths — recover
+    // it from the moved directory layout (metadata-only)
+    if (partitionCols.nonEmpty) spark.sql(s"MSCK REPAIR TABLE $table")
     spark.catalog.refreshTable(table)
     // the overwriteTable above notified for `__staging`; the content
     // LANDS under `table` via the rename — notify for that name too,
@@ -199,6 +224,13 @@ object Tables {
       // the staged table IS the complete result — publish by rename
       // (metadata-only), same as the stagedOverwrite happy path
       spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+      // a PARTITIONED staging's partition metadata still points at the
+      // pre-rename paths — re-derive it from the moved directory
+      // layout, exactly as the happy path does
+      if (spark.sessionState.catalog
+          .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+          .partitionColumnNames.nonEmpty)
+        spark.sql(s"MSCK REPAIR TABLE $table")
       spark.catalog.refreshTable(table)
       // a recovery MATERIALIZES `table` — notify like any other sink
       // so the listener invariant covers the crash path too
@@ -272,17 +304,36 @@ object Tables {
     * this.
     */
   def dropManaged(spark: SparkSession, table: String): Unit = {
+    // When the catalog still knows the table, its recorded location is
+    // authoritative — the naming convention below resolves unqualified
+    // names against the DEFAULT database, so under `USE somedb` it
+    // would delete the directory of the UNRELATED default-db table of
+    // the same name while leaving the real one to collide on the next
+    // CREATE.
+    val known: Option[org.apache.hadoop.fs.Path] =
+      if (spark.catalog.tableExists(table))
+        Some(new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.getTableMetadata(
+            spark.sessionState.sqlParser.parseTableIdentifier(table)).location))
+      else None
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    // Managed layout: <warehouse>/<table> for the default database,
-    // <warehouse>/<db>.db/<table> for a named one.
-    val rel = table.toLowerCase(java.util.Locale.ROOT).split('.') match {
-      case Array(t) => t
-      case Array(db, t) => s"$db.db/$t"
-      case parts => throw new IllegalArgumentException(
-        s"dropManaged: cannot resolve location for '$table' (${parts.length} name parts)")
+    val p = known.getOrElse {
+      // catalog already forgot the table (the ephemeral-metastore case
+      // this method exists for): fall back to the managed layout —
+      // <warehouse>/<table> for the default database,
+      // <warehouse>/<db>.db/<table> for a named one — resolving an
+      // unqualified name against the session's CURRENT database.
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val rel = table.toLowerCase(java.util.Locale.ROOT).split('.') match {
+        case Array(t) =>
+          val db = spark.catalog.currentDatabase.toLowerCase(java.util.Locale.ROOT)
+          if (db == "default") t else s"$db.db/$t"
+        case Array(db, t) => s"$db.db/$t"
+        case parts => throw new IllegalArgumentException(
+          s"dropManaged: cannot resolve location for '$table' (${parts.length} name parts)")
+      }
+      new org.apache.hadoop.fs.Path(wh, rel)
     }
-    val p = new org.apache.hadoop.fs.Path(wh, rel)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
   }
@@ -297,17 +348,42 @@ object Tables {
     */
   def compactTable(spark: SparkSession, table: String, targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     require(targetBytes > 0, s"compactTable: targetBytes must be positive, got $targetBytes")
+    // heal a crashed staged publish first — same reasoning as upsert
+    recoverStaged(spark, table)
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
-    val p = new org.apache.hadoop.fs.Path(meta.location)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def parquetFiles() = fs.listStatus(p).toSeq
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val partCols = meta.partitionColumnNames
+    val root = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a partitioned table's files live one directory level down —
+    // the flat listing that served unpartitioned tables would count 0
+    // files (totalBytes 0) and then FLATTEN the layout on rewrite
+    def parquetFiles(): Seq[org.apache.hadoop.fs.FileStatus] = {
+      def files(p: org.apache.hadoop.fs.Path) = fs.listStatus(p).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (partCols.isEmpty) files(root)
+      else fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap(d => files(d.getPath))
+    }
     val before = parquetFiles()
     val totalBytes = before.map(_.getLen).sum
-    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val data = spark.table(table).repartition(nOut)
-    stagedOverwrite(data, table)
+    if (partCols.isEmpty) {
+      val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+      // already at (or under) the target: skip the full rewrite AND
+      // its drop→rename crash window — periodic maintenance calls
+      // this unconditionally
+      if (before.size <= nOut) return (before.size, before.size)
+      stagedOverwrite(spark.table(table).repartition(nOut), table)
+    } else {
+      // partition-preserving compaction: group each Hive partition
+      // into one task → one file per partition, layout intact (the
+      // same shape EventStreams.compactSnapshot maintains for the
+      // bucketed fold). Skip when already there.
+      val nParts = spark.sql(s"SHOW PARTITIONS $table").count().toInt
+      if (before.size <= nParts) return (before.size, before.size)
+      val data = spark.table(table)
+        .repartition(math.max(1, nParts), partCols.map(col): _*)
+      stagedOverwrite(data, table, partCols)
+    }
     (before.size, parquetFiles().size)
   }
 
@@ -318,16 +394,31 @@ object Tables {
     * fact table. Returns the number of partitions dropped.
     */
   def expirePartitions(spark: SparkSession, table: String, partCol: String, cutoff: String): Int = {
+    // numeric-aware ordering: lexicographic comparison on integer-like
+    // partition values (hour=9 vs hour=10) would expire "10".."89"
+    // against cutoff "9" — current data irreversibly dropped. Compare
+    // as longs when BOTH sides parse; zero-padded ISO dates and other
+    // strings keep lexicographic order.
+    def isBelow(v: String): Boolean =
+      (v.toLongOption, cutoff.toLongOption) match {
+        case (Some(a), Some(b)) => a < b
+        case _ => v < cutoff
+      }
     val parts = spark.sql(s"SHOW PARTITIONS $table").collect().map(_.getString(0))
     val expired = parts.flatMap { spec =>
-      // spec: "col=value" (single partition column layout)
-      spec.split('=') match {
-        case Array(c, v) if c == partCol && v < cutoff => Some(v)
+      // spec: "col=value" (single partition column layout); limit-2
+      // split so a value containing '=' still parses instead of being
+      // silently retained forever
+      spec.split("=", 2) match {
+        case Array(c, v) if c == partCol && isBelow(v) => Some(v)
         case _ => None
       }
     }
     expired.foreach { v =>
-      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($partCol='$v')")
+      // escape for the single-quoted DDL literal — a value containing
+      // a quote must not break (or truncate) the DROP statement
+      val lit = v.replace("\\", "\\\\").replace("'", "\\'")
+      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION ($partCol='$lit')")
     }
     expired.length
   }
@@ -352,17 +443,26 @@ object Tables {
     * compatible).
     * Output: (col_name, kind, expected, actual) — empty ⇒ compatible.
     */
-  def schemaDiff(expected: StructType, actual: StructType): Seq[(String, String, String, String)] = {
-    val e = expected.fields.map(f => f.name -> f).toMap
-    val a = actual.fields.map(f => f.name -> f).toMap
+  def schemaDiff(
+      expected: StructType,
+      actual: StructType,
+      caseSensitive: Boolean = false): Seq[(String, String, String, String)] = {
+    // match names the way Spark resolves them: case-INSENSITIVELY by
+    // default (spark.sql.caseSensitive=false) — a producer delivering
+    // "ID" where the contract says "id" queries fine, so reporting it
+    // as removed+added would block a compatible publish. Pass
+    // caseSensitive=true to mirror a case-sensitive session.
+    def norm(n: String) = if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+    val e = expected.fields.map(f => norm(f.name) -> f).toMap
+    val a = actual.fields.map(f => norm(f.name) -> f).toMap
     val added = actual.fields.collect {
-      case f if !e.contains(f.name) => (f.name, "added", "", f.dataType.simpleString)
+      case f if !e.contains(norm(f.name)) => (f.name, "added", "", f.dataType.simpleString)
     }
     val removed = expected.fields.collect {
-      case f if !a.contains(f.name) => (f.name, "removed", f.dataType.simpleString, "")
+      case f if !a.contains(norm(f.name)) => (f.name, "removed", f.dataType.simpleString, "")
     }
     val changed = expected.fields.flatMap { f =>
-      a.get(f.name).toSeq.flatMap { g =>
+      a.get(norm(f.name)).toSeq.flatMap { g =>
         val ty =
           if (f.dataType != g.dataType)
             Seq((f.name, "type_changed", f.dataType.simpleString, g.dataType.simpleString))

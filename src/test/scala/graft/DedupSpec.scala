@@ -473,4 +473,71 @@ class DedupSpec extends SparkSpec {
     assert(capped.contains((1L, 2L)))
     assert(!capped.contains((3L, 4L)))
   }
+
+  test("exact dedup: null texts are absent content, never a duplicate group") {
+    import sqlImplicits._
+    val d = Seq(
+      (1L, Some("same words here")), (2L, Some("same words here")),
+      (3L, Option.empty[String]), (4L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val res = Dedup.exact(d).collect()
+    // md5(null) is null: without the filter docs 3 and 4 grouped into
+    // one "duplicate" cluster and a pipeline applying the report would
+    // delete one of them
+    assert(res.length == 1, s"only the real duplicate group reports, got ${res.toList}")
+    assert(res.head.getLong(0) == 1L && res.head.getLong(1) == 2L)
+  }
+
+  test("LSH banding rejects a bands/numHashes mismatch instead of degenerating to all-pairs") {
+    // bands > numHashes makes every band slice EMPTY — one shared
+    // bucket, an O(n^2) cross join; non-dividing bands silently drop
+    // trailing hashes from banding
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairs(docs, numHashes = 4, bands = 8).collect()
+    }
+    assert(e.getMessage.contains("divide"))
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairs(docs, numHashes = 16, bands = 5).collect()
+    }
+  }
+
+  test("keep-best report retains unscored cluster members instead of silently dropping them") {
+    import sqlImplicits._
+    val pairs = Seq((1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b")
+    // doc 2 and doc 6 have no score row (signal computed on a
+    // different snapshot): the old inner join removed them from the
+    // report — cluster {1,2} shrank to size 1 and vanished, doc 2
+    // neither kept nor removed
+    val scores = Seq((1L, 5L), (5L, 3L)).toDF("doc_id", "score")
+    val r = Dedup.dedupReportBest(pairs, scores)
+      .orderBy("keep_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getSeq[Long](2).toSeq))
+    assert(r.toSeq == Seq((1L, 2L, Seq(2L)), (5L, 2L, Seq(6L))),
+      "unscored members must stay in the report, ordered after scored ones")
+    // an unscored member is never chosen canonical while a scored one exists
+    val scoresOnly2 = Seq((2L, 9L)).toDF("doc_id", "score")
+    val r2 = Dedup.dedupReportBest(Seq((1L, 2L)).toDF("doc_a", "doc_b"), scoresOnly2)
+      .collect().map(x => (x.getLong(0), x.getSeq[Long](2).toSeq))
+    assert(r2.toSeq == Seq((2L, Seq(1L))))
+  }
+
+  test("simhashes quotes the text column name (dots and spaces work like every sibling)") {
+    import sqlImplicits._
+    val d = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"))
+      .toDF("doc_id", "doc text")
+    val sh = Dedup.simhashes(d, textCol = "doc text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L), "identical texts must share a signature through a quoted name")
+  }
+
+  test("the df-cap hot list broadcasts by MEASURED size (the estimate reads the whole gram table)") {
+    // a tiny over-cap list must take the broadcast fast path: the
+    // optimizer estimate of Filter-over-Aggregate inherits the full
+    // gram table's size, so the old size-estimate guard never fired
+    val capped = Dedup.ngramDupStats(docs, maxGramDf = Some(3L))
+    capped.collect()
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"hot-list anti-join should broadcast the measured-tiny list, plan:\n${plan.take(2000)}")
+  }
 }

@@ -344,4 +344,118 @@ class TablesSpec extends SparkSpec {
       assert(missing.isEmpty, s"sinks that bypassed the write listener: $missing")
     } finally cleanup()
   }
+
+  test("upsert: null keys replace (null-safe match) and a crashed staged publish heals at entry") {
+    import sqlImplicits._
+    val tbl = "graft_upnull_t"
+    Seq("", "__staging").foreach(s => spark.sql(s"DROP TABLE IF EXISTS $tbl$s"))
+    Tables.overwriteTable(
+      Seq((Some(1), "a"), (None, "x")).toDF("id", "v"), tbl)
+    // null = null is null in SQL, so a plain-equality anti join would
+    // KEEP the existing null-key row and the union would append the
+    // update's — every upsert of a null key duplicating instead of
+    // replacing
+    Tables.upsertTable(Seq((Option.empty[Int], "y")).toDF("id", "v"), tbl, "id")
+    val rows = spark.table(tbl).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0))) -> r.getString(1)).toSeq
+    assert(rows.sortBy(_._2) == Seq(Some(1) -> "a", None -> "y"),
+      s"null-key upsert must REPLACE the existing null-key row, got ${rows.toList}")
+    // crashed staged publish (target dropped, staging complete): the
+    // next upsert must heal it instead of throwing on the missing table
+    spark.table(tbl).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(tbl + "__staging")
+    spark.sql(s"DROP TABLE $tbl")
+    Tables.upsertTable(Seq((Some(1), "a2")).toDF("id", "v"), tbl, "id")
+    val healed = spark.table(tbl).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0))) -> r.getString(1)).toSeq
+    assert(healed.sortBy(_._2) == Seq(Some(1) -> "a2", None -> "y"))
+    Seq("", "__staging").foreach(s => spark.sql(s"DROP TABLE IF EXISTS $tbl$s"))
+  }
+
+  test("compaction preserves a partitioned table's layout and skips when already compact") {
+    import sqlImplicits._
+    val tbl = "graft_compactp_t"
+    Seq("", "__staging").foreach(s => spark.sql(s"DROP TABLE IF EXISTS $tbl$s"))
+    // fragment: 6 non-partition-aligned tasks spray files into every
+    // partition directory
+    val rows = Seq("a", "b", "c").flatMap(d => (1 to 30).map(i => (d, i)))
+    rows.toDF("day", "v").repartition(6)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").partitionBy("day").saveAsTable(tbl)
+    def content() = spark.table(tbl).select("day", "v")
+      .collect().map(r => (r.getString(0), r.getInt(1))).sorted
+    val before = content()
+    val (nBefore, nAfter) = Tables.compactTable(spark, tbl, targetBytes = 1L << 30)
+    // the old flat listing read 0 files for a partitioned table and
+    // the rewrite FLATTENED the layout (partition pruning lost)
+    assert(nBefore > 3, s"fragmented table should have >3 files, saw $nBefore")
+    assert(nAfter == 3, s"one file per partition expected, got $nAfter")
+    assert(spark.sql(s"SHOW PARTITIONS $tbl").count() == 3,
+      "compaction must preserve the partition layout")
+    assert(content().toSeq == before.toSeq)
+    // already compact: no rewrite, no drop-rename crash window
+    val (b2, a2) = Tables.compactTable(spark, tbl, targetBytes = 1L << 30)
+    assert(b2 == 3 && a2 == 3)
+    Seq("", "__staging").foreach(s => spark.sql(s"DROP TABLE IF EXISTS $tbl$s"))
+  }
+
+  test("partition retention compares integer-like partition values numerically") {
+    import sqlImplicits._
+    val tbl = "graft_retnum_t"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val rows = (7 to 12).flatMap(h => (1 to 2).map(i => (h, h * 10 + i)))
+    Tables.writePartitioned(rows.toDF("hour", "v"), tbl, Seq("hour"))
+    // lexicographic ordering would read "10","11","12" < "9" and
+    // irreversibly drop CURRENT partitions
+    val dropped = Tables.expirePartitions(spark, tbl, "hour", cutoff = "9")
+    assert(dropped == 2, s"only hours 7 and 8 expire below 9, dropped $dropped")
+    val left = spark.table(tbl).select("hour").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(left.toSeq == Seq(9, 10, 11, 12), left.toSeq.toString)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("dropManaged under a non-default current database deletes the right directory") {
+    import sqlImplicits._
+    Tables.createDatabase(spark, "graft_dm_db")
+    val clone = spark.newSession()
+    clone.catalog.setCurrentDatabase("graft_dm_db")
+    spark.sql("DROP TABLE IF EXISTS default.graft_dm_t")
+    spark.sql("DROP TABLE IF EXISTS graft_dm_db.graft_dm_t")
+    Tables.overwriteTable(Seq((1, "default")).toDF("k", "src"), "default.graft_dm_t")
+    // write via the CLONE's current database — unqualified name
+    locally {
+      val df = { import clone.implicits._; Seq((2, "dbqualified")).toDF("k", "src") }
+      Tables.overwriteTable(df, "graft_dm_t")
+    }
+    // the name-convention location resolved unqualified names against
+    // the DEFAULT database: this would have deleted default.graft_dm_t's
+    // directory while leaving graft_dm_db's to collide on recreate
+    Tables.dropManaged(clone, "graft_dm_t")
+    assert(!clone.catalog.tableExists("graft_dm_t"))
+    assert(spark.table("default.graft_dm_t").head().getString(1) == "default",
+      "dropManaged must not touch the unrelated default-db table's data")
+    // the dropped table's directory really is gone: recreate succeeds
+    locally {
+      val df = { import clone.implicits._; Seq((3, "recreated")).toDF("k", "src") }
+      Tables.overwriteTable(df, "graft_dm_t")
+    }
+    assert(spark.table("graft_dm_db.graft_dm_t").head().getString(1) == "recreated")
+    spark.sql("DROP TABLE IF EXISTS default.graft_dm_t")
+    spark.sql("DROP TABLE IF EXISTS graft_dm_db.graft_dm_t")
+  }
+
+  test("schemaDiff matches names case-insensitively by default, exactly when asked") {
+    import org.apache.spark.sql.types._
+    val expected = StructType(Seq(StructField("id", LongType)))
+    val actualUpper = StructType(Seq(StructField("ID", LongType)))
+    // Spark resolves case-insensitively by default — "ID" for "id" is
+    // compatible, not a removed+added pair that blocks a publish
+    assert(Tables.schemaDiff(expected, actualUpper).isEmpty)
+    val strict = Tables.schemaDiff(expected, actualUpper, caseSensitive = true)
+    assert(strict.map(_._2).sorted == Seq("added", "removed"))
+    // type changes still surface under the case-insensitive match
+    val actualTyped = StructType(Seq(StructField("ID", IntegerType)))
+    assert(Tables.schemaDiff(expected, actualTyped).map(_._2) == Seq("type_changed"))
+  }
 }
