@@ -54,16 +54,29 @@ object VectorFunctions {
   /** `nPlanes`-bit sign-LSH signature of a double vector: bit j is the
     * sign of `v · r_j` for the deterministic hyperplane r_j.
     */
-  def signLshSignature(vec: Column, nPlanes: Int, dim: Int): Column =
+  def signLshSignature(vec: Column, nPlanes: Int, dim: Int): Column = {
+    // the signature packs one bit per plane into an Int via `1 << j` —
+    // j >= 31 silently overflows to garbage signatures
+    require(nPlanes >= 1 && nPlanes <= 31,
+      s"signLshSignature: nPlanes $nPlanes outside the 1..31 Int bit budget")
     (0 until nPlanes).map { j =>
       val plane = array(rademacherPlane(j, dim).map(lit): _*)
       when(dot(vec, plane) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
+  }
 
   /** Split a signature int into `bands` equal bit-bands (for
     * OR-amplified bucket joins: near vectors agree on ≥1 band w.h.p.).
     */
   def signatureBands(sig: Column, nPlanes: Int, bands: Int): Seq[Column] = {
+    // bands > nPlanes gives bitsPerBand = 0 and mask = 0: every band
+    // key collapses to 0, one shared bucket, and the banded join
+    // silently degenerates to the all-pairs cross join it exists to
+    // avoid (the Dedup.bandedSigs class of bug); a non-dividing bands
+    // silently drops the top nPlanes % bands planes from banding
+    require(bands >= 1 && bands <= nPlanes && nPlanes % bands == 0,
+      s"signatureBands: bands=$bands must divide nPlanes=$nPlanes " +
+        "(bits per band = nPlanes / bands, every plane banded)")
     val bitsPerBand = nPlanes / bands
     val mask = (1 << bitsPerBand) - 1
     (0 until bands).map(b => (sig.cast("int") / lit(1 << (b * bitsPerBand))).cast("int").bitwiseAND(lit(mask)))

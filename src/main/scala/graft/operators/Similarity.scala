@@ -42,7 +42,16 @@ object Similarity {
       embeddings.select(col("vec_id"), col("embedding")).select(
         col("vec_id"),
         toDoubleVec(col("embedding")).as("vec"))
-        .withColumn("norm", l2norm(col("vec"))))
+        .withColumn("norm", l2norm(col("vec")))
+        // zero-norm (all-zero or empty) vectors have no direction:
+        // their cosine is 0/0 = NaN, which Spark orders ABOVE every
+        // real double — one such corpus row would outrank the true
+        // rank-1 neighbor of EVERY query, and NaN >= threshold is
+        // TRUE, so near-dup pairs would report them as duplicates.
+        // They are excluded from the similarity universe here, on
+        // both corpus and query side (every operator preps through
+        // this).
+        .filter(col("norm") > 0))
 
   /** An external query set is not guaranteed small — a forced
     * broadcast hint would grow with it linearly; past the threshold,
@@ -140,17 +149,12 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id") // collided in >1 band; two-long rows
 
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)
-    candidates
-      .join(base.select(col("vec_id").as("neighbor_id"), col("vec"), col("norm")), Seq("neighbor_id"))
-      .join(maybeBroadcast(qbase.select(col("query_id"), col("qvec"), col("qnorm"))), Seq("query_id"))
-      .select(
-        col("query_id"),
-        col("neighbor_id"),
-        cosineWithNorms(dot(col("vec"), col("qvec")), col("norm"), col("qnorm")).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 4).as("cosine"), col("rank"))
+    // candidates-to-top-k is the shared exactRerank dataflow (vector
+    // re-attach by id, exact cosine, rank, round) — one home, so a
+    // tie-break or rounding change cannot diverge between the LSH and
+    // PQ/IVF paths
+    exactRerank(candidates.withColumnRenamed("neighbor_id", "vec_id"),
+      base, prepared(queries, site + ".q"), k)
   }
 
   /** IVF (inverted-file) ANN top-k: the corpus is partitioned into
@@ -194,7 +198,7 @@ object Similarity {
         .withColumn("cnorm", l2norm(col("cvec"))))
 
     ivfSearch(prepared(queries, "sim.prep.q"),
-      base, centroids, k, nProbes)
+      base, centroids, k, nProbes, "sim.ivf.assigned.label")
   }
 
   /** IVF ANN with centroids learned by Lloyd's k-means instead of
@@ -230,7 +234,8 @@ object Similarity {
       site: String): DataFrame = {
     val base = prepared(embeddings, site)
     ivfSearch(prepared(queries, site + ".q"),
-      base, memoizedKmeans(base, cells, maxIter), k, nProbes)
+      base, memoizedKmeans(base, cells, maxIter), k, nProbes,
+      s"$site.ivfkm.assigned.$cells.$maxIter")
   }
 
   /** Memoized on the exact input plan: the Lloyd loop is EAGER
@@ -350,7 +355,7 @@ object Similarity {
       // unique within a vec_id group, so the vec payload never decides
       // — winner == the (csim DESC, cell ASC) window head, with
       // map-side combine instead of a per-key sort shuffle.
-      cents = base.crossJoin(broadcast(cents))
+      val recomputed = base.crossJoin(broadcast(cents))
         .groupBy(base("vec_id"))
         .agg(max(struct(
           cosineWithNorms(dot(col("vec"), col("cvec")), col("norm"), col("cnorm")).as("csim"),
@@ -358,6 +363,19 @@ object Similarity {
         .groupBy(col("m.cell").as("cell"))
         .agg(graft.functions.VectorMean.vectorMean(col("m.vec")).as("cvec"))
         .withColumn("cnorm", l2norm(col("cvec")))
+      // Empty-cell handling (the pqCodebooks backfill, which this loop
+      // was missing): a cell that wins zero points this round — e.g.
+      // duplicated seed vectors where every tie falls to the smaller
+      // cell id — would VANISH from the groupBy recompute, silently
+      // shrinking the index below k cells, exactly the fewer-cells
+      // skew outcome the zero-vote seed backfill above exists to
+      // prevent. Keep the starved cell's previous centroid instead.
+      cents = cents.select(col("cell"), col("cvec").as("__pvec"), col("cnorm").as("__pnorm"))
+        .join(recomputed, Seq("cell"), "left")
+        .select(
+          col("cell"),
+          coalesce(col("cvec"), col("__pvec")).as("cvec"),
+          coalesce(col("cnorm"), col("__pnorm")).as("cnorm"))
         .localCheckpoint(true) // truncate lineage each round
       iter += 1
     }
@@ -376,9 +394,17 @@ object Similarity {
       base: DataFrame,
       centroids: DataFrame,
       k: Int,
-      nProbes: Int): DataFrame = {
-    val corpus = assignCells(base, centroids, 1)
-      .select(col("cell"), col("vec_id"), col("vec"), col("norm"))
+      nProbes: Int,
+      site: String): DataFrame = {
+    // The corpus-side cell assignment is the N·cells hot scan, and the
+    // centroid inputs are cached/checkpointed plans — so a repeat
+    // invocation is plan-equal and should read the stored assignment,
+    // not re-score the corpus. `site` keys per centroid SOURCE (label
+    // vs k-means): the two produce different plans, and one shared key
+    // would thrash the single-slot cache on surfaces running both.
+    val corpus = OpCache.swap(site,
+      assignCells(base, centroids, 1)
+        .select(col("cell"), col("vec_id"), col("vec"), col("norm")))
     val queries = assignCells(qprep, centroids, nProbes)
       .select(col("cell"), col("vec_id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
 
@@ -576,8 +602,14 @@ object Similarity {
     require(codes <= 256, s"codes $codes exceeds one byte — the PQ memory contract")
     val sub = dim / m
     val base = prepared(embeddings, "sim.prep")
-    val codebooks = memoPqCodebooks(base, m, codes, maxIter, sub)
-    val packed = encodePacked(base, codebooks, m, sub)
+    val c = effectiveCodes(base, codes) // clamp BEFORE training — see effectiveCodes
+    val codebooks = memoPqCodebooks(base, m, c, maxIter, sub)
+    // training is memoized but the N·m·codes encode pass was rebuilt
+    // per invocation — cache it; the key carries every parameter the
+    // plan depends on, so distinct geometries never share (and thus
+    // never thrash) a slot
+    val packed = OpCache.swap(s"sim.pq.packed.$m.$c.$maxIter",
+      encodePacked(base, codebooks, m, sub))
     val qprep = prepared(queries, "sim.prep.q")
     val lut = queryLuts(qprep, codebooks, m, sub)
 
@@ -589,14 +621,14 @@ object Similarity {
     // not assumed: the guard fails loudly on a query set whose lut
     // would blow the driver, instead of OOMing it. Past that scale,
     // prune corpus-side first ([[ivfPqTopK]]) instead of scanning.
-    val lutBytes = qprep.count() * (m.toLong * codes * 8 + 16)
+    val lutBytes = qprep.count() * (m.toLong * c * 8 + 16)
     require(lutBytes < (512L << 20),
       s"PQ query set needs a ~${lutBytes >> 20} MB lookup-table broadcast — " +
         "beyond the ADC scan's contract; prune with IVF cells (ivfPqTopK) instead")
     val approxW = Window.partitionBy("query_id").orderBy(col("approx_cos").desc, col("vec_id").asc)
     val shortlist = packed
       .join(broadcast(lut), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), (adcScore(m, codes) / col("norm")).as("approx_cos"))
+      .select(col("query_id"), col("vec_id"), (adcScore(m, c) / col("norm")).as("approx_cos"))
       .withColumn("arank", row_number().over(approxW))
       .filter(col("arank") <= rerank)
       .select("query_id", "vec_id")
@@ -655,12 +687,19 @@ object Similarity {
     val sub = dim / m
     val base = prepared(embeddings, "sim.prep")
     val centroids = memoizedKmeans(base, cells, maxIter)
-    val codebooks = memoPqCodebooks(base, m, codes, maxIter, sub)
+    val c = effectiveCodes(base, codes) // clamp BEFORE training — see effectiveCodes
+    val codebooks = memoPqCodebooks(base, m, c, maxIter, sub)
 
     // Encoded corpus carries its cell: (cell, vec_id, vcodes, norm).
     // The cell join is id-to-id (both sides N rows, m+1 narrow cols).
-    val packed = encodePacked(base, codebooks, m, sub)
-      .join(assignCells(base, centroids, 1).select(col("vec_id"), col("cell")), Seq("vec_id"))
+    // Both inputs cached: the encode pass shares pqTopK's slot (same
+    // geometry → plan-equal), the cell assignment its own.
+    val packed = OpCache.swap(s"sim.pq.packed.$m.$c.$maxIter",
+      encodePacked(base, codebooks, m, sub))
+      .join(
+        OpCache.swap(s"sim.ivfpq.assigned.$cells.$maxIter",
+          assignCells(base, centroids, 1).select(col("vec_id"), col("cell"))),
+        Seq("vec_id"))
 
     val qprep = prepared(queries, "sim.prep.q")
     // One (query_id, cell, lut) row per probed cell — nProbes rows per
@@ -679,7 +718,7 @@ object Similarity {
     val shortlist = packed
       .join(maybeBroadcast(lutCells), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), (adcScore(m, codes) / col("norm")).as("approx_cos"))
+      .select(col("query_id"), col("vec_id"), (adcScore(m, c) / col("norm")).as("approx_cos"))
       .withColumn("arank", row_number().over(approxW))
       .filter(col("arank") <= rerank)
       .select("query_id", "vec_id")
@@ -700,6 +739,18 @@ object Similarity {
     * the Lloyd loop is eager, an OpCache swap would arrive too late).
     * Shared by [[pqTopK]] and [[ivfPqTopK]] — same base, same books.
     */
+  /** The codebook can only be as dense as the corpus: seeding takes
+    * min(rows, codes) codes per subspace, while the LUT packing and
+    * adcScore's positional indexing stride by the REQUESTED codes — on
+    * a corpus smaller than `codes`, every lookup past subspace 0 then
+    * reads another subspace's block or past the array end (silently
+    * garbage shortlists with ANSI off, INVALID_ARRAY_INDEX under
+    * ANSI). Clamp once per entry point; `base` is OpCache-persisted,
+    * so the count is one cheap job over cached data.
+    */
+  private def effectiveCodes(base: DataFrame, codes: Int): Int =
+    math.min(codes.toLong, math.max(1L, base.count())).toInt
+
   private def memoPqCodebooks(
       base: DataFrame, m: Int, codes: Int, maxIter: Int, sub: Int): DataFrame = {
     val plan = base.queryExecution.analyzed
@@ -870,9 +921,16 @@ object Similarity {
     val sub = dim / m
     val base = prepared(embeddings, "sim.prep")
     val centroids = memoizedKmeans(base, cells, maxIter)
-    val codebooks = memoPqCodebooks(base, m, codes, maxIter, sub)
-    val packed = encodePacked(base, codebooks, m, sub)
-      .join(assignCells(base, centroids, 1).select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val c = effectiveCodes(base, codes) // clamp BEFORE training — see effectiveCodes
+    val codebooks = memoPqCodebooks(base, m, c, maxIter, sub)
+    // same cache keys as the search paths: a build in the same session
+    // as a search (the lifecycle probe's shape) encodes once
+    val packed = OpCache.swap(s"sim.pq.packed.$m.$c.$maxIter",
+      encodePacked(base, codebooks, m, sub))
+      .join(
+        OpCache.swap(s"sim.ivfpq.assigned.$cells.$maxIter",
+          assignCells(base, centroids, 1).select(col("vec_id"), col("cell"))),
+        Seq("vec_id"))
     val spark = embeddings.sparkSession
     // An ephemeral catalog forgets tables while their warehouse dirs
     // survive — reset location + catalog entry so a rebuild in a fresh
@@ -883,8 +941,10 @@ object Similarity {
     graft.sources.Tables.overwriteTable(codebooks, s"${prefix}_books")
     graft.sources.Tables.overwriteTable(packed, s"${prefix}_corpus")
     import spark.implicits._
+    // meta records the EFFECTIVE codes (the trained density), so a
+    // later searchIvfPqIndex strides the stored books consistently
     graft.sources.Tables.overwriteTable(
-      Seq((cells, m, codes, sub, dim)).toDF("cells", "m", "codes", "sub", "dim"),
+      Seq((cells, m, c, sub, dim)).toDF("cells", "m", "codes", "sub", "dim"),
       s"${prefix}_meta")
   }
 

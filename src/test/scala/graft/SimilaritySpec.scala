@@ -280,4 +280,78 @@ class SimilaritySpec extends SparkSpec {
     assert(report.map(_._2).forall(_ == 2L), s"got ${report.toSeq}")
     assert(report.map(_._1).toSet.subsetOf(Set(1L, 2L, 10L, 11L)), s"got ${report.toSeq}")
   }
+
+  test("zero-norm vectors are excluded, never NaN-ranked above true neighbors") {
+    import sqlImplicits._
+    // two real clusters plus an ALL-ZERO vector: its cosine with
+    // anything is 0/0 = NaN, and Spark orders NaN above every double —
+    // unguarded, vec 99 would be the rank-1 "neighbor" of every query
+    // and NaN >= minCosine would report zero-pairs as near-dups
+    val vs = ((0L until 6L).map { i =>
+      (i, Array.fill(8)(if (i % 2 == 0) 1.0f else -1.0f))
+    } :+ ((99L, Array.fill(8)(0.0f))) :+ ((100L, Array.fill(8)(0.0f))))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(vs, vs.filter(org.apache.spark.sql.functions.col("vec_id") < 6), k = 2,
+      site = "sim.prep.zn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(top.nonEmpty)
+    top.foreach { case (q, n, c) =>
+      assert(n != 99L && n != 100L, s"zero vector ranked as neighbor of $q")
+      assert(!c.isNaN)
+    }
+    // two zero vectors share the all-zero LSH signature — without the
+    // guard they pair up and NaN >= 0.95 is TRUE
+    val nd = Similarity.embeddingNearDupPairs(vs, minCosine = 0.95, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!nd.contains((99L, 100L)), s"zero-vector pair reported as near-dup: ${nd.toSeq}")
+  }
+
+  test("sign-LSH banding rejects a bands/nPlanes mismatch instead of one shared bucket") {
+    // bands > nPlanes → bitsPerBand 0, mask 0, every band key 0: the
+    // candidate join silently becomes all-pairs (the Dedup.bandedSigs
+    // class of bug, fixed loudly there and mirrored here)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.annSignLshTopK(real, k = 3, queryMod = 100, nPlanes = 16, bands = 20).collect()
+    }
+    assert(e.getMessage.contains("divide"))
+    intercept[IllegalArgumentException] {
+      Similarity.annSignLshTopK(real, k = 3, queryMod = 100, nPlanes = 16, bands = 5).collect()
+    }
+  }
+
+  test("k-means keeps starved cells: the persisted index always has the requested cell count") {
+    import sqlImplicits._
+    // two distinct duplicated points with cells=4: in round one every
+    // point ties and the smaller cell id wins, so two cells win zero
+    // points — pre-backfill they vanished from the Lloyd recompute and
+    // the index shipped with fewer cells than requested
+    val vs = (0L until 40L).map { i =>
+      (i, Array.fill(64)(if (i % 2 == 0) 1.0f else -0.5f))
+    }.toDF("vec_id", "embedding")
+    val prefix = "simspec_starved_idx"
+    Similarity.buildIvfPqIndex(vs, prefix, cells = 4, maxIter = 3)
+    assert(spark.table(s"${prefix}_cells").count() == 4,
+      "starved cells must keep their previous centroid, not vanish")
+    Seq("cells", "books", "corpus", "meta")
+      .foreach(s => graft.sources.Tables.dropManaged(spark, s"${prefix}_$s"))
+  }
+
+  test("PQ on a corpus smaller than the codebook matches brute force (clamped stride)") {
+    import sqlImplicits._
+    // 10 rows, codes=32: seeding can only produce 10 codes per
+    // subspace — with the requested stride the ADC lookup past
+    // subspace 0 read other subspaces' blocks (garbage shortlists).
+    // The clamp makes the book density and the stride agree, so PQ's
+    // exact re-rank must reproduce brute force here.
+    val vs = (0L until 10L).map { i =>
+      (i, Array.tabulate(64)(d => math.sin(i * 17.0 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qs = vs.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+    val exact = Similarity.cosineTopK(vs, qs, k = 2, site = "sim.prep.small")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sortBy(x => (x._1, x._3))
+    val pq = Similarity.pqTopK(vs, qs, k = 2, m = 8, codes = 32, rerank = 10, maxIter = 2, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sortBy(x => (x._1, x._3))
+    assert(pq.toSeq == exact.toSeq,
+      s"clamped-PQ with full-corpus rerank must equal brute force; pq=${pq.toSeq} exact=${exact.toSeq}")
+  }
 }
