@@ -36,6 +36,13 @@ object Cdc {
       opCol: String,
       ordCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty && ordCols.nonEmpty, "Cdc.applyLog: keys and order required")
+    // the op column is log metadata: were it also a base column, the
+    // upsert branch's drop would remove the LOG's op while base rows
+    // keep theirs — unionByName would then fail far from the misuse,
+    // or worse silently write I/U/D markers into a payload column
+    require(!base.columns.contains(opCol),
+      s"Cdc.applyLog: op column '$opCol' must not exist in the base snapshot — " +
+        "it is log metadata, never payload")
     val w = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(ordCols.map(col(_).desc): _*)
@@ -60,12 +67,25 @@ object Cdc {
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") === 1)
       .drop("__r")
-    val touched = latest.select(keyCols.map(col): _*)
+    // NULL-SAFE key match for the anti join: the latest-wins window
+    // groups NULL keys into one partition (SQL GROUP BY semantics),
+    // but a using-column anti join never matches NULL = NULL — a
+    // tombstone for a NULL key was silently ignored and a NULL-key
+    // upsert silently DUPLICATED the row. Same pathology Scd2
+    // documents with its presence markers; here <=> is enough because
+    // the anti join keeps only base's columns.
+    val touched = latest.select(keyCols.map(c => col(c).as(s"__t_$c")): _*)
+    val antiCond = keyCols.map(k => col(k) <=> col(s"__t_$k")).reduce(_ && _)
+    // Order columns that ALSO live in the base snapshot (updated_at —
+    // the most common CDC version column) are payload: keep them in
+    // the upsert branch so the output schema matches base. Only
+    // log-private metadata is dropped.
+    val dropCols = opCol +: ordCols.filterNot(base.columns.contains)
     base
-      .join(touched, keyCols, "left_anti")
+      .join(touched, antiCond, "left_anti")
       .unionByName(
         latest
           .filter(col(opCol) =!= "D")
-          .drop(opCol +: ordCols: _*))
+          .drop(dropCols: _*))
   }
 }

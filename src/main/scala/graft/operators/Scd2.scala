@@ -48,6 +48,8 @@ object Scd2 {
       keyCols: Seq[String],
       attrCols: Seq[String],
       effective: Column): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty,
+      "Scd2.merge: keys and tracked attributes required")
     val metaCols = Seq("valid_from", "valid_to", "is_current")
     val outCols = (keyCols ++ attrCols ++ metaCols).map(col)
 
@@ -56,8 +58,31 @@ object Scd2 {
     // `<=>` matches it across the join, so both sides' keys are
     // non-detectably "present". A literal marker is NULL exactly when
     // the full-outer join had no row from that side.
-    val open = current.filter(col("is_current")).withColumn("__c", lit(1))
-    val closed = current.filter(!col("is_current"))
+    //
+    // NULL-SAFE is_current split: a NULL flag matched NEITHER
+    // filter(is_current) NOR filter(!is_current) — the row vanished
+    // from the merged output entirely, silent loss compounding every
+    // batch. NULL routes to the closed slice (not current ⇒ history).
+    //
+    // And the one-open-row-per-key invariant is enforced on THIS side
+    // too, mirroring the staged-batch guard below: an already-
+    // corrupted dimension with duplicate open rows would fan out
+    // through the full-outer join and emit one identical new open
+    // version PER duplicate — amplification with no signal, while the
+    // updates side raised loudly. The window pre-shuffles the open
+    // slice on the key the join shuffles on anyway.
+    val openDupW = org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)
+    val open = current.filter(col("is_current") <=> lit(true))
+      .withColumn("__ocnt", count(lit(1)).over(openDupW))
+      .withColumn("__c", when(
+        col("__ocnt") > 1,
+        raise_error(concat(
+          lit("Scd2.merge: duplicate OPEN rows in the dimension for key ("),
+          concat_ws(", ", keyCols.map(k => col(k).cast("string")): _*),
+          lit(") — the dimension is corrupt; repair before merging"))))
+        .otherwise(lit(1)))
+      .drop("__ocnt")
+    val closed = current.filter(!(col("is_current") <=> lit(true)))
     // The one-staged-row-per-key contract is ENFORCED, not assumed: a
     // duplicate key would fan out through the full-outer join and
     // silently open duplicate current versions — dimension corruption
@@ -86,13 +111,27 @@ object Scd2 {
       .filter((matched && !changed) || col("__u").isNull)
       .select((keyCols ++ attrCols).map(c => col(s"cur.$c")) ++ metaCols.map(col): _*)
 
-    // Changed keys: the open row closes at the effective date.
+    // Changed keys: the open row closes at the effective date. An
+    // out-of-order batch (effective BEFORE the open row's valid_from)
+    // would write an inverted interval overlapping already-closed
+    // history — breaking the disjointness invariant pitJoin/asOf rely
+    // on ("at most one version covers any instant") and silently
+    // double-counting facts. Fail loudly instead; late batches must
+    // be merged in order.
     val closedNow = j
       .filter(matched && changed)
       .select(
         (keyCols ++ attrCols).map(c => col(s"cur.$c")) ++ Seq(
           col("valid_from"),
-          effective.as("valid_to"),
+          when(col("valid_from") > effective,
+            raise_error(concat(
+              lit("Scd2.merge: effective date "), effective.cast("string"),
+              lit(" predates the open row's valid_from "),
+              col("valid_from").cast("string"),
+              lit(" for key ("),
+              concat_ws(", ", keyCols.map(k => col(s"cur.$k").cast("string")): _*),
+              lit(") — out-of-order batch would create overlapping validity intervals"))))
+            .otherwise(effective).as("valid_to"),
           lit(false).as("is_current")): _*)
 
     // Changed + brand-new keys: a fresh open version from the staged row.
@@ -133,15 +172,29 @@ object Scd2 {
   def pitJoin(
       facts: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
       tsCol: String, attrCols: Seq[String]): DataFrame = {
+    // Collision guards (the AsOfJoin convention — this sibling had
+    // none): attribute or interval columns already on the fact side
+    // would silently duplicate in the output; the internal key alias
+    // must be free.
+    val colliding = (attrCols ++ Seq("valid_from", "valid_to")).filter(facts.columns.contains)
+    require(colliding.isEmpty,
+      s"pitJoin: fact side already contains column(s) ${colliding.mkString(", ")} — " +
+        "rename them before joining, or they would duplicate in the output")
+    require(!facts.columns.contains("__pit_key") && !dim.columns.contains("__pit_key"),
+      "pitJoin: '__pit_key' is reserved for the internal dimension key alias")
+    // The dim key is aliased internally, so the natural star-schema
+    // call — factKey == dimKey — resolves instead of throwing
+    // AMBIGUOUS_REFERENCE.
     val d = Broadcasting.maybeBroadcast(
-      dim.select((Seq(dimKey) ++ attrCols ++ Seq("valid_from", "valid_to")).map(col): _*))
+      dim.select(col(dimKey).as("__pit_key") +:
+        (attrCols ++ Seq("valid_from", "valid_to")).map(col): _*))
     facts
       .join(
         d,
-        col(factKey) === col(dimKey) &&
+        col(factKey) === col("__pit_key") &&
           col(tsCol) >= col("valid_from").cast("timestamp") &&
           (col("valid_to").isNull || col(tsCol) < col("valid_to").cast("timestamp")),
         "left")
-      .drop(dimKey, "valid_from", "valid_to")
+      .drop("__pit_key", "valid_from", "valid_to")
   }
 }

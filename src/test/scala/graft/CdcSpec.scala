@@ -49,4 +49,40 @@ class CdcSpec extends SparkSpec {
       .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((1L, "a"), (2L, "b2")))
   }
+
+  test("applyLog handles NULL keys: tombstones delete them, upserts replace not duplicate") {
+    import sqlImplicits._
+    // the latest-wins window groups NULL keys (GROUP BY semantics),
+    // but a using-column anti join never matches NULL = NULL: a
+    // NULL-key tombstone was silently ignored and a NULL-key upsert
+    // silently kept BOTH the old and the new row
+    val base = Seq((Some(1L), "a"), (Option.empty[Long], "n")).toDF("k", "v")
+    val upsert = Seq((Option.empty[Long], "n2", "U", 1L)).toDF("k", "v", "op", "ord")
+    val afterU = Cdc.applyLog(base, upsert, Seq("k"), "op", Seq("ord"))
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getString(1)).toSeq
+    assert(afterU.sortBy(_._2) == Seq(Some(1L) -> "a", None -> "n2"),
+      s"NULL-key upsert must REPLACE, got $afterU")
+    val tomb = Seq((Option.empty[Long], "n", "D", 1L)).toDF("k", "v", "op", "ord")
+    val afterD = Cdc.applyLog(base, tomb, Seq("k"), "op", Seq("ord"))
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getString(1)).toSeq
+    assert(afterD == Seq(Some(1L) -> "a"), s"NULL-key tombstone must delete, got $afterD")
+  }
+
+  test("applyLog: a version column shared with the base snapshot is payload and survives") {
+    import sqlImplicits._
+    // ordering by a column that IS part of the snapshot (updated_at —
+    // the most common CDC shape) previously crashed deep inside
+    // unionByName after the upsert branch dropped it
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "updated_at")
+    val log = Seq((1L, "a2", 11L, "U")).toDF("k", "v", "updated_at", "op")
+    val out = Cdc.applyLog(base, log, Seq("k"), "op", Seq("updated_at"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "a2", 11L), (2L, "b", 20L)))
+    // the op column can never be base payload — log metadata only
+    val opInBase = Seq((1L, "a", "I")).toDF("k", "v", "op")
+    val e = intercept[IllegalArgumentException] {
+      Cdc.applyLog(opInBase, log.withColumnRenamed("updated_at", "ts"), Seq("k"), "op", Seq("ts"))
+    }
+    assert(e.getMessage.contains("op column"))
+  }
 }

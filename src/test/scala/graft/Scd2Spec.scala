@@ -125,4 +125,75 @@ class Scd2Spec extends SparkSpec {
     assert(got.map(r => Option(r.getAs[String]("attr")).orNull).toSeq ==
       Seq("old", "new", "new", null, null))
   }
+
+  test("a NULL is_current row routes to history instead of vanishing") {
+    import sqlImplicits._
+    // NULL matched neither filter(is_current) nor filter(!is_current):
+    // the row disappeared from the merged dimension entirely, silent
+    // loss compounding every batch
+    val cur = Seq(
+      (1L, "A", Some(d0), None, Some(true)),
+      (7L, "GHOST", Some(d0), Some(d1), Option.empty[Boolean]))
+      .toDF("k", "seg", "valid_from", "valid_to", "is_current")
+    val out = Scd2.merge(cur, Seq((1L, "A")).toDF("k", "seg"), Seq("k"), Seq("seg"), lit(d2))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq.sortBy(_._1).contains((7L, "GHOST")),
+      s"NULL-is_current rows must survive the merge as history, got ${out.toSeq}")
+  }
+
+  test("an out-of-order effective date raises instead of writing overlapping intervals") {
+    import sqlImplicits._
+    val cur = Seq((1L, "MID", Some(d1), Option.empty[Date], Some(true)))
+      .toDF("k", "seg", "valid_from", "valid_to", "is_current")
+    // effective BEFORE the open row's valid_from would close it as an
+    // inverted interval overlapping closed history — pitJoin/asOf
+    // would then match two versions and double-count facts
+    val e = intercept[Exception] {
+      Scd2.merge(cur, Seq((1L, "LATE")).toDF("k", "seg"),
+        Seq("k"), Seq("seg"), lit(d0)).collect()
+    }
+    assert(e.getMessage.contains("out-of-order") || e.getMessage.contains("predates"),
+      s"got: ${e.getMessage}")
+    // same-date re-close (effective == valid_from) still allowed
+    val sameDay = Scd2.merge(cur, Seq((1L, "SAME")).toDF("k", "seg"),
+      Seq("k"), Seq("seg"), lit(d1)).collect()
+    assert(sameDay.length == 2)
+  }
+
+  test("duplicate OPEN rows in the dimension raise instead of amplifying corruption") {
+    import sqlImplicits._
+    // the staged side already raised on duplicates; a corrupted
+    // dimension with two open rows for one key fanned out through the
+    // full-outer join and opened one identical new version PER
+    // duplicate — silently
+    val cur = Seq(
+      (1L, "X", Some(d0), Option.empty[Date], Some(true)),
+      (1L, "Y", Some(d1), Option.empty[Date], Some(true)))
+      .toDF("k", "seg", "valid_from", "valid_to", "is_current")
+    val e = intercept[Exception] {
+      Scd2.merge(cur, Seq((1L, "Z")).toDF("k", "seg"),
+        Seq("k"), Seq("seg"), lit(d2)).collect()
+    }
+    assert(e.getMessage.contains("duplicate OPEN"), s"got: ${e.getMessage}")
+  }
+
+  test("pitJoin supports the natural same-name key and guards fact-side collisions") {
+    import sqlImplicits._
+    val dim = Seq((1L, "v1", java.sql.Date.valueOf("2020-01-01"),
+      null.asInstanceOf[java.sql.Date], true))
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    // factKey == dimKey — the common star-schema shape — previously
+    // threw AMBIGUOUS_REFERENCE from col("k") === col("k")
+    val facts = Seq((10L, 1L, java.sql.Timestamp.valueOf("2021-01-01 00:00:00")))
+      .toDF("fid", "k", "ts")
+    val got = Scd2.pitJoin(facts, dim, "k", "k", "ts", Seq("attr")).collect()
+    assert(got.length == 1 && got.head.getAs[String]("attr") == "v1")
+    // a fact column colliding with a dim attribute would silently
+    // duplicate in the output — guarded loudly now
+    val collide = facts.withColumn("attr", lit("mine"))
+    val e = intercept[IllegalArgumentException] {
+      Scd2.pitJoin(collide, dim, "k", "k", "ts", Seq("attr"))
+    }
+    assert(e.getMessage.contains("rename them"))
+  }
 }
