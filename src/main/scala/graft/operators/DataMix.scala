@@ -165,6 +165,16 @@ object DataMix {
       .withColumn("__wu", wu)
     val tot = rows.agg(sum(col("__wu")).as("__tw"))
     val based = rows.crossJoin(broadcast(tot))
+      // all weights below the 1e-4 quantum pass the raw > 0 filter but
+      // quantize to 0 — __tw = 0, the div/pmod go null, and the budget
+      // silently stayed unallocated (alloc null on every row). Loud:
+      // the check evaluates only when rows exist.
+      .withColumn("__twchk",
+        assert_true(col("__tw") > 0,
+          lit("allocateLargestRemainder: total quantized weight is 0 — every weight " +
+            "is below the 1e-4 quantum; rescale the weight column")))
+      .filter(col("__twchk").isNull)
+      .drop("__twchk")
       .withColumn("__num", lit(budget) * col("__wu"))
       .withColumn("__base", expr("(__num - pmod(__num, __tw)) div __tw"))
       .withColumn("__rem", pmod(col("__num"), col("__tw")))
@@ -284,11 +294,20 @@ object DataMix {
       keyCols: Seq[Column]): DataFrame = {
     require(valFrac >= 0 && valFrac <= 1, s"quotaSplit: frac $valFrac out of range")
     // quota = floor(frac·n): floor (not round) — half-up vs half-even
-    // rounding differs across engines at exact .5 products
+    // rounding differs across engines at exact .5 products. The
+    // product is DECIMAL-exact: the double nearest 0.29 times 100 is
+    // 28.999999999999996, whose floor under-fills the documented
+    // ⌊0.29·100⌋ = 29 quota — and SQL engines parse the 0.29 literal
+    // as a decimal, so the double product also silently diverged from
+    // the oracle's arithmetic at exactly those fractions.
+    // BigDecimal.valueOf uses the shortest decimal representation
+    // (0.29, not the raw binary expansion).
     bandedMd5Prefix(df, strataCols, keyCols, Nil, Some("__srank"), Some("__sn"))
       .withColumn(
         "split",
-        when(col("__srank") <= floor(lit(valFrac) * col("__sn")), "val")
+        when(
+          col("__srank") <= floor(lit(java.math.BigDecimal.valueOf(valFrac)) * col("__sn")),
+          "val")
           .otherwise("train"))
       .drop("__srank", "__sn")
   }
@@ -324,7 +343,12 @@ object DataMix {
     */
   def splitLeakage(df: DataFrame, splitCol: Column, groupCol: Column): DataFrame =
     df.groupBy(groupCol.as("group_key"))
-      .agg(countDistinct(splitCol).as("n_sides"))
+      // countDistinct ignores NULLs, but an UNLABELED row is a side of
+      // its own (a null label usually defaults to one side downstream)
+      // — a group straddling "train" and null read as n_sides = 1 and
+      // the audit certified a leaking split as group-safe
+      .agg((countDistinct(splitCol) +
+        max(when(splitCol.isNull, 1L).otherwise(0L))).as("n_sides"))
       .agg(
         count(lit(1)).as("n_groups"),
         sum(when(col("n_sides") > 1, 1L).otherwise(0L)).as("n_straddling"))
@@ -346,7 +370,7 @@ object DataMix {
       stratumCol: Column,
       keyCols: Seq[Column]): DataFrame = {
     require(budget > 0, s"budget $budget must be positive")
-    bandedMd5Prefix(df, Seq(stratumCol), keyCols,
+    bandedMd5Prefix(tokenGuard(df, nTokens, "packSequences"), Seq(stratumCol), keyCols,
         Seq(nTokens -> "__cum"), None, None)
       .withColumn("bin_id",
         floor((col("__cum") - nTokens).cast("double") / budget).cast("long"))
@@ -370,11 +394,29 @@ object DataMix {
       budget: Long,
       keyCols: Seq[Column]): DataFrame = {
     require(budget > 0, s"budget $budget must be positive")
-    bandedMd5Prefix(df, Seq(groupCol), keyCols,
+    bandedMd5Prefix(tokenGuard(df, tokenCol, "md5TokenQuota"), Seq(groupCol), keyCols,
         Seq(tokenCol -> "__cumtok"), None, None)
       .filter(col("__cumtok") <= budget)
       .drop("__cumtok")
   }
+
+  /** Fused validation for token-count columns feeding prefix sums: a
+    * NULL count is skipped by the window sum, so the row passes the
+    * budget check while contributing unknown token mass (the budget
+    * silently overruns, or the row lands in a NULL bin); a NEGATIVE
+    * count makes the cumulative non-monotonic, so kept rows are no
+    * longer a prefix of the md5 order — both break the operators'
+    * stated contracts, so both fail loudly (the Cdc op-check pattern:
+    * assert_true is null on every valid row, keeping the check
+    * unprunable and free in the pre-shuffle projection).
+    */
+  private def tokenGuard(df: DataFrame, tokenCol: Column, op: String): DataFrame =
+    df.withColumn("__tokchk",
+        assert_true(tokenCol.isNotNull && tokenCol >= 0,
+          concat(lit(s"$op: token count must be a non-negative number, got "),
+            coalesce(tokenCol.cast("string"), lit("null")))))
+      .filter(col("__tokchk").isNull)
+      .drop("__tokchk")
 
   /** The md5-shuffle ordering key [[packSequences]]/[[md5TokenQuota]]
     * sort by, exposed so consumers (bin materialization, manifests)
@@ -487,8 +529,24 @@ object DataMix {
       idCol: String,
       keyCols: Seq[Column]): DataFrame = {
     require(k > 0, s"md5WeightedSample: k must be positive, got $k")
+    // the winner semi-join matches on idCol cast to long: a string id
+    // would cast to null (winners never match — short samples) and a
+    // fractional id would truncate (one winner matches several rows —
+    // oversized samples). Integral ids only, loudly.
+    require(
+      {
+        import org.apache.spark.sql.types._
+        Set[DataType](ByteType, ShortType, IntegerType, LongType)
+          .contains(df.schema(idCol).dataType)
+      },
+      s"md5WeightedSample: id column '$idCol' must be integral " +
+        s"(got ${df.schema(idCol).dataType.simpleString}) — the winner join keys on it as long")
     val w = col(weightCol).cast("double")
-    val eligible = df.filter(w > 0 && col(idCol).isNotNull)
+    // NaN > 0 is TRUE under Spark's NaN-is-largest ordering and a NaN
+    // score sorts first in the top-k — up to k NaN-weight rows would
+    // displace every legitimate winner; exclude them with the
+    // non-positives
+    val eligible = df.filter(w > 0 && !isnan(w) && col(idCol).isNotNull)
     // smallest rank first ⟺ largest −rank: reuse the bounded top-k
     val score = -(-log(md5Uniform52(keyCols)) / w)
     val winners = eligible

@@ -37,7 +37,11 @@ object MlPrep {
       col("__edges"), lit(0),
       (acc, e) => acc + when(v >= e, 1).otherwise(0))
     df
-      .filter(v.isNotNull)
+      // NaN passes isNotNull and NaN >= edge is TRUE for every edge
+      // (Spark orders NaN above all doubles): NaN rows would inflate
+      // the top bin and poison its reported hi with NaN — exclude
+      // them like nulls (no bin describes a NaN)
+      .filter(v.isNotNull && !isnan(v))
       .join(Broadcasting.maybeBroadcast(edges), groupCols)
       .select(groupCols.map(col) ++ Seq(bin.as("bin"), v.as("__v")): _*)
       .groupBy(groupCols.map(col) :+ col("bin"): _*)
@@ -80,6 +84,14 @@ object MlPrep {
     * micro-nats before the (exact, order-free) sum — the ln-ulp
     * insurance of the x99 convention. Output: (groupCols*, n_ref,
     * n_cur, psi).
+    *
+    * CONTRACT: a group with NO reference-slice rows has no decile
+    * edges, so it is ABSENT from the report (the edge join is inner —
+    * the same shape the SQL formulation replays). PSI cannot quantify
+    * drift against an empty reference; detecting a brand-new
+    * population is a membership question — run a group-membership
+    * diff (anti-join of current groups vs reference groups) alongside
+    * when that distinction matters for monitoring.
     */
   def psi(
       df: DataFrame, groupCols: Seq[String], valueCol: String, refCond: Column,
@@ -87,14 +99,16 @@ object MlPrep {
     require(nBins >= 2 && nBins <= 100, s"psi: nBins=$nBins out of [2, 100]")
     val v = col(valueCol).cast("double")
     val ps = array((1 until nBins).map(i => lit(i.toDouble / nBins)): _*)
-    val edges = df.filter(refCond && v.isNotNull)
+    val edges = df.filter(refCond && v.isNotNull && !isnan(v))
       .groupBy(groupCols.map(col): _*)
       .agg(percentile(v, ps).as("__edges"))
     val bin = aggregate(
       col("__edges"), lit(0),
       (acc, e) => acc + when(v >= e, 1).otherwise(0))
     val binned = df
-      .filter(v.isNotNull)
+      // same NaN exclusion as quantileBinReport: NaN >= every edge
+      // would silently pile NaNs into the top bin on both sides
+      .filter(v.isNotNull && !isnan(v))
       .join(Broadcasting.maybeBroadcast(edges), groupCols)
       .select(
         groupCols.map(col) ++ Seq(

@@ -2948,8 +2948,11 @@ object ExtQueries {
         |              THEN 'test' ELSE 'train' END AS split_src
         |  FROM documents),
         |g AS (
-        |  SELECT source, COUNT(DISTINCT split_doc) AS n1,
-        |         COUNT(DISTINCT split_src) AS n2
+        |  SELECT source,
+        |         COUNT(DISTINCT split_doc)
+        |           + MAX(CASE WHEN split_doc IS NULL THEN 1 ELSE 0 END) AS n1,
+        |         COUNT(DISTINCT split_src)
+        |           + MAX(CASE WHEN split_src IS NULL THEN 1 ELSE 0 END) AS n2
         |  FROM lab GROUP BY source)
         |SELECT 'doc_id' AS keyed_by, COUNT(*) AS n_groups,
         |       CAST(SUM(CASE WHEN n1 > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
@@ -3378,7 +3381,8 @@ object ExtQueries {
             t(s, d, "events"), Seq("event_type"), "value", nBins = 10)
           .orderBy("event_type", "bin"),
       Some(s"""WITH e AS (
-        |  SELECT event_type, CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+        |  SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
         |ed AS (
         |  SELECT event_type, quantile_cont(v, ${(1 until 10).map(i => (i.toDouble / 10).toString).mkString("[", ",", "]")}) AS edges
         |  FROM e GROUP BY 1),
@@ -3479,7 +3483,8 @@ object ExtQueries {
       Some(s"""WITH e AS (
         |  SELECT event_type, CAST(value AS DOUBLE) AS v,
         |         CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS is_ref
-        |  FROM events WHERE value IS NOT NULL),
+        |  FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))),
         |ed AS (
         |  SELECT event_type, quantile_cont(v, ${(1 until 10).map(i => (i.toDouble / 10).toString).mkString("[", ",", "]")}) AS edges
         |  FROM e WHERE is_ref = 1 GROUP BY 1),

@@ -369,4 +369,79 @@ class DataMixSpec extends SparkSpec {
       .orderBy("id").collect().map(_.toSeq).toSeq
     assert(got == want)
   }
+
+  test("quotaSplit fills the exact decimal quota at fractions where the double product under-floors") {
+    import sqlImplicits._
+    // 0.29 × 100 in doubles is 28.999999999999996 — floor 28, one
+    // short of the documented ⌊0.29·100⌋ = 29 (and of the decimal
+    // arithmetic every SQL oracle uses for a 0.29 literal)
+    val df = (1L to 100L).map(i => (i, "g")).toDF("id", "g")
+    val nVal = DataMix.quotaSplit(df, Seq(col("g")), 0.29, Seq(col("id")))
+      .filter(col("split") === "val").count()
+    assert(nVal == 29L, s"expected the exact 29-row quota, got $nVal")
+  }
+
+  test("weighted sample: NaN weights cannot steal slots; non-integral ids are rejected") {
+    import sqlImplicits._
+    // NaN > 0 is TRUE under Spark's NaN-is-largest ordering and a NaN
+    // score sorts first — NaN-weight rows would displace every
+    // legitimate winner
+    val df = ((1L to 20L).map(i => (i, 1.0)) ++ Seq((100L, Double.NaN), (101L, Double.NaN)))
+      .toDF("id", "w")
+    val got = DataMix.md5WeightedSample(df, 5, "w", "id", Seq(col("id")))
+      .collect().map(_.getLong(0)).toSet
+    assert(got.size == 5 && !got.contains(100L) && !got.contains(101L),
+      s"NaN-weight rows must not sample, got $got")
+    val strIds = Seq(("doc-1", 1.0)).toDF("id", "w")
+    val e = intercept[IllegalArgumentException] {
+      DataMix.md5WeightedSample(strIds, 1, "w", "id", Seq(col("id")))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("splitLeakage counts an unlabeled (null) side — a train/null straddle is a leak") {
+    import sqlImplicits._
+    val df = Seq(
+      ("g1", Some("train")), ("g1", Option.empty[String]), // straddles train/null
+      ("g2", Some("train")), ("g2", Some("train")),
+      ("g3", Option.empty[String])) // null-only: one side, safe
+      .toDF("grp", "split")
+    val r = DataMix.splitLeakage(df, col("split"), col("grp")).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L,
+      s"only g1 straddles (train + unlabeled), got (${r.getLong(0)}, ${r.getLong(1)})")
+  }
+
+  test("token-budget operators fail loudly on null or negative token counts") {
+    import sqlImplicits._
+    // a NULL count is skipped by the prefix sum (free budget-cheating
+    // rows / a NULL bin); a negative count breaks prefix membership —
+    // both violate the stated contracts
+    val bad = Seq((1L, "s", Some(25000L)), (2L, "s", Option.empty[Long])).toDF("id", "src", "toks")
+    intercept[Exception] {
+      DataMix.md5TokenQuota(bad, col("src"), col("toks"), 20000L, Seq(col("id"))).collect()
+    }
+    val neg = Seq((1L, "s", 25000L), (2L, "s", -10000L)).toDF("id", "src", "toks")
+    intercept[Exception] {
+      DataMix.packSequences(neg, col("toks"), 2048, col("src"), Seq(col("id"))).collect()
+    }
+    // clean inputs still flow
+    val ok = Seq((1L, "s", 100L), (2L, "s", 200L)).toDF("id", "src", "toks")
+    assert(DataMix.md5TokenQuota(ok, col("src"), col("toks"), 1000L, Seq(col("id"))).count() == 2)
+  }
+
+  test("largest-remainder allocation raises when every weight quantizes to zero") {
+    import sqlImplicits._
+    // all weights under the 1e-4 quantum pass the raw > 0 filter but
+    // sum to __tw = 0 — the budget silently stayed unallocated (alloc
+    // null everywhere)
+    val tiny = Seq(("a", 0.00003), ("b", 0.00002)).toDF("src", "w")
+    intercept[Exception] {
+      DataMix.allocateLargestRemainder(tiny, 1000L, "w", "src").collect()
+    }
+    // normal weights still allocate exactly
+    val okRows = DataMix.allocateLargestRemainder(
+      Seq(("a", 0.3), ("b", 0.7)).toDF("src", "w"), 1000L, "w", "src")
+      .collect().map(r => r.getAs[String]("src") -> r.getAs[Long]("alloc")).toMap
+    assert(okRows.values.sum == 1000L && okRows("b") == 700L)
+  }
 }

@@ -130,4 +130,21 @@ class MlPrepSpec extends SparkSpec {
       ("g", 30L, 1L, 8L, 1.0),
       ("s", 5L, 1L, 2L, 0.5))) // one-value group: midpoint
   }
+
+  test("quantile bins and PSI exclude NaN values instead of poisoning the top bin") {
+    import sqlImplicits._
+    // NaN passes isNotNull and NaN >= edge is TRUE for every edge —
+    // NaN rows inflated the top bin and its reported hi became NaN
+    val df = ((1 to 40).map(i => ("g", i.toDouble)) ++
+      Seq(("g", Double.NaN), ("g", Double.NaN))).toDF("grp", "v")
+    val bins = MlPrep.quantileBinReport(df, Seq("grp"), "v", nBins = 4)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(4)))
+    assert(bins.map(_._2).sum == 40L, "NaN rows must not be binned")
+    assert(bins.forall(b => !b._3.isNaN), s"no bin hi may be NaN, got ${bins.toSeq}")
+    val psi = MlPrep.psi(
+      df.withColumn("u", monotonically_increasing_id()),
+      Seq("grp"), "v", col("u") % 2 === 0, nBins = 4)
+      .head()
+    assert(!psi.getAs[Double]("psi").isNaN)
+  }
 }
