@@ -17,6 +17,25 @@ import org.apache.spark.sql.functions._
   */
 object RobustStats {
 
+  /** Null-safe group join-back shared by every two-pass operator
+    * here: `df` joined to its group-cardinality aggregate on the
+    * group keys with `<=>` (the bandedCum convention), so a NULL
+    * group behaves exactly like a window PARTITION BY would. The
+    * plain usingColumns equality these operators used silently
+    * DROPPED every null-group row — from operators documented as
+    * row-preserving (imputeMedian, winsorize, iqrOutliers). The
+    * aggregate side is broadcast while it fits, and its key copies
+    * are dropped after the join.
+    */
+  private def joinBack(df: DataFrame, agg: DataFrame, groupCols: Seq[String]): DataFrame =
+    if (groupCols.isEmpty) df.crossJoin(broadcast(agg))
+    else {
+      val renamed = groupCols.foldLeft(agg)((a, c) => a.withColumnRenamed(c, s"__jb_$c"))
+      val cond = groupCols.map(c => col(c) <=> col(s"__jb_$c")).reduce(_ && _)
+      df.join(Broadcasting.maybeBroadcast(renamed), cond)
+        .drop(groupCols.map(c => s"__jb_$c"): _*)
+    }
+
   /** Per-group Tukey fences: `(groupCols*, q1, q3, iqr, lo_fence,
     * hi_fence)` with fences at q1/q3 ∓ `k`·IQR. Null values are
     * ignored (percentile semantics).
@@ -49,7 +68,7 @@ object RobustStats {
       k: Double = 1.5): DataFrame = {
     val fences = iqrFences(df, groupCols, valueCol, k)
       .select((groupCols.map(col) :+ col("lo_fence") :+ col("hi_fence")): _*)
-    df.join(Broadcasting.maybeBroadcast(fences), groupCols)
+    joinBack(df, fences, groupCols)
       .withColumn(
         "is_outlier",
         col(valueCol).isNotNull &&
@@ -65,7 +84,7 @@ object RobustStats {
       valueCol: String,
       k: Double = 1.5): DataFrame = {
     val fences = iqrFences(df, groupCols, valueCol, k)
-    df.join(Broadcasting.maybeBroadcast(fences), groupCols)
+    joinBack(df, fences, groupCols)
       .groupBy(groupCols.map(col): _*)
       .agg(
         count(col(valueCol)).as("n"),
@@ -88,7 +107,7 @@ object RobustStats {
     val v = col(valueCol).cast("double")
     val med = df.groupBy(groupCols.map(col): _*)
       .agg(percentile(v, lit(0.5)).as("med"))
-    df.join(Broadcasting.maybeBroadcast(med), groupCols)
+    joinBack(df, med, groupCols)
       .groupBy(groupCols.map(col): _*)
       .agg(
         first(col("med")).as("med"),
@@ -109,7 +128,7 @@ object RobustStats {
       .agg(percentile(v, lit(pLo)).as("w_lo"), percentile(v, lit(pHi)).as("w_hi"))
     // least/greatest SKIP nulls in both Spark and DuckDB — without the
     // explicit null guard a null value would "clip" to the lo fence.
-    df.join(Broadcasting.maybeBroadcast(bounds), groupCols)
+    joinBack(df, bounds, groupCols)
       .withColumn(
         "v_wins",
         when(v.isNull, null).otherwise(least(greatest(v, col("w_lo")), col("w_hi"))))
@@ -151,7 +170,7 @@ object RobustStats {
   def imputeMedian(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
     val med = df.groupBy(groupCols.map(col): _*)
       .agg(percentile(col(valueCol).cast("double"), lit(0.5)).as("__med"))
-    df.join(Broadcasting.maybeBroadcast(med), groupCols)
+    joinBack(df, med, groupCols)
       .withColumn(
         s"${valueCol}_filled",
         coalesce(col(valueCol).cast("double"), col("__med")))

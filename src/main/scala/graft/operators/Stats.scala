@@ -175,10 +175,29 @@ object Stats {
     * them to global cumulative counts — no global sort task ever
     * sees the full value domain.
     */
+  /** Shared micro-quantization domain guard for the statistical
+    * reductions: NaN carries no order or mean information and is
+    * excluded like null, while a FINITE value outside the
+    * DECIMAL(18,4) quantization domain (±Inf included) RAISES — the
+    * IncrementalAgg convention. Such rows previously quantized to
+    * null SILENTLY: they stayed in the row counts while vanishing
+    * from the sums (biased means and variances) and survived as a
+    * phantom null micro-value in the rank tests' banded curves.
+    */
+  private def quantizable(df: DataFrame, valueCol: String, op: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    df.filter(v.isNotNull && !isnan(v))
+      .withColumn("__qchk", assert_true(
+        v.cast(org.apache.spark.sql.types.DecimalType(18, 4)).isNotNull,
+        concat(lit(s"$op: value outside the DECIMAL(18,4) quantization domain: "),
+          v.cast("string"))))
+      .filter(col("__qchk").isNull)
+      .drop("__qchk")
+  }
+
   def ksTest(a: DataFrame, b: DataFrame, valueCol: String, bands: Int = 64): DataFrame = {
     require(bands > 0, s"ksTest: bands must be positive, got $bands")
-    def q(df: DataFrame, tag: String) = df
-      .filter(col(valueCol).isNotNull)
+    def q(df: DataFrame, tag: String) = quantizable(df, valueCol, "ksTest")
       .select(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 4))
         .multiply(lit(10000)).cast("long").as("__v"))
       .groupBy("__v").agg(count(lit(1)).as(s"__c$tag"))
@@ -187,12 +206,13 @@ object Stats {
         col("__v"),
         coalesce(col("__ca"), lit(0L)).as("__ca"),
         coalesce(col("__cb"), lit(0L)).as("__cb"))
-    val tot = merged.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
     val na = col("__na").cast("double")
     val nb = col("__nb").cast("double")
     val dnum = col("__dnum").cast("double")
-    bandedCum(merged, Seq("__ca" -> "__cuma", "__cb" -> "__cumb"), bands)
-      .crossJoin(broadcast(tot))
+    // totals ride the banded pass's own bounds aggregate
+    // (carryTotals) — a separate tot lineage re-scanned merged
+    bandedCum(merged, Seq("__ca" -> "__cuma", "__cb" -> "__cumb"), bands,
+        carryTotals = Seq("__ca" -> "__na", "__cb" -> "__nb"))
       .agg(
         first(col("__na")).as("__na"),
         first(col("__nb")).as("__nb"),
@@ -223,8 +243,7 @@ object Stats {
     */
   def mannWhitneyU(a: DataFrame, b: DataFrame, valueCol: String, bands: Int = 64): DataFrame = {
     require(bands > 0, s"mannWhitneyU: bands must be positive, got $bands")
-    def q(df: DataFrame, tag: String) = df
-      .filter(col(valueCol).isNotNull)
+    def q(df: DataFrame, tag: String) = quantizable(df, valueCol, "mannWhitneyU")
       .select(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 4))
         .multiply(lit(10000)).cast("long").as("__v"))
       .groupBy("__v").agg(count(lit(1)).as(s"__c$tag"))
@@ -240,8 +259,14 @@ object Stats {
       sum(col("__ca")).as("__na"),
       sum(col("__cb")).as("__nb"),
       sum(col("__ca") * (lit(2L) * col("__before") + col("__cnt") + lit(1L))).as("__r2a"),
-      // tie term Σ(t³−t) for the variance correction
-      sum(col("__cnt") * col("__cnt") * col("__cnt") - col("__cnt")).as("__ties"))
+      // tie term Σ(t³−t) for the variance correction — cubed in
+      // DECIMAL: the long cube silently wrapped once any single tied
+      // micro-value held more than ~2.09M observations (cnt³ >
+      // Long.MaxValue), corrupting σ² and the verdict with no error
+      sum {
+        val cntD = col("__cnt").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        cntD * cntD * cntD - cntD
+      }.as("__ties"))
     val na = col("__na").cast("double")
     val nb = col("__nb").cast("double")
     val nn = na + nb
@@ -275,7 +300,10 @@ object Stats {
     import org.apache.spark.sql.types.DecimalType
     def m(df: DataFrame, tag: String) = {
       val u = Regression.toUnits(col(valueCol))
-      df.filter(col(valueCol).isNotNull)
+      // quantizable, not a bare isNotNull: a NaN/overflowing value
+      // quantized to a null __u — counted in n but skipped by Σu/Σu²,
+      // silently biasing mean, variance and the verdict
+      quantizable(df, valueCol, "welchTTest")
         .select(u.as("__u"))
         .agg(
           count(lit(1)).as(s"__n$tag"),
@@ -320,22 +348,27 @@ object Stats {
     * table first; both cumulative passes (at-risk countdown, ln-term
     * prefix) run as BANDED two-phase prefix sums — no global sort
     * task ever sees the full duration domain.
-    * Output: (t, n_risk, d, c, ln_surv_micro) ascending in t.
+    * Output: (t, n_risk, d, c, ln_surv_micro) — the CURVE is ordered
+    * by t semantically, but rows arrive in band-partition order like
+    * any unsorted DataFrame; order by t downstream when presenting
+    * (a final global sort here would tax every consumer that only
+    * aggregates).
     */
   def kaplanMeier(
       df: DataFrame, durationCol: String, eventCol: String, bands: Int = 64): DataFrame = {
     require(bands > 0, s"kaplanMeier: bands must be positive, got $bands")
-    val collapsed = df
-      .filter(col(durationCol).isNotNull && col(eventCol).isNotNull)
+    val collapsed = quantizable(df, durationCol, "kaplanMeier")
+      .filter(col(eventCol).isNotNull)
       .select(
         Regression.toUnits(col(durationCol)).cast("long").as("__v"),
         when(col(eventCol).cast("boolean"), 1L).otherwise(0L).as("__e"))
       .groupBy("__v")
       .agg(sum(col("__e")).as("__d"), sum(lit(1L) - col("__e")).as("__c"))
       .withColumn("__dc", col("__d") + col("__c"))
-    val tot = collapsed.agg(sum(col("__dc")).as("__tot"))
-    val atRisk = bandedCum(collapsed, Seq("__dc" -> "__cumdc"), bands)
-      .crossJoin(broadcast(tot))
+    // the observation total rides the banded pass's bounds aggregate
+    // (carryTotals) — a separate tot lineage re-scanned collapsed
+    val atRisk = bandedCum(collapsed, Seq("__dc" -> "__cumdc"), bands,
+        carryTotals = Seq("__dc" -> "__tot"))
       .withColumn("__n", col("__tot") - (col("__cumdc") - col("__dc")))
     // ln((n−d)/n) in micro-nats; d = 0 ⇒ ln 1 = 0 exactly, so every
     // row carries a term and ONE prefix sum covers the whole domain.
@@ -373,19 +406,22 @@ object Stats {
     require(bands > 0, s"gini: bands must be positive, got $bands")
     import org.apache.spark.sql.types.DecimalType
     val u = Regression.toUnits(col(valueCol)).cast("long")
-    val collapsed = df
-      .filter(col(valueCol).isNotNull)
+    val collapsed = quantizable(df, valueCol, "gini")
       .select(u.as("__v"))
       .groupBy("__v").agg(count(lit(1)).as("__c"))
     val cum = bandedCum(collapsed, Seq("__c" -> "__cumc"), bands)
       .withColumn("__b", col("__cumc") - col("__c"))
+    // v·c multiplied in DECIMAL from the first factor: the long
+    // product wrapped BEFORE the old cast could protect it (a 1e13
+    // micro-value tied across ~1e6 keys overflows Long), silently
+    // corrupting mean and gini
+    val vc = col("__v").cast(DecimalType(38, 0)) * col("__c")
     cum
       .agg(
         sum(col("__c")).as("__n"),
         sum(when(col("__v") < 0, col("__c")).otherwise(0L)).as("n_negative"),
-        sum((col("__v") * col("__c")).cast(DecimalType(38, 0))).as("__s"),
-        sum((col("__v") * col("__c")).cast(DecimalType(38, 0)) *
-          (lit(2L) * col("__b") + col("__c")).cast(DecimalType(38, 0)))
+        sum(vc).as("__s"),
+        sum(vc * (lit(2L) * col("__b") + col("__c")).cast(DecimalType(38, 0)))
           .as("__num_part"))
       .select(
         col("__n").as("n"), col("n_negative"),
@@ -453,6 +489,12 @@ object Stats {
         sum(col("__w")).as("__wn"),
         sum((col("__w") * col("__u")).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
           .cast("double").as("__ws"))
+      // a replica whose every draw is weight 0 (possible only for
+      // tiny n: P ≈ 0.368^n per replica) has no mean — its null
+      // 0/0 previously sorted FIRST under row_number and shifted (or
+      // nulled) the order-statistic CI; excluded, with the order
+      // statistic over the surviving replicas
+      .filter(col("__wn") > 0)
       .select((col("__ws") / col("__wn").cast("double")).as("__m"))
     val ranked = reps.withColumn(
       "__rk", row_number().over(Window.orderBy(col("__m"))))

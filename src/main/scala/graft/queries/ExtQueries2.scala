@@ -257,7 +257,7 @@ object ExtQueries2 {
         |rm AS (
         |  SELECT rep, CAST(SUM(w) AS BIGINT) AS wn, CAST(SUM(w * uv) AS BIGINT) AS ws
         |  FROM w GROUP BY 1),
-        |mm AS (SELECT CAST(ws AS DOUBLE) / CAST(wn AS DOUBLE) AS m FROM rm),
+        |mm AS (SELECT CAST(ws AS DOUBLE) / CAST(wn AS DOUBLE) AS m FROM rm WHERE wn > 0),
         |rk AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rk FROM mm),
         |ci AS (SELECT MAX(CASE WHEN rk = 2 THEN m END) AS lo,
         |              MAX(CASE WHEN rk = 31 THEN m END) AS hi FROM rk)

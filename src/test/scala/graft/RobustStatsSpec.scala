@@ -217,4 +217,25 @@ class RobustStatsSpec extends SparkSpec {
     assert((global.getDouble(0), global.getDouble(1)) == gRef,
       "global (ungrouped) reach path diverged from the reference")
   }
+
+  test("null-group rows survive the two-pass join-backs (row-preserving operators preserve rows)") {
+    import sqlImplicits._
+    // the plain usingColumns join-back never matched NULL = NULL, so
+    // every null-group row silently vanished from operators documented
+    // as row-preserving — while the aggregate side even carried a
+    // null-group fence/median row for them
+    val df = Seq(
+      (Some("a"), Some(1.0)), (Some("a"), Some(2.0)), (Some("a"), Some(100.0)),
+      (Option.empty[String], Some(10.0)), (Option.empty[String], Option.empty[Double]))
+      .toDF("g", "v")
+    val imputed = graft.operators.RobustStats.imputeMedian(df, Seq("g"), "v")
+    assert(imputed.count() == 5L, "imputeMedian must preserve every row, null group included")
+    val nullFilled = imputed.filter(col("g").isNull && col("v").isNull).head()
+    assert(nullFilled.getAs[Double]("v_filled") == 10.0 && nullFilled.getAs[Boolean]("was_imputed"),
+      "the null group's null value must fill with the NULL GROUP's median")
+    val outliers = graft.operators.RobustStats.iqrOutliers(df, Seq("g"), "v")
+    assert(outliers.count() == 5L, "iqrOutliers must classify null-group rows, not drop them")
+    val wins = graft.operators.RobustStats.winsorize(df, Seq("g"), "v")
+    assert(wins.count() == 5L)
+  }
 }

@@ -218,4 +218,59 @@ class StatsSpec extends SparkSpec {
     assert(gGot == gGot.sorted && gGot.last == rows.map(_._3).sum,
       "global banded prefix must be monotone and end at the grand total")
   }
+
+  test("mannWhitneyU: a multi-million-row tie group does not wrap the variance term") {
+    import sqlImplicits._
+    // Σ(t³−t) cubed in LONGS wraps once one tied micro-value exceeds
+    // ~2.09M observations; with identical single-valued sides the
+    // exact variance is 0 and reject must be FALSE — the wrapped term
+    // made σ² garbage and flipped the verdict
+    val a = spark.range(2600000).select(lit(5.0).as("v"))
+    val b = spark.range(2600000).select(lit(5.0).as("v"))
+    val r = Stats.mannWhitneyU(a, b, "v").head()
+    assert(r.getAs[Long]("n_a") == 2600000L)
+    assert(!r.getAs[Boolean]("reject_05"),
+      "identical distributions must never reject — the tie term wrapped")
+  }
+
+  test("gini: a large value times a large tie count does not wrap") {
+    import sqlImplicits._
+    // 1e9 value = 1e13 micro-units; tied across 1e6 rows the long
+    // product v·c = 1e19 wrapped negative before the old cast could
+    // protect it. A constant column is perfect equality: gini 0.
+    val df = spark.range(1000000).select(lit(1.0e9).as("v"))
+    val r = Stats.gini(df, "v").head()
+    assert(math.abs(r.getAs[Double]("mean") - 1.0e9) < 1e-3, s"mean ${r.getAs[Double]("mean")}")
+    assert(math.abs(r.getAs[Double]("gini")) < 1e-12, s"gini ${r.getAs[Double]("gini")}")
+  }
+
+  test("welch/ks exclude NaN values and raise on out-of-domain magnitudes") {
+    import sqlImplicits._
+    val a = (Seq(1.0, 2.0, 3.0, 4.0) ++ Seq(Double.NaN)).toDF("v")
+    val b = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    // NaN previously counted in n while vanishing from the sums —
+    // biased mean; now excluded like null
+    val w = Stats.welchTTest(a, b, "v").head()
+    assert(w.getAs[Long]("n_a") == 4L, s"NaN must not count, n_a=${w.getAs[Long]("n_a")}")
+    assert(math.abs(w.getAs[Double]("mean_a") - 2.5) < 1e-9)
+    val ks = Stats.ksTest(a, b, "v").head()
+    assert(ks.getAs[Long]("n_a") == 4L && !ks.getAs[Boolean]("reject_05"))
+    // a finite value outside the DECIMAL(18,4) domain raises instead
+    // of silently quantizing to a phantom null micro-value
+    val big = Seq(1.0, 1e15).toDF("v")
+    intercept[Exception] { Stats.ksTest(big, b, "v").collect() }
+  }
+
+  test("bootstrapMeanCI: empty replicas cannot null-poison the order statistic") {
+    import sqlImplicits._
+    // a single-row frame: ~37% of the 32 deterministic replicas draw
+    // weight 0 and have no mean. Their null 0/0 previously sorted
+    // FIRST, so rank 2 (ci_lo) landed on a null even though plenty of
+    // real replica means existed — now the order statistic runs over
+    // the surviving replicas, all of which equal the single value.
+    val df = Seq((1L, 42.0)).toDF("id", "v")
+    val r = Stats.bootstrapMeanCI(df, "id", "v").head()
+    assert(!r.isNullAt(r.fieldIndex("ci_lo")), "ci_lo must come from a surviving replica")
+    assert(math.abs(r.getAs[Double]("ci_lo") - 42.0) < 1e-9)
+  }
 }
