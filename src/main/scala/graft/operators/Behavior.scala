@@ -16,12 +16,6 @@ import org.apache.spark.sql.functions._
   */
 object Behavior {
 
-  /** ORDERED funnel: stage i counts a user only if stage i's event
-    * occurs STRICTLY AFTER that user's earliest qualifying stage-i−1
-    * event (the earliest-completion semantics). One aggregation pass
-    * per stage (stages are few; each pass is a user-keyed shuffle).
-    * Output: (stage, event_type, n_users), stage 1-based.
-    */
   /** Per-user earliest-completion times for an ordered stage list:
     * `(userCol, t1 … tn)` with `tᵢ` the user's first stage-i event
     * STRICTLY AFTER their tᵢ₋₁ (NULL once a stage is missed) — the
@@ -45,20 +39,39 @@ object Behavior {
       // previous stage's completion
       val inWindow = withinSeconds.fold(lit(true))(w =>
         unix_micros(col(tsCol)) - unix_micros(col(s"t${i - 1}")) <= w * 1000000L)
+      // only stage-i events can contribute to this pass's min —
+      // filtering BEFORE the user join shrinks each iteration's
+      // shuffle from the full event stream to one stage's slice
+      // (stage types are typically a few percent of events); the
+      // RIGHT join keeps every cur user, so a user with no stage-i
+      // event still aggregates to a NULL tᵢ exactly as before
       cur = events
-        .join(cur, Seq(userCol))
+        .filter(col(typeCol) === stages(i - 1))
+        .join(cur, Seq(userCol), "right")
         .groupBy((userCol +: prevCols).map(col): _*)
         .agg(min(when(
-          col(typeCol) === stages(i - 1) && col(tsCol) > col(s"t${i - 1}") && inWindow,
+          col(tsCol) > col(s"t${i - 1}") && inWindow,
           col(tsCol))).as(s"t$i"))
     }
     // user-cardinality-sized and shared by funnel/conversionLags on
-    // plan-equal inputs — cache one per (stages, window) shape
+    // plan-equal inputs — cache one per full parameter shape (the
+    // unit separator keeps distinct stage lists from colliding, and
+    // the column names are part of the key: a caller alternating
+    // tsCol would otherwise thrash the single slot while looking
+    // cached)
     OpCache.swap(
-      s"behavior.completion.${stages.mkString(",")}.${withinSeconds.getOrElse(0L)}",
+      s"behavior.completion.${stages.mkString("")}." +
+        s"$userCol.$typeCol.$tsCol.${withinSeconds.getOrElse(0L)}",
       cur)
   }
 
+  /** ORDERED funnel: stage i counts a user only if stage i's event
+    * occurs STRICTLY AFTER that user's earliest qualifying stage-i−1
+    * event (the earliest-completion semantics). One aggregation pass
+    * per stage (stages are few; each pass shuffles only that stage's
+    * event slice on the user key).
+    * Output: (stage, event_type, n_users), stage 1-based.
+    */
   def funnel(
       events: DataFrame,
       stages: Seq[String],
@@ -195,8 +208,9 @@ object Behavior {
     * FIRST event; each (cohort_week, week_offset) cell counts the
     * distinct users of that cohort active in that week. Weeks are
     * `date_trunc('week', …)` (Monday-start in Spark and DuckDB
-    * alike); the offset is an exact integer division of the
-    * microsecond gap. Output: (cohort_week, week_offset, n_users).
+    * alike); the offset is the calendar-day difference of the two
+    * Mondays divided by 7 — exact in every timezone, DST included.
+    * Output: (cohort_week, week_offset, n_users).
     */
   def cohortRetention(
       events: DataFrame,
@@ -208,8 +222,13 @@ object Behavior {
       .join(firstTs, Seq(userCol))
       .select(
         col(userCol), col("cohort_week"),
-        ((unix_micros(date_trunc("week", col(tsCol))) - unix_micros(col("cohort_week")))
-          / lit(604800000000L)).cast("int").as("week_offset"))
+        // CALENDAR weeks, not 604800-second spans: both endpoints are
+        // week-truncated Mondays, so their day difference is an exact
+        // multiple of 7 in every timezone — the fixed-seconds division
+        // under-counted by one across a DST spring-forward (a 604800−
+        // 3600 s "week") in any non-UTC session timezone
+        (datediff(date_trunc("week", col(tsCol)), col("cohort_week")) / lit(7))
+          .cast("int").as("week_offset"))
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(count_distinct(col(userCol)).as("n_users"))
   }

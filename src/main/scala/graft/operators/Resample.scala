@@ -46,9 +46,12 @@ object Resample {
     val stepUs = stepSeconds * 1000000L
     // FLOOR division, not `div` (which truncates toward zero): a
     // pre-1970 timestamp has negative epoch micros and must land in
-    // the bucket below, matching the oracle's `//`. Subtracting the
-    // (always non-negative) pmod makes the numerator an exact multiple,
-    // so the trailing `div` is exact for either sign.
+    // the bucket below — time bucketing floors. NOTE: DuckDB's
+    // integer `//` TRUNCATES toward zero, so the oracle SQL spells
+    // the same pmod-subtraction floor explicitly rather than using a
+    // bare `//`. Subtracting the (always non-negative) pmod makes the
+    // numerator an exact multiple, so the trailing `div` is exact for
+    // either sign.
     val bucketExpr = expr(
       s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), ${stepUs}L)) div ${stepUs}L")
     val buckets = df
@@ -135,17 +138,30 @@ object Resample {
     val wPrev = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("bucket").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the NEXT observation via last-over-DESCENDING-order, not
+    // first-over-(currentRow → unboundedFollowing): Spark evaluates a
+    // growing-from-current frame by RESCANNING the remaining rows for
+    // every row — O(grid²) per key, a multi-minute stall at a
+    // 10⁶-bucket grid (inside maxGridPerKey) — while the running
+    // unboundedPreceding frame is O(grid). Same rows in the frame
+    // (buckets ≥ current), same nearest-above observation.
     val wNext = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("bucket").asc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = grid
       .join(buckets, keyCols :+ "bucket", "left")
       .withColumn("__obs", when(col("vu").isNotNull, struct(col("bucket").as("b"), col("vu"))))
       .withColumn("__p", last(col("__obs"), ignoreNulls = true).over(wPrev))
-      .withColumn("__q", first(col("__obs"), ignoreNulls = true).over(wNext))
+      .withColumn("__q", last(col("__obs"), ignoreNulls = true).over(wNext))
     // exact toward-zero integer interpolation (den > 0 always: next
-    // observation is strictly after previous when the bucket is a gap)
-    val num = (col("__q.vu") - col("__p.vu")) * (col("bucket") - col("__p.b"))
+    // observation is strictly after previous when the bucket is a
+    // gap). The numerator multiplies in DECIMAL: a ~1e13 micro-unit
+    // value delta across a ~1e6-bucket gap (well under maxGridPerKey)
+    // overflows the long multiply and wrapped silently with ANSI off —
+    // the oracle casts to HUGEINT for the same reason.
+    val num = (col("__q.vu") - col("__p.vu"))
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+      (col("bucket") - col("__p.b"))
     val den = col("__q.b") - col("__p.b")
     val interpU = when(col("vu").isNotNull, col("vu"))
       .when(
@@ -188,7 +204,14 @@ object Resample {
     val terms = (0 until k).map { j =>
       val weight = 1L << (k - 1 - j)
       val lagv = if (j == 0) col("__yu") else lag(col("__yu"), j).over(w)
-      (when(lagv.isNotNull, lagv * lit(weight)).otherwise(lit(0L)),
+      // the weighted numerator accumulates in DECIMAL: the require
+      // admits k up to 62, where Σ vu·2^(k-1-j) exceeds Long for
+      // ordinary magnitudes (total weight ~4.6e18 at k=62) and the
+      // long sum wrapped silently with ANSI off; decimal holds
+      // |vu| ≤ 1e18 times 2⁶² comfortably inside 38 digits
+      (when(lagv.isNotNull,
+        lagv.cast(org.apache.spark.sql.types.DecimalType(38, 0)) * lit(weight))
+        .otherwise(lit(0L).cast(org.apache.spark.sql.types.DecimalType(38, 0))),
         when(lagv.isNotNull, lit(weight)).otherwise(lit(0L)))
     }
     val num = terms.map(_._1).reduce(_ + _)

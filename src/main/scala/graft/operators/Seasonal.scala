@@ -36,7 +36,11 @@ object Seasonal {
       valueCol: String = "value"): DataFrame = {
     require(k > 0, s"hourOfWeekAnomalies: k must be positive, got $k")
     val slotted = events
-      .filter(col(valueCol).isNotNull)
+      // null ts would form a (type, NULL, NULL) slot whose median is
+      // computed and then discarded by the equi-joins — exclude it
+      // explicitly (the Resample convention) instead of paying a dead
+      // percentile aggregation
+      .filter(col(valueCol).isNotNull && col(tsCol).isNotNull)
       .select(
         col(typeCol).as("event_type"),
         (weekday(col(tsCol)) + lit(1)).cast("int").as("isodow"),

@@ -2706,8 +2706,8 @@ object ExtQueries {
         |  FROM events GROUP BY user_id),
         |c AS (
         |  SELECT e.user_id, f.cohort_week,
-        |         CAST((epoch_us(date_trunc('week', e.ts)) - epoch_us(f.cohort_week))
-        |              // 604800000000 AS INT) AS week_offset
+        |         CAST(date_diff('day', f.cohort_week, date_trunc('week', e.ts))
+        |              // 7 AS INT) AS week_offset
         |  FROM events e JOIN f USING (user_id))
         |SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS n_users
         |FROM c GROUP BY cohort_week, week_offset
@@ -2727,7 +2727,8 @@ object ExtQueries {
             round(col("v_ffill"), 4).as("v_ffill"))
           .orderBy("user_id", "bucket"),
       Some("""WITH b AS (
-        |  SELECT user_id, epoch_us(ts) // 21600000000 AS bucket,
+        |  SELECT user_id, (epoch_us(ts) - ((epoch_us(ts) % 21600000000 + 21600000000)
+        |                                  % 21600000000)) // 21600000000 AS bucket,
         |         MAX(value) AS v, COUNT(value) AS n
         |  FROM events WHERE ts IS NOT NULL GROUP BY user_id, bucket),
         |r AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM b GROUP BY user_id),
@@ -5044,7 +5045,8 @@ object ExtQueries {
             round(col("v_interp"), 4).as("v_interp"))
           .orderBy("user_id", "bucket"),
       Some("""WITH b AS (
-        |  SELECT user_id, epoch_us(ts) // 21600000000 AS bucket,
+        |  SELECT user_id, (epoch_us(ts) - ((epoch_us(ts) % 21600000000 + 21600000000)
+        |                                  % 21600000000)) // 21600000000 AS bucket,
         |         MAX(CAST(CAST(value AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT)) AS vu,
         |         COUNT(*) AS n
         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
@@ -5065,7 +5067,7 @@ object ExtQueries {
         |       round(CAST(CASE
         |         WHEN vu IS NOT NULL THEN vu
         |         WHEN p IS NOT NULL AND q IS NOT NULL
-        |           THEN p.vu + ((q.vu - p.vu) * (bucket - p.b)) // (q.b - p.b)
+        |           THEN p.vu + (CAST(q.vu - p.vu AS HUGEINT) * (bucket - p.b)) // (q.b - p.b)
         |       END AS DOUBLE) / 1e4, 4) AS v_interp
         |FROM j ORDER BY user_id, bucket""".stripMargin)
     ),

@@ -131,4 +131,21 @@ class BehaviorSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(fa == fb)
   }
+
+  test("cohort week offsets are calendar weeks, exact across a DST spring-forward") {
+    // a fixed-604800-second division read the 603600-second DST week
+    // as offset 0, merging week-1 retention into week 0 for any
+    // non-UTC session timezone
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+    import s2.implicits._
+    val ev = Seq(
+      (1L, new java.sql.Timestamp(1709528400000L)), // Mon 2024-03-04 00:00 EST (cohort week)
+      (1L, new java.sql.Timestamp(1710259200000L))) // Tue 2024-03-12 12:00 EDT (next week, across DST)
+      .toDF("user_id", "ts")
+    val offs = graft.operators.Behavior.cohortRetention(ev)
+      .collect().map(_.getAs[Int]("week_offset")).sorted
+    assert(offs.toSeq == Seq(0, 1),
+      s"the post-DST week must be offset 1, got ${offs.toSeq}")
+  }
 }

@@ -142,4 +142,35 @@ class ResampleSpec extends SparkSpec {
       .orderBy("bucket").collect().map(_.getAs[Double]("v_interp"))
     assert(got.toSeq == Seq(10.0, 10.0, 10.0, 9.9999))
   }
+
+  test("ewma at a deep lookback does not wrap the weighted numerator") {
+    import sqlImplicits._
+    // at k=50 the total weight is ~1.1e15; a value of 1e6 (1e10
+    // micro-units) makes the long numerator ~1.1e25 — wrapped
+    // silently with ANSI off. A constant series must give exactly
+    // its own value at ANY k.
+    val rows = (1 to 60).map(i =>
+      ("k", new java.sql.Timestamp(i * 1000L), i.toLong, 1.0e6))
+    val out = graft.operators.Resample.ewma(
+        rows.toDF("g", "ts", "id", "v"), Seq("g"), "ts", "id", "v", k = 50)
+      .collect().map(_.getAs[Double]("ewma"))
+    assert(out.forall(v => math.abs(v - 1.0e6) < 1e-6),
+      s"constant series must EWMA to itself, got ${out.take(5).toSeq}")
+  }
+
+  test("interpolation across a huge gap with large values does not wrap") {
+    import sqlImplicits._
+    // vu delta 1e13 times a ~1e6-bucket gap overflows the long
+    // multiply (1e19 > Long.MaxValue) — the midpoint previously came
+    // out wrapped-garbage with no error
+    val step = 1L
+    val gap = 1000000L
+    val rows = Seq(
+      ("k", new java.sql.Timestamp(0L), 0.0),
+      ("k", new java.sql.Timestamp(gap * step * 1000L), 1.0e9))
+    val mid = graft.operators.Resample.interpolateGrid(
+        rows.toDF("g", "ts", "v"), Seq("g"), "ts", "v", step)
+      .filter(col("bucket") === gap / 2).head().getAs[Double]("v_interp")
+    assert(math.abs(mid - 5.0e8) < 1.0, s"midpoint should be ~5e8, got $mid")
+  }
 }
