@@ -71,7 +71,15 @@ object CountMin {
       probes: DataFrame,
       keyCol: String,
       d: Int = 4,
-      w: Int = 512): DataFrame =
+      w: Int = 512): DataFrame = {
+    // CONTRACT: (d, w) are part of the sketch's identity and are NOT
+    // recorded in the (j, idx, cnt) state rows — probing with a
+    // different w indexes cells the sketch never wrote, so every join
+    // misses and est coalesces to 0 for genuinely frequent keys.
+    // Persist (d, w) alongside any stored sketch and pass them back
+    // verbatim (the fold queries do exactly this).
+    require(d >= 1 && d <= 16, s"CountMin.estimate: d must be in [1,16], got $d")
+    require(w >= 16, s"CountMin.estimate: w must be >= 16, got $w")
     probes
       .select(col(keyCol)).filter(col(keyCol).isNotNull).distinct()
       .select(
@@ -81,4 +89,5 @@ object CountMin {
       .join(Broadcasting.maybeBroadcast(sk), Seq("j", "idx"), "left")
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

@@ -95,8 +95,14 @@ object HeavyHitters {
     * Output: (<keyCol>, cnt), ordered cnt DESC then key.
     */
   def frequentKeys(keys: DataFrame, keyCol: String, k: Int): DataFrame = {
-    // Both passes read the key stream — materialize it once.
-    val ks = OpCache.swap("hh.keys", keys.select(col(keyCol).as("__hh_key")))
+    // Both passes read the key stream — materialize it once. NULL
+    // keys are excluded like every sibling sketch: a null entering
+    // the Misra-Gries Map buffer kills the job at buffer
+    // serialization ("Cannot use null as map key"), and even short of
+    // that it would inflate N (the threshold denominator) with rows
+    // that can never be a reportable key.
+    val ks = OpCache.swap("hh.keys",
+      keys.filter(col(keyCol).isNotNull).select(col(keyCol).as("__hh_key")))
     // Pass 1: candidates + N in ONE 1-row aggregation. The summary
     // feeds two subtrees (candidate list, total) — cache the 1-row
     // result so the sketch pass runs once, not once per subtree.
@@ -142,7 +148,10 @@ object HeavyHitters {
     * so a key above threshold can never leave the state.
     */
   def sketchState(keys: DataFrame, keyCol: String, k: Int): DataFrame =
-    keys.agg(
+    // null keys excluded — see frequentKeys (a null in the Map buffer
+    // kills the job at serialization; this is the streaming fold's
+    // entry, so the crash would take the query down)
+    keys.filter(col(keyCol).isNotNull).agg(
       misraGries(col(keyCol), k).as("cand"),
       count(lit(1)).as("total"))
 

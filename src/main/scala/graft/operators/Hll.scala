@@ -69,28 +69,39 @@ object Hll {
     * estimate with the standard small-range linear-counting
     * correction; pure column arithmetic.
     */
-  def estimate(registers: Column, p: Int = 12): Column = {
-    val m = (1 << p).toDouble
+  def estimate(registers: Column): Column = {
+    // m comes from the SKETCH ITSELF (the register count), never from
+    // a caller parameter: a p mismatched with a persisted sketch
+    // previously inflated the harmonic estimate ~(m'/m)² silently.
+    // Same IEEE expression shapes as before (multiplies in the same
+    // order), so estimates are bit-identical for consistent callers.
+    val m = size(registers).cast("double")
     // Flajolet et al. §4 prescribe fixed bias constants for small m;
     // the asymptotic 0.7213/(1+1.079/m) only holds for m >= 128.
-    val alpha = p match {
-      case 4 => 0.673
-      case 5 => 0.697
-      case 6 => 0.709
-      case _ => 0.7213 / (1.0 + 1.079 / m)
-    }
+    val alpha = when(size(registers) === 16, lit(0.673))
+      .when(size(registers) === 32, lit(0.697))
+      .when(size(registers) === 64, lit(0.709))
+      .otherwise(lit(0.7213) / (lit(1.0) + lit(1.079) / m))
     val z = size(filter(registers, r => r === 0)).cast("double")
     val s = aggregate(
       registers, lit(0.0), (acc, r) => acc + pow(lit(2.0), -r.cast("double")))
-    val raw = lit(alpha * m * m) / s
-    when(raw <= lit(2.5 * m) && z > 0, lit(m) * log(lit(m) / z))
+    val raw = alpha * m * m / s
+    when(raw <= lit(2.5) * m && z > 0, m * log(m / z))
       .otherwise(raw)
       .cast("long")
   }
 
-  /** Element-wise register merge of two sketch columns. */
+  /** Element-wise register merge of two sketch columns. Arrays of
+    * different length (sketches built with different p) RAISE —
+    * zip_with would otherwise null-pad and silently corrupt the
+    * merged registers.
+    */
   def mergeRegisters(a: Column, b: Column): Column =
-    zip_with(a, b, (x, y) => greatest(x, y))
+    when(size(a) =!= size(b),
+      raise_error(concat(
+        lit("Hll.mergeRegisters: register arrays of different p ("),
+        size(a).cast("string"), lit(" vs "), size(b).cast("string"), lit(")"))))
+      .otherwise(zip_with(a, b, (x, y) => greatest(x, y)))
 
   /** Per-group distinct estimates: (groupCols*, registers, est). */
   def distinctByGroup(
@@ -101,7 +112,7 @@ object Hll {
     df.filter(col(keyCol).isNotNull)
       .groupBy(groupCols.map(col): _*)
       .agg(sketchAgg(col(keyCol), p).as("registers"))
-      .withColumn("est", estimate(col("registers"), p))
+      .withColumn("est", estimate(col("registers")))
 
   /** Trailing-window distinct counts via register merge: per day, the
     * estimated distinct `keyCol`s over the last `windowDays` days —
@@ -121,7 +132,9 @@ object Hll {
       p: Int = 12): DataFrame = {
     require(windowDays > 0, s"slidingDistinct: windowDays must be positive, got $windowDays")
     val daily = df
-      .filter(col(keyCol).isNotNull)
+      // null/unparseable timestamps would form a day=NULL sketch row
+      // that no real window includes — drop them like null keys
+      .filter(col(keyCol).isNotNull && to_date(col(tsCol)).isNotNull)
       .groupBy(to_date(col(tsCol)).as("day"))
       .agg(sketchAgg(col(keyCol), p).as("registers"))
       .withColumn("__d", datediff(col("day"), lit("1970-01-01")))
@@ -135,7 +148,7 @@ object Hll {
           collect_list(col("registers")).over(w),
           array_repeat(lit(0), 1 << p),
           (acc, r) => zip_with(acc, r, (x, y) => greatest(x, y))))
-      .select(col("day"), estimate(col("__merged"), p).as("est"))
+      .select(col("day"), estimate(col("__merged")).as("est"))
   }
 
   /** Merge per-group sketch STATES (the streaming-fold / cross-table

@@ -64,7 +64,12 @@ object Kmv {
       .withColumn(
         "est_distinct",
         when(col("n_kept") < k, col("n_kept")).otherwise(
-          ((lit(km1TimesSpace) - pmod(lit(km1TimesSpace), col("kth_hash"))) /
-            col("kth_hash")).cast("long")))
+          // `div`, NOT `/`: Divide on longs executes in DOUBLE, and
+          // the dividend (k−1)·2^48 exceeds 2^53 for k ≥ ~180 — the
+          // rounded quotient could land one off the exact integer
+          // division the DuckDB oracle's `//` computes (the pmod
+          // subtraction already makes the numerator an exact
+          // multiple, so IntegralDivide is exact by construction)
+          expr(s"(${km1TimesSpace}L - pmod(${km1TimesSpace}L, kth_hash)) div kth_hash")))
   }
 }

@@ -116,10 +116,17 @@ object QuantileSketch {
           col("bucket"))).as(s"__b${i + 1}")
       }: _*)
     val width = (hi - lo) / nb
-    qs.zipWithIndex.map { case (q, i) =>
-      agged.select(
-        keyCols :+ lit(q).as("q") :+
-          (lit(lo) + col(s"__b$i").cast("double") * lit(width)).as("est"): _*)
-    }.reduce(_ unionByName _)
+    // one explode over a (q, est) struct array, not |qs| unioned
+    // re-selects of the agged subtree: the union planned (and absent
+    // exchange reuse, re-executed) the window+aggregate lineage once
+    // per quantile for what is a constant-size unpivot of a
+    // |keys|-row frame
+    agged
+      .select(keyCols :+ explode(array(qs.zipWithIndex.map { case (q, i) =>
+        struct(
+          lit(q).as("q"),
+          (lit(lo) + col(s"__b$i").cast("double") * lit(width)).as("est"))
+      }: _*)).as("__qe"): _*)
+      .select(keyCols :+ col("__qe.q").as("q") :+ col("__qe.est").as("est"): _*)
   }
 }

@@ -89,10 +89,29 @@ object TopK {
       scoreCol: String,
       idCol: String,
       k: Int): DataFrame = {
+    // the aggregator keys ids as longs: a string id casts to null and
+    // crashes the typed encoder; a fractional id silently truncates,
+    // collapsing distinct ids and emitting ids that don't exist —
+    // integral only, loudly (the md5WeightedSample guard, moved into
+    // the shared operator)
+    require(
+      {
+        import org.apache.spark.sql.types._
+        Set[DataType](ByteType, ShortType, IntegerType, LongType)
+          .contains(df.schema(idCol).dataType)
+      },
+      s"topKPerGroup: id column '$idCol' must be integral " +
+        s"(got ${df.schema(idCol).dataType.simpleString})")
+    val score = col(scoreCol).cast("double")
     val picked = df
-      .filter(col(scoreCol).isNotNull && col(idCol).isNotNull)
+      // NaN excluded: the aggregator's total order ranks NaN above
+      // every real score, so k NaN rows would displace all legitimate
+      // winners. `+ 0.0` collapses −0.0 to 0.0, matching the SQL/
+      // window-formulation ordering (where −0.0 = 0.0 ties break by
+      // id) instead of the Scala total order that ranks 0.0 > −0.0.
+      .filter(score.isNotNull && !isnan(score) && col(idCol).isNotNull)
       .groupBy(groupCols.map(col): _*)
-      .agg(topK(col(scoreCol).cast("double"), col(idCol).cast("long"), k).as("__top"))
+      .agg(topK(score + lit(0.0), col(idCol).cast("long"), k).as("__top"))
     picked
       .select(groupCols.map(col) :+ posexplode(col("__top")): _*)
       .select(

@@ -403,7 +403,7 @@ object EventStreams {
     * element-wise-max merge is idempotent on top of the watermark, so
     * the maintained registers EQUAL the from-scratch sketch of
     * everything folded in. Estimate any time with
-    * `Hll.estimate(spark.table(state).col("registers"), p)`.
+    * `Hll.estimate(spark.table(state).col("registers"))`.
     */
   def maintainDistinct(
       stream: DataFrame,

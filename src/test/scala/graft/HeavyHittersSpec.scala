@@ -102,4 +102,16 @@ class HeavyHittersSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(r == Seq(("hot", 90L)))
   }
+
+  test("null keys are excluded, not a serialization crash or a threshold skew") {
+    import sqlImplicits._
+    // a null entering the Misra-Gries Map buffer killed the job at
+    // buffer serialization; and counting null rows into N would raise
+    // the frequency threshold against every real key
+    val keys = ((1 to 90).map(_ => Some("hot")) ++ (1 to 20).map(_ => Option.empty[String]))
+      .toDF("tok")
+    val r = HeavyHitters.frequentKeys(keys, "tok", 3)
+      .as[(String, Long)].collect().toSeq
+    assert(r == Seq(("hot", 90L)), s"got $r")
+  }
 }

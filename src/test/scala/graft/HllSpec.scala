@@ -11,7 +11,7 @@ class HllSpec extends SparkSpec {
     for (n <- Seq(100, 1000, 20000)) {
       val df = (1 to n).map(i => s"key-$i").toDF("k")
       val est = df.agg(Hll.sketchAgg(col("k"), 12).as("r"))
-        .select(Hll.estimate(col("r"), 12)).head().getLong(0)
+        .select(Hll.estimate(col("r"))).head().getLong(0)
       val rsd = 1.04 / math.sqrt(1 << 12)
       assert(
         math.abs(est - n).toDouble / n <= 3 * rsd,
@@ -77,5 +77,22 @@ class HllSpec extends SparkSpec {
       assert(math.abs(est(day) - exact).toDouble / exact <= 3 * rsd,
         s"day $d: exact=$exact est=${est(day)}")
     }
+  }
+
+  test("merging registers of different p raises instead of null-padding") {
+    import sqlImplicits._
+    import org.apache.spark.sql.functions._
+    // zip_with silently null-pads mismatched arrays — a merged sketch
+    // of two different-p states would estimate garbage with no signal
+    val df = Seq((Seq.fill(16)(1), Seq.fill(32)(1))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(Hll.mergeRegisters(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("different p"), e.getMessage.take(200))
+    // same p still merges element-wise
+    val ok = Seq((Seq(1, 5), Seq(3, 2))).toDF("a", "b")
+      .select(Hll.mergeRegisters(col("a"), col("b")).as("m"))
+      .head().getSeq[Int](0)
+    assert(ok == Seq(3, 5))
   }
 }

@@ -492,7 +492,7 @@ class StreamingSpec extends SparkSpec {
 
     // The estimate stays inside the p=10 error band (~3.3% at 1.04/√m).
     val est = spark.table("stream_hll_state")
-      .withColumn("est", Hll.estimate(col("registers"), 10))
+      .withColumn("est", Hll.estimate(col("registers")))
       .select("g", "est").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
     exact.foreach { case (g, n) =>

@@ -62,4 +62,22 @@ class TopKSpec extends SparkSpec {
     // before the exchange: the shuffle carries ≤k rows per partition.
     assert(plan.contains("ObjectHashAggregate"), s"expected object hash aggregate:\n$plan")
   }
+
+  test("NaN scores cannot displace winners; non-integral ids are rejected loudly") {
+    import sqlImplicits._
+    // the aggregator's total order ranks NaN above every real score —
+    // k NaN rows previously returned as the entire top-k
+    val df = (Seq((1L, 5.0), (2L, 3.0), (3L, 1.0)) ++
+      Seq((100L, Double.NaN), (101L, Double.NaN))).toDF("id", "s")
+      .withColumn("g", org.apache.spark.sql.functions.lit("g"))
+    val top = graft.operators.TopK.topKPerGroup(df, Seq("g"), "s", "id", 2)
+      .collect().map(r => r.getAs[Long]("id")).toSeq
+    assert(top == Seq(1L, 2L), s"NaN rows must not rank, got $top")
+    val strIds = Seq(("a", 1.0)).toDF("id", "s")
+      .withColumn("g", org.apache.spark.sql.functions.lit("g"))
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.TopK.topKPerGroup(strIds, Seq("g"), "s", "id", 1)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }
