@@ -126,7 +126,13 @@ object TextFunctions {
       struct(score.as("score"), lit(lang).as("lang"))
     }: _*)
     val best = array_max(scored)
-    when(best.getField("score") === 0, lit("und")).otherwise(best.getField("lang"))
+    // <= 0 OR NULL, not === 0: NULL text makes every score
+    // size(NULL) = −1 (ANSI off) or NULL — either way there is no
+    // evidence, and the old equality guard passed −1 through to emit
+    // a confident 'zh' (the lexicographically largest code) for a
+    // document with no text at all
+    when(best.getField("score").isNull || best.getField("score") <= 0, lit("und"))
+      .otherwise(best.getField("lang"))
   }
 
   /** PII patterns as (kind, regex, replacement). The regexes use only
@@ -142,11 +148,18 @@ object TextFunctions {
     ("ipv4", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"),
     ("phone", "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}", "<PHONE>"))
 
-  /** Rolling FNV-style fingerprint over the token sequence (order
-    * sensitive, wraps on Long overflow — deterministic on the JVM).
+  /** Rolling fingerprint over the token sequence — order sensitive
+    * and deterministic. The fold chains xxhash64(acc, token) (which
+    * wraps internally) instead of the previous FNV multiply-add: that
+    * multiply's Long overflow was a deliberate wrap with ANSI off but
+    * a runtime ARITHMETIC_OVERFLOW under ANSI on any document with
+    * ≥ 2 tokens — and this operator sits outside the declared query
+    * surface, so the ANSI sweep could never catch it. (Values change
+    * vs the FNV form; the contract — order sensitivity, determinism —
+    * is spec-pinned, not golden-pinned.)
     */
   def fingerprint64(toks: Column): Column =
-    aggregate(toks, lit(0L), (acc, t) => acc * lit(1099511628211L) + xxhash64(t))
+    aggregate(toks, lit(0L), (acc, t) => xxhash64(acc, t))
 
   /** Count of punctuation characters. */
   def punctCount(text: Column): Column =

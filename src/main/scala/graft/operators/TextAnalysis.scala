@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -28,21 +28,35 @@ object TextAnalysis {
     * Output: (doc_id, n_words, n_sentences, n_syllables, flesch).
     */
   def readability(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val words = size(toks).cast("long")
-    val sentences = greatest(lit(1L), regexp_count(col("text"), lit("[.!?]+")).cast("long"))
-    val syllables = aggregate(
-      toks, lit(0L),
-      (acc, t) => acc + greatest(lit(1L), regexp_count(t, lit("[aeiouyAEIOUY]+")).cast("long")))
-    docs.select(
+    // materialize the token array and the regex-heavy syllable fold
+    // ONCE per row (the qualityMetrics/wordShingles lesson — inline
+    // trees re-run the interpreted tokenizer per reference); coalesce
+    // the token array so NULL text reads as zero tokens, not the
+    // size(NULL) = −1 that bypassed the zero-word guard and emitted
+    // n_words = −1 (the DuckDB formulation yields NULL/0 there)
+    val prepared = docs.select(
       col("doc_id"),
-      words.as("n_words"),
-      sentences.as("n_sentences"),
-      coalesce(syllables, lit(0L)).as("n_syllables"),
-      when(words === 0L, null).otherwise(
+      col("text"),
+      coalesce(tokens(col("text")), array().cast("array<string>")).as("__toks"))
+      .select(
+        col("doc_id"),
+        size(col("__toks")).cast("long").as("__words"),
+        greatest(lit(1L), regexp_count(coalesce(col("text"), lit("")), lit("[.!?]+"))
+          .cast("long")).as("__sentences"),
+        aggregate(
+          col("__toks"), lit(0L),
+          (acc, t) => acc + greatest(lit(1L), regexp_count(t, lit("[aeiouyAEIOUY]+"))
+            .cast("long"))).as("__syllables"))
+    prepared.select(
+      col("doc_id"),
+      col("__words").as("n_words"),
+      col("__sentences").as("n_sentences"),
+      col("__syllables").as("n_syllables"),
+      when(col("__words") === 0L, null).otherwise(
         lit(206.835) -
-          lit(1.015) * (words.cast("double") / sentences.cast("double")) -
-          lit(84.6) * (syllables.cast("double") / words.cast("double"))).as("flesch"))
+          lit(1.015) * (col("__words").cast("double") / col("__sentences").cast("double")) -
+          lit(84.6) * (col("__syllables").cast("double") / col("__words").cast("double")))
+        .as("flesch"))
   }
 
   /** Corpus-frequency token rarity — a perplexity proxy that needs no
@@ -221,27 +235,32 @@ object TextAnalysis {
     * step of a training-data pipeline. Rules in order: too few tokens,
     * too much punctuation, degenerate mean token length.
     */
+  /** The verdict when-chain over a MATERIALIZED token column — shared
+    * by [[qualityVerdict]] (reporting) and [[qualityFilter]] (the
+    * per-row gate), so the two can never drift.
+    */
+  private def verdictExpr(
+      text: Column, toks: Column,
+      minTokens: Int, maxPunctRatio: Double, minAvgTokenLen: Double): Column =
+    when(size(toks) < minTokens, "too_short")
+      .when(punctCount(text).cast("double") / length(text) > maxPunctRatio, "too_punct")
+      .when(
+        aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") /
+          size(toks) < minAvgTokenLen,
+        "low_avg_token_len")
+      .otherwise("kept")
+
   def qualityVerdict(
       docs: DataFrame,
       minTokens: Int = 40,
       maxPunctRatio: Double = 0.2,
-      minAvgTokenLen: Double = 4.0): DataFrame = {
-    val toks = col("__toks")
+      minAvgTokenLen: Double = 4.0): DataFrame =
     docs
       .select(col("doc_id"), col("lang"), col("text"), tokens(col("text")).as("__toks"))
       .select(
         col("doc_id"), col("lang"),
-        size(toks).as("n_tokens"),
-        punctCount(col("text")).as("n_punct"),
-        length(col("text")).as("n_chars_m"),
-        aggregate(toks, lit(0), (acc, t) => acc + length(t)).as("token_chars"))
-      .select(
-        col("doc_id"), col("lang"),
-        when(col("n_tokens") < minTokens, "too_short")
-          .when(col("n_punct").cast("double") / col("n_chars_m") > maxPunctRatio, "too_punct")
-          .when(col("token_chars").cast("double") / col("n_tokens") < minAvgTokenLen, "low_avg_token_len")
-          .otherwise("kept").as("verdict"))
-  }
+        verdictExpr(col("text"), col("__toks"),
+          minTokens, maxPunctRatio, minAvgTokenLen).as("verdict"))
 
   /** Per-document character diversity: distinct-char count and the
     * Simpson diversity index 1 - Σc²/N² over character frequencies —
@@ -287,7 +306,13 @@ object TextAnalysis {
   def piiScan(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val counted = graft.functions.TextFunctions.piiPatterns.foldLeft(docs) {
       case (df, (kind, pattern, _)) =>
-        df.withColumn(s"n_$kind", size(regexp_extract_all(col(textCol), lit(pattern), lit(0))))
+        // explicit null guard: size(regexp_extract_all(NULL)) is −1
+        // with ANSI off (not NULL — coalesce can't catch it), which
+        // silently DECREMENTED corpus-level scrub counts by one per
+        // null-text row; a null text has zero matches
+        df.withColumn(s"n_$kind",
+          when(col(textCol).isNull, lit(0))
+            .otherwise(size(regexp_extract_all(col(textCol), lit(pattern), lit(0)))))
     }
     val redacted = graft.functions.TextFunctions.piiPatterns.foldLeft(col(textCol)) {
       case (c, (_, pattern, replacement)) => regexp_replace(c, pattern, replacement)
@@ -334,12 +359,19 @@ object TextAnalysis {
           .as(Seq("chunk_id", "chunk")))
   }
 
-  /** Kept subset under [[qualityVerdict]]'s rules. */
+  /** Kept subset under [[qualityVerdict]]'s rules — computed as a
+    * pure per-row FILTER (the shared [[verdictExpr]] inline on the
+    * corpus), not the old self semi-join: the verdict is row-local,
+    * so the join formulation tokenized the corpus twice and shuffled
+    * BOTH full-corpus sides on doc_id for rows a single scan decides.
+    * Same rows, zero shuffles, one tokenize pass.
+    */
   def qualityFilter(docs: DataFrame, minTokens: Int = 40, maxPunctRatio: Double = 0.2, minAvgTokenLen: Double = 4.0): DataFrame =
-    docs.join(
-      qualityVerdict(docs, minTokens, maxPunctRatio, minAvgTokenLen)
-        .filter(col("verdict") === "kept").select("doc_id"),
-      Seq("doc_id"), "left_semi")
+    docs
+      .withColumn("__qf_toks", tokens(col("text")))
+      .filter(verdictExpr(col("text"), col("__qf_toks"),
+        minTokens, maxPunctRatio, minAvgTokenLen) === "kept")
+      .drop("__qf_toks")
 
   /** RAKE keyword extraction (Rose et al. 2010, public): candidate
     * phrases are maximal stopword-free token runs, each word scores
@@ -419,6 +451,13 @@ object TextAnalysis {
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(6, true)
+        // release the NATIVE zlib buffers when the task ends — without
+        // end(), each task's Deflater holds off-heap memory until GC
+        // finalization, which on a quiet heap accumulates across a
+        // long session's many partitions with no heap signal until
+        // the container is OOM-killed
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](1 << 16)
         it.map { case (id, text) =>
           if (text == null || text.isEmpty) (id, 0L, 0L, null.asInstanceOf[java.lang.Double])

@@ -325,4 +325,38 @@ class TextAnalysisSpec extends SparkSpec {
     // doc 3: 3 words, 3 sentence runs, 1 vowel group per word
     assert(got(2).getLong(1) == 3L && got(2).getLong(2) == 3L && got(2).getLong(3) == 3L)
   }
+
+  test("null text: 'und' language, zero PII counts, zero words — never -1 or a confident label") {
+    import sqlImplicits._
+    // size(NULL array) is -1 with ANSI off: language scores of -1
+    // slipped past the zero-evidence guard (emitting 'zh' for no text
+    // at all), PII counts reported -1 matches, and readability
+    // emitted n_words = -1
+    import org.apache.spark.sql.functions.col
+    val d = Seq((1L, Option.empty[String], "en"), (2L, Some("the cat sat"), "en"))
+      .toDF("doc_id", "text", "lang")
+    val lid = TextAnalysis.languageId(d).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("lang_pred")).toMap
+    assert(lid(1L) == "und", s"null text must be undetermined, got ${lid(1L)}")
+    assert(lid(2L) == "en")
+    val pii = TextAnalysis.piiScan(d).filter(col("doc_id") === 1L).head()
+    assert(pii.getAs[Int]("n_email") == 0 && pii.getAs[Int]("n_ipv4") == 0,
+      "null text has zero PII matches, not -1")
+    val rd = TextAnalysis.readability(d).filter(col("doc_id") === 1L).head()
+    assert(rd.getAs[Long]("n_words") == 0L && rd.isNullAt(rd.fieldIndex("flesch")))
+  }
+
+  test("fingerprint survives ANSI mode (the FNV multiply overflowed under strict semantics)") {
+    import sqlImplicits._
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.ansi.enabled")
+    try {
+      conf.set("spark.sql.ansi.enabled", "true")
+      val d = Seq((1L, "alpha beta gamma delta"), (2L, "delta gamma beta alpha"))
+        .toDF("doc_id", "text")
+      val fp = TextAnalysis.fingerprints(d).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fp(1L) != fp(2L), "order sensitivity must hold under ANSI too")
+    } finally conf.set("spark.sql.ansi.enabled", saved)
+  }
 }
