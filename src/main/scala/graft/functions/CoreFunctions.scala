@@ -114,6 +114,20 @@ object CoreFunctions {
   }
 
   /** Exact decimal sum of a double column, returned as double. */
+  /** Exact integer FLOOR division for long columns at any magnitude:
+    * strip the (always non-negative) pmod remainder so the numerator
+    * is an exact multiple, then divide in DECIMAL. The `/`-based form
+    * of this idiom (previously copied privately into Eval,
+    * GridCluster and SetJoin) executed the final division in doubles,
+    * which loses exactness past 2^53 even on exact multiples.
+    */
+  def floorDiv(num: Column, den: Column): Column =
+    ((num - pmod(num, den)).cast(DecimalType(38, 0)) / den).cast("long")
+
+  /** Exact integer CEIL division (positive divisors). */
+  def ceilDiv(num: Column, den: Column): Column =
+    floorDiv(num + den - lit(1), den)
+
   def dsum(c: Column): Column =
     sum(c.cast(DecimalType(18, 4))).cast("double")
 

@@ -20,11 +20,6 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
-  /** Exact floor division for non-negative longs: strip the remainder
-    * first so the exact division's truncation is a no-op.
-    */
-  private def floorDiv(num: Column, den: Column): Column =
-    ((num - pmod(num, den)) / den).cast("long")
 
   /** The non-numeric score paths run DIRECT windows over the distinct
     * scores (banding needs arithmetic on the order key), which is a
@@ -216,7 +211,7 @@ object Eval {
       }
     val bucketed = cumulated
       .withColumn("__start", col("__cumn") - col("__n"))
-      .withColumn("bucket", (floorDiv(col("__start") * nBuckets, col("__tot_n")) + 1).cast("int"))
+      .withColumn("bucket", (graft.functions.CoreFunctions.floorDiv(col("__start") * nBuckets, col("__tot_n")) + 1).cast("int"))
       .groupBy(col("bucket"))
       .agg(
         sum(col("__n")).as("n"),
@@ -294,7 +289,7 @@ object Eval {
       }
     cumulated
       .withColumn("__start", col("__cumn") - col("__n"))
-      .withColumn("bin", (floorDiv(col("__start") * nBins, col("__tot_n")) + 1).cast("int"))
+      .withColumn("bin", (graft.functions.CoreFunctions.floorDiv(col("__start") * nBins, col("__tot_n")) + 1).cast("int"))
       .groupBy(col("bin"))
       .agg(
         sum(col("__n")).as("n"),

@@ -37,7 +37,7 @@ object GridCluster {
     * sign; `div` alone truncates toward zero).
     */
   private def floorDiv(n: Column, d: Long): Column =
-    ((n - pmod(n, lit(d))) / lit(d)).cast("long")
+    graft.functions.CoreFunctions.floorDiv(n, lit(d))
 
   /** Injective (cx, cy) → cell id: cx·4e6 + cy. With step ≥ 100 µ°,
     * |cy| ≤ 180e6/100 = 1.8e6 < 2e6 = half the 4e6 lane width, so

@@ -25,7 +25,10 @@ object Itemsets {
       df: DataFrame, basketCol: String, itemCol: String, maxBasketSize: Int): DataFrame = {
     require(maxBasketSize >= 2, s"baskets: maxBasketSize must be ≥2, got $maxBasketSize")
     val items = df
-      .filter(col(itemCol).isNotNull)
+      // a NULL basket key would collapse every unkeyed row into ONE
+      // synthetic basket, pairing unrelated items (or tripping the
+      // size guard on otherwise-clean data)
+      .filter(col(itemCol).isNotNull && col(basketCol).isNotNull)
       .groupBy(col(basketCol).as("basket"))
       .agg(sort_array(collect_set(col(itemCol))).as("items"))
     // Fused guard (the Resample idiom): assert_true yields NULL when

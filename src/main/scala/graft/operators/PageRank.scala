@@ -70,6 +70,12 @@ object PageRank {
     val n = nodes.count()
     require(n > 0, "ranks: empty graph")
     val teleport = (Scale * (100 - d100) / 100) / n // all-integer floor chain
+    // past ~1.5e8 nodes the integer teleport floors to 0 and every
+    // rank decays to 0 within a few damped rounds — a silent
+    // all-zero output; raise the Scale constant for larger graphs
+    require(teleport > 0 && Scale / n > 0,
+      s"PageRank.ranks: $n nodes floors the integer teleport/initial rank to 0 " +
+        "at the current Scale - raise Scale (micro-rank units) for graphs this large")
     var r = nodes.select(col("id"), lit(Scale / n).as("rank_scaled"))
     for (i <- 1 to iters) {
       val contrib = r

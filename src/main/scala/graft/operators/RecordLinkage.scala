@@ -44,9 +44,19 @@ object RecordLinkage {
     */
   def score(cand: DataFrame, fields: Seq[FieldSpec], thresholdMicro: Long): DataFrame = {
     require(fields.nonEmpty, "RecordLinkage: at least one field")
-    val bits = fields.map(f => when(f.agree, 1).otherwise(0).as(s"agree_${f.name}"))
+    // Fellegi–Sunter missing-value handling: a NULL comparison (one
+    // side unobserved) carries NO evidence — weight 0 — and its agree
+    // bit is NULL, distinguishable from a real disagreement. The old
+    // when().otherwise() sent null predicates to the DISAGREE weight,
+    // so a true match with one missing field was charged ~−2.3e6
+    // micro-nats as if the fields were observed and differed, and
+    // silently dropped below threshold.
+    val bits = fields.map(f =>
+      when(f.agree.isNull, lit(null).cast("int"))
+        .when(f.agree, 1).otherwise(0).as(s"agree_${f.name}"))
     val scoreMicro = fields
-      .map(f => when(f.agree, lit(f.wAgreeMicro)).otherwise(lit(f.wDisagreeMicro)))
+      .map(f => when(f.agree.isNull, lit(0L))
+        .when(f.agree, lit(f.wAgreeMicro)).otherwise(lit(f.wDisagreeMicro)))
       .reduce(_ + _)
     cand
       .select(cand.columns.map(col) ++ bits :+ scoreMicro.as("score_micro"): _*)
@@ -78,7 +88,12 @@ object RecordLinkage {
       blockCol: Column,
       w: Int): DataFrame = {
     require(w >= 1 && w <= 100, s"sortedNeighborhood: w=$w out of [1, 100]")
-    val base = df.select(blockCol.as("block"), sortKey.as("key_a"), col(idCol).as("id_a"))
+    // a NULL block key is a record the blocking scheme cannot place —
+    // the window would otherwise gather EVERY null-block record into
+    // one partition, pairing unrelated records and concentrating the
+    // sort into a single oversized task
+    val base = df.filter(blockCol.isNotNull)
+      .select(blockCol.as("block"), sortKey.as("key_a"), col(idCol).as("id_a"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("block"))
       .orderBy(col("key_a").asc, col("id_a").asc)

@@ -44,15 +44,6 @@ import graft.functions.TextFunctions
   */
 object SetJoin {
 
-  /** Exact integer ⌈num/den⌉ for non-negative columns: strip the
-    * remainder, divide exactly (the numerator is then a multiple of
-    * den, so `div`'s truncation is a no-op).
-    */
-  private def ceilDiv(num: org.apache.spark.sql.Column, den: Long) = {
-    val n = num + lit(den - 1)
-    ((n - pmod(n, lit(den))) / lit(den)).cast("long")
-  }
-
   /** All pairs (doc_a < doc_b) with distinct-token Jaccard ≥ tq/1e6,
     * tq = round(t·1e6). Output: (doc_a, doc_b, inter, size_a, size_b,
     * jaccard) — the float is one exactly-rounded division of integers.
@@ -65,14 +56,14 @@ object SetJoin {
     require(t > 0 && t <= 1, s"jaccardJoin: threshold must be in (0,1], got $t")
     val tq = math.round(t * 1e6)
     val toks = OpCache.swap(
-      s"setjoin.toks.$t",
+      "setjoin.toks", // threshold-free: the cached plan does not depend on t
       docs.select(col(idCol).as("id"), explode(TextFunctions.tokens(col(textCol))).as("tok"))
         .distinct())
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     // tokens per doc in (df asc, tok asc) order — struct sort gives
     // exactly that field-lexicographic total order
     val ordered = OpCache.swap(
-      s"setjoin.ordered.$t",
+      "setjoin.ordered", // threshold-free: t enters only downstream of the cache
       toks.join(dfreq, Seq("tok"))
         .groupBy(col("id"))
         .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ts"))
@@ -82,7 +73,7 @@ object SetJoin {
           size(col("ts")).as("sz")))
     // per-doc minimum overlap α(sz) = ⌈tq·sz/1e6⌉; prefix keeps
     // sz − α + 1 tokens — all integer, shared with verification's tq
-    val alphaDoc = ceilDiv(lit(tq) * col("sz").cast("long"), 1000000L)
+    val alphaDoc = graft.functions.CoreFunctions.ceilDiv(lit(tq) * col("sz").cast("long"), lit(1000000L))
     val prefixLen = (col("sz").cast("long") - alphaDoc + lit(1L)).cast("int")
     val prefix = ordered.select(
       col("id"), col("sz"),
@@ -100,7 +91,7 @@ object SetJoin {
         first(col("b.sz")).cast("long").as("sb"))
     // pair-level threshold: inter ≥ α(a,b) = ⌈tq·(sa+sb)/(1e6+tq)⌉
     // (⟺ the cross-multiplied verification below)
-    val alphaPair = ceilDiv(lit(tq) * (col("sa") + col("sb")), 1000000L + tq)
+    val alphaPair = graft.functions.CoreFunctions.ceilDiv(lit(tq) * (col("sa") + col("sb")), lit(1000000L + tq))
     val positional = cands
       .filter(
         col("k") + least(col("sa") - col("il") - 1, col("sb") - col("jl") - 1) >= alphaPair)

@@ -35,10 +35,17 @@ object Triangles {
   /** Per-node triangle participation counts over undirected
     * `edges(src, dst)`: (v, n_triangles), nodes in ≥1 triangle only.
     */
+  /** Canonical undirected degree table — the SINGLE definition both
+    * the orientation order and the coefficient denominator ride (a
+    * divergence between the two silently breaks the wedge pairing).
+    */
+  private def degrees(und: DataFrame): DataFrame =
+    und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
+      .groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
+
   def perNode(edges: DataFrame): DataFrame = {
     val und = OpCache.swap("triangles.und", canonical(edges))
-    val sym = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
-    val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
+    val deg = degrees(und)
     // Orient low → high in the (deg, id) total order; carry the
     // endpoint degrees so wedge pairing can reuse the same order
     // without re-joining degrees.
@@ -78,7 +85,11 @@ object Triangles {
 
   /** Global triangle count (one row). */
   def total(edges: DataFrame): DataFrame =
-    perNode(edges).agg((sum(col("n_triangles")) / 3).cast("long").as("n_triangles"))
+    // coalesce: sum() over the empty perNode frame of a triangle-free
+    // graph is NULL — a caller reading getLong(0) NPE'd where the SQL
+    // COUNT formulation returns 0
+    perNode(edges).agg(
+      coalesce((sum(col("n_triangles")) / 3).cast("long"), lit(0L)).as("n_triangles"))
 
   /** Per-node local clustering coefficient `2·tri / (deg·(deg−1))`
     * for every node of degree ≥ 2 — how close each node's
@@ -90,8 +101,7 @@ object Triangles {
     */
   def clusteringCoeff(edges: DataFrame): DataFrame = {
     val und = OpCache.swap("triangles.und", canonical(edges))
-    val sym = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
-    val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
+    val deg = degrees(und)
     deg
       .filter(col("deg") >= 2)
       .join(perNode(edges), Seq("v"), "left")

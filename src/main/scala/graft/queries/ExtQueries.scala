@@ -3681,15 +3681,21 @@ object ExtQueries {
            |  FROM customer),
            |cand AS (
            |  SELECT l.c_custkey AS lk,
-           |    CASE WHEN l.c_name = r.c_name THEN 1 ELSE 0 END AS agree_name,
-           |    CASE WHEN ABS(l.c_acctbal - r.c_acctbal) <= 0.01 THEN 1 ELSE 0 END AS agree_bal,
-           |    CASE WHEN l.c_mktsegment = r.c_mktsegment THEN 1 ELSE 0 END AS agree_seg
+           |    CASE WHEN l.c_name IS NULL OR r.c_name IS NULL THEN NULL
+           |         WHEN l.c_name = r.c_name THEN 1 ELSE 0 END AS agree_name,
+           |    CASE WHEN l.c_acctbal IS NULL OR r.c_acctbal IS NULL THEN NULL
+           |         WHEN ABS(l.c_acctbal - r.c_acctbal) <= 0.01 THEN 1 ELSE 0 END AS agree_bal,
+           |    CASE WHEN l.c_mktsegment IS NULL OR r.c_mktsegment IS NULL THEN NULL
+           |         WHEN l.c_mktsegment = r.c_mktsegment THEN 1 ELSE 0 END AS agree_seg
            |  FROM l JOIN r ON l.bn = r.bn AND l.bt = r.bt),
            |sc AS (
            |  SELECT *,
-           |    (CASE WHEN agree_name = 1 THEN ${fName.wAgreeMicro} ELSE ${fName.wDisagreeMicro} END
-           |     + CASE WHEN agree_bal = 1 THEN ${fBal.wAgreeMicro} ELSE ${fBal.wDisagreeMicro} END
-           |     + CASE WHEN agree_seg = 1 THEN ${fSeg.wAgreeMicro} ELSE ${fSeg.wDisagreeMicro} END)
+           |    (CASE WHEN agree_name IS NULL THEN 0
+           |           WHEN agree_name = 1 THEN ${fName.wAgreeMicro} ELSE ${fName.wDisagreeMicro} END
+           |     + CASE WHEN agree_bal IS NULL THEN 0
+           |           WHEN agree_bal = 1 THEN ${fBal.wAgreeMicro} ELSE ${fBal.wDisagreeMicro} END
+           |     + CASE WHEN agree_seg IS NULL THEN 0
+           |           WHEN agree_seg = 1 THEN ${fSeg.wAgreeMicro} ELSE ${fSeg.wDisagreeMicro} END)
            |      AS score_micro
            |  FROM cand)
            |SELECT agree_name, agree_bal, agree_seg, score_micro, score_micro >= 0 AS is_match,

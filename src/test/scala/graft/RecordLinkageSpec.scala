@@ -42,4 +42,23 @@ class RecordLinkageSpec extends SparkSpec {
     assert(f.wAgreeMicro > 0 && f.wDisagreeMicro < 0)
     intercept[IllegalArgumentException] { FieldSpec("bad", lit(true), 0.5, 0.6) }
   }
+
+  test("a missing field carries NO evidence (weight 0, null bit), not a disagreement charge") {
+    import sqlImplicits._
+    // Fellegi-Sunter missing-value rule: the old when().otherwise()
+    // charged a NULL comparison the full disagree weight, silently
+    // dropping true matches with one unobserved field below threshold
+    val cand = Seq(
+      (1L, Some("alice"), Some("alice")),   // observed agree
+      (2L, Some("alice"), Option.empty[String]), // missing -> no evidence
+      (3L, Some("alice"), Some("bob")))     // observed disagree
+      .toDF("pair_id", "l_name", "r_name")
+    val f = FieldSpec("name", col("l_name") === col("r_name"), 0.9, 0.1)
+    val out = RecordLinkage.score(cand, Seq(f), thresholdMicro = 0L)
+      .collect().map(r => r.getAs[Long]("pair_id") ->
+        (Option(r.getAs[java.lang.Integer]("agree_name")), r.getAs[Long]("score_micro"))).toMap
+    assert(out(1L) == ((Some(1), f.wAgreeMicro)))
+    assert(out(2L) == ((None, 0L)), s"missing field must score 0 with a NULL bit, got ${out(2L)}")
+    assert(out(3L) == ((Some(0), f.wDisagreeMicro)))
+  }
 }

@@ -70,4 +70,10 @@ class TrianglesSpec extends SparkSpec {
     assert(got("e") == ((2L, 0L, 0.0)))
     assert(!got.contains("f")) // degree 1 — coefficient undefined
   }
+
+  test("total on a triangle-free graph is 0, not a NULL that NPEs the caller") {
+    import sqlImplicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(graft.operators.Triangles.total(path).head().getLong(0) == 0L)
+  }
 }
