@@ -16,12 +16,16 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   * allocating a lambda frame per element. This is the innermost loop
   * of every similarity operator (top-k, LSH, near-dup): a tight
   * codegen'd primitive-array loop with no allocation is the right
-  * tool. Semantics match the HOF fold exactly (left-to-right sum of
-  * products over the common prefix length), so results are
-  * bit-identical and the DuckDB oracles still agree.
-  *
-  * Assumes element-non-null arrays (embedding vectors); a null array
-  * yields null (`BinaryExpression` null-intolerant contract).
+  * tool. Semantics match the HOF fold exactly on the CONTRACTED domain —
+  * equal-length, element-non-null arrays (embedding vectors; every
+  * consumer preps through Similarity.prepared, which guarantees
+  * both) — so results are bit-identical there and the DuckDB oracles
+  * still agree. OUTSIDE that domain the two diverge by construction:
+  * on ragged arrays the HOF returns NULL (zip_with null-pads the
+  * shorter side) while this kernel sums the common prefix, and a
+  * NULL element reads as 0.0 here where the HOF nulls the whole sum.
+  * A null ARRAY yields null (`BinaryExpression` null-intolerant
+  * contract).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -81,6 +85,14 @@ object DotProduct {
     DotProduct(exprs.head, exprs(1))
   }
 
+  /** The ONE (identifier, info, builder) triple — both registration
+    * paths share it, so the arity require cannot be bypassed (the
+    * extensions path previously had its own builder without the
+    * check: graft_dot(a, b, c) silently ignored c).
+    */
+  val functionDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_dot"), info, builder)
+
   /** Register `graft_dot` into a live session's function registry. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
@@ -92,10 +104,7 @@ object DotProduct {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      { exprs: Seq[Expression] => DotProduct(exprs.head, exprs(1)) }))
+    ext.injectFunction(DotProduct.functionDescription)
     ext.injectFunction(WhitespaceTokens.functionDescription)
     ext.injectFunction(JaroWinkler.functionDescription)
     ext.injectOptimizerRule(_ => HaversineBoundingBox)

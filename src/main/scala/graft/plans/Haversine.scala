@@ -39,7 +39,7 @@ case class HaversineDistance(lat1: Expression, lng1: Expression, lat2: Expressio
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b, c, d) =>
-      s"2.0 * 6371.0 * java.lang.Math.asin(java.lang.Math.sqrt(" +
+      s"2.0 * ${HaversineDistance.EarthRadiusKm} * java.lang.Math.asin(java.lang.Math.sqrt(" +
         s"java.lang.Math.pow(java.lang.Math.sin(java.lang.Math.toRadians($c - $a) / 2), 2) + " +
         s"java.lang.Math.cos(java.lang.Math.toRadians($a)) * java.lang.Math.cos(java.lang.Math.toRadians($c)) * " +
         s"java.lang.Math.pow(java.lang.Math.sin(java.lang.Math.toRadians($d - $b) / 2), 2)))")
@@ -53,7 +53,7 @@ object HaversineDistance {
   val EarthRadiusKm = 6371.0
 
   def compute(lat1: Double, lng1: Double, lat2: Double, lng2: Double): Double =
-    2.0 * 6371.0 * math.asin(math.sqrt(
+    2.0 * EarthRadiusKm * math.asin(math.sqrt(
       math.pow(math.sin(math.toRadians(lat2 - lat1) / 2), 2) +
         math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
           math.pow(math.sin(math.toRadians(lng2 - lng1) / 2), 2)))
@@ -67,6 +67,13 @@ object HaversineDistance {
   * parquet scans (row-group skipping) and run before the trig kernel.
   * Longitude bounds are skipped when the box would cross ±180° or a
   * pole (the conservative superset is then latitude-only).
+  *
+  * PRECONDITION: coordinates normalized to [−90, 90] / [−180, 180] —
+  * the geographic contract every consumer here satisfies. Haversine
+  * itself is periodic in Δlng, so an UN-normalized coordinate (lng =
+  * 360°) could satisfy the distance predicate while failing the plain
+  * range bound; the superset claim holds only on the normalized
+  * domain (the same precondition every geo index assumes).
   * Idempotent: bounds already present are not re-added, so the
   * optimizer reaches fixpoint.
   */
@@ -104,10 +111,16 @@ object HaversineBoundingBox extends Rule[LogicalPlan] {
     case _ => Nil
   }
 
+  // The coordinate expressions are DUPLICATED into the new conjuncts,
+  // so they must be deterministic — a nondeterministic lat/lng would
+  // re-draw in the bound and drop rows the original predicate keeps
+  // (the guard every built-in predicate-inference rule carries).
   private def fromNode(h: HaversineDistance, r: Double): Seq[Expression] = (h.lat1, h.lng1, h.lat2, h.lng2) match {
-    case (Literal(a: Double, DoubleType), Literal(b: Double, DoubleType), lat, lng) if !lat.foldable =>
+    case (Literal(a: Double, DoubleType), Literal(b: Double, DoubleType), lat, lng)
+        if !lat.foldable && lat.deterministic && lng.deterministic =>
       boundsFor((a, b), lat, lng, r)
-    case (lat, lng, Literal(a: Double, DoubleType), Literal(b: Double, DoubleType)) if !lat.foldable =>
+    case (lat, lng, Literal(a: Double, DoubleType), Literal(b: Double, DoubleType))
+        if !lat.foldable && lat.deterministic && lng.deterministic =>
       boundsFor((a, b), lat, lng, r)
     case _ => Nil
   }
@@ -122,6 +135,11 @@ object HaversineBoundingBox extends Rule[LogicalPlan] {
       val conjuncts = splitConjuncts(cond)
       val fresh = derive(conjuncts)
         .filterNot(b => conjuncts.exists(_.semanticEquals(b)))
+        // and against EACH OTHER: two semantically equal haversine
+        // predicates in one filter would otherwise emit the same four
+        // bounds twice, evaluated per row forever after
+        .foldLeft(Seq.empty[Expression])((acc, b) =>
+          if (acc.exists(_.semanticEquals(b))) acc else acc :+ b)
       if (fresh.isEmpty) f
       else Filter((conjuncts ++ fresh).reduce(And), child)
   }

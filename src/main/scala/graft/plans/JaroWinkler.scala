@@ -21,7 +21,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * ⌊max(|a|,|b|)/2⌋−1 window, transpositions = half the mismatched
   * matched pairs, jaro = (m/|a| + m/|b| + (m−t)/m)/3, then the
   * Winkler boost jw = jaro + ℓ·0.1·(1−jaro) with ℓ the common prefix
-  * length capped at 4 (no 0.7 boost threshold). Computed on Unicode
+  * length capped at 4, applied only above the classic 0.7 boost
+  * threshold (Winkler 1990 — the DuckDB/rapidfuzz convention the
+  * implementation matches; an earlier draft of this doc wrongly
+  * claimed no threshold). Computed on Unicode
   * code points.
   */
 case class JaroWinkler(left: Expression, right: Expression) extends BinaryExpression {
