@@ -613,10 +613,27 @@ object Dedup {
     */
   private def hotCapAntiJoin(rows: DataFrame, hot: DataFrame, keys: Seq[String]): DataFrame = {
     val mat = hot.localCheckpoint(true)
-    val n = mat.count()
-    val width = mat.schema.map(_.dataType.defaultSize.toLong).sum + 16L
+    // MEASURED bytes, not schema defaults: StringType's defaultSize is
+    // a fixed 20 bytes, so a hot list of long string keys (the
+    // full-gram 'gh' variant) could pass a defaultSize check while
+    // materially exceeding the driver's broadcast budget. One agg job
+    // over the checkpointed list prices variable-width columns at
+    // their actual byte length; fixed-width columns keep their encoded
+    // size; +16 B/row covers the hashed-relation row overhead.
+    import org.apache.spark.sql.types.{StringType, BinaryType}
+    val widths = mat.schema.fields.map { f =>
+      f.dataType match {
+        case StringType | BinaryType =>
+          coalesce(octet_length(col(f.name)).cast("long"), lit(0L))
+        case dt => lit(dt.defaultSize.toLong)
+      }
+    }
+    val measured = mat.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(widths.reduce(_ + _)), lit(0L)).as("bytes")).head()
+    val bytes = measured.getLong(1) + measured.getLong(0) * 16L
     val thr = Broadcasting.threshold(mat)
-    rows.join(if (thr > 0 && n * width <= thr) broadcast(mat) else mat, keys, "left_anti")
+    rows.join(if (thr > 0 && bytes <= thr) broadcast(mat) else mat, keys, "left_anti")
   }
 
   /** Shared inverted gram index for the pairwise n-gram measures:
@@ -676,6 +693,12 @@ object Dedup {
     * the standard df-capped near-dup measure. Near-duplicates share
     * many rare shingles, so recall loss is bounded; disabled (None) by
     * default for exact parity with the uncapped oracle.
+    *
+    * EAGER at construction when capped: the df-cap path pins the hot
+    * list (localCheckpoint) and measures its broadcast size with a
+    * real agg job while the plan is being built ([[hotCapAntiJoin]]) —
+    * same contract as the capped containment/dup-gram/substring
+    * operators sharing that guard. Uncapped calls stay fully lazy.
     */
   def ngramJaccardPairs(
       docs: DataFrame,

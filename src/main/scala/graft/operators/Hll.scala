@@ -91,6 +91,21 @@ object Hll {
       .cast("long")
   }
 
+  /** Source-compatibility shim for callers built against the old
+    * two-arg signature (pre-r12, when m came from the caller instead
+    * of the sketch). The parameter is validated but otherwise ignored:
+    * the register count is authoritative — that is exactly the
+    * hardening that removed the parameter (a p mismatched with a
+    * persisted sketch inflated the harmonic estimate ~(m'/m)²
+    * silently). Kept one release for external persisted-sketch
+    * consumers; new code calls [[estimate(registers:org\.apache\.spark\.sql\.Column)*]].
+    */
+  @deprecated("p is derived from the sketch's own register count; use estimate(registers)", "r13")
+  def estimate(registers: Column, p: Int): Column = {
+    require(p >= 4 && p <= 18, s"estimate: p must be in [4,18], got $p")
+    estimate(registers)
+  }
+
   /** Element-wise register merge of two sketch columns. Arrays of
     * different length (sketches built with different p) RAISE —
     * zip_with would otherwise null-pad and silently corrupt the

@@ -575,6 +575,13 @@ object Similarity {
     * Output: (query_id, neighbor_id, cosine, rank) — cosine EXACT
     * from the re-rank, so recall is directly measurable against
     * [[cosineTopK]].
+    *
+    * EAGER at construction (not at first action): building this plan
+    * runs Spark jobs — the corpus count behind the code clamp
+    * ([[effectiveCodes]]), the memoized Lloyd training loop, and the
+    * query count behind the lut-broadcast guard. Callers composing
+    * plans lazily should construct this one where executing cluster
+    * work is acceptable (same contract as [[memoizedKmeans]]).
     */
   def pqTopK(
       embeddings: DataFrame,
@@ -655,6 +662,10 @@ object Similarity {
     * unprobed cell); raise `nProbes` to trade scan volume back for
     * recall.
     * Output: (query_id, neighbor_id, cosine, rank) — cosine EXACT.
+    *
+    * EAGER at construction, like [[pqTopK]]: the code clamp's corpus
+    * count and the memoized Lloyd loops (cells AND codebooks) run
+    * Spark jobs while the plan is being built.
     */
   def ivfPqTopK(
       embeddings: DataFrame,

@@ -355,14 +355,21 @@ object Tables {
     val partCols = meta.partitionColumnNames
     val root = new org.apache.hadoop.fs.Path(meta.location)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a partitioned table's files live one directory level down —
-    // the flat listing that served unpartitioned tables would count 0
-    // files (totalBytes 0) and then FLATTEN the layout on rewrite
+    // a partitioned table's files live one directory level down PER
+    // partition column — the flat listing that served unpartitioned
+    // tables would count 0 files (totalBytes 0) and then FLATTEN the
+    // layout on rewrite, and a fixed one-level descent measured 0 for
+    // any table with two or more partition columns, turning compaction
+    // into a silent no-op there. Recurse instead: listFiles(recursive)
+    // walks the full layout regardless of partition depth.
     def parquetFiles(): Seq[org.apache.hadoop.fs.FileStatus] = {
-      def files(p: org.apache.hadoop.fs.Path) = fs.listStatus(p).toSeq
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      if (partCols.isEmpty) files(root)
-      else fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap(d => files(d.getPath))
+      val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) out += f
+      }
+      out.result()
     }
     val before = parquetFiles()
     val totalBytes = before.map(_.getLen).sum
@@ -398,11 +405,23 @@ object Tables {
     // partition values (hour=9 vs hour=10) would expire "10".."89"
     // against cutoff "9" — current data irreversibly dropped. Compare
     // as longs when BOTH sides parse; zero-padded ISO dates and other
-    // strings keep lexicographic order.
+    // strings keep lexicographic order. A MIXED comparison (exactly one
+    // side numeric) RAISES instead of silently falling back to
+    // lexicographic: a numeric-partitioned table given a non-numeric
+    // cutoff (or a stray non-numeric partition value against a numeric
+    // cutoff) would otherwise compare some partitions numerically and
+    // others lexicographically in the same call — retention is
+    // irreversible, so inconsistent ordering must fail loudly, not
+    // drop (or retain) the wrong partitions.
     def isBelow(v: String): Boolean =
       (v.toLongOption, cutoff.toLongOption) match {
         case (Some(a), Some(b)) => a < b
-        case _ => v < cutoff
+        case (None, None) => v < cutoff
+        case (got, _) => throw new IllegalArgumentException(
+          s"expirePartitions($table, $partCol): cannot order partition value '$v' against " +
+            s"cutoff '$cutoff' — ${if (got.isDefined) "value is numeric but cutoff is not"
+            else "cutoff is numeric but value is not"}; use a cutoff of the partition " +
+            "column's own format (all-numeric or all-lexicographic)")
       }
     val parts = spark.sql(s"SHOW PARTITIONS $table").collect().map(_.getString(0))
     val expired = parts.flatMap { spec =>

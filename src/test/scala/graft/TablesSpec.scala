@@ -399,6 +399,31 @@ class TablesSpec extends SparkSpec {
     Seq("", "__staging").foreach(s => spark.sql(s"DROP TABLE IF EXISTS $tbl$s"))
   }
 
+  test("compaction handles a MULTI-column partition layout (recursive listing)") {
+    import sqlImplicits._
+    val tbl = "graft_compactp2_t"
+    Seq("", "__staging").foreach(s => spark.sql(s"DROP TABLE IF EXISTS $tbl$s"))
+    // two partition columns: files live TWO directory levels below the
+    // root — the fixed one-level descent measured 0 parquet files here
+    // and compaction silently no-opped (the r12 ADVICE finding)
+    val rows = for (d <- Seq("a", "b"); h <- 1 to 2; i <- 1 to 20) yield (d, h, i)
+    rows.toDF("day", "hour", "v").repartition(5)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").partitionBy("day", "hour").saveAsTable(tbl)
+    def content() = spark.table(tbl).select("day", "hour", "v")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sorted
+    val before = content()
+    val (nBefore, nAfter) = Tables.compactTable(spark, tbl, targetBytes = 1L << 30)
+    assert(nBefore > 4, s"fragmented 2-level table should list >4 files, saw $nBefore")
+    assert(nAfter == 4, s"one file per leaf partition expected, got $nAfter")
+    assert(spark.sql(s"SHOW PARTITIONS $tbl").count() == 4,
+      "compaction must preserve the two-level partition layout")
+    assert(content().toSeq == before.toSeq)
+    val (b2, a2) = Tables.compactTable(spark, tbl, targetBytes = 1L << 30)
+    assert(b2 == 4 && a2 == 4, "second call must skip the rewrite")
+    Seq("", "__staging").foreach(s => spark.sql(s"DROP TABLE IF EXISTS $tbl$s"))
+  }
+
   test("partition retention compares integer-like partition values numerically") {
     import sqlImplicits._
     val tbl = "graft_retnum_t"
@@ -412,6 +437,16 @@ class TablesSpec extends SparkSpec {
     val left = spark.table(tbl).select("hour").distinct()
       .collect().map(_.getInt(0)).sorted
     assert(left.toSeq == Seq(9, 10, 11, 12), left.toSeq.toString)
+    // MIXED ordering fails loudly: a non-numeric cutoff against a
+    // numeric-partitioned table would compare inconsistently
+    // (lexicographic fallback per value) and drop the wrong partitions
+    // — retention is irreversible, so it must raise instead
+    val err = intercept[IllegalArgumentException] {
+      Tables.expirePartitions(spark, tbl, "hour", cutoff = "2024-01-01T00")
+    }
+    assert(err.getMessage.contains("cannot order partition value"), err.getMessage)
+    assert(spark.table(tbl).select("hour").distinct().count() == 4,
+      "a failed expire must not have dropped anything")
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
