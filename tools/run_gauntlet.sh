@@ -4,6 +4,9 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+echo "== baseline series refresh (BASELINE.json.rounds; r12 verdict #3: never hand-lagged) =="
+python3 tools/baseline_series.py | tail -1
+
 echo "== tests =="
 sbt -batch test 2>&1 | grep -E "Tests: succeeded|\*\*\* FAILED" | tail -2
 
