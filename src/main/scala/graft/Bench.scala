@@ -276,11 +276,22 @@ object Bench {
       def phaseIdx(samples: Seq[Double]): Double =
         if (ystickRef > 0 && samples.nonEmpty)
           math.round(samples.min / ystickRef * 1000) / 1000.0 else -1.0
+      // each phase ships [min, max] of its bracket samples: the min is
+      // the certification index (same semantics as the headline), the
+      // max labels contention INSIDE the phase that a min-bracket
+      // hides — e.g. a pass that ends at 1.9 and an isolated block
+      // that recovers to 0.9 by its close (the first r13 run: the
+      // isolated block started on the contended side and its re-times
+      // read 1.5-2x their classes while min-of-brackets printed 1.17)
+      def phaseBand(samples: Seq[Double]): String =
+        if (ystickRef > 0 && samples.nonEmpty)
+          s"[${phaseIdx(samples)},${math.round(samples.max / ystickRef * 1000) / 1000.0}]"
+        else "[-1.0,-1.0]"
       val phasesJson = Seq(
-        "cold" -> phaseIdx(coldSticks.toSeq),
-        "pass" -> phaseIdx(passSticks),
+        "cold" -> phaseBand(coldSticks.toSeq),
+        "pass" -> phaseBand(passSticks),
         "isolated" -> (if (flagged.nonEmpty)
-          phaseIdx(Seq(passSticks.last, ysticks.last)) else -1.0))
+          phaseBand(Seq(passSticks.last, ysticks.last)) else "[-1.0,-1.0]"))
         .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
       val allSticks = coldSticks.toSeq ++ ysticks
       val intervalIndexMax = phaseIdx(Seq(allSticks.max))
