@@ -79,6 +79,18 @@ object Bench {
   def yardstickRefFor(cpus: String): Double =
     yardstickRefFor(scala.util.Try(cpus.toInt).getOrElse(-1))
 
+  /** [min, max] interval-index band over one phase's bracket samples,
+    * rendered as a JSON array. The min is the certification index
+    * (same semantics as the headline `interval_index`); the max labels
+    * contention INSIDE the phase that a min-bracket hides. Adjudication
+    * off (ref ≤ 0) or an unbracketed phase → [-1.0,-1.0].
+    */
+  private[graft] def phaseBandJson(samples: Seq[Double], ref: Double): String =
+    if (ref > 0 && samples.nonEmpty)
+      s"[${math.round(samples.min / ref * 1000) / 1000.0}," +
+        s"${math.round(samples.max / ref * 1000) / 1000.0}]"
+    else "[-1.0,-1.0]"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -276,17 +288,13 @@ object Bench {
       def phaseIdx(samples: Seq[Double]): Double =
         if (ystickRef > 0 && samples.nonEmpty)
           math.round(samples.min / ystickRef * 1000) / 1000.0 else -1.0
-      // each phase ships [min, max] of its bracket samples: the min is
-      // the certification index (same semantics as the headline), the
-      // max labels contention INSIDE the phase that a min-bracket
-      // hides — e.g. a pass that ends at 1.9 and an isolated block
-      // that recovers to 0.9 by its close (the first r13 run: the
-      // isolated block started on the contended side and its re-times
-      // read 1.5-2x their classes while min-of-brackets printed 1.17)
-      def phaseBand(samples: Seq[Double]): String =
-        if (ystickRef > 0 && samples.nonEmpty)
-          s"[${phaseIdx(samples)},${math.round(samples.max / ystickRef * 1000) / 1000.0}]"
-        else "[-1.0,-1.0]"
+      // each phase ships [min, max] of its bracket samples — see
+      // phaseBandJson; the max exists because a min-bracket hides
+      // contention inside a phase (the first r13 run: the pass ended
+      // at sample idx 1.89, the isolated block started on that
+      // contended side and its re-times read 1.5-2x their classes
+      // while min-of-brackets printed 1.17)
+      def phaseBand(samples: Seq[Double]): String = phaseBandJson(samples, ystickRef)
       val phasesJson = Seq(
         "cold" -> phaseBand(coldSticks.toSeq),
         "pass" -> phaseBand(passSticks),

@@ -21,4 +21,17 @@ class YardstickSpec extends AnyFunSuite {
     assert(Bench.yardstickRefFor(64) == -1.0)
     assert(Bench.yardstickRefFor(-1) == -1.0) // unparseable cpus env
   }
+
+  test("phaseBandJson: [min,max] index band; -1 sentinel when unadjudicable") {
+    // min certifies, max labels within-phase contention — the r13
+    // motivating shape: a phase bracketed by one clean and one
+    // contended sample must surface BOTH
+    assert(Bench.phaseBandJson(Seq(0.77, 1.54), 0.77) == "[1.0,2.0]")
+    // rounding to 3 decimals, min/max order independent of sample order
+    assert(Bench.phaseBandJson(Seq(1.458, 0.903), 0.77) == "[1.173,1.894]")
+    assert(Bench.phaseBandJson(Seq(0.903), 0.77) == "[1.173,1.173]")
+    // adjudication off (foreign thread count) or unbracketed phase
+    assert(Bench.phaseBandJson(Seq(0.9), -1.0) == "[-1.0,-1.0]")
+    assert(Bench.phaseBandJson(Nil, 0.77) == "[-1.0,-1.0]")
+  }
 }
