@@ -131,10 +131,17 @@ object Bench {
     // one moment of it was clean. The headline `interval_index` stays
     // min-based over the warm-pass/isolated samples (it certifies
     // "how slow was the best interval the reported minima reflect").
+    // resolved once, before any sampling: when adjudication is off
+    // (foreign thread count, no env ref) the probe samples would be
+    // unusable AND expensive — the fixed 2^33-row probe runs ~6-8×
+    // slower at a default local[4], so an unconditional cold bracket
+    // would add ~45 s of pure waste to exactly the runs that cannot
+    // read it
+    val ystickRef = yardstickRefFor(cpus)
     val coldSticks = scala.collection.mutable.ArrayBuffer.empty[Double]
     val coldTotal =
       if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
-        coldSticks += yardstick(spark)
+        if (ystickRef > 0) coldSticks += yardstick(spark)
         val t0 = System.nanoTime()
         // Cold first-touch runs CONCURRENTLY (default 6 threads): the
         // dominant cold cost is driver-side per-query work — Catalyst
@@ -181,7 +188,7 @@ object Bench {
             println(f"[cold] $n%-28s $s%7.2fs")
           }
         val elapsed = (System.nanoTime() - t0) / 1e9
-        coldSticks += yardstick(spark)
+        if (ystickRef > 0) coldSticks += yardstick(spark)
         elapsed
       } else -1.0
     (1 to repeat).foreach { pass =>
@@ -224,13 +231,16 @@ object Bench {
       // are minima across passes — it answers "how slow was the best
       // interval these numbers reflect".
       val levelDrift = sys.env.getOrElse("SPARK_GRAFT_LEVEL_DRIFT", "1.25").toDouble
-      val ystickRef = yardstickRefFor(cpus)
+      // ONE copy of the index arithmetic (shared with phaseBandJson's
+      // band rendering): three drifting copies of the round/guard would
+      // let the artifact's indexes disagree after a precision change
+      def idxOf(sample: Double): Double =
+        if (ystickRef > 0) math.round(sample / ystickRef * 1000) / 1000.0 else -1.0
       val ysticks = scala.collection.mutable.ArrayBuffer(yardstick(spark))
       var results = runPass()
       ysticks += yardstick(spark)
       var passes = 1
-      def intervalIndex: Double =
-        if (ystickRef > 0) math.round(ysticks.min / ystickRef * 1000) / 1000.0 else -1.0
+      def intervalIndex: Double = idxOf(ysticks.min)
       // The margin between a clean sitting's index (~1.15 observed in
       // BENCH_r11) and the 1.25 trigger is ~10 %, and two probe call
       // sites is a thin base for a decision that costs a full extra
@@ -250,6 +260,12 @@ object Bench {
       // everything sampled so far brackets the warm pass(es): pre-pass,
       // post-each-pass, and the level-drift adjudication sample
       val passSticks = ysticks.toSeq
+      // the HEADLINE index is frozen here, over the pass-phase samples
+      // only (pre-r13 semantics exactly): the post-isolated closing
+      // sample must not lower it — a machine going idle just as the
+      // isolated re-times finish would otherwise certify a warm total
+      // measured entirely inside contended brackets as clean
+      val headlineIdx = intervalIndex
       val total = if (results.nonEmpty) results.values.sum else 0.0
       // Contention adjudication IN the artifact (not after the fact):
       // a full gauntlet pass lands GC/compilation/machine noise on
@@ -284,10 +300,7 @@ object Bench {
       // sitting's smoking gun (x196 isolated 3× its in-pass time)
       // would have printed isolated ≈ 2-3 instead of hiding behind the
       // pass's one clean moment
-      if (flagged.nonEmpty) ysticks += yardstick(spark)
-      def phaseIdx(samples: Seq[Double]): Double =
-        if (ystickRef > 0 && samples.nonEmpty)
-          math.round(samples.min / ystickRef * 1000) / 1000.0 else -1.0
+      if (flagged.nonEmpty && ystickRef > 0) ysticks += yardstick(spark)
       // each phase ships [min, max] of its bracket samples — see
       // phaseBandJson; the max exists because a min-bracket hides
       // contention inside a phase (the first r13 run: the pass ended
@@ -302,7 +315,7 @@ object Bench {
           phaseBand(Seq(passSticks.last, ysticks.last)) else "[-1.0,-1.0]"))
         .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
       val allSticks = coldSticks.toSeq ++ ysticks
-      val intervalIndexMax = phaseIdx(Seq(allSticks.max))
+      val intervalIndexMax = idxOf(allSticks.max)
       val isolatedTotal = results.map { case (k, v) => math.min(isolated.getOrElse(k, v), v) }.sum
       val isoJson = isolated.toSeq.sortBy(_._1)
         .map { case (k, v) => s"\"" + k + "\":" + math.round(v * 1000) / 1000.0 }
@@ -324,7 +337,7 @@ object Bench {
       val refStale = ystickRef > 0 && allSticks.min < ystickRef * 0.97
       val ysColdJson = coldSticks.map(v => math.round(v * 1000) / 1000.0).mkString("[", ",", "]")
       val suffix =
-        s""","sf":"$sfDir","warm":$warm,"passes":$passes,"cold_total":${math.round(coldTotal * 1000) / 1000.0},"yardstick":$ysJson,"yardstick_cold":$ysColdJson,"yardstick_ref":$ystickRef,"ref_stale":$refStale,"interval_index":$intervalIndex,"interval_index_max":$intervalIndexMax,"interval_phases":$phasesJson,"isolated":$isoJson,"isolated_total":${math.round(isolatedTotal * 1000) / 1000.0},"metric":"total","unit":"sec","value":$total}"""
+        s""","sf":"$sfDir","warm":$warm,"passes":$passes,"cold_total":${math.round(coldTotal * 1000) / 1000.0},"yardstick":$ysJson,"yardstick_cold":$ysColdJson,"yardstick_ref":$ystickRef,"ref_stale":$refStale,"interval_index":$headlineIdx,"interval_index_max":$intervalIndexMax,"interval_phases":$phasesJson,"isolated":$isoJson,"isolated_total":${math.round(isolatedTotal * 1000) / 1000.0},"metric":"total","unit":"sec","value":$total}"""
       // Full-precision line for logs/humans (may exceed harness windows):
       println(s"""{"queries":$qs$suffix""")
       // The harness that grades this keeps only the LAST ~2000 chars of

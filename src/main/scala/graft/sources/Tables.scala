@@ -363,11 +363,25 @@ object Tables {
     // into a silent no-op there. Recurse instead: listFiles(recursive)
     // walks the full layout regardless of partition depth.
     def parquetFiles(): Seq[org.apache.hadoop.fs.FileStatus] = {
+      // skip hidden/temporary components (_temporary from a crashed
+      // write, .spark-staging-*, _SUCCESS) the way Spark's own file
+      // index does — the recursive walk sees them, a reader never
+      // would, and counting ghost files would inflate totalBytes and
+      // defeat the already-compact skip check
+      def visible(p: org.apache.hadoop.fs.Path): Boolean = {
+        var cur = p
+        while (cur != null && cur.depth() > root.depth()) {
+          val n = cur.getName
+          if (n.startsWith("_") || n.startsWith(".")) return false
+          cur = cur.getParent
+        }
+        true
+      }
       val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
       val it = fs.listFiles(root, true)
       while (it.hasNext) {
         val f = it.next()
-        if (f.isFile && f.getPath.getName.endsWith(".parquet")) out += f
+        if (f.isFile && f.getPath.getName.endsWith(".parquet") && visible(f.getPath)) out += f
       }
       out.result()
     }
@@ -429,6 +443,12 @@ object Tables {
       // split so a value containing '=' still parses instead of being
       // silently retained forever
       spec.split("=", 2) match {
+        // Hive's null-partition sentinel is ALWAYS retained, never
+        // ordered: a null value has no position against any cutoff,
+        // and without this exemption one ingested null row would make
+        // every numeric-cutoff expire raise forever (TTL permanently
+        // broken, unbounded growth)
+        case Array(c, v) if c == partCol && v == "__HIVE_DEFAULT_PARTITION__" => None
         case Array(c, v) if c == partCol && isBelow(v) => Some(v)
         case _ => None
       }

@@ -428,15 +428,19 @@ class TablesSpec extends SparkSpec {
     import sqlImplicits._
     val tbl = "graft_retnum_t"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    val rows = (7 to 12).flatMap(h => (1 to 2).map(i => (h, h * 10 + i)))
+    val rows = (7 to 12).flatMap(h => (1 to 2).map(i => (Some(h), h * 10 + i))) :+
+      (Option.empty[Int], 999) // null hour → __HIVE_DEFAULT_PARTITION__
     Tables.writePartitioned(rows.toDF("hour", "v"), tbl, Seq("hour"))
     // lexicographic ordering would read "10","11","12" < "9" and
     // irreversibly drop CURRENT partitions
+    // the Hive null-partition sentinel must neither expire nor (as a
+    // non-numeric value against a numeric cutoff) blow up the whole
+    // TTL call — it is unordered, so it is always retained
     val dropped = Tables.expirePartitions(spark, tbl, "hour", cutoff = "9")
     assert(dropped == 2, s"only hours 7 and 8 expire below 9, dropped $dropped")
     val left = spark.table(tbl).select("hour").distinct()
-      .collect().map(_.getInt(0)).sorted
-    assert(left.toSeq == Seq(9, 10, 11, 12), left.toSeq.toString)
+      .collect().map(r => if (r.isNullAt(0)) -1 else r.getInt(0)).sorted
+    assert(left.toSeq == Seq(-1, 9, 10, 11, 12), left.toSeq.toString)
     // MIXED ordering fails loudly: a non-numeric cutoff against a
     // numeric-partitioned table would compare inconsistently
     // (lexicographic fallback per value) and drop the wrong partitions
@@ -445,8 +449,8 @@ class TablesSpec extends SparkSpec {
       Tables.expirePartitions(spark, tbl, "hour", cutoff = "2024-01-01T00")
     }
     assert(err.getMessage.contains("cannot order partition value"), err.getMessage)
-    assert(spark.table(tbl).select("hour").distinct().count() == 4,
-      "a failed expire must not have dropped anything")
+    assert(spark.table(tbl).select("hour").distinct().count() == 5,
+      "a failed expire must not have dropped anything (4 hours + the null partition)")
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
