@@ -30,7 +30,13 @@ object Behavior {
       withinSeconds: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel: no stages")
     require(withinSeconds.forall(_ > 0), "funnel: withinSeconds must be positive")
-    var cur = events
+    // a null user key is an UNATTRIBUTABLE event, not a user: groupBy
+    // would collapse every unkeyed event into one phantom "user" whose
+    // t1 mixes timestamps of unrelated actors (and which the stage-2+
+    // equi-joins can never match again) — exclude it like the baskets
+    // operator does
+    val keyed = events.filter(col(userCol).isNotNull)
+    var cur = keyed
       .groupBy(col(userCol))
       .agg(min(when(col(typeCol) === stages.head, col(tsCol))).as("t1"))
     for (i <- 2 to stages.size) {
@@ -45,7 +51,7 @@ object Behavior {
       // (stage types are typically a few percent of events); the
       // RIGHT join keeps every cur user, so a user with no stage-i
       // event still aggregates to a NULL tᵢ exactly as before
-      cur = events
+      cur = keyed
         .filter(col(typeCol) === stages(i - 1))
         .join(cur, Seq(userCol), "right")
         .groupBy((userCol +: prevCols).map(col): _*)
@@ -103,6 +109,10 @@ object Behavior {
       idCol: String = "event_id"): DataFrame = {
     val w = Window.partitionBy(userCol).orderBy(col(tsCol).asc, col(idCol).asc)
     events
+      // null user keys share ONE window partition, so lag() would
+      // chain unrelated actors into phantom transitions — unkeyed
+      // events carry no sequence information; exclude them
+      .filter(col(userCol).isNotNull)
       .withColumn("prev_type", lag(col(typeCol), 1).over(w))
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col(typeCol))
@@ -189,7 +199,12 @@ object Behavior {
         col("touch_ts") <= col("conv_ts") &&
           unix_micros(col("conv_ts")) - unix_micros(col("touch_ts")) <
             lit(lookbackSeconds * 1000000L))
-    val w = Window.partitionBy(col("conv_id"))
+    // partition by (user, conversion id), not the id alone: event ids
+    // need only be unique PER USER (the common sharded id scheme) for
+    // attribution to stay correct — two users sharing an id would
+    // otherwise merge their touch sets into one window, splitting
+    // linear credit across both and crediting only one last-touch
+    val w = Window.partitionBy(col("__u"), col("conv_id"))
     val scored = joined
       .withColumn(
         "__rk",

@@ -55,15 +55,26 @@ object Itemsets {
   def pairCounts(
       df: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long = 2L, maxBasketSize: Int = 256): DataFrame =
-    pairsFromBaskets(baskets(df, basketCol, itemCol, maxBasketSize), minSupport)
+    pairsFromBaskets(
+      baskets(df, basketCol, itemCol, maxBasketSize), minSupport,
+      paramKey(basketCol, itemCol, maxBasketSize))
+
+  // EVERY parameter that shapes the plan is part of the cache key (the
+  // Behavior.completionTimes convention): keys carrying only
+  // minSupport would let two callers varying maxBasketSize or the
+  // column names on the same input alternate the single slot —
+  // unpersisting and fully recomputing the dominant basket/pair
+  // shuffles on every call while looking cached.
+  private def paramKey(basketCol: String, itemCol: String, maxBasketSize: Int): String =
+    s"$basketCol.$itemCol.$maxBasketSize"
 
   // The Σ L² explode + pair aggregation dominates every consumer, and
   // pairCounts/pairStats/itemNeighbors all want the SAME table for a
   // given input — OpCache it (plan-keyed) so the basket-pair shuffle
   // runs once per session, not once per query.
-  private def pairsFromBaskets(b: DataFrame, minSupport: Long): DataFrame =
+  private def pairsFromBaskets(b: DataFrame, minSupport: Long, pKey: String): DataFrame =
     OpCache.swap(
-      s"itemsets.pairs.$minSupport",
+      s"itemsets.pairs.$minSupport.$pKey",
       b
         .select(col("items"), posexplode(col("items")).as(Seq("pa", "item_a")))
         .select(col("item_a"), col("pa"), posexplode(col("items")).as(Seq("pb", "item_b")))
@@ -80,20 +91,21 @@ object Itemsets {
   def pairStats(
       df: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long = 2L, maxBasketSize: Int = 256): DataFrame = {
+    val pKey = paramKey(basketCol, itemCol, maxBasketSize)
     val b = OpCache.swap(
-      "itemsets.baskets", baskets(df, basketCol, itemCol, maxBasketSize))
+      s"itemsets.baskets.$pKey", baskets(df, basketCol, itemCol, maxBasketSize))
     val itemN = b
       .select(explode(col("items")).as("item"))
       .groupBy("item").agg(count(lit(1)).as("n"))
     val total = b.agg(count(lit(1)).as("n_baskets"))
-    val pairs = pairsFromBaskets(b, minSupport)
+    val pairs = pairsFromBaskets(b, minSupport, pKey)
     // Cache the FINISHED stats frame, not just the raw pair table:
     // the rule-mining readout (pairStats consumers) and the CF
     // neighbor ranking (itemNeighbors) both join supports back onto
     // the pair set — sharing the joined result runs those joins once
     // per input (the triangles.pernode lifecycle).
     OpCache.swap(
-      s"itemsets.pairstats.$minSupport",
+      s"itemsets.pairstats.$minSupport.$pKey",
       pairs
         .join(
           Broadcasting.maybeBroadcast(

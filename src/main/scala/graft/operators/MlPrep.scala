@@ -31,17 +31,21 @@ object MlPrep {
     require(nBins >= 2 && nBins <= 1000, s"quantileBinReport: nBins=$nBins out of [2, 1000]")
     val v = col(valueCol).cast("double")
     val ps = array((1 until nBins).map(i => lit(i.toDouble / nBins)): _*)
-    val edges = df.groupBy(groupCols.map(col): _*)
+    // NaN passes isNotNull and NaN >= edge is TRUE for every edge
+    // (Spark orders NaN above all doubles): NaN rows would inflate
+    // the top bin and poison its reported hi with NaN — exclude them
+    // like nulls (no bin describes a NaN). The EDGES come from the
+    // same NaN-free frame (the psi convention, and the x117 oracle's):
+    // percentile sorts NaN above every double, so edges interpolated
+    // over a NaN-bearing frame shift right — and a majority-NaN group
+    // would make the upper edges themselves NaN, emptying top bins.
+    val clean = df.filter(v.isNotNull && !isnan(v))
+    val edges = clean.groupBy(groupCols.map(col): _*)
       .agg(percentile(v, ps).as("__edges"))
     val bin = aggregate(
       col("__edges"), lit(0),
       (acc, e) => acc + when(v >= e, 1).otherwise(0))
-    df
-      // NaN passes isNotNull and NaN >= edge is TRUE for every edge
-      // (Spark orders NaN above all doubles): NaN rows would inflate
-      // the top bin and poison its reported hi with NaN — exclude
-      // them like nulls (no bin describes a NaN)
-      .filter(v.isNotNull && !isnan(v))
+    clean
       .join(Broadcasting.maybeBroadcast(edges), groupCols)
       .select(groupCols.map(col) ++ Seq(bin.as("bin"), v.as("__v")): _*)
       .groupBy(groupCols.map(col) :+ col("bin"): _*)
@@ -162,8 +166,12 @@ object MlPrep {
     cols.map { c =>
       val u = graft.operators.Regression.toUnits(col(c))
       val n = col("__n").cast("double")
-      df
-        .filter(col(c).isNotNull)
+      // the Stats.quantizable contract: NaN is excluded like null, a
+      // finite value outside the DECIMAL(18,4) domain (±Inf included)
+      // RAISES — toUnits would otherwise quantize such rows to NULL
+      // silently, leaving them in __n while vanishing from the moment
+      // sums (mean/std computed over an inflated denominator)
+      Stats.quantizable(df, c, "scalingReport")
         .select(u.as("__u"))
         .agg(
           count(lit(1)).as("__n"),
@@ -177,9 +185,13 @@ object MlPrep {
           (col("__min").cast("double") / lit(1e4)).as("min"),
           (col("__max").cast("double") / lit(1e4)).as("max"),
           (col("__s") / n / lit(1e4)).as("mean"),
+          // variance numerator clamped at 0: for a (near-)constant
+          // column with large-magnitude units, n·Σu² and (Σu)² each
+          // round independently past 2^53, and a residual of the
+          // wrong sign would send sqrt to NaN instead of std 0
           when(col("__n") < 2, null).otherwise(
-            sqrt((n * col("__q") - col("__s") * col("__s")) / (n * (n - lit(1.0)))) /
-              lit(1e4)).as("std"))
+            sqrt(greatest(n * col("__q") - col("__s") * col("__s"), lit(0.0)) /
+              (n * (n - lit(1.0)))) / lit(1e4)).as("std"))
     }.reduce(_ unionByName _)
   }
 
@@ -202,8 +214,11 @@ object MlPrep {
     require(m > 0, s"targetEncode: pseudo-count m must be positive, got $m")
     import org.apache.spark.sql.types.DecimalType
     val u = graft.operators.Regression.toUnits(col(targetCol))
-    val perKey = df
-      .filter(col(keyCol).isNotNull && col(targetCol).isNotNull)
+    // quantizable on the TARGET (NaN excluded like null, out-of-domain
+    // raises): a NaN target previously passed isNotNull, counted in n
+    // and __nt, yet contributed nothing to __s/__st — silently diluting
+    // both the per-key encodings and the global mean toward 0
+    val perKey = Stats.quantizable(df.filter(col(keyCol).isNotNull), targetCol, "targetEncode")
       .groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("n"), sum(u).cast(DecimalType(38, 0)).as("__s"))
     val glob = perKey.agg(
@@ -235,8 +250,17 @@ object MlPrep {
       valueCol: String,
       bands: Int = 64): DataFrame = {
     require(bands > 0, s"rankNormalize: bands must be positive, got $bands")
+    val numeric = df.schema(valueCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     val byVal = df
-      .filter(col(valueCol).isNotNull)
+      // NaN is excluded like null (the module convention): it has no
+      // rank — left in, it becomes the group's maximum (Spark orders
+      // NaN above all doubles), inflating __ntot and stealing norm 1.0
+      // from the true max, and it poisons the banded path's (hi−lo)
+      // band width to NaN, collapsing every row into one band (the
+      // single-task per-group sort the banding exists to avoid)
+      .filter(col(valueCol).isNotNull &&
+        (if (numeric) !isnan(col(valueCol).cast("double")) else lit(true)))
       .groupBy(groupCols.map(col) :+ col(valueCol).as("value"): _*)
       .agg(count(lit(1)).as("n_ties"))
     // A NUMERIC value is the continuous case: its distinct-value grain
@@ -247,8 +271,7 @@ object MlPrep {
     // and keeps the direct per-group window (banding needs arithmetic
     // on the order key).
     val ranked =
-      if (df.schema(valueCol).dataType
-          .isInstanceOf[org.apache.spark.sql.types.NumericType]) {
+      if (numeric) {
         byVal
           .withColumn("__v", col("value"))
           .transform(Stats.bandedCum(_, Seq("n_ties" -> "__cum"), bands,
@@ -299,12 +322,15 @@ object MlPrep {
       .agg(count(lit(1)).as("__nxy"))
     val mx = cells.groupBy("__x").agg(sum(col("__nxy")).as("__nx"))
     val my = cells.groupBy("__y").agg(sum(col("__nxy")).as("__ny"))
-    val wAll = org.apache.spark.sql.expressions.Window
-      .rowsBetween(Long.MinValue, Long.MaxValue)
+    // grand total as a broadcast 1-row cross (the targetEncode /
+    // Itemsets.pairStats idiom), never an unpartitioned window: the
+    // window form forces the ENTIRE cell table — millions of rows for
+    // two high-cardinality columns — through one task to evaluate the
+    // frame, a single-task bottleneck for an identical number
     val joined = cells
       .join(Broadcasting.maybeBroadcast(mx), Seq("__x"))
       .join(Broadcasting.maybeBroadcast(my), Seq("__y"))
-      .withColumn("__nn", sum(col("__nxy")).over(wAll))
+      .crossJoin(broadcast(cells.agg(sum(col("__nxy")).as("__nn"))))
     val nd = col("__nn").cast("double")
     val ratio = (nd * col("__nxy").cast("double")) /
       (col("__nx").cast("double") * col("__ny").cast("double"))

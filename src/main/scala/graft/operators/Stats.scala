@@ -184,7 +184,7 @@ object Stats {
     * from the sums (biased means and variances) and survived as a
     * phantom null micro-value in the rank tests' banded curves.
     */
-  private def quantizable(df: DataFrame, valueCol: String, op: String): DataFrame = {
+  private[operators] def quantizable(df: DataFrame, valueCol: String, op: String): DataFrame = {
     val v = col(valueCol).cast("double")
     df.filter(v.isNotNull && !isnan(v))
       .withColumn("__qchk", assert_true(

@@ -121,6 +121,40 @@ class BehaviorSpec extends SparkSpec {
     assert(got == "click") // event_id 11 > 10 at the same ts
   }
 
+  test("null user keys are unattributable: excluded from funnel and transitions") {
+    import sqlImplicits._
+    val e = Seq(
+      (Some(1L), "view", ts(0), 1L), (Some(1L), "click", ts(1), 2L),
+      // two UNRELATED unkeyed events: previously one phantom "user"
+      // (funnel n1 + a fabricated view→click completion; a fabricated
+      // transition chaining different visitors)
+      (None, "view", ts(2), 3L), (None, "click", ts(3), 4L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val f = Behavior.funnel(e, Seq("view", "click")).orderBy("stage")
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(f.toSeq == Seq((1, 1L), (2, 1L)), f.toSeq.toString)
+    val t = Behavior.transitions(e).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(t.toSeq == Seq(("view", "click", 1L)),
+      s"unkeyed events must not chain into transitions: ${t.toSeq}")
+  }
+
+  test("attribution is correct with per-user-unique (not globally unique) event ids") {
+    import sqlImplicits._
+    // both users' conversions share event_id 42 — the common sharded
+    // id scheme; a conv_id-only window merged their touch sets
+    // (linear credit split across both users, one last-touch lost)
+    val e = Seq(
+      (1L, "ad", ts(0), 1L), (1L, "buy", ts(1), 42L),
+      (2L, "email", ts(0), 2L), (2L, "buy", ts(1), 42L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Behavior.attribution(e, "buy", lookbackSeconds = 3600L)
+      .orderBy("channel").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("ad", 1L, 1L, 1.0), ("email", 1L, 1L, 1.0)),
+      got.toSeq.toString)
+  }
+
   test("results are independent of partitioning") {
     val a = Behavior.transitions(events.coalesce(1)).collect().map(_.toSeq).toSet
     val b = Behavior.transitions(events.repartition(7)).collect().map(_.toSeq).toSet

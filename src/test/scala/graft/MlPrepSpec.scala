@@ -141,10 +141,57 @@ class MlPrepSpec extends SparkSpec {
       .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(4)))
     assert(bins.map(_._2).sum == 40L, "NaN rows must not be binned")
     assert(bins.forall(b => !b._3.isNaN), s"no bin hi may be NaN, got ${bins.toSeq}")
+    // the EDGES must come from the NaN-free frame too (the oracle's
+    // shape): percentile over the NaN-bearing frame interpolates over
+    // 42 sorted values (NaN above all doubles) and shifts every edge
+    // right — equal-frequency bins over 1..40 are exactly 10/10/10/10
+    assert(bins.sortBy(_._1).map(_._2).toSeq == Seq(10L, 10L, 10L, 10L),
+      s"edges must interpolate over the NaN-free values, got ${bins.toSeq}")
     val psi = MlPrep.psi(
       df.withColumn("u", monotonically_increasing_id()),
       Seq("grp"), "v", col("u") % 2 === 0, nBins = 4)
       .head()
     assert(!psi.getAs[Double]("psi").isNaN)
+  }
+
+  test("scalingReport: NaN excluded from n, constant column std is 0, ±Inf raises") {
+    import sqlImplicits._
+    // NaN previously passed isNotNull, counted in n, and quantized to
+    // NULL inside the moment sums — mean computed over an inflated
+    // denominator (here 0.5 instead of 1.0)
+    val df = Seq(1.0, Double.NaN).map(Tuple1(_)).toDF("v")
+    val row = MlPrep.scalingReport(df, Seq("v")).head()
+    assert(row.getAs[Long]("n") == 1L, row.toString)
+    assert(row.getAs[Double]("mean") == 1.0, row.toString)
+    // a constant column's variance numerator can round negative past
+    // 2^53 — the clamp keeps std at 0, never NaN
+    val const = Seq.fill(1000)(1e5).map(Tuple1(_)).toDF("v")
+    val stdRow = MlPrep.scalingReport(const, Seq("v")).head()
+    assert(stdRow.getAs[Double]("std") == 0.0, stdRow.toString)
+    // out-of-domain values RAISE (the Stats.quantizable contract)
+    val inf = Seq(1.0, Double.PositiveInfinity).map(Tuple1(_)).toDF("v")
+    val err = intercept[Exception] { MlPrep.scalingReport(inf, Seq("v")).collect() }
+    assert(err.getMessage != null)
+  }
+
+  test("targetEncode: NaN targets are excluded, not silently diluted") {
+    import sqlImplicits._
+    val df = Seq(("a", 10.0), ("a", Double.NaN), ("b", 4.0)).toDF("k", "y")
+    val got = MlPrep.targetEncode(df, "k", "y", m = 1.0)
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // NaN row gone: n('a') = 1, global mean = (10+4)/2 = 7
+    // enc(a) = (10 + 1·7)/(1+1) = 8.5 ; enc(b) = (4 + 7)/2 = 5.5
+    assert(got.toSeq == Seq(("a", 1L, 8.5), ("b", 1L, 5.5)), got.toSeq.toString)
+  }
+
+  test("rankNormalize: NaN values have no rank — the true max keeps norm 1.0") {
+    import sqlImplicits._
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", Double.NaN)).toDF("k", "v")
+    val got = MlPrep.rankNormalize(df, Seq("k"), "v")
+      .orderBy("value").collect()
+      .map(r => (r.getDouble(1), r.getDouble(4)))
+    assert(got.toSeq == Seq((1.0, 0.0), (2.0, 1.0)),
+      s"NaN must be excluded (it outranked the max and stole norm 1.0): ${got.toSeq}")
   }
 }
