@@ -87,15 +87,27 @@ object CorpusStats {
     val pts = top.select(
       round(log(col("rank").cast("double")) * lit(1e6)).cast("long").as("x"),
       round(log(col("cnt").cast("double")) * lit(1e6)).cast("long").as("y"))
+    // Moment sums and the OLS combination in DECIMAL(38,0) (the
+    // Regression/Resample convention), NOT long: per-term x·y is safe
+    // in long (≤ ~1.3e15 at micro-nat magnitudes) but Σx·y crosses
+    // Long.MaxValue near topN ~1e5 on a large corpus, and the
+    // combination n·Σxy − Σx·Σy wraps for topN beyond a few hundred —
+    // silently, with ANSI off, yielding a garbage slope while the
+    // DuckDB oracle raises on the same BIGINT overflow. Exact integers
+    // either way at non-overflowing sizes, so the final doubles are
+    // bit-identical.
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     pts.agg(
         count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"))
+        sum((col("x") * col("y")).cast(d38)).as("sxy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"))
       .select(
         col("n").as("n_fit"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        ((col("n").cast(d38) * col("sxy") - col("sx").cast(d38) * col("sy").cast(d38))
+          .cast("double") /
+          (col("n").cast(d38) * col("sxx") - col("sx").cast(d38) * col("sx").cast(d38))
+          .cast("double"))
           .as("zipf_slope"))
   }
 
@@ -142,7 +154,8 @@ object CorpusStats {
     * `idCol` order): for each quartile boundary, the number of
     * distinct tokens whose FIRST occurrence falls at or before it.
     * One per-token min-id aggregation; output
-    * (prefix_pct, n_docs, vocab_size).
+    * (prefix_pct, boundary_id, vocab_size) — boundary_id the exact
+    * (possibly .5-interpolated) quartile of the id column.
     */
   def heapsVocab(
       docs: DataFrame,
@@ -153,14 +166,13 @@ object CorpusStats {
       .groupBy("tok").agg(min(col("__id")).as("first_id"))
     // quartile boundary ids by exact percentile over the doc ids
     val bounds = docs.agg(
-      expr(s"percentile($idCol, array(0.25, 0.5, 0.75, 1.0))").as("bs"),
-      count(lit(1)).as("n_total"))
+      expr(s"percentile($idCol, array(0.25, 0.5, 0.75, 1.0))").as("bs"))
     firstSeen
       .crossJoin(broadcast(bounds))
       .select(
         posexplode(col("bs")).as(Seq("__i", "__b")),
-        col("first_id"), col("n_total"))
-      .groupBy(col("__i"), col("__b"), col("n_total"))
+        col("first_id"))
+      .groupBy(col("__i"), col("__b"))
       .agg(sum(when(col("first_id").cast("double") <= col("__b"), 1L).otherwise(0L))
         .as("vocab_size"))
       .select(

@@ -63,7 +63,17 @@ object Dsir {
       .select(col("tok"), delta.as("__delta"))
     toks
       .filter(!col("__is_target"))
-      .join(tokScore, Seq("tok"))
+      // the log-ratio table is vocabulary-sized but its post-aggregate
+      // size estimate never shrinks below the corpus (aggregates
+      // inherit child size), so unhinted the INITIAL plan shuffles the
+      // corpus-sized token stream to meet it — the full-corpus shuffle
+      // the scale contract above rules out. The size-guarded hint
+      // broadcasts when the estimate fits; when it over-reads, AQE's
+      // runtime re-plan converts the shuffle join to broadcast off the
+      // vocabulary's ACTUAL size — either path avoids hard-coding an
+      // unguarded broadcast of a frame that is only small by
+      // assumption.
+      .join(Broadcasting.maybeBroadcast(tokScore), Seq("tok"))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_toks"),

@@ -42,6 +42,11 @@ object Resample {
       stepSeconds: Long,
       maxGridPerKey: Long = 2000000L): DataFrame = {
     require(stepSeconds > 0, s"ffillGrid: step must be positive, got $stepSeconds")
+    // the µs conversion must not wrap: a step past Long.MaxValue/1e6
+    // would go negative silently (ANSI off) and bucket arithmetic on a
+    // negative modulus produces garbage grids instead of a loud error
+    require(stepSeconds <= Long.MaxValue / 1000000L,
+      s"ffillGrid: stepSeconds=$stepSeconds overflows microseconds")
     require(maxGridPerKey > 0, s"ffillGrid: maxGridPerKey must be positive, got $maxGridPerKey")
     val stepUs = stepSeconds * 1000000L
     // FLOOR division, not `div` (which truncates toward zero): a
@@ -55,7 +60,12 @@ object Resample {
     val bucketExpr = expr(
       s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), ${stepUs}L)) div ${stepUs}L")
     val buckets = df
-      .filter(col(tsCol).isNotNull)
+      // null KEYS are excluded like null ts: groupBy would build a
+      // grid for the NULL-key group, but the non-null-safe equi-join
+      // back to `buckets` can never match it — every NULL-key row
+      // would fabricate n=0 / v_ffill=NULL "gap" rows in buckets that
+      // actually contained observations
+      .filter(keyCols.map(col(_).isNotNull).fold(col(tsCol).isNotNull)(_ && _))
       .groupBy((keyCols.map(col) :+ bucketExpr.as("bucket")): _*)
       .agg(max(col(valueCol)).as("v"), count(col(valueCol)).as("n"))
     // coalesce(assert_true(...), b1): the assert yields NULL when the
@@ -112,14 +122,21 @@ object Resample {
       stepSeconds: Long,
       maxGridPerKey: Long = 2000000L): DataFrame = {
     require(stepSeconds > 0, s"interpolateGrid: step must be positive, got $stepSeconds")
+    require(stepSeconds <= Long.MaxValue / 1000000L,
+      s"interpolateGrid: stepSeconds=$stepSeconds overflows microseconds")
     require(maxGridPerKey > 0, s"interpolateGrid: maxGridPerKey must be positive, got $maxGridPerKey")
     val stepUs = stepSeconds * 1000000L
     val bucketExpr = expr(
       s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), ${stepUs}L)) div ${stepUs}L")
     val vu = col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 4))
       .multiply(lit(10000)).cast("long")
-    val buckets = df
-      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+    // Stats.quantizable: NaN excluded like null, a finite value
+    // outside the DECIMAL(18,4) domain RAISES — it previously
+    // quantized to a NULL vu silently, so the bucket read as a gap
+    // (and got interpolated over) while n still counted the row.
+    // Null keys excluded for the same reason as ffillGrid.
+    val buckets = Stats.quantizable(df, valueCol, "interpolateGrid")
+      .filter(keyCols.map(col(_).isNotNull).fold(col(tsCol).isNotNull)(_ && _))
       .groupBy((keyCols.map(col) :+ bucketExpr.as("bucket")): _*)
       .agg(max(vu).as("vu"), count(lit(1)).as("n"))
     val guardedB1 = coalesce(
@@ -199,8 +216,19 @@ object Resample {
     require(k >= 1 && k <= 62, s"ewma: lookback k=$k out of [1, 62]")
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).asc, col(idCol).asc)
-    val yu = (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 4)) *
-      lit(10000).cast(org.apache.spark.sql.types.DecimalType(5, 0))).cast("long")
+    // NaN (and null) values yield a null ewma and weigh 0 in their
+    // neighbors' frames; a finite value OUTSIDE the DECIMAL(18,4)
+    // quantization domain RAISES (the Stats.quantizable contract) —
+    // it previously quantized to null silently, erasing a real
+    // reading from the average with no signal
+    val vd = col(valueCol).cast("double")
+    val dec = col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 4))
+    val yu = when(vd.isNotNull && !isnan(vd),
+      coalesce(
+        assert_true(dec.isNotNull,
+          concat(lit("ewma: value outside the DECIMAL(18,4) quantization domain: "),
+            vd.cast("string"))).cast("long"),
+        (dec * lit(10000).cast(org.apache.spark.sql.types.DecimalType(5, 0))).cast("long")))
     val terms = (0 until k).map { j =>
       val weight = 1L << (k - 1 - j)
       val lagv = if (j == 0) col("__yu") else lag(col("__yu"), j).over(w)
@@ -217,6 +245,12 @@ object Resample {
     val num = terms.map(_._1).reduce(_ + _)
     val den = terms.map(_._2).reduce(_ + _)
     df
+      // a row without a timestamp has no position in the ordered
+      // series — and Spark sorts null ts FIRST while SQL's default
+      // ORDER BY sorts it LAST, so keeping such rows makes the lag
+      // frames engine-dependent; null keys merge unrelated series into
+      // one phantom window partition (the funnel/transitions class)
+      .filter(keyCols.map(col(_).isNotNull).fold(col(tsCol).isNotNull)(_ && _))
       .select(
         keyCols.map(col) ++ Seq(col(tsCol), col(idCol), col(valueCol), yu.as("__yu")): _*)
       .withColumn(

@@ -27,6 +27,16 @@ object Seasonal {
   /** Per-slot robust baseline + anomaly counts: `(event_type, isodow,
     * hour, n, med, mad, n_anomalies)` with med/mad in original value
     * units (micro-exact doubles).
+    *
+    * DEGENERATE-SLOT CONTRACT: a slot where ≥50 % of values equal the
+    * median has MAD = 0, and the `mad_u > 0` guard then flags NOTHING
+    * in that slot no matter how extreme a point is — MAD carries no
+    * scale information there (Leys et al. discuss the degenerate
+    * case). The slot is identifiable in the output (`mad = 0.0` with
+    * `n_anomalies = 0`); callers screening near-constant heartbeat
+    * metrics should route mad=0 slots to a secondary screen (exact
+    * inequality against the median, or a mean-absolute-deviation
+    * fallback) rather than read 0 anomalies as health.
     */
   def hourOfWeekAnomalies(
       events: DataFrame,
@@ -35,12 +45,17 @@ object Seasonal {
       tsCol: String = "ts",
       valueCol: String = "value"): DataFrame = {
     require(k > 0, s"hourOfWeekAnomalies: k must be positive, got $k")
-    val slotted = events
-      // null ts would form a (type, NULL, NULL) slot whose median is
-      // computed and then discarded by the equi-joins — exclude it
-      // explicitly (the Resample convention) instead of paying a dead
-      // percentile aggregation
-      .filter(col(valueCol).isNotNull && col(tsCol).isNotNull)
+    // Stats.quantizable: NaN excluded like null, a finite value
+    // outside the DECIMAL(18,4) domain RAISES — it previously
+    // quantized to a NULL vu silently, so the most extreme points
+    // (the very anomalies this screen exists to catch) dropped out of
+    // the median AND the anomaly count while n still counted them
+    val slotted = Stats.quantizable(events, valueCol, "hourOfWeekAnomalies")
+      // null ts (or type) would form a slot whose median is computed
+      // and then discarded by the equi-joins — exclude both
+      // explicitly (the Resample convention) instead of paying dead
+      // percentile aggregations
+      .filter(col(tsCol).isNotNull && col(typeCol).isNotNull)
       .select(
         col(typeCol).as("event_type"),
         (weekday(col(tsCol)) + lit(1)).cast("int").as("isodow"),

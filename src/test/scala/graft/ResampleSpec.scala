@@ -62,6 +62,44 @@ class ResampleSpec extends SparkSpec {
     assert(Resample.ffillGrid(df, Seq("k"), "ts", "v", 1L).count() == 2001L)
   }
 
+  test("null keys are excluded: no fabricated n=0 grids for unkeyed observations") {
+    import sqlImplicits._
+    val df = Seq(
+      (Some("k1"), ts(0), 1.0), (Some("k1"), ts(2), 3.0),
+      // unkeyed observations: the NULL-key grid could never re-match
+      // its own buckets (null ≠ null in the equi-join), so every such
+      // row claimed n=0 / v_ffill=NULL in buckets that held data
+      (None, ts(0), 5.0), (None, ts(2), 9.0))
+      .toDF("k", "ts", "v")
+    val g = Resample.ffillGrid(df, Seq("k"), "ts", "v", 3600L)
+    assert(g.filter(col("k").isNull).count() == 0, "no NULL-key grid rows")
+    assert(g.filter(col("k") === "k1").count() == 3)
+    val i = Resample.interpolateGrid(df, Seq("k"), "ts", "v", 3600L)
+    assert(i.filter(col("k").isNull).count() == 0)
+  }
+
+  test("ewma drops null-ts rows (engine-dependent ordering); out-of-domain raises") {
+    import sqlImplicits._
+    val df = Seq(
+      ("k", ts(0), 1L, 1.0), ("k", ts(1), 2L, 3.0),
+      // Spark sorts a null ts FIRST, SQL's default ORDER BY sorts it
+      // LAST — keeping the row makes every lag frame engine-dependent
+      ("k", null.asInstanceOf[Timestamp], 3L, 100.0))
+      .toDF("k", "ts", "id", "v")
+    val out = Resample.ewma(df, Seq("k"), "ts", "id", "v", k = 2)
+    assert(out.count() == 2, "null-ts rows have no position in the series")
+    val lastRow = out.orderBy(col("ts").desc).head().getAs[Double]("ewma")
+    assert(math.abs(lastRow - 7.0 / 3) < 1e-9, lastRow.toString) // (2·3 + 1·1)/3
+    // a finite value outside DECIMAL(18,4) previously quantized to a
+    // silent null reading — now it raises (the quantizable contract)
+    val big = Seq(("k", ts(0), 1L, 2e14)).toDF("k", "ts", "id", "v")
+    intercept[Exception] { Resample.ewma(big, Seq("k"), "ts", "id", "v").collect() }
+    val bigI = Seq(("k", ts(0), 2e14)).toDF("k", "ts", "v")
+    intercept[Exception] {
+      Resample.interpolateGrid(bigI, Seq("k"), "ts", "v", 3600L).collect()
+    }
+  }
+
   test("result is independent of partitioning") {
     val a = Resample.ffillGrid(sample.coalesce(1), Seq("k"), "ts", "v", 3600L)
       .collect().map(_.toSeq).toSet

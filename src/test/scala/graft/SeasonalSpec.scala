@@ -46,6 +46,26 @@ class SeasonalSpec extends SparkSpec {
     assert(r.getAs[Double]("mad") == 1.5)
   }
 
+  test("NaN values are excluded; out-of-domain values raise instead of vanishing") {
+    import sqlImplicits._
+    // NaN quantized to a NULL vu silently: the row stayed in n while
+    // dropping out of the median AND the anomaly count
+    val df = (Seq(0.9, 1.0, 1.05, 1.1, 50.0, Double.NaN))
+      .zipWithIndex.map { case (v, i) => ("m", ts(0, 9, i), v) }
+      .toDF("event_type", "ts", "value")
+    val row = Seasonal.hourOfWeekAnomalies(df, k = 4.0).head()
+    assert(row.getAs[Long]("n") == 5L, s"NaN must not count as an observation: $row")
+    assert(row.getAs[Long]("n_anomalies") == 1L, s"the 50.0 spike must flag: $row")
+    // a value outside DECIMAL(18,4) previously became an INVISIBLE
+    // anomaly — the extreme point this screen exists to catch
+    val big = (Seq(1.0, 1.0, 1.0, 2e14))
+      .zipWithIndex.map { case (v, i) => ("m", ts(0, 9, i), v) }
+      .toDF("event_type", "ts", "value")
+    intercept[Exception] {
+      Seasonal.hourOfWeekAnomalies(big, k = 4.0).collect()
+    }
+  }
+
   test("results are independent of partitioning") {
     import sqlImplicits._
     val df = (0 until 500).map(i =>
