@@ -110,14 +110,25 @@ object Bpe {
         lit(i).as("rank"), col("l").as("left_sym"),
         col("r").as("right_sym"), col("cnt").as("pair_count"))
       val sep = lit(Sep)
+      // LEFT join on a constant-true condition, NOT a cross join: when
+      // the merge space is exhausted before round k (every word already
+      // a single symbol), `best` is EMPTY and a cross join would
+      // annihilate the dictionary — train() silently returned an empty
+      // segmentation for any corpus that fully merges under the budget.
+      // The left join keeps every word and the when-guard makes an
+      // exhausted round the identity rewrite; `best` is limit(1), so
+      // the join can never duplicate, and the loop stays fully lazy
+      // (no per-round count). Exhausted rounds contribute no merge row
+      // — the merge table simply ends at the last real rank.
       dict = dict
-        .crossJoin(broadcast(best.select(col("l").as("__l"), col("r").as("__r"))))
+        .join(broadcast(best.select(col("l").as("__l"), col("r").as("__r"))),
+          lit(true), "left")
         .select(
           col("w"),
-          replace(
+          when(col("__l").isNull, col("sym")).otherwise(replace(
             col("sym"),
             concat(sep, col("__l"), sep, sep, col("__r"), sep),
-            concat(sep, col("__l"), col("__r"), sep)).as("sym"),
+            concat(sep, col("__l"), col("__r"), sep))).as("sym"),
           col("wc"))
       if (i % ckptEvery == 0 && i < k) dict = dict.localCheckpoint(false)
     }

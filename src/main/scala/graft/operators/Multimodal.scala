@@ -74,20 +74,32 @@ object Multimodal {
     * Metadata mapping: width = sample rate, height = channels. Chunks
     * are word-aligned per the RIFF spec. Pure JVM.
     */
-  def decodeWav(f: MediaFile): Option[MediaMeta] = {
-    val p = f.payload
+  /** One parsed RIFF/WAVE header — the shared output of [[walkRiff]];
+    * each caller applies its own validity rules on top.
+    */
+  private final case class RiffWave(
+      channels: Int, rate: Int, bits: Int, block: Int, dataOff: Long, dataLen: Long)
+
+  /** THE RIFF chunk walk — the single copy of the untrusted-size
+    * rules shared by [[decodeWav]] and [[afp64]] (two verbatim copies
+    * previously: a hardening fix applied to one walk would silently
+    * miss the other). Long offsets + every-chunk-must-fit: declared
+    * sizes are untrusted (a size near 2³¹ would wrap an Int walk into
+    * a negative offset and crash the task instead of falling through
+    * to the stub; a truncated data chunk would overstate n_frames).
+    * Chunks advance word-aligned per the RIFF spec.
+    */
+  private def walkRiff(p: Array[Byte]): Option[RiffWave] = {
     val riff = p.length >= 44 &&
       p(0) == 'R'.toByte && p(1) == 'I'.toByte && p(2) == 'F'.toByte && p(3) == 'F'.toByte &&
       p(8) == 'W'.toByte && p(9) == 'A'.toByte && p(10) == 'V'.toByte && p(11) == 'E'.toByte
     if (!riff) return None
-    // Long offsets + every-chunk-must-fit: declared sizes are
-    // untrusted (a size near 2³¹ would wrap an Int walk into a
-    // negative offset and crash the task instead of falling through
-    // to the stub; a truncated data chunk would overstate n_frames).
     var off = 12L
     var channels = 0
     var rate = 0
+    var bits = 0
     var block = 0
+    var dataOff = -1L
     var dataLen = -1L
     while (off + 8 <= p.length) {
       val id = new String(p, off.toInt, 4, java.nio.charset.StandardCharsets.US_ASCII)
@@ -97,12 +109,20 @@ object Multimodal {
         channels = le16(p, off.toInt + 10)
         rate = le32(p, off.toInt + 12)
         block = le16(p, off.toInt + 20)
-      } else if (id == "data") dataLen = sz
+        bits = le16(p, off.toInt + 22)
+      } else if (id == "data") { dataOff = off + 8; dataLen = sz }
       off += 8 + sz + (sz & 1)
     }
-    if (channels > 0 && rate > 0 && block > 0 && dataLen >= 0)
-      Some(MediaMeta(f.doc_id, "audio/wav", p.length.toLong, rate, channels, (dataLen / block).toInt, fnv64(p)))
-    else None
+    Some(RiffWave(channels, rate, bits, block, dataOff, dataLen))
+  }
+
+  def decodeWav(f: MediaFile): Option[MediaMeta] = {
+    val p = f.payload
+    walkRiff(p).collect {
+      case r if r.channels > 0 && r.rate > 0 && r.block > 0 && r.dataLen >= 0 =>
+        MediaMeta(f.doc_id, "audio/wav", p.length.toLong, r.rate, r.channels,
+          (r.dataLen / r.block).toInt, fnv64(p))
+    }
   }
 
   /** Deterministic fake decode of a payload batch. Runs per partition
@@ -333,34 +353,18 @@ object Multimodal {
     */
   def afp64(f: MediaFile): Option[Long] = {
     val p = f.payload
-    val riff = p.length >= 44 &&
-      p(0) == 'R'.toByte && p(1) == 'I'.toByte && p(2) == 'F'.toByte && p(3) == 'F'.toByte &&
-      p(8) == 'W'.toByte && p(9) == 'A'.toByte && p(10) == 'V'.toByte && p(11) == 'E'.toByte
-    if (!riff) return None
-    var off = 12L
-    var channels = 0
-    var bits = 0
-    var block = 0
-    var dataOff = -1L
-    var dataLen = -1L
-    while (off + 8 <= p.length) {
-      val id = new String(p, off.toInt, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val sz = le32(p, off.toInt + 4).toLong & 0xffffffffL
-      if (off + 8 + sz > p.length) return None
-      if (id == "fmt " && sz >= 16) {
-        channels = le16(p, off.toInt + 10)
-        block = le16(p, off.toInt + 20)
-        bits = le16(p, off.toInt + 22)
-      } else if (id == "data") { dataOff = off + 8; dataLen = sz }
-      off += 8 + sz + (sz & 1)
-    }
-    if (channels < 1 || bits != 16 || block < 2 || dataOff < 0) return None
-    val frames = (dataLen / block).toInt
+    val r = walkRiff(p).getOrElse(return None)
+    if (r.channels < 1 || r.bits != 16 || r.block < 2 || r.dataOff < 0) return None
+    val (block, dataOff) = (r.block, r.dataOff)
+    val frames = (r.dataLen / block).toInt
     if (frames < 65) return None
     val energy = new Array[Long](65)
     var w = 0
     while (w < 65) {
-      val f0 = (w * frames) / 65; val f1 = ((w + 1) * frames) / 65
+      // Long window bounds: w·frames in Int wraps negative past ~33.5M
+      // sample frames (a ~70-minute clip at 8 kHz) — f0/f1 then go
+      // negative and p(o) throws instead of fingerprinting
+      val f0 = (w.toLong * frames / 65).toInt; val f1 = ((w + 1).toLong * frames / 65).toInt
       var sum = 0L
       var fr = f0
       while (fr < f1) {
@@ -461,10 +465,16 @@ object Multimodal {
     docs
       .select(
         col("doc_id"),
+        // pmod, not %: a negative doc_id would index 0 (a runtime
+        // error — SQL array indices start at 1) or −1 (silently the
+        // wrong mime) instead of cycling
         element_at(
           array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
-          (col("doc_id") % 3 + 1).cast("int")).as("mime"),
-        encode(col("text"), "UTF-8").as("payload"))
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("mime"),
+        // null text is an EMPTY payload, not a null one: a null
+        // payload NPEs in the decode boundary's header probes; empty
+        // bytes take the stub path deterministically
+        coalesce(encode(col("text"), "UTF-8"), lit(Array.empty[Byte])).as("payload"))
       .as[MediaFile]
   }
 

@@ -32,10 +32,13 @@ import graft.functions.TextFunctions
   */
 object NgramLm {
 
-  /** Multiset bigram rows `(idCol, w1, bg)` — bg = "w1␁w2" (the \u0001
-    * separator cannot appear inside whitespace tokens). `toks` must be
-    * a MATERIALIZED array attribute (the [[TextFunctions.wordShingles]]
-    * re-evaluation contract).
+  /** Multiset bigram rows `(idCol, w1, w2)` — the pair carried as TWO
+    * columns, never a separator-concatenated key: the tokenizer splits
+    * on whitespace only, so a token may legally CONTAIN the old \u0001
+    * separator, and a concat key made ("x\u0001y", "z") collide with
+    * ("x", "y\u0001z") — merged bigram/history counts silently skewing
+    * avg_nll. `toks` must be a MATERIALIZED array attribute (the
+    * [[TextFunctions.wordShingles]] re-evaluation contract).
     */
   private def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
@@ -45,13 +48,14 @@ object NgramLm {
         // guard < 2 tokens BEFORE sequence(): Spark's sequence(1, 0)
         // counts DOWN, which would probe element_at(toks, 0) — an
         // error under ANSI (the wordShingles pattern)
-        explode(when(size(col("__toks")) < 2, array().cast("array<string>"))
+        explode(when(size(col("__toks")) < 2,
+            array().cast("array<struct<w1:string,w2:string>>"))
           .otherwise(transform(
             sequence(lit(1), size(col("__toks")) - 1),
-          i => concat(
-            element_at(col("__toks"), i.cast("int")), lit("\u0001"),
-            element_at(col("__toks"), (i + 1).cast("int")))))).as("bg"))
-      .select(col(idCol), substring_index(col("bg"), "\u0001", 1).as("w1"), col("bg"))
+            i => struct(
+              element_at(col("__toks"), i.cast("int")).as("w1"),
+              element_at(col("__toks"), (i + 1).cast("int")).as("w2"))))).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
 
   /** Per-document bigram-LM score: `(idCol, n_bigrams, avg_nll)` with
     * avg_nll = mean over the document's bigrams of
@@ -76,7 +80,7 @@ object NgramLm {
       quantizeMicroNats: Boolean = false): DataFrame = {
     val bg = OpCache.swap("ngramlm.bigrams", bigrams(docs, idCol, textCol))
     // model tables: corpus-wide bigram and history counts + |V|
-    val cbg = bg.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+    val cbg = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bg"))
     val ch = bg.groupBy(col("w1")).agg(count(lit(1)).as("c_h"))
     val vocab = docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
@@ -84,7 +88,7 @@ object NgramLm {
     // integer-ratio probability: (2·c_bg + 1) / (2·c_h + V)
     val nll = log((lit(2L) * col("c_h") + col("v")).cast("double")) -
       log((lit(2L) * col("c_bg") + lit(1L)).cast("double"))
-    val scored = bg.join(cbg, Seq("bg"))
+    val scored = bg.join(cbg, Seq("w1", "w2"))
       .join(ch, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .groupBy(col(idCol))

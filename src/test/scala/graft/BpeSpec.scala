@@ -64,6 +64,21 @@ class BpeSpec extends SparkSpec {
     assert(gotS == expS, s"segmentation\n got=$gotS\n exp=$expS")
   }
 
+  test("merge-space exhaustion before round k keeps the dictionary (no annihilation)") {
+    import sqlImplicits._
+    // 'ab' fully merges in ONE round; rounds 2..5 have an EMPTY argmax
+    // frame — the old crossJoin against it wiped the dictionary and
+    // train() silently returned an empty segmentation
+    val docs = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    val trained = Bpe.train(docs, k = 5)
+    val dict = trained.dict.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(dict.length == 1, s"dictionary must survive exhausted rounds: ${dict.toSeq}")
+    assert(dict.head._1 == "ab" && dict.head._2 == Bpe.Sep + "ab" + Bpe.Sep, dict.head.toString)
+    val merges = trained.merges.collect()
+    assert(merges.length == 1, s"only round 1 has a real merge: ${merges.toSeq}")
+    assert(Bpe.segmentation(trained).count() == 1)
+  }
+
   test("overlapping pair runs merge leftmost-greedy (aaaa -> [aa,aa], aaa -> [aa,a])") {
     val corpus = Seq("aaaa aaaa aaa abab")
     val (gotM, gotS) = runEngine(corpus, 2)

@@ -19,6 +19,25 @@ class MultimodalSpec extends SparkSpec {
     assert(m(0L).mime == "image/png" && m(1L).mime == "audio/wav" && m(2L).mime == "video/mp4")
   }
 
+  test("synthesizeMedia: null text gets an empty payload; negative ids cycle mimes") {
+    import sqlImplicits._
+    implicit val s = spark
+    val df = Seq(
+      (7L, Some("hello")), (8L, None),          // null text
+      (-1L, Some("neg")), (-2L, Some("neg2")))  // negative ids
+      .toDF("doc_id", "text")
+    val m = Multimodal.synthesizeMedia(df).collect().map(f => f.doc_id -> f).toMap
+    // a NULL payload NPEs at the decode boundary's header probes —
+    // null text must synthesize EMPTY bytes instead
+    assert(m(8L).payload.length == 0, "null text must yield an empty payload, not null")
+    // % on a negative id indexed 0 (runtime error) or -1 (wrong mime)
+    assert(m(-1L).mime == "video/mp4" && m(-2L).mime == "audio/wav",
+      s"pmod cycling: ${m(-1L).mime}, ${m(-2L).mime}")
+    // the empty payload flows through the full decode boundary
+    val meta = Multimodal.extractMeta(Multimodal.synthesizeMedia(df)).collect()
+    assert(meta.length == 4, "every row must decode (stub path for empty payloads)")
+  }
+
   test("stubbed decode is deterministic and batched per partition") {
     implicit val s = spark
     val meta1 = Multimodal.extractMeta(Multimodal.synthesizeMedia(docs)).collect().sortBy(_.doc_id)

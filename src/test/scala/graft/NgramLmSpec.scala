@@ -23,6 +23,23 @@ class NgramLmSpec extends SparkSpec {
     assert(math.abs(got(0)._3 - d1) < 1e-9 && math.abs(got(1)._3 - d2) < 1e-9, got.toString)
   }
 
+  test("tokens containing the old separator byte do not merge bigram identities") {
+    import sqlImplicits._
+    // whitespace tokenization legally admits \u0001 INSIDE a token: the
+    // old concat key made ("x\u0001y", "z") collide with ("x", "y\u0001z")
+    // and extracted w1 = "x" for both — merged history counts skewed
+    // both docs' nll to ln(8/3); the struct pair keeps them distinct
+    val docs = Seq((1L, "x\u0001y z"), (2L, "x q")).toDF("doc_id", "text")
+    val got = NgramLm.bigramNll(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // V = 4 distinct tokens; each bigram unique with its own history:
+    // p = (2·1+1)/(2·1+4) = 1/2 → nll = ln 2 for both docs
+    assert(got.map(_._1) == Seq(1L, 2L) && got.map(_._2) == Seq(1L, 1L), got.toString)
+    got.foreach { case (_, _, nll) =>
+      assert(math.abs(nll - math.log(2.0)) < 1e-9, s"expected ln2, got $nll")
+    }
+  }
+
   test("gibberish scores higher than repeated natural text") {
     import sqlImplicits._
     val natural = "the quick brown fox jumps over the lazy dog"
