@@ -91,6 +91,41 @@ object Bench {
         s"${math.round(samples.max / ref * 1000) / 1000.0}]"
     else "[-1.0,-1.0]"
 
+  /** Level-drift re-run decision for one completed warm pass (the r13
+    * verdict's finding #2, extracted pure so the spec can pin the
+    * motivating shape). Three independent triggers:
+    *   - spike drift: `flaggedCount ≥ driftN` (10+ simultaneous flags
+    *     is interval contention by six rounds of series evidence);
+    *   - level drift: the MIN probe sample exceeds the trigger — the
+    *     whole sitting is uniformly slow;
+    *   - CLOSING-BRACKET drift (new, r14): the pass's own post-pass
+    *     sample exceeds the trigger even though the min is clean — the
+    *     r13 run-1 shape (pass STARTS clean, DEGRADES: post sample idx
+    *     1.89 while min printed 1.17) previously only self-LABELED via
+    *     the band; nothing re-MEASURED the damaged tail. Per-query
+    *     minima across passes already compose correctly, so the extra
+    *     pass can only improve the artifact; it stays bounded by
+    *     maxPasses at the call site.
+    * Index triggers only engage when adjudication is on (ref > 0, i.e.
+    * the indexes are not the -1 sentinel).
+    */
+  private[graft] def passNeedsRerun(
+      flaggedCount: Int, driftN: Int,
+      minIdx: Double, postIdx: Double, levelDrift: Double): Boolean =
+    flaggedCount >= driftN ||
+      (minIdx > 0 && minIdx > levelDrift) ||
+      (postIdx > 0 && postIdx > levelDrift)
+
+  /** True when a phase's bracket samples disagree by more than `width`
+    * index units — the "wide band" that means in-pass times from
+    * different moments of the phase are not comparable. Gates the
+    * top-contributor isolated re-time block (the r13 verdict's finding
+    * #3: on a uniformly slow pass only spike OUTLIERS were re-timed
+    * solo, so `isolated_total` inherited ~226 inflated in-pass times).
+    */
+  private[graft] def bandWide(samples: Seq[Double], ref: Double, width: Double = 0.2): Boolean =
+    ref > 0 && samples.nonEmpty && (samples.max - samples.min) / ref > width
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -141,7 +176,14 @@ object Bench {
     val coldSticks = scala.collection.mutable.ArrayBuffer.empty[Double]
     val coldTotal =
       if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
-        if (ystickRef > 0) coldSticks += yardstick(spark)
+        // Throwaway JIT probe before the FIRST cold bracket sample (the
+        // r13 ADVICE finding): yardstick() warms janino per call, but
+        // the JVM's very first probe still pays one-time C2/JIT of the
+        // generated class, so a clean sitting could read a high
+        // cold-band max (and interval_index_max) from JIT alone,
+        // mislabeling it as contended. ~3 s once per JVM buys bracket
+        // samples that measure the MACHINE, not the JIT.
+        if (ystickRef > 0) { yardstick(spark); coldSticks += yardstick(spark) }
         val t0 = System.nanoTime()
         // Cold first-touch runs CONCURRENTLY (default 6 threads): the
         // dominant cold cost is driver-side per-query work — Catalyst
@@ -239,6 +281,10 @@ object Bench {
       val ysticks = scala.collection.mutable.ArrayBuffer(yardstick(spark))
       var results = runPass()
       ysticks += yardstick(spark)
+      // the CLOSING bracket of the most recent pass, tracked apart from
+      // ysticks because the insurance sample below would otherwise
+      // overwrite `.last` and hide a contaminated pass tail
+      var postSample = ysticks.last
       var passes = 1
       def intervalIndex: Double = idxOf(ysticks.min)
       // The margin between a clean sitting's index (~1.15 observed in
@@ -247,13 +293,18 @@ object Bench {
       // pass — take a THIRD sample before adjudicating level drift
       // (~2 s of insurance vs ~130 s of re-run; the r11 ADVICE
       // finding). The spike trigger is untouched: it rests on 200+
-      // per-query times, not on the probe.
+      // per-query times, not on the probe. The closing-bracket trigger
+      // (passNeedsRerun) deliberately takes NO insurance sample: the
+      // damage is to the pass that already RAN — if the machine has
+      // since recovered, the re-run produces the clean minima the
+      // certification needs; if it hasn't, the band labels it.
       if (ystickRef > 0 && intervalIndex > levelDrift) ysticks += yardstick(spark)
       while (passes < maxPasses &&
-          (flaggedOf(results).length >= driftN ||
-            (ystickRef > 0 && intervalIndex > levelDrift))) {
+          passNeedsRerun(flaggedOf(results).length, driftN,
+            intervalIndex, idxOf(postSample), levelDrift)) {
         val again = runPass()
         ysticks += yardstick(spark)
+        postSample = ysticks.last
         results = results.map { case (k, v) => k -> math.min(v, again.getOrElse(k, v)) }
         passes += 1
       }
@@ -278,7 +329,23 @@ object Bench {
       // pass total with flagged queries at their isolated time — the
       // number that reflects per-plan cost rather than pass noise.
       val flagged = flaggedOf(results)
-      val isolated = flagged.map { case (name, fullPass) =>
+      // Wide-band top-contributor re-times (the r13 verdict's finding
+      // #3): the spike filter only catches OUTLIERS vs the pass's own
+      // median, so on a uniformly slow pass the other ~226 queries
+      // keep their inflated in-pass times and `isolated_total`
+      // overstates. When the pass band is wide (its bracket samples
+      // disagree by > 0.2 index units — the in-artifact definition of
+      // "this pass's numbers came from different machines"), extend
+      // the isolated block to the top-N share-of-total contributors:
+      // they dominate the total, so re-timing them solo converges
+      // isolated_total toward the clean-class number. A clean narrow
+      // band changes nothing (toIsolate == flagged).
+      val isolateTop = sys.env.getOrElse("SPARK_GRAFT_ISOLATE_TOP", "20").toInt
+      val toIsolate: Seq[(String, Double)] =
+        if (bandWide(passSticks, ystickRef))
+          (flagged ++ results.toSeq.sortBy(-_._2).take(isolateTop)).distinctBy(_._1)
+        else flagged
+      val isolated = toIsolate.map { case (name, fullPass) =>
         val fn = queries(name)
         // Min of 2 runs, extended up to 4 while the min still exceeds
         // 3× the full-pass time: a flagged query re-timed right after
@@ -300,7 +367,7 @@ object Bench {
       // sitting's smoking gun (x196 isolated 3× its in-pass time)
       // would have printed isolated ≈ 2-3 instead of hiding behind the
       // pass's one clean moment
-      if (flagged.nonEmpty && ystickRef > 0) ysticks += yardstick(spark)
+      if (toIsolate.nonEmpty && ystickRef > 0) ysticks += yardstick(spark)
       // each phase ships [min, max] of its bracket samples — see
       // phaseBandJson; the max exists because a min-bracket hides
       // contention inside a phase (the first r13 run: the pass ended
@@ -311,7 +378,7 @@ object Bench {
       val phasesJson = Seq(
         "cold" -> phaseBand(coldSticks.toSeq),
         "pass" -> phaseBand(passSticks),
-        "isolated" -> (if (flagged.nonEmpty)
+        "isolated" -> (if (toIsolate.nonEmpty)
           phaseBand(Seq(passSticks.last, ysticks.last)) else "[-1.0,-1.0]"))
         .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
       val allSticks = coldSticks.toSeq ++ ysticks

@@ -619,7 +619,11 @@ object Dedup {
     // materially exceeding the driver's broadcast budget. One agg job
     // over the checkpointed list prices variable-width columns at
     // their actual byte length; fixed-width columns keep their encoded
-    // size; +16 B/row covers the hashed-relation row overhead.
+    // size; +48 B/row covers the hashed-relation row overhead
+    // (UnsafeRow header + null bitset + the LongToUnsafeRowMap /
+    // BytesToBytesMap entry — typically 32-64 B/row, so the old
+    // +16 B/row left the broadcast decision optimistic near the
+    // threshold; the r13 ADVICE finding).
     import org.apache.spark.sql.types.{StringType, BinaryType}
     val widths = mat.schema.fields.map { f =>
       f.dataType match {
@@ -631,7 +635,7 @@ object Dedup {
     val measured = mat.agg(
       count(lit(1)).as("n"),
       coalesce(sum(widths.reduce(_ + _)), lit(0L)).as("bytes")).head()
-    val bytes = measured.getLong(1) + measured.getLong(0) * 16L
+    val bytes = measured.getLong(1) + measured.getLong(0) * 48L
     val thr = Broadcasting.threshold(mat)
     rows.join(if (thr > 0 && bytes <= thr) broadcast(mat) else mat, keys, "left_anti")
   }

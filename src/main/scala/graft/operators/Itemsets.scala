@@ -64,9 +64,13 @@ object Itemsets {
   // minSupport would let two callers varying maxBasketSize or the
   // column names on the same input alternate the single slot —
   // unpersisting and fully recomputing the dominant basket/pair
-  // shuffles on every call while looking cached.
+  // shuffles on every call while looking cached. Segments join on NUL
+  // (OpCache.paramKey), not '.': column names can themselves carry
+  // dots, so ("a.b","c") and ("a","b.c") would collide under a '.'
+  // join — alternation-only (the slot is plan-checked), but it defeats
+  // the key for exactly the dotted names it exists to distinguish.
   private def paramKey(basketCol: String, itemCol: String, maxBasketSize: Int): String =
-    s"$basketCol.$itemCol.$maxBasketSize"
+    OpCache.paramKey(basketCol, itemCol, maxBasketSize.toString)
 
   // The Σ L² explode + pair aggregation dominates every consumer, and
   // pairCounts/pairStats/itemNeighbors all want the SAME table for a

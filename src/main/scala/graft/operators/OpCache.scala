@@ -35,6 +35,16 @@ import org.apache.spark.storage.StorageLevel
   */
 object OpCache {
 
+  /** Join cache-key parameter segments UNAMBIGUOUSLY: NUL cannot occur
+    * in a SQL identifier, so — unlike the '.'-joined convention it
+    * replaces — ("a.b","c") and ("a","b.c") map to distinct keys. A
+    * collision is only ever a throughput hazard (slot alternation;
+    * the slot itself is plan-checked), but it would defeat
+    * parameter-shaped keys for exactly the dotted column names they
+    * exist to distinguish.
+    */
+  def paramKey(segments: String*): String = segments.mkString("\u0000")
+
   // Keyed by (session, call site): a plan-equal DataFrame from a
   // STOPPED session must never be handed back to a new one.
   private val live = scala.collection.mutable.Map

@@ -134,9 +134,14 @@ object Resample {
     // outside the DECIMAL(18,4) domain RAISES — it previously
     // quantized to a NULL vu silently, so the bucket read as a gap
     // (and got interpolated over) while n still counted the row.
-    // Null keys excluded for the same reason as ffillGrid.
-    val buckets = Stats.quantizable(df, valueCol, "interpolateGrid")
-      .filter(keyCols.map(col(_).isNotNull).fold(col(tsCol).isNotNull)(_ && _))
+    // Null keys excluded for the same reason as ffillGrid — and
+    // excluded BEFORE the quantizable guard (the ewma ordering; the
+    // r13 ADVICE finding): a positionless row (null ts/key) is dropped
+    // by this operator either way, so its value must not be able to
+    // abort the whole job just for exceeding the DECIMAL(18,4) domain.
+    val buckets = Stats.quantizable(
+        df.filter(keyCols.map(col(_).isNotNull).fold(col(tsCol).isNotNull)(_ && _)),
+        valueCol, "interpolateGrid")
       .groupBy((keyCols.map(col) :+ bucketExpr.as("bucket")): _*)
       .agg(max(vu).as("vu"), count(lit(1)).as("n"))
     val guardedB1 = coalesce(

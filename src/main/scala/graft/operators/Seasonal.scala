@@ -25,18 +25,22 @@ import org.apache.spark.sql.functions._
 object Seasonal {
 
   /** Per-slot robust baseline + anomaly counts: `(event_type, isodow,
-    * hour, n, med, mad, n_anomalies)` with med/mad in original value
-    * units (micro-exact doubles).
+    * hour, n, med, mad, n_anomalies, n_exceed_exact)` with med/mad in
+    * original value units (micro-exact doubles).
     *
     * DEGENERATE-SLOT CONTRACT: a slot where ≥50 % of values equal the
     * median has MAD = 0, and the `mad_u > 0` guard then flags NOTHING
-    * in that slot no matter how extreme a point is — MAD carries no
-    * scale information there (Leys et al. discuss the degenerate
-    * case). The slot is identifiable in the output (`mad = 0.0` with
-    * `n_anomalies = 0`); callers screening near-constant heartbeat
-    * metrics should route mad=0 slots to a secondary screen (exact
-    * inequality against the median, or a mean-absolute-deviation
-    * fallback) rather than read 0 anomalies as health.
+    * via `n_anomalies` no matter how extreme a point is — MAD carries
+    * no scale information there (Leys et al. discuss the degenerate
+    * case). The SECONDARY SCREEN covers exactly that blind spot:
+    * `n_exceed_exact` counts, FOR mad=0 SLOTS ONLY, the values
+    * strictly different from the median — at mad=0 the k·MAD cutoff
+    * is 0, so any inequality is an exceedance — making a flat-lined
+    * heartbeat metric with one wild point visible in the same output
+    * row (`mad = 0.0, n_anomalies = 0, n_exceed_exact ≥ 1`) without a
+    * caller-side second pass. For mad>0 slots the MAD screen is
+    * authoritative and `n_exceed_exact` is 0 by definition (not
+    * computed), so healthy non-degenerate slots stay visually quiet.
     */
   def hourOfWeekAnomalies(
       events: DataFrame,
@@ -79,6 +83,14 @@ object Seasonal {
         (first(col("mad_u")) / lit(10000.0)).as("mad"),
         sum(when(
           abs(col("vu") - col("med_u")) > lit(k) * col("mad_u") && col("mad_u") > 0,
-          1L).otherwise(0L)).as("n_anomalies"))
+          1L).otherwise(0L)).as("n_anomalies"),
+        // degenerate-slot secondary screen: exact inequality against
+        // the median, counted only where MAD carries no scale (mad=0).
+        // vu and med_u are exact integers when mad can be 0 (a
+        // half-integer median implies the two middle values differ,
+        // which already forces mad ≥ 0.25), so `=!=` is an exact
+        // integer comparison — bit-portable like the rest of the row.
+        sum(when(col("mad_u") === 0 && col("vu") =!= col("med_u"), 1L)
+          .otherwise(0L)).as("n_exceed_exact"))
   }
 }

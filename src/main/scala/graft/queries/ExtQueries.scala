@@ -4140,6 +4140,10 @@ object ExtQueries {
       "x137_seasonal_mad",
       (s, d) =>
         graft.operators.Seasonal.hourOfWeekAnomalies(t(s, d, "events"), k = 4.0)
+          // the r14 degenerate-MAD secondary screen lives in the
+          // OPERATOR API only — the query surface is frozen, so the
+          // new column is projected away here and the oracle unchanged
+          .drop("n_exceed_exact")
           .filter(col("n_anomalies") > 0)
           .orderBy("event_type", "isodow", "hour"),
       Some("""WITH s AS (

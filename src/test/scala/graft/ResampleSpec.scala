@@ -100,6 +100,25 @@ class ResampleSpec extends SparkSpec {
     }
   }
 
+  test("positionless rows (null ts/key) cannot abort via the quantization guard") {
+    import sqlImplicits._
+    // the operator DROPS a null-ts/null-key row either way, so its
+    // out-of-domain value must not raise (the r13 ADVICE finding: the
+    // quantizable RAISE ran before the null-position filter in
+    // interpolateGrid, aborting the whole job for a row it was about
+    // to discard)
+    val df = Seq(
+      (Some("k"), Some(ts(0)), 1.0), (Some("k"), Some(ts(2)), 3.0),
+      (Some("k"), None, 2e14), // null ts, out-of-domain value
+      (None, Some(ts(1)), -9e15)) // null key, out-of-domain value
+      .toDF("k", "ts", "v")
+    val i = Resample.interpolateGrid(df, Seq("k"), "ts", "v", 3600L).collect()
+    assert(i.length == 3, "k's 3-bucket grid; the bad rows silently dropped")
+    // ewma too (it filters first by construction; pin it)
+    val e2 = Resample.ewma(df.withColumn("id", lit(1L)), Seq("k"), "ts", "id", "v", k = 2)
+    assert(e2.count() == 2)
+  }
+
   test("result is independent of partitioning") {
     val a = Resample.ffillGrid(sample.coalesce(1), Seq("k"), "ts", "v", 3600L)
       .collect().map(_.toSeq).toSet

@@ -33,6 +33,31 @@ class SeasonalSpec extends SparkSpec {
     assert(tue.getAs[Int]("isodow") == 2)
     assert(tue.getAs[Double]("mad") == 0.0)
     assert(tue.getAs[Long]("n_anomalies") == 0L) // MAD 0 guard: no flags
+    assert(tue.getAs[Long]("n_exceed_exact") == 0L) // truly constant slot
+    // the non-degenerate slot keeps the secondary screen quiet
+    assert(mon.getAs[Long]("n_exceed_exact") == 0L)
+  }
+
+  test("degenerate-MAD slots surface exact exceedances (secondary screen)") {
+    import sqlImplicits._
+    // flat-lined heartbeat (≥50 % of values identical → MAD 0) with
+    // one wild point: the k·MAD screen is structurally blind here
+    // (cutoff 0·k with a mad_u>0 guard), so n_anomalies stays 0 — the
+    // r13 contract documented the blind spot; n_exceed_exact closes it
+    val flatWithSpike = Seq(7.0, 7.0, 7.0, 7.0, 500.0)
+      .zipWithIndex.map { case (v, i) => ("hb", ts(0, 3, i), v) }
+      .toDF("event_type", "ts", "value")
+    val r = Seasonal.hourOfWeekAnomalies(flatWithSpike, k = 4.0).head()
+    assert(r.getAs[Double]("mad") == 0.0)
+    assert(r.getAs[Long]("n_anomalies") == 0L)
+    assert(r.getAs[Long]("n_exceed_exact") == 1L, s"the 500.0 point must surface: $r")
+    // two-sided: below-median exceedances count too
+    val dip = Seq(7.0, 7.0, 7.0, 0.5, 7.0, 6.9)
+      .zipWithIndex.map { case (v, i) => ("hb", ts(0, 4, i), v) }
+      .toDF("event_type", "ts", "value")
+    val r2 = Seasonal.hourOfWeekAnomalies(dip, k = 4.0).head()
+    assert(r2.getAs[Double]("mad") == 0.0)
+    assert(r2.getAs[Long]("n_exceed_exact") == 2L, s"0.5 and 6.9 differ from med 7: $r2")
   }
 
   test("median and MAD are exact on even counts (half-integer interpolation)") {

@@ -22,6 +22,31 @@ class YardstickSpec extends AnyFunSuite {
     assert(Bench.yardstickRefFor(-1) == -1.0) // unparseable cpus env
   }
 
+  test("passNeedsRerun: closing-bracket drift fires even when the min is clean") {
+    // the r13 run-1 motivating shape: pass STARTS clean, DEGRADES —
+    // min sample printed idx 1.17 while the post-pass bracket read
+    // 1.89; the old min-only trigger let the contaminated tail stand
+    assert(Bench.passNeedsRerun(0, 10, minIdx = 1.17, postIdx = 1.89, levelDrift = 1.25))
+    // level drift (uniformly slow sitting): min itself over trigger
+    assert(Bench.passNeedsRerun(0, 10, minIdx = 1.4, postIdx = 1.4, levelDrift = 1.25))
+    // spike drift is index-independent (rests on 200+ per-query times)
+    assert(Bench.passNeedsRerun(12, 10, minIdx = -1.0, postIdx = -1.0, levelDrift = 1.25))
+    // clean pass: nothing fires
+    assert(!Bench.passNeedsRerun(3, 10, minIdx = 1.15, postIdx = 1.2, levelDrift = 1.25))
+    // adjudication off (-1 sentinels) never fires the index triggers
+    assert(!Bench.passNeedsRerun(3, 10, minIdx = -1.0, postIdx = -1.0, levelDrift = 1.25))
+  }
+
+  test("bandWide: wide pass band gates the top-contributor isolation block") {
+    // r13 pass band [1.113, 1.492]: 0.379 index units wide → wide
+    assert(Bench.bandWide(Seq(0.857, 1.149), 0.77))
+    // a clean narrow band (r11-class ~[1.13, 1.26]) is NOT wide
+    assert(!Bench.bandWide(Seq(0.870, 0.970), 0.77))
+    // adjudication off / unbracketed → never wide
+    assert(!Bench.bandWide(Seq(0.5, 2.0), -1.0))
+    assert(!Bench.bandWide(Nil, 0.77))
+  }
+
   test("phaseBandJson: [min,max] index band; -1 sentinel when unadjudicable") {
     // min certifies, max labels within-phase contention — the r13
     // motivating shape: a phase bracketed by one clean and one
