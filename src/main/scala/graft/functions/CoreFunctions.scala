@@ -17,7 +17,11 @@ import org.apache.spark.sql.types.DecimalType
   */
 object CoreFunctions {
 
-  val EarthRadiusKm = 6371.0
+  // ONE copy of the constant the bit-identical-oracle contract depends
+  // on: aliasing the kernel's value means an edit there (e.g. to the
+  // WGS84 mean radius) can never desynchronize this from the fused
+  // Expression and the bounding-box rule.
+  val EarthRadiusKm: Double = graft.plans.HaversineDistance.EarthRadiusKm
 
   /** Great-circle distance in km (haversine), mirroring
     * check_and_create_db_v4.py:300-313 — backed by the fused codegen
@@ -113,27 +117,59 @@ object CoreFunctions {
     coalesce(least(greatest(raw, lit(0L)), lit(n - 1)), lit(0L))
   }
 
-  /** Exact decimal sum of a double column, returned as double. */
   /** Exact integer FLOOR division for long columns at any magnitude:
     * strip the (always non-negative) pmod remainder so the numerator
     * is an exact multiple, then divide in DECIMAL. The `/`-based form
     * of this idiom (previously copied privately into Eval,
     * GridCluster and SetJoin) executed the final division in doubles,
-    * which loses exactness past 2^53 even on exact multiples.
+    * which loses exactness past 2^53 even on exact multiples. The
+    * remainder is stripped in DECIMAL too: `num - pmod` in LongType
+    * wraps at the extremes the doc promises to handle (Long.MinValue
+    * with den=3 has pmod 1, and MinValue−1 wrapped to MaxValue — the
+    * sign of the whole quotient silently flipped with ANSI off).
     */
-  def floorDiv(num: Column, den: Column): Column =
-    ((num - pmod(num, den)).cast(DecimalType(38, 0)) / den).cast("long")
+  def floorDiv(num: Column, den: Column): Column = {
+    val n = num.cast(DecimalType(38, 0))
+    ((n - pmod(n, den.cast(DecimalType(38, 0)))) / den).cast("long")
+  }
 
-  /** Exact integer CEIL division (positive divisors). */
+  /** Exact integer CEIL division (positive divisors). The
+    * `num + den − 1` shift happens in DECIMAL for the same wrap
+    * reason as [[floorDiv]]: at num near Long.MaxValue the Long
+    * addition wrapped negative before the exact division ever ran.
+    */
   def ceilDiv(num: Column, den: Column): Column =
-    floorDiv(num + den - lit(1), den)
+    floorDiv(
+      num.cast(DecimalType(38, 0)) + den.cast(DecimalType(38, 0)) - lit(1),
+      den)
 
-  def dsum(c: Column): Column =
-    sum(c.cast(DecimalType(18, 4))).cast("double")
+  /** Exact decimal sum of a double column, returned as double. NaN is
+    * excluded like NULL; a finite value outside the DECIMAL(18,4)
+    * domain RAISES (the Stats.quantizable convention) — it previously
+    * overflowed to a silent NULL that sum() skipped, so one corrupt
+    * 1e15 reading made the "exact" sum quietly pretend the row never
+    * existed.
+    */
+  def dsum(c: Column): Column = {
+    val v = c.cast("double")
+    val dec = c.cast(DecimalType(18, 4))
+    sum(when(v.isNotNull && !isnan(v),
+      coalesce(
+        assert_true(dec.isNotNull,
+          concat(lit("dsum: value outside the DECIMAL(18,4) quantization domain: "),
+            v.cast("string"))).cast(DecimalType(18, 4)),
+        dec))).cast("double")
+  }
 
-  /** Order-independent average of a double column, rounded to 4 dp. */
-  def davg(c: Column): Column =
-    round(dsum(c) / count(c), 4)
+  /** Order-independent average of a double column, rounded to 4 dp.
+    * The denominator counts only values that entered the sum — a NaN
+    * row previously stayed in count(c) while dropping out of the
+    * numerator, biasing the mean low with no signal.
+    */
+  def davg(c: Column): Column = {
+    val v = c.cast("double")
+    round(dsum(c) / count(when(v.isNotNull && !isnan(v), lit(1))), 4)
+  }
 
   /** SQL fragment for the DuckDB oracle equivalent of [[dsum]]. */
   def dsumSql(expr: String): String =
@@ -143,9 +179,14 @@ object CoreFunctions {
   def davgSql(expr: String): String =
     s"ROUND(${dsumSql(expr)} / COUNT($expr), 4)"
 
-  /** SQL fragment mirroring [[haversineKm]] term-for-term. */
+  /** SQL fragment mirroring [[haversineKm]] term-for-term — the radius
+    * interpolates from the ONE kernel constant, so an edit there
+    * reaches the oracle SQL in the same commit (a hardcoded 6371.0
+    * here would silently compare Spark-at-new-radius against
+    * DuckDB-at-old).
+    */
   def haversineSql(lat1: String, lng1: String, lat2: String, lng2: String): String =
-    s"2.0 * 6371.0 * ASIN(SQRT(" +
+    s"2.0 * $EarthRadiusKm * ASIN(SQRT(" +
       s"POW(SIN(RADIANS(($lat2) - ($lat1)) / 2), 2) + " +
       s"COS(RADIANS($lat1)) * COS(RADIANS($lat2)) * " +
       s"POW(SIN(RADIANS(($lng2) - ($lng1)) / 2), 2)))"

@@ -35,9 +35,16 @@ object Geo {
   def geohash(lat: Column, lng: Column, precision: Int = 8): Column = {
     val (lngBits, latBits) = bitSplit(precision)
     val total = lngBits + latBits
+    // clamped at BOTH ends (the bucketize convention): a coordinate a
+    // hair below range (GPS noise at lat = −90.000001) quantizes to −1,
+    // and shiftright(−1, k) is all-ones — every bit of the interleave
+    // reads 1 and the point silently hashes to the OPPOSITE extreme
+    // cell, so prefix joins never find its true neighbors
     def quant(c: Column, off: Double, span: Double, bits: Int): Column =
       least(
-        floor((c.cast("double") + lit(off)) / lit(span) * lit(math.pow(2, bits))).cast("long"),
+        greatest(
+          floor((c.cast("double") + lit(off)) / lit(span) * lit(math.pow(2, bits))).cast("long"),
+          lit(0L)),
         lit((1L << bits) - 1))
     val latI = quant(lat, 90.0, 180.0, latBits)
     val lngI = quant(lng, 180.0, 360.0, lngBits)
@@ -73,8 +80,10 @@ object Geo {
     quantSql(lng, "180.0", "360.0", lngBits)
   }
 
+  // GREATEST(…, 0) mirrors quant's below-range clamp — the two must
+  // move together or the oracle agrees with the engine's bug
   private def quantSql(c: String, off: String, span: String, bits: Int): String =
-    s"LEAST(CAST(FLOOR((CAST($c AS DOUBLE) + $off) / $span * ${math.pow(2, bits)}) AS BIGINT), ${(1L << bits) - 1})"
+    s"LEAST(GREATEST(CAST(FLOOR((CAST($c AS DOUBLE) + $off) / $span * ${math.pow(2, bits)}) AS BIGINT), 0), ${(1L << bits) - 1})"
 
   def combineSql(precision: Int = 8): String = {
     val (lngBits, latBits) = bitSplit(precision)

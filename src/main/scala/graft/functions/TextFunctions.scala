@@ -37,7 +37,15 @@ object TextFunctions {
     val grams = transform(
       sequence(lit(1), size(toks) - lit(n - 1)),
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, (i + lit(j)).cast("int"))): _*))
-    array_distinct(when(size(toks) < n, array().cast("array<string>")).otherwise(grams))
+    // NULL propagates like charShingles (and every SQL function): with
+    // ANSI off, size(NULL) = −1 < n silently routed a null token array
+    // into the empty-shingles branch, so the two dedup-unit functions
+    // classified the same null document differently (empty set vs
+    // NULL). Post-explode consumers see no difference — explode drops
+    // both — but a direct size()/equality consumer must not.
+    when(toks.isNull, lit(null).cast("array<string>"))
+      .otherwise(array_distinct(
+        when(size(toks) < n, array().cast("array<string>")).otherwise(grams)))
   }
 
   /** Distinct overlapping character `n`-gram shingles — the dedup unit

@@ -79,6 +79,12 @@ object VectorFunctions {
         "(bits per band = nPlanes / bands, every plane banded)")
     val bitsPerBand = nPlanes / bands
     val mask = (1 << bitsPerBand) - 1
-    (0 until bands).map(b => (sig.cast("int") / lit(1 << (b * bitsPerBand))).cast("int").bitwiseAND(lit(mask)))
+    // exact-integer band extraction: the old `(sig / 2^k).cast(int)`
+    // built a double Divide per band per row in the LSH explode hot
+    // path — correct only because power-of-two division of <2^31
+    // values happens to be exact in double; the shift says what it
+    // means and skips the int→double→int round-trip
+    (0 until bands).map(b =>
+      shiftright(sig, b * bitsPerBand).bitwiseAND(lit(mask)))
   }
 }

@@ -19,6 +19,12 @@ object VectorMean {
     override def zero: Buf = Buf(Array.emptyDoubleArray, 0L)
 
     override def reduce(b: Buf, v: Seq[Double]): Buf = {
+      // udaf() does NOT filter null inputs the way built-in aggregates
+      // do: a null array<double> row deserializes to a null Seq and
+      // reached v.length as an uninformative NPE from inside codegen.
+      // Skip it like avg() skips null scalars — a null vector is a
+      // missing observation, not a ragged one.
+      if (v == null) return b
       // init keyed on n (not sums.isEmpty): a zero-length FIRST vector
       // must pin the group's dimension at 0 so a later non-empty
       // vector errors as ragged instead of silently re-initializing

@@ -93,10 +93,14 @@ object DotProduct {
   val functionDescription: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_dot"), info, builder)
 
-  /** Register `graft_dot` into a live session's function registry. */
+  /** Register `graft_dot` into a live session's function registry —
+    * through the SAME functionDescription triple as the extensions
+    * path (the WhitespaceTokens.register form), so a rename or builder
+    * change can't reach one path and miss the other.
+    */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_dot"), info, builder)
+      functionDescription._1, functionDescription._2, functionDescription._3)
 }
 
 /** Config-based injection: `spark.sql.extensions=graft.plans.GraftExtensions`

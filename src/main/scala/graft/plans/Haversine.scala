@@ -77,18 +77,32 @@ object HaversineDistance {
   * Idempotent: bounds already present are not re-added, so the
   * optimizer reaches fixpoint.
   */
-object HaversineBoundingBox extends Rule[LogicalPlan] {
+object HaversineBoundingBox extends Rule[LogicalPlan] with PredicateHelper {
 
   import HaversineDistance.EarthRadiusKm
 
   private def boundsFor(
       center: (Double, Double), lat: Expression, lng: Expression, r: Double): Seq[Expression] = {
-    if (r <= 0) return Nil
+    // NaN must bail like r ≤ 0, NOT fall through: `hav < NaN` is TRUE
+    // for every row under Spark's NaN-is-largest ordering, while a
+    // Literal(NaN) bound (`lat >= NaN`) is FALSE for every row — the
+    // rewrite would flip an always-true predicate to always-false.
+    if (r.isNaN || r <= 0) return Nil
     val (lat0, lng0) = center
-    val dLat = math.toDegrees(r / EarthRadiusKm)
+    // +1e-12 RELATIVE pad on the latitude half-width: along a meridian
+    // the analytic bound is exactly tight (distance = R·Δlat), so a
+    // few ulps of kernel rounding (pow/sin/asin) could otherwise admit
+    // a point through `hav < r` that the un-padded `lat <= lat0+dLat`
+    // conjunct rejects — rows dropped only with the rule enabled. The
+    // pad dwarfs float error while staying ~0.1 µm of pruning slack;
+    // nextUp/nextDown absorb the outer addition's own rounding. The
+    // longitude bound needs no pad: its cosMin (cos at the box's
+    // extreme latitude) is strictly below cos(lat) for every admitted
+    // point, which is analytic slack already.
+    val dLat = math.toDegrees(r / EarthRadiusKm) * 1.000000000001
     val latBounds = Seq(
-      GreaterThanOrEqual(lat, Literal(lat0 - dLat)),
-      LessThanOrEqual(lat, Literal(lat0 + dLat)))
+      GreaterThanOrEqual(lat, Literal(Math.nextDown(lat0 - dLat))),
+      LessThanOrEqual(lat, Literal(Math.nextUp(lat0 + dLat))))
     val maxAbsLat = math.min(90.0, math.abs(lat0) + dLat)
     val cosMin = math.cos(math.toRadians(maxAbsLat))
     val lngBounds =
@@ -125,14 +139,10 @@ object HaversineBoundingBox extends Rule[LogicalPlan] {
     case _ => Nil
   }
 
-  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
-    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
-    case other => Seq(other)
-  }
-
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
-      val conjuncts = splitConjuncts(cond)
+      // PredicateHelper's standard And-flattening, not a hand-rolled copy
+      val conjuncts = splitConjunctivePredicates(cond)
       val fresh = derive(conjuncts)
         .filterNot(b => conjuncts.exists(_.semanticEquals(b)))
         // and against EACH OTHER: two semantically equal haversine

@@ -57,12 +57,15 @@ object JaroWinklerHelper {
   def similarity(ua: UTF8String, ub: UTF8String): Double = {
     val a = ua.toString
     val b = ub.toString
-    val la = a.codePointCount(0, a.length)
-    val lb = b.codePointCount(0, b.length)
-    if (la == 0 && lb == 0) return 1.0
-    if (la == 0 || lb == 0) return 0.0
+    // one code-point scan per string: the array IS the length (the
+    // old codePointCount pre-pass re-scanned each string a second time
+    // — pure waste in a record-linkage inner loop)
+    if (a.isEmpty && b.isEmpty) return 1.0
+    if (a.isEmpty || b.isEmpty) return 0.0
     val ca = a.codePoints().toArray
     val cb = b.codePoints().toArray
+    val la = ca.length
+    val lb = cb.length
     val window = math.max(0, math.max(la, lb) / 2 - 1)
     val matchedA = new Array[Boolean](la)
     val matchedB = new Array[Boolean](lb)

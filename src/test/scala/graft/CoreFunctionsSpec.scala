@@ -93,4 +93,32 @@ class CoreFunctionsSpec extends SparkSpec {
     val many = vals.toDF("x").repartition(16).agg(dsum(col("x"))).head.getDouble(0)
     assert(one == many) // bit-identical, not approximately equal
   }
+
+  test("dsum/davg: NaN excluded from BOTH sides; out-of-domain raises") {
+    import sqlImplicits._
+    // NaN previously overflowed the DECIMAL(18,4) cast to a silent
+    // NULL that sum() skipped while count(c) still counted it — the
+    // mean read biased-low with no signal
+    val r = Seq(1.0, 2.0, Double.NaN).toDF("x")
+      .agg(dsum(col("x")).as("s"), davg(col("x")).as("a")).head
+    assert(r.getDouble(0) == 3.0)
+    assert(r.getDouble(1) == 1.5, "NaN must leave the denominator too")
+    // a finite value outside DECIMAL(18,4) raises loudly (the
+    // Stats.quantizable convention), not a silently-shrunken "exact" sum
+    intercept[Exception] {
+      Seq(1.0, 1e15).toDF("x").agg(dsum(col("x"))).head
+    }
+  }
+
+  test("floorDiv/ceilDiv stay exact at the Long extremes (no silent wrap)") {
+    import sqlImplicits._
+    // num − pmod (and ceil's num + den − 1) ran in LongType: at the
+    // extremes the shift wrapped and the quotient's sign flipped
+    val r = Seq((Long.MinValue, 3L, Long.MaxValue, 10L)).toDF("a", "d1", "b", "d2")
+      .select(
+        floorDiv(col("a"), col("d1")).as("f"),
+        ceilDiv(col("b"), col("d2")).as("c")).head
+    assert(r.getLong(0) == Math.floorDiv(Long.MinValue, 3L), r.getLong(0).toString)
+    assert(r.getLong(1) == ((BigInt(Long.MaxValue) + 9) / 10).toLong, r.getLong(1).toString)
+  }
 }

@@ -53,6 +53,17 @@ class GeoSpec extends SparkSpec {
     assert(enc(-90.0, -180.0, 6) == referenceGeohash(-90.0, -180.0, 6))
   }
 
+  test("below-range coordinates clamp to the edge cell, not the opposite pole") {
+    // GPS noise a hair below range quantized to −1, and shiftright(−1)
+    // is all-ones: every interleave bit read 1 and the point silently
+    // hashed to the +extreme cell — the opposite pole — so prefix
+    // joins never saw its true neighbors (the upper edge was already
+    // clamped; the lower wasn't)
+    assert(enc(-90.000001, 0.0, 6) == enc(-90.0, 0.0, 6))
+    assert(enc(0.0, -180.000001, 6) == enc(0.0, -180.0, 6))
+    assert(enc(-90.1, -180.1, 6) == enc(-90.0, -180.0, 6))
+  }
+
   test("nulls pass through") {
     import sqlImplicits._
     val got = Seq((Some(1.0), None: Option[Double])).toDF("lat", "lng")

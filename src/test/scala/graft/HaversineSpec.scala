@@ -62,6 +62,30 @@ class HaversineSpec extends SparkSpec {
     }
   }
 
+  test("a NaN radius is not rewritten (hav < NaN is TRUE; a NaN bound is FALSE)") {
+    import sqlImplicits._
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ HaversineBoundingBox
+    try {
+      val pts = Seq((1L, 41.0, 10.0), (2L, -50.0, 100.0)).toDF("id", "lat", "lng")
+      // Spark orders NaN above every value, so this predicate keeps
+      // ALL rows; the old `r <= 0` guard let NaN through to boundsFor,
+      // whose Literal(NaN) bounds rejected every row instead
+      val hits = pts
+        .filter(haversineKm(lit(41.0), lit(10.0), col("lat"), col("lng")) < Double.NaN)
+        .count()
+      assert(hits == 2L, s"NaN radius must leave the filter semantics alone, got $hits")
+      // and a plain negative radius still bails (no bounds, 0 matches)
+      val neg = pts
+        .filter(haversineKm(lit(41.0), lit(10.0), col("lat"), col("lng")) < -1.0)
+        .count()
+      assert(neg == 0L)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == HaversineBoundingBox)
+    }
+  }
+
   test("rule skips longitude bounds when the box would cross the antimeridian") {
     import sqlImplicits._
     spark.experimental.extraOptimizations =

@@ -46,6 +46,21 @@ class SkewAndAggSpec extends SparkSpec {
     assert(out(1) == Seq(10.0, 20.0, 30.0))
   }
 
+  test("VectorMean skips null vectors like avg skips null scalars") {
+    import sqlImplicits._
+    // udaf() hands null inputs straight to reduce(): a null
+    // array<double> row (e.g. from a left join) NPE'd the whole
+    // aggregation from inside codegen instead of being skipped
+    val df = Seq(
+      (0, Some(Seq(1.0, 3.0))), (0, None), (0, Some(Seq(3.0, 5.0))),
+      (1, None)) // a group of ONLY nulls → empty mean
+      .toDF("g", "vec")
+    val out = df.groupBy("g").agg(VectorMean.vectorMean(col("vec")).as("mean"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(out(0) == Seq(2.0, 4.0))
+    assert(out(1) == Seq.empty)
+  }
+
   test("AQE splits a skewed sort-merge join partition at runtime") {
     import sqlImplicits._
     // One hot key carries ~all left rows; force SMJ (no broadcast) and

@@ -37,6 +37,24 @@ class TextTokensSpec extends SparkSpec {
     assert(out(1).isNullAt(0))
   }
 
+  test("wordShingles and charShingles agree on NULL input (both propagate)") {
+    import sqlImplicits._
+    // with ANSI off, size(NULL) = −1 < n routed a null token array
+    // into wordShingles' empty-array branch while charShingles
+    // propagated NULL — the two dedup units classified the same null
+    // document differently (explode consumers never saw it; a direct
+    // size()/equality consumer would)
+    val df = Seq(Some("a b c"), None).toDF("text")
+      .select(
+        TextFunctions.wordShingles(TextFunctions.tokens(col("text")), 2).as("w"),
+        TextFunctions.charShingles(col("text"), 2).as("c"))
+    val out = df.collect()
+    assert(out(0).getSeq[String](0) == Seq("a b", "b c"))
+    assert(out(0).getSeq[String](1).nonEmpty)
+    assert(out(1).isNullAt(0), "null doc → null word shingles, not empty")
+    assert(out(1).isNullAt(1))
+  }
+
   test("tokenizer stays inside whole-stage codegen (no fallback)") {
     import sqlImplicits._
     // repartition: a bare local relation would constant-fold the
