@@ -10,7 +10,11 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val name = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    // flags are not directories: `Explain all exec` (sfDir omitted)
+    // used to consume "exec" as args(1)=sfDir and fail every query on
+    // a path named "exec" while ALSO enabling exec mode
+    val flags = Set("exec", "countOnly")
+    val sfDir = if (args.length > 1 && !flags(args(1))) args(1) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -62,7 +66,13 @@ object Explain {
             "wscg" -> wscg, "scan" -> c("Scan parquet"))
             .collect { case (k, v) if v > 0 => s"$k=$v" }.mkString(" ")
           println(f"[audit] $n%-28s $flags")
-        } catch { case e: Throwable => println(s"[audit] $n FAILED: ${e.getMessage.take(80)}") }
+        } catch {
+          // NonFatal: an OOM must abort the audit, not corrupt it; and
+          // String.valueOf — a null getMessage (bare NPE/IOException)
+          // would NPE the catch block itself and kill the whole loop
+          case scala.util.control.NonFatal(e) =>
+            println(s"[audit] $n FAILED: ${String.valueOf(e.getMessage).take(80)}")
+        }
       }
     } else {
       val df = SparkEntry.queries(name)(spark, sfDir)

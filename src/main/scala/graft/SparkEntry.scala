@@ -7,8 +7,14 @@ import graft.queries.{CityBikeQueries, CoreQueries, ExtQueries, ExtQueries2}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  private def allQueries =
-    CoreQueries.all ++ ExtQueries.all ++ ExtQueries2.all ++ CityBikeQueries.all
+  private def allQueries = {
+    val qs = CoreQueries.all ++ ExtQueries.all ++ ExtQueries2.all ++ CityBikeQueries.all
+    // a duplicated name would silently drop one query at `.toMap` —
+    // the shadowed query simply stops being verified, with no signal
+    val dup = qs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
+    require(dup.isEmpty, s"duplicate query names: ${dup.mkString(", ")}")
+    qs
+  }
 
   /** Flagship query (SURVEY §7.2): average trip duration, distance and
     * speed per member type per month, through the full star-schema

@@ -26,8 +26,12 @@ object Verify {
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      // NonFatal only: an OutOfMemoryError swallowed here would keep
+      // "verifying" in a heap-exhausted JVM, producing truncated
+      // parquet the oracle compare reads as engine wrongness (or a
+      // spurious pass); String.valueOf guards a null getMessage
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[verify] $name failed: ${String.valueOf(e.getMessage)}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -215,27 +215,42 @@ object CityBike {
       dateDim: DataFrame,
       fact: DataFrame)
 
-  private val memo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Warehouse]
+  // WEAKLY keyed by session (the OpCache audit-map rule): a strong
+  // (session, path) TrieMap pinned every stopped/replaced session —
+  // SessionState, analyzer caches, six persisted lineages — for the
+  // JVM's lifetime; a long-lived JVM cycling sessions leaked one
+  // warehouse per cycle with nothing short of a global clearMemo()
+  // (which also tears down the LIVE session's entries) to release it.
+  // All access under this lock — which also closes TrieMap
+  // .getOrElseUpdate's double-evaluation window, where a concurrent
+  // first build left a loser Warehouse whose persists never unpersist.
+  private val memo = new java.util.WeakHashMap[
+    SparkSession, scala.collection.mutable.Map[String, Warehouse]]()
 
   /** Drop memoized warehouses (test teardown / config-change rebuilds —
     * e.g. the ANSI sweep must re-run the ETL under the new settings).
     */
-  def clearMemo(): Unit = {
-    memo.values.foreach { wh =>
+  def clearMemo(): Unit = memo.synchronized {
+    import scala.jdk.CollectionConverters._
+    memo.values.asScala.foreach(_.values.foreach { wh =>
       Seq(wh.rides, wh.memberDim, wh.rideableDim, wh.stationDim, wh.dateDim, wh.fact)
         .foreach(_.unpersist(blocking = false))
-    }
+    })
     memo.clear()
   }
 
-  def build(spark: SparkSession, path: String = DefaultCsvPath): Warehouse =
+  def build(spark: SparkSession, path: String = DefaultCsvPath): Warehouse = memo.synchronized {
     // Memoized per (session, path): the consumer queries each start
     // from the warehouse, and returning the SAME DataFrame objects
     // (not merely plan-equal ones, which the cache manager would dedup
     // on data but re-analyze and re-canonicalize per call) skips
     // rebuilding + re-analyzing the 6-join fact plan on every query.
-    memo.getOrElseUpdate((spark, path), {
+    var perSession = memo.get(spark)
+    if (perSession == null) {
+      perSession = scala.collection.mutable.Map.empty
+      memo.put(spark, perSession)
+    }
+    perSession.getOrElseUpdate(path, {
       import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       // A .csv.gz scan is a single unsplittable partition: parse it
       // once, cache the parsed rows, and repartition so the five
@@ -252,4 +267,5 @@ object CityBike {
       val f = rideFact(raw, m, r, s, d).persist(MEMORY_AND_DISK)
       Warehouse(raw, m, r, s, d, f)
     })
+  }
 }

@@ -110,6 +110,14 @@ object AsOfJoin {
       payloadCols: Seq[String]): DataFrame = {
     require(!left.columns.contains("__lneg") && !right.columns.contains("__rneg"),
       "joinNearest: '__lneg'/'__rneg' are reserved")
+    // output-name collisions fail loudly (the joinAsOf suffix-require
+    // convention): a left column already named <payload>_near /
+    // <rightTs>_near / near_dir would silently duplicate in the result
+    // and break every downstream col() with AMBIGUOUS_REFERENCE
+    val reserved = payloadCols.map(_ + "_near") ++ Seq(rightTs + "_near", "near_dir")
+    val clash = left.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"joinNearest: left already carries output column(s) ${clash.mkString(", ")}")
     val bwd = joinAsOf(left, right, key, leftTs, rightTs, payloadCols, "_bwd")
     // forward pass: last right with -rts <= -lts ⇔ first right with
     // rts >= lts; joinAsOf orders by the column generically, so

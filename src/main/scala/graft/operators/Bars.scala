@@ -29,20 +29,34 @@ object Bars {
       df: DataFrame, keyCols: Seq[String], tsCol: String, idCol: String,
       valueCol: String, bucketSeconds: Long): DataFrame = {
     require(bucketSeconds > 0, s"ohlcBars: bucket must be positive, got $bucketSeconds")
+    // the µs conversion must not wrap (the Resample guard): a step past
+    // Long.MaxValue/1e6 goes negative silently with ANSI off, and
+    // bucket arithmetic on a negative modulus produces garbage bars
+    require(bucketSeconds <= Long.MaxValue / 1000000L,
+      s"ohlcBars: bucketSeconds=$bucketSeconds overflows microseconds")
     val stepUs = bucketSeconds * 1000000L
     val bucketExpr = expr(
       s"(unix_micros($tsCol) - pmod(unix_micros($tsCol), ${stepUs}L)) div ${stepUs}L")
-    val yu = (col(valueCol).cast(DecimalType(18, 4)) *
-      lit(10000).cast(DecimalType(5, 0))).cast("long")
+    val vd = col(valueCol).cast("double")
+    val dec = col(valueCol).cast(DecimalType(18, 4))
+    // Stats.quantizable contract: NaN excluded like null (it also
+    // poisons high/low under NaN-is-largest ordering), a finite value
+    // outside DECIMAL(18,4) RAISES — it previously quantized to a null
+    // __yu whose term dropped out of Σ(value·weight) while its weight
+    // still entered Σ(weight), silently biasing twap low
+    val yu = coalesce(
+      assert_true(dec.isNotNull,
+        concat(lit("ohlcBars: value outside the DECIMAL(18,4) quantization domain: "),
+          vd.cast("string"))).cast("long"),
+      (dec * lit(10000).cast(DecimalType(5, 0))).cast("long"))
     val rows = df
-      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .filter(col(tsCol).isNotNull && vd.isNotNull && !isnan(vd))
       .select(
         keyCols.map(col) ++ Seq(
           bucketExpr.as("bucket"), col(tsCol).as("__ts"), col(idCol).as("__id"),
           col(valueCol).as("__v"), yu.as("__yu")): _*)
     val grp = keyCols.map(col) :+ col("bucket")
     val wAsc = Window.partitionBy(grp: _*).orderBy(col("__ts").asc, col("__id").asc)
-    val wDesc = Window.partitionBy(grp: _*).orderBy(col("__ts").desc, col("__id").desc)
     val bucketEndUs = (col("bucket") + 1) * lit(stepUs)
     val nextUs = lead(unix_micros(col("__ts")), 1).over(wAsc)
     val weightUs = coalesce(nextUs, bucketEndUs) - unix_micros(col("__ts"))
@@ -50,7 +64,12 @@ object Bars {
       (grp ++ Seq(
         col("__v"), col("__yu"),
         row_number().over(wAsc).as("__ra"),
-        row_number().over(wDesc).as("__rd"),
+        // partition row count from the SAME ascending window (full
+        // frame) — the old descending row_number forced a second
+        // per-(key,bucket) sort with opposite order just to mark the
+        // last row; close = (__ra == __n) needs only this one sort
+        count(lit(1)).over(wAsc.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)).as("__n"),
         weightUs.as("__w"))): _*)
     marked
       .groupBy(grp: _*)
@@ -59,7 +78,7 @@ object Bars {
         max(when(col("__ra") === 1, col("__v"))).as("open"),
         max(col("__v")).as("high"),
         min(col("__v")).as("low"),
-        max(when(col("__rd") === 1, col("__v"))).as("close"),
+        max(when(col("__ra") === col("__n"), col("__v"))).as("close"),
         sum((col("__yu").cast(DecimalType(19, 0)) * col("__w").cast(DecimalType(19, 0)))
           .cast(DecimalType(38, 0))).as("__num"),
         sum(col("__w").cast(DecimalType(28, 0))).as("__den"))

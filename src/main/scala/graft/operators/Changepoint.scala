@@ -35,10 +35,23 @@ object Changepoint {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).asc, col(idCol).asc)
     val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val yu = (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 4)) *
-      lit(10000).cast(org.apache.spark.sql.types.DecimalType(5, 0))).cast("long")
+    val vd = col(valueCol).cast("double")
+    val dec = col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 4))
+    // Stats.quantizable contract: NaN excluded like null, a finite
+    // value outside DECIMAL(18,4) RAISES — it previously quantized to
+    // a null yu that row_number i still counted while the prefix sum p
+    // skipped, silently corrupting n·S_i with no signal
+    val yu = coalesce(
+      assert_true(dec.isNotNull,
+        concat(lit("cusum: value outside the DECIMAL(18,4) quantization domain: "),
+          vd.cast("string"))).cast("long"),
+      (dec * lit(10000).cast(org.apache.spark.sql.types.DecimalType(5, 0))).cast("long"))
     val rows = df
-      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      // null keys excluded explicitly (the Resample convention): the
+      // totals equi-join below is non-null-safe, so a null-key group
+      // would be aggregated and then silently dropped at the join
+      .filter(keyCols.map(col(_).isNotNull)
+        .fold(col(tsCol).isNotNull && vd.isNotNull && !isnan(vd))(_ && _))
       .select(keyCols.map(col) ++ Seq(col(tsCol), col(idCol), yu.as("yu")): _*)
       .select(
         keyCols.map(col) ++ Seq(

@@ -68,9 +68,16 @@ object Cooccur {
     val toks = cachedToks(docs)
     val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val total = toks.agg(count(lit(1)).as("total"))
-    // integer products, ONE double division: exactly rounded, portable
-    val lift = (col("pair_n") * col("total")).cast("double") /
-      (col("cnt_a") * col("cnt_b")).cast("double")
+    // integer products in DECIMAL, ONE double division: exactly
+    // rounded, portable — and safe at the corpus scale the operator is
+    // documented for, where pair_n·total (~1e8·1e11) and cnt_a·cnt_b
+    // for two common tokens exceed int64 and the long multiply wrapped
+    // to a negative lift / null pmi with ANSI off (DuckDB's BIGINT
+    // multiply errors at the same point, so the oracle only ever
+    // agreed below the overflow line)
+    import org.apache.spark.sql.types.DecimalType
+    val lift = (col("pair_n").cast(DecimalType(38, 0)) * col("total")).cast("double") /
+      (col("cnt_a").cast(DecimalType(38, 0)) * col("cnt_b")).cast("double")
     pairsFromToks(toks, window, minPairCount)
       .join(uni.select(col("tok").as("tok_a"), col("cnt").as("cnt_a")), Seq("tok_a"))
       .join(uni.select(col("tok").as("tok_b"), col("cnt").as("cnt_b")), Seq("tok_b"))

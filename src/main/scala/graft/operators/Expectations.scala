@@ -66,10 +66,6 @@ object Expectations {
     case _: RefIntegrity => "ref_integrity"
   }
 
-  /** Validate `df` against `expectations`; one report row each:
-    * (expectation, kind, n_violations, pass), in declaration order
-    * recoverable by name.
-    */
   /** Referential-integrity audit across declared FK edges: for each
     * `(edge_name, child, fkCol, parent, pkCol)`, the child row count,
     * NULL-FK count and orphan count (non-null FK with no parent —
@@ -83,7 +79,10 @@ object Expectations {
     edges.map { case (name, child, fk, parent, pk) =>
       val base = child.agg(
         count(lit(1)).as("n_rows"),
-        sum(when(col(fk).isNull, 1L).otherwise(0L)).as("n_null_fk"))
+        // coalesce like check()'s melt: sum over an EMPTY child is
+        // NULL, and a gate like filter(n_null_fk > 0 OR ...) would
+        // silently evaluate UNKNOWN instead of passing
+        coalesce(sum(when(col(fk).isNull, 1L).otherwise(0L)), lit(0L)).as("n_null_fk"))
       val orphans = child
         .filter(col(fk).isNotNull)
         .join(parent.select(col(pk).as("__pk")), col(fk) === col("__pk"), "left_anti")
@@ -121,12 +120,17 @@ object Expectations {
           sum(col("__c")).as("__n"),
           count(lit(1)).as("__d"),
           max(col("__c")).as("__cmax"))
+      // coalesce every sum/max: an ALL-NULL rhs (or lhs) empties
+      // perKey, and NULL counts turn a pass/fail gate like
+      // `n_violating_keys === 0` into UNKNOWN — the dependency would
+      // be neither passed nor failed
       perKey.agg(
         count(lit(1)).as("n_keys"),
-        sum(when(col("__d") > 1, 1L).otherwise(0L)).as("n_violating_keys"),
-        sum(when(col("__d") > 1, col("__n")).otherwise(0L)).as("n_rows_in_violation"),
-        max(col("__d")).cast("long").as("max_rhs_per_key"),
-        sum(col("__n") - col("__cmax")).as("g3_rows"))
+        coalesce(sum(when(col("__d") > 1, 1L).otherwise(0L)), lit(0L)).as("n_violating_keys"),
+        coalesce(sum(when(col("__d") > 1, col("__n")).otherwise(0L)), lit(0L))
+          .as("n_rows_in_violation"),
+        coalesce(max(col("__d")).cast("long"), lit(0L)).as("max_rhs_per_key"),
+        coalesce(sum(col("__n") - col("__cmax")), lit(0L)).as("g3_rows"))
         .select(
           lit(lhs).as("lhs"), lit(rhs).as("rhs"),
           col("n_keys"), col("n_violating_keys"), col("n_rows_in_violation"),
@@ -134,15 +138,25 @@ object Expectations {
     }.reduce(_ unionByName _)
   }
 
+  /** Validate `df` against `expectations`; one report row each:
+    * (expectation, kind, n_violations, pass), in declaration order
+    * recoverable by name.
+    */
   def check(df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
     require(expectations.nonEmpty, "no expectations declared")
     val dup = expectations.groupBy(_.name).collect { case (n, es) if es.size > 1 => n }
     require(dup.isEmpty, s"duplicate expectation names: ${dup.mkString(", ")}")
     expectations.foreach {
       case RefIntegrity(n, fk, _, ref) =>
+        require(fk.nonEmpty, s"$n: RefIntegrity with no fkCols")
         require(fk.length == ref.length,
           s"$n: fkCols (${fk.length}) and refCols (${ref.length}) differ — " +
             "a silent zip would weaken the declared composite reference")
+      // an empty cols list either crashed with a bare empty.reduceLeft
+      // (NotNull) or silently became a whole-table groupBy counting
+      // rows−1 as violations (Unique) — name the malformed expectation
+      case NotNull(n, cols) => require(cols.nonEmpty, s"$n: NotNull with no columns")
+      case Unique(n, cols) => require(cols.nonEmpty, s"$n: Unique with no columns")
       case _ => ()
     }
     val spark = df.sparkSession

@@ -54,7 +54,21 @@ object Gaps {
         min(col("island_start")).as("span_start"),
         max(col("island_end")).as("span_end"))
       .withColumn(
-        "gap_values",
-        col("span_end") - col("span_start") + 1 - col("n_values"))
+        "gap_values", {
+          // span arithmetic in DECIMAL: a key spanning more than
+          // Long.MaxValue (e.g. seq values {−5e18, 5e18}) wrapped the
+          // long subtraction to a NEGATIVE gap count with ANSI off.
+          // The output stays BIGINT; a true gap count past int64
+          // raises loudly instead of wrapping (gap ≥ 0 always, so
+          // only the upper bound needs the check).
+          val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+          val gap = col("span_end").cast(dec) - col("span_start").cast(dec) +
+            lit(1) - col("n_values")
+          coalesce(
+            assert_true(gap <= lit(Long.MaxValue),
+              concat(lit("islandSummary: gap_values overflows BIGINT for span ["),
+                col("span_start"), lit(", "), col("span_end"), lit("]"))).cast("long"),
+            gap.cast("long"))
+        })
   }
 }

@@ -57,8 +57,22 @@ object GridCluster {
     require(stepMicroDeg >= 100 && stepMicroDeg <= 10000000,
       s"coreCells: stepMicroDeg=$stepMicroDeg out of [100, 1e7] (cell-id packing bound)")
     require(minPts >= 1, s"coreCells: minPts must be ≥ 1, got $minPts")
+    // Domain filter, not just null: a NaN/±Inf/out-of-range coordinate
+    // cast to a NULL decimal (ANSI off), so every corrupt point
+    // worldwide collapsed into one phantom (null, null) cell that
+    // could pass minPts and emit a null-id "cluster" of geographically
+    // unrelated garbage (and the same cast RAISES under ANSI).
+    // `between` rejects NaN and ±Inf too (NaN fails the upper bound
+    // under NaN-is-largest). ANTIMERIDIAN CONTRACT: cells at lng
+    // ±180° are NOT treated as adjacent — a dense cluster straddling
+    // the dateline reports as two clusters (the fixed-grid limitation
+    // every non-wrapping spatial grid shares); pre-rotate longitudes
+    // if dateline-straddling clusters matter.
+    val latD = col(latCol).cast("double")
+    val lngD = col(lngCol).cast("double")
     val cells = points
-      .filter(col(latCol).isNotNull && col(lngCol).isNotNull)
+      .filter(latD.isNotNull && lngD.isNotNull &&
+        latD.between(-90.0, 90.0) && lngD.between(-180.0, 180.0))
       .select(
         floorDiv(microDeg(col(latCol)), stepMicroDeg).as("cx"),
         floorDiv(microDeg(col(lngCol)), stepMicroDeg).as("cy"))

@@ -29,28 +29,33 @@ object IncrementalAgg {
   private val Exact = DecimalType(18, 4)
 
   /** Re-aggregatable state for `df` grouped by `keys`:
-    * keys ++ (n, sum_<measure>...).
+    * keys ++ (n, (sum_<measure>, n_<measure>)...).
     *
     * Measure domain: |value| < 10¹⁴ with 4 decimal places kept
     * (DECIMAL(18,4)). A value outside that domain (or NaN) does not
     * silently vanish from the sum while still counting in `n` — the
     * non-ANSI cast would null it and skew every derived average — it
-    * RAISES, per row, at execution time. Sums accumulate at
-    * DECIMAL(28,4) (Spark's sum widening): overflowing that needs
-    * ~10¹⁴ rows at the domain maximum, documented as out of scope.
+    * RAISES, per row, at execution time. NULL measures are allowed:
+    * they stay out of `sum_<m>` AND out of `n_<m>` (the per-measure
+    * non-null count, additive like the sum), so the derived average
+    * divides by the values that actually entered the sum — the davg
+    * contract; the old all-rows `n` denominator read a 50 %-null
+    * measure at half its true mean. Sums accumulate at DECIMAL(28,4)
+    * (Spark's sum widening): overflowing that needs ~10¹⁴ rows at the
+    * domain maximum, documented as out of scope.
     */
   def rollup(df: DataFrame, keys: Seq[String], measures: Seq[String]): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
-        measures.map { m =>
+        measures.flatMap { m =>
           val guarded = when(
             col(m).isNotNull && col(m).cast(Exact).isNull,
             raise_error(concat(
               lit(s"IncrementalAgg: measure $m value "), col(m).cast("string"),
               lit(" outside the DECIMAL(18,4) domain"))))
             .otherwise(col(m).cast(Exact))
-          sum(guarded).as(s"sum_$m")
+          Seq(sum(guarded).as(s"sum_$m"), count(col(m)).as(s"n_$m"))
         }: _*)
 
   /** Additive merge of state tables — any number of batches, any
@@ -68,12 +73,13 @@ object IncrementalAgg {
 
   /** Reader view over a state table: totals as doubles plus derived
     * 4-dp averages (the [[graft.functions.CoreFunctions.davg]]
-    * contract).
+    * contract — the denominator is `n_<m>`, the values that entered
+    * the sum, not the all-rows `n`).
     */
   def finalizeState(state: DataFrame, keys: Seq[String], measures: Seq[String]): DataFrame =
     state.select(
       keys.map(col) ++ Seq(col("n")) ++ measures.flatMap(m =>
         Seq(
           col(s"sum_$m").cast("double").as(s"total_$m"),
-          round(col(s"sum_$m").cast("double") / col("n"), 4).as(s"avg_$m"))): _*)
+          round(col(s"sum_$m").cast("double") / col(s"n_$m"), 4).as(s"avg_$m"))): _*)
 }

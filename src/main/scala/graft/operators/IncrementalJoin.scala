@@ -30,13 +30,14 @@ object IncrementalJoin {
       a: DataFrame, deltaA: DataFrame, b: DataFrame, deltaB: DataFrame,
       joinCols: Seq[String]): DataFrame = {
     require(joinCols.nonEmpty, "IncrementalJoin: at least one join column")
-    val t1 = Broadcasting.maybeBroadcast(deltaA).join(b, joinCols)
-      .withColumn("delta_src", lit("left"))
-    val t2 = a.join(Broadcasting.maybeBroadcast(deltaB), joinCols)
-      .withColumn("delta_src", lit("right"))
-    val t3 = Broadcasting.maybeBroadcast(deltaA)
-      .join(Broadcasting.maybeBroadcast(deltaB), joinCols)
-      .withColumn("delta_src", lit("both"))
+    // hoisted: maybeBroadcast sizes via optimizedPlan.stats, a full
+    // driver-side optimize of the delta's plan — calling it once per
+    // delta instead of once per TERM halves that per-refresh cost
+    val da = Broadcasting.maybeBroadcast(deltaA)
+    val db = Broadcasting.maybeBroadcast(deltaB)
+    val t1 = da.join(b, joinCols).withColumn("delta_src", lit("left"))
+    val t2 = a.join(db, joinCols).withColumn("delta_src", lit("right"))
+    val t3 = da.join(db, joinCols).withColumn("delta_src", lit("both"))
     t1.unionByName(t2).unionByName(t3)
   }
 

@@ -72,16 +72,30 @@ object Profile {
       cols: Seq[String],
       nullRateMicroTol: Long = 10000L): DataFrame = {
     require(nullRateMicroTol >= 0, s"drift: tolerance must be ≥ 0, got $nullRateMicroTol")
-    def side(df: DataFrame, tag: String) =
+    // EMPTY-SIDE CONTRACT: a side with n_rows = 0 has no null/distinct
+    // rate (micro columns NULL — the division is guarded, so neither
+    // the ANSI DIVIDE_BY_ZERO nor the ANSI-off silent NULL verdict can
+    // fire); the drift verdict is then decided structurally — a table
+    // that emptied or appeared IS the most-drifted state and must read
+    // `true`, never NULL (the old NULL verdict vanished under a
+    // filter(col("drift")) and the contract check passed). Both sides
+    // empty → false (nothing changed). NOTE (exactness): the micro
+    // rates are one double division + round — bit-portable (the oracle
+    // replays the same IEEE ops) and exactly rounded while
+    // n_null·1e6 < 2^53 (~9e9 rows); past that the rounded integer can
+    // sit an ulp off the true ratio on BOTH engines identically.
+    def side(df: DataFrame, tag: String) = {
+      def micro(c: Column) =
+        when(col("n_rows") === 0, null)
+          .otherwise(round(c * lit(1000000L) / col("n_rows")).cast("long"))
       profile(df, cols).select(
         col("col_name"),
         col("n_rows").as(s"n_$tag"),
-        round(col("n_null") * lit(1000000L) / col("n_rows")).cast("long")
-          .as(s"null_micro_$tag"),
-        round(col("n_distinct") * lit(1000000L) / col("n_rows")).cast("long")
-          .as(s"distinct_micro_$tag"),
+        micro(col("n_null")).as(s"null_micro_$tag"),
+        micro(col("n_distinct")).as(s"distinct_micro_$tag"),
         col("min_value").as(s"min_$tag"),
         col("max_value").as(s"max_$tag"))
+    }
     side(a, "a").join(side(b, "b"), Seq("col_name"))
       .select(
         col("col_name"), col("n_a"), col("n_b"),
@@ -89,7 +103,9 @@ object Profile {
         col("distinct_micro_a"), col("distinct_micro_b"),
         (!(col("min_a") <=> col("min_b")) || !(col("max_a") <=> col("max_b")))
           .as("minmax_changed"),
-        (abs(col("null_micro_a") - col("null_micro_b")) > lit(nullRateMicroTol))
+        when(col("n_a") === 0 && col("n_b") === 0, lit(false))
+          .when(col("n_a") === 0 || col("n_b") === 0, lit(true))
+          .otherwise(abs(col("null_micro_a") - col("null_micro_b")) > lit(nullRateMicroTol))
           .as("drift"))
   }
 
@@ -122,8 +138,15 @@ object Profile {
         .agg(
           sum(col("__c")).as("__n"),
           count(lit(1)).as("n_distinct"),
+          // micro-nat terms accumulate in DECIMAL(38,0): a value with
+          // count ≥ ~3.4e11 has c·ln c·1e6 past Long.MaxValue, and the
+          // old cast("long") saturated per-term while the long sum
+          // could wrap — garbage (possibly negative) entropy at the
+          // 100 TB scale this operator documents. (Terms past 2^53
+          // also lose ulp-exactness in the double round — inherent to
+          // the quantization, but they can no longer wrap.)
           sum(round(col("__c").cast("double") * log(col("__c").cast("double")) * lit(1e6))
-            .cast("long")).as("__clnc"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("__clnc"))
         .select(
           lit(c).as("col_name"),
           col("__n").as("n"),

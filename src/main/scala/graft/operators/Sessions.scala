@@ -17,10 +17,18 @@ object Sessions {
     * lag/flag/running-sum chain shared with [[sessions]].
     */
   def labeled(events: DataFrame, gapMinutes: Int = 30, carry: Seq[String] = Seq.empty): DataFrame = {
+    // a non-positive gap silently degrades to one-session-per-event —
+    // fail loudly like every sibling's parameter require
+    require(gapMinutes > 0, s"Sessions: gapMinutes must be positive, got $gapMinutes")
     val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
     val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
     events
+      // null ts has no position in the ordered stream (each such row
+      // fabricated its own degenerate session and shifted every real
+      // session_id); null user_id merges unrelated users into one
+      // phantom window partition — both excluded, the ewma convention
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .select(
         Seq(col("user_id"), col("event_id"), col("ts")) ++ carry.map(col) :+
           when(lag(col("ts"), 1).over(w).isNull || gapUs > lit(gapMinutes * 60L * 1000000L), 1)

@@ -36,7 +36,20 @@ object Skyline {
       idCol: String,
       buckets: Int = 64): DataFrame = {
     require(buckets > 0, s"skyline2D: buckets must be positive, got $buckets")
-    val clean = df.filter(col(xCol).isNotNull && col(yCol).isNotNull && col(idCol).isNotNull)
+    // NaN excluded like null (the TopK guard): under NaN-is-largest
+    // ordering one NaN yCol row makes the running max NaN — `NaN < y`
+    // is false for every later row, so the rest of the frontier is
+    // silently suppressed and the NaN row itself reads as a "skyline"
+    // member; a NaN xCol row sorts first and dominates everything.
+    // Type-gated: only float/double columns can carry NaN.
+    def notNaN(c: String) = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
+        !isnan(col(c))
+      case _ => lit(true)
+    }
+    val clean = df.filter(
+      col(xCol).isNotNull && col(yCol).isNotNull && col(idCol).isNotNull &&
+        notNaN(xCol) && notNaN(yCol))
 
     def localPass(in: DataFrame, part: Seq[String]): DataFrame = {
       val w = Window

@@ -29,12 +29,22 @@ object SnapshotDiff {
     require(
       b.columns.filterNot(keyCols.contains).sorted.toSeq == valueCols,
       s"snapshot value columns differ: $valueCols vs ${b.columns.filterNot(keyCols.contains).sorted.toSeq}")
+    // key columns renamed per side and joined NULL-SAFELY (<=>): the
+    // plain USING full-outer treats NULL ≠ NULL, so an UNCHANGED
+    // null-keyed row matched nothing on either side and was reported
+    // twice — as both 'added' and 'removed' — which a downstream CDC
+    // apply would replay as a delete + re-insert of an untouched row.
+    // (Distinct per-side names also keep the self-diff case — one
+    // table split in two — free of ambiguous-attribute resolution.)
     def digested(df: DataFrame, tag: String) =
-      df.select(keyCols.map(col) :+
+      df.select(keyCols.map(c => col(c).as(s"__k${tag}_$c")) :+
         md5(to_json(struct(valueCols.map(col): _*))).as(s"__h$tag"): _*)
     digested(a, "a")
-      .join(digested(b, "b"), keyCols, "full_outer")
-      .select(keyCols.map(col) :+
+      .join(
+        digested(b, "b"),
+        keyCols.map(c => col(s"__ka_$c") <=> col(s"__kb_$c")).reduce(_ && _),
+        "full_outer")
+      .select(keyCols.map(c => coalesce(col(s"__ka_$c"), col(s"__kb_$c")).as(c)) :+
         when(col("__ha").isNull, lit("added"))
           .when(col("__hb").isNull, lit("removed"))
           .when(col("__ha") =!= col("__hb"), lit("changed"))

@@ -69,8 +69,11 @@ object TopK {
 
   /** Column form, usable inside any `agg(...)`: the k best
     * (score, id) pairs as an array of structs, best first. Null
-    * scores/ids must be filtered by the caller (typed primitive
-    * input).
+    * scores/ids AND NaN scores must be filtered by the caller (typed
+    * primitive input; the aggregator's total order ranks NaN above
+    * every real score, so k NaN rows would displace all legitimate
+    * winners — [[topKPerGroup]] applies exactly that filter and is
+    * the form to prefer).
     */
   def topK(score: Column, id: Column, k: Int): Column = {
     require(k > 0, s"topK: k must be positive, got $k")

@@ -475,12 +475,14 @@ object CoreQueries {
         graft.operators.Sessions.sessions(t(s, d, "events"), gapMinutes = 30)
           .select("user_id", "session_id", "n_events", "session_start", "duration_s")
           .orderBy("user_id", "session_id"),
+      // WHERE mirrors the engine's null-position exclusions (r14): a
+      // null ts/user has no place in the ordered per-user stream
       Some("""WITH g AS (
         |  SELECT user_id, event_id, ts,
         |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
         |         THEN 1 ELSE 0 END AS ns
-        |  FROM events),
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
         |s AS (
         |  SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
@@ -595,12 +597,13 @@ object CoreQueries {
           .select("event_id", "user_id", "ts", "session_id", "n_events")
           .orderBy("event_id", "session_id")
       },
+      // WHERE mirrors the engine's null-position exclusions (r14)
       Some("""WITH g AS (
         |  SELECT user_id, event_id, ts,
         |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
         |         THEN 1 ELSE 0 END AS ns
-        |  FROM events),
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
         |s AS (
         |  SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id

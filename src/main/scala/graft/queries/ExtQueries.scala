@@ -1419,7 +1419,7 @@ object ExtQueries {
       },
       Some("""SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_o_totalprice,
-        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4)
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(o_totalprice), 4)
         |    AS avg_o_totalprice
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     ),
@@ -1844,7 +1844,7 @@ object ExtQueries {
       },
       Some("""SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_o_totalprice,
-        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4)
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(o_totalprice), 4)
         |    AS avg_o_totalprice
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     ),
@@ -3293,8 +3293,14 @@ object ExtQueries {
             t(s, d, "events"), Seq("event_type"), "ts", "event_id", "value",
             bucketSeconds = 21600L)
           .orderBy("event_type", "bucket"),
+      // the bucket spells the pmod-subtraction FLOOR (the x95 form):
+      // DuckDB's bare integer `//` truncates toward zero, so a
+      // pre-1970 timestamp would land one bucket high on the oracle
+      // side while the engine floors it down
       Some("""WITH e AS (
-        |  SELECT event_type, epoch_us(ts) // 21600000000 AS bucket, ts, event_id, value,
+        |  SELECT event_type, (epoch_us(ts) - ((epoch_us(ts) % 21600000000 + 21600000000)
+        |                                      % 21600000000)) // 21600000000 AS bucket,
+        |         ts, event_id, value,
         |         CAST(CAST(value AS DECIMAL(18,4)) * CAST(10000 AS DECIMAL(5,0)) AS BIGINT) AS yu
         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
         |w AS (
@@ -3567,12 +3573,13 @@ object ExtQueries {
           .orderBy(col("n").desc, col("path").asc)
           .limit(20)
       },
+      // WHERE mirrors the engine's null-position exclusions (r14)
       Some("""WITH g AS (
         |  SELECT user_id, event_id, ts, event_type,
         |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |           OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
         |         THEN 1 ELSE 0 END AS ns
-        |  FROM events),
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
         |s AS (
         |  SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
@@ -4707,13 +4714,19 @@ object ExtQueries {
             col("p_partkey"), col("p_size").cast("int").as("p_size"),
             round(col("p_retailprice"), 2).as("p_retailprice"))
           .orderBy("p_partkey"),
+      // NOT isnan mirrors the engine's r14 NaN exclusion (a NaN row
+      // is neither dominated nor dominating under either engine's
+      // comparison rules, so without the mirror it would survive the
+      // oracle's NOT EXISTS while the engine drops it)
       Some("""SELECT p.p_partkey, CAST(p.p_size AS INT) AS p_size,
         |       round(p.p_retailprice, 2) AS p_retailprice
         |FROM part p
         |WHERE p.p_size IS NOT NULL AND p.p_retailprice IS NOT NULL
+        |  AND NOT isnan(p.p_retailprice)
         |  AND NOT EXISTS (
         |    SELECT 1 FROM part q
         |    WHERE q.p_size IS NOT NULL AND q.p_retailprice IS NOT NULL
+        |      AND NOT isnan(q.p_retailprice)
         |      AND q.p_size >= p.p_size AND q.p_retailprice >= p.p_retailprice
         |      AND (q.p_size > p.p_size OR q.p_retailprice > p.p_retailprice
         |           OR (q.p_size = p.p_size AND q.p_retailprice = p.p_retailprice

@@ -332,7 +332,8 @@ object ExtQueries2 {
         |pts AS (
         |  SELECT CAST(CAST(start_lat AS DECIMAL(18,6)) * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT) AS la,
         |         CAST(CAST(start_lng AS DECIMAL(18,6)) * CAST(1000000 AS DECIMAL(7,0)) AS BIGINT) AS lo
-        |  FROM r WHERE start_lat IS NOT NULL AND start_lng IS NOT NULL),
+        |  FROM r WHERE start_lat IS NOT NULL AND start_lng IS NOT NULL
+        |    AND start_lat BETWEEN -90 AND 90 AND start_lng BETWEEN -180 AND 180),
         |cell AS (
         |  SELECT (la - ((la % 2000 + 2000) % 2000)) // 2000 AS cx,
         |         (lo - ((lo % 2000 + 2000) % 2000)) // 2000 AS cy,

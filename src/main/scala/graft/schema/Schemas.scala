@@ -38,14 +38,25 @@ object Schemas {
       latitude: Option[Double],
       longitude: Option[Double])
 
-  /** date dimension row (v4.py:109-125). */
+  /** date dimension row (v4.py:109-125). The part fields are Option:
+    * the permissive ETL admits malformed rows (an unparseable
+    * started_at lands as a null timestamp — the CSV-recovery
+    * contract), and the dimension's distinct() keeps one null-date
+    * row whose parts are all null; a non-nullable Int here made
+    * `.as[DateDimension]` NPE at the typed edge on exactly those
+    * inputs while the docs claimed the schema "can never drift".
+    */
   final case class DateDimension(
       id: String,
       date: Timestamp,
-      year: Int, month: Int, quarter: Int, week: Int,
-      day: Int, hour: Int, minute: Int, second: Int)
+      year: Option[Int], month: Option[Int], quarter: Option[Int], week: Option[Int],
+      day: Option[Int], hour: Option[Int], minute: Option[Int], second: Option[Int])
 
-  /** fact row (v4.py:85-107); station FKs nullable (null join keys). */
+  /** fact row (v4.py:85-107); station FKs nullable (null join keys).
+    * trip_duration is Option for the same malformed-row reason as
+    * [[DateDimension]]: a ride with one unparseable timestamp has a
+    * null duration (speed is repaired to 0 and stays non-null).
+    */
   final case class RideFact(
       member_type_id: String,
       rideable_type_id: String,
@@ -53,7 +64,7 @@ object Schemas {
       end_station_id: Option[String],
       start_date_id: String,
       end_date_id: String,
-      trip_duration: Int,
+      trip_duration: Option[Int],
       distance: Option[Double],
       speed: Double)
 

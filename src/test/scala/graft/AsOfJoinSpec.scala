@@ -130,4 +130,16 @@ class AsOfJoinSpec extends SparkSpec {
       (103L, None, None),
       (104L, Some(4.0: java.lang.Double), Some("bwd"))))
   }
+
+  test("joinNearest rejects output-name collisions instead of emitting duplicates") {
+    import sqlImplicits._
+    // a left column already named v_near would have silently
+    // duplicated in the result and broken every downstream col()
+    val left = Seq((1L, ts("2024-01-01 12:00:00"), 9.9)).toDF("k", "lts", "v_near")
+    val right = Seq((1L, ts("2024-01-01 11:00:00"), 5.0)).toDF("k", "rts", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.joinNearest(left, right, "k", "lts", "rts", Seq("v"))
+    }
+    assert(e.getMessage.contains("v_near"), e.getMessage)
+  }
 }

@@ -45,6 +45,29 @@ class BarsSpec extends SparkSpec {
     assert(got(0).getLong(1) == 0L && got(1).getLong(1) == 1L)
   }
 
+  test("NaN ticks are excluded entirely; out-of-domain values raise; huge buckets refuse") {
+    import sqlImplicits._
+    // NaN previously poisoned high (NaN-is-largest) AND biased twap:
+    // its weight entered the denominator while its term dropped out
+    val rows = Seq(("a", 0L, 1L, 2.0), ("a", 40L, 2L, Double.NaN), ("a", 80L, 3L, 4.0))
+    val got = Bars.ohlcBars(df(rows), Seq("k"), "ts", "id", "v", bucketSeconds = 100L)
+      .collect().head
+    assert(got.getLong(3) == 2L, got.toString) // n counts only real ticks
+    assert(got.getDouble(5) == 4.0, s"high must not be NaN: $got")
+    // weights over survivors: v=2 for 80s, v=4 for 20s → (2·80+4·20)/100
+    assert(math.abs(got.getDouble(8) - 2.4) < 1e-12, got.toString)
+    // a finite value outside DECIMAL(18,4) raises loudly instead of
+    // silently shrinking the twap numerator
+    intercept[Exception] {
+      Bars.ohlcBars(df(Seq(("a", 0L, 1L, 1e15))), Seq("k"), "ts", "id", "v", 100L).collect()
+    }
+    // µs-overflow bucket widths refuse up front (the Resample guard)
+    intercept[IllegalArgumentException] {
+      Bars.ohlcBars(df(Seq(("a", 0L, 1L, 1.0))), Seq("k"), "ts", "id", "v",
+        Long.MaxValue / 1000L)
+    }
+  }
+
   test("partitioning invariance") {
     val rnd = new scala.util.Random(31)
     val rows = for (k <- Seq("x", "y"); i <- 1 to 300)

@@ -29,6 +29,30 @@ class ChangepointSpec extends SparkSpec {
     assert(got.getDouble(6) == 0.0 && got.getLong(4) == 1L, got.toString)
   }
 
+  test("null keys and NaN are excluded; out-of-domain values raise") {
+    import sqlImplicits._
+    // null-key rows aggregated into totals and then vanished at the
+    // non-null-safe equi-join — now excluded up front; NaN quantized
+    // to a null yu that i counted but p skipped, corrupting n·S_i
+    val rows = Seq(
+      (Some("a"), 1L, 1L, 1.0), (Some("a"), 2L, 2L, 1.0),
+      (Some("a"), 3L, 3L, Double.NaN),
+      (Some("a"), 4L, 4L, 5.0), (Some("a"), 5L, 5L, 5.0),
+      (None, 6L, 6L, 3.0))
+    val df2 = rows.toDF("k", "sec", "id", "v")
+      .select(col("k"), timestamp_seconds(col("sec")).as("ts"), col("id"), col("v"))
+    val got = Changepoint.cusum(df2, Seq("k"), "ts", "id", "v").collect()
+    assert(got.length == 1, s"null-key group must not appear: ${got.toSeq}")
+    val a = got.head
+    assert(a.getLong(1) == 4L, s"NaN row must not count toward n: $a")
+    assert(a.getLong(4) == 2L, a.toString) // peak after the two 1.0s
+    intercept[Exception] {
+      Changepoint.cusum(
+        df(Seq(("a", 1L, 1L, 1.0), ("a", 2L, 2L, 1e15))),
+        Seq("k"), "ts", "id", "v").collect()
+    }
+  }
+
   test("matches a brute-force reference on noisy shifted series; partitioning invariant") {
     val rnd = new scala.util.Random(9)
     val rows = (for (k <- Seq("x", "y"); i <- 1 to 60) yield {

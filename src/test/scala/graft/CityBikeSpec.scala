@@ -54,7 +54,7 @@ class CityBikeSpec extends SparkSpec {
     // .as[T] throws on any missing/incompatible column; counts force evaluation.
     assert(wh.memberDim.as[TypeDimension].count() == 2)
     assert(wh.stationDim.as[StationDimension].count() == 172)
-    assert(wh.dateDim.as[DateDimension].filter(_.year == 2025).count() > 0)
+    assert(wh.dateDim.as[DateDimension].filter(_.year.contains(2025)).count() > 0)
     val fast = wh.fact.as[RideFact].filter(f => f.speed > 15.0 && f.distance.exists(_ > 1.0))
     assert(fast.count() > 0)
     assert(wh.rides.as[Ride].head.ride_id.nonEmpty)
@@ -115,5 +115,19 @@ class CityBikeSpec extends SparkSpec {
     // and the downstream measure derivation tolerates the nulls
     val good = rides.filter(col("ride_id") === "GOOD1").head
     assert(good.getAs[java.sql.Timestamp]("started_at") != null)
+    // the TYPED edges survive malformed rows too: a non-nullable Int in
+    // the case classes made .as[T] NPE on exactly these inputs (null
+    // date parts from the unparseable ts, null trip_duration)
+    import sqlImplicits._
+    import graft.schema.Schemas._
+    val dd = graft.etl.CityBike.dateDimension(rides).as[DateDimension].collect()
+    assert(dd.exists(_.year.isEmpty), "the null-date dim row deserializes")
+    val m = graft.etl.CityBike.memberDimension(rides)
+    val r = graft.etl.CityBike.rideableDimension(rides)
+    val st = graft.etl.CityBike.stationDimension(rides)
+    val fact = graft.etl.CityBike
+      .rideFact(rides, m, r, st, graft.etl.CityBike.dateDimension(rides))
+      .as[RideFact].collect()
+    assert(fact.exists(_.trip_duration.isEmpty), "BAD1's fact row deserializes")
   }
 }

@@ -160,4 +160,34 @@ class ExpectationsSpec extends SparkSpec {
     assert(cd.getLong(5) == 2L) // two rhs values under c1
     assert(cd.getLong(6) == 1L) // delete the lone q row
   }
+
+  test("empty inputs report zero counts, never NULL (gates must not go UNKNOWN)") {
+    import sqlImplicits._
+    val empty = Seq.empty[(Long, Option[Long])].toDF("id", "fk")
+    val parent = Seq(1L).toDF("pk")
+    val fk = graft.operators.Expectations.fkAudit(
+        Seq(("e", empty, "fk", parent, "pk"))).head()
+    assert(fk.getLong(1) == 0L && fk.getLong(2) == 0L && fk.getLong(3) == 0L,
+      s"NULL counts would turn a filter gate UNKNOWN: $fk")
+    // fdAudit over an all-null rhs: perKey is empty, every count 0
+    val nulls = Seq(("k1", Option.empty[String]), ("k2", None)).toDF("a", "b")
+    val fd = graft.operators.Expectations.fdAudit(nulls, Seq("a" -> "b")).head()
+    assert((2 to 6).forall(!fd.isNullAt(_)), s"no NULL columns: $fd")
+    assert(fd.getLong(2) == 0L && fd.getLong(3) == 0L && fd.getLong(6) == 0L)
+  }
+
+  test("malformed expectations are named loudly") {
+    import sqlImplicits._
+    val df = Seq((1L, "x")).toDF("id", "s")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.Expectations.check(df,
+        Seq(graft.operators.Expectations.NotNull("nn", Seq.empty)))
+    }
+    assert(e1.getMessage.contains("nn"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Expectations.check(df,
+        Seq(graft.operators.Expectations.Unique("uq", Seq.empty)))
+    }
+    assert(e2.getMessage.contains("uq"))
+  }
 }

@@ -38,4 +38,18 @@ class GapsSpec extends SparkSpec {
       ("k2", 1L, 1L, 1L, 5L, 5L, 0L),
       ("k3", 3L, 1L, 3L, 4L, 6L, 0L)))
   }
+
+  test("a span wider than Long.MaxValue raises instead of wrapping negative") {
+    import sqlImplicits._
+    // span_end − span_start for {−5e18, 5e18} is 1e19 > Long.MaxValue:
+    // the long subtraction wrapped to a large NEGATIVE gap count with
+    // ANSI off — now the arithmetic runs in DECIMAL and overflowing
+    // BIGINT raises loudly
+    val wide = Seq(("k", -5000000000000000000L), ("k", 5000000000000000000L)).toDF("k", "v")
+    intercept[Exception] { Gaps.islandSummary(wide, Seq("k"), "v").collect() }
+    // ordinary negative-to-positive spans still come out exact
+    val ok = Seq(("k", -3L), ("k", -2L), ("k", 2L)).toDF("k", "v")
+    val r = Gaps.islandSummary(ok, Seq("k"), "v").collect().head
+    assert(r.getLong(6) == 3L, r.toString) // missing −1, 0, 1
+  }
 }

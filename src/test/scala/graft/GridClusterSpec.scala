@@ -49,6 +49,23 @@ class GridClusterSpec extends SparkSpec {
     assert(got.getAs[Long]("cx") == -1L && got.getAs[Long]("cy") == -1L)
   }
 
+  test("NaN/Inf/out-of-range coordinates are dropped, not pooled into a phantom cell") {
+    import sqlImplicits._
+    // corrupt coordinates cast to NULL decimal (ANSI off): every such
+    // point worldwide collapsed into one (null, null) cell that could
+    // pass minPts and emit a null-id "cluster"
+    val pts = (cellPts(0, 0, 3) ++ Seq(
+      (Double.NaN, 0.0), (0.0, Double.PositiveInfinity),
+      (95.0, 0.0), (0.0, -181.0),
+      (Double.NaN, Double.NaN))).toDF("lat", "lng")
+    val got = GridCluster.coreCells(pts, "lat", "lng", 1000L, 3L).collect()
+    assert(got.length == 1, s"only the real cell survives: ${got.toSeq}")
+    assert(got.head.getAs[Long]("cx") == 0L && got.head.getAs[Long]("cy") == 0L)
+    // the 5 corrupt points alone can never form a core cell
+    val onlyBad = Seq((Double.NaN, 0.0), (95.0, 0.0), (0.0, 200.0)).toDF("lat", "lng")
+    assert(GridCluster.coreCells(onlyBad, "lat", "lng", 1000L, 1L).count() == 0L)
+  }
+
   test("a step below the cell-id packing bound raises loudly") {
     import sqlImplicits._
     val pts = Seq((0.0, 0.0)).toDF("lat", "lng")

@@ -55,7 +55,8 @@ class IncrementalAggSpec extends SparkSpec {
     val batch = rows.limit(3)
     val withBatch = IncrementalAgg.rollup(rows, Seq("k"), Seq("v"))
     val negated = IncrementalAgg.rollup(batch, Seq("k"), Seq("v"))
-      .select(col("k"), (-col("n")).as("n"), (-col("sum_v")).as("sum_v"))
+      .select(col("k"), (-col("n")).as("n"), (-col("sum_v")).as("sum_v"),
+        (-col("n_v")).as("n_v"))
     val retracted = IncrementalAgg.merge(Seq(withBatch, negated), Seq("k"))
       // retraction can leave n = 0 keys; a reader drops them
       .filter(col("n") > 0)
@@ -88,5 +89,22 @@ class IncrementalAggSpec extends SparkSpec {
     val out = finalized(IncrementalAgg.rollup(rows, Seq("k"), Seq("v")))
     val a = out.find(_._1 == "a").get
     assert(a._2 == 3L && a._3 == 13.875 && a._4 == 4.625)
+  }
+
+  test("null measures stay out of the average's denominator (the davg contract)") {
+    import sqlImplicits._
+    // the old finalize divided by the all-rows n: a 50 %-null measure
+    // read at half its true mean with no signal
+    val half = Seq(("a", Some(10.0)), ("a", None), ("a", Some(20.0)), ("a", None))
+      .toDF("k", "v")
+    val out = finalized(IncrementalAgg.rollup(half, Seq("k"), Seq("v")))
+    assert(out.head._2 == 4L, "n still counts every row")
+    assert(out.head._3 == 30.0)
+    assert(out.head._4 == 15.0, s"avg over the 2 real values, not /4: ${out.head}")
+    // and the n_v column merges additively like the sum
+    val s1 = IncrementalAgg.rollup(half.limit(2), Seq("k"), Seq("v"))
+    val s2 = IncrementalAgg.rollup(half.exceptAll(half.limit(2)), Seq("k"), Seq("v"))
+    val merged = finalized(IncrementalAgg.merge(Seq(s1, s2), Seq("k")))
+    assert(merged.head._4 == 15.0, merged.head.toString)
   }
 }

@@ -73,6 +73,22 @@ class ProfileSpec extends SparkSpec {
     assert(id.getAs[Long]("distinct_micro_a") == 1000000L)
   }
 
+  test("drift: an emptied (or appeared) table reads drift=true, never NULL") {
+    import sqlImplicits._
+    val a = (1 to 10).map(i => (i.toLong, Some(s"v$i"))).toDF("id", "v")
+    val empty = a.filter(col("id") < 0)
+    // the old n_rows=0 division made the micro rates NULL and the
+    // verdict NULL — filter(col("drift")) dropped the most-drifted
+    // state possible; under ANSI it raised DIVIDE_BY_ZERO instead
+    val gone = graft.operators.Profile.drift(a, empty, Seq("v")).collect().head
+    assert(gone.getAs[Boolean]("drift"), gone.toString)
+    assert(gone.isNullAt(gone.fieldIndex("null_micro_b")), "no rate for an empty side")
+    val appeared = graft.operators.Profile.drift(empty, a, Seq("v")).collect().head
+    assert(appeared.getAs[Boolean]("drift"))
+    val bothEmpty = graft.operators.Profile.drift(empty, empty, Seq("v")).collect().head
+    assert(!bothEmpty.getAs[Boolean]("drift"), "nothing changed between two empties")
+  }
+
   test("categoricalEntropy: uniform pair gives ln 2, constant column gives 0") {
     import sqlImplicits._
     val df = Seq(("a", "z"), ("a", "z"), ("b", "z"), ("b", "z")).toDF("u", "k")

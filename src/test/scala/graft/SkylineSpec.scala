@@ -32,6 +32,23 @@ class SkylineSpec extends SparkSpec {
     assert(got == Seq(1L))
   }
 
+  test("NaN coordinates are excluded, not crowned") {
+    import sqlImplicits._
+    // one NaN y made the running max NaN: `NaN < y` is false for every
+    // later row, so the rest of the frontier silently vanished while
+    // the NaN row itself read as a skyline member
+    val pts = Seq(
+      (1L, 1.0, 9.0), (2L, 5.0, 5.0), (3L, 9.0, 1.0),
+      (4L, 7.0, Double.NaN), (5L, Double.NaN, 2.0))
+      .toDF("id", "x", "y")
+    val got = Skyline.skyline2D(pts, "x", "y", "id")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L), s"got $got")
+    // non-float columns skip the NaN guard entirely (type-gated)
+    val ints = Seq((1L, 2, 3), (2L, 1, 1)).toDF("id", "x", "y")
+    assert(Skyline.skyline2D(ints, "x", "y", "id").count() == 1L)
+  }
+
   test("two-phase result equals the brute-force dominance filter; partitioning-independent") {
     import sqlImplicits._
     // deterministic scattered points with ties and duplicates

@@ -52,6 +52,21 @@ class SnapshotDiffSpec extends SparkSpec {
     // attribute may be a raw value column.
     val join = plan.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.head
     val joinAttrs = (join.left.output ++ join.right.output).map(_.name).toSet
-    assert(joinAttrs == Set("id", "__ha", "__hb"), s"join carries $joinAttrs")
+    assert(joinAttrs == Set("__ka_id", "__kb_id", "__ha", "__hb"), s"join carries $joinAttrs")
+  }
+
+  test("an unchanged null-keyed row is not double-reported") {
+    import sqlImplicits._
+    // the plain USING full-outer treated NULL ≠ NULL: an identical
+    // null-keyed row on both sides came back as BOTH 'added' and
+    // 'removed', so a CDC apply would delete + re-insert an untouched
+    // row — the join is null-safe (<=>) now
+    val old = Seq((Option(1L), "a"), (Option.empty[Long], "n")).toDF("id", "s")
+    val nw = Seq((Option(1L), "a"), (Option.empty[Long], "n")).toDF("id", "s")
+    assert(SnapshotDiff.diff(old, nw, Seq("id")).count() == 0)
+    // and a CHANGED null-keyed row reports exactly once
+    val nw2 = Seq((Option(1L), "a"), (Option.empty[Long], "m")).toDF("id", "s")
+    val res = SnapshotDiff.diff(old, nw2, Seq("id")).collect()
+    assert(res.length == 1 && res.head.getString(1) == "changed", res.toSeq.toString)
   }
 }
