@@ -88,8 +88,13 @@ object EventStreams {
       .flatMapGroupsWithState[AsOfState, EnrichedEvent](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[AsOfState]) =>
+          // TOTAL order: event_id breaks (ts, kind) ties — sortBy is
+          // stable over a shuffle-ordered iterator, so two equal-ts
+          // rate rows previously resolved in arrival order and a
+          // foreachBatch replay could emit a DIFFERENT rate for every
+          // subsequent event than the committed first attempt
           val ordered = batch.toIndexedSeq
-            .sortBy(e => (e.ts.getTime, if (e.event_type == "rate") 0 else 1))
+            .sortBy(e => (e.ts.getTime, if (e.event_type == "rate") 0 else 1, e.event_id))
           var cur = state.getOption
           val out = IndexedSeq.newBuilder[EnrichedEvent]
           ordered.foreach { e =>
@@ -127,32 +132,15 @@ object EventStreams {
     * passes — bounded memory on unbounded streams (the stateful
     * operator RangeJoin's batch bucketization corresponds to).
     */
-  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
-    val c = clicks.select(
-      col("user_id").as("c_user_id"), col("event_id").as("click_id"),
-      col("ts").as("click_ts"), col("value").as("click_value"))
-      .withWatermark("click_ts", "1 hour")
-    val p = purchases.select(
-      col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
-      .withWatermark("purchase_ts", "1 hour")
-    p.join(
-      c,
-      col("c_user_id") === col("user_id") &&
-        col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
-      .drop("c_user_id")
-  }
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clickPurchaseJoinOfType(clicks, purchases, "inner")
 
-  /** Stream-stream LEFT OUTER interval join — the attribution shape
-    * where unconverted purchases must still be emitted: each purchase
-    * pairs with same-user clicks of the preceding hour, and a purchase
-    * with NO qualifying click is emitted with null click columns ONCE
-    * BOTH watermarks pass its interval (the state store can only then
-    * prove no match will arrive — outer rows are inherently
-    * watermark-delayed, which is the semantics the parity spec pins).
-    * Same bounded state as the inner form.
-    */
-  def clickPurchaseOuterJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+  // ONE body for both attribution joins: the outer variant was a
+  // byte-identical copy differing only in the join-type literal, so a
+  // future interval/watermark fix could land in one and silently leave
+  // the other answering the same attribution question differently.
+  private def clickPurchaseJoinOfType(
+      clicks: DataFrame, purchases: DataFrame, joinType: String): DataFrame = {
     val c = clicks.select(
       col("user_id").as("c_user_id"), col("event_id").as("click_id"),
       col("ts").as("click_ts"), col("value").as("click_value"))
@@ -165,9 +153,21 @@ object EventStreams {
       col("c_user_id") === col("user_id") &&
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
-      "left_outer")
+      joinType)
       .drop("c_user_id")
   }
+
+  /** Stream-stream LEFT OUTER interval join — the attribution shape
+    * where unconverted purchases must still be emitted: each purchase
+    * pairs with same-user clicks of the preceding hour, and a purchase
+    * with NO qualifying click is emitted with null click columns ONCE
+    * BOTH watermarks pass its interval (the state store can only then
+    * prove no match will arrive — outer rows are inherently
+    * watermark-delayed, which is the semantics the parity spec pins).
+    * Same bounded state as the inner form.
+    */
+  def clickPurchaseOuterJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clickPurchaseJoinOfType(clicks, purchases, "left_outer")
 
   /** Stream-side decontamination / blocklist filter: drop stream rows
     * whose `keyCol` appears in a STATIC reference set — one broadcast
@@ -629,7 +629,12 @@ object EventStreams {
     // compaction rewrites EVERY bucket, so the publish is a whole-table
     // swap by RENAME (data written once, not twice): drop-then-rename,
     // with the crash window (state missing, staging complete) healed by
-    // the fold recovery's rename branch
+    // the fold recovery's rename branch. DELIBERATELY not routed
+    // through Tables.stagedOverwrite: that helper publishes by COPY
+    // (data written twice) and notifies write listeners mid-fold —
+    // this swap's crash windows are healed by the fold family's own
+    // recovery (marker + rename branch), certified by the x196 lane.
+    // Anyone editing either publish sequence: check the other.
     spark.sql(s"DROP TABLE $stateTable")
     spark.sql(s"ALTER TABLE $staging RENAME TO $stateTable")
     // the rename moves the data directory but the PARTITION metadata
@@ -681,7 +686,11 @@ object EventStreams {
     } else healMemo.put(mk, java.lang.Boolean.TRUE)
   }
 
-  private def bucketOf(keys: Seq[String], nBuckets: Int) =
+  // private[graft]: the scale probe's untouched-bucket assertion must
+  // compute buckets with the SAME hash/modulus expression the fold
+  // uses — a re-implemented copy there diverged silently if either
+  // changed (the r14 review finding)
+  private[graft] def bucketOf(keys: Seq[String], nBuckets: Int) =
     pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)).cast("int")
 
   // One cloned publish session per root session (see copyBuckets):
@@ -928,7 +937,19 @@ object EventStreams {
     // clears it via the tableExists probe below.
     val applied = prof("wm-check") {
       if (!spark.catalog.tableExists(wm)) { wmMemo.remove(ctxKey(spark, wm)); false }
-      else memoizedLastBatch(spark, wm, "last_batch") >= batchId
+      else if (!spark.catalog.tableExists(stateTable)) {
+        // ORPHANED watermark: the state table was dropped externally
+        // but its wm sibling survived (the fold family spans four
+        // sibling tables — a partial cleanup is one forgotten DROP
+        // away). Trusting it would discard the replayed batch as
+        // "already applied" and bootstrap the snapshot from LATER
+        // data — batch N lost with no error. Drop the stale wm and
+        // refold; the symmetric direction (state alive, wm dropped)
+        // was already defended.
+        spark.sql(s"DROP TABLE $wm")
+        wmMemo.remove(ctxKey(spark, wm))
+        false
+      } else memoizedLastBatch(spark, wm, "last_batch") >= batchId
     }
     if (applied) return // replayed batch: already in the snapshot
     val payload = batch.columns.filterNot(c => c == opCol || ordCols.contains(c))
@@ -973,9 +994,16 @@ object EventStreams {
           // property pin leaves the table unpinned — previously the
           // guard was then PERMANENTLY disabled for that table (no
           // property, no check, for its whole remaining life). Re-pin
-          // on first contact instead, after the one layout check the
-          // directory itself supports: an existing partition id at or
-          // above nBuckets proves a different modulus.
+          // on first contact, after TWO checks: the cheap directory
+          // disproof (a partition id at or above nBuckets proves a
+          // different modulus) and — because that check is one-sided:
+          // a crashed mod-32 bootstrap re-pinned at nBuckets=64 would
+          // PASS it (max id ≤ 31 < 64) and then silently duplicate
+          // every updated key — a one-time full re-hash of the stored
+          // keys against their partition. The scan reads the whole
+          // table once, on a crash-recovery path that fires at most
+          // once per table lifetime; limit(1) stops at the first
+          // mismatch.
           val maxBucket = spark.sql(s"SHOW PARTITIONS $stateTable").collect()
             .map(_.getString(0).stripPrefix("__bucket=").toInt)
             .maxOption.getOrElse(-1)
@@ -983,6 +1011,13 @@ object EventStreams {
             s"foldSnapshotBatch: state table $stateTable has partition __bucket=$maxBucket " +
               s"but the fold was called with nBuckets=$nBuckets — the table was bucketed " +
               "with a different modulus; rebucket via a fresh bootstrap instead")
+          val mismatched = spark.table(stateTable)
+            .filter(bucketOf(keys, nBuckets) =!= col("__bucket"))
+            .limit(1).count()
+          require(mismatched == 0L,
+            s"foldSnapshotBatch: state table $stateTable holds rows whose keys do not " +
+              s"hash to their partition under nBuckets=$nBuckets — the (unpinned) table " +
+              "was bucketed with a different modulus; rebucket via a fresh bootstrap instead")
           spark.sql(
             s"ALTER TABLE $stateTable SET TBLPROPERTIES ('graft.nbuckets' = '$nBuckets')")
           nbucketsMemo.put(nk, nBuckets)

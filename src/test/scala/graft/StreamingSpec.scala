@@ -122,6 +122,35 @@ class StreamingSpec extends SparkSpec {
     assert(batched == streamed)
   }
 
+  test("streaming as-of: equal-ts duplicate rates resolve deterministically (event_id tiebreak)") {
+    import sqlImplicits._
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    implicit val sqlCtx = spark.sqlContext
+    // two rate events, SAME user, SAME ts, different values — duplicate
+    // delivery / two sources. The sort keyed only (ts, kind), so their
+    // order was whatever the shuffle produced and a foreachBatch replay
+    // could emit a different rate than the committed first attempt.
+    // Now event_id breaks the tie: the higher id wins (applied last,
+    // `<=` accepts equal-ts), under EITHER arrival order.
+    // id 200 carries 5.0, id 201 carries 9.0 — only the ARRIVAL order
+    // differs between the two runs; the winner must be id 201 in both
+    def run(name: String, events: Seq[Event]): Option[Double] = {
+      val stream = MemoryStream[Event]
+      val q = EventStreams.asofEnrich(stream.toDS).toDF
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      stream.addData(events: _*)
+      q.processAllAvailable(); q.stop()
+      spark.table(name).select("rate").collect()
+        .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Double]))
+    }
+    val r200 = Event(200L, ts("2024-01-01 10:00:00"), 7L, "rate", 5.0)
+    val r201 = Event(201L, ts("2024-01-01 10:00:00"), 7L, "rate", 9.0)
+    val click = Event(1L, ts("2024-01-01 10:30:00"), 7L, "click", 1.0)
+    assert(run("asof_tie_a", Seq(r200, r201, click)).contains(9.0), "id 201's rate wins")
+    assert(run("asof_tie_b", Seq(r201, r200, click)).contains(9.0),
+      "same winner under reversed arrival order")
+  }
+
   test("streaming as-of guards: stale rates never regress state, late events never see future rates") {
     import sqlImplicits._
     implicit val sp: org.apache.spark.sql.SparkSession = spark
@@ -890,10 +919,37 @@ class StreamingSpec extends SparkSpec {
       fold(Seq((5L, "x", "U", 2L)).toDF("k", "v", "op", "ord"), 1L, 2)
     }
     assert(e.getMessage.contains("different modulus"))
+    // LARGER modulus against the unpinned mod-4 layout: every existing
+    // partition id is < 8, so the directory disproof alone PASSED and
+    // the fold would have pruned mod-8 against mod-4 data, silently
+    // duplicating every updated key — the one-time key re-hash must
+    // refuse (40 keys mod 8 cannot all equal their mod-4 bucket)
+    val e8 = intercept[IllegalArgumentException] {
+      fold(Seq((5L, "x", "U", 2L)).toDF("k", "v", "op", "ord"), 1L, 8)
+    }
+    assert(e8.getMessage.contains("different modulus"), e8.getMessage)
     // matching modulus: folds AND re-pins
     fold(Seq((5L, "x", "U", 2L)).toDF("k", "v", "op", "ord"), 1L, 4)
     assert(declared().contains("4"), "first contact with an unpinned table must re-pin it")
     assert(EventStreams.snapshot(spark, state).filter(col("k") === 5L).head().getString(1) == "x")
+    Seq("", "__staging", "__wm", "__touched").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
+  }
+
+  test("bucketed CDC fold: an orphaned watermark (state dropped, wm kept) refolds the batch") {
+    import sqlImplicits._
+    val state = "stream_cdcorphanwm_state"
+    Seq("", "__staging", "__wm", "__touched").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
+    def fold(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      EventStreams.foldSnapshotBatch(df, id, state, Seq("k"), "op", Seq("ord"), nBuckets = 4)
+    fold(Seq((1L, "a", "I", 1L), (2L, "b", "I", 1L)).toDF("k", "v", "op", "ord"), 0L)
+    // partial cleanup: the state table is dropped but its __wm sibling
+    // survives with last_batch = 0. Trusting it would discard the
+    // replayed batch 0 as "already applied" and the next batch would
+    // bootstrap the snapshot from LATER data — batch 0 lost silently.
+    spark.sql(s"DROP TABLE $state")
+    fold(Seq((1L, "a", "I", 1L), (2L, "b", "I", 1L)).toDF("k", "v", "op", "ord"), 0L)
+    assert(EventStreams.snapshot(spark, state).count() == 2L,
+      "the replayed batch must rebuild the snapshot, not vanish behind the stale wm")
     Seq("", "__staging", "__wm", "__touched").foreach(x => spark.sql(s"DROP TABLE IF EXISTS $state$x"))
   }
 
