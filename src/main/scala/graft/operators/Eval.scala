@@ -225,9 +225,14 @@ object Eval {
       .withColumn("cum_pos", sum(col("n_pos")).over(wc))
       .select(
         col("bucket"), col("n"), col("n_pos"), col("cum_pos"),
+        // lift products in DECIMAL: n_pos·N and n·P both approach N²,
+        // which wraps Long once the corpus passes ~3e9 rows (the same
+        // silent-wrap class the aucRank u2 accumulation already closes)
         round(
-          (col("n_pos") * col("__tot_n")).cast("double") /
-            (col("n") * col("__tot_p")).cast("double"),
+          (col("n_pos").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+            col("__tot_n")).cast("double") /
+            (col("n").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+              col("__tot_p")).cast("double"),
           6).as("lift"),
         round(col("cum_pos").cast("double") / col("__tot_p").cast("double"), 6).as("capture"))
   }

@@ -180,6 +180,14 @@ object Hll {
         collect_list(col("registers")),
         // identity: a zero register loses every max
         array_repeat(lit(0), size(first(col("registers")))),
-        (acc, r) => zip_with(acc, r, (x, y) => greatest(x, y))).as("registers"))
+        // mixed-p states RAISE (the mergeRegisters contract): zip_with
+        // null-pads the shorter array, and greatest() skips the null —
+        // a p=10 state merged into p=12 groups previously zeroed the
+        // tail registers SILENTLY, deflating every later estimate
+        (acc, r) => when(size(r) =!= size(acc),
+          raise_error(concat(
+            lit("Hll.mergeStates: register arrays of different p ("),
+            size(acc).cast("string"), lit(" vs "), size(r).cast("string"), lit(")"))))
+          .otherwise(zip_with(acc, r, (x, y) => greatest(x, y)))).as("registers"))
   }
 }

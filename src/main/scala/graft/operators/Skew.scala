@@ -82,7 +82,11 @@ object Skew {
         keyCols.map(col) ++ Seq(
           col("cnt"),
           (col("cnt").cast("double") / col("n_rows").cast("double")).as("share"),
-          ((col("cnt") * col("n_keys")).cast("double") /
+          // cnt·n_keys in DECIMAL: both factors are row-scale counts,
+          // so the long product wraps near Σ ~6e9 rows (the silent-wrap
+          // class the joinCardinality sum already guards)
+          ((col("cnt").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+            col("n_keys")).cast("double") /
             col("n_rows").cast("double")).as("skew_ratio"),
           col("n_rows"), col("n_keys"), col("max_cnt"),
           col("p50_cnt"), col("p99_cnt")): _*)
@@ -115,7 +119,10 @@ object Skew {
       sum(col("__cb")).as("n_right"),
       sum(when(col("__ca") > 0 && col("__cb") > 0, 1L).otherwise(0L)).as("n_keys_both"),
       sum((col("__ca") * col("__cb")).cast(DecimalType(38, 0))).cast("long").as("join_rows"),
-      max(col("__ca") * col("__cb")).as("max_key_rows"))
+      // the per-key product needs the same DECIMAL guard as the sum:
+      // one 3e9×3e9 hot key wraps the long max silently — exactly the
+      // explosion this audit exists to catch
+      max(col("__ca").cast(DecimalType(38, 0)) * col("__cb")).cast("long").as("max_key_rows"))
       .select(
         col("n_left"), col("n_right"), col("n_keys_both"),
         col("join_rows"), col("max_key_rows"),

@@ -156,7 +156,11 @@ object Stats {
         first(col("__ka")).cast("int").as("n_rows_cat"),
         first(col("__kb")).cast("int").as("n_cols_cat"),
         ((first(col("__ka")) - 1) * (first(col("__kb")) - 1)).cast("int").as("dof"),
-        (sum(round(term * lit(1e6)).cast("long")).cast("double") / lit(1e6)).as("chi2"))
+        // micro-terms summed in DECIMAL: chi2 can reach N·(min k − 1),
+        // so at trillion-row scale a single micro-term exceeds Long and
+        // the long cast CLAMPS (non-ANSI) — silently deflating chi2
+        (sum(round(term * lit(1e6)).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double") / lit(1e6)).as("chi2"))
   }
 
   /** Two-sample Kolmogorov–Smirnov test. The statistic is computed
@@ -216,7 +220,14 @@ object Stats {
       .agg(
         first(col("__na")).as("__na"),
         first(col("__nb")).as("__nb"),
-        max(abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na"))).as("__dnum"))
+        // cross products in DECIMAL: cum_a·n_b approaches n_a·n_b,
+        // which wraps Long once both sides pass ~3e9 observations (the
+        // 100 TB regime) — and identical wrapped products cancel, so
+        // the corruption is silent, not loud
+        max(abs(
+          col("__cuma").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("__nb") -
+            col("__cumb").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("__na")))
+          .as("__dnum"))
       .select(
         col("__na").as("n_a"), col("__nb").as("n_b"),
         round(dnum / (na * nb), 6).as("d"),
@@ -258,7 +269,12 @@ object Stats {
     val agg = cum.agg(
       sum(col("__ca")).as("__na"),
       sum(col("__cb")).as("__nb"),
-      sum(col("__ca") * (lit(2L) * col("__before") + col("__cnt") + lit(1L))).as("__r2a"),
+      // 2·R_a term in DECIMAL: ca·(2·before + cnt + 1) approaches
+      // 2·n_a·N per tie group, which wraps Long once the corpus passes
+      // ~3e9 observations — the same silent-wrap class as the tie cube
+      // below (r13), one product earlier in the statistic
+      sum(col("__ca").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+        (lit(2L) * col("__before") + col("__cnt") + lit(1L))).as("__r2a"),
       // tie term Σ(t³−t) for the variance correction — cubed in
       // DECIMAL: the long cube silently wrapped once any single tied
       // micro-value held more than ~2.09M observations (cnt³ >
@@ -270,8 +286,11 @@ object Stats {
     val na = col("__na").cast("double")
     val nb = col("__nb").cast("double")
     val nn = na + nb
-    // 2·U_a exact integer
-    val u2 = col("__r2a") - col("__na") * (col("__na") + lit(1L))
+    // 2·U_a exact integer — n_a·(n_a+1) in DECIMAL too (wraps Long at
+    // n_a ≈ 3e9, the same regime as the rank sum above)
+    val u2 = col("__r2a") -
+      col("__na").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+        (col("__na") + lit(1L))
     val sigma2 = na * nb / lit(12.0) *
       ((nn + lit(1.0)) - col("__ties").cast("double") / (nn * (nn - lit(1.0))))
     // |U − μ| > z·σ ⟺ (2U − n_a·n_b)² > 4·z²·σ²; z² = 3.8416 literal

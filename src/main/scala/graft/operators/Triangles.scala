@@ -110,9 +110,14 @@ object Triangles {
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
       .withColumn(
         "coeff",
+        // deg·(deg−1) in DECIMAL: a ~3e9-degree hub wraps the long
+        // product silently (the Stats/Skew wrap class); the triangle
+        // doubling is safe (n_triangles < deg²/2 only matters once deg
+        // itself is guarded)
         round(
           (col("n_triangles") * 2).cast("double") /
-            (col("deg") * (col("deg") - 1)).cast("double"),
+            (col("deg").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+              (col("deg") - 1)).cast("double"),
           6))
   }
 }

@@ -415,6 +415,19 @@ object Tables {
     * fact table. Returns the number of partitions dropped.
     */
   def expirePartitions(spark: SparkSession, table: String, partCol: String, cutoff: String): Int = {
+    // single-level layouts only, LOUDLY: a multi-level table's specs
+    // read "day=…/hour=…", so the value parsed for `day` carries the
+    // "/hour=…" suffix and the generated DROP PARTITION never matches
+    // an existing partition — DROP IF EXISTS swallows that, and TTL
+    // becomes a silent permanent no-op (unbounded growth, the exact
+    // failure class the mixed-comparison raise below exists to stop)
+    val pcs = spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .partitionColumnNames
+    require(pcs == Seq(partCol),
+      s"expirePartitions($table): expected a table partitioned by exactly ($partCol), " +
+        s"got (${pcs.mkString(", ")}) — multi-level layouts need per-level specs and are " +
+        "not supported; expire on the leading partition column of a single-level table")
     // numeric-aware ordering: lexicographic comparison on integer-like
     // partition values (hour=9 vs hour=10) would expire "10".."89"
     // against cutoff "9" — current data irreversibly dropped. Compare

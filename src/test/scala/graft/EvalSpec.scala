@@ -225,4 +225,19 @@ class EvalSpec extends SparkSpec {
     // ... and once unset, the default cap raises again
     mustRaise("liftTable")(Eval.liftTable(wide, "label", "score"))
   }
+
+  test("liftTable: billion-scale totals do not wrap the lift products") {
+    // one constant score, every row positive: lift and capture are
+    // exactly 1 in every bucket. Pre-fix, n_pos·tot_n = 1.024e19
+    // wrapped Long and the ratio went garbage — silently, because the
+    // wrapped numerator and denominator wrap DIFFERENTLY once bucket
+    // counts diverge. Constant columns collapse map-side, so the
+    // 3.2e9-row frame is cheap to scan.
+    val df = spark.range(3200000000L)
+      .select(lit(1.0).as("score"), lit(true).as("label"))
+    val r = Eval.liftTable(df, "label", "score").head()
+    assert(r.getAs[Long]("n") == 3200000000L)
+    assert(r.getAs[Double]("lift") == 1.0, s"lift wrapped: ${r.getAs[Double]("lift")}")
+    assert(r.getAs[Double]("capture") == 1.0)
+  }
 }

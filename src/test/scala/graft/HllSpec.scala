@@ -95,4 +95,23 @@ class HllSpec extends SparkSpec {
       .head().getSeq[Int](0)
     assert(ok == Seq(3, 5))
   }
+
+  test("mergeStates raises on mixed-p states instead of zero-padding") {
+    import sqlImplicits._
+    // a p=2 state folded into p=3 groups: zip_with null-pads the short
+    // array and greatest() skips the null, so the tail registers were
+    // silently zeroed — now the fold raises like mergeRegisters does
+    val a = Seq(("g", Seq(1, 2, 3, 4, 5, 6, 7, 8))).toDF("g", "registers")
+    val b = Seq(("g", Seq(9, 9, 9, 9))).toDF("g", "registers")
+    val e = intercept[Exception] {
+      Hll.mergeStates(Seq(a, b), Seq("g")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("different p")), e.getMessage.take(300))
+    // same p still folds register-wise across states
+    val c = Seq(("g", Seq(0, 7, 1, 0))).toDF("g", "registers")
+    val ok = Hll.mergeStates(Seq(b, c), Seq("g")).head().getSeq[Int](1)
+    assert(ok == Seq(9, 9, 9, 9))
+  }
 }

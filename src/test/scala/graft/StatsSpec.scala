@@ -273,4 +273,23 @@ class StatsSpec extends SparkSpec {
     assert(!r.isNullAt(r.fieldIndex("ci_lo")), "ci_lo must come from a surviving replica")
     assert(math.abs(r.getAs[Double]("ci_lo") - 42.0) < 1e-9)
   }
+
+  test("mannWhitneyU and ksTest: billion-scale counts do not wrap the integer cores") {
+    // a: 3.2e9 copies of 1.0; b: 2.4e9 of 1.0 + 0.8e9 of 2.0 — cheap
+    // to generate (constant columns collapse map-side) but the exact
+    // cores see real billion-scale counts. Pre-fix, the rank-sum term
+    // ca·(2B+cnt+1) = 1.792e19 and the KS cross product cum_a·n_b =
+    // 1.024e19 both wrapped Long silently. Exact answers: every a-b
+    // comparison is a tie (U_a = ties/2 = 3.84e18) or a loss, and
+    // D = |F_a(1) − F_b(1)| = 0.25 — both exactly representable.
+    val a = spark.range(3200000000L).select(lit(1.0).as("v"))
+    val b = spark.range(2400000000L).select(lit(1.0).as("v"))
+      .unionAll(spark.range(800000000L).select(lit(2.0).as("v")))
+    val mw = Stats.mannWhitneyU(a, b, "v").head()
+    assert(mw.getAs[Long]("n_a") == 3200000000L && mw.getAs[Long]("n_b") == 3200000000L)
+    assert(mw.getAs[Double]("u_a") == 3.84e18, s"u_a wrapped: ${mw.getAs[Double]("u_a")}")
+    val ks = Stats.ksTest(a, b, "v").head()
+    assert(ks.getAs[Double]("d") == 0.25, s"d wrapped: ${ks.getAs[Double]("d")}")
+    assert(ks.getAs[Boolean]("reject_05"), "a 0.25 shift at n=3.2e9 must reject")
+  }
 }

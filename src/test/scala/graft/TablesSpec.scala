@@ -454,6 +454,25 @@ class TablesSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("partition retention refuses a multi-level layout instead of silently no-opping") {
+    import sqlImplicits._
+    val tbl = "graft_retml_t"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    // two-level specs read "day=…/hour=…": the parsed `day` value
+    // carries the "/hour=…" suffix, the generated DROP PARTITION never
+    // matches, and DROP IF EXISTS swallowed it — TTL was a silent
+    // permanent no-op on exactly the layout class big fact tables use
+    val rows = for (d <- Seq("2024-01-01", "2024-06-01"); h <- Seq(1, 2)) yield (d, h, 1)
+    Tables.writePartitioned(rows.toDF("day", "hour", "v"), tbl, Seq("day", "hour"))
+    val err = intercept[IllegalArgumentException] {
+      Tables.expirePartitions(spark, tbl, "day", cutoff = "2024-03-01")
+    }
+    assert(err.getMessage.contains("multi-level"), err.getMessage)
+    assert(spark.sql(s"SHOW PARTITIONS $tbl").count() == 4,
+      "a refused expire must not have dropped anything")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("dropManaged under a non-default current database deletes the right directory") {
     import sqlImplicits._
     Tables.createDatabase(spark, "graft_dm_db")
