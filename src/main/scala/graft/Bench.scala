@@ -79,6 +79,48 @@ object Bench {
   def yardstickRefFor(cpus: String): Double =
     yardstickRefFor(scala.util.Try(cpus.toInt).getOrElse(-1))
 
+  // 1 GiB of longs for the bandwidth probe, built once per JVM (bench
+  // JVMs only — nothing else calls the probe) and retained: releasing
+  // and re-faulting it per sample would time the allocator, not the
+  // memory system.
+  private lazy val membwArray: Array[Long] = {
+    val a = new Array[Long](1 << 27)
+    var i = 0
+    while (i < a.length) { a(i) = i.toLong; i += 1 }
+    a
+  }
+  @volatile private var membwSink = 0L // defeats dead-code elimination
+
+  /** Memory-bandwidth probe — the SECOND interval axis (the r14 ABBA
+    * finding): the CPU-bound [[yardstick]] read clean (bands
+    * ~[1.02, 1.18]) on a day where byte-identical code ran ~15 %
+    * slower than its own recorded sitting — the co-tenant contention
+    * class that steals LLC/DRAM bandwidth without touching scalar
+    * throughput is invisible to a compute-bound probe, so equal
+    * indexes do NOT make raw seconds comparable across days. This
+    * probe has the opposite profile: one thread streaming 1 GiB of
+    * sequential longs (min of three timed passes after one untimed
+    * page-fault/JIT warm pass), reported as RAW SECONDS PER PASS with
+    * deliberately no calibrated ref — the raw number IS the series,
+    * and a slow-floor day shows here directly (r14 day-one sample:
+    * ~0.1 s/pass class on this box; see BASELINE.md). Three samples
+    * bracket the run (post-cold, post-pass, end), so an intra-run
+    * bandwidth shift is visible next to the CPU bands.
+    */
+  private[graft] def membwProbe(): Double = {
+    val a = membwArray
+    def pass(): Double = {
+      val t0 = System.nanoTime()
+      var i = 0
+      var s = 0L
+      while (i < a.length) { s += a(i); i += 1 }
+      membwSink ^= s
+      (System.nanoTime() - t0) / 1e9
+    }
+    pass() // warm: first touch faults pages and compiles the loop
+    math.min(pass(), math.min(pass(), pass()))
+  }
+
   /** [min, max] interval-index band over one phase's bracket samples,
     * rendered as a JSON array. The min is the certification index
     * (same semantics as the headline `interval_index`); the max labels
@@ -233,6 +275,8 @@ object Bench {
         if (ystickRef > 0) coldSticks += yardstick(spark)
         elapsed
       } else -1.0
+    // bandwidth bracket 1/3 — see membwProbe (the second interval axis)
+    val membws = scala.collection.mutable.ArrayBuffer(membwProbe())
     (1 to repeat).foreach { pass =>
       def runPass(): Map[String, Double] = queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -311,6 +355,7 @@ object Bench {
       // everything sampled so far brackets the warm pass(es): pre-pass,
       // post-each-pass, and the level-drift adjudication sample
       val passSticks = ysticks.toSeq
+      membws += membwProbe() // bandwidth bracket 2/3 (post-pass)
       // the HEADLINE index is frozen here, over the pass-phase samples
       // only (pre-r13 semantics exactly): the post-isolated closing
       // sample must not lower it — a machine going idle just as the
@@ -368,6 +413,7 @@ object Bench {
       // would have printed isolated ≈ 2-3 instead of hiding behind the
       // pass's one clean moment
       if (toIsolate.nonEmpty && ystickRef > 0) ysticks += yardstick(spark)
+      membws += membwProbe() // bandwidth bracket 3/3 (end of run)
       // each phase ships [min, max] of its bracket samples — see
       // phaseBandJson; the max exists because a min-bracket hides
       // contention inside a phase (the first r13 run: the pass ended
@@ -403,8 +449,12 @@ object Bench {
       // a real floor shift, not noise.
       val refStale = ystickRef > 0 && allSticks.min < ystickRef * 0.97
       val ysColdJson = coldSticks.map(v => math.round(v * 1000) / 1000.0).mkString("[", ",", "]")
+      // raw seconds per 1 GiB stream pass at (post-cold, post-pass,
+      // end) — the cross-day axis; see membwProbe
+      val membwJson = membws.map(v => math.round(v * 10000) / 10000.0)
+        .mkString("[", ",", "]")
       val suffix =
-        s""","sf":"$sfDir","warm":$warm,"passes":$passes,"cold_total":${math.round(coldTotal * 1000) / 1000.0},"yardstick":$ysJson,"yardstick_cold":$ysColdJson,"yardstick_ref":$ystickRef,"ref_stale":$refStale,"interval_index":$headlineIdx,"interval_index_max":$intervalIndexMax,"interval_phases":$phasesJson,"isolated":$isoJson,"isolated_total":${math.round(isolatedTotal * 1000) / 1000.0},"metric":"total","unit":"sec","value":$total}"""
+        s""","sf":"$sfDir","warm":$warm,"passes":$passes,"cold_total":${math.round(coldTotal * 1000) / 1000.0},"yardstick":$ysJson,"yardstick_cold":$ysColdJson,"yardstick_ref":$ystickRef,"ref_stale":$refStale,"interval_index":$headlineIdx,"interval_index_max":$intervalIndexMax,"interval_phases":$phasesJson,"membw":$membwJson,"isolated":$isoJson,"isolated_total":${math.round(isolatedTotal * 1000) / 1000.0},"metric":"total","unit":"sec","value":$total}"""
       // Full-precision line for logs/humans (may exceed harness windows):
       println(s"""{"queries":$qs$suffix""")
       // The harness that grades this keeps only the LAST ~2000 chars of

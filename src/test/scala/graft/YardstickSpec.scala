@@ -59,4 +59,20 @@ class YardstickSpec extends AnyFunSuite {
     assert(Bench.phaseBandJson(Seq(0.9), -1.0) == "[-1.0,-1.0]")
     assert(Bench.phaseBandJson(Nil, 0.77) == "[-1.0,-1.0]")
   }
+
+  test("membwProbe: the bandwidth axis returns sane, repeatable raw seconds") {
+    // the r14 ABBA finding's instrument: a 1 GiB sequential stream
+    // pass. No calibrated ref by design (the raw number is the
+    // cross-day series), so the contract is shape, not speed: strictly
+    // positive, under the 10 s absurdity bound on any machine this
+    // engine targets, and two back-to-back samples within 4x of each
+    // other (each is already a min-of-3, so only a broken probe —
+    // dead-code-eliminated loop reading ~0, or a per-call re-alloc
+    // timing the allocator — trips this, not a noisy host)
+    val a = Bench.membwProbe()
+    val b = Bench.membwProbe()
+    assert(a > 0 && b > 0, s"membw samples must be positive: $a, $b")
+    assert(a < 10 && b < 10, s"a 1 GiB stream pass cannot take 10 s: $a, $b")
+    assert(math.max(a, b) / math.min(a, b) < 4, s"unstable probe: $a vs $b")
+  }
 }
