@@ -103,6 +103,11 @@ object ScaleProbe {
       else s"(no index: thread count $cpus != calibration ${Bench.YardstickCalibCpus})"
     val ysPre = Bench.yardstick(spark)
     println(f"[probe] yardstick pre=$ysPre%.3f s ${ysLabel(ysPre)}")
+    // second axis (the r14 Bench finding): bandwidth-class contention
+    // is invisible to the CPU-bound yardstick — bracket probe sittings
+    // with the same raw-seconds stream sample the bench ships as
+    // `membw`, so probe rows adjudicate against both axes
+    println(f"[probe] membw pre=${Bench.membwProbe()}%.4f s/GiB-pass")
 
     // setup gates for SPARK_GRAFT_PROBE_ONLY runs: the vector input
     // and the two heavy locally-blocks below only matter to their own
@@ -558,6 +563,7 @@ object ScaleProbe {
     }
     val ysPost = Bench.yardstick(spark)
     println(f"[probe] yardstick post=$ysPost%.3f s ${ysLabel(ysPost)}")
+    println(f"[probe] membw post=${Bench.membwProbe()}%.4f s/GiB-pass")
     spark.stop()
   }
 }

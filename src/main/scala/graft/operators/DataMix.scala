@@ -117,19 +117,16 @@ object DataMix {
   /** Per-group quota: keep at most `quota` rows per `groupCol`, chosen
     * by md5-hash order of the key (a deterministic, engine-portable
     * "random" draw — no seed plumbing, stable across partitionings).
-    * The workhorse of per-source caps in data-mix manifests. One
-    * shuffle on the group key; the rank never materializes more than
-    * `quota` winners per group past the filter.
+    * The workhorse of per-source caps in data-mix manifests. The rank
+    * comes from [[bandedMd5Prefix]] — the same (full hash, key
+    * tiebreak) total order the old `PARTITION BY group` window ranked
+    * by, but with no whole-group sort task: a dominant source (the
+    * group a cap exists FOR) no longer funnels through one executor.
     */
-  def md5Quota(df: DataFrame, groupCol: Column, quota: Int, keyCols: Seq[Column]): DataFrame = {
-    val h = md5Hash(keyCols) // FULL hash: 4-hex prefix ties would leave ordering to the tiebreak
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCol)
-      .orderBy(h.asc, keyCols.head.asc) // key tiebreak: total order even on hash collision
-    df.withColumn("__qrank", row_number().over(w))
+  def md5Quota(df: DataFrame, groupCol: Column, quota: Int, keyCols: Seq[Column]): DataFrame =
+    bandedMd5Prefix(df, Seq(groupCol), keyCols, Nil, Some("__qrank"), None)
       .filter(col("__qrank") <= quota)
       .drop("__qrank")
-  }
 
   /** Engine-portable split label on the md5 gate: every row gets
     * exactly one of "test" (hash prefix below the fraction threshold)
@@ -193,7 +190,7 @@ object DataMix {
 
   /** BANDED per-stratum prefix machinery over the deterministic
     * (md5, tie) order — the distributed replacement for the
-    * whole-stratum sort window [[quotaSplit]]/[[kfold]]/
+    * whole-stratum sort window [[quotaSplit]]/[[kfold]]/[[md5Quota]]/
     * [[packSequences]]/[[md5TokenQuota]] used to share: with a
     * handful of strata (lang, source) a `PARTITION BY stratum ORDER
     * BY md5` window moves a whole stratum through ONE sort task —

@@ -101,7 +101,7 @@ object HeavyHitters {
     // serialization ("Cannot use null as map key"), and even short of
     // that it would inflate N (the threshold denominator) with rows
     // that can never be a reportable key.
-    val ks = OpCache.swap("hh.keys",
+    val ks = OpCache.swap("hh.keys." + OpCache.paramKey(keyCol),
       keys.filter(col(keyCol).isNotNull).select(col(keyCol).as("__hh_key")))
     // Pass 1: candidates + N in ONE 1-row aggregation. The summary
     // feeds two subtrees (candidate list, total) — cache the 1-row
@@ -111,7 +111,7 @@ object HeavyHitters {
     // every construction — the r12 audit finding), so the slot is
     // keyed on the UNTYPED ks plan; a hit skips building the typed
     // plan entirely.
-    val summary = OpCache.swapByInput(s"hh.summary.$k", ks)(
+    val summary = OpCache.swapByInput(s"hh.summary.$k." + OpCache.paramKey(keyCol), ks)(
       ks.agg(
         misraGries(col("__hh_key"), k).as("cand"),
         count(lit(1)).as("total")))

@@ -207,14 +207,21 @@ object Regression {
       .partitionBy(groupCols.map(col): _*)
       .orderBy(col(ordCol).asc)
       .rowsBetween(-(window - 1), 0)
-    val x = col(xCol).cast("long")
-    val y = col(yCol).cast("long")
+    // Products and frame sums in DECIMAL(38,0) (the moments/acf
+    // widths): a long x·x wraps past |x| ~3e9 — quantized values a
+    // billion-row metric easily reaches — and under ANSI the wrap is
+    // a job-killing overflow instead; 38-digit partials stay exact to
+    // |x| ~1e16 at the 1e5 frame cap and the closed form reads them
+    // as doubles exactly as before.
+    val D38 = DecimalType(38, 0)
+    val x = col(xCol).cast("long").cast(DI)
+    val y = col(yCol).cast("long").cast(DI)
     val n = count(lit(1)).over(w)
     val sx = sum(x).over(w)
     val sy = sum(y).over(w)
-    val sxx = sum(x * x).over(w)
-    val syy = sum(y * y).over(w)
-    val sxy = sum(x * y).over(w)
+    val sxx = sum((x * x).cast(D38)).over(w)
+    val syy = sum((y * y).cast(D38)).over(w)
+    val sxy = sum((x * y).cast(D38)).over(w)
     val nd = col("__n").cast("double")
     val num = nd * col("__sxy").cast("double") -
       col("__sx").cast("double") * col("__sy").cast("double")

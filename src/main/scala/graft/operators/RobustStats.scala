@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Robust per-group dispersion statistics — the outlier-screening
@@ -27,6 +27,16 @@ object RobustStats {
     * aggregate side is broadcast while it fits, and its key copies
     * are dropped after the join.
     */
+  /** NaN carries no order statistic: under Spark's NaN-is-largest
+    * ordering a handful of NaN values drag every upper percentile to
+    * NaN (and with it fences, medians, winsorize bounds). Nulled out
+    * — `percentile` skips nulls — rather than row-filtered, so a
+    * group that is entirely NaN still REACHES the aggregate and its
+    * rows survive the row-preserving inner join-backs (with null
+    * fences/medians, like an all-null group).
+    */
+  private def nanToNull(v: Column): Column = when(isnan(v), lit(null)).otherwise(v)
+
   private def joinBack(df: DataFrame, agg: DataFrame, groupCols: Seq[String]): DataFrame =
     if (groupCols.isEmpty) df.crossJoin(broadcast(agg))
     else {
@@ -45,7 +55,7 @@ object RobustStats {
       groupCols: Seq[String],
       valueCol: String,
       k: Double = 1.5): DataFrame = {
-    val v = col(valueCol).cast("double")
+    val v = nanToNull(col(valueCol).cast("double"))
     df.groupBy(groupCols.map(col): _*)
       .agg(
         percentile(v, lit(0.25)).as("q1"),
@@ -104,7 +114,7 @@ object RobustStats {
     * deviations from it).
     */
   def mad(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
-    val v = col(valueCol).cast("double")
+    val v = nanToNull(col(valueCol).cast("double"))
     val med = df.groupBy(groupCols.map(col): _*)
       .agg(percentile(v, lit(0.5)).as("med"))
     joinBack(df, med, groupCols)
@@ -125,16 +135,24 @@ object RobustStats {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"winsorize: bad percentile band [$pLo, $pHi]")
     val v = col(valueCol).cast("double")
     val bounds = df.groupBy(groupCols.map(col): _*)
-      .agg(percentile(v, lit(pLo)).as("w_lo"), percentile(v, lit(pHi)).as("w_hi"))
+      .agg(
+        percentile(nanToNull(v), lit(pLo)).as("w_lo"),
+        percentile(nanToNull(v), lit(pHi)).as("w_hi"))
     // least/greatest SKIP nulls in both Spark and DuckDB — without the
     // explicit null guard a null value would "clip" to the lo fence.
+    // NaN gets its own lane: least(greatest(NaN, lo), hi) evaluates to
+    // hi under NaN-is-largest ordering, silently laundering a
+    // non-value into the upper bound — NaN passes through un-clipped
+    // with a null verdict instead (it is not comparable to the band).
     joinBack(df, bounds, groupCols)
       .withColumn(
         "v_wins",
-        when(v.isNull, null).otherwise(least(greatest(v, col("w_lo")), col("w_hi"))))
+        when(v.isNull || isnan(v), v)
+          .otherwise(least(greatest(v, col("w_lo")), col("w_hi"))))
       .withColumn(
         "clipped",
-        when(v < col("w_lo"), -1).when(v > col("w_hi"), 1)
+        when(isnan(v), null)
+          .when(v < col("w_lo"), -1).when(v > col("w_hi"), 1)
           .when(v.isNotNull, 0).otherwise(null))
   }
 
@@ -169,7 +187,7 @@ object RobustStats {
     */
   def imputeMedian(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
     val med = df.groupBy(groupCols.map(col): _*)
-      .agg(percentile(col(valueCol).cast("double"), lit(0.5)).as("__med"))
+      .agg(percentile(nanToNull(col(valueCol).cast("double")), lit(0.5)).as("__med"))
     joinBack(df, med, groupCols)
       .withColumn(
         s"${valueCol}_filled",
@@ -221,8 +239,20 @@ object RobustStats {
     val wu = col(weightCol).cast(org.apache.spark.sql.types.DecimalType(18, 4))
       .multiply(lit(10000)).cast("long")
     val gc = groupCols.map(col)
+    // NaN values are excluded like nulls (no order statistic) — and
+    // here a single NaN is also a PLAN hazard: it makes the group's
+    // max bound NaN, every band expression NaN, and `least` (which
+    // skips the null cast) then lands ALL rows in the last band —
+    // the whole group back through one value-ordered exchange, the
+    // exact single-task shape the banded reach exists to avoid.
+    val vIsReal = df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
+        !isnan(col(valueCol))
+      case _ => lit(true)
+    }
     val raw = df
-      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull && col(weightCol) >= 0)
+      .filter(col(valueCol).isNotNull && vIsReal &&
+        col(weightCol).isNotNull && col(weightCol) >= 0)
       .select(gc ++ Seq(col(valueCol).as("__v"), wu.as("__wu")): _*)
     val reached =
       if (df.schema(valueCol).dataType

@@ -56,14 +56,19 @@ object SetJoin {
     require(t > 0 && t <= 1, s"jaccardJoin: threshold must be in (0,1], got $t")
     val tq = math.round(t * 1e6)
     val toks = OpCache.swap(
-      "setjoin.toks", // threshold-free: the cached plan does not depend on t
+      // threshold-free (t enters only downstream), but the column
+      // names DO shape the cached plan — carry them (the Itemsets
+      // paramKey convention) so callers varying idCol/textCol don't
+      // alternate the slot
+      "setjoin.toks." + OpCache.paramKey(idCol, textCol),
       docs.select(col(idCol).as("id"), explode(TextFunctions.tokens(col(textCol))).as("tok"))
         .distinct())
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     // tokens per doc in (df asc, tok asc) order — struct sort gives
     // exactly that field-lexicographic total order
     val ordered = OpCache.swap(
-      "setjoin.ordered", // threshold-free: t enters only downstream of the cache
+      // threshold-free: t enters only downstream of the cache
+      "setjoin.ordered." + OpCache.paramKey(idCol, textCol),
       toks.join(dfreq, Seq("tok"))
         .groupBy(col("id"))
         .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ts"))

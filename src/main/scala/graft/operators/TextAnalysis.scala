@@ -401,7 +401,11 @@ object TextAnalysis {
       .withColumn("grp", sum(col("is_stop")).over(frame))
       .filter(col("is_stop") === 0)
     val phrases = OpCache.swap(
-      "text.rake.phrases",
+      // maxPhraseLen shapes the cached plan (the plen filter below) —
+      // a bare key would let callers varying it alternate the slot,
+      // recomputing the dominant explode/window pass while looking
+      // cached (the Itemsets paramKey convention)
+      "text.rake.phrases." + OpCache.paramKey(maxPhraseLen.toString),
       grouped
         .groupBy(col("doc_id"), col("grp"))
         .agg(array_sort(collect_list(struct(col("pos"), col("tok")))).as("pt"))

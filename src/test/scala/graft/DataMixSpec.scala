@@ -143,6 +143,16 @@ class DataMixSpec extends SparkSpec {
       .filter(col("__cum") <= 300L).drop("__cum")
       .orderBy("id").collect().map(_.toSeq).toSeq
     assert(gotQuota == wantQuota && gotQuota.nonEmpty && gotQuota.size < 80)
+    // md5Quota rides the same banded rank now — must replay the old
+    // whole-group window rank bit-for-bit
+    val gotCap = DataMix.md5Quota(df, col("g"), 7, Seq(col("id")))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val wantCap = df.withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(h.asc, col("id").asc)))
+      .filter(col("__r") <= 7).drop("__r")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(gotCap == wantCap && gotCap.size == 14)
   }
 
   test("md5 quota caps every group and picks a stable subset") {

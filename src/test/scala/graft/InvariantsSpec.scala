@@ -293,6 +293,13 @@ class InvariantsSpec extends SparkSpec {
       "x41_pack_concat" ->
         "bandedMd5Prefix per-stratum OFFSET windows: <= 64 static md5 bands per stratum",
       "x42_token_quota" ->
+        "bandedMd5Prefix per-stratum OFFSET windows: <= 64 static md5 bands per stratum",
+      // r14: md5Quota migrated off its whole-group rank window (which
+      // the lint blessed only via WindowGroupLimit pushdown — a bound
+      // of quota x upstream-partitions through ONE task) onto the
+      // banded rank; the surfaced window is the same <= 64-row offset
+      // table as the rest of the family
+      "x22_source_quota" ->
         "bandedMd5Prefix per-stratum OFFSET windows: <= 64 static md5 bands per stratum")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => !bounds.contains(name) }

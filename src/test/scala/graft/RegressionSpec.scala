@@ -108,4 +108,21 @@ class RegressionSpec extends SparkSpec {
     // zero-variance y: r undefined
     assert(out.filter(_._1 == "z").forall(_._3.isNaN))
   }
+
+  test("rollingCorr: billion-scale quantized values survive the frame sums (no long wrap)") {
+    import sqlImplicits._
+    // |x| ~4e9 wraps x·x in long arithmetic (ANSI: job-killing
+    // overflow); the DECIMAL(38,0) partials stay exact and the
+    // perfectly linear frame still reads r = 1. Alternating signs
+    // keep the frame variance huge, so the double closed form has no
+    // catastrophic cancellation to hide behind.
+    val big = 4000000000L
+    val rows = (1 to 5).map { t =>
+      val x = (if (t % 2 == 0) big else -big) + t
+      ("g", t.toLong, x, 2L * x)
+    }
+    val out = Regression.rollingCorr(rows.toDF("k", "t", "x", "y"), Seq("k"), "t", "x", "y", 3)
+      .orderBy("t").collect()
+    assert(out.filter(_.getLong(1) >= 3).forall(_.getDouble(3) == 1.0))
+  }
 }

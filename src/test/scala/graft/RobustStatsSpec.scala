@@ -238,4 +238,43 @@ class RobustStatsSpec extends SparkSpec {
     val wins = graft.operators.RobustStats.winsorize(df, Seq("g"), "v")
     assert(wins.count() == 5L)
   }
+
+  test("NaN carries no order statistic: fences, medians and bounds are NaN-proof") {
+    import sqlImplicits._
+    // NaN sorts ABOVE every real double, so un-guarded percentiles
+    // drag q3/median/w_hi to NaN off a single bad value
+    val df = ((1 to 100).map(i => ("a", i.toDouble)) ++
+      Seq(("a", Double.NaN), ("a", Double.NaN))).toDF("g", "v")
+    val f = RobustStats.iqrFences(df, Seq("g"), "v").head()
+    assert(!f.getDouble(2).isNaN && f.getDouble(2) > 70 && f.getDouble(2) < 80,
+      "q3 must come from the 100 real values, not the NaNs")
+    val m = RobustStats.mad(df, Seq("g"), "v").head()
+    assert(m.getDouble(1) == 50.5 && m.getDouble(2) == 25.0)
+    // winsorize: NaN input passes through un-clipped with a null
+    // verdict — the old least/greatest chain silently rewrote it to
+    // the UPPER bound (NaN > hi evaluates true under NaN-is-largest)
+    val w = RobustStats.winsorize(df, Seq("g"), "v", 0.10, 0.90)
+    val nanRows = w.filter(isnan(col("v"))).collect()
+    assert(nanRows.length == 2 &&
+      nanRows.forall(r => r.getAs[Double]("v_wins").isNaN && r.isNullAt(r.fieldIndex("clipped"))),
+      "NaN must stay NaN in v_wins with a null clip verdict")
+    assert(!w.filter(!isnan(col("v"))).select(max(col("v_wins"))).head().getDouble(0).isNaN)
+    // imputeMedian: the fill value must be the NaN-free median
+    val imp = RobustStats.imputeMedian(
+      (df.collect().map(r => (r.getString(0), Option(r.getDouble(1)))) :+
+        (("a", Option.empty[Double]))).toSeq.toDF("g", "v"), Seq("g"), "v")
+    val filled = imp.filter(col("v").isNull).head()
+    assert(filled.getAs[Double]("v_filled") == 50.5)
+  }
+
+  test("weightedQuantile excludes NaN values (they would collapse the banding and win q=1)") {
+    import sqlImplicits._
+    val df = (Seq(("a", Double.NaN, 5.0)) ++ (1 to 10).map(i => ("a", i.toDouble, 1.0)))
+      .toDF("g", "v", "w")
+    val got = graft.operators.RobustStats.weightedQuantile(df, Seq("g"), "v", "w", 1.0)
+      .head()
+    // q=1 reaches the max REAL value; NaN neither wins nor adds weight
+    assert(got.getAs[Double]("wq_value") == 10.0)
+    assert(got.getAs[Double]("total_weight") == 10.0)
+  }
 }
