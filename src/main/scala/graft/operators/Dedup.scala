@@ -91,7 +91,11 @@ object Dedup {
       // Materialize signatures once: both sides of the bucket self-join
       // read the cached 24-byte-per-doc table instead of recomputing
       // the tokenize→shingle→hash pipeline per side.
-      OpCache.swap("dedup.minhash.sigs",
+      // every plan-shaping parameter rides the key (the Itemsets
+      // paramKey convention) — callers varying geometry or column
+      // names must not alternate the single slot
+      OpCache.swap("dedup.minhash.sigs." +
+          OpCache.paramKey(numHashes.toString, shingleN.toString, idCol, textCol),
         minhashSignatures(docs, numHashes, shingleN, idCol, textCol)),
       numHashes, bands, minEstJaccard, idCol)
 
@@ -126,7 +130,8 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     lshPairsFromSigs(
-      OpCache.swap("dedup.charminhash.sigs",
+      OpCache.swap("dedup.charminhash.sigs." +
+          OpCache.paramKey(numHashes.toString, charN.toString, idCol, textCol),
         charMinhashSignatures(docs, numHashes, charN, idCol, textCol)),
       numHashes, bands, minEstJaccard, idCol)
 
@@ -197,12 +202,14 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val l = bandedSigs(
-      OpCache.swap("dedup.minhash.sigs.across.l",
+      OpCache.swap("dedup.minhash.sigs.across.l." +
+          OpCache.paramKey(numHashes.toString, shingleN.toString, idCol, textCol),
         minhashSignatures(left, numHashes, shingleN, idCol, textCol)),
       numHashes, bands, idCol)
       .select(col("band_id"), col("band_hash"), col(idCol).as("left_id"), col("sig").as("sig_l"))
     val r = bandedSigs(
-      OpCache.swap("dedup.minhash.sigs.across.r",
+      OpCache.swap("dedup.minhash.sigs.across.r." +
+          OpCache.paramKey(numHashes.toString, shingleN.toString, idCol, textCol),
         minhashSignatures(right, numHashes, shingleN, idCol, textCol)),
       numHashes, bands, idCol)
       .select(col("band_id"), col("band_hash"), col(idCol).as("right_id"), col("sig").as("sig_r"))
@@ -239,7 +246,8 @@ object Dedup {
     // delegate to the generic 64-bit banding below — the two bodies
     // were verbatim copies modulo output names, so a banding fix had
     // to be applied twice
-    val sh = OpCache.swap("dedup.simhash", simhashes(docs, idCol, textCol))
+    val sh = OpCache.swap("dedup.simhash." + OpCache.paramKey(idCol, textCol),
+      simhashes(docs, idCol, textCol))
     hammingPairs64(sh, idCol, "simhash", maxHamming)
       .withColumnRenamed("id_a", "doc_a")
       .withColumnRenamed("id_b", "doc_b")
@@ -579,7 +587,8 @@ object Dedup {
         // materialized once: the hot-list build and the probe side
         // both read the cache instead of re-running the dominant
         // tokenize→shingle→md5 pipeline.
-        val cached = OpCache.swap("dedup.dupstats.grams", grams)
+        val cached = OpCache.swap(
+          "dedup.dupstats.grams." + OpCache.paramKey(shingleN.toString), grams)
         val hot = cached.groupBy("gh")
           .agg(count(lit(1)).as("df"))
           .filter(col("df") > cap)
@@ -648,7 +657,7 @@ object Dedup {
     */
   private def gramIndex(docs: DataFrame, shingleN: Int, maxShingleDf: Option[Long]): DataFrame = {
     // One interpreted shingle-pipeline pass per doc, materialized.
-    val exAll = OpCache.swap("dedup.ngram.ex",
+    val exAll = OpCache.swap("dedup.ngram.ex." + OpCache.paramKey(shingleN.toString),
       docs
         .select(col("doc_id"), col("lang"), col("n_chars"), tokens(col("text")).as("__toks"))
         .select(
@@ -668,7 +677,8 @@ object Dedup {
           .agg(count(lit(1)).as("df"))
           .filter(col("df") > cap)
           .select("lang", "h")
-        OpCache.swap("dedup.ngram.ex.capped",
+        OpCache.swap(
+          "dedup.ngram.ex.capped." + OpCache.paramKey(shingleN.toString, cap.toString),
           hotCapAntiJoin(exAll, hot, Seq("lang", "h")))
       case None => exAll
     }
@@ -790,7 +800,8 @@ object Dedup {
     // Materialize the PRE-cap gram table: the dominant tokenize→gram
     // pipeline runs once, shared by the capped and uncapped calls
     // (plan-equal site) and by the hot-list build + both join sides.
-    val cached = OpCache.swap("dedup.runs.grams", grams)
+    val cached = OpCache.swap(
+      "dedup.runs.grams." + OpCache.paramKey(k.toString, idCol, textCol), grams)
     val ex = maxGramDf match {
       case Some(cap) =>
         // Hot-list anti-join (the ngramDupStats shape): the over-cap

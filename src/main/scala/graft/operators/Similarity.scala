@@ -128,10 +128,13 @@ object Similarity {
       bands: Int,
       dim: Int,
       site: String): DataFrame = {
-    val base = OpCache.swap(site + ".lsh.sig",
+    // nPlanes/dim shape the cached signature plans (the paramKey
+    // convention); bands enters only downstream of the cache
+    val sigKey = OpCache.paramKey(nPlanes.toString, dim.toString)
+    val base = OpCache.swap(site + ".lsh.sig." + sigKey,
       prepared(embeddings, site)
         .withColumn("sig", signLshSignature(col("vec"), nPlanes, dim)))
-    val qbase = OpCache.swap(site + ".lsh.qsig",
+    val qbase = OpCache.swap(site + ".lsh.qsig." + sigKey,
       prepared(queries, site + ".q")
         .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
         .withColumn("qsig", signLshSignature(col("qvec"), nPlanes, dim)))
@@ -187,7 +190,8 @@ object Similarity {
 
     // Per-cell mean vector via positional explode → elementwise avg →
     // re-assembled in position order (deterministic).
-    val centroids = OpCache.swap("sim.ivf.centroids",
+    // centroidCol shapes the cached plan (the paramKey convention)
+    val centroids = OpCache.swap("sim.ivf.centroids." + OpCache.paramKey(centroidCol),
       embeddings
         .select(col(centroidCol).as("cell"), posexplode(toDoubleVec(col("embedding"))).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
@@ -198,7 +202,8 @@ object Similarity {
         .withColumn("cnorm", l2norm(col("cvec"))))
 
     ivfSearch(prepared(queries, "sim.prep.q"),
-      base, centroids, k, nProbes, "sim.ivf.assigned.label")
+      base, centroids, k, nProbes,
+      "sim.ivf.assigned." + OpCache.paramKey(centroidCol))
   }
 
   /** IVF ANN with centroids learned by Lloyd's k-means instead of
@@ -469,7 +474,8 @@ object Similarity {
       nPlanes: Int = 16,
       bands: Int = 4,
       dim: Int = 64): DataFrame = {
-    val base = OpCache.swap("sim.neardup.sig",
+    val base = OpCache.swap(
+      "sim.neardup.sig." + OpCache.paramKey(nPlanes.toString, dim.toString),
       prepared(embeddings, "sim.prep")
         .withColumn("sig", signLshSignature(col("vec"), nPlanes, dim)))
     val bandedIds = base.select(
@@ -549,7 +555,7 @@ object Similarity {
   private def semanticAssigned(embeddings: DataFrame, cells: Int, maxIter: Int): DataFrame = {
     val base = prepared(embeddings, "sim.prep")
     OpCache.swap(
-      "sim.semdedup.assigned",
+      "sim.semdedup.assigned." + OpCache.paramKey(cells.toString, maxIter.toString),
       assignCells(base, memoizedKmeans(base, cells, maxIter), probes = 1))
   }
 
