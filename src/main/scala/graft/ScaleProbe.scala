@@ -442,6 +442,14 @@ object ScaleProbe {
               (col("n_chars") / 4 + 1).cast("long").as("n_tokens")),
             col("n_tokens"), 2048, col("lang"), Seq(col("doc_id")))
           .groupBy("lang").agg(countDistinct(col("bin_id")).as("n_bins")))
+      // Per-group quota (r14: moved off its whole-group rank window
+      // onto the banded rank) — same 5-strata whole-corpus shape as
+      // kfold; must ride the same scan curve.
+      time(s"md5_quota              x$k",
+        graft.operators.DataMix.md5Quota(
+            d.select(col("lang"), col("doc_id")), col("lang"), 1000,
+            Seq(col("doc_id")))
+          .groupBy("lang").count())
       // Gaps-and-islands: keyed window over per-key DISTINCT values
       // (bounded domain per key) — the keyed-shuffle scan curve.
       time(s"gaps_islands           x$k",
