@@ -866,22 +866,47 @@ object Dedup {
     // at minSimilarity = 0 (report-everything mode).
     val la = length(col("__ta")).cast("double")
     val lb = length(col("__tb")).cast("double")
-    val prefiltered =
-      if (minSimilarity > 0.0)
-        joined.filter(abs(la - lb) <= lit(1.0 - minSimilarity) * greatest(la, lb))
-      else joined
-    prefiltered
-      .select(
-        col("doc_a"), col("doc_b"),
-        levenshtein(col("__ta"), col("__tb")).as("lev"),
-        // Two empty texts: max length 0 would divide by zero (null sim
-        // in legacy mode, error under ANSI) and silently drop a
-        // PERFECT duplicate — they are identical, similarity 1.
-        when(greatest(length(col("__ta")), length(col("__tb"))) === 0, lit(1.0))
-          .otherwise(lit(1.0) - levenshtein(col("__ta"), col("__tb")).cast("double") /
-            greatest(length(col("__ta")), length(col("__tb"))).cast("double"))
-          .as("edit_sim"))
-      .filter(col("edit_sim") >= minSimilarity)
+    if (minSimilarity > 0.0) {
+      // BANDED verification (r14): any accepted pair has
+      // lev ≤ (1−minSim)·maxLen, so the O(len²) full matrix is wasted
+      // work past that bound — the built-in's threshold form
+      // (`levenshtein(l, r, k)`, k a per-row column) early-exits at
+      // O(k·len) and returns −1 above the bound. The band is ceil+1
+      // (strictly ABOVE the real bound, covering double rounding at
+      // the boundary), and the EXACT double filter below is unchanged
+      // — so acceptance is decided by the same arithmetic as before,
+      // the band only skips work for pairs that cannot pass. For
+      // accepted rows the threshold form returns the exact distance,
+      // so the emitted `lev` is identical too.
+      val band = (ceil(lit(1.0 - minSimilarity) * greatest(la, lb)) + lit(1)).cast("int")
+      joined
+        .filter(abs(la - lb) <= lit(1.0 - minSimilarity) * greatest(la, lb))
+        .select(
+          col("doc_a"), col("doc_b"),
+          greatest(length(col("__ta")), length(col("__tb"))).as("__maxlen"),
+          call_function("levenshtein", col("__ta"), col("__tb"), band).as("lev"))
+        .filter(col("lev") >= 0) // −1 = banded out; null text = null, also dropped
+        .select(
+          col("doc_a"), col("doc_b"), col("lev"),
+          // Two empty texts: max length 0 would divide by zero (null
+          // sim in legacy mode, error under ANSI) and silently drop a
+          // PERFECT duplicate — they are identical, similarity 1.
+          when(col("__maxlen") === 0, lit(1.0))
+            .otherwise(lit(1.0) - col("lev").cast("double") / col("__maxlen").cast("double"))
+            .as("edit_sim"))
+        .filter(col("edit_sim") >= minSimilarity)
+    } else
+      // report-everything mode: no usable band (k ≈ len is not
+      // cheaper), full distance per pair
+      joined
+        .select(
+          col("doc_a"), col("doc_b"),
+          levenshtein(col("__ta"), col("__tb")).as("lev"),
+          when(greatest(length(col("__ta")), length(col("__tb"))) === 0, lit(1.0))
+            .otherwise(lit(1.0) - levenshtein(col("__ta"), col("__tb")).cast("double") /
+              greatest(length(col("__ta")), length(col("__tb"))).cast("double"))
+            .as("edit_sim"))
+        .filter(col("edit_sim") >= minSimilarity)
   }
 
   /** Bounded-distance verification: keep candidates within `maxEdits`
