@@ -79,9 +79,17 @@ object Stats {
             groupCols.map(c => col(c) <=> col(s"__bg_$c")).reduce(_ && _))
           .drop(groupCols.map(c => s"__bg_$c"): _*)
       }
-    def offsSide(offs: DataFrame): DataFrame =
-      if (offsFit) broadcast(offs) else offs.hint("shuffle_hash")
-    val banded = withBounds
+    bandedCumCore(withBand(withBounds, bands), sums, groupCols, offsFit)
+  }
+
+  /** The banding expression shared by [[bandedCum]] and the fused
+    * multi-pass callers ([[kaplanMeier]]): adds `__bkt` from the
+    * joined `__lo`/`__hi` bounds and drops them. ONE definition — a
+    * second copy drifting by an ulp would band the same row into
+    * different buckets across passes.
+    */
+  private def withBand(withBounds: DataFrame, bands: Int): DataFrame =
+    withBounds
       .withColumn(
         "__bkt",
         when(col("__hi") === col("__lo"), lit(0))
@@ -90,6 +98,30 @@ object Stats {
             floor((col("__v") - col("__lo")).cast("double") /
               ((col("__hi") - col("__lo")).cast("double") / lit(bands))).cast("int"))))
       .drop("__lo", "__hi")
+
+  /** Post-banding half of [[bandedCum]]: per-(group, band) partial
+    * sums, the ≤ bands·|groups|-row offset table, and the in-band
+    * cumulative windows, over a frame that ALREADY carries `__bkt`.
+    * Exposed (package-private) so a caller chaining SEVERAL prefix
+    * passes over the same value domain ([[kaplanMeier]]: at-risk
+    * countdown, then ln-term prefix) bands once and reuses the
+    * banding — the second pass's per-band aggregate and final window
+    * then reuse the `__bkt` hash partitioning already established by
+    * the first pass's window instead of re-deriving bounds (a full
+    * re-aggregation of the first pass's whole subtree) and
+    * re-shuffling. `offsFit` mirrors the bounds-fit decision of the
+    * banding caller: broadcast the offset table when it provably
+    * fits, shuffled-hash join otherwise (never sort-merge — the
+    * big-side sort is what this primitive exists to avoid).
+    */
+  private[graft] def bandedCumCore(
+      banded: DataFrame,
+      sums: Seq[(String, String)],
+      groupCols: Seq[String],
+      offsFit: Boolean): DataFrame = {
+    val gc = groupCols.map(col)
+    def offsSide(offs: DataFrame): DataFrame =
+      if (offsFit) broadcast(offs) else offs.hint("shuffle_hash")
     // offset window: ≤ bands rows per group, partitioned by group
     val offW = Window.partitionBy(gc: _*).orderBy(col("__bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -385,9 +417,22 @@ object Stats {
       .agg(sum(col("__e")).as("__d"), sum(lit(1L) - col("__e")).as("__c"))
       .withColumn("__dc", col("__d") + col("__c"))
     // the observation total rides the banded pass's bounds aggregate
-    // (carryTotals) — a separate tot lineage re-scanned collapsed
-    val atRisk = bandedCum(collapsed, Seq("__dc" -> "__cumdc"), bands,
-        carryTotals = Seq("__dc" -> "__tot"))
+    // (carryTotals) — a separate tot lineage re-scanned collapsed.
+    // BAND ONCE for both prefix passes (r14): the second pass's value
+    // domain is the first's (windows and the broadcast offsets join
+    // preserve rows 1:1 and never touch __v), so re-deriving bounds
+    // there re-aggregated the ENTIRE first pass's subtree just to
+    // recompute the identical __bkt — and the re-banding exchange
+    // threw away the (__bkt) hash partitioning the first pass's
+    // window had already established. The fused form hands the
+    // retained banding to [[bandedCumCore]] twice: same lo/hi, same
+    // __bkt per row, bit-identical cumulatives.
+    val bounds = collapsed.agg(
+      min(col("__v")).as("__lo"), max(col("__v")).as("__hi"),
+      sum(col("__dc")).as("__tot"))
+    val banded = withBand(collapsed.crossJoin(broadcast(bounds)), bands)
+    val atRisk = bandedCumCore(banded, Seq("__dc" -> "__cumdc"),
+        groupCols = Seq.empty, offsFit = true)
       .withColumn("__n", col("__tot") - (col("__cumdc") - col("__dc")))
     // ln((n−d)/n) in micro-nats; d = 0 ⇒ ln 1 = 0 exactly, so every
     // row carries a term and ONE prefix sum covers the whole domain.
@@ -400,9 +445,10 @@ object Stats {
         round(log((col("__n") - col("__d")).cast("double") / col("__n").cast("double")) *
           lit(1e6)).cast("long"))
         .otherwise(lit(0L)))
-    bandedCum(
-      terms.select(col("__v"), col("__n"), col("__d"), col("__c"), col("__t")),
-      Seq("__t" -> "__lnsurv"), bands)
+    bandedCumCore(
+      terms.select(
+        col("__v"), col("__bkt"), col("__n"), col("__d"), col("__c"), col("__t")),
+      Seq("__t" -> "__lnsurv"), groupCols = Seq.empty, offsFit = true)
       .select(
         (col("__v").cast("double") / lit(1e4)).as("t"),
         col("__n").as("n_risk"), col("__d").as("d"), col("__c").as("c"),

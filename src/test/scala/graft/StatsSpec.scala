@@ -219,6 +219,39 @@ class StatsSpec extends SparkSpec {
       "global banded prefix must be monotone and end at the grand total")
   }
 
+  test("bandedCumCore chained on a prior pass's retained banding equals an independent bandedCum") {
+    import sqlImplicits._
+    // The kaplanMeier fusion lemma (r14): a second prefix pass run via
+    // bandedCumCore over a frame that RETAINS the first pass's __bkt
+    // must equal a from-scratch bandedCum over the same rows — the
+    // value domain is unchanged through windows and the offsets join,
+    // so the banding (and with it every per-band sum, offset, and
+    // in-band cumulative) is identical. A divergence here means the
+    // fused two-pass operators (kaplanMeier) drifted from the
+    // certified single-pass primitive.
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 500).map(i => (i * 1.0, rnd.nextInt(90).toLong, rnd.nextInt(70).toLong))
+      .toDF("__v", "a", "b").repartition(5)
+    for (bands <- Seq(1, 4, 64)) {
+      val first = Stats.bandedCum(df, Seq("a" -> "ca"), bands)
+      val chained = Stats.bandedCumCore(first, Seq("b" -> "cb"),
+          groupCols = Seq.empty, offsFit = true)
+        .orderBy("__v").collect()
+        .map(r => (r.getAs[Double]("__v"), r.getAs[Long]("ca"), r.getAs[Long]("cb"))).toSeq
+      val direct = Stats.bandedCum(df, Seq("b" -> "cb"), bands)
+        .orderBy("__v").collect()
+        .map(r => (r.getAs[Double]("__v"), r.getAs[Long]("cb"))).toSeq
+      assert(chained.map(t => (t._1, t._3)) == direct,
+        s"bands=$bands: chained core pass diverged from an independent bandedCum")
+      // and the first pass's own cumulatives survive the chaining intact
+      val firstDirect = Stats.bandedCum(df, Seq("a" -> "ca"), bands)
+        .orderBy("__v").collect()
+        .map(r => (r.getAs[Double]("__v"), r.getAs[Long]("ca"))).toSeq
+      assert(chained.map(t => (t._1, t._2)) == firstDirect,
+        s"bands=$bands: the chained pass corrupted the first pass's cumulative")
+    }
+  }
+
   test("mannWhitneyU: a multi-million-row tie group does not wrap the variance term") {
     import sqlImplicits._
     // Σ(t³−t) cubed in LONGS wraps once one tied micro-value exceeds
