@@ -31,36 +31,28 @@ object Geo {
 
   /** Geohash of (lat, lng) at `precision` chars; null if either
     * coordinate is null.
+    *
+    * Delegates to the codegen expression [[graft.plans.Geohash]]
+    * (r14): the former Column-arithmetic form (one shift/AND/multiply
+    * term per interleave bit — 40 terms at precision 8, each
+    * re-inlining the quantization subtree because Column expressions
+    * are trees, not DAGs) generated a method past janino's hard
+    * 64 KB limit, so every stage containing a geohash ran with
+    * whole-stage codegen DISABLED after paying a multi-second janino
+    * compile of the giant class per invocation. The expression form
+    * is one static call into a tight bit loop — same quantization,
+    * same clamps (below-range GPS noise hashes to the edge cell, not
+    * the opposite pole), same interleave, same base32 — constant code
+    * size. The SQL replay below is unchanged and still spells the
+    * per-bit loop the oracles embed.
     */
   def geohash(lat: Column, lng: Column, precision: Int = 8): Column = {
-    val (lngBits, latBits) = bitSplit(precision)
-    val total = lngBits + latBits
-    // clamped at BOTH ends (the bucketize convention): a coordinate a
-    // hair below range (GPS noise at lat = −90.000001) quantizes to −1,
-    // and shiftright(−1, k) is all-ones — every bit of the interleave
-    // reads 1 and the point silently hashes to the OPPOSITE extreme
-    // cell, so prefix joins never find its true neighbors
-    def quant(c: Column, off: Double, span: Double, bits: Int): Column =
-      least(
-        greatest(
-          floor((c.cast("double") + lit(off)) / lit(span) * lit(math.pow(2, bits))).cast("long"),
-          lit(0L)),
-        lit((1L << bits) - 1))
-    val latI = quant(lat, 90.0, 180.0, latBits)
-    val lngI = quant(lng, 180.0, 360.0, lngBits)
-    // interleave: lng fills even positions (MSB first), lat odd
-    val terms =
-      (0 until lngBits).map(j =>
-        shiftright(lngI, lngBits - 1 - j).bitwiseAND(lit(1L)) * lit(1L << (total - 1 - 2 * j))) ++
-      (0 until latBits).map(j =>
-        shiftright(latI, latBits - 1 - j).bitwiseAND(lit(1L)) * lit(1L << (total - 2 - 2 * j)))
-    val combined = terms.reduce(_ + _)
-    val chars = (0 until precision).map { k =>
-      lit(Base32).substr(
-        (shiftright(combined, total - 5 * (k + 1)).bitwiseAND(lit(31L)) + 1).cast("int"),
-        lit(1))
-    }
-    when(lat.isNull || lng.isNull, null).otherwise(concat(chars: _*))
+    bitSplit(precision) // precision validation shared with the SQL replay
+    org.apache.spark.sql.graftops.ColumnBridge.column(
+      graft.plans.Geohash(
+        org.apache.spark.sql.graftops.ColumnBridge.expression(lat.cast("double")),
+        org.apache.spark.sql.graftops.ColumnBridge.expression(lng.cast("double")),
+        precision))
   }
 
   /** DuckDB replay of [[geohash]], generated from the same bit loop,

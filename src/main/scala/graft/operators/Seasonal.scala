@@ -71,26 +71,45 @@ object Seasonal {
       .groupBy(keys.map(col): _*)
       .agg(expr("percentile(vu, 0.5)").as("med_u"))
     val withMed = slotted.join(Broadcasting.maybeBroadcast(med), keys)
-    val mad = withMed
+    // Tie-collapsed deviation table (r14): both the MAD and every
+    // anomaly/exceedance count are functions of |vu − med| ALONE, so
+    // the second and third passes run over the (slot, deviation)
+    // grain instead of re-scanning events a third time. The broadcast
+    // med join keeps the streamed side un-exchanged, so each consumer
+    // of `withMed` used to pay its own full scan+quantize (exchange
+    // reuse has nothing to dedupe below a broadcast join); `devs`
+    // puts a groupBy exchange at the collapsed grain, and its two
+    // consumers (the MAD aggregate, the final counts) reuse that one
+    // exchange. MAD via percentile's exact FREQUENCY form is the same
+    // expand-each-value-cnt-times statistic bit-for-bit; deviations
+    // are integer- or half-integer-valued micro-units (see the MAD
+    // note above), so grouping on the double is exact, and
+    // `__dev ≠ 0 ⟺ vu ≠ med_u` keeps the degenerate-slot screen
+    // identical.
+    val devs = withMed
+      .groupBy(keys.map(col) ++ Seq(
+        col("med_u"), abs(col("vu") - col("med_u")).as("__dev")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val mad = devs
       .groupBy(keys.map(col): _*)
-      .agg(expr("percentile(abs(vu - med_u), 0.5)").as("mad_u"))
-    withMed
+      .agg(expr("percentile(__dev, 0.5, __c)").as("mad_u"))
+    devs
       .join(Broadcasting.maybeBroadcast(mad), keys)
       .groupBy(keys.map(col): _*)
       .agg(
-        count(lit(1)).as("n"),
+        sum(col("__c")).as("n"),
         (first(col("med_u")) / lit(10000.0)).as("med"),
         (first(col("mad_u")) / lit(10000.0)).as("mad"),
         sum(when(
-          abs(col("vu") - col("med_u")) > lit(k) * col("mad_u") && col("mad_u") > 0,
-          1L).otherwise(0L)).as("n_anomalies"),
+          col("__dev") > lit(k) * col("mad_u") && col("mad_u") > 0,
+          col("__c")).otherwise(0L)).as("n_anomalies"),
         // degenerate-slot secondary screen: exact inequality against
         // the median, counted only where MAD carries no scale (mad=0).
         // vu and med_u are exact integers when mad can be 0 (a
         // half-integer median implies the two middle values differ,
-        // which already forces mad ≥ 0.25), so `=!=` is an exact
-        // integer comparison — bit-portable like the rest of the row.
-        sum(when(col("mad_u") === 0 && col("vu") =!= col("med_u"), 1L)
+        // which already forces mad ≥ 0.25), so `__dev ≠ 0` is an exact
+        // comparison — bit-portable like the rest of the row.
+        sum(when(col("mad_u") === 0 && col("__dev") =!= 0.0, col("__c"))
           .otherwise(0L)).as("n_exceed_exact"))
   }
 }

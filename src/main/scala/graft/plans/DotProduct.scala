@@ -111,6 +111,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(DotProduct.functionDescription)
     ext.injectFunction(WhitespaceTokens.functionDescription)
     ext.injectFunction(JaroWinkler.functionDescription)
+    ext.injectFunction(Geohash.functionDescription)
     ext.injectOptimizerRule(_ => HaversineBoundingBox)
   }
 }

@@ -3600,7 +3600,13 @@ object ExtQueries {
     GraftQuery(
       "x124_station_geohash",
       (s, _) => {
-        val st = graft.etl.CityBike.stationDimension(graft.etl.CityBike.readRides(s))
+        // the memoized warehouse's PERSISTED station dim (r14): the
+        // fresh stationDimension(readRides(s)) plan re-parsed the ride
+        // CSV and re-ran the dedup + surrogate keys on every
+        // invocation while cb01–cb08 read the same rows from the
+        // session's persisted dim — same values (the dim IS this
+        // expression, built once), one CSV parse per session
+        val st = graft.etl.CityBike.build(s).stationDim
         st.filter(col("latitude").isNotNull && col("longitude").isNotNull)
           .select(
             substring(graft.functions.Geo.geohash(col("latitude"), col("longitude"), 8), 1, 4)
@@ -3832,7 +3838,10 @@ object ExtQueries {
         // read ~2k cached rows.
         val st = graft.operators.OpCache.swap(
           "ext.x130.stations",
-          graft.etl.CityBike.stationDimension(graft.etl.CityBike.readRides(s))
+          // base the cached frame on the warehouse's persisted dim
+          // (r14, same move as x124): first touch then reads ~2k
+          // persisted rows instead of re-parsing + re-deduping the CSV
+          graft.etl.CityBike.build(s).stationDim
             .filter(col("latitude").isNotNull && col("longitude").isNotNull)
             .select(
               col("name"), col("latitude"), col("longitude"),

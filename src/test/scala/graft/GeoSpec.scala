@@ -71,6 +71,25 @@ class GeoSpec extends SparkSpec {
     assert(got.isNullAt(0))
   }
 
+  test("a geohash projection stays inside whole-stage codegen") {
+    import sqlImplicits._
+    // The r14 Morton-spread rewrite exists for this: the per-bit
+    // interleave form (40 shift/AND/multiply terms at precision 8)
+    // pushed the generated method past hugeMethodLimit — every stage
+    // containing a geohash ran interpreted AFTER paying a multi-second
+    // janino compile of the giant class per invocation. The spread
+    // form must keep the projection inside a codegen span.
+    // spark.range, not a local Seq: ConvertToLocalRelation folds a
+    // deterministic projection over a LocalRelation at planning time
+    // and no codegen stage exists to assert on
+    val df = spark.range(64)
+      .select(Geo.geohash(col("id") * 1.0 - 32, col("id") * 2.0 - 64, 8).as("g"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined,
+      s"geohash projection fell out of whole-stage codegen:\n$plan")
+  }
+
   test("prefix property: nearby points share cells, far points do not") {
     val a = enc(40.7306, -73.9866, 8) // Manhattan
     val b = enc(40.7312, -73.9871, 8) // a few hundred meters away
