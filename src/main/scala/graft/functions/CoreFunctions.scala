@@ -117,6 +117,26 @@ object CoreFunctions {
     coalesce(least(greatest(raw, lit(0L)), lit(n - 1)), lit(0L))
   }
 
+  /** Leading (most significant) decimal digit of a non-negative long
+    * column, 0 for 0, null for null — an integer compare/divide
+    * cascade (13 thresholds cover every DECIMAL(18,4) integer part,
+    * i.e. up to 14 digits) instead of rendering the number to a
+    * string and reading its first character: the string form pays a
+    * BigDecimal→plain-string→UTF8String round trip per row inside the
+    * scan's hottest loop (x131 measured ~2× the whole query). Each
+    * guarded quotient lies in [1, 10), where the double division is
+    * exact: the true quotient sits at least 1/10^13 below the next
+    * integer while a double near 10 resolves ~9e-16, so truncation
+    * can never round up a digit. Negative inputs are the caller's
+    * contract to exclude (x131 filters on value > 0 first).
+    */
+  def leadingDigit(n: Column): Column =
+    (13 to 1 by -1).map(k => math.pow(10, k).toLong)
+      .foldLeft(Option.empty[Column]) { (acc, p) =>
+        val branch = (n / lit(p)).cast("long")
+        Some(acc.fold(when(n >= lit(p), branch))(_.when(n >= lit(p), branch)))
+      }.get.otherwise(n)
+
   /** Exact integer FLOOR division for long columns at any magnitude:
     * strip the (always non-negative) pmod remainder so the numerator
     * is an exact multiple, then divide in DECIMAL. The `/`-based form

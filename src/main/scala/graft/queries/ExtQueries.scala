@@ -3901,12 +3901,30 @@ object ExtQueries {
         val price = t(s, d, "lineitem")
           .filter(col("l_extendedprice").isNotNull && col("l_extendedprice") > 0)
           .select(
-            // through DECIMAL: plain-notation rendering in every
-            // engine (a raw double casts to scientific notation for
-            // extreme magnitudes, and the engines disagree on when)
-            substring(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 4))
-              .cast("string"), 1, 1).cast("int").as("digit"))
-          .filter(col("digit").between(1, 9))
+            // through DECIMAL: the same HALF_UP quantization anchor
+            // the oracle's VARCHAR rendering reads its first char
+            // from — materialized as a NAMED column so the digit
+            // cascade below references one attribute, not 27 inlined
+            // copies of the cast subtree (Column trees, the geohash
+            // lesson)
+            col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 4))
+              .cast("long").as("__ip"))
+          // digit ∈ [1,9] ⟺ __ip ≥ 1: the leading digit of ANY
+          // positive long is 1..9, digit is 0 only for __ip = 0
+          // (dec ∈ [0,1), whose string form also read "0"), and a
+          // cast-overflow null fails both predicates — filtering on
+          // the named integer part keeps the pushed-down Filter to
+          // one decimal cast instead of re-inlining the whole digit
+          // cascade twice below the projection that names it
+          .filter(col("__ip") >= 1)
+          .select(
+            // the digit comes from the integer part via an integer
+            // compare/divide cascade (CoreFunctions.leadingDigit),
+            // not from rendering the decimal to a string per row:
+            // for dec ≥ 1 the plain string's first char IS the
+            // integer part's leading digit
+            graft.functions.CoreFunctions.leadingDigit(col("__ip"))
+              .cast("int").as("digit"))
         val counts = price.groupBy("digit").agg(count(lit(1)).as("n"))
         val total = counts.agg(sum(col("n")).as("total"))
         val expCol = element_at(

@@ -121,4 +121,31 @@ class CoreFunctionsSpec extends SparkSpec {
     assert(r.getLong(0) == Math.floorDiv(Long.MinValue, 3L), r.getLong(0).toString)
     assert(r.getLong(1) == ((BigInt(Long.MaxValue) + 9) / 10).toLong, r.getLong(1).toString)
   }
+
+  test("leadingDigit == first char of the decimal string over the DECIMAL(18,4) domain") {
+    import sqlImplicits._
+    // the x131 replacement lemma: the integer compare/divide cascade
+    // must read the same digit the old substring-of-string form read,
+    // for every integer part a DECIMAL(18,4) can carry — boundaries
+    // (10^k−1, 10^k, 10^k+1 for every threshold), 0, and a seeded
+    // random sweep
+    val boundary = (1 to 13).flatMap { k =>
+      val p = math.pow(10, k).toLong
+      Seq(p - 1, p, p + 1)
+    }
+    val rnd = new scala.util.Random(131)
+    val random = Seq.fill(2000)(math.abs(rnd.nextLong()) % 100000000000000L)
+    val rows = (Seq(0L, 1L, 9L, 99999999999999L) ++ boundary ++ random).toDF("n")
+      .select(
+        col("n"),
+        leadingDigit(col("n")).as("fast"),
+        substring(col("n").cast("string"), 1, 1).cast("long").as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .collect()
+    assert(rows.isEmpty, rows.take(5).mkString(", "))
+    // null propagates (a DECIMAL(18,4) cast overflow reaches the
+    // cascade as null and must stay null, exactly like the string form)
+    val r = Seq[java.lang.Long](null).toDF("n").select(leadingDigit(col("n"))).head
+    assert(r.isNullAt(0))
+  }
 }
