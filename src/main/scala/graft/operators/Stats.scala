@@ -118,25 +118,46 @@ object Stats {
       banded: DataFrame,
       sums: Seq[(String, String)],
       groupCols: Seq[String],
-      offsFit: Boolean): DataFrame = {
+      offsFit: Boolean,
+      reuseEstablished: Boolean = false): DataFrame = {
     val gc = groupCols.map(col)
+    val keys = gc :+ col("__bkt")
     def offsSide(offs: DataFrame): DataFrame =
       if (offsFit) broadcast(offs) else offs.hint("shuffle_hash")
+    // WINDOW-FIRST form (r14): ONE explicit (group, band) exchange
+    // feeds the whole core — the in-band cumulative windows and the
+    // per-band offset aggregate both read it (ReuseExchange dedupes,
+    // and the aggregate's required distribution is exactly satisfied,
+    // so it runs as a single hash aggregate with no exchange of its
+    // own). The previous join-back form referenced `banded` from TWO
+    // lineages (the offsets aggregate and the final window), so the
+    // banded input subtree EXECUTED twice — for ksTest/mannWhitneyU
+    // that subtree is the whole full-outer merge of the two sides.
+    // The repartition is 1:1 the exchange the window used to insert
+    // (same keys, same partition count, AQE-coalescible), and it now
+    // carries banded's columns only: the offsets join moved ABOVE the
+    // window, so the per-band offset columns no longer ride the
+    // shuffle. `reuseEstablished` skips the repartition when the
+    // caller's frame already carries the (group, band) hash
+    // partitioning (kaplanMeier's chained second pass).
+    val part = if (reuseEstablished) banded else banded.repartition(keys: _*)
+    val wb = Window.partitionBy(keys: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sums.foldLeft(part) { case (acc, (c, _)) =>
+      acc.withColumn(s"__ib$c", sum(col(c)).over(wb))
+    }
+    val sumAggs = sums.map { case (c, _) => sum(col(c)).as(s"__s$c") }
+    val offs = part.groupBy(keys: _*).agg(sumAggs.head, sumAggs.tail: _*)
     // offset window: ≤ bands rows per group, partitioned by group
     val offW = Window.partitionBy(gc: _*).orderBy(col("__bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val sumAggs = sums.map { case (c, _) => sum(col(c)).as(s"__s$c") }
-    val offs = banded.groupBy(gc :+ col("__bkt"): _*)
-      .agg(sumAggs.head, sumAggs.tail: _*)
-    val wb = Window.partitionBy(gc :+ col("__bkt"): _*).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     if (groupCols.isEmpty) {
       val withOffs = sums.foldLeft(offs) { case (acc, (c, _)) =>
         acc.withColumn(s"__off$c", coalesce(sum(col(s"__s$c")).over(offW), lit(0L)))
       }.select(col("__bkt") +: sums.map { case (c, _) => col(s"__off$c") }: _*)
-      sums.foldLeft(banded.join(broadcast(withOffs), Seq("__bkt"))) {
+      sums.foldLeft(cum.join(broadcast(withOffs), Seq("__bkt"))) {
         case (acc, (c, out)) =>
-          acc.withColumn(out, col(s"__off$c") + sum(col(c)).over(wb))
+          acc.withColumn(out, col(s"__off$c") + col(s"__ib$c")).drop(s"__ib$c")
       }
     } else {
       val withOffs = sums.foldLeft(offs) { case (acc, (c, _)) =>
@@ -145,13 +166,13 @@ object Stats {
         groupCols.map(c => col(c).as(s"__og_$c")) ++
           (col("__bkt").as("__obkt") +:
             sums.map { case (c, _) => col(s"__off$c") }): _*)
-      val joined = banded.join(
+      val joined = cum.join(
           offsSide(withOffs),
           (groupCols.map(c => col(c) <=> col(s"__og_$c")) :+
             (col("__bkt") === col("__obkt"))).reduce(_ && _))
         .drop(groupCols.map(c => s"__og_$c") :+ "__obkt": _*)
       sums.foldLeft(joined) { case (acc, (c, out)) =>
-        acc.withColumn(out, col(s"__off$c") + sum(col(c)).over(wb))
+        acc.withColumn(out, col(s"__off$c") + col(s"__ib$c")).drop(s"__ib$c")
       }
     }
   }
@@ -237,18 +258,40 @@ object Stats {
       .select(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 4))
         .multiply(lit(10000)).cast("long").as("__v"))
       .groupBy("__v").agg(count(lit(1)).as(s"__c$tag"))
-    val merged = q(a, "a").join(q(b, "b"), Seq("__v"), "full_outer")
+    val aAgg = q(a, "a")
+    val bAgg = q(b, "b")
+    val merged = aAgg.join(bAgg, Seq("__v"), "full_outer")
       .select(
         col("__v"),
         coalesce(col("__ca"), lit(0L)).as("__ca"),
         coalesce(col("__cb"), lit(0L)).as("__cb"))
+    // bounds + totals from the two PRE-JOIN side aggregates (r14):
+    // each side is exchange-terminated, so these 1-row aggregates
+    // reuse the sides' shuffles — deriving them from `merged` (the
+    // old carryTotals path) re-executed the whole full-outer join a
+    // second time just to read min/max/sums. Identities: least/
+    // greatest skip an empty side's null min/max exactly like the
+    // joined aggregate did; each side's total equals the joined sum
+    // of its coalesced counts (full outer keeps every row), with
+    // coalesce pinning the empty-side total to the same 0 the joined
+    // sum of zero-fills produced.
+    val bounds = aAgg
+      .agg(min(col("__v")).as("__loa"), max(col("__v")).as("__hia"),
+        sum(col("__ca")).as("__ta"))
+      .crossJoin(bAgg.agg(min(col("__v")).as("__lob"), max(col("__v")).as("__hib"),
+        sum(col("__cb")).as("__tb")))
+      .select(
+        least(col("__loa"), col("__lob")).as("__lo"),
+        greatest(col("__hia"), col("__hib")).as("__hi"),
+        coalesce(col("__ta"), lit(0L)).as("__na"),
+        coalesce(col("__tb"), lit(0L)).as("__nb"))
     val na = col("__na").cast("double")
     val nb = col("__nb").cast("double")
     val dnum = col("__dnum").cast("double")
-    // totals ride the banded pass's own bounds aggregate
-    // (carryTotals) — a separate tot lineage re-scanned merged
-    bandedCum(merged, Seq("__ca" -> "__cuma", "__cb" -> "__cumb"), bands,
-        carryTotals = Seq("__ca" -> "__na", "__cb" -> "__nb"))
+    bandedCumCore(
+        withBand(merged.crossJoin(broadcast(bounds)), bands),
+        Seq("__ca" -> "__cuma", "__cb" -> "__cumb"),
+        groupCols = Seq.empty, offsFit = true)
       .agg(
         first(col("__na")).as("__na"),
         first(col("__nb")).as("__nb"),
@@ -290,13 +333,29 @@ object Stats {
       .select(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 4))
         .multiply(lit(10000)).cast("long").as("__v"))
       .groupBy("__v").agg(count(lit(1)).as(s"__c$tag"))
-    val merged = q(a, "a").join(q(b, "b"), Seq("__v"), "full_outer")
+    val aAgg = q(a, "a")
+    val bAgg = q(b, "b")
+    val merged = aAgg.join(bAgg, Seq("__v"), "full_outer")
       .select(
         col("__v"),
         coalesce(col("__ca"), lit(0L)).as("__ca"),
         coalesce(col("__cb"), lit(0L)).as("__cb"))
       .withColumn("__cnt", col("__ca") + col("__cb"))
-    val cum = bandedCum(merged, Seq("__cnt" -> "__cumn"), bands)
+    // bounds from the two PRE-JOIN side aggregates — the ksTest
+    // rationale: the bandedCum bounds pass re-executed the full-outer
+    // join just to read min/max; least/greatest over the per-side
+    // bounds skip an empty side's nulls exactly like the joined
+    // aggregate did (totals are not needed here — they ride the big
+    // aggregate below)
+    val bounds = aAgg
+      .agg(min(col("__v")).as("__loa"), max(col("__v")).as("__hia"))
+      .crossJoin(bAgg.agg(min(col("__v")).as("__lob"), max(col("__v")).as("__hib")))
+      .select(
+        least(col("__loa"), col("__lob")).as("__lo"),
+        greatest(col("__hia"), col("__hib")).as("__hi"))
+    val cum = bandedCumCore(
+        withBand(merged.crossJoin(broadcast(bounds)), bands),
+        Seq("__cnt" -> "__cumn"), groupCols = Seq.empty, offsFit = true)
       .withColumn("__before", col("__cumn") - col("__cnt"))
     val agg = cum.agg(
       sum(col("__ca")).as("__na"),
@@ -448,7 +507,10 @@ object Stats {
     bandedCumCore(
       terms.select(
         col("__v"), col("__bkt"), col("__n"), col("__d"), col("__c"), col("__t")),
-      Seq("__t" -> "__lnsurv"), groupCols = Seq.empty, offsFit = true)
+      Seq("__t" -> "__lnsurv"), groupCols = Seq.empty, offsFit = true,
+      // pass 1's repartition + broadcast offsets join preserve the
+      // (__bkt) hash partitioning 1:1 — skip the second repartition
+      reuseEstablished = true)
       .select(
         (col("__v").cast("double") / lit(1e4)).as("t"),
         col("__n").as("n_risk"), col("__d").as("d"), col("__c").as("c"),

@@ -61,6 +61,22 @@ class StatsSpec extends SparkSpec {
     assert(!r.getAs[Boolean]("reject_05"))
   }
 
+  test("ksTest/mannWhitneyU: an empty side keeps the old zero-total/null-d shape") {
+    import sqlImplicits._
+    // pins the r14 bounds rewrite's edge: totals/bounds now come from
+    // the PRE-join side aggregates (least/greatest + coalesced sums),
+    // and an empty side must read exactly like the old joined
+    // carryTotals pass did — n_a = 0 (not null), bounds from the
+    // non-empty side alone
+    val a = Seq.empty[Double].toDF("value")
+    val b = Seq(1.0, 2.0, 3.0).toDF("value")
+    val ks = Stats.ksTest(a, b, "value").head()
+    assert(ks.getAs[Long]("n_a") == 0L && ks.getAs[Long]("n_b") == 3L)
+    val mw = Stats.mannWhitneyU(a, b, "value").head()
+    assert(mw.getAs[Long]("n_a") == 0L && mw.getAs[Long]("n_b") == 3L)
+    assert(mw.getAs[Double]("u_a") == 0.0)
+  }
+
   test("mannWhitneyU rejects for clearly shifted samples, not identical ones") {
     import sqlImplicits._
     val lo = (1 to 200).map(_.toDouble % 50).toDF("value")
