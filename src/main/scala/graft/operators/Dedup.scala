@@ -897,16 +897,26 @@ object Dedup {
         .filter(col("edit_sim") >= minSimilarity)
     } else
       // report-everything mode: no usable band (k ≈ len is not
-      // cheaper), full distance per pair
+      // cheaper), full distance per pair — computed ONCE behind a
+      // named column (r14): the old form referenced the O(len²)
+      // kernel from `lev`, from inside `edit_sim`, AND from the
+      // `edit_sim >= minSimilarity` filter the optimizer pushed below
+      // the projection — three evaluations per pair. At
+      // minSimilarity ≤ 0 that filter only ever drops null-sim rows
+      // (edit_sim ∈ [0,1] otherwise), i.e. exactly the null-text
+      // pairs the CONTRACT above excludes — so it is replaced by the
+      // explicit null-text filter, applied BEFORE the kernel runs.
       joined
+        .filter(col("__ta").isNotNull && col("__tb").isNotNull)
         .select(
           col("doc_a"), col("doc_b"),
           levenshtein(col("__ta"), col("__tb")).as("lev"),
-          when(greatest(length(col("__ta")), length(col("__tb"))) === 0, lit(1.0))
-            .otherwise(lit(1.0) - levenshtein(col("__ta"), col("__tb")).cast("double") /
-              greatest(length(col("__ta")), length(col("__tb"))).cast("double"))
+          greatest(length(col("__ta")), length(col("__tb"))).as("__maxlen"))
+        .select(
+          col("doc_a"), col("doc_b"), col("lev"),
+          when(col("__maxlen") === 0, lit(1.0))
+            .otherwise(lit(1.0) - col("lev").cast("double") / col("__maxlen").cast("double"))
             .as("edit_sim"))
-        .filter(col("edit_sim") >= minSimilarity)
   }
 
   /** Bounded-distance verification: keep candidates within `maxEdits`

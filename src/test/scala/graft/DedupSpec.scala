@@ -358,6 +358,15 @@ class DedupSpec extends SparkSpec {
     val e = Dedup.editVerifiedPairs(Seq((7L, 8L)).toDF("doc_a", "doc_b"), empties)
       .collect()
     assert(e.length == 1 && e.head.getDouble(3) == 1.0)
+    // a NULL text is excluded in report-everything mode too (the
+    // documented contract; pins the r14 compute-lev-once rewrite,
+    // which replaced the null-sim filter with an explicit early
+    // null-text filter)
+    val withNull = Seq((9L, Some("abc")), (10L, None: Option[String]))
+      .toDF("doc_id", "text")
+    val n = Dedup.editVerifiedPairs(
+      Seq((9L, 10L)).toDF("doc_a", "doc_b"), withNull, minSimilarity = 0.0)
+    assert(n.count() == 0)
   }
 
   test("bounded edit verification equals the unbanded filter") {
