@@ -67,29 +67,34 @@ object Seasonal {
         col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 4))
           .multiply(lit(10000)).cast("long").as("vu"))
     val keys = Seq("event_type", "isodow", "hour")
-    val med = slotted
+    // ONE scan of events (r14, second step): collapse to the
+    // (slot, value) grain first — percentile's partial state is the
+    // value→count map anyway, so this exchange carries the same
+    // content the raw-row median's partial buffers carried — and run
+    // BOTH the median (percentile's exact FREQUENCY form, the same
+    // expand-each-value-cnt-times statistic bit-for-bit) and the
+    // deviation table off that grain. The previous shape scanned
+    // events once for the median and AGAIN under the broadcast med
+    // join (a broadcast join keeps the streamed side un-exchanged, so
+    // exchange reuse had nothing to dedupe): 2 full scans → 1.
+    val vals = slotted
+      .groupBy(keys.map(col) :+ col("vu"): _*)
+      .agg(count(lit(1)).as("__cv"))
+    val med = vals
       .groupBy(keys.map(col): _*)
-      .agg(expr("percentile(vu, 0.5)").as("med_u"))
-    val withMed = slotted.join(Broadcasting.maybeBroadcast(med), keys)
+      .agg(expr("percentile(vu, 0.5, __cv)").as("med_u"))
     // Tie-collapsed deviation table (r14): both the MAD and every
     // anomaly/exceedance count are functions of |vu − med| ALONE, so
-    // the second and third passes run over the (slot, deviation)
-    // grain instead of re-scanning events a third time. The broadcast
-    // med join keeps the streamed side un-exchanged, so each consumer
-    // of `withMed` used to pay its own full scan+quantize (exchange
-    // reuse has nothing to dedupe below a broadcast join); `devs`
-    // puts a groupBy exchange at the collapsed grain, and its two
-    // consumers (the MAD aggregate, the final counts) reuse that one
-    // exchange. MAD via percentile's exact FREQUENCY form is the same
-    // expand-each-value-cnt-times statistic bit-for-bit; deviations
-    // are integer- or half-integer-valued micro-units (see the MAD
-    // note above), so grouping on the double is exact, and
-    // `__dev ≠ 0 ⟺ vu ≠ med_u` keeps the degenerate-slot screen
-    // identical.
-    val devs = withMed
+    // the later passes run over the (slot, deviation) grain. The two
+    // consumers (the MAD aggregate, the final counts) reuse the one
+    // devs exchange. Deviations are integer- or half-integer-valued
+    // micro-units (see the MAD note above), so grouping on the double
+    // is exact, and `__dev ≠ 0 ⟺ vu ≠ med_u` keeps the
+    // degenerate-slot screen identical.
+    val devs = vals.join(Broadcasting.maybeBroadcast(med), keys)
       .groupBy(keys.map(col) ++ Seq(
         col("med_u"), abs(col("vu") - col("med_u")).as("__dev")): _*)
-      .agg(count(lit(1)).as("__c"))
+      .agg(sum(col("__cv")).as("__c"))
     val mad = devs
       .groupBy(keys.map(col): _*)
       .agg(expr("percentile(__dev, 0.5, __c)").as("mad_u"))
