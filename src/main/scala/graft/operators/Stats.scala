@@ -475,8 +475,8 @@ object Stats {
       .groupBy("__v")
       .agg(sum(col("__e")).as("__d"), sum(lit(1L) - col("__e")).as("__c"))
       .withColumn("__dc", col("__d") + col("__c"))
-    // the observation total rides the banded pass's bounds aggregate
-    // (carryTotals) — a separate tot lineage re-scanned collapsed.
+    // the observation total rides this one bounds aggregate (a
+    // separate tot lineage would re-scan collapsed's final stage).
     // BAND ONCE for both prefix passes (r14): the second pass's value
     // domain is the first's (windows and the broadcast offsets join
     // preserve rows 1:1 and never touch __v), so re-deriving bounds
