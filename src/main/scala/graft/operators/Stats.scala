@@ -155,10 +155,13 @@ object Stats {
       val withOffs = sums.foldLeft(offs) { case (acc, (c, _)) =>
         acc.withColumn(s"__off$c", coalesce(sum(col(s"__s$c")).over(offW), lit(0L)))
       }.select(col("__bkt") +: sums.map { case (c, _) => col(s"__off$c") }: _*)
+      // outputs first, ONE drop after: dropping __ib inside the fold
+      // would break a caller carrying the same input column under two
+      // output names (the second output's __ib would already be gone)
       sums.foldLeft(cum.join(broadcast(withOffs), Seq("__bkt"))) {
         case (acc, (c, out)) =>
-          acc.withColumn(out, col(s"__off$c") + col(s"__ib$c")).drop(s"__ib$c")
-      }
+          acc.withColumn(out, col(s"__off$c") + col(s"__ib$c"))
+      }.drop(sums.map { case (c, _) => s"__ib$c" }.distinct: _*)
     } else {
       val withOffs = sums.foldLeft(offs) { case (acc, (c, _)) =>
         acc.withColumn(s"__off$c", coalesce(sum(col(s"__s$c")).over(offW), lit(0L)))
@@ -172,8 +175,8 @@ object Stats {
             (col("__bkt") === col("__obkt"))).reduce(_ && _))
         .drop(groupCols.map(c => s"__og_$c") :+ "__obkt": _*)
       sums.foldLeft(joined) { case (acc, (c, out)) =>
-        acc.withColumn(out, col(s"__off$c") + col(s"__ib$c")).drop(s"__ib$c")
-      }
+        acc.withColumn(out, col(s"__off$c") + col(s"__ib$c"))
+      }.drop(sums.map { case (c, _) => s"__ib$c" }.distinct: _*)
     }
   }
 
